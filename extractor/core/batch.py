@@ -1,0 +1,93 @@
+"""Fused per-batch extraction: one pandas DataFrame in, one out.
+
+This is the single body shared by (a) the Spark ``mapInPandas`` stage
+(``extractor.job``) and (b) the single-threaded oracle that freezes the
+golden fixtures — per-turn byte equality between the two is therefore a
+property of the *plan* (partitioning, ordering, Arrow round-trip), not
+of duplicated logic.
+
+Dispatch mirrors the reference's extension router
+(``LOCDB-V3/fileProcessor.py:39-119``, S3): the ``tool`` column marks
+the payload kind (``browser`` -> HTML, ``pdf`` -> glyph JSON, anything
+else -> plain text), handled with per-batch masks instead of three
+separate jobs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from extractor.core import dedup, html_strip, pdf_layout, refseg
+from extractor.core.textnorm import normalize_plain
+
+OUTPUT_COLUMNS = ["conv_id", "turn_idx", "clean_text", "refs", "n_refs"]
+
+
+def _plain_refs(clean_text: str, detector_default: str = "anchor") -> list[dict]:
+    """Segment normalized plain text; fill char spans from the line
+    offset index; geometry fields take the non-pdf defaults."""
+    cands = refseg.segment_text(clean_text)
+    if not cands:
+        return []
+    lines = clean_text.split("\n")
+    lengths = np.array([len(t) for t in lines], dtype=np.int64)
+    starts = np.zeros(len(lines), dtype=np.int64)
+    if len(lines) > 1:
+        starts[1:] = np.cumsum(lengths[:-1] + 1)
+    refs = []
+    for c in cands:
+        ls, le = c["line_start"], c["line_end"]
+        refs.append({
+            "raw": c["raw"],
+            "span_start": int(starts[ls]),
+            "span_end": int(starts[le] + lengths[le]),
+            "line_start": -1,
+            "line_end": -1,
+            "bbox": None,
+            "detector": c["detector"],
+            "fields": refseg.parse_fields(c["raw"]),
+        })
+    return refs
+
+
+def extract_one(text: str, tool: str) -> tuple[str, list[dict]]:
+    """Extract (clean_text, refs) for one turn. Deterministic."""
+    if text is None:
+        return "", []
+    if tool == "browser":
+        res = html_strip.strip_html(text)
+        refs = res["refs"]
+        if not refs:
+            refs = _plain_refs(res["clean_text"])
+        return res["clean_text"], dedup.dedup_refs(refs)
+    if tool == "pdf":
+        res = pdf_layout.extract_pdf(text)
+        if res is not None:
+            return res["clean_text"], dedup.dedup_refs(res["refs"])
+        # unparseable glyph payload -> plain fallback
+    clean = normalize_plain(text)
+    return clean, dedup.dedup_refs(_plain_refs(clean))
+
+
+def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch entry: requires columns conv_id, turn_idx, text, tool.
+
+    Returns OUTPUT_COLUMNS with ``refs`` as list-of-dicts (Arrow maps
+    it onto the ArrayType(StructType) schema in extractor.schema).
+    """
+    texts = pdf["text"].to_numpy(dtype=object)
+    tools = pdf["tool"].to_numpy(dtype=object)
+    clean_out = np.empty(len(pdf), dtype=object)
+    refs_out = np.empty(len(pdf), dtype=object)
+    for i in range(len(pdf)):
+        c, r = extract_one(texts[i], tools[i] or "")
+        clean_out[i] = c
+        refs_out[i] = r
+    return pd.DataFrame({
+        "conv_id": pdf["conv_id"].to_numpy(dtype=object),
+        "turn_idx": pdf["turn_idx"].to_numpy(),
+        "clean_text": clean_out,
+        "refs": refs_out,
+        "n_refs": np.array([len(r) for r in refs_out], dtype=np.int32),
+    })

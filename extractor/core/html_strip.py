@@ -1,0 +1,347 @@
+"""HTML main-content extraction + DOM reference-block detection.
+
+Re-derives the capability of ``prepareHTML``/``mapHTML``
+(``LOCDB-V3/xmlProcessing.py:179-397``) without BeautifulSoup/lxml
+(offline sandbox): a single pass with stdlib ``html.parser`` emits flat
+text blocks with ancestry features, then
+
+- a boilerpipe-style word-count / link-density classifier (public
+  algorithm: Kohlschuetter et al., "Boilerplate Detection using Shallow
+  Text Features", WSDM 2010) keeps main-content blocks — this replaces
+  the reference's role for crop_morphology's "find dense text blocks,
+  drop page furniture" (``dev-version/crop_morphology.py``) on the DOM
+  side, plus the reference's F1-greedy block subset selection
+  (``dev-version/crop_morphology.py:137-190``) in spirit;
+- reference candidates are lifted from generalized structure instead of
+  the reference's five hard-coded site layouts
+  (``LOCDB-V3/xmlProcessing.py:185-264``): ``<cite>`` elements,
+  ``dl.references`` items, any block under a ``reference``/``citation``
+  class, list items under a References/Bibliography heading, and
+  ``td[valign=top]`` cells (with ``ref-google``/``ref-xLink`` noise
+  spans removed, per layout (e));
+- ``cit-*`` classed spans map to structured bib fields (``mapHTML``
+  ``LOCDB-V3/xmlProcessing.py:279-397``).
+
+Malformed markup is tolerated: unmatched close tags are ignored,
+unclosed tags are popped leniently (§7.4 risk 3 of SURVEY.md).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from extractor.core import refseg
+from extractor.core.textnorm import normalize_block
+
+BLOCK_TAGS = {
+    "p", "div", "section", "article", "main", "li", "dd", "dt", "td", "th",
+    "tr", "table", "ul", "ol", "dl", "h1", "h2", "h3", "h4", "h5", "h6",
+    "pre", "blockquote", "figcaption", "cite", "body", "nav", "header",
+    "footer", "aside", "form", "figure",
+}
+SKIP_TAGS = {"script", "style", "noscript", "svg", "template", "head", "iframe"}
+BOILER_TAGS = {"nav", "header", "footer", "aside", "form"}
+VOID_TAGS = {"br", "hr", "img", "meta", "link", "input", "area", "base",
+             "col", "embed", "source", "track", "wbr"}
+HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+BOILER_CLASS_RE = re.compile(
+    r"(?:^|[\s_-])(nav|menu|sidebar|footer|header|banner|advert|ads?|"
+    r"cookie|social|share|breadcrumb|promo|widget|related|comment)s?(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+REF_CLASS_RE = re.compile(r"(reference|citation)", re.IGNORECASE)
+REF_NOISE_RE = re.compile(r"ref-(google|xlink)", re.IGNORECASE)
+_CIT_FIELD_RE = re.compile(r"\bcit-([a-z-]+)\b", re.IGNORECASE)
+
+# boilerpipe NumWordsRulesClassifier thresholds (WSDM'10 paper, public)
+_LD_CURR = 0.333333
+_LD_PREV = 0.555556
+
+_WRAP_RE = re.compile(r"^\[['\"]?\s*|\s*['\"]?\]$")  # layout (c) "['...']" wrap
+
+
+class _Frame:
+    __slots__ = ("tag", "boiler", "ref_kind", "noise", "cit_field")
+
+    def __init__(self, tag, boiler, ref_kind, noise, cit_field):
+        self.tag = tag
+        self.boiler = boiler
+        self.ref_kind = ref_kind
+        self.noise = noise
+        self.cit_field = cit_field
+
+
+class _Block:
+    __slots__ = ("tag", "boiler", "ref_kind", "parts", "anchor_chars",
+                 "chars", "cit_fields", "heading")
+
+    def __init__(self, tag, boiler, ref_kind):
+        self.tag = tag
+        self.boiler = boiler
+        self.ref_kind = ref_kind
+        self.parts: list[str] = []
+        self.anchor_chars = 0
+        self.chars = 0
+        self.cit_fields: dict[str, list[str]] = {}
+        self.heading = tag in HEADING_TAGS
+
+    @property
+    def text(self) -> str:
+        return normalize_block("".join(self.parts))
+
+
+class _Extractor(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.stack: list[_Frame] = []
+        self.blocks: list[_Block] = []
+        self.cur: _Block | None = None
+        self.skip_depth = 0
+        self.anchor_depth = 0
+        self.after_ref_heading = False
+
+    # -- frame helpers ------------------------------------------------
+    def _top(self) -> _Frame | None:
+        return self.stack[-1] if self.stack else None
+
+    def _attrs(self, attrs):
+        d = {}
+        for k, v in attrs:
+            d[k.lower()] = v or ""
+        return d
+
+    def _flush(self):
+        if self.cur is not None and self.cur.chars > 0:
+            self.blocks.append(self.cur)
+        self.cur = None
+
+    def _open_block(self, tag):
+        self._flush()
+        top = self._top()
+        self.cur = _Block(
+            tag,
+            top.boiler if top else False,
+            top.ref_kind if top else None,
+        )
+
+    # -- parser events ------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in VOID_TAGS:
+            if tag in ("br", "hr") and self.cur is not None:
+                self.cur.parts.append(" ")
+            return
+        if tag in SKIP_TAGS:
+            self.skip_depth += 1
+            return
+        a = self._attrs(attrs)
+        cls = "{} {}".format(a.get("class", ""), a.get("id", ""))
+        top = self._top()
+
+        boiler = (top.boiler if top else False) or tag in BOILER_TAGS \
+            or BOILER_CLASS_RE.search(cls) is not None
+        ref_kind = top.ref_kind if top else None
+        if ref_kind is None:
+            if tag == "cite":
+                ref_kind = "cite"
+            elif tag == "dl" and "references" in cls.lower():
+                ref_kind = "dl"
+            elif REF_CLASS_RE.search(cls) and not BOILER_CLASS_RE.search(cls):
+                ref_kind = "class"
+            elif tag in ("ol", "ul") and self.after_ref_heading:
+                ref_kind = "list"
+            elif tag == "td" and a.get("valign", "").lower() == "top":
+                ref_kind = "td"
+        noise = (top.noise if top else False) or REF_NOISE_RE.search(cls) is not None
+        m = _CIT_FIELD_RE.search(a.get("class", ""))
+        cit_field = m.group(1).lower() if m else (top.cit_field if top else None)
+
+        self.stack.append(_Frame(tag, boiler, ref_kind, noise, cit_field))
+        if tag == "a":
+            self.anchor_depth += 1
+        if tag in BLOCK_TAGS:
+            self._open_block(tag)
+            if tag not in ("ol", "ul") and tag not in HEADING_TAGS:
+                # any other block content between heading and list keeps
+                # the heading's anchor effect only for headings/lists
+                pass
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in SKIP_TAGS:
+            if self.skip_depth > 0:
+                self.skip_depth -= 1
+            return
+        if tag in VOID_TAGS:
+            return
+        # lenient pop: only if tag is open somewhere
+        depth = None
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].tag == tag:
+                depth = i
+                break
+        if depth is None:
+            return
+        for frame in reversed(self.stack[depth:]):
+            if frame.tag == "a" and self.anchor_depth > 0:
+                self.anchor_depth -= 1
+        del self.stack[depth:]
+        if tag in BLOCK_TAGS:
+            if tag in HEADING_TAGS and self.cur is not None:
+                self.after_ref_heading = refseg.is_anchor_line(self.cur.text)
+            elif tag not in ("ol", "ul", "li"):
+                if self.cur is not None and self.cur.chars > 0:
+                    self.after_ref_heading = False
+            self._flush()
+            top = self._top()
+            self.cur = _Block(
+                top.tag if top else "body",
+                top.boiler if top else False,
+                top.ref_kind if top else None,
+            )
+
+    def handle_data(self, data):
+        if self.skip_depth > 0 or not data:
+            return
+        if not data.strip():
+            # whitespace-only node: keep one separator so text across
+            # inline-tag boundaries doesn't fuse ("Doe, J." + "1999")
+            if self.cur is not None and self.cur.parts:
+                self.cur.parts.append(" ")
+            return
+        if self.cur is None:
+            self.cur = _Block("body", False, None)
+        top = self._top()
+        if top is not None and top.noise:
+            return  # ref-google / ref-xLink spans are dropped entirely
+        self.cur.parts.append(data)
+        n = len(data.strip())
+        self.cur.chars += n
+        if self.anchor_depth > 0:
+            self.cur.anchor_chars += n
+        if top is not None and top.cit_field:
+            self.cur.cit_fields.setdefault(top.cit_field, []).append(
+                normalize_block(data)
+            )
+
+
+def _classify(blocks: list[_Block]) -> list[bool]:
+    """boilerpipe NumWordsRulesClassifier over the block sequence,
+    with overrides: boiler ancestry always rejects; detected reference
+    blocks and clean headings always accept (they carry the content
+    contract: the References heading must survive for anchor-based
+    downstream segmentation)."""
+    words = [len(b.text.split()) for b in blocks]
+    ld = [b.anchor_chars / b.chars if b.chars else 1.0 for b in blocks]
+    keep = []
+    n = len(blocks)
+    for i, b in enumerate(blocks):
+        if b.boiler:
+            keep.append(False)
+            continue
+        if b.ref_kind is not None:
+            keep.append(True)
+            continue
+        if b.heading and ld[i] == 0.0 and words[i] >= 1:
+            keep.append(True)
+            continue
+        if ld[i] > _LD_CURR:
+            keep.append(False)
+            continue
+        prev_ld = ld[i - 1] if i > 0 else 0.0
+        prev_w = words[i - 1] if i > 0 else 0
+        next_w = words[i + 1] if i + 1 < n else 0
+        if prev_ld <= _LD_PREV:
+            keep.append(words[i] > 16 or next_w > 15 or prev_w > 4)
+        else:
+            keep.append(words[i] > 40 or next_w > 17)
+    return keep
+
+
+def _dom_fields(b: _Block) -> dict | None:
+    """mapHTML-style cit-* class field lift (X2)."""
+    if not b.cit_fields:
+        return None
+    g = {k: " ".join(v).strip() for k, v in b.cit_fields.items()}
+    f = dict(refseg.EMPTY_FIELDS)
+    if "auth" in g:
+        f["authors"] = [a.strip() for a in re.split(r";|\band\b", g["auth"]) if a.strip()]
+    f["date"] = g.get("pub-date") or None
+    f["title"] = g.get("article-title") or g.get("source") or None
+    f["journal"] = g.get("jnl-abbrev") or (g.get("source") if g.get("article-title") else None)
+    f["location"] = g.get("publ-loc") or None
+    f["publisher"] = g.get("publ-name") or None
+    f["volume"] = g.get("vol") or None
+    fp, lp = g.get("fpage"), g.get("lpage")
+    if fp and lp:
+        f["pages"] = "{}-{}".format(fp, lp)
+    elif fp:
+        f["pages"] = fp
+    return f
+
+
+def strip_html(raw_html: str) -> dict:
+    """Parse + classify one HTML payload.
+
+    Returns ``{"clean_text": str, "refs": [ref dict]}`` where each ref
+    has raw/span_start/span_end/detector='dom'/fields (geometry fields
+    are the non-pdf defaults). Spans index into clean_text.
+    """
+    p = _Extractor()
+    try:
+        p.feed(raw_html)
+        p.close()
+    except Exception:
+        pass  # stdlib parser is non-raising in practice; belt & braces
+    p._flush()
+
+    blocks = p.blocks
+    keep = _classify(blocks)
+    texts: list[str] = []
+    offsets: list[int] = []
+    pos = 0
+    kept_idx: dict[int, int] = {}
+    for i, (b, k) in enumerate(zip(blocks, keep)):
+        if not k:
+            continue
+        t = b.text
+        if not t:
+            continue
+        kept_idx[i] = len(texts)
+        offsets.append(pos)
+        texts.append(t)
+        pos += len(t) + 1  # newline join
+    clean_text = "\n".join(texts)
+
+    refs: list[dict] = []
+    for i, b in enumerate(blocks):
+        if b.ref_kind is None or i not in kept_idx:
+            continue
+        if b.ref_kind in ("dl",) and b.tag == "dt":
+            continue  # dt labels excluded (layout b: "minus label")
+        raw = _WRAP_RE.sub("", b.text).strip()
+        if raw.endswith(".."):
+            raw = raw[:-1]  # layout (c) trailing-dot fix
+        if len(raw.strip()) <= refseg.MIN_REF_LEN:
+            continue
+        if not refseg.looks_like_citation(raw):
+            continue
+        start = offsets[kept_idx[i]]
+        block_text = texts[kept_idx[i]]
+        inner = block_text.find(raw)
+        if inner < 0:
+            inner = 0
+            raw = block_text if len(block_text.strip()) > refseg.MIN_REF_LEN else raw
+        refs.append({
+            "raw": raw,
+            "span_start": start + inner,
+            "span_end": start + inner + len(raw),
+            "line_start": -1,
+            "line_end": -1,
+            "bbox": None,
+            "detector": "dom",
+            "fields": _dom_fields(b) or refseg.parse_fields(raw),
+        })
+    return {"clean_text": clean_text, "refs": refs}

@@ -1,0 +1,241 @@
+"""PDF glyph-layout parsing: glyph boxes -> lines -> columns ->
+reading order -> de-hyphenated text with char offsets and per-ref
+bounding boxes.
+
+Re-derives, deterministically and in numpy, the capabilities the
+reference gets from Detectron + Tesseract hOCR:
+
+- column detection (N1): the reference's Faster-RCNN column boxes
+  (``LOCDB-V3/imgProcessing.py:32-134``) become x-projection gap
+  clustering over glyph boxes; columns ordered left->right
+  (``LOCDB-V3/imgProcessing.py:85-90``, W2).
+- hOCR line parse (F2, ``LOCDB-V3/imgProcessing.py:457-528``): glyphs
+  cluster into lines by y-center, words sort by x, join with " ".
+- de-hyphenation with the digit guard (F1): trailing "-" merges into
+  the next line UNLESS the char before "-" is a digit
+  (``LOCDB-V3/imgProcessing.py:498-507``).
+- running char-offset index (A3, ``LOCDB-V3/imgProcessing.py:488-516``).
+- bounding-box envelope min/min/max/max (A1,
+  ``LOCDB-V3/imgProcessing.py:361-378,725-746``).
+- zero-coordinate eviction (P5, ``LOCDB-V3/imgProcessing.py:565-586``).
+- empty-line filter (P6, ``LOCDB-V3/imgProcessing.py:478-480``).
+
+Payload shape (FIXTURES.md §1.1):
+``{"pages":[{"w":..,"h":..,"glyphs":[{"t":..,"x0":..,"y0":..,"x1":..,"y1":..}]}]}``
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from extractor.core import refseg
+from extractor.core.textnorm import collapse_inline_ws
+
+COLUMN_GAP_FRAC = 0.03   # min x-gap between columns as fraction of page width
+LINE_GAP_FACTOR = 0.6    # new line when y-center jump > factor * median height
+MAX_CANVAS = 3500        # payload clamp analog (LOCDB-V3/imgProcessing.py:24-28)
+
+
+def parse_payload(text: str) -> dict | None:
+    """Parse the glyph JSON; None if not a valid pdf_glyphs payload."""
+    try:
+        obj = json.loads(text)
+    except (ValueError, TypeError):
+        return None
+    if not isinstance(obj, dict) or not isinstance(obj.get("pages"), list):
+        return None
+    return obj
+
+
+def _normalize_canvas(w: float, h: float, xs0, ys0, xs1, ys1):
+    """Oversize-canvas clamp (P9 analog): scale so max dim <= MAX_CANVAS."""
+    m = max(w, h)
+    if m <= MAX_CANVAS:
+        return w, h, xs0, ys0, xs1, ys1
+    s = MAX_CANVAS / m
+    return w * s, h * s, xs0 * s, ys0 * s, xs1 * s, ys1 * s
+
+
+def _columns(xs0: np.ndarray, xs1: np.ndarray, width: float) -> list[tuple[float, float]]:
+    """Merge glyph x-intervals; gaps wider than COLUMN_GAP_FRAC*width
+    split columns. Returns [(x_lo, x_hi)] ordered left->right."""
+    order = np.argsort(xs0, kind="stable")
+    a, b = xs0[order], xs1[order]
+    cols = []
+    lo, hi = float(a[0]), float(b[0])
+    min_gap = COLUMN_GAP_FRAC * width
+    for i in range(1, len(a)):
+        if float(a[i]) - hi > min_gap:
+            cols.append((lo, hi))
+            lo, hi = float(a[i]), float(b[i])
+        else:
+            hi = max(hi, float(b[i]))
+            lo = min(lo, float(a[i]))
+    cols.append((lo, hi))
+    return cols
+
+
+def _lines_in_column(ts, x0, y0, x1, y1) -> list[dict]:
+    """Cluster one column's glyphs into lines by y-center, emit
+    reading-order lines with text and integer bbox envelope."""
+    yc = (y0 + y1) / 2.0
+    heights = y1 - y0
+    med_h = float(np.median(heights)) if len(heights) else 1.0
+    if med_h <= 0:
+        med_h = 1.0
+    order = np.lexsort((x0, yc))  # primary yc, secondary x0 — deterministic
+    yc_s = yc[order]
+    breaks = np.empty(len(order), dtype=bool)
+    breaks[0] = True
+    if len(order) > 1:
+        breaks[1:] = np.diff(yc_s) > LINE_GAP_FACTOR * med_h
+    line_id = np.cumsum(breaks) - 1
+
+    lines = []
+    for lid in range(int(line_id[-1]) + 1):
+        sel = order[line_id == lid]
+        sel = sel[np.lexsort((y0[sel], x0[sel]))]  # words left->right
+        text = collapse_inline_ws(" ".join(str(ts[i]) for i in sel))
+        if not text:  # empty-line filter (P6)
+            continue
+        bbox = [
+            int(np.floor(x0[sel].min())),
+            int(np.floor(y0[sel].min())),
+            int(np.ceil(x1[sel].max())),
+            int(np.ceil(y1[sel].max())),
+        ]
+        lines.append({"text": text, "bbox": bbox})
+    return lines
+
+
+def page_lines(page: dict) -> list[dict]:
+    """All lines of one page in reading order (columns left->right,
+    lines top->bottom within a column)."""
+    glyphs = page.get("glyphs") or []
+    if not glyphs:
+        return []
+    ts = np.array([g.get("t", "") for g in glyphs], dtype=object)
+    x0 = np.array([float(g.get("x0", 0)) for g in glyphs])
+    y0 = np.array([float(g.get("y0", 0)) for g in glyphs])
+    x1 = np.array([float(g.get("x1", 0)) for g in glyphs])
+    y1 = np.array([float(g.get("y1", 0)) for g in glyphs])
+    w = float(page.get("w", max(1.0, float(x1.max()))))
+    h = float(page.get("h", max(1.0, float(y1.max()))))
+    w, h, x0, y0, x1, y1 = _normalize_canvas(w, h, x0, y0, x1, y1)
+
+    out: list[dict] = []
+    for lo, hi in _columns(x0, x1, w):
+        xc = (x0 + x1) / 2.0
+        mask = (xc >= lo - 1e-9) & (xc <= hi + 1e-9)
+        if not mask.any():
+            continue
+        out.extend(_lines_in_column(ts[mask], x0[mask], y0[mask],
+                                    x1[mask], y1[mask]))
+    return out
+
+
+def _dehyphenate(lines: list[dict]) -> list[dict]:
+    """Merge a line ending in '-' into the following line, unless the
+    char before '-' is a digit (digit guard). Merged lines keep the
+    full source-line range and the bbox envelope of their members."""
+    out: list[dict] = []
+    i = 0
+    n = len(lines)
+    while i < n:
+        text = lines[i]["text"]
+        bbox = list(lines[i]["bbox"])
+        src_start = src_end = i
+        while (
+            src_end + 1 < n
+            and text.endswith("-")
+            and len(text) >= 2
+            and not text[-2].isdigit()
+        ):
+            nxt = lines[src_end + 1]
+            text = text[:-1] + nxt["text"]
+            bbox = [
+                min(bbox[0], nxt["bbox"][0]),
+                min(bbox[1], nxt["bbox"][1]),
+                max(bbox[2], nxt["bbox"][2]),
+                max(bbox[3], nxt["bbox"][3]),
+            ]
+            src_end += 1
+        out.append({
+            "text": text,
+            "bbox": bbox,
+            "src_start": src_start,
+            "src_end": src_end,
+        })
+        i = src_end + 1
+    return out
+
+
+def extract_pdf(text: str) -> dict | None:
+    """Full pdf_glyphs pipeline for one payload.
+
+    Returns ``{"clean_text": str, "refs": [ref dict]}`` or None when
+    the payload isn't parseable glyph JSON (caller falls back to the
+    plain-text path).
+    """
+    obj = parse_payload(text)
+    if obj is None:
+        return None
+    raw_lines: list[dict] = []
+    for page in obj["pages"]:
+        raw_lines.extend(page_lines(page))
+    lines = _dehyphenate(raw_lines)
+
+    texts = [ln["text"] for ln in lines]
+    clean_text = "\n".join(texts)
+    # running char-offset index (A3): starts[i] = offset of line i
+    lengths = np.array([len(t) for t in texts], dtype=np.int64)
+    starts = np.zeros(len(texts), dtype=np.int64)
+    if len(texts) > 1:
+        starts[1:] = np.cumsum(lengths[:-1] + 1)
+
+    a = refseg.find_anchor(texts)
+    if a >= 0:
+        cands = refseg.segment_lines(texts, a + 1, "anchor")
+    else:
+        cands = []
+        run_start, run_len = -1, 0
+        for i, t in enumerate(texts):
+            if refseg.is_marker_line(t):
+                if run_start < 0:
+                    run_start = i
+                run_len += 1
+            else:
+                if run_len >= 2:
+                    cands.extend(refseg.segment_lines(
+                        texts[: i], run_start, "layout"))
+                run_start, run_len = -1, 0
+        if run_len >= 2:
+            cands.extend(refseg.segment_lines(texts, run_start, "layout"))
+
+    refs = []
+    for c in cands:
+        ls, le = c["line_start"], c["line_end"]
+        member = lines[ls: le + 1]
+        bbox = [
+            min(m["bbox"][0] for m in member),
+            min(m["bbox"][1] for m in member),
+            max(m["bbox"][2] for m in member),
+            max(m["bbox"][3] for m in member),
+        ]
+        if bbox == [0, 0, 0, 0]:
+            continue  # zero-coordinate eviction (P5)
+        span_start = int(starts[ls])
+        span_end = int(starts[le] + lengths[le])
+        refs.append({
+            "raw": c["raw"],
+            "span_start": span_start,
+            "span_end": span_end,
+            "line_start": int(member[0]["src_start"]),
+            "line_end": int(member[-1]["src_end"]),
+            "bbox": bbox,
+            "detector": c["detector"],
+            "fields": refseg.parse_fields(c["raw"]),
+        })
+    return {"clean_text": clean_text, "refs": refs}

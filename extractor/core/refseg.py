@@ -1,0 +1,238 @@
+"""Reference-string segmentation + bibliographic field parsing.
+
+Re-derives, from scratch, the *capability* the reference gets from
+external ParsCit/Grobid subprocesses:
+
+- The reference *injects* a known anchor ("REFERENCES") before
+  candidate text so ParsCit finds a reference section
+  (``LOCDB-V3/textProcessing.py:117-129``, ``LOCDB-V3/xmlProcessing.py:
+  99-107``). We invert the trick: *detect* the anchor line.
+- Numbered-marker formatting ``"{i}.\\t{text}"`` / ``"[ID] text"``
+  (``LOCDB-V3/imgProcessing.py:759-764``, ``LOCDB-V3/xmlProcessing.py:
+  93-96``) becomes a segmentation feature (marker regex).
+- ``citation[valid="true"]`` filtering (``LOCDB-V3/textProcessing.py:
+  143``) becomes a per-block validity score from token features
+  (year / author-initial patterns).
+- Min-length filter ``len(strip()) > 5`` (``LOCDB-V3/xmlProcessing.py:
+  217,231-232``).
+- Flat bib-field mapping (authors/title/journal/date/publisher/
+  location/volume/issue/pages) mirrors the TEI->flat lift in
+  ``LOCDB-V3/imgProcessing.py:801-968``.
+
+Pure Python; deterministic; no pyspark imports.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+ANCHOR_RE = re.compile(
+    r"^\s*(?:\d+\.?\s+)?(references|bibliography|works\s+cited|"
+    r"literatur(?:verzeichnis)?|quellen(?:verzeichnis)?)\s*:?\s*$",
+    re.IGNORECASE,
+)
+MARKER_RE = re.compile(r"^\s*(\[\d{1,4}\]|\d{1,4}\.)\s+")
+YEAR_RE = re.compile(r"\b((?:19|20)\d{2})[a-z]?\b")
+INITIAL_RE = re.compile(r"\b[A-Z]\.(?:\s?[A-Z]\.)*")
+MIN_REF_LEN = 5  # keep iff len(strip()) > 5, per LOCDB-V3/xmlProcessing.py:217
+
+
+def is_anchor_line(line: str) -> bool:
+    return ANCHOR_RE.match(line) is not None
+
+
+def is_marker_line(line: str) -> bool:
+    return MARKER_RE.match(line) is not None
+
+
+def looks_like_citation(text: str) -> bool:
+    """Validity heuristic replacing ParsCit's valid="true" flag (P3):
+    a citation-ish block carries a year and an author-initial pattern,
+    or a year plus enough length."""
+    has_year = YEAR_RE.search(text) is not None
+    has_initial = INITIAL_RE.search(text) is not None
+    return (has_year and has_initial) or (has_year and len(text) >= 40)
+
+
+def find_anchor(lines: list[str]) -> int:
+    """Index of the first anchor line, or -1."""
+    for i, ln in enumerate(lines):
+        if is_anchor_line(ln):
+            return i
+    return -1
+
+
+def segment_lines(
+    lines: list[str],
+    start: int,
+    detector: str,
+) -> list[dict]:
+    """Group ``lines[start:]`` into citation blocks.
+
+    A block starts at a marker line; marker-less non-blank lines
+    continue the current block. If the region has no markers at all,
+    blank-line-separated paragraphs are the blocks. Blocks failing the
+    validity or min-length filters are dropped (P3/P4).
+
+    Returns dicts with keys raw, line_start, line_end, detector
+    (char spans / bbox are filled by the caller, which owns geometry).
+    """
+    region = lines[start:]
+    any_marker = any(is_marker_line(ln) for ln in region)
+    blocks: list[tuple[int, int, list[str]]] = []  # (ls, le, parts)
+    cur: Optional[list] = None  # [ls, le, parts]
+
+    for off, ln in enumerate(region):
+        idx = start + off
+        stripped = ln.strip()
+        if not stripped:
+            if cur is not None and not any_marker:
+                blocks.append((cur[0], cur[1], cur[2]))
+                cur = None
+            continue
+        if any_marker:
+            if is_marker_line(ln):
+                if cur is not None:
+                    blocks.append((cur[0], cur[1], cur[2]))
+                cur = [idx, idx, [stripped]]
+            elif cur is not None:
+                cur[1] = idx
+                cur[2].append(stripped)
+            # marker-less lines before the first marker: preamble, skip
+        else:
+            if cur is None:
+                cur = [idx, idx, [stripped]]
+            else:
+                cur[1] = idx
+                cur[2].append(stripped)
+    if cur is not None:
+        blocks.append((cur[0], cur[1], cur[2]))
+
+    out = []
+    for ls, le, parts in blocks:
+        raw = " ".join(parts).strip()
+        if len(raw.strip()) <= MIN_REF_LEN:
+            continue
+        if not looks_like_citation(raw):
+            continue
+        out.append(
+            {"raw": raw, "line_start": ls, "line_end": le, "detector": detector}
+        )
+    return out
+
+
+def segment_text(text: str) -> list[dict]:
+    """Segment normalized plain text into reference candidates.
+
+    The anchored region (after a References/Bibliography/... heading)
+    is segmented with detector='anchor'. With no anchor, a trailing run
+    of >=2 consecutive marker lines is segmented with detector='layout'
+    (numbered-list shape is evidence enough, F6).
+    """
+    lines = text.split("\n")
+    a = find_anchor(lines)
+    if a >= 0:
+        return segment_lines(lines, a + 1, "anchor")
+    # no anchor: look for a run of >=2 marker lines
+    run_start, run_len, best = -1, 0, -1
+    for i, ln in enumerate(lines):
+        if is_marker_line(ln):
+            if run_start < 0:
+                run_start = i
+            run_len += 1
+        elif ln.strip():
+            if run_len >= 2 and best < 0:
+                best = run_start
+            run_start, run_len = -1, 0
+    if run_len >= 2 and best < 0:
+        best = run_start
+    if best >= 0:
+        return segment_lines(lines, best, "layout")
+    return []
+
+
+# ---------------------------------------------------------------------------
+# Bib-field parsing (capability of LOCDB-V3/imgProcessing.py:801-968 /
+# mapHTML LOCDB-V3/xmlProcessing.py:279-397, re-derived as regexes).
+# ---------------------------------------------------------------------------
+
+_AUTHOR_RE = re.compile(r"([A-Z][\w'À-ɏ-]+),\s*((?:[A-Z]\.\s*)+)")
+_VOL_ISSUE_RE = re.compile(r"\b(\d{1,4})\s*\((\d{1,3})\)")
+_VOL_RE = re.compile(r"\bvol\.?\s*(\d{1,4})", re.IGNORECASE)
+_ISSUE_RE = re.compile(r"\b(?:no|issue)\.?\s*(\d{1,3})", re.IGNORECASE)
+_PAGES_RE = re.compile(r"\b(?:pp?\.\s*)?(\d{1,5})\s*[-–—]{1,2}\s*(\d{1,5})\b")
+_PUBLOC_RE = re.compile(r"([A-Z][A-Za-z .]+?):\s*([A-Z][\w&. ]+?)(?:[,.;]|$)")
+_JOURNAL_RE = re.compile(r"\bIn\s+([A-Z][^,.;]{3,80})")
+
+EMPTY_FIELDS: dict = {
+    "authors": None,
+    "title": None,
+    "journal": None,
+    "date": None,
+    "publisher": None,
+    "location": None,
+    "volume": None,
+    "issue": None,
+    "pages": None,
+}
+
+
+def parse_fields(raw: str) -> dict:
+    """Flat bib struct from one citation string. All fields nullable;
+    authors is a list. Deterministic regex cascade over the canonical
+    shapes 'Surname, I., Surname, I. (YYYY). Title. Venue, vol(no),
+    pp. a-b. Location: Publisher.'"""
+    s = MARKER_RE.sub("", raw).strip()
+    f = dict(EMPTY_FIELDS)
+
+    m_year = YEAR_RE.search(s)
+    if m_year:
+        f["date"] = m_year.group(1)
+
+    authors = ["{} {}".format(a.strip(), b.strip()) for a, b in _AUTHOR_RE.findall(s[: m_year.start()] if m_year else s)]
+    if authors:
+        f["authors"] = authors
+
+    # title: first sentence after the year token (skipping a close-paren/dot)
+    if m_year:
+        rest = s[m_year.end():]
+        rest = re.sub(r"^[)\].,:;\s]+", "", rest)
+        m_t = re.match(r"([^.]{4,200})\.", rest)
+        if m_t:
+            f["title"] = m_t.group(1).strip()
+            tail = rest[m_t.end():]
+        else:
+            tail = rest
+    else:
+        tail = s
+
+    m_j = _JOURNAL_RE.search(tail)
+    if m_j:
+        f["journal"] = m_j.group(1).strip()
+    else:
+        # venue = next sentence-ish chunk before volume/pages digits
+        m_v = re.match(r"\s*([A-Z][^,.;0-9]{3,80})[,.]", tail)
+        if m_v:
+            f["journal"] = m_v.group(1).strip()
+
+    m_vi = _VOL_ISSUE_RE.search(tail)
+    if m_vi:
+        f["volume"], f["issue"] = m_vi.group(1), m_vi.group(2)
+    else:
+        m_vol = _VOL_RE.search(tail)
+        if m_vol:
+            f["volume"] = m_vol.group(1)
+        m_iss = _ISSUE_RE.search(tail)
+        if m_iss:
+            f["issue"] = m_iss.group(1)
+
+    m_p = _PAGES_RE.search(tail)
+    if m_p:
+        f["pages"] = "{}-{}".format(m_p.group(1), m_p.group(2))
+
+    m_pl = _PUBLOC_RE.search(tail)
+    if m_pl:
+        f["location"] = m_pl.group(1).strip()
+        f["publisher"] = m_pl.group(2).strip()
+    return f

@@ -1,0 +1,52 @@
+"""Text normalization shared by every payload path.
+
+Re-derives the reference's unicode/entity hygiene (capability of
+``LOCDB-V3/imgProcessing.py:291-306`` utf8 encode/decode dance and
+``dev-version/imgProcessing.py:196`` HTML-entity unescape chain) as one
+deterministic function so the oracle and the Spark UDF can never
+disagree on whitespace or encoding.
+"""
+
+from __future__ import annotations
+
+import html
+import re
+import unicodedata
+
+_WS_RUN = re.compile(r"[ \t\f\v]+")
+_NL_RUN = re.compile(r"\n{3,}")
+
+
+def unescape_entities(s: str) -> str:
+    """HTML entity unescape, applied twice (double-escaped corpora are
+    common; the reference chains unescape calls the same way)."""
+    return html.unescape(html.unescape(s))
+
+
+def nfc(s: str) -> str:
+    return unicodedata.normalize("NFC", s)
+
+
+def collapse_inline_ws(s: str) -> str:
+    """Collapse runs of spaces/tabs to one space; strip line edges."""
+    return _WS_RUN.sub(" ", s).strip()
+
+
+def normalize_block(s: str) -> str:
+    """Normalize one text block: NFC + entity unescape + inline-ws
+    collapse. Newlines inside a block become spaces."""
+    s = nfc(unescape_entities(s))
+    s = s.replace("\r\n", "\n").replace("\r", "\n")
+    s = " ".join(part for part in (p.strip() for p in s.split("\n")) if part)
+    return collapse_inline_ws(s)
+
+
+def normalize_plain(s: str) -> str:
+    """Normalize multi-line plain text, preserving line structure:
+    NFC + unescape, per-line inline-ws collapse, >=3 blank lines -> 1."""
+    s = nfc(unescape_entities(s))
+    s = s.replace("\r\n", "\n").replace("\r", "\n")
+    lines = [collapse_inline_ws(ln) for ln in s.split("\n")]
+    out = "\n".join(lines).strip("\n")
+    out = _NL_RUN.sub("\n\n", out)
+    return out

@@ -1,0 +1,204 @@
+"""The Spark extraction job.
+
+Plan (SURVEY.md §3.1 lifecycle, Spark-first):
+
+    scan (parquet/Iceberg, column-pruned to 4 cols, null-text filter
+    pushed to the source)
+      -> salt bucket = pmod(xxhash64(conv_id, turn_idx), P)
+         (splits hot conversations across all buckets — the fix for the
+         reference's MAX_PROCESSES=1 / blocking pool.apply serialization,
+         LOCDB-V3/app.py:29, LOCDB-V3/fileProcessor.py:111; safe because
+         extraction is strictly per-turn)
+      -> repartition(P, bucket)            [the job's ONE shuffle]
+      -> mapInPandas(extract_batch)        [Arrow channel, vectorized]
+      -> write partitioned by bucket, dynamic partition overwrite
+      -> commit wave of buckets + counters to the checkpoint table
+
+Resume: a restarted run reads the committed bucket set and processes
+only the rest; replayed buckets overwrite their own output dirs, so a
+kill at any point converges to the uninterrupted result (idempotent,
+exactly-once at wave granularity).
+
+Read side: ``read_extracted`` restores the contract ordering
+(conv_id, turn_idx) — the natsort invariant of
+``LOCDB-V3/fileProcessor.py:121-211`` (W3).
+
+Scale notes (designed for 10^12 turns / 1000 executors, tested on
+local[32]): the only wide exchange is the salted repartition; AQE is on
+for runtime coalescing/skew splits; Arrow batches are capped so a batch
+of large HTML payloads stays within executor memory; per-turn work is
+embarrassingly parallel, so throughput scales with cores as long as
+P >> cores (default P = 4 x shuffle parallelism).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from extractor import checkpoint, tables
+from extractor.core.batch import extract_batch
+from extractor.schema import EXTRACTED_BUCKET_SCHEMA, TRANSCRIPTS_SCHEMA
+
+DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # payloads are KB-sized documents; 512 rows/batch keeps the Arrow
+    # channel full without ballooning Python-worker memory
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def get_spark(app_name: str = "extractor", master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or "local[{}]".format(cpus)
+    b = SparkSession.builder.appName(app_name).master(master)
+    for k, v in DEFAULT_CONF.items():
+        b = b.config(k, v)
+    ncores = 32 if master == "local[*]" else int(master.strip("local[]") or 32)
+    b = b.config("spark.sql.shuffle.partitions",
+                 str(shuffle_partitions or max(2 * ncores, 32)))
+    b = b.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def _extract_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        out = extract_batch(pdf)
+        out["bucket"] = pdf["bucket"].to_numpy()
+        yield out
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    if path.endswith(".parquet") or os.path.isdir(path):
+        return spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
+    return tables.read_table(spark, path)
+
+
+def plan_extract(df: DataFrame, n_buckets: int) -> DataFrame:
+    """The declarative extraction plan over a transcripts DataFrame
+    (no checkpointing — used by entry/bench and composed by run)."""
+    src = (
+        df.select("conv_id", "turn_idx", "text", "tool")  # prune early
+        .where(F.col("text").isNotNull())                 # pushed to scan
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_buckets))
+            .cast("int"),
+        )
+    )
+    return (
+        src.repartition(n_buckets, "bucket")
+        .mapInPandas(_extract_map, EXTRACTED_BUCKET_SCHEMA)
+    )
+
+
+def run_extract(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    run_id: str | None = None,
+    n_buckets: int = 64,
+    wave_buckets: int | None = None,
+    max_waves: int | None = None,
+) -> dict:
+    """Checkpointed, resumable extraction run.
+
+    ``wave_buckets`` buckets are written + committed per wave (default:
+    everything in one wave). ``max_waves`` lets tests simulate a kill
+    between commits. Returns counters.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    ckpt_dir = os.path.join(output_path, "_checkpoint")
+    committed = set(checkpoint.read_committed(ckpt_dir))
+    todo = [b for b in range(n_buckets) if b not in committed]
+    stats = {"run_id": run_id, "n_buckets": n_buckets,
+             "skipped_committed": len(committed),
+             "waves": 0, "turns_out": 0, "refs_out": 0}
+    if not todo:
+        return stats
+
+    extracted = plan_extract(read_transcripts(spark, input_path), n_buckets)
+
+    wave_buckets = wave_buckets or len(todo)
+    waves = [todo[i:i + wave_buckets] for i in range(0, len(todo), wave_buckets)]
+    if max_waves is not None:
+        waves = waves[:max_waves]
+
+    data_dir = os.path.join(output_path, "data")
+    for wave in waves:
+        part = extracted.where(F.col("bucket").isin(wave))
+        tables.write_partitioned(part, data_dir, "bucket")
+        # per-bucket counters from the durably written wave (columnar
+        # count over n_refs only — cheap), then atomic commit
+        counters = (
+            spark.read.parquet(data_dir)
+            .where(F.col("bucket").isin(wave))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("turns_out"),
+                 F.sum("n_refs").alias("refs_out"))
+            .collect()
+        )
+        by_bucket = {r["bucket"]: r for r in counters}
+        recs = []
+        for b in wave:
+            r = by_bucket.get(b)
+            recs.append({
+                "partition_id": int(b),
+                "turns_in": int(r["turns_out"]) if r else 0,
+                "turns_out": int(r["turns_out"]) if r else 0,
+                "refs_out": int(r["refs_out"]) if r else 0,
+            })
+        checkpoint.commit(ckpt_dir, run_id, recs)
+        stats["waves"] += 1
+        stats["turns_out"] += sum(rec["turns_out"] for rec in recs)
+        stats["refs_out"] += sum(rec["refs_out"] for rec in recs)
+    return stats
+
+
+def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
+    """Output table under the contract ordering (W3: stable
+    (conv_id, turn_idx))."""
+    return (
+        spark.read.parquet(os.path.join(output_path, "data"))
+        .drop("bucket")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def found_notfound(requested: DataFrame, produced: DataFrame) -> DataFrame:
+    """J8/S7: requested keys not present in the produced table
+    (the reference's NotFound list, LOCDB-V3/fileProcessor.py:167-186)."""
+    return requested.select("conv_id", "turn_idx").join(
+        produced.select("conv_id", "turn_idx"),
+        on=["conv_id", "turn_idx"],
+        how="left_anti",
+    )
+
+
+def conversation_report(extracted: DataFrame) -> DataFrame:
+    """S7 merged-view analog: per-conversation rollup."""
+    return (
+        extracted.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("n_refs").alias("n_refs"),
+            F.sum(F.length("clean_text")).alias("clean_chars"),
+        )
+    )
