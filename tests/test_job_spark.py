@@ -1,0 +1,142 @@
+"""Spark job tests: golden per-turn equality (the north_rule gate),
+resume idempotency, ordering, skew balance, partitioning invariance
+(SURVEY.md §5.2 items 1/3/5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from extractor import checkpoint, job
+from tests.conftest import GOLDEN_INPUT, GOLDEN_OUTPUT
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("extract") / "out")
+    stats = job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=16)
+    assert stats["turns_out"] > 0
+    return out
+
+
+def _rows_to_plain(obj):
+    """Spark Row / numpy / list / dict -> plain python for JSON compare."""
+    import numpy as np
+
+    if hasattr(obj, "asDict"):
+        return {k: _rows_to_plain(v) for k, v in obj.asDict().items()}
+    if isinstance(obj, dict):
+        return {k: _rows_to_plain(v) for k, v in obj.items()}
+    if isinstance(obj, np.ndarray):
+        return [_rows_to_plain(v) for v in obj.tolist()]
+    if isinstance(obj, np.generic):
+        return obj.item()
+    if isinstance(obj, (list, tuple)):
+        return [_rows_to_plain(v) for v in obj]
+    return obj
+
+
+def test_golden_per_turn_equality(spark, extracted):
+    """100% per-turn text equality vs frozen goldens under stable
+    (conv_id, turn_idx) ordering — the BASELINE.json north_rule gate."""
+    got = job.read_extracted(spark, extracted).toPandas()
+    exp = pd.read_parquet(GOLDEN_OUTPUT).sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["conv_id"].values == exp["conv_id"].values).all()
+    assert (got["turn_idx"].values == exp["turn_idx"].values).all()
+    # byte equality of extracted text, every turn
+    assert (got["clean_text"].values == exp["clean_text"].values).all()
+    assert (got["n_refs"].to_numpy() == exp["n_refs"].to_numpy()).all()
+    # full structural equality of refs (raw, spans, bbox, detector, fields)
+    got_refs = [json.dumps(_rows_to_plain(r), sort_keys=True) for r in got["refs"]]
+    assert got_refs == list(exp["refs_json"].values)
+
+
+def test_output_is_ordered(spark, extracted):
+    got = job.read_extracted(spark, extracted).toPandas()
+    keys = list(zip(got["conv_id"], got["turn_idx"]))
+    assert keys == sorted(keys)
+
+
+def test_resume_idempotent(spark, tmp_path):
+    """Kill after wave 1 -> rerun -> identical table (S9/S10)."""
+    full = str(tmp_path / "full")
+    part = str(tmp_path / "part")
+    job.run_extract(spark, GOLDEN_INPUT, full, n_buckets=12)
+    s1 = job.run_extract(spark, GOLDEN_INPUT, part, n_buckets=12,
+                         wave_buckets=3, max_waves=2)
+    assert s1["waves"] == 2
+    committed = checkpoint.read_committed(os.path.join(part, "_checkpoint"))
+    assert len(committed) == 6
+    s2 = job.run_extract(spark, GOLDEN_INPUT, part, n_buckets=12)
+    assert s2["skipped_committed"] == 6
+    a = job.read_extracted(spark, full).toPandas()
+    b = job.read_extracted(spark, part).toPandas()
+    assert (a["clean_text"].values == b["clean_text"].values).all()
+    assert (a["conv_id"].values == b["conv_id"].values).all()
+
+
+def test_rerun_is_noop(spark, extracted):
+    s = job.run_extract(spark, GOLDEN_INPUT, extracted, n_buckets=16)
+    assert s["waves"] == 0 and s["skipped_committed"] == 16
+
+
+def test_checkpoint_counters_match_output(spark, extracted):
+    got = job.read_extracted(spark, extracted).toPandas()
+    ck = checkpoint.read_committed(os.path.join(extracted, "_checkpoint"))
+    assert sum(r["turns_out"] for r in ck.values()) == len(got)
+    assert sum(r["refs_out"] for r in ck.values()) == int(got["n_refs"].sum())
+
+
+def test_salting_splits_hot_conversation(spark):
+    """The skew gate: one conversation holds ~30% of turns; salted
+    bucketing must spread it so no bucket exceeds 3x the median
+    (the reference's pool.apply failure mode, SURVEY.md §5.2 item 5)."""
+    df = job.read_transcripts(spark, GOLDEN_INPUT)
+    n_buckets = 16
+    sizes = (
+        df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_buckets)).cast("int"))
+        .groupBy("bucket").count().toPandas()["count"]
+    )
+    assert len(sizes) == n_buckets
+    assert sizes.max() <= 3 * sizes.median()
+
+
+def test_partitioning_invariance(spark, tmp_path):
+    """Output independent of bucket count / input partitioning
+    (SURVEY.md §5.2 item 3: ordering invariance)."""
+    out4 = str(tmp_path / "b4")
+    out32 = str(tmp_path / "b32")
+    job.run_extract(spark, GOLDEN_INPUT, out4, n_buckets=4)
+    job.run_extract(spark, GOLDEN_INPUT, out32, n_buckets=32)
+    a = job.read_extracted(spark, out4).toPandas()
+    b = job.read_extracted(spark, out32).toPandas()
+    assert (a["clean_text"].values == b["clean_text"].values).all()
+    assert (a["n_refs"].to_numpy() == b["n_refs"].to_numpy()).all()
+
+
+def test_found_notfound_anti_join(spark, extracted):
+    produced = job.read_extracted(spark, extracted)
+    requested = job.read_transcripts(spark, GOLDEN_INPUT)
+    missing = job.found_notfound(requested, produced)
+    # all input turns have text -> nothing missing
+    assert missing.count() == 0
+    # ask for a key that was never produced
+    ghost = requested.select("conv_id", "turn_idx").limit(1).withColumn(
+        "turn_idx", F.lit(999_999))
+    assert job.found_notfound(ghost, produced).count() == 1
+
+
+def test_conversation_report(spark, extracted):
+    rep = job.conversation_report(job.read_extracted(spark, extracted)).toPandas()
+    got = job.read_extracted(spark, extracted).toPandas()
+    assert rep["n_turns"].sum() == len(got)
+    hot = rep[rep["conv_id"] == "conv-hot-000000"]["n_turns"].iloc[0]
+    assert hot >= 0.25 * len(got)  # skew fixture present

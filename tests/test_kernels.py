@@ -1,0 +1,280 @@
+"""Unit tests per kernel (SURVEY.md §5.2 item 2)."""
+
+from __future__ import annotations
+
+import json
+
+from extractor.core import dedup, html_strip, pdf_layout, refseg
+from extractor.core.batch import extract_one
+from extractor.core.textnorm import normalize_block, normalize_plain
+
+
+# --- textnorm (F7) ---------------------------------------------------------
+
+def test_normalize_block_collapses_ws_and_entities():
+    assert normalize_block("a &amp;  b\n c\t d") == "a & b c d"
+    # double-escaped entities unescape fully
+    assert normalize_block("x &amp;amp; y") == "x & y"
+
+
+def test_normalize_plain_preserves_lines():
+    s = "one  line\r\ntwo\n\n\n\nthree"
+    assert normalize_plain(s) == "one line\ntwo\n\nthree"
+
+
+# --- refseg: anchor + markers (F5/F6) -------------------------------------
+
+def test_anchor_detection_variants():
+    for a in ["References", "REFERENCES", "Bibliography:", "Works Cited",
+              "Literatur", "Literaturverzeichnis", "  references  "]:
+        assert refseg.is_anchor_line(a), a
+    for a in ["References to prior work", "see bibliography"]:
+        assert not refseg.is_anchor_line(a), a
+
+
+def test_marker_detection():
+    assert refseg.is_marker_line("[1] Foo")
+    assert refseg.is_marker_line("12. Foo")
+    assert not refseg.is_marker_line("1,2 Foo")
+    assert not refseg.is_marker_line("Foo [1]")
+
+
+def test_segment_text_anchor_and_continuation():
+    text = "\n".join([
+        "Intro prose here.",
+        "References",
+        "[1] Miller, A. (1999). A title of note. Journal of X, 1(2),",
+        "pp. 10-20. Berlin: Springer.",
+        "[2] Chen, B. (2001). Another title. Annals, 3(4), pp. 1-9.",
+    ])
+    refs = refseg.segment_text(text)
+    assert len(refs) == 2
+    assert refs[0]["detector"] == "anchor"
+    assert refs[0]["raw"].endswith("Berlin: Springer.")
+    assert refs[0]["line_start"] == 2 and refs[0]["line_end"] == 3
+
+
+def test_segment_text_min_length_and_validity_filters():
+    # P4: <=5 chars dropped; P3: no year/initials -> invalid
+    text = "References\n[1] ab\n[2] no year or initials in this line at all"
+    assert refseg.segment_text(text) == []
+
+
+def test_segment_text_marker_run_without_anchor():
+    text = "\n".join([
+        "Some prose.",
+        "1. Miller, A. (1999). First title. Journal, 1(2), pp. 1-2.",
+        "2. Chen, B. (2001). Second title. Annals, 3(4), pp. 3-4.",
+    ])
+    refs = refseg.segment_text(text)
+    assert len(refs) == 2
+    assert all(r["detector"] == "layout" for r in refs)
+
+
+def test_parse_fields_canonical():
+    f = refseg.parse_fields(
+        "[3] Miller, A., Chen, B. (1999). A study of things. "
+        "Journal of Data Systems, 12(3), pp. 45-67. Berlin: Springer."
+    )
+    assert f["authors"] == ["Miller A.", "Chen B."]
+    assert f["date"] == "1999"
+    assert f["title"] == "A study of things"
+    assert f["journal"] == "Journal of Data Systems"
+    assert f["volume"] == "12" and f["issue"] == "3"
+    assert f["pages"] == "45-67"
+    assert f["location"] == "Berlin" and f["publisher"] == "Springer"
+
+
+# --- dedup (J4/F4) ---------------------------------------------------------
+
+def test_levenshtein_matches_reference_rule():
+    assert dedup.levenshtein_banded("kitten", "sitting", 100) == 3
+    assert dedup.is_near_dup("a b c d e f", "abcdef")  # space-stripped
+    assert not dedup.is_near_dup("completely different", "unrelated string x")
+
+
+def test_dedup_keeps_first_stable():
+    refs = [{"raw": "Miller, A. (1999). Title."},
+            {"raw": "Miller, A. (1999) Title"},   # near-dup of first
+            {"raw": "Chen, B. (2001). Other."}]
+    out = dedup.dedup_refs(refs)
+    assert [r["raw"] for r in out] == [refs[0]["raw"], refs[2]["raw"]]
+
+
+# --- html_strip (X1/X2/A5) -------------------------------------------------
+
+BOILER_PAGE = """
+<html><body>
+<nav><a href='/a'>home</a> <a href='/b'>about</a> <a href='/c'>contact</a></nav>
+<header><div class='ad-banner'><a href='/ad'>click this amazing offer now</a></div></header>
+<article>
+<h2>Heading</h2>
+<p>This is the main content paragraph with plenty of words to satisfy the
+word count rules of the boilerpipe classifier used in the engine.</p>
+</article>
+<aside class='sidebar'><p><a href='/x'>related one</a></p><p><a href='/y'>related two</a></p></aside>
+<footer><p><a href='/tos'>terms</a> and conditions apply</p></footer>
+</body></html>
+"""
+
+
+def test_boilerplate_stripped():
+    res = html_strip.strip_html(BOILER_PAGE)
+    t = res["clean_text"]
+    assert "main content paragraph" in t
+    assert "Heading" in t
+    for junk in ("home", "amazing offer", "related one", "terms"):
+        assert junk not in t, junk
+
+
+def test_link_density_rejects_linkfarm():
+    page = ("<body><div><p>" + " ".join(
+        "<a href='/{0}'>link {0}</a>".format(i) for i in range(30)
+    ) + "</p></div></body>")
+    assert html_strip.strip_html(page)["clean_text"] == ""
+
+
+def test_cite_layout_field_mapping():
+    h = ("<body><p><cite><span class='cit-auth'>Doe, J.</span> "
+         "<span class='cit-pub-date'>1999</span> "
+         "<span class='cit-article-title'>Great title</span> "
+         "<span class='cit-jnl-abbrev'>J. Data</span> "
+         "<span class='cit-vol'>12</span> "
+         "<span class='cit-fpage'>1</span> <span class='cit-lpage'>9</span>"
+         "</cite></p></body>")
+    refs = html_strip.strip_html(h)["refs"]
+    assert len(refs) == 1
+    f = refs[0]["fields"]
+    assert f["authors"] == ["Doe, J."]
+    assert f["date"] == "1999" and f["title"] == "Great title"
+    assert f["journal"] == "J. Data" and f["volume"] == "12"
+    assert f["pages"] == "1-9"
+
+
+def test_dl_references_excludes_dt_labels():
+    h = ("<body><dl class='references'>"
+         "<dt>[1]</dt><dd>Miller, A. (1999). Title one. Journal, 1, pp. 1-2.</dd>"
+         "<dt>[2]</dt><dd>Chen, B. (2001). Title two. Annals, 2, pp. 3-4.</dd>"
+         "</dl></body>")
+    refs = html_strip.strip_html(h)["refs"]
+    assert [r["raw"][:6] for r in refs] == ["Miller", "Chen, "]
+
+
+def test_ref_noise_spans_removed():
+    h = ("<body><table><tr><td valign='top'>Miller, A. (1999). Title. J, 1, pp. 1-2. "
+         "<span class='ref-google'>Google Scholar</span>"
+         "<span class='ref-xLink'>CrossRef</span></td></tr></table></body>")
+    refs = html_strip.strip_html(h)["refs"]
+    assert len(refs) == 1
+    assert "Google Scholar" not in refs[0]["raw"]
+    assert "CrossRef" not in refs[0]["raw"]
+
+
+def test_bracket_wrap_strip():
+    h = ("<body><div class='media-body reference-contains'>"
+         "['Miller, A. (1999). Title. J, 1, pp. 1-2.']</div></body>")
+    refs = html_strip.strip_html(h)["refs"]
+    assert len(refs) == 1
+    assert refs[0]["raw"].startswith("Miller")
+    assert not refs[0]["raw"].endswith("']")
+
+
+def test_malformed_html_no_raise():
+    h = "<body><div><p>Miller wrote <b>things <div>more text"
+    res = html_strip.strip_html(h)  # must not raise
+    assert isinstance(res["clean_text"], str)
+
+
+def test_ref_spans_index_into_clean_text():
+    h = ("<body><h3>References</h3><ol>"
+         "<li>Miller, A. (1999). Spanned title. Journal, 1, pp. 1-2.</li>"
+         "</ol></body>")
+    res = html_strip.strip_html(h)
+    r = res["refs"][0]
+    assert res["clean_text"][r["span_start"]:r["span_end"]] == r["raw"]
+
+
+# --- pdf_layout (N1/F1/F2/A1/A3/P5/P6) ------------------------------------
+
+def _payload(glyphs, w=2400, h=3400):  # below the 3500 resize clamp (P9)
+    return json.dumps({"pages": [{"w": w, "h": h, "glyphs": glyphs}]})
+
+
+def _line_glyphs(words, x, y, cw=12):
+    out = []
+    for w in words:
+        out.append({"t": w, "x0": x, "y0": y, "x1": x + cw * len(w), "y1": y + 26})
+        x += cw * (len(w) + 1)
+    return out
+
+
+def test_two_column_reading_order():
+    g = (_line_glyphs(["left", "one"], 100, 100)
+         + _line_glyphs(["left", "two"], 100, 140)
+         + _line_glyphs(["right", "one"], 1400, 100)
+         + _line_glyphs(["right", "two"], 1400, 140))
+    res = pdf_layout.extract_pdf(_payload(g))
+    assert res["clean_text"] == "left one\nleft two\nright one\nright two"
+
+
+def test_single_column_line_order_and_join():
+    g = _line_glyphs(["hello", "world"], 100, 100) + _line_glyphs(["second"], 100, 140)
+    res = pdf_layout.extract_pdf(_payload(g))
+    assert res["clean_text"] == "hello world\nsecond"
+
+
+def test_dehyphenation_digit_guard():
+    # "exam-" + "ple" merges; "1995-" + "2001" does not (digit guard)
+    g = (_line_glyphs(["exam-"], 100, 100)
+         + _line_glyphs(["ple", "works"], 100, 140)
+         + _line_glyphs(["range", "1995-"], 100, 180)
+         + _line_glyphs(["2001", "stays"], 100, 220))
+    res = pdf_layout.extract_pdf(_payload(g))
+    lines = res["clean_text"].split("\n")
+    assert lines[0] == "example works"
+    assert lines[1] == "range 1995-"
+    assert lines[2] == "2001 stays"
+
+
+def test_pdf_refs_bbox_envelope_and_spans():
+    g = (_line_glyphs(["Body", "text", "of", "the", "page"], 100, 100)
+         + _line_glyphs(["References"], 100, 160)
+         + _line_glyphs(["[1]", "Miller,", "A.", "(1999).", "Title", "here."], 100, 200)
+         + _line_glyphs(["Journal,", "1(2),", "pp.", "10-20."], 140, 240))
+    res = pdf_layout.extract_pdf(_payload(g))
+    assert len(res["refs"]) == 1
+    r = res["refs"][0]
+    assert r["detector"] == "anchor"
+    # continuation line merged into the same citation
+    assert "pp. 10-20." in r["raw"]
+    # bbox envelope covers both member lines (A1)
+    assert r["bbox"][1] == 200 and r["bbox"][3] == 240 + 26
+    assert r["line_start"] == 2 and r["line_end"] == 3
+    # char span indexes into clean_text
+    span_text = res["clean_text"][r["span_start"]:r["span_end"]]
+    assert span_text.replace("\n", " ") == r["raw"]
+
+
+def test_empty_lines_filtered_and_bad_payload_none():
+    assert pdf_layout.extract_pdf("not json") is None
+    assert pdf_layout.extract_pdf('{"pages": 3}') is None
+    res = pdf_layout.extract_pdf(_payload([]))
+    assert res["clean_text"] == "" and res["refs"] == []
+
+
+def test_oversize_canvas_clamp():
+    g = _line_glyphs(["big", "canvas"], 1000, 1000)
+    res = pdf_layout.extract_pdf(_payload(g, w=7000, h=9000))
+    assert "big canvas" in res["clean_text"]
+    assert res is not None
+
+
+# --- batch dispatch (S3) ---------------------------------------------------
+
+def test_dispatch_by_tool():
+    clean, refs = extract_one("plain prose only", "")
+    assert clean == "plain prose only" and refs == []
+    clean, _ = extract_one("<body><p>" + "word " * 20 + "</p></body>", "browser")
+    assert clean.startswith("word word")
+    clean, _ = extract_one(_payload(_line_glyphs(["pdf", "text"], 10, 10)), "pdf")
+    assert clean == "pdf text"
