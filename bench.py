@@ -1,0 +1,169 @@
+"""Benchmark harness.
+
+Default mode: prints ONE JSON line
+  {"metric": "extract_200k_turns_sec", "value": <sec>, "unit": "sec",
+   "queries": {<name>: <sec>, ...}, "sf": 0.1, ...}
+
+- flagship: the full extraction pipeline (salted repartition + Arrow
+  mapInPandas + materialization via the noop sink) over a cached
+  deterministic synthetic transcripts table (default 200k turns,
+  payload mix per FIXTURES.md), at local[$SPARK_GRAFT_CPUS].
+- headline queries: run at $SPARK_GRAFT_SF_DIR (default
+  /root/testdata/sf0.1).
+
+--scaling mode: re-executes this script at local[8] and local[32] on
+the SAME cached input (fresh JVM per level via subprocess), computes
+throughput at both plus scaling efficiency  eff = (T32/T8)/4, and
+writes BENCH/BASELINE.md. This is the sandbox proxy for the
+north-rule's N->4N executor requirement (no real cluster available).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_DATA = os.path.join(REPO, "bench_data")
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "200000"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE_QUERIES = [
+    "q1_pricing_summary",
+    "w4_latest_event_per_user",
+    "sessionization",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "minhash_lsh_candidates",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "text_quality",
+    "extract_documents_clean",
+]
+
+
+def bench_input() -> str:
+    """Deterministic cached transcripts parquet (generated once)."""
+    path = os.path.join(BENCH_DATA, "transcripts_{}.parquet".format(BENCH_TURNS))
+    if not os.path.exists(path):
+        os.makedirs(BENCH_DATA, exist_ok=True)
+        from extractor.gen_fixtures import write_transcripts_parquet
+
+        t0 = time.time()
+        write_transcripts_parquet(path, BENCH_TURNS, seed=42)
+        print("generated {} turns in {:.0f}s".format(BENCH_TURNS, time.time() - t0),
+              file=sys.stderr)
+    return path
+
+
+def run_bench(cpus: int, include_queries: bool = True) -> dict:
+    from pyspark.sql import functions as F
+
+    from extractor import job
+    from extractor.queries import QUERIES
+
+    inp = bench_input()
+    spark = job.get_spark("bench", master="local[{}]".format(cpus),
+                          shuffle_partitions=max(2 * cpus, 64),
+                          extra_conf={"spark.ui.enabled": "false"})
+    try:
+        n_buckets = max(4 * cpus, 128)
+        tr = job.read_transcripts(spark, inp)
+        # warm-up at full task width so every Python worker pays its
+        # import cost before the timed run (startup amortizes to zero
+        # at production scale; timing it would benchmark imports)
+        (job.plan_extract(tr.limit(4 * cpus * 32), n_buckets)
+         .write.format("noop").mode("overwrite").save())
+
+        t0 = time.time()
+        out = job.plan_extract(tr, n_buckets)
+        out.write.format("noop").mode("overwrite").save()
+        extract_sec = time.time() - t0
+        n_turns = BENCH_TURNS
+
+        queries: dict[str, float] = {}
+        if include_queries:
+            for name in HEADLINE_QUERIES:
+                fn = QUERIES[name]
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                queries[name] = round(time.time() - t0, 3)
+
+        return {
+            "metric": "extract_{}k_turns_sec".format(BENCH_TURNS // 1000),
+            "value": round(extract_sec, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+            "turns": n_turns,
+            "turns_per_sec": round(n_turns / extract_sec, 1),
+            "cpus": cpus,
+        }
+    finally:
+        spark.stop()
+
+
+def run_scaling() -> None:
+    """local[8] vs local[32] on the same input; writes BENCH/BASELINE.md."""
+    bench_input()  # ensure generated before timing
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--no-queries"],
+            env=env, capture_output=True, text=True, cwd=REPO, check=True)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print("local[{}]: {}".format(cpus, line), file=sys.stderr)
+    t8 = results[8]["turns_per_sec"]
+    t32 = results[32]["turns_per_sec"]
+    eff = (t32 / t8) / 4.0
+    md = """# BENCH baseline — scaling proxy (N vs 4N cores)
+
+The north-rule requires >= 0.8 throughput scaling efficiency from N to
+4N executors. No multi-node cluster exists in this sandbox, so the
+proxy is the same job + same input at two parallelism levels
+(local[8] vs local[32]), fresh JVM each, per driver instructions.
+
+| config | turns | wall sec | turns/sec |
+|---|---|---|---|
+| local[8]  | {n} | {s8} | {t8} |
+| local[32] | {n} | {s32} | {t32} |
+
+**Scaling efficiency (T32/T8)/4 = {eff:.3f}** (target >= 0.8)
+
+Input: deterministic synthetic transcripts ({n} turns, seed 42,
+payload mix ~50% plain / 30% HTML / 20% pdf-glyphs, one hot
+conversation holding ~30% of turns). Pipeline: parquet scan ->
+salted bucket repartition -> Arrow mapInPandas (HTML strip / PDF
+layout / ref segmentation / dedup) -> noop sink (full
+materialization, no disk-write variance).
+""".format(n=results[8]["turns"], s8=results[8]["value"], t8=t8,
+           s32=results[32]["value"], t32=t32, eff=eff)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md, file=sys.stderr)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3), "unit": "ratio",
+        "turns_per_sec_8": t8, "turns_per_sec_32": t32,
+    }))
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+    include_queries = "--no-queries" not in sys.argv
+    res = run_bench(CPUS, include_queries=include_queries)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -315,7 +315,9 @@ def gen_transcripts(n_turns: int, seed: int = 42,
         "role": pd.array(roles, dtype="string"),
         "text": pd.array(texts, dtype="string"),
         "tool": pd.array(tools, dtype="string"),
-        "ts": pd.to_datetime(tss),
+        # microsecond resolution: Spark's vectorized parquet reader has
+        # no nanosecond timestamp path (pandas default is ns)
+        "ts": pd.to_datetime(tss).astype("datetime64[us]"),
     })
     return df
 

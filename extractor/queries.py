@@ -1,0 +1,664 @@
+"""Operator queries for the driver contract (__spark_entry__).
+
+Each entry exposes one capability from SURVEY.md §2 (relational
+sub-operators of the extraction engine) or a training-data-pipeline
+operator (dedup / similarity / text analysis) as:
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` over the driver's
+  parquet tables, and
+- (where SQL-expressible) a DuckDB oracle with IDENTICAL column names
+  and value types, hash-compared by the driver at sf0.01.
+
+Conventions for hash-stable comparison:
+- every computed column aliased identically on both sides;
+- integer outputs preferred; Spark counts/ranks cast to long, DuckDB
+  sums cast to BIGINT (DuckDB sum(BIGINT) is HUGEINT otherwise);
+- cross-engine hashing uses md5 (identical hex in both engines);
+  ``conv(substr(md5(x),1,15),16,10)`` == ``('0x'||substr(md5(x),1,15))::BIGINT``
+  (verified), giving a shared 60-bit integer hash for minhash/simhash;
+- doubles only where unavoidable (q1 sums are rounded; ANN emits ranks,
+  not similarities).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet("{}/{}.parquet".format(sf_dir, name))
+
+
+# ===========================================================================
+# Relational sub-operators (SURVEY.md §2 IDs in names)
+# ===========================================================================
+
+@_q("q1_pricing_summary", sql="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                         AS sum_qty,
+       round(sum(l_extendedprice), 2)                    AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT)                          AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """Headline relational agg (TPC-H Q1 pattern; map-side partial
+    aggregation + single shuffle on the group keys)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q("w4_latest_event_per_user", sql="""
+SELECT user_id, event_id AS latest_event_id, event_type AS latest_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) rn
+      FROM events) WHERE rn = 1
+""")
+def w4_latest_event_per_user(spark, sf_dir):
+    """W4/S8: latest-per-key via ranking window (the reference's
+    findLatest timestamp dedup, LOCDB-V3/fileProcessor.py:223-265)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+            .select("user_id", F.col("event_id").alias("latest_event_id"),
+                    F.col("event_type").alias("latest_type")))
+
+
+@_q("w1_topk_events_per_type", sql="""
+SELECT event_type, event_id, CAST(rn AS BIGINT) AS rank
+FROM (SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) rn
+      FROM events) WHERE rn <= 5
+""")
+def w1_topk_events_per_type(spark, sf_dir):
+    """W1/W2: deterministic ordering with full tiebreaks (the
+    reference's geometry bubble sorts, LOCDB-V3/imgProcessing.py:
+    1085-1112, as a ranking window)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w)).where("rn <= 5")
+            .select("event_type", "event_id", F.col("rn").cast("long").alias("rank")))
+
+
+@_q("a1_value_envelope_per_user", sql="""
+SELECT user_id, min(value) AS v_min, max(value) AS v_max,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id
+""")
+def a1_value_envelope_per_user(spark, sf_dir):
+    """A1: min/max envelope aggregation (bbox envelope analog,
+    LOCDB-V3/imgProcessing.py:361-378)."""
+    return (t(spark, sf_dir, "events").groupBy("user_id")
+            .agg(F.min("value").alias("v_min"), F.max("value").alias("v_max"),
+                 F.count("*").alias("n")))
+
+
+@_q("a3_running_offset", sql="""
+SELECT user_id, event_id,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS cum_cents
+FROM events
+""")
+def a3_running_offset(spark, sf_dir):
+    """A3: running prefix sum (char-offset index analog,
+    LOCDB-V3/imgProcessing.py:488-516)."""
+    ev = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.select("user_id", "event_id",
+                     F.sum(cents).over(w).cast("long").alias("cum_cents"))
+
+
+@_q("a6_event_counters", sql="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+""")
+def a6_event_counters(spark, sf_dir):
+    """A6: per-group counters (the checkpoint-table counter shape)."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents")))
+
+
+@_q("j8_customers_without_orders", sql="""
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def j8_customers_without_orders(spark, sf_dir):
+    """J8: left-anti membership (the NotFound list,
+    LOCDB-V3/fileProcessor.py:167-186)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@_q("j5_customers_with_orders", sql="""
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def j5_customers_with_orders(spark, sf_dir):
+    """J5: left-semi membership (filterCropFiles crop/non-crop match,
+    LOCDB-V3/fileProcessor.py:267-298)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@_q("j6_segment_order_counts", sql="""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+""")
+def j6_segment_order_counts(spark, sf_dir):
+    """J6: inner equi join, small side broadcast (crossMatchFiles,
+    LOCDB-V3/fileProcessor.py:330-338)."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment").agg(F.count("*").alias("n_orders")))
+
+
+@_q("j2_price_band_join", sql="""
+WITH bands AS (SELECT i AS band, i * 10000 AS lo, (i + 1) * 10000 AS hi
+               FROM generate_series(0, 10) g(i))
+SELECT band, CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem, bands
+WHERE l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+""")
+def j2_price_band_join(spark, sf_dir):
+    """J2: interval/range join against a broadcast band table
+    (char-offset interval join analog, LOCDB-V3/imgProcessing.py:
+    302-348)."""
+    li = t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = (spark.range(0, 11).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 10000).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 10000).cast("double").alias("hi")))
+    return (li.join(F.broadcast(bands),
+                    (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi))
+            .groupBy("band").agg(F.count("*").alias("n_items")))
+
+
+@_q("j4_near_dup_pairs_lev", sql="""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) < 10
+""")
+def j4_near_dup_pairs_lev(spark, sf_dir):
+    """J4: fuzzy Levenshtein theta join, Spark built-in
+    (the reference's image-vs-ParsCit dedup rule lev < 10,
+    LOCDB-V3/imgProcessing.py:414-448)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", F.substring("text", 1, 40).alias("p"))
+    a, b = d.alias("a"), d.alias("b")
+    return (a.join(b, (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.levenshtein(F.col("a.p"), F.col("b.p")) < 10))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")))
+
+
+@_q("p1_confidence_filter", sql="""
+SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+FROM events WHERE value >= 15.0 AND event_type IN ('click', 'view')
+""")
+def p1_confidence_filter(spark, sf_dir):
+    """P1/P2: threshold filter + minimal projection, pushed to the
+    parquet scan (confidence filters, LOCDB-V3/imgProcessing.py:73-81)."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.where((F.col("value") >= 15.0)
+                     & F.col("event_type").isin("click", "view"))
+            .select("event_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")))
+
+
+@_q("u3_union_provenance", sql="""
+SELECT key, src, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT event_type AS key, 'hi' AS src FROM events WHERE value > 10
+  UNION ALL
+  SELECT event_type AS key, 'lo' AS src FROM events WHERE value <= 10
+) GROUP BY key, src
+""")
+def u3_union_provenance(spark, sf_dir):
+    """U3: unionByName with provenance columns (detector/namer merge,
+    LOCDB-V3/textProcessing.py:47-52)."""
+    ev = t(spark, sf_dir, "events")
+    hi = ev.where("value > 10").select(F.col("event_type").alias("key"), F.lit("hi").alias("src"))
+    lo = ev.where("value <= 10").select(F.col("event_type").alias("key"), F.lit("lo").alias("src"))
+    return hi.unionByName(lo).groupBy("key", "src").agg(F.count("*").alias("n"))
+
+
+@_q("s8_latest_order_per_customer", sql="""
+SELECT o_custkey, o_orderkey AS latest_orderkey
+FROM (SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+      FROM orders) WHERE rn = 1
+""")
+def s8_latest_order_per_customer(spark, sf_dir):
+    """S8: latest-version-per-key dedup (timestamped outputs,
+    LOCDB-V3/fileProcessor.py:223-265)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+            .select("o_custkey", F.col("o_orderkey").alias("latest_orderkey")))
+
+
+@_q("sessionization", sql="""
+SELECT user_id, CAST(1 + sum(is_new) AS BIGINT) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events) GROUP BY user_id
+""")
+def sessionization(spark, sf_dir):
+    """Sessionization via lag + gap threshold (30 min), exact integer
+    microsecond arithmetic on both engines."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps load as TIMESTAMP_NTZ; session TZ is pinned UTC
+    # so the LTZ cast makes unix_micros == DuckDB's naive epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    is_new = F.when(us - F.lag(us).over(w) > 1_800_000_000, 1).otherwise(0)
+    return (ev.select("user_id", is_new.alias("is_new"))
+            .groupBy("user_id")
+            .agg((F.lit(1) + F.sum("is_new")).cast("long").alias("n_sessions")))
+
+
+# ===========================================================================
+# Training-data pipeline operators (documents / embeddings)
+# ===========================================================================
+
+@_q("dedup_exact", sql="""
+SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy keeping the smallest doc_id
+    (map-side partial agg; at 100 TB this is one shuffle on fp)."""
+    d = t(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5("text").alias("fp"))
+            .agg(F.min("doc_id").alias("keeper_doc_id"),
+                 F.count("*").alias("dup_count")))
+
+
+@_q("doc_fingerprint", sql=r"""
+SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+FROM documents
+""")
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over whitespace-normalized,
+    lowercased text (identical hex both engines)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp"))
+
+
+_SHINGLES_SQL = r"""
+toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+ex AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(w) - 2),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       FROM toks WHERE len(w) >= 3)
+"""
+
+
+def _shingles(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (d.selectExpr("doc_id", "split(text, ' ') AS w")
+            .where("size(w) >= 3")
+            .selectExpr(
+                "doc_id",
+                "array_distinct(transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles")
+            .select("doc_id", F.explode("shingles").alias("s")))
+
+
+@_q("dedup_ngram_jaccard", sql="WITH " + _SHINGLES_SQL + """
+, sizes AS (SELECT doc_id, count(*) sz FROM ex GROUP BY doc_id),
+pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       CAST((1000 * inter) // (sa.sz + sb.sz - inter) AS BIGINT) AS jac_milli
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (1000 * inter) // (sa.sz + sb.sz - inter) >= 200
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection: word-3-gram shingles, pairwise Jaccard
+    >= 0.2, emitted as exact integer milli-Jaccard. The pair join is
+    shingle-bucketed (only docs sharing a shingle meet), which is the
+    scalable formulation — no all-pairs blowup."""
+    ex = _shingles(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .select("doc_a", "doc_b",
+                    F.expr("(1000 * inter) div (sa.sz + sb.sz - inter)")
+                    .cast("long").alias("jac_milli"))
+            .where("jac_milli >= 200"))
+
+
+_H60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+_H60_DUCK = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_SIMHASH_BITS = 60
+_SIMHASH_SPARK = " + ".join(
+    "(case when s{b} > 0 then {v}L else 0L end)".format(b=b, v=1 << b)
+    for b in range(_SIMHASH_BITS))
+_SIMHASH_DUCK_SUMS = ", ".join(
+    "sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) AS s{b}".format(b=b)
+    for b in range(_SIMHASH_BITS))
+_SIMHASH_DUCK_VAL = " + ".join(
+    "(case when s{b} > 0 then CAST({v} AS BIGINT) else 0 end)".format(b=b, v=1 << b)
+    for b in range(_SIMHASH_BITS))
+
+
+@_q("simhash_hamming_pairs", sql="""
+WITH wh AS (SELECT DISTINCT doc_id, {h} AS h
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents) WHERE w <> ''),
+sums AS (SELECT doc_id, {sums} FROM wh GROUP BY doc_id),
+sig AS (SELECT doc_id, {val} AS sim FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS ham
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 16
+""".format(h=_H60_DUCK.format(x="w"), sums=_SIMHASH_DUCK_SUMS,
+           val=_SIMHASH_DUCK_VAL))
+def simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup: 60-bit signature from md5 word hashes
+    (cross-engine identical), pairs with Hamming distance <= 16.
+    Signature build is one groupBy with 60 conditional sums (no row
+    blowup); the emitted pair join is all-pairs here for the oracle,
+    but bucketable by signature prefix at scale."""
+    d = t(spark, sf_dir, "documents")
+    wh = (d.selectExpr("doc_id", "explode(array_distinct(split(text, ' '))) AS w")
+          .where("w <> ''")
+          .selectExpr("doc_id", _H60.format(x="w") + " AS h"))
+    sums = wh.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.expr("(h >> {b}) & 1 = 1".format(b=b)), 1).otherwise(-1))
+        .alias("s{}".format(b)) for b in range(_SIMHASH_BITS)])
+    sig = sums.selectExpr("doc_id", "({}) AS sim".format(_SIMHASH_SPARK))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.expr("cast(bit_count(a.sim ^ b.sim) as bigint)").alias("ham"))
+            .where("ham <= 16"))
+
+
+_N_MINHASH = 16
+_MINHASH_SPARK_AGGS = [
+    "min(" + _H60.format(x="concat('{i}:', s)").format(i=i) + ") AS m{i}".format(i=i)
+    for i in range(_N_MINHASH)
+]
+_MINHASH_DUCK_AGGS = ", ".join(
+    "min(" + _H60_DUCK.format(x="'{i}:' || s".format(i=i)) + ") AS m{i}".format(i=i)
+    for i in range(_N_MINHASH))
+_BANDS = [(b, ["m{}".format(b * 4 + j) for j in range(4)]) for b in range(4)]
+
+
+@_q("minhash_lsh_candidates", sql="WITH " + _SHINGLES_SQL + """
+, sig AS (SELECT doc_id, {aggs} FROM ex GROUP BY doc_id),
+bands AS ({union})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                          AND a.doc_id < b.doc_id
+""".format(aggs=_MINHASH_DUCK_AGGS,
+           union=" UNION ALL ".join(
+               "SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sig".format(
+                   b=b, cols=" || ',' || ".join(c + "::VARCHAR" for c in cols))
+               for b, cols in _BANDS)))
+def minhash_lsh_candidates(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 16 md5-derived minhashes over
+    word-3-gram shingles, banded 4x4; docs colliding in any band are
+    candidates. One shuffle to build signatures, one equi-join on
+    (band, band_hash) — the scalable LSH formulation (no all-pairs)."""
+    ex = _shingles(spark, sf_dir)
+    sig = ex.groupBy("doc_id").agg(*[F.expr(a) for a in _MINHASH_SPARK_AGGS])
+    bands = None
+    for bnum, cols in _BANDS:
+        part = sig.select(
+            "doc_id", F.lit(bnum).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+            .alias("bh"))
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+_COS_EXPR = (
+    "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    " / (sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
+    "  * sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x)))")
+
+
+@_q("ann_cosine_topk", sql="""
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+                                             q.embedding::DOUBLE[]) DESC,
+                      c.vec_id) rn
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10) WHERE rn <= 5
+""")
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors (vec_id < 10):
+    broadcast the tiny query side, JVM-side lambda math (zip_with/
+    aggregate — no Python UDF), rank emitted instead of the float
+    similarity so the comparison is exact-integer."""
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    q = (e.where("vec_id < 10")
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    pairs = (e.crossJoin(F.broadcast(q)).where("vec_id <> query_id")
+             .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     F.expr(_COS_EXPR).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (pairs.withColumn("rn", F.row_number().over(w)).where("rn <= 5")
+            .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rank")))
+
+
+@_q("ann_lsh_bucketed")  # rows-only: the scale path, not SQL-expressible
+def ann_lsh_bucketed(spark, sf_dir):
+    """IVF/LSH-style scale path for ANN: 12 deterministic random
+    hyperplanes (signs from xxhash64(i, j)), vectors bucketed by their
+    12-bit sign pattern; exact cosine top-5 computed only within the
+    query's bucket. At 100 TB the bucket join replaces the cross join
+    — candidate set shrinks ~2^12x. Rows-only check (LSH recall is
+    probabilistic, not SQL-replayable)."""
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    dim = len(e.select("v").first()["v"])
+    planes = (spark.range(12).alias("i").crossJoin(spark.range(dim).alias("j"))
+              .select(F.col("i.id").alias("pi"), F.col("j.id").alias("pj"),
+                      F.when(F.pmod(F.xxhash64(F.concat_ws("_", "i.id", "j.id")), 2) == 0, 1.0)
+                      .otherwise(-1.0).alias("sign")))
+    comp = (e.select("vec_id", F.posexplode("v").alias("pj", "val"))
+            .join(F.broadcast(planes), "pj")
+            .groupBy("vec_id", "pi")
+            .agg(F.sum(F.col("val") * F.col("sign")).alias("dot")))
+    bucket = (comp.groupBy("vec_id")
+              .agg(F.sum(F.expr(
+                  "case when dot > 0 then shiftleft(1, cast(pi as int)) else 0 end"))
+                  .alias("bucket")))
+    eb = e.join(bucket, "vec_id")
+    q = (eb.where("vec_id < 10")
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("bucket").alias("qbucket")))
+    pairs = (eb.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket"))
+                     & (F.col("vec_id") != F.col("query_id")))
+             .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     F.expr(_COS_EXPR).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (pairs.withColumn("rn", F.row_number().over(w)).where("rn <= 5")
+            .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rank")))
+
+
+_STOP_RE = r"\b(the|and|of|to|a|in|is|it|that|for|on|as|with|was|at|by)\b"
+
+
+@_q("lang_id_heuristic", sql="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{p}')) AS BIGINT) AS n_stop,
+       CASE WHEN len(regexp_extract_all(lower(text), '{p}')) * 20
+                 >= len(string_split(text, ' ')) THEN 'en' ELSE 'unk' END
+       AS lang_pred
+FROM documents
+""".format(p=_STOP_RE))
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID heuristic: English stopword density (same regex in
+    both engines; >= 5% of tokens -> 'en')."""
+    d = t(spark, sf_dir, "documents")
+    n_stop = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_STOP_RE), 0)).cast("long")
+    n_tok = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id", n_stop.alias("n_stop"),
+        F.when(n_stop * 20 >= n_tok, "en").otherwise("unk").alias("lang_pred"))
+
+
+_PUNCT_RE = r"[^A-Za-z0-9\s]"
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@_q("text_quality", sql="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+       CASE WHEN len(string_split(text, ' ')) >= 5
+                 AND len(regexp_extract_all(text, '{p}')) * 5 <= length(text)
+            THEN 1 ELSE 0 END AS quality_ok
+FROM documents
+""".format(p=_PUNCT_RE))
+def text_quality(spark, sf_dir):
+    """Quality scoring: char/token/punct/upper counts + an integer
+    accept flag — all exact integers, pure built-in functions."""
+    d = t(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("long")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(_PUNCT_RE), 0)).cast("long")
+    n_upper = F.size(F.regexp_extract_all("text", F.lit("[A-Z]"), 0)).cast("long")
+    ok = F.when((n_tokens >= 5) & (n_punct * 5 <= n_chars), 1).otherwise(0)
+    return d.select("doc_id", n_chars.alias("n_chars_m"), n_tokens.alias("n_tokens"),
+                    n_punct.alias("n_punct"), n_upper.alias("n_upper"),
+                    ok.alias("quality_ok"))
+
+
+@_q("token_count_bpeish", sql="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_bpe
+FROM documents
+""".format(p=_BPE_RE))
+def token_count_bpeish(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (alpha runs / digit runs / single punct)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("long").alias("n_bpe"))
+
+
+# ===========================================================================
+# Extraction-engine queries (the flagship UDF path)
+# ===========================================================================
+
+def _documents_as_transcripts(spark, sf_dir):
+    """Deterministic transcripts-shaped view of the documents table
+    (conv = source, turn_idx = rank of doc_id within source)."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return d.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+@_q("extract_documents_clean", sql="""
+SELECT source AS conv_id,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+            AS INTEGER) AS turn_idx,
+       CAST(length(text) AS BIGINT) AS clean_len,
+       CAST(0 AS BIGINT) AS n_refs
+FROM documents
+""")
+def extract_documents_clean(spark, sf_dir):
+    """The full extraction pipeline (salted repartition + Arrow
+    mapInPandas) over a transcripts view of `documents`. The oracle is
+    exact because this corpus is normalization-stable plain text with
+    no citation features: clean_text == text, refs == [] — so the SQL
+    cross-check genuinely gates the whole Spark UDF path."""
+    from extractor.job import plan_extract
+
+    tr = _documents_as_transcripts(spark, sf_dir)
+    out = plan_extract(tr, n_buckets=16)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.col("n_refs").cast("long").alias("n_refs"))
+
+
+@_q("extract_synthetic_mix")  # rows-only: payload mix needs the generator
+def extract_synthetic_mix(spark, sf_dir):
+    """Extraction over the full synthetic payload mix (plain/HTML/pdf
+    glyphs with reference sections) — the true flagship semantics.
+    Golden per-turn equality is enforced by pytest (tests/goldens);
+    here the driver gets a rows-only sanity signal."""
+    from extractor.gen_fixtures import gen_transcripts
+    from extractor.job import plan_extract
+    from extractor.schema import TRANSCRIPTS_SCHEMA
+
+    pdf = gen_transcripts(400, seed=123)
+    tr = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    out = plan_extract(tr, n_buckets=8)
+    return out.select("conv_id", "turn_idx",
+                      F.length("clean_text").cast("long").alias("clean_len"),
+                      F.col("n_refs").cast("long").alias("n_refs"))

@@ -14,7 +14,9 @@ TRANSCRIPTS_SCHEMA = T.StructType([
     T.StructField("role", T.StringType(), True),
     T.StructField("text", T.StringType(), True),
     T.StructField("tool", T.StringType(), True),
-    T.StructField("ts", T.TimestampType(), True),
+    # pandas/pyarrow write naive timestamps (isAdjustedToUTC=false);
+    # NTZ matches that physical type so the vectorized reader accepts it
+    T.StructField("ts", T.TimestampNTZType(), True),
 ])
 
 # flat bib record (BibStructured analog, LOCDB-V3/imgProcessing.py:813-967)
