@@ -13,6 +13,8 @@ SQL-checkable query in __spark_entry__).
 
 from __future__ import annotations
 
+from collections import Counter
+
 LEV_THRESHOLD = 10  # match iff distance < 10, per LOCDB-V3/imgProcessing.py:440
 
 
@@ -20,35 +22,68 @@ def strip_spaces(s: str) -> str:
     return s.replace(" ", "")
 
 
+def _multiset_lower_bound(a: str, b: str) -> int:
+    """ceil(symmetric-multiset-difference / 2) is a Levenshtein lower
+    bound: an insert/delete changes the char multiset by 1, a
+    substitution by 2. Counter counting is C-speed — a cheap reject
+    for the (overwhelmingly common) non-duplicate pair."""
+    ca = Counter(a)
+    cb = Counter(b)
+    diff = 0
+    for ch, n in ca.items():
+        d = n - cb.get(ch, 0)
+        if d > 0:
+            diff += d
+    for ch, n in cb.items():
+        d = n - ca.get(ch, 0)
+        if d > 0:
+            diff += d
+    return (diff + 1) // 2
+
+
 def levenshtein_banded(a: str, b: str, cutoff: int) -> int:
-    """Levenshtein distance, early-exiting with ``cutoff`` once the
-    band minimum exceeds it (returns ``cutoff`` in that case)."""
+    """Levenshtein distance with Ukkonen banding: only cells within
+    ``cutoff`` of the diagonal are computed (O(n * cutoff) instead of
+    the reference's full O(mn) matrix), early-exiting once the band
+    minimum reaches ``cutoff`` (returns ``cutoff`` in that case)."""
     if a == b:
         return 0
     la, lb = len(a), len(b)
     if abs(la - lb) >= cutoff:
         return cutoff
+    if _multiset_lower_bound(a, b) >= cutoff:
+        return cutoff
     if la > lb:
         a, b, la, lb = b, a, lb, la
-    prev = list(range(la + 1))
-    cur = [0] * (la + 1)
-    for j in range(1, lb + 1):
-        cur[0] = j
-        bj = b[j - 1]
-        row_min = cur[0]
-        for i in range(1, la + 1):
-            c = min(
-                prev[i] + 1,
-                cur[i - 1] + 1,
-                prev[i - 1] + (a[i - 1] != bj),
-            )
-            cur[i] = c
+    if la == 0:
+        return lb  # < cutoff here (length gate above)
+    k = cutoff
+    INF = cutoff + 1
+    prev = [j if j <= k else INF for j in range(la + 1)]
+    for i in range(1, lb + 1):
+        lo = max(1, i - k)
+        hi = min(la, i + k)
+        cur = [INF] * (la + 1)
+        cur[0] = i if i <= k else INF
+        bi = b[i - 1]
+        left = cur[lo - 1]
+        row_min = INF
+        for j in range(lo, hi + 1):
+            c = prev[j - 1] + (a[j - 1] != bi)
+            up = prev[j] + 1
+            if up < c:
+                c = up
+            lft = left + 1
+            if lft < c:
+                c = lft
+            cur[j] = left = c
             if c < row_min:
                 row_min = c
         if row_min >= cutoff:
             return cutoff
-        prev, cur = cur, prev
-    return min(prev[la], cutoff)
+        prev = cur
+    d = prev[la]
+    return d if d < cutoff else cutoff
 
 
 def is_near_dup(a: str, b: str, threshold: int = LEV_THRESHOLD) -> bool:

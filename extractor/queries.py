@@ -770,6 +770,29 @@ def extract_documents_clean(spark, sf_dir):
         F.col("n_refs").cast("long").alias("n_refs"))
 
 
+@_q("s7_conversation_report", sql="""
+SELECT source AS conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(0) AS BIGINT) AS n_refs,
+       CAST(sum(length(text)) AS BIGINT) AS clean_chars
+FROM documents GROUP BY source
+""")
+def s7_conversation_report(spark, sf_dir):
+    """S7 merged-result-view analog: per-conversation rollup OVER the
+    extraction output (count/refs/chars after the Arrow UDF stage) —
+    the read-side report of LOCDB-V3/fileProcessor.py:136-211. Oracle
+    exact because the documents corpus extracts to itself with zero
+    refs (see extract_documents_clean)."""
+    from extractor.job import conversation_report, plan_extract
+
+    tr = _documents_as_transcripts(spark, sf_dir)
+    out = plan_extract(tr, n_buckets=16)
+    rep = conversation_report(out)
+    return rep.select("conv_id",
+                      F.col("n_turns").cast("long").alias("n_turns"),
+                      F.col("n_refs").cast("long").alias("n_refs"),
+                      F.col("clean_chars").cast("long").alias("clean_chars"))
+
+
 @_q("extract_synthetic_mix")  # rows-only: payload mix needs the generator
 def extract_synthetic_mix(spark, sf_dir):
     """Extraction over the full synthetic payload mix (plain/HTML/pdf

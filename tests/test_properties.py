@@ -1,0 +1,99 @@
+"""Property-based tests (SURVEY.md §5.2 item 3) — hypothesis over the
+pure kernels: normalization idempotency, dedup symmetry/metric
+properties, segmentation determinism, layout order-stability."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from extractor.core import dedup, pdf_layout, refseg
+from extractor.core.batch import extract_one
+from extractor.core.textnorm import normalize_block, normalize_plain
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300)
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_normalize_plain_idempotent(s):
+    once = normalize_plain(s)
+    assert normalize_plain(once) == once
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_normalize_block_single_line(s):
+    out = normalize_block(s)
+    assert "\n" not in out and "\t" not in out
+    assert out == out.strip()
+
+
+@given(st.text(max_size=80), st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_levenshtein_symmetric_and_bounded(a, b):
+    k = 10
+    d_ab = dedup.levenshtein_banded(a, b, k)
+    d_ba = dedup.levenshtein_banded(b, a, k)
+    assert d_ab == d_ba
+    assert 0 <= d_ab <= k
+    assert dedup.levenshtein_banded(a, a, k) == 0
+
+
+@given(st.text(max_size=60), st.text(max_size=60), st.text(max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_levenshtein_triangle_under_cutoff(a, b, c):
+    # if both legs are exact (< cutoff), the direct distance can't
+    # exceed their sum (triangle inequality survives banding)
+    big = 200
+    ab = dedup.levenshtein_banded(a, b, big)
+    bc = dedup.levenshtein_banded(b, c, big)
+    ac = dedup.levenshtein_banded(a, c, big)
+    if ab < big and bc < big and ac < big:
+        assert ac <= ab + bc
+
+
+@given(st.lists(st.text(min_size=1, max_size=120), max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_dedup_idempotent_and_order_stable(raws):
+    refs = [{"raw": r} for r in raws]
+    once = dedup.dedup_refs(refs)
+    twice = dedup.dedup_refs(once)
+    assert once == twice
+    # survivors appear in first-seen order
+    idx = [raws.index(r["raw"]) for r in once]
+    assert idx == sorted(idx)
+
+
+@given(TEXT, st.sampled_from(["", "browser", "pdf", "search"]))
+@settings(max_examples=150, deadline=None)
+def test_extract_one_total_and_deterministic(s, tool):
+    """Extraction never raises on arbitrary input and is a pure
+    function (determinism under parallel re-execution, §7.4 risk 2)."""
+    c1, r1 = extract_one(s, tool)
+    c2, r2 = extract_one(s, tool)
+    assert c1 == c2 and r1 == r2
+    for r in r1:
+        assert len(r["raw"].strip()) > refseg.MIN_REF_LEN
+        assert r["span_start"] <= r["span_end"]
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 2000), st.integers(0, 2800),
+              st.text(alphabet="abcdefg", min_size=1, max_size=8)),
+    min_size=1, max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_pdf_layout_total_and_shuffle_invariant(glyphs):
+    """Glyph input order must not affect the reconstructed text
+    (order-stability of the clustering sorts, §7.4 risk 2)."""
+    def payload(gs):
+        return json.dumps({"pages": [{"w": 2400, "h": 3200, "glyphs": [
+            {"t": t, "x0": x, "y0": y, "x1": x + 10 * len(t), "y1": y + 24}
+            for x, y, t in gs]}]})
+
+    a = pdf_layout.extract_pdf(payload(glyphs))
+    b = pdf_layout.extract_pdf(payload(list(reversed(glyphs))))
+    assert a["clean_text"] == b["clean_text"]
