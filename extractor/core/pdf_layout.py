@@ -63,18 +63,12 @@ def _columns(xs0: np.ndarray, xs1: np.ndarray, width: float) -> list[tuple[float
     split columns. Returns [(x_lo, x_hi)] ordered left->right."""
     order = np.argsort(xs0, kind="stable")
     a, b = xs0[order], xs1[order]
-    cols = []
-    lo, hi = float(a[0]), float(b[0])
+    run_max = np.maximum.accumulate(b)  # interval-merge frontier
     min_gap = COLUMN_GAP_FRAC * width
-    for i in range(1, len(a)):
-        if float(a[i]) - hi > min_gap:
-            cols.append((lo, hi))
-            lo, hi = float(a[i]), float(b[i])
-        else:
-            hi = max(hi, float(b[i]))
-            lo = min(lo, float(a[i]))
-    cols.append((lo, hi))
-    return cols
+    breaks = np.nonzero(a[1:] - run_max[:-1] > min_gap)[0] + 1
+    starts = np.concatenate(([0], breaks))
+    ends = np.concatenate((breaks, [len(a)]))
+    return [(float(a[s]), float(run_max[e - 1])) for s, e in zip(starts, ends)]
 
 
 def _lines_in_column(ts, x0, y0, x1, y1) -> list[dict]:
@@ -93,10 +87,13 @@ def _lines_in_column(ts, x0, y0, x1, y1) -> list[dict]:
         breaks[1:] = np.diff(yc_s) > LINE_GAP_FACTOR * med_h
     line_id = np.cumsum(breaks) - 1
 
+    ts_str = np.asarray(ts, dtype=str)
     lines = []
     for lid in range(int(line_id[-1]) + 1):
         sel = order[line_id == lid]
-        sel = sel[np.lexsort((y0[sel], x0[sel]))]  # words left->right
+        # words left->right; fully-specified key (x0, y0, token) so
+        # coincident glyphs can't reorder under input shuffling
+        sel = sel[np.lexsort((ts_str[sel], y0[sel], x0[sel]))]
         text = collapse_inline_ws(" ".join(str(ts[i]) for i in sel))
         if not text:  # empty-line filter (P6)
             continue

@@ -623,6 +623,35 @@ def token_count_bpeish(spark, sf_dir):
         F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("long").alias("n_bpe"))
 
 
+@_q("f13_version_strings", sql="""
+SELECT strftime(ts, '%Y%m%d') AS day_version, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY strftime(ts, '%Y%m%d')
+""")
+def f13_version_strings(spark, sf_dir):
+    """F13: timestamp -> version-string formatting (the reference's
+    strftime('%Y%m%d%H%M%S') filename versioning, LOCDB-V3/app.py:96),
+    aggregated per day."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_format("ts", "yyyyMMdd").alias("day_version"))
+            .agg(F.count("*").alias("n")))
+
+
+@_q("u2_union_dedup", sql="""
+SELECT DISTINCT c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  UNION ALL
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+""")
+def u2_union_dedup(spark, sf_dir):
+    """U2: union with dedup fallback (unmatched-file append,
+    LOCDB-V3/fileProcessor.py:293-297)."""
+    c = t(spark, sf_dir, "customer")
+    hi = c.where("c_acctbal > 5000").select("c_custkey")
+    seg = c.where("c_mktsegment = 'BUILDING'").select("c_custkey")
+    return hi.unionByName(seg).dropDuplicates()
+
+
 @_q("j1_iou_box_join", sql="""
 WITH boxes AS (
   SELECT p_partkey AS id,
