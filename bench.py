@@ -118,34 +118,60 @@ def run_bench(cpus: int, include_queries: bool = True) -> dict:
         spark.stop()
 
 
-def run_scaling() -> None:
-    """local[8] vs local[32] on the same input; writes BENCH/BASELINE.md."""
+def _one_level(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--no-queries"],
+        env=env, capture_output=True, text=True, cwd=REPO, check=True)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    print("local[{}]: {}".format(cpus, line), file=sys.stderr)
+    return json.loads(line)
+
+
+SCALE_LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(","))
+
+
+def run_scaling(n_pairs: int = 3) -> None:
+    """local[N] vs local[4N] on the same input; writes BENCH/BASELINE.md.
+
+    The sandbox VM's effective CPU speed drifts up to ~2x over minutes,
+    so a single 8/32 pair can be dominated by when each leg happened to
+    run. We measure n_pairs back-to-back (8,32) pairs and report the
+    MEDIAN pair efficiency plus the best observed throughput per level.
+    """
     bench_input()  # ensure generated before timing
-    results = {}
-    for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--no-queries"],
-            env=env, capture_output=True, text=True, cwd=REPO, check=True)
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print("local[{}]: {}".format(cpus, line), file=sys.stderr)
-    t8 = results[8]["turns_per_sec"]
-    t32 = results[32]["turns_per_sec"]
-    eff = (t32 / t8) / 4.0
+    lo, hi = SCALE_LEVELS
+    factor = hi / lo
+    pairs = []
+    for _ in range(n_pairs):
+        r8 = _one_level(lo)
+        r32 = _one_level(hi)
+        pairs.append((r8, r32,
+                      (r32["turns_per_sec"] / r8["turns_per_sec"]) / factor))
+    pairs.sort(key=lambda p: p[2])
+    r8m, r32m, eff = pairs[len(pairs) // 2]  # median-efficiency pair
+    results = {lo: r8m, hi: r32m}
+    t8 = results[lo]["turns_per_sec"]
+    t32 = results[hi]["turns_per_sec"]
+    all_effs = [round(p[2], 3) for p in pairs]
+    print("pair efficiencies: {}".format(all_effs), file=sys.stderr)
     md = """# BENCH baseline — scaling proxy (N vs 4N cores)
 
 The north-rule requires >= 0.8 throughput scaling efficiency from N to
 4N executors. No multi-node cluster exists in this sandbox, so the
 proxy is the same job + same input at two parallelism levels
-(local[8] vs local[32]), fresh JVM each, per driver instructions.
+(local[{lo}] vs local[{hi}]), fresh JVM each, per driver instructions.
 
 | config | turns | wall sec | turns/sec |
 |---|---|---|---|
-| local[8]  | {n} | {s8} | {t8} |
-| local[32] | {n} | {s32} | {t32} |
+| local[{lo}]  | {n} | {s8} | {t8} |
+| local[{hi}] | {n} | {s32} | {t32} |
 
-**Scaling efficiency (T32/T8)/4 = {eff:.3f}** (target >= 0.8)
+**Scaling efficiency (T{hi}/T{lo})/{factor:.0f} = {eff:.3f}** (target >= 0.8) —
+median of {np} back-to-back pairs (all pair efficiencies: {effs};
+the sandbox VM's effective CPU speed drifts up to ~2x over minutes,
+so single-pair numbers are unreliable in both directions)
 
 Input: deterministic synthetic transcripts ({n} turns, seed 42,
 payload mix ~50% plain / 30% HTML / 20% pdf-glyphs, one hot
@@ -153,16 +179,18 @@ conversation holding ~30% of turns). Pipeline: parquet scan ->
 salted bucket repartition -> Arrow mapInPandas (HTML strip / PDF
 layout / ref segmentation / dedup) -> noop sink (full
 materialization, no disk-write variance).
-""".format(n=results[8]["turns"], s8=results[8]["value"], t8=t8,
-           s32=results[32]["value"], t32=t32, eff=eff)
+""".format(n=results[lo]["turns"], s8=results[lo]["value"], t8=t8,
+           s32=results[hi]["value"], t32=t32, eff=eff,
+           np=len(pairs), effs=all_effs, lo=lo, hi=hi, factor=factor)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md, file=sys.stderr)
     print(json.dumps({
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": "scaling_efficiency_{}_to_{}".format(lo, hi),
         "value": round(eff, 3), "unit": "ratio",
-        "turns_per_sec_8": t8, "turns_per_sec_32": t32,
+        "turns_per_sec_{}".format(lo): t8,
+        "turns_per_sec_{}".format(hi): t32,
     }))
 
 

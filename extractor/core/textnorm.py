@@ -19,11 +19,21 @@ _NL_RUN = re.compile(r"\n{3,}")
 
 def unescape_entities(s: str) -> str:
     """HTML entity unescape, applied twice (double-escaped corpora are
-    common; the reference chains unescape calls the same way)."""
-    return html.unescape(html.unescape(s))
+    common; the reference chains unescape calls the same way).
+    Fast path: unescape is the identity when no '&' is present."""
+    if "&" not in s:
+        return s
+    s = html.unescape(s)
+    if "&" not in s:
+        return s
+    return html.unescape(s)
 
 
 def nfc(s: str) -> str:
+    # NFC is the identity on ASCII (fast path; is_normalized rechecks
+    # the rest cheaply before paying for a full normalize pass)
+    if s.isascii() or unicodedata.is_normalized("NFC", s):
+        return s
     return unicodedata.normalize("NFC", s)
 
 

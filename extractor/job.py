@@ -51,9 +51,9 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # payloads are KB-sized documents; 512 rows/batch keeps the Arrow
-    # channel full without ballooning Python-worker memory
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+    # payloads are KB-sized documents; 2048 rows/batch (~7 MB) keeps
+    # the Arrow channel full without ballooning Python-worker memory
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.parquet.compression.codec": "zstd",
 }
