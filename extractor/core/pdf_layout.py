@@ -169,6 +169,48 @@ def _dehyphenate(lines: list[dict]) -> list[dict]:
     return out
 
 
+HANG_INDENT_PX = 20  # continuation lines sit right of the entry start
+
+
+def _hanging_indent_blocks(lines: list[dict]) -> list[dict]:
+    """N2 geometry heuristic: citation entries without markers or an
+    anchor heading — an author-start line (``Surname, I.``) whose
+    following lines hang-indent (x0 >= start + HANG_INDENT_PX) starts
+    a block; a region needs >= 2 such blocks to count (the reference's
+    Mask-RCNN reference-region detector re-derived from indent/
+    adjacency features, LOCDB-V3/imgProcessing.py:141-150)."""
+    blocks: list[tuple[int, int, list[str]]] = []
+    cur = None  # [start, end, parts, base_x]
+    for i, ln in enumerate(lines):
+        text = ln["text"]
+        x0 = ln["bbox"][0]
+        if refseg.AUTHOR_START_RE.match(text):
+            if cur is not None:
+                blocks.append((cur[0], cur[1], cur[2]))
+            cur = [i, i, [text], x0]
+        elif cur is not None and x0 >= cur[3] + HANG_INDENT_PX:
+            cur[1] = i
+            cur[2].append(text)
+        else:
+            if cur is not None:
+                blocks.append((cur[0], cur[1], cur[2]))
+                cur = None
+    if cur is not None:
+        blocks.append((cur[0], cur[1], cur[2]))
+    if len(blocks) < 2:
+        return []
+    out = []
+    for ls, le, parts in blocks:
+        raw = " ".join(parts).strip()
+        if len(raw.strip()) <= refseg.MIN_REF_LEN:
+            continue
+        if not refseg.looks_like_citation(raw):
+            continue
+        out.append({"raw": raw, "line_start": ls, "line_end": le,
+                    "detector": "layout"})
+    return out
+
+
 def extract_pdf(text: str) -> dict | None:
     """Full pdf_glyphs pipeline for one payload.
 
@@ -210,6 +252,8 @@ def extract_pdf(text: str) -> dict | None:
                 run_start, run_len = -1, 0
         if run_len >= 2:
             cands.extend(refseg.segment_lines(texts, run_start, "layout"))
+        if not cands:
+            cands = _hanging_indent_blocks(lines)
 
     refs = []
     for c in cands:

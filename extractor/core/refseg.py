@@ -36,6 +36,7 @@ MARKER_RE = re.compile(r"^\s*(\[\d{1,4}\]|\d{1,4}\.)\s+")
 YEAR_RE = re.compile(r"\b((?:19|20)\d{2})[a-z]?\b")
 INITIAL_RE = re.compile(r"\b[A-Z]\.(?:\s?[A-Z]\.)*")
 MIN_REF_LEN = 5  # keep iff len(strip()) > 5, per LOCDB-V3/xmlProcessing.py:217
+AUTHOR_START_RE = re.compile(r"^[A-Z][\w'À-ɏ-]+,\s*[A-Z]\.")
 
 
 def is_anchor_line(line: str) -> bool:

@@ -278,3 +278,25 @@ def test_dispatch_by_tool():
     assert clean.startswith("word word")
     clean, _ = extract_one(_payload(_line_glyphs(["pdf", "text"], 10, 10)), "pdf")
     assert clean == "pdf text"
+
+
+def test_hanging_indent_citation_blocks():
+    """N2: markerless, anchorless citation entries detected from the
+    hanging-indent geometry alone (detector='layout')."""
+    g = (_line_glyphs(["Miller,", "A.", "(1999).", "First", "cited", "work."], 100, 100)
+         + _line_glyphs(["Journal", "of", "Things,", "1(2),", "pp.", "10-20."], 160, 140)
+         + _line_glyphs(["Chen,", "B.", "(2001).", "Second", "cited", "work."], 100, 180)
+         + _line_glyphs(["Annals,", "3(4),", "pp.", "30-40."], 160, 220))
+    res = pdf_layout.extract_pdf(_payload(g))
+    assert len(res["refs"]) == 2
+    assert all(r["detector"] == "layout" for r in res["refs"])
+    assert "pp. 10-20." in res["refs"][0]["raw"]
+    assert res["refs"][1]["line_start"] == 2
+
+
+def test_hanging_indent_requires_two_blocks():
+    # a single author-start line is prose, not a reference region
+    g = (_line_glyphs(["Miller,", "A.", "(1999)", "wrote", "things."], 100, 100)
+         + _line_glyphs(["Unrelated", "prose", "follows", "here."], 100, 140))
+    res = pdf_layout.extract_pdf(_payload(g))
+    assert res["refs"] == []
