@@ -51,10 +51,18 @@ def _plain_refs(clean_text: str, detector_default: str = "anchor") -> list[dict]
     return refs
 
 
+# oversize-payload clamp (P9 analog: the reference resizes inputs over
+# 3500px before analysis, LOCDB-V3/imgProcessing.py:24-28) — a single
+# pathological multi-MB turn must not pin an executor core
+MAX_PAYLOAD_CHARS = 2_000_000
+
+
 def extract_one(text: str, tool: str) -> tuple[str, list[dict]]:
     """Extract (clean_text, refs) for one turn. Deterministic."""
     if text is None:
         return "", []
+    if len(text) > MAX_PAYLOAD_CHARS:
+        text = text[:MAX_PAYLOAD_CHARS]
     if tool == "browser":
         res = html_strip.strip_html(text)
         refs = res["refs"]

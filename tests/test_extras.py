@@ -75,3 +75,26 @@ def test_multimodal_decode_stub_raises():
     if not multimodal.HAS_PIL:
         with _pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\x89PNG")
+
+
+def test_oversize_payload_clamped():
+    from extractor.core.batch import MAX_PAYLOAD_CHARS, extract_one
+
+    big = "word " * (MAX_PAYLOAD_CHARS // 4)  # ~2.5M chars
+    clean, refs = extract_one(big, "")
+    assert len(clean) <= MAX_PAYLOAD_CHARS
+    assert refs == []
+
+
+def test_checkpoint_as_dataframe(spark, tmp_path):
+    from extractor import checkpoint
+
+    ck = str(tmp_path / "ck")
+    checkpoint.commit(ck, "run-a", [
+        {"partition_id": 0, "turns_in": 10, "turns_out": 10, "refs_out": 3},
+        {"partition_id": 1, "turns_in": 5, "turns_out": 5, "refs_out": 0},
+    ])
+    df = checkpoint.as_dataframe(spark, ck)
+    rows = {r["partition_id"]: r for r in df.collect()}
+    assert rows[0]["refs_out"] == 3 and rows[0]["status"] == "committed"
+    assert rows[1]["turns_out"] == 5 and rows[1]["run_id"] == "run-a"
