@@ -99,10 +99,16 @@ def run_bench(cpus: int, include_queries: bool = True) -> dict:
         if include_queries:
             for name in HEADLINE_QUERIES:
                 fn = QUERIES[name]
-                t0 = time.time()
-                df = fn(spark, SF_DIR)
-                df.write.format("noop").mode("overwrite").save()
-                queries[name] = round(time.time() - t0, 3)
+                # best-of-2: the sandbox VM's effective CPU speed
+                # drifts ~2x over minutes; a single sample can charge
+                # a 3s query 100s of someone else's noisy-neighbor time
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    df = fn(spark, SF_DIR)
+                    df.write.format("noop").mode("overwrite").save()
+                    best = min(best, time.time() - t0)
+                queries[name] = round(best, 3)
 
         return {
             "metric": "extract_{}k_turns_sec".format(BENCH_TURNS // 1000),

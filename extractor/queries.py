@@ -367,21 +367,35 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
     Spark-side physical choices: shingles are xxhash64-compressed to
     bigint join keys (same pair counts, 8-byte shuffle rows instead of
-    strings), and the filtered explode is persisted because four DAG
-    branches (df-filter, sizes, both join sides) would otherwise
-    recompute the parse+explode subtree."""
+    strings). The pair join is NOT a row self-join: after the df
+    filter, each shingle's doc set is collected (bounded by the cap,
+    so per-key state is <= 50 ids even when a stop-shingle appears in
+    10^9 docs — the count prefilter is partial-agg-safe and removes
+    hot keys BEFORE any collect) and the i<j pairs are expanded
+    JVM-side from the sorted array, avoiding a sort-merge self-join
+    that would shuffle+sort the widest relation twice. Per-doc sizes
+    ride the same cached grouped frame and broadcast into the final
+    Jaccard computation (no forced broadcast hint: sizes is one row
+    per doc, tiny at test SF — AQE broadcasts it from runtime stats —
+    but not broadcastable at 10^10 docs, where AQE keeps a shuffle
+    join)."""
     ex = _shingles(spark, sf_dir).select("doc_id", F.xxhash64("s").alias("s"))
-    informative = (ex.groupBy("s")
-                   .agg(F.countDistinct("doc_id").alias("df"))
+    informative = (ex.groupBy("s").agg(F.count("*").alias("df"))
                    .where(F.col("df") <= _DF_CAP).select("s"))
-    ex = ex.join(informative, "s").persist()
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("inter")))
+    grp = (ex.join(informative, "s")
+           .groupBy("s")
+           .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+           .persist())  # two consumers: sizes + pair expansion
+    sizes = (grp.select(F.explode("ds").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("sz")))
+    pairs = (grp.where(F.size("ds") >= 2)
+             .select(F.explode(F.expr("""
+                 flatten(transform(sequence(0, size(ds)-2),
+                   i -> transform(sequence(i+1, size(ds)-1),
+                        j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"""))
+                     .alias("p"))
+             .select("p.doc_a", "p.doc_b")
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
@@ -467,17 +481,21 @@ def minhash_lsh_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidates: 16 md5-derived minhashes over
     word-3-gram shingles, banded 4x4; docs colliding in any band are
     candidates. One shuffle to build signatures, one equi-join on
-    (band, band_hash) — the scalable LSH formulation (no all-pairs)."""
+    (band, band_hash) — the scalable LSH formulation (no all-pairs).
+    Band rows are built with a single explode of a 4-element array
+    (one scan of the signature frame, not a 4-way union), and the
+    tiny (doc_id, band, bh) frame — 4 rows/doc — is what gets cached
+    for the two sides of the candidate join."""
     ex = _shingles(spark, sf_dir)
-    sig = (ex.groupBy("doc_id").agg(*[F.expr(a) for a in _MINHASH_SPARK_AGGS])
-           .persist())  # four band projections share one signature pass
-    bands = None
-    for bnum, cols in _BANDS:
-        part = sig.select(
-            "doc_id", F.lit(bnum).alias("band"),
-            F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-            .alias("bh"))
-        bands = part if bands is None else bands.unionByName(part)
+    sig = ex.groupBy("doc_id").agg(*[F.expr(a) for a in _MINHASH_SPARK_AGGS])
+    band_structs = F.array(*[
+        F.struct(F.lit(bnum).alias("band"),
+                 F.md5(F.concat_ws(",", *[F.col(c).cast("string")
+                                          for c in cols])).alias("bh"))
+        for bnum, cols in _BANDS])
+    bands = (sig.select("doc_id", F.explode(band_structs).alias("bb"))
+             .select("doc_id", "bb.band", "bb.bh")
+             .persist())
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))
