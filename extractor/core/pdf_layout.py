@@ -71,39 +71,53 @@ def _columns(xs0: np.ndarray, xs1: np.ndarray, width: float) -> list[tuple[float
     return [(float(a[s]), float(run_max[e - 1])) for s, e in zip(starts, ends)]
 
 
-def _lines_in_column(ts, x0, y0, x1, y1) -> list[dict]:
+def _lines_in_column(ts_str, x0, y0, x1, y1) -> list[dict]:
     """Cluster one column's glyphs into lines by y-center, emit
-    reading-order lines with text and integer bbox envelope."""
+    reading-order lines with text and integer bbox envelope.
+
+    One column-wide lexsort groups glyphs by line in final word order
+    (primary line, then the fully-specified (x0, y0, token) key so
+    coincident glyphs can't reorder under input shuffling); lines are
+    then contiguous runs — no per-line boolean masks (which made the
+    old loop O(lines x glyphs))."""
+    n = len(x0)
     yc = (y0 + y1) / 2.0
     heights = y1 - y0
-    med_h = float(np.median(heights)) if len(heights) else 1.0
+    med_h = float(np.median(heights)) if n else 1.0
     if med_h <= 0:
         med_h = 1.0
     order = np.lexsort((x0, yc))  # primary yc, secondary x0 — deterministic
     yc_s = yc[order]
-    breaks = np.empty(len(order), dtype=bool)
+    breaks = np.empty(n, dtype=bool)
     breaks[0] = True
-    if len(order) > 1:
+    if n > 1:
         breaks[1:] = np.diff(yc_s) > LINE_GAP_FACTOR * med_h
-    line_id = np.cumsum(breaks) - 1
+    lid = np.empty(n, dtype=np.int64)
+    lid[order] = np.cumsum(breaks) - 1
 
-    ts_str = np.asarray(ts, dtype=str)
+    final = np.lexsort((ts_str, y0, x0, lid))
+    lidf = lid[final]
+    x0f, y0f, x1f, y1f = x0[final], y0[final], x1[final], y1[final]
+    tsf = ts_str[final]
+    starts = np.flatnonzero(np.concatenate(([True], lidf[1:] != lidf[:-1])))
+    ends = np.concatenate((starts[1:], [n]))
+
+    # vectorized per-line bbox envelopes (4 reduceat calls for the
+    # whole column instead of 4 tiny .min()/.max() per line)
+    bx0 = np.floor(np.minimum.reduceat(x0f, starts)).astype(np.int64)
+    by0 = np.floor(np.minimum.reduceat(y0f, starts)).astype(np.int64)
+    bx1 = np.ceil(np.maximum.reduceat(x1f, starts)).astype(np.int64)
+    by1 = np.ceil(np.maximum.reduceat(y1f, starts)).astype(np.int64)
+
     lines = []
-    for lid in range(int(line_id[-1]) + 1):
-        sel = order[line_id == lid]
-        # words left->right; fully-specified key (x0, y0, token) so
-        # coincident glyphs can't reorder under input shuffling
-        sel = sel[np.lexsort((ts_str[sel], y0[sel], x0[sel]))]
-        text = collapse_inline_ws(" ".join(str(ts[i]) for i in sel))
+    tlist = tsf.tolist()
+    for k, (s, e) in enumerate(zip(starts, ends)):
+        text = collapse_inline_ws(" ".join(tlist[s:e]))
         if not text:  # empty-line filter (P6)
             continue
-        bbox = [
-            int(np.floor(x0[sel].min())),
-            int(np.floor(y0[sel].min())),
-            int(np.ceil(x1[sel].max())),
-            int(np.ceil(y1[sel].max())),
-        ]
-        lines.append({"text": text, "bbox": bbox})
+        lines.append({"text": text,
+                      "bbox": [int(bx0[k]), int(by0[k]),
+                               int(bx1[k]), int(by1[k])]})
     return lines
 
 
@@ -113,22 +127,27 @@ def page_lines(page: dict) -> list[dict]:
     glyphs = page.get("glyphs") or []
     if not glyphs:
         return []
-    ts = np.array([g.get("t", "") for g in glyphs], dtype=object)
-    x0 = np.array([float(g.get("x0", 0)) for g in glyphs])
-    y0 = np.array([float(g.get("y0", 0)) for g in glyphs])
-    x1 = np.array([float(g.get("x1", 0)) for g in glyphs])
-    y1 = np.array([float(g.get("y1", 0)) for g in glyphs])
+    # coords in one C-level conversion (scalar np assignments and
+    # per-value float() calls both cost ~1.4s per 3k pages)
+    ts_str = np.asarray([str(g.get("t", "")) for g in glyphs], dtype=str)
+    coords = np.array(
+        [(g.get("x0", 0), g.get("y0", 0), g.get("x1", 0), g.get("y1", 0))
+         for g in glyphs], dtype=np.float64)
+    x0, y0, x1, y1 = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
     w = float(page.get("w", max(1.0, float(x1.max()))))
     h = float(page.get("h", max(1.0, float(y1.max()))))
     w, h, x0, y0, x1, y1 = _normalize_canvas(w, h, x0, y0, x1, y1)
 
     out: list[dict] = []
-    for lo, hi in _columns(x0, x1, w):
-        xc = (x0 + x1) / 2.0
+    cols = _columns(x0, x1, w)
+    if len(cols) == 1:
+        return _lines_in_column(ts_str, x0, y0, x1, y1)
+    xc = (x0 + x1) / 2.0
+    for lo, hi in cols:
         mask = (xc >= lo - 1e-9) & (xc <= hi + 1e-9)
         if not mask.any():
             continue
-        out.extend(_lines_in_column(ts[mask], x0[mask], y0[mask],
+        out.extend(_lines_in_column(ts_str[mask], x0[mask], y0[mask],
                                     x1[mask], y1[mask]))
     return out
 
