@@ -53,6 +53,13 @@ def levenshtein_banded(a: str, b: str, cutoff: int) -> int:
         return cutoff
     if _multiset_lower_bound(a, b) >= cutoff:
         return cutoff
+    return _band_dp(a, b, cutoff)
+
+
+def _band_dp(a: str, b: str, cutoff: int) -> int:
+    """The banded DP itself (callers have already applied the cheap
+    equality / length / multiset gates)."""
+    la, lb = len(a), len(b)
     if la > lb:
         a, b, la, lb = b, a, lb, la
     if la == 0:
@@ -96,15 +103,40 @@ def dedup_refs(refs: list[dict], threshold: int = LEV_THRESHOLD) -> list[dict]:
     """Stable keep-first dedup of ref dicts (key 'raw') under the
     near-dup rule. Input order is the detector-priority order (the
     reference keeps the ParsCit-matched string and drops the image
-    duplicate); output preserves first-seen order."""
+    duplicate); output preserves first-seen order.
+
+    Per-string stripped text and char Counter are computed ONCE and
+    reused across all pair comparisons (the naive loop rebuilt two
+    Counters per pair — the dominant dedup cost on ref-heavy turns)."""
     kept: list[dict] = []
+    kept_info: list[tuple[str, Counter, int]] = []
     for r in refs:
-        raw = r["raw"]
+        s = strip_spaces(r["raw"])
+        cs = Counter(s)
+        ls = len(s)
         dup = False
-        for k in kept:
-            if is_near_dup(raw, k["raw"], threshold):
-                dup = True
-                break
+        if threshold > 0:
+            for s2, cs2, ls2 in kept_info:
+                if s == s2:
+                    dup = True
+                    break
+                if abs(ls - ls2) >= threshold:
+                    continue
+                diff = 0
+                for ch, n in cs.items():
+                    d = n - cs2.get(ch, 0)
+                    if d > 0:
+                        diff += d
+                for ch, n in cs2.items():
+                    d = n - cs.get(ch, 0)
+                    if d > 0:
+                        diff += d
+                if (diff + 1) // 2 >= threshold:
+                    continue
+                if _band_dp(s, s2, threshold) < threshold:
+                    dup = True
+                    break
         if not dup:
             kept.append(r)
+            kept_info.append((s, cs, ls))
     return kept

@@ -165,6 +165,9 @@ _ISSUE_RE = re.compile(r"\b(?:no|issue)\.?\s*(\d{1,3})", re.IGNORECASE)
 _PAGES_RE = re.compile(r"\b(?:pp?\.\s*)?(\d{1,5})\s*[-–—]{1,2}\s*(\d{1,5})\b")
 _PUBLOC_RE = re.compile(r"([A-Z][A-Za-z .]+?):\s*([A-Z][\w&. ]+?)(?:[,.;]|$)")
 _JOURNAL_RE = re.compile(r"\bIn\s+([A-Z][^,.;]{3,80})")
+_LEAD_PUNCT_RE = re.compile(r"^[)\].,:;\s]+")
+_TITLE_RE = re.compile(r"([^.]{4,200})\.")
+_VENUE_RE = re.compile(r"\s*([A-Z][^,.;0-9]{3,80})[,.]")
 
 EMPTY_FIELDS: dict = {
     "authors": None,
@@ -198,8 +201,8 @@ def parse_fields(raw: str) -> dict:
     # title: first sentence after the year token (skipping a close-paren/dot)
     if m_year:
         rest = s[m_year.end():]
-        rest = re.sub(r"^[)\].,:;\s]+", "", rest)
-        m_t = re.match(r"([^.]{4,200})\.", rest)
+        rest = _LEAD_PUNCT_RE.sub("", rest)
+        m_t = _TITLE_RE.match(rest)
         if m_t:
             f["title"] = m_t.group(1).strip()
             tail = rest[m_t.end():]
@@ -213,7 +216,7 @@ def parse_fields(raw: str) -> dict:
         f["journal"] = m_j.group(1).strip()
     else:
         # venue = next sentence-ish chunk before volume/pages digits
-        m_v = re.match(r"\s*([A-Z][^,.;0-9]{3,80})[,.]", tail)
+        m_v = _VENUE_RE.match(tail)
         if m_v:
             f["journal"] = m_v.group(1).strip()
 
