@@ -97,3 +97,32 @@ def test_pdf_layout_total_and_shuffle_invariant(glyphs):
     a = pdf_layout.extract_pdf(payload(glyphs))
     b = pdf_layout.extract_pdf(payload(list(reversed(glyphs))))
     assert a["clean_text"] == b["clean_text"]
+
+
+# -- fast HTML tokenizer vs stdlib: randomized differential ----------------
+
+_HTMLISH_PIECES = st.one_of(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30),
+    st.sampled_from([
+        "<p>", "</p>", "<div class='a b'>", "</div>", "<a href=x>", "</a>",
+        "<cite>", "</cite>", "<li>", "<br>", "<br/>", "<script>", "</script>",
+        "<style>", "</style>", "<!-- c -->", "<!doctype html>", "<?pi?>",
+        "&amp;", "&lt;", "&#65;", "&bogus;", "&", "<", ">", "'", '"',
+        "<td valign=top>", "</td>", "<span class=\"cit-auth\">", "</span>",
+        "<ul>", "</ul>", "<h2>References</h2>", "[1] ", "(1999). ",
+        "<p", "</", "<>", "< p>", "<3", "=x", "/>",
+    ]),
+)
+
+
+@given(st.lists(_HTMLISH_PIECES, max_size=40).map("".join))
+@settings(max_examples=300, deadline=None)
+def test_fast_tokenizer_differential_random(doc):
+    from extractor.core import html_strip
+
+    try:
+        html_strip._use_stdlib_parser = True
+        std = html_strip.strip_html(doc)
+    finally:
+        html_strip._use_stdlib_parser = False
+    assert html_strip.strip_html(doc) == std
