@@ -91,9 +91,18 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return tables.read_table(spark, path)
 
 
-def plan_extract(df: DataFrame, n_buckets: int) -> DataFrame:
+def plan_extract(df: DataFrame, n_buckets: int,
+                 bucket_in: list[int] | None = None) -> DataFrame:
     """The declarative extraction plan over a transcripts DataFrame
-    (no checkpointing — used by entry/bench and composed by run)."""
+    (no checkpointing — used by entry/bench and composed by run).
+
+    ``bucket_in`` restricts the plan to a subset of salt buckets ON THE
+    INPUT SIDE — the predicate is evaluated on the scan before the
+    shuffle and the Arrow stage, so a wave/resume run pays Python
+    extraction only for the buckets it will commit. (A filter on the
+    OUTPUT bucket column would sit above mapInPandas, which is opaque
+    to Catalyst: every wave would re-extract everything and discard
+    most of it.)"""
     src = (
         df.select("conv_id", "turn_idx", "text", "tool")  # prune early
         .where(F.col("text").isNotNull())                 # pushed to scan
@@ -103,6 +112,8 @@ def plan_extract(df: DataFrame, n_buckets: int) -> DataFrame:
             .cast("int"),
         )
     )
+    if bucket_in is not None:
+        src = src.where(F.col("bucket").isin([int(b) for b in bucket_in]))
     return (
         src.repartition(n_buckets, "bucket")
         .mapInPandas(_extract_map, EXTRACTED_BUCKET_SCHEMA)
@@ -134,7 +145,7 @@ def run_extract(
     if not todo:
         return stats
 
-    extracted = plan_extract(read_transcripts(spark, input_path), n_buckets)
+    transcripts = read_transcripts(spark, input_path)
 
     wave_buckets = wave_buckets or len(todo)
     waves = [todo[i:i + wave_buckets] for i in range(0, len(todo), wave_buckets)]
@@ -143,7 +154,9 @@ def run_extract(
 
     data_dir = os.path.join(output_path, "data")
     for wave in waves:
-        part = extracted.where(F.col("bucket").isin(wave))
+        # bucket restriction applied below the Arrow stage: each wave
+        # extracts only its own buckets (see plan_extract docstring)
+        part = plan_extract(transcripts, n_buckets, bucket_in=wave)
         tables.write_partitioned(part, data_dir, "bucket")
         # per-bucket counters from the durably written wave (columnar
         # count over n_refs only — cheap), then atomic commit

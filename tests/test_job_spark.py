@@ -185,3 +185,62 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
               .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
     assert len(got) == len(oracle)
     assert (got["clean_text"].values == oracle["clean_text"].values).all()
+
+
+def test_sigkill_mid_run_then_resume(tmp_path):
+    """Hard-crash semantics: SIGKILL a separate driver process midway
+    through a many-wave run (no cleanup code runs, JVM dies), then
+    resume in a fresh process — the converged table must equal an
+    uninterrupted run's. This is the north-rule resume claim with a
+    real kill, not the simulated max_waves interruption."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    from extractor.core.batch import extract_batch
+    from extractor.gen_fixtures import write_transcripts_parquet
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(inp, 600, seed=11)
+    out = str(tmp_path / "out")
+
+    driver = (
+        "import sys; sys.path.insert(0, {repo!r})\n"
+        "from extractor import job\n"
+        "spark = job.get_spark('kill9', master='local[2]', shuffle_partitions=8,\n"
+        "                      extra_conf={{'spark.ui.enabled': 'false'}})\n"
+        "job.run_extract(spark, {inp!r}, {out!r}, n_buckets=12, wave_buckets=2)\n"
+    ).format(repo=repo, inp=inp, out=out)
+    proc = subprocess.Popen([sys.executable, "-c", driver],
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    ckpt = os.path.join(out, "_checkpoint", "manifest.json")
+    deadline = _time.time() + 240
+    while _time.time() < deadline:  # wait for >=1 committed wave
+        if os.path.exists(ckpt) and checkpoint.read_committed(
+                os.path.join(out, "_checkpoint")):
+            break
+        if proc.poll() is not None:
+            break
+        _time.sleep(0.2)
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=60)
+    committed_before = len(checkpoint.read_committed(os.path.join(out, "_checkpoint")))
+    assert committed_before >= 1, "driver finished before it could be killed"
+
+    # resume in a fresh subprocess (clean JVM, as a restarted job would)
+    resume = driver.replace("kill9", "resume9").replace(
+        "job.run_extract", "stats = job.run_extract") + \
+        "assert stats['skipped_committed'] >= 1, stats\nprint('RESUMED', stats)\n"
+    r = subprocess.run([sys.executable, "-c", resume],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    got = (pd.read_parquet(os.path.join(out, "data"))
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    oracle = (extract_batch(pd.read_parquet(inp))
+              .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert len(got) == len(oracle)
+    assert (got["clean_text"].values == oracle["clean_text"].values).all()
