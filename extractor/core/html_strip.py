@@ -66,15 +66,10 @@ _WRAP_RE = re.compile(r"^\[['\"]?\s*|\s*['\"]?\]$")  # layout (c) "['...']" wrap
 _use_stdlib_parser = False
 
 
-class _Frame:
-    __slots__ = ("tag", "boiler", "ref_kind", "noise", "cit_field")
-
-    def __init__(self, tag, boiler, ref_kind, noise, cit_field):
-        self.tag = tag
-        self.boiler = boiler
-        self.ref_kind = ref_kind
-        self.noise = noise
-        self.cit_field = cit_field
+# stack frames are plain tuples (tag, boiler, ref_kind, noise,
+# cit_field) — constructed ~300k times per 6k pages; tuple creation +
+# index access beats a __slots__ class by ~2x on this path
+_F_TAG, _F_BOILER, _F_REF, _F_NOISE, _F_CIT = range(5)
 
 
 class _Block:
@@ -104,7 +99,7 @@ class _Block:
 class _Extractor(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
-        self.stack: list[_Frame] = []
+        self.stack: list[tuple] = []
         self.blocks: list[_Block] = []
         self.cur: _Block | None = None
         self.skip_depth = 0
@@ -112,9 +107,6 @@ class _Extractor(HTMLParser):
         self.after_ref_heading = False
 
     # -- frame helpers ------------------------------------------------
-    def _top(self) -> _Frame | None:
-        return self.stack[-1] if self.stack else None
-
     def _attrs(self, attrs):
         d = {}
         for k, v in attrs:
@@ -128,11 +120,11 @@ class _Extractor(HTMLParser):
 
     def _open_block(self, tag):
         self._flush()
-        top = self._top()
+        top = self.stack[-1] if self.stack else None
         self.cur = _Block(
             tag,
-            top.boiler if top else False,
-            top.ref_kind if top else None,
+            top[_F_BOILER] if top else False,
+            top[_F_REF] if top else None,
         )
 
     # -- parser events ------------------------------------------------
@@ -145,29 +137,46 @@ class _Extractor(HTMLParser):
         if tag in SKIP_TAGS:
             self.skip_depth += 1
             return
-        a = self._attrs(attrs)
-        cls = "{} {}".format(a.get("class", ""), a.get("id", ""))
-        top = self._top()
+        stack = self.stack
+        top = stack[-1] if stack else None
+        if attrs:
+            a = self._attrs(attrs)
+            cls_attr = a.get("class", "")
+            cls = "{} {}".format(cls_attr, a.get("id", ""))
+            has_cls = len(cls) > 1
+        else:
+            a = None
+            cls_attr = ""
+            cls = " "
+            has_cls = False
 
-        boiler = (top.boiler if top else False) or tag in BOILER_TAGS \
-            or BOILER_CLASS_RE.search(cls) is not None
-        ref_kind = top.ref_kind if top else None
+        # attr-free fast path: most tags carry no class/id, and every
+        # regex below can only fire on class/id content
+        boiler = (top[_F_BOILER] if top else False) or tag in BOILER_TAGS \
+            or (has_cls and BOILER_CLASS_RE.search(cls) is not None)
+        ref_kind = top[_F_REF] if top else None
         if ref_kind is None:
             if tag == "cite":
                 ref_kind = "cite"
             elif tag == "dl" and "references" in cls.lower():
                 ref_kind = "dl"
-            elif REF_CLASS_RE.search(cls) and not BOILER_CLASS_RE.search(cls):
+            elif has_cls and REF_CLASS_RE.search(cls) \
+                    and not BOILER_CLASS_RE.search(cls):
                 ref_kind = "class"
             elif tag in ("ol", "ul") and self.after_ref_heading:
                 ref_kind = "list"
-            elif tag == "td" and a.get("valign", "").lower() == "top":
+            elif tag == "td" and a is not None \
+                    and a.get("valign", "").lower() == "top":
                 ref_kind = "td"
-        noise = (top.noise if top else False) or REF_NOISE_RE.search(cls) is not None
-        m = _CIT_FIELD_RE.search(a.get("class", ""))
-        cit_field = m.group(1).lower() if m else (top.cit_field if top else None)
+        noise = (top[_F_NOISE] if top else False) \
+            or (has_cls and REF_NOISE_RE.search(cls) is not None)
+        if cls_attr:
+            m = _CIT_FIELD_RE.search(cls_attr)
+            cit_field = m.group(1).lower() if m else (top[_F_CIT] if top else None)
+        else:
+            cit_field = top[_F_CIT] if top else None
 
-        self.stack.append(_Frame(tag, boiler, ref_kind, noise, cit_field))
+        stack.append((tag, boiler, ref_kind, noise, cit_field))
         if tag == "a":
             self.anchor_depth += 1
         if tag in BLOCK_TAGS:
@@ -186,17 +195,18 @@ class _Extractor(HTMLParser):
         if tag in VOID_TAGS:
             return
         # lenient pop: only if tag is open somewhere
+        stack = self.stack
         depth = None
-        for i in range(len(self.stack) - 1, -1, -1):
-            if self.stack[i].tag == tag:
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i][_F_TAG] == tag:
                 depth = i
                 break
         if depth is None:
             return
-        for frame in reversed(self.stack[depth:]):
-            if frame.tag == "a" and self.anchor_depth > 0:
+        for frame in reversed(stack[depth:]):
+            if frame[_F_TAG] == "a" and self.anchor_depth > 0:
                 self.anchor_depth -= 1
-        del self.stack[depth:]
+        del stack[depth:]
         if tag in BLOCK_TAGS:
             if tag in HEADING_TAGS and self.cur is not None:
                 self.after_ref_heading = refseg.is_anchor_line(self.cur.text)
@@ -204,42 +214,53 @@ class _Extractor(HTMLParser):
                 if self.cur is not None and self.cur.chars > 0:
                     self.after_ref_heading = False
             self._flush()
-            top = self._top()
+            top = stack[-1] if stack else None
             self.cur = _Block(
-                top.tag if top else "body",
-                top.boiler if top else False,
-                top.ref_kind if top else None,
+                top[_F_TAG] if top else "body",
+                top[_F_BOILER] if top else False,
+                top[_F_REF] if top else None,
             )
 
     def handle_data(self, data):
         if self.skip_depth > 0 or not data:
             return
-        if not data.strip():
+        stripped = data.strip()
+        if not stripped:
             # whitespace-only node: keep one separator so text across
             # inline-tag boundaries doesn't fuse ("Doe, J." + "1999")
-            if self.cur is not None and self.cur.parts:
-                self.cur.parts.append(" ")
+            cur = self.cur
+            if cur is not None and cur.parts:
+                cur.parts.append(" ")
             return
-        if self.cur is None:
-            self.cur = _Block("body", False, None)
-        top = self._top()
-        if top is not None and top.noise:
+        cur = self.cur
+        if cur is None:
+            cur = self.cur = _Block("body", False, None)
+        stack = self.stack
+        top = stack[-1] if stack else None
+        if top is not None and top[_F_NOISE]:
             return  # ref-google / ref-xLink spans are dropped entirely
-        self.cur.parts.append(data)
-        self.cur._text = None  # invalidate cache (mid-block reads exist)
-        n = len(data.strip())
-        self.cur.chars += n
+        cur.parts.append(data)
+        cur._text = None  # invalidate cache (mid-block reads exist)
+        n = len(stripped)
+        cur.chars += n
         if self.anchor_depth > 0:
-            self.cur.anchor_chars += n
-        if top is not None and top.cit_field:
-            self.cur.cit_fields.setdefault(top.cit_field, []).append(
+            cur.anchor_chars += n
+        if top is not None and top[_F_CIT]:
+            cur.cit_fields.setdefault(top[_F_CIT], []).append(
                 normalize_block(data)
             )
 
 
 _STARTTAG_RE = re.compile(
-    r"<([a-zA-Z][-.a-zA-Z0-9:_]*)"          # tag name
-    r"((?:\"[^\"]*\"|'[^']*'|[^>])*?)"      # attr blob (quote-aware)
+    # tag name: stdlib tagfind_tolerant charset — anything but
+    # whitespace, '/', '>', NUL (so malformed "<p<ul>" yields the same
+    # junk name "p<ul" the stdlib state machine produces)
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"
+    # attr blob: quotes open a quoted span ONLY in value position
+    # (immediately after '='), matching stdlib semantics — a bare
+    # quote elsewhere is a junk char and the tag still ends at the
+    # next '>'
+    r"((?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*?)"
     r"(/?)>",
     re.DOTALL)
 _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*>")
@@ -247,7 +268,9 @@ _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _MARKUP_DECL_RE = re.compile(r"<![^>]*>")
 _PI_RE = re.compile(r"<\?[^>]*>")
 _ATTR_RE = re.compile(
-    r"([^\s=/>]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?")
+    # attr name first-char rule mirrors stdlib attrfind_tolerant:
+    # anything but whitespace//>; later chars also exclude '='
+    r"([^\s/>][^\s=/>]*)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?")
 _RAWTEXT_CLOSE = {
     "script": re.compile(r"</script", re.IGNORECASE),
     "style": re.compile(r"</style", re.IGNORECASE),
@@ -317,6 +340,19 @@ def _fast_feed(doc: str, p: "_Extractor") -> None:
                 handle_end(m.group(1).lower())
                 pos = m.end()
                 continue
+            third = doc[lt + 2: lt + 3]
+            if third == ">":  # '</>' — dropped entirely (HTML5 rule)
+                pos = lt + 3
+                continue
+            if third and not third.isalpha():
+                # end-tag-open + non-letter = bogus comment: consume
+                # silently through the next '>' (stdlib parity); with
+                # no '>' ahead, fall through to the data path (stdlib
+                # emits the tail as data at EOF)
+                gt = doc.find(">", lt + 2)
+                if gt >= 0:
+                    pos = gt + 1
+                    continue
         elif nxt == "!":
             m = _COMMENT_RE.match(doc, lt) or _MARKUP_DECL_RE.match(doc, lt)
             if m:

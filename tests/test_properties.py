@@ -110,7 +110,9 @@ _HTMLISH_PIECES = st.one_of(
         "&amp;", "&lt;", "&#65;", "&bogus;", "&", "<", ">", "'", '"',
         "<td valign=top>", "</td>", "<span class=\"cit-auth\">", "</span>",
         "<ul>", "</ul>", "<h2>References</h2>", "[1] ", "(1999). ",
-        "<p", "</", "<>", "< p>", "<3", "=x", "/>",
+        "<p", "</", "<>", "< p>", "<3", "=x", "/>", "</ p>", "</>", "</x",
+        "</tag attr>", "<![CDATA[x]]>", "<EM>", "</EM>", "<p/>", "<a/>",
+        "<input type=text>", "abc", "\t",
     ]),
 )
 
