@@ -109,19 +109,25 @@ def dedup_refs(refs: list[dict], threshold: int = LEV_THRESHOLD) -> list[dict]:
     reused across all pair comparisons (the naive loop rebuilt two
     Counters per pair — the dominant dedup cost on ref-heavy turns)."""
     kept: list[dict] = []
-    kept_info: list[tuple[str, Counter, int]] = []
+    kept_info: list[list] = []  # [stripped, Counter-or-None, len]
+    cs = None
     for r in refs:
         s = strip_spaces(r["raw"])
-        cs = Counter(s)
+        cs = None  # built lazily — most refs never reach the multiset gate
         ls = len(s)
         dup = False
         if threshold > 0:
-            for s2, cs2, ls2 in kept_info:
+            for info in kept_info:
+                s2, cs2, ls2 = info
                 if s == s2:
                     dup = True
                     break
                 if abs(ls - ls2) >= threshold:
                     continue
+                if cs is None:
+                    cs = Counter(s)
+                if cs2 is None:
+                    cs2 = info[1] = Counter(s2)
                 diff = 0
                 for ch, n in cs.items():
                     d = n - cs2.get(ch, 0)
@@ -138,5 +144,5 @@ def dedup_refs(refs: list[dict], threshold: int = LEV_THRESHOLD) -> list[dict]:
                     break
         if not dup:
             kept.append(r)
-            kept_info.append((s, cs, ls))
+            kept_info.append([s, cs, ls])
     return kept

@@ -305,22 +305,20 @@ def _fast_feed(doc: str, p: "_Extractor") -> None:
         if nxt and (nxt.isalpha()):
             m = _STARTTAG_RE.match(doc, lt)
             if m:
-                tag = m.group(1).lower()
-                blob = m.group(2)
+                tag, blob, selfclose = m.groups()
+                tag = tag.lower()
                 attrs = []
                 if blob:
                     for am in _ATTR_RE.finditer(blob):
-                        v = am.group(2)
-                        if v is None:
-                            v = am.group(3)
-                        if v is None:
-                            v = am.group(4)
+                        name, v1, v2, v3 = am.groups()
+                        v = v1 if v1 is not None else (
+                            v2 if v2 is not None else v3)
                         if v and "&" in v:
                             v = _unescape(v)
-                        attrs.append((am.group(1).lower(), v))
+                        attrs.append((name.lower(), v))
                 handle_start(tag, attrs)
                 pos = m.end()
-                if m.group(3):  # self-closing <tag/>
+                if selfclose:  # self-closing <tag/>
                     handle_end(tag)
                 elif tag in _RAWTEXT_CLOSE:
                     cm = _RAWTEXT_CLOSE[tag].search(doc, pos)

@@ -39,6 +39,10 @@ def nfc(s: str) -> str:
 
 def collapse_inline_ws(s: str) -> str:
     """Collapse runs of spaces/tabs to one space; strip line edges."""
+    # fast path: single spaces are already collapsed; the regex only
+    # changes anything when a tab/ff/vt or a double space is present
+    if "  " not in s and "\t" not in s and "\f" not in s and "\v" not in s:
+        return s.strip()
     return _WS_RUN.sub(" ", s).strip()
 
 
@@ -46,6 +50,8 @@ def normalize_block(s: str) -> str:
     """Normalize one text block: NFC + entity unescape + inline-ws
     collapse. Newlines inside a block become spaces."""
     s = nfc(unescape_entities(s))
+    if "\n" not in s and "\r" not in s:  # single-line fast path
+        return collapse_inline_ws(s)
     s = s.replace("\r\n", "\n").replace("\r", "\n")
     s = " ".join(part for part in (p.strip() for p in s.split("\n")) if part)
     return collapse_inline_ws(s)
