@@ -11,11 +11,14 @@ Default mode: prints ONE JSON line
 - headline queries: run at $SPARK_GRAFT_SF_DIR (default
   /root/testdata/sf0.1).
 
---scaling mode: re-executes this script at local[8] and local[32] on
-the SAME cached input (fresh JVM per level via subprocess), computes
-throughput at both plus scaling efficiency  eff = (T32/T8)/4, and
-writes BENCH/BASELINE.md. This is the sandbox proxy for the
-north-rule's N->4N executor requirement (no real cluster available).
+--scaling mode: re-executes this script at local[N] and local[4N]
+(default 2 and 8 via SPARK_GRAFT_SCALE_LEVELS; both below the
+single-box memory-bandwidth knee, see BENCH/BASELINE.md) on the SAME
+cached input (fresh JVM per level via subprocess), computes throughput
+at both plus scaling efficiency eff = (T4N/TN)/4, and rewrites the
+measurement table of BENCH/BASELINE.md (analysis sections preserved).
+This is the sandbox proxy for the north-rule's N->4N executor
+requirement (no real cluster available).
 """
 
 from __future__ import annotations
@@ -146,9 +149,9 @@ def run_scaling(n_pairs: int = 3) -> None:
     """local[N] vs local[4N] on the same input; writes BENCH/BASELINE.md.
 
     The sandbox VM's effective CPU speed drifts up to ~2x over minutes,
-    so a single 8/32 pair can be dominated by when each leg happened to
-    run. We measure n_pairs back-to-back (8,32) pairs and report the
-    MEDIAN pair efficiency plus the best observed throughput per level.
+    so a single (N,4N) pair can be dominated by when each leg happened
+    to run. We measure n_pairs back-to-back pairs and report the MEDIAN
+    pair efficiency plus that pair's throughput per level.
     """
     bench_input()  # ensure generated before timing
     lo, hi = SCALE_LEVELS

@@ -22,13 +22,10 @@ def strip_spaces(s: str) -> str:
     return s.replace(" ", "")
 
 
-def _multiset_lower_bound(a: str, b: str) -> int:
-    """ceil(symmetric-multiset-difference / 2) is a Levenshtein lower
-    bound: an insert/delete changes the char multiset by 1, a
-    substitution by 2. Counter counting is C-speed — a cheap reject
-    for the (overwhelmingly common) non-duplicate pair."""
-    ca = Counter(a)
-    cb = Counter(b)
+def _counter_diff_bound(ca: Counter, cb: Counter) -> int:
+    """ceil(symmetric-multiset-difference / 2) from prebuilt Counters —
+    a Levenshtein lower bound: an insert/delete changes the char
+    multiset by 1, a substitution by 2."""
     diff = 0
     for ch, n in ca.items():
         d = n - cb.get(ch, 0)
@@ -39,6 +36,12 @@ def _multiset_lower_bound(a: str, b: str) -> int:
         if d > 0:
             diff += d
     return (diff + 1) // 2
+
+
+def _multiset_lower_bound(a: str, b: str) -> int:
+    """String-input wrapper over _counter_diff_bound (Counter counting
+    is C-speed — a cheap reject for the common non-duplicate pair)."""
+    return _counter_diff_bound(Counter(a), Counter(b))
 
 
 def levenshtein_banded(a: str, b: str, cutoff: int) -> int:
@@ -110,7 +113,6 @@ def dedup_refs(refs: list[dict], threshold: int = LEV_THRESHOLD) -> list[dict]:
     Counters per pair — the dominant dedup cost on ref-heavy turns)."""
     kept: list[dict] = []
     kept_info: list[list] = []  # [stripped, Counter-or-None, len]
-    cs = None
     for r in refs:
         s = strip_spaces(r["raw"])
         cs = None  # built lazily — most refs never reach the multiset gate
@@ -128,16 +130,7 @@ def dedup_refs(refs: list[dict], threshold: int = LEV_THRESHOLD) -> list[dict]:
                     cs = Counter(s)
                 if cs2 is None:
                     cs2 = info[1] = Counter(s2)
-                diff = 0
-                for ch, n in cs.items():
-                    d = n - cs2.get(ch, 0)
-                    if d > 0:
-                        diff += d
-                for ch, n in cs2.items():
-                    d = n - cs.get(ch, 0)
-                    if d > 0:
-                        diff += d
-                if (diff + 1) // 2 >= threshold:
+                if _counter_diff_bound(cs, cs2) >= threshold:
                     continue
                 if _band_dp(s, s2, threshold) < threshold:
                     dup = True

@@ -133,6 +133,7 @@ class _Extractor(HTMLParser):
         if tag in VOID_TAGS:
             if tag in ("br", "hr") and self.cur is not None:
                 self.cur.parts.append(" ")
+                self.cur._text = None
             return
         if tag in SKIP_TAGS:
             self.skip_depth += 1
@@ -231,6 +232,7 @@ class _Extractor(HTMLParser):
             cur = self.cur
             if cur is not None and cur.parts:
                 cur.parts.append(" ")
+                cur._text = None
             return
         cur = self.cur
         if cur is None:
@@ -257,10 +259,11 @@ _STARTTAG_RE = re.compile(
     # junk name "p<ul" the stdlib state machine produces)
     r"<([a-zA-Z][^\t\n\r\f />\x00]*)"
     # attr blob: quotes open a quoted span ONLY in value position
-    # (immediately after '='), matching stdlib semantics — a bare
-    # quote elsewhere is a junk char and the tag still ends at the
-    # next '>'
-    r"((?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*?)"
+    # (attr NAME, '=', quote), matching stdlib semantics — a bare
+    # quote elsewhere (incl. after a junk '=' with no name) is a junk
+    # char and the tag still ends at the next '>'
+    r"((?:[A-Za-z0-9_:.-]\s*=+\s*\"[^\"]*\""
+    r"|[A-Za-z0-9_:.-]\s*=+\s*'[^']*'|[^>])*?)"
     r"(/?)>",
     re.DOTALL)
 _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*>")
@@ -272,9 +275,23 @@ _ATTR_RE = re.compile(
     # anything but whitespace//>; later chars also exclude '='
     r"([^\s/>][^\s=/>]*)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?")
 _RAWTEXT_CLOSE = {
-    "script": re.compile(r"</script", re.IGNORECASE),
-    "style": re.compile(r"</style", re.IGNORECASE),
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
 }
+# a value-position quote that never closes inside the tag: stdlib
+# declares the start tag incomplete and emits it as data instead.
+# "value position" = after NAME= (a bare quote after a junk '=' that
+# starts an attr NAME does not open a value in stdlib)
+# stdlib start-tag pathology (verified against html.parser 3.11):
+# a CLOSED "name = 'val'" quoted value may be space-separated; an
+# UNCLOSED value-position quote makes the whole tag span DATA when
+# (a) the '=' directly follows the attr name (check_for_whole returns
+# -1 -> chunk-to-'>'), or (b) the quote char closes ANYWHERE later in
+# the document (attrfind's quoted value overshoots the tag's '>').
+# With a space before '=' and no later close, the '=' reparses as a
+# junk attr NAME and the tag stands.
+_COMPLETE_VAL_RE = re.compile(r"[A-Za-z0-9_:.-]\s*=+\s*(\"[^\"]*\"|'[^']*')")
+_OPEN_QUOTE_RE = re.compile(r"[A-Za-z0-9_:.-](\s*)=+\s*([\"'])")
 
 from html import unescape as _unescape  # noqa: E402  (stdlib, tiny)
 
@@ -307,6 +324,41 @@ def _fast_feed(doc: str, p: "_Extractor") -> None:
             if m:
                 tag, blob, selfclose = m.groups()
                 tag = tag.lower()
+                mq = None
+                if blob and ('"' in blob or "'" in blob):
+                    mq = _OPEN_QUOTE_RE.search(
+                        _COMPLETE_VAL_RE.sub("", blob))
+                if mq is not None and (
+                        mq.group(1) == ""
+                        or find(mq.group(2), m.end()) >= 0):
+                    # unclosed value-position quote: stdlib returns -1
+                    # from check_for_whole_start_tag and recovers with
+                    # ONE data chunk through the first RAW '>' (which
+                    # may sit inside an earlier quoted value), then
+                    # resumes parsing there
+                    k = find(">", lt + 1)
+                    if k >= 0:
+                        k += 1
+                    else:
+                        k = find("<", lt + 1)
+                        if k < 0:
+                            k = lt + 1
+                    chunk = doc[lt:k]
+                    handle_data(_unescape(chunk) if "&" in chunk else chunk)
+                    pos = k
+                    continue
+                if selfclose:
+                    # stdlib folds a trailing '/' into a preceding
+                    # UNQUOTED attr value ('<h2 id=refs/>' -> id='refs/'
+                    # and the tag stays open); it self-closes only when
+                    # the '/' stands alone after the attrs
+                    blob2 = blob + "/"
+                    endpos = 0
+                    for am in _ATTR_RE.finditer(blob2):
+                        endpos = am.end()
+                    if endpos == len(blob2):
+                        blob = blob2
+                        selfclose = ""
                 attrs = []
                 if blob:
                     for am in _ATTR_RE.finditer(blob):
@@ -321,16 +373,31 @@ def _fast_feed(doc: str, p: "_Extractor") -> None:
                 if selfclose:  # self-closing <tag/>
                     handle_end(tag)
                 elif tag in _RAWTEXT_CLOSE:
-                    cm = _RAWTEXT_CLOSE[tag].search(doc, pos)
-                    if cm:
-                        if cm.start() > pos:
-                            handle_data(doc[pos:cm.start()])
+                    # stdlib stays in CDATA mode until an end tag whose
+                    # NAME equals the rawtext element; '</scriptTag>' is
+                    # emitted as data and scanning continues
+                    scan = pos
+                    while True:
+                        cm = _RAWTEXT_CLOSE[tag].search(doc, scan)
+                        if cm is None:
+                            handle_data(doc[pos:])
+                            pos = n
+                            break
                         em = _ENDTAG_RE.match(doc, cm.start())
-                        handle_end(tag)
-                        pos = em.end() if em else cm.end()
-                    else:
-                        handle_data(doc[pos:])
-                        pos = n
+                        if em and em.group(1).lower() == tag:
+                            if cm.start() > pos:
+                                handle_data(doc[pos:cm.start()])
+                            handle_end(tag)
+                            pos = em.end()
+                            break
+                        if em is None:
+                            # candidate without a closing '>': stdlib
+                            # treats the rest as raw data
+                            handle_data(doc[pos:])
+                            pos = n
+                            break
+                        # wrong-name end tag: stays inside the rawtext
+                        scan = em.end()
                 continue
         elif nxt == "/":
             m = _ENDTAG_RE.match(doc, lt)
@@ -352,7 +419,26 @@ def _fast_feed(doc: str, p: "_Extractor") -> None:
                     pos = gt + 1
                     continue
         elif nxt == "!":
-            m = _COMMENT_RE.match(doc, lt) or _MARKUP_DECL_RE.match(doc, lt)
+            if doc.startswith("<!--", lt):
+                m = _COMMENT_RE.match(doc, lt)
+                if m:
+                    pos = m.end()
+                    continue
+                # unterminated comment: stdlib's failed-construct
+                # recovery — one data chunk through the next '>'
+                # (else to the next '<', else one char), then resume
+                k = find(">", lt + 1)
+                if k >= 0:
+                    k += 1
+                else:
+                    k = find("<", lt + 1)
+                    if k < 0:
+                        k = lt + 1
+                chunk = doc[lt:k]
+                handle_data(_unescape(chunk) if "&" in chunk else chunk)
+                pos = k
+                continue
+            m = _MARKUP_DECL_RE.match(doc, lt)
             if m:
                 pos = m.end()
                 continue

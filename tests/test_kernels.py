@@ -346,6 +346,21 @@ def test_fast_tokenizer_matches_stdlib_on_edges():
         "<td valign=TOP>cell</td>",
         "<ul><li>a<li>b<li>c</ul>",       # unclosed li chain
         "text <3 heart",                  # invalid tag start
+        # code-review findings (stdlib-parity pathologies, each once
+        # divergent):
+        "<h2 id=refs/>References</h2><ol><li>Doe, J. (1999). Methods"
+        " of citation analysis. Journal of Data, 12(3), pp. 1-9.</li></ol>",
+        '<cite attr=x/>Doe, J. (1999). T. Journal, 1(1), pp. 1-5.</cite>',
+        '<script>var s = "</scriptTag>"; rest of script</script><p>a</p>',
+        "<script>x</script",               # rawtext EOF without close
+        '<div class="x><p>words follow here</p>',  # unclosed value quote
+        "<p>a</p><!--foo>mid<p>b</p>",     # unterminated comment w/ '>'
+        "<p>a<!-->b</p>",
+        "<p a=/>v</p>",                    # '/' as bare value
+        "<p a=b/c>t</p>",
+        "<v =\">\">",                      # junk '=' attr name + quote
+        "<J v =\">",
+        '<p a =="x>y">',
     ]
     for payload in edges:
         fast, std = _both_parsers(payload)
