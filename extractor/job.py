@@ -105,7 +105,13 @@ def plan_extract(df: DataFrame, n_buckets: int,
     most of it.)"""
     src = (
         df.select("conv_id", "turn_idx", "text", "tool")  # prune early
-        .where(F.col("text").isNotNull())                 # pushed to scan
+        # pushed to scan; null key columns are invalid rows (the input
+        # contract declares them non-null — the parquet reader does
+        # not enforce declared nullability, and a null key would NPE
+        # the partitioned writer), surfaced via found_notfound (J8)
+        .where(F.col("text").isNotNull()
+               & F.col("conv_id").isNotNull()
+               & F.col("turn_idx").isNotNull())
         .withColumn(
             "bucket",
             F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_buckets))
@@ -161,7 +167,9 @@ def run_extract(
         # per-bucket counters from the durably written wave (columnar
         # count over n_refs only — cheap), then atomic commit
         counters = (
-            spark.read.parquet(data_dir)
+            # schema-specified: an all-empty wave writes only _SUCCESS
+            # and schema inference would fail on the bare directory
+            spark.read.schema(EXTRACTED_BUCKET_SCHEMA).parquet(data_dir)
             .where(F.col("bucket").isin(wave))
             .groupBy("bucket")
             .agg(F.count("*").alias("turns_out"),
@@ -189,7 +197,8 @@ def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
     """Output table under the contract ordering (W3: stable
     (conv_id, turn_idx))."""
     return (
-        spark.read.parquet(os.path.join(output_path, "data"))
+        spark.read.schema(EXTRACTED_BUCKET_SCHEMA)
+        .parquet(os.path.join(output_path, "data"))
         .drop("bucket")
         .orderBy("conv_id", "turn_idx")
     )

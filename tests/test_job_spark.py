@@ -244,3 +244,47 @@ def test_sigkill_mid_run_then_resume(tmp_path):
               .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
     assert len(got) == len(oracle)
     assert (got["clean_text"].values == oracle["clean_text"].values).all()
+
+
+def test_empty_input_table(spark, tmp_path):
+    """A zero-row input (or an all-committed resume wave) must run to
+    a committed empty output, not die on schema inference over a bare
+    directory."""
+    inp = str(tmp_path / "empty.parquet")
+    pd.DataFrame({
+        "conv_id": pd.Series([], dtype=object),
+        "turn_idx": pd.Series([], dtype="int32"),
+        "role": pd.Series([], dtype=object),
+        "text": pd.Series([], dtype=object),
+        "tool": pd.Series([], dtype=object),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+    }).to_parquet(inp)
+    out = str(tmp_path / "out")
+    stats = job.run_extract(spark, inp, out, n_buckets=4)
+    assert stats["turns_out"] == 0 and stats["waves"] == 1
+    assert job.read_extracted(spark, out).count() == 0
+    assert len(checkpoint.read_committed(os.path.join(out, "_checkpoint"))) == 4
+
+
+def test_null_key_rows_dropped_cleanly(spark, tmp_path):
+    """Rows violating the declared non-null key contract are dropped
+    at the scan (previously they NPE'd the partitioned writer); valid
+    rows still extract, and the drop is visible via found_notfound."""
+    inp = str(tmp_path / "nulls.parquet")
+    pd.DataFrame({
+        "conv_id": ["c1", None, "c2"],
+        "turn_idx": pd.array([0, 1, 0], dtype="int32"),
+        "role": ["user"] * 3,
+        "text": ["hello world", "x", None],
+        "tool": [None, "browser", ""],
+        "ts": pd.to_datetime(["2025-01-01"] * 3),
+    }).to_parquet(inp)
+    out = str(tmp_path / "out")
+    stats = job.run_extract(spark, inp, out, n_buckets=4)
+    assert stats["turns_out"] == 1
+    got = job.read_extracted(spark, out).toPandas()
+    assert list(got["conv_id"]) == ["c1"]
+    assert list(got["clean_text"]) == ["hello world"]
+    requested = job.read_transcripts(spark, inp).where("conv_id IS NOT NULL")
+    missing = job.found_notfound(requested, job.read_extracted(spark, out))
+    assert missing.count() == 1  # c2 (null text) reported missing
