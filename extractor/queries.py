@@ -856,3 +856,67 @@ def extract_synthetic_mix(spark, sf_dir):
     return out.select("conv_id", "turn_idx",
                       F.length("clean_text").cast("long").alias("clean_len"),
                       F.col("n_refs").cast("long").alias("n_refs"))
+
+
+_CC_PAIRS_SQL = "WITH RECURSIVE " + _SHINGLES_SQL + """
+, informative AS (SELECT s FROM ex GROUP BY s
+                  HAVING count(DISTINCT doc_id) <= {cap}),
+exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN informative USING (s)),
+sizes AS (SELECT doc_id, count(*) sz FROM exf GROUP BY doc_id),
+cpairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+pairs AS (SELECT doc_a, doc_b FROM cpairs
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE (1000 * inter) // (sa.sz + sb.sz - inter) >= 200)
+""".format(cap=_DF_CAP)
+
+
+@_q("dedup_cluster_assign", sql=_CC_PAIRS_SQL + """
+, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u
+""")
+def dedup_cluster_assign(spark, sf_dir):
+    """Connected-components cluster assignment over the near-dup pair
+    graph (the step that turns pairwise dedup output into actionable
+    keep/drop groups: every doc in a component gets the component's
+    min doc_id as cluster_id).
+
+    Spark side: iterative min-label propagation — the standard
+    large-scale CC formulation (labels start as own id; each round
+    every vertex takes min(own, neighbors' labels); converged when no
+    label changes). Rounds = graph diameter (near-dup clusters are
+    shallow — a handful of rounds), each round one shuffle on the
+    CACHED symmetric edge list; the driver-side loop only reads a
+    scalar convergence count, never row data. DuckDB oracle replays it
+    as a recursive-CTE transitive closure + group-min (exact same
+    cluster ids). Only docs appearing in >= 1 pair are emitted."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.selectExpr("doc_a AS u", "doc_b AS v")
+             .unionByName(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
+             .persist())
+    labels = edges.select(F.col("u").alias("doc_id"),
+                          F.col("u").alias("cluster_id")).distinct().persist()
+    for _ in range(20):  # >= diameter of any near-dup cluster
+        neigh = (edges.join(labels, edges["v"] == labels["doc_id"])
+                 .groupBy("u").agg(F.min("cluster_id").alias("nmin")))
+        new_labels = (labels.join(neigh, labels["doc_id"] == neigh["u"], "left")
+                      .select(labels["doc_id"],
+                              F.least("cluster_id", F.coalesce("nmin", "cluster_id"))
+                              .alias("cluster_id"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
