@@ -86,7 +86,22 @@ def _extract_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    if path.endswith(".parquet") or os.path.isdir(path):
+    """Transcripts source with format dispatch (the reference accepted
+    a dozen upload formats via an extension allowlist,
+    LOCDB-V3/app.py:27 / fileProcessor.py:50-52 — here the analog is
+    parquet/Iceberg plus line-JSON and CSV ingest, all normalized to
+    TRANSCRIPTS_SCHEMA so every downstream plan is format-agnostic)."""
+    low = path.lower()
+    if low.endswith((".jsonl", ".json", ".ndjson")):
+        return spark.read.schema(TRANSCRIPTS_SCHEMA).json(path)
+    if low.endswith(".csv"):
+        return (spark.read.schema(TRANSCRIPTS_SCHEMA)
+                .option("header", "true")
+                .option("multiLine", "true")
+                .option("escape", '"')
+                .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+                .csv(path))
+    if low.endswith(".parquet") or os.path.isdir(path):
         return spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
     return tables.read_table(spark, path)
 

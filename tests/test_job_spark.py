@@ -288,3 +288,44 @@ def test_null_key_rows_dropped_cleanly(spark, tmp_path):
     requested = job.read_transcripts(spark, inp).where("conv_id IS NOT NULL")
     missing = job.found_notfound(requested, job.read_extracted(spark, out))
     assert missing.count() == 1  # c2 (null text) reported missing
+
+
+def test_jsonl_and_csv_sources_match_parquet(spark, tmp_path):
+    """S1 format dispatch: the same transcripts ingested as line-JSON
+    and CSV must extract byte-identically to the parquet source."""
+    import csv as csvmod
+    import json as jsonmod
+
+    from extractor.gen_fixtures import write_transcripts_parquet
+
+    pq = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(pq, 300, seed=21)
+    src = pd.read_parquet(pq)
+
+    jl = str(tmp_path / "t.jsonl")
+    with open(jl, "w", encoding="utf-8") as f:
+        for rec in src.to_dict("records"):
+            rec["ts"] = rec["ts"].strftime("%Y-%m-%dT%H:%M:%S")
+            f.write(jsonmod.dumps(rec) + "\n")
+
+    cs = str(tmp_path / "t.csv")
+    with open(cs, "w", encoding="utf-8", newline="") as f:
+        w = csvmod.writer(f, quoting=csvmod.QUOTE_ALL)
+        w.writerow(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+        for rec in src.to_dict("records"):
+            w.writerow([rec["conv_id"], rec["turn_idx"], rec["role"],
+                        rec["text"], rec["tool"],
+                        rec["ts"].strftime("%Y-%m-%d %H:%M:%S")])
+
+    outs = {}
+    for tag, inp in [("parquet", pq), ("jsonl", jl), ("csv", cs)]:
+        out = str(tmp_path / ("out_" + tag))
+        stats = job.run_extract(spark, inp, out, n_buckets=8)
+        assert stats["turns_out"] == len(src), (tag, stats)
+        outs[tag] = (job.read_extracted(spark, out)
+                     .toPandas().reset_index(drop=True))
+    for tag in ("jsonl", "csv"):
+        assert (outs[tag]["clean_text"].values
+                == outs["parquet"]["clean_text"].values).all(), tag
+        assert (outs[tag]["n_refs"].values
+                == outs["parquet"]["n_refs"].values).all(), tag
