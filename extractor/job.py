@@ -90,7 +90,13 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     a dozen upload formats via an extension allowlist,
     LOCDB-V3/app.py:27 / fileProcessor.py:50-52 — here the analog is
     parquet/Iceberg plus line-JSON and CSV ingest, all normalized to
-    TRANSCRIPTS_SCHEMA so every downstream plan is format-agnostic)."""
+    TRANSCRIPTS_SCHEMA so every downstream plan is format-agnostic).
+
+    Scale note: line-JSON splits per line and scales like parquet
+    (minus columnar pruning); CSV uses multiLine for embedded
+    newlines in payloads, which makes each FILE the split unit — fine
+    for ingest convenience, wrong for 100 TB (land big data as
+    parquet/Iceberg, or shard CSV into many files)."""
     low = path.lower()
     if low.endswith((".jsonl", ".json", ".ndjson")):
         return spark.read.schema(TRANSCRIPTS_SCHEMA).json(path)
