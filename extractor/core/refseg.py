@@ -168,6 +168,13 @@ _JOURNAL_RE = re.compile(r"\bIn\s+([A-Z][^,.;]{3,80})")
 _LEAD_PUNCT_RE = re.compile(r"^[)\].,:;\s]+")
 _TITLE_RE = re.compile(r"([^.]{4,200})\.")
 _VENUE_RE = re.compile(r"\s*([A-Z][^,.;0-9]{3,80})[,.]")
+# fallback styles (additive — only consulted when the canonical
+# "Surname, I. (YYYY). Title. Venue..." cascade found nothing):
+_AUTHOR_INV_RE = re.compile(r"\b((?:[A-Z]\.\s*)+)([A-Z][\w'À-ɏ-]+)")  # "J. Doe"
+_QUOTED_TITLE_RE = re.compile(r"[\"“]([^\"”]{4,200}?)[,.]?[\"”]")
+_AFTER_QUOTE_VENUE_RE = re.compile(r"\s*,?\s*(?:in\s+)?([A-Z][^,.;0-9]{3,80})",
+                                   re.IGNORECASE)
+_BOOK_TITLE_RE = re.compile(r"\s*,\s*([^,]{4,200}?)\s*[,.]")
 
 EMPTY_FIELDS: dict = {
     "authors": None,
@@ -195,6 +202,16 @@ def parse_fields(raw: str) -> dict:
         f["date"] = m_year.group(1)
 
     authors = ["{} {}".format(a.strip(), b.strip()) for a, b in _AUTHOR_RE.findall(s[: m_year.start()] if m_year else s)]
+    inv_end = None
+    if not authors:
+        # IEEE/book style "A. Author and B. Writer, ..." — initials
+        # first; normalized to the same "Surname I." shape
+        head = s[: m_year.start()] if m_year else s
+        inv = list(_AUTHOR_INV_RE.finditer(head))
+        if inv:
+            authors = ["{} {}".format(m.group(2), " ".join(m.group(1).split()))
+                       for m in inv]
+            inv_end = inv[-1].end()
     if authors:
         f["authors"] = authors
 
@@ -211,31 +228,51 @@ def parse_fields(raw: str) -> dict:
     else:
         tail = s
 
+    if f["title"] is None:
+        # IEEE quoted title: «A. Author, "Title," Journal, vol...»
+        m_q = _QUOTED_TITLE_RE.search(s)
+        if m_q:
+            f["title"] = m_q.group(1).strip()
+            if not tail.strip():
+                m_jq = _AFTER_QUOTE_VENUE_RE.match(s[m_q.end():])
+                if m_jq:
+                    f["journal"] = m_jq.group(1).strip()
+        elif inv_end is not None:
+            # book style "J. Doe, Title, ed. City: Publisher, year"
+            m_bt = _BOOK_TITLE_RE.match(s[inv_end:])
+            if m_bt:
+                f["title"] = m_bt.group(1).strip()
+
+    # year-at-end styles leave an empty tail; widen the venue/number
+    # scan to the whole string for them (canonical mid-year citations
+    # keep the original tail window — identical outputs)
+    scan = tail if tail.strip() else s
+
     m_j = _JOURNAL_RE.search(tail)
     if m_j:
         f["journal"] = m_j.group(1).strip()
-    else:
+    elif f["journal"] is None:
         # venue = next sentence-ish chunk before volume/pages digits
         m_v = _VENUE_RE.match(tail)
         if m_v:
             f["journal"] = m_v.group(1).strip()
 
-    m_vi = _VOL_ISSUE_RE.search(tail)
+    m_vi = _VOL_ISSUE_RE.search(scan)
     if m_vi:
         f["volume"], f["issue"] = m_vi.group(1), m_vi.group(2)
     else:
-        m_vol = _VOL_RE.search(tail)
+        m_vol = _VOL_RE.search(scan)
         if m_vol:
             f["volume"] = m_vol.group(1)
-        m_iss = _ISSUE_RE.search(tail)
+        m_iss = _ISSUE_RE.search(scan)
         if m_iss:
             f["issue"] = m_iss.group(1)
 
-    m_p = _PAGES_RE.search(tail)
+    m_p = _PAGES_RE.search(scan)
     if m_p:
         f["pages"] = "{}-{}".format(m_p.group(1), m_p.group(2))
 
-    m_pl = _PUBLOC_RE.search(tail)
+    m_pl = _PUBLOC_RE.search(scan)
     if m_pl:
         f["location"] = m_pl.group(1).strip()
         f["publisher"] = m_pl.group(2).strip()

@@ -365,3 +365,32 @@ def test_fast_tokenizer_matches_stdlib_on_edges():
     for payload in edges:
         fast, std = _both_parsers(payload)
         assert fast == std, payload
+
+
+def test_parse_fields_ieee_style():
+    f = refseg.parse_fields(
+        'A. Author and B. Writer, "Deep citation parsing at scale," '
+        "Journal of Data Systems, vol. 12, no. 3, pp. 41-59, 1999.")
+    assert f["authors"] == ["Author A.", "Writer B."]
+    assert f["title"] == "Deep citation parsing at scale"
+    assert f["journal"] == "Journal of Data Systems"
+    assert (f["date"], f["volume"], f["issue"], f["pages"]) == \
+        ("1999", "12", "3", "41-59")
+
+
+def test_parse_fields_apa_ampersand():
+    f = refseg.parse_fields(
+        "Author, A., & Writer, B. (1999). Deep citation parsing. "
+        "Journal of Data, 12(3), 41-59.")
+    assert f["authors"] == ["Author A.", "Writer B."]
+    assert f["title"] == "Deep citation parsing"
+    assert (f["volume"], f["issue"], f["pages"]) == ("12", "3", "41-59")
+
+
+def test_parse_fields_book_style():
+    f = refseg.parse_fields(
+        "J. Doe, Understanding layout analysis, 2nd ed. Berlin: Springer, 2010.")
+    assert f["authors"] == ["Doe J."]
+    assert f["title"] == "Understanding layout analysis"
+    assert (f["location"], f["publisher"], f["date"]) == \
+        ("Berlin", "Springer", "2010")
