@@ -409,11 +409,13 @@ def _fast_feed(doc: str, p: "_Extractor") -> None:
             if third == ">":  # '</>' — dropped entirely (HTML5 rule)
                 pos = lt + 3
                 continue
-            if third and not third.isalpha():
-                # end-tag-open + non-letter = bogus comment: consume
-                # silently through the next '>' (stdlib parity); with
-                # no '>' ahead, fall through to the data path (stdlib
-                # emits the tail as data at EOF)
+            if third and not ("a" <= third <= "z" or "A" <= third <= "Z"):
+                # end-tag-open + non-ASCII-letter = bogus comment
+                # (stdlib's tagfind is ASCII-only — unicode letters
+                # like 'À' do NOT start a tag name): consume silently
+                # through the next '>'; with no '>' ahead, fall
+                # through to the data path (stdlib emits the tail as
+                # data at EOF)
                 gt = doc.find(">", lt + 2)
                 if gt >= 0:
                     pos = gt + 1
