@@ -267,7 +267,8 @@ _STARTTAG_RE = re.compile(
     r"(/?)>",
     re.DOTALL)
 _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*>")
-_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+# stdlib comment close allows whitespace between -- and > (locatecommentclose)
+_COMMENT_RE = re.compile(r"<!--.*?--\s*>", re.DOTALL)
 _MARKUP_DECL_RE = re.compile(r"<![^>]*>")
 _PI_RE = re.compile(r"<\?[^>]*>")
 _ATTR_RE = re.compile(
