@@ -69,6 +69,64 @@ def clear(checkpoint_dir: str) -> None:
         os.remove(path)
 
 
+class ConcurrentRunError(RuntimeError):
+    """Another live driver holds this output's writer lock."""
+
+
+def _lock_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "writer.lock")
+
+
+def acquire_writer_lock(checkpoint_dir: str, run_id: str) -> None:
+    """Single-writer guard (the role an Iceberg catalog's optimistic
+    commit plays on a real deployment): atomically create a lock file
+    naming this driver's PID. A second concurrent driver fails fast
+    with ConcurrentRunError instead of silently interleaving partition
+    overwrites. A lock whose PID is no longer alive (SIGKILLed driver)
+    is stale and stolen — resume therefore never blocks on a crash."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = _lock_path(checkpoint_dir)
+    payload = json.dumps({"run_id": run_id, "pid": os.getpid(),
+                          "at": dt.datetime.now(dt.timezone.utc).isoformat()})
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(payload)
+            return
+        except FileExistsError:
+            try:
+                with open(path, "r", encoding="utf-8") as f:
+                    holder = json.load(f)
+                pid = int(holder.get("pid", -1))
+            except (ValueError, OSError):
+                pid = -1  # unreadable/corrupt lock -> treat as stale
+            alive = False
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except (ProcessLookupError, PermissionError):
+                    alive = False
+            if alive and pid != os.getpid():
+                raise ConcurrentRunError(
+                    "output is being written by live run {} (pid {})".format(
+                        holder.get("run_id", "?"), pid))
+            # stale (dead pid) or our own: steal by replacing atomically
+            fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".lk")
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(payload)
+            os.replace(tmp, path)
+            return
+
+
+def release_writer_lock(checkpoint_dir: str) -> None:
+    try:
+        os.remove(_lock_path(checkpoint_dir))
+    except FileNotFoundError:
+        pass
+
+
 def as_dataframe(spark, checkpoint_dir: str):
     """Checkpoint contents as a Spark DataFrame (CHECKPOINT_SCHEMA)."""
     from extractor.schema import CHECKPOINT_SCHEMA

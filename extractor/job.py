@@ -164,6 +164,19 @@ def run_extract(
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     ckpt_dir = os.path.join(output_path, "_checkpoint")
+    # single-writer guard: a concurrent live driver on the same output
+    # fails fast (ConcurrentRunError); a dead holder's lock is stolen
+    checkpoint.acquire_writer_lock(ckpt_dir, run_id)
+    try:
+        return _run_extract_locked(spark, input_path, output_path, run_id,
+                                   ckpt_dir, n_buckets, wave_buckets,
+                                   max_waves)
+    finally:
+        checkpoint.release_writer_lock(ckpt_dir)
+
+
+def _run_extract_locked(spark, input_path, output_path, run_id, ckpt_dir,
+                        n_buckets, wave_buckets, max_waves) -> dict:
     committed = set(checkpoint.read_committed(ckpt_dir))
     todo = [b for b in range(n_buckets) if b not in committed]
     stats = {"run_id": run_id, "n_buckets": n_buckets,

@@ -329,3 +329,37 @@ def test_jsonl_and_csv_sources_match_parquet(spark, tmp_path):
                 == outs["parquet"]["clean_text"].values).all(), tag
         assert (outs[tag]["n_refs"].values
                 == outs["parquet"]["n_refs"].values).all(), tag
+
+
+def test_writer_lock_blocks_concurrent_live_run(spark, tmp_path):
+    """Two live drivers on one output dir: the second fails fast
+    instead of interleaving partition overwrites; a dead holder's lock
+    is stolen so crash-resume never blocks."""
+    import subprocess
+    import sys
+
+    ckpt = str(tmp_path / "out" / "_checkpoint")
+    # a second LIVE process holds the lock
+    holder = subprocess.Popen(
+        [sys.executable, "-c",
+         "import sys, time; sys.path.insert(0, {repo!r});"
+         "from extractor import checkpoint;"
+         "checkpoint.acquire_writer_lock({ckpt!r}, 'other');"
+         "print('LOCKED', flush=True); time.sleep(60)".format(
+             repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             ckpt=ckpt)],
+        stdout=subprocess.PIPE, text=True)
+    assert holder.stdout.readline().strip() == "LOCKED"
+    try:
+        with pytest.raises(checkpoint.ConcurrentRunError):
+            job.run_extract(spark, GOLDEN_INPUT, str(tmp_path / "out"),
+                            n_buckets=4)
+    finally:
+        holder.kill()
+        holder.wait()
+    # holder is dead now -> stale lock is stolen, run proceeds
+    stats = job.run_extract(spark, GOLDEN_INPUT, str(tmp_path / "out"),
+                            n_buckets=4)
+    assert stats["turns_out"] > 0
+    # lock released after a successful run
+    assert not os.path.exists(os.path.join(ckpt, "writer.lock"))
