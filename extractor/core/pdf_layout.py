@@ -30,6 +30,11 @@ import json
 
 import numpy as np
 
+try:  # orjson parses ~4x faster; stdlib fallback keeps its accept-set
+    import orjson as _fastjson
+except ImportError:  # pragma: no cover
+    _fastjson = None
+
 from extractor.core import refseg
 from extractor.core.textnorm import collapse_inline_ws
 
@@ -39,11 +44,22 @@ MAX_CANVAS = 3500        # payload clamp analog (LOCDB-V3/imgProcessing.py:24-28
 
 
 def parse_payload(text: str) -> dict | None:
-    """Parse the glyph JSON; None if not a valid pdf_glyphs payload."""
-    try:
-        obj = json.loads(text)
-    except (ValueError, TypeError):
-        return None
+    """Parse the glyph JSON; None if not a valid pdf_glyphs payload.
+
+    orjson first (C parser), stdlib retry on its stricter rejections
+    (NaN/Infinity literals, >64-bit ints) so the accepted payload set
+    is exactly the stdlib one."""
+    obj = None
+    if _fastjson is not None:
+        try:
+            obj = _fastjson.loads(text)
+        except (ValueError, TypeError):
+            obj = None
+    if obj is None:
+        try:
+            obj = json.loads(text)
+        except (ValueError, TypeError):
+            return None
     if not isinstance(obj, dict) or not isinstance(obj.get("pages"), list):
         return None
     return obj
