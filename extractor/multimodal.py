@@ -83,3 +83,81 @@ def extract_features(df: DataFrame) -> DataFrame:
     """(doc_id, payload: binary, meta: struct<mime,origin>) ->
     FEATURE_SCHEMA via Arrow-batched mapInPandas."""
     return df.mapInPandas(_features_batch, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame", T.BinaryType(), True),
+])
+
+
+def _resize_stub(payload: bytes, max_dim: int) -> tuple[int, int, bytes]:
+    """Deterministic fake resize: real image decode needs PIL (absent
+    here — decode_image raises NotImplementedError); the stub derives
+    fake source dims from the content hash, applies the P9-style
+    max-dim clamp arithmetic for real, and 'resizes' by truncating the
+    payload proportionally — exercising exactly the byte-shrinking
+    shape a real thumbnailer has."""
+    h = hashlib.sha1(payload).digest()
+    w0 = 256 + int.from_bytes(h[0:2], "big") % 4096
+    h0 = 256 + int.from_bytes(h[2:4], "big") % 4096
+    m = max(w0, h0)
+    if m <= max_dim:
+        return w0, h0, payload
+    scale = max_dim / m
+    w1, h1 = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+    keep = max(1, int(len(payload) * scale * scale))
+    return w1, h1, payload[:keep]
+
+
+def resize_images(df: DataFrame, max_dim: int = 2048) -> DataFrame:
+    """(doc_id, payload: binary) -> RESIZE_SCHEMA via Arrow-batched
+    mapInPandas (the reference's oversize-image normalization, P9:
+    LOCDB-V3/imgProcessing.py:24-28 / crop_morphology.py:231-241,
+    as a distributed transform). Decode is stubbed (no PIL); the
+    clamp arithmetic, schema, batching and partitioning are real."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [_resize_stub(bytes(p), max_dim) if p is not None
+                    else (None, None, None)
+                    for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "width": [r[0] for r in rows],
+                "height": [r[1] for r in rows],
+                "payload": [r[2] for r in rows],
+            })
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """(doc_id, payload: binary) -> one row per sampled 'frame'
+    (video frame-sampling plumbing: 1 input row explodes to N output
+    rows inside the Arrow batch — the S5 page-explode shape for
+    media). Frames are deterministic equal-stride byte slices (ffmpeg
+    absent); at scale the binary column never crosses a shuffle — the
+    explode happens inside mapInPandas and downstream ops select only
+    (doc_id, frame_idx) until a decode stage needs bytes."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    continue
+                b = bytes(p)
+                stride = max(1, len(b) // n_frames)
+                for k in range(min(n_frames, len(b))):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(b[k * stride:(k + 1) * stride])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame": frames})
+    return df.mapInPandas(batches, FRAME_SCHEMA)

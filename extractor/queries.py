@@ -920,3 +920,31 @@ def dedup_cluster_assign(spark, sf_dir):
         if changed == 0:
             break
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+@_q("mm_resize_meta")  # rows-only: stubbed decode (no PIL offline)
+def mm_resize_meta(spark, sf_dir):
+    """Multimodal resize plumbing (P9 at media scale): binary payloads
+    through the Arrow-batched max-dim clamp; emits (doc_id, width,
+    height, n_bytes) — the byte column itself stays inside the stage."""
+    from extractor.multimodal import resize_images
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return (resize_images(d, max_dim=1024)
+            .select("doc_id", "width", "height",
+                    F.length("payload").cast("long").alias("n_bytes")))
+
+
+@_q("mm_frame_sample")  # rows-only: stubbed decode (no ffmpeg offline)
+def mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (S5 page-explode shape for
+    media): 1 binary row -> N frame rows inside the Arrow batch;
+    downstream selects only scalars."""
+    from extractor.multimodal import sample_frames
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return (sample_frames(d, n_frames=4)
+            .select("doc_id", "frame_idx",
+                    F.length("frame").cast("long").alias("frame_bytes")))

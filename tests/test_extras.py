@@ -98,3 +98,35 @@ def test_checkpoint_as_dataframe(spark, tmp_path):
     rows = {r["partition_id"]: r for r in df.collect()}
     assert rows[0]["refs_out"] == 3 and rows[0]["status"] == "committed"
     assert rows[1]["turns_out"] == 5 and rows[1]["run_id"] == "run-a"
+
+
+def test_multimodal_resize_clamp(spark):
+    from pyspark.sql import functions as F
+
+    from extractor.multimodal import resize_images
+
+    d = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string"),
+                          F.lit("x" * 503)), "UTF-8").alias("payload"))
+    out = resize_images(d, max_dim=1024).toPandas()
+    assert len(out) == 20
+    assert (out["width"] <= 1024).all() and (out["height"] <= 1024).all()
+    # deterministic: second run identical
+    out2 = resize_images(d, max_dim=1024).toPandas()
+    assert (out["payload"].apply(bytes) == out2["payload"].apply(bytes)).all()
+
+
+def test_multimodal_frame_sampling(spark):
+    from pyspark.sql import functions as F
+
+    from extractor.multimodal import sample_frames
+
+    d = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.concat(F.lit("videobytes-"), F.col("id").cast("string"),
+                          F.lit("y" * 997)), "UTF-8").alias("payload"))
+    out = sample_frames(d, n_frames=4).toPandas()
+    assert len(out) == 40  # 1 row -> 4 frames
+    assert sorted(out["frame_idx"].unique().tolist()) == [0, 1, 2, 3]
+    assert out["frame"].apply(len).min() > 0
