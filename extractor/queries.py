@@ -948,3 +948,38 @@ def mm_frame_sample(spark, sf_dir):
     return (sample_frames(d, n_frames=4)
             .select("doc_id", "frame_idx",
                     F.length("frame").cast("long").alias("frame_bytes")))
+
+
+@_q("q3_shipping_priority", sql="""
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 pattern: selective dimension filter -> 3-table join ->
+    grouped revenue. Catalyst broadcasts the filtered customer side
+    and reorders the joins; revenue emitted as exact integer cents so
+    the cross-engine hash is float-free."""
+    c = (t(spark, sf_dir, "customer")
+         .where("c_mktsegment = 'BUILDING'").select("c_custkey"))
+    o = (t(spark, sf_dir, "orders")
+         .where("o_orderdate < DATE '1995-03-15'")
+         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+    li = (t(spark, sf_dir, "lineitem")
+          .where("l_shipdate > DATE '1995-03-15'")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0).cast("long")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(cents).cast("long").alias("revenue_cents"))
+            .select("l_orderkey", "revenue_cents",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+                    "o_orderpriority"))
