@@ -24,20 +24,89 @@ import os
 import tempfile
 
 
+SCHEMA_VERSION = 1
+
+
+class CheckpointConfigError(RuntimeError):
+    """Resume attempted with a run config that contradicts the one the
+    manifest was committed under (e.g. a different bucket count).
+
+    Committed partition ids are only meaningful under the exact salt
+    function + bucket count that produced them: resuming a 64-bucket
+    manifest with ``n_buckets=32`` would silently skip rows whose
+    bucket membership changed. The reference restores per-file settings
+    on crash restore for the same reason
+    (dev-version/fileProcessor.py:81-101, LOCDB-V3/logWriter.py:35-49);
+    here the settings are pinned in the manifest header and a mismatch
+    hard-fails instead of corrupting."""
+
+
 def _manifest_path(checkpoint_dir: str) -> str:
     return os.path.join(checkpoint_dir, "manifest.json")
+
+
+def _load_manifest(checkpoint_dir: str) -> dict:
+    """Manifest as ``{"header": dict|None, "records": list}``.
+
+    Legacy manifests (a bare JSON list of records, pre-header) are read
+    as header=None — callers that require a pinned config reject them."""
+    path = _manifest_path(checkpoint_dir)
+    if not os.path.exists(path):
+        return {"header": None, "records": []}
+    with open(path, "r", encoding="utf-8") as f:
+        loaded = json.load(f)
+    if isinstance(loaded, list):  # legacy round-1 format
+        return {"header": None, "records": loaded}
+    return {"header": loaded.get("header"), "records": loaded.get("records", [])}
+
+
+def _write_manifest(checkpoint_dir: str, manifest: dict) -> None:
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".tmp")
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(checkpoint_dir))  # atomic on POSIX
+
+
+def read_header(checkpoint_dir: str) -> dict | None:
+    return _load_manifest(checkpoint_dir)["header"]
+
+
+def ensure_header(checkpoint_dir: str, header: dict) -> None:
+    """Pin the run config in the manifest before the first wave.
+
+    First run: writes the header (atomic rename). Resume: verifies the
+    caller's config equals the pinned one and raises
+    ``CheckpointConfigError`` on any mismatch. A manifest with
+    committed records but no header predates pinning and is rejected —
+    its bucket ids cannot be trusted under an unverifiable config."""
+    manifest = _load_manifest(checkpoint_dir)
+    existing = manifest["header"]
+    if existing is None:
+        if manifest["records"]:
+            raise CheckpointConfigError(
+                "checkpoint manifest has committed records but no config "
+                "header (pre-pinning format); clear the checkpoint or "
+                "re-run from scratch — committed bucket ids cannot be "
+                "verified against the current run config")
+        manifest["header"] = dict(header)
+        _write_manifest(checkpoint_dir, manifest)
+        return
+    mismatched = {k: (existing.get(k), header[k])
+                  for k in header if existing.get(k) != header[k]}
+    if mismatched:
+        raise CheckpointConfigError(
+            "resume config mismatch vs checkpoint manifest header: " +
+            ", ".join("{}: committed={!r} requested={!r}".format(k, a, b)
+                      for k, (a, b) in sorted(mismatched.items())))
 
 
 def read_committed(checkpoint_dir: str) -> dict[int, dict]:
     """Latest committed record per partition_id (last writer wins —
     the reverse-scan semantics of LOCDB-V3/logWriter.py:25-33)."""
-    path = _manifest_path(checkpoint_dir)
-    if not os.path.exists(path):
-        return {}
-    with open(path, "r", encoding="utf-8") as f:
-        records = json.load(f)
     out: dict[int, dict] = {}
-    for rec in records:  # list is append-ordered; later entries win
+    # records are append-ordered; later entries win
+    for rec in _load_manifest(checkpoint_dir)["records"]:
         if rec.get("status") == "committed":
             out[int(rec["partition_id"])] = rec
     return out
@@ -45,22 +114,14 @@ def read_committed(checkpoint_dir: str) -> dict[int, dict]:
 
 def commit(checkpoint_dir: str, run_id: str, records: list[dict]) -> None:
     """Append commit records atomically (write temp + rename)."""
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    path = _manifest_path(checkpoint_dir)
-    existing: list[dict] = []
-    if os.path.exists(path):
-        with open(path, "r", encoding="utf-8") as f:
-            existing = json.load(f)
+    manifest = _load_manifest(checkpoint_dir)
     now = dt.datetime.now(dt.timezone.utc).isoformat()
     for rec in records:
         rec.setdefault("run_id", run_id)
         rec.setdefault("status", "committed")
         rec.setdefault("committed_at", now)
-        existing.append(rec)
-    fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".tmp")
-    with os.fdopen(fd, "w", encoding="utf-8") as f:
-        json.dump(existing, f)
-    os.replace(tmp, path)  # atomic on POSIX
+        manifest["records"].append(rec)
+    _write_manifest(checkpoint_dir, manifest)
 
 
 def clear(checkpoint_dir: str) -> None:
@@ -106,18 +167,24 @@ def acquire_writer_lock(checkpoint_dir: str, run_id: str) -> None:
                 try:
                     os.kill(pid, 0)
                     alive = True
-                except (ProcessLookupError, PermissionError):
+                except ProcessLookupError:
                     alive = False
+                except PermissionError:
+                    # EPERM means the pid EXISTS (owned by another
+                    # user) — the holder is alive, not stale
+                    alive = True
             if alive and pid != os.getpid():
                 raise ConcurrentRunError(
                     "output is being written by live run {} (pid {})".format(
                         holder.get("run_id", "?"), pid))
-            # stale (dead pid) or our own: steal by replacing atomically
-            fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".lk")
-            with os.fdopen(fd, "w", encoding="utf-8") as f:
-                f.write(payload)
-            os.replace(tmp, path)
-            return
+            # stale (dead pid) or our own: unlink and retry so the
+            # O_CREAT|O_EXCL create arbitrates exactly one winner when
+            # two drivers both observe the same stale lock
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass  # another contender unlinked first; race via create
+            continue
 
 
 def release_writer_lock(checkpoint_dir: str) -> None:

@@ -96,20 +96,48 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     (minus columnar pruning); CSV uses multiLine for embedded
     newlines in payloads, which makes each FILE the split unit — fine
     for ingest convenience, wrong for 100 TB (land big data as
-    parquet/Iceberg, or shard CSV into many files)."""
+    parquet/Iceberg, or shard CSV into many files).
+
+    Dispatch order: directories are inspected by their CONTAINED data
+    files, never by the directory's own name — a parquet output dir
+    that happens to be named ``exports.json`` must not be routed to
+    the JSON reader (it would yield all-null rows under the enforced
+    schema instead of an error)."""
+    fmt = _dir_data_format(path) if os.path.isdir(path) else None
     low = path.lower()
-    if low.endswith((".jsonl", ".json", ".ndjson")):
+    if fmt == "json" or (fmt is None and
+                         low.endswith((".jsonl", ".json", ".ndjson"))):
         return spark.read.schema(TRANSCRIPTS_SCHEMA).json(path)
-    if low.endswith(".csv"):
+    if fmt == "csv" or (fmt is None and low.endswith(".csv")):
         return (spark.read.schema(TRANSCRIPTS_SCHEMA)
                 .option("header", "true")
                 .option("multiLine", "true")
                 .option("escape", '"')
                 .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
                 .csv(path))
-    if low.endswith(".parquet") or os.path.isdir(path):
+    if fmt == "parquet" or low.endswith(".parquet"):
         return spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
     return tables.read_table(spark, path)
+
+
+def _dir_data_format(path: str) -> str:
+    """Format of the first data file found under a directory (walks
+    into partition subdirs like ``bucket=0/``; skips ``_SUCCESS`` and
+    dotfiles). Empty/unknown contents default to parquet, the native
+    table layout."""
+    for dirpath, dirs, files in os.walk(path):
+        dirs.sort()
+        for fn in sorted(files):
+            if fn.startswith(("_", ".")):
+                continue
+            ext = os.path.splitext(fn)[1].lower()
+            if ext in (".jsonl", ".json", ".ndjson"):
+                return "json"
+            if ext == ".csv":
+                return "csv"
+            if ext == ".parquet":
+                return "parquet"
+    return "parquet"
 
 
 def plan_extract(df: DataFrame, n_buckets: int,
@@ -175,8 +203,47 @@ def run_extract(
         checkpoint.release_writer_lock(ckpt_dir)
 
 
+# Pinned in the checkpoint manifest header: committed bucket ids are
+# only meaningful under this exact salt expression. Bump if the salting
+# in plan_extract ever changes — old manifests must then hard-fail.
+SALT_FN = "pmod(xxhash64(conv_id,turn_idx),n_buckets)"
+
+
+def _bucket_input_counts(transcripts: DataFrame, n_buckets: int,
+                         wave: list[int]) -> dict[int, int]:
+    """Input-side row count per salt bucket for one wave — the
+    ``turns_in`` the checkpoint schema promises (rows read per bucket
+    BEFORE the null-payload drop, so in/out diverge on dirty input).
+
+    Scale note: a separate columnar aggregate over only the two key
+    columns (conv_id, turn_idx) — parquet scan reads nothing else, so
+    at 100 TB this costs a metadata-light pass, not a payload re-read."""
+    rows = (
+        transcripts
+        .select("conv_id", "turn_idx")
+        .where(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_buckets))
+            .cast("int"))
+        .where(F.col("bucket").isin([int(b) for b in wave]))
+        .groupBy("bucket").count()
+        .collect()
+    )
+    return {int(r["bucket"]): int(r["count"]) for r in rows}
+
+
 def _run_extract_locked(spark, input_path, output_path, run_id, ckpt_dir,
                         n_buckets, wave_buckets, max_waves) -> dict:
+    # pin the run config before anything is committed; a resume whose
+    # config contradicts the manifest header hard-fails here instead of
+    # silently skipping buckets whose membership changed
+    checkpoint.ensure_header(ckpt_dir, {
+        "n_buckets": int(n_buckets),
+        "salt": SALT_FN,
+        "schema_version": checkpoint.SCHEMA_VERSION,
+        "input_path": input_path,
+    })
     committed = set(checkpoint.read_committed(ckpt_dir))
     todo = [b for b in range(n_buckets) if b not in committed]
     stats = {"run_id": run_id, "n_buckets": n_buckets,
@@ -211,12 +278,13 @@ def _run_extract_locked(spark, input_path, output_path, run_id, ckpt_dir,
             .collect()
         )
         by_bucket = {r["bucket"]: r for r in counters}
+        in_counts = _bucket_input_counts(transcripts, n_buckets, wave)
         recs = []
         for b in wave:
             r = by_bucket.get(b)
             recs.append({
                 "partition_id": int(b),
-                "turns_in": int(r["turns_out"]) if r else 0,
+                "turns_in": in_counts.get(int(b), 0),
                 "turns_out": int(r["turns_out"]) if r else 0,
                 "refs_out": int(r["refs_out"]) if r else 0,
             })

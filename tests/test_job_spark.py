@@ -363,3 +363,108 @@ def test_writer_lock_blocks_concurrent_live_run(spark, tmp_path):
     assert stats["turns_out"] > 0
     # lock released after a successful run
     assert not os.path.exists(os.path.join(ckpt, "writer.lock"))
+
+
+def test_resume_rejects_changed_bucket_count(spark, tmp_path):
+    """The manifest pins {n_buckets, salt, schema_version, input}; a
+    resume under a different bucket count must hard-fail instead of
+    silently skipping bucket ids whose membership changed (the
+    reference restores settings on crash restore for the same reason,
+    dev-version/fileProcessor.py:81-101)."""
+    out = str(tmp_path / "out")
+    s1 = job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=8,
+                         wave_buckets=2, max_waves=1)
+    assert s1["waves"] == 1
+    with pytest.raises(checkpoint.CheckpointConfigError, match="n_buckets"):
+        job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=4)
+    # matching config resumes fine and converges
+    s2 = job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=8)
+    assert s2["skipped_committed"] == 2
+    assert job.read_extracted(spark, out).count() > 0
+
+
+def test_resume_rejects_changed_input_path(spark, tmp_path):
+    """Committed bucket ids are only meaningful for the input they
+    were computed over — a resume pointed at a different input path
+    hard-fails."""
+    from extractor.gen_fixtures import write_transcripts_parquet
+
+    other = str(tmp_path / "other.parquet")
+    write_transcripts_parquet(other, 50, seed=7)
+    out = str(tmp_path / "out")
+    job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=4,
+                    wave_buckets=1, max_waves=1)
+    with pytest.raises(checkpoint.CheckpointConfigError, match="input_path"):
+        job.run_extract(spark, other, out, n_buckets=4)
+
+
+def test_legacy_headerless_manifest_rejected(spark, tmp_path):
+    """A manifest with committed records but no config header (the
+    pre-pinning format) cannot be trusted: reject it loudly."""
+    out = str(tmp_path / "out")
+    ckpt = os.path.join(out, "_checkpoint")
+    os.makedirs(ckpt)
+    with open(os.path.join(ckpt, "manifest.json"), "w") as f:
+        json.dump([{"partition_id": 0, "status": "committed",
+                    "run_id": "old", "turns_in": 1, "turns_out": 1,
+                    "refs_out": 0,
+                    "committed_at": "2026-01-01T00:00:00+00:00"}], f)
+    with pytest.raises(checkpoint.CheckpointConfigError,
+                       match="pre-pinning"):
+        job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=4)
+
+
+def test_checkpoint_counters_distinguish_in_vs_out(spark, tmp_path):
+    """turns_in counts rows read per bucket BEFORE the null-payload
+    drop (what CHECKPOINT_SCHEMA promises); turns_out counts extracted
+    rows — they diverge on dirty input."""
+    inp = str(tmp_path / "dirty.parquet")
+    pd.DataFrame({
+        "conv_id": ["c1", "c2", "c3", None],
+        "turn_idx": pd.array([0, 0, 0, 0], dtype="int32"),
+        "role": ["user"] * 4,
+        "text": ["hello world", None, None, "x"],  # 2 null payloads
+        "tool": pd.Series([None] * 4, dtype="string"),
+        "ts": pd.to_datetime(["2025-01-01"] * 4),
+    }).to_parquet(inp)
+    out = str(tmp_path / "out")
+    stats = job.run_extract(spark, inp, out, n_buckets=4)
+    assert stats["turns_out"] == 1
+    ck = checkpoint.read_committed(os.path.join(out, "_checkpoint"))
+    # null-key row has no bucket; the two null-text rows DO count as in
+    assert sum(r["turns_in"] for r in ck.values()) == 3
+    assert sum(r["turns_out"] for r in ck.values()) == 1
+
+
+def test_writer_lock_permission_error_means_alive(tmp_path, monkeypatch):
+    """EPERM from kill(pid, 0) means the pid EXISTS (another user's
+    process) — the holder is alive and its lock must NOT be stolen."""
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(ckpt)
+    with open(os.path.join(ckpt, "writer.lock"), "w") as f:
+        json.dump({"run_id": "other-user", "pid": 424242}, f)
+    real_kill = os.kill
+
+    def fake_kill(pid, sig):
+        if pid == 424242 and sig == 0:
+            raise PermissionError("Operation not permitted")
+        return real_kill(pid, sig)
+
+    monkeypatch.setattr(os, "kill", fake_kill)
+    with pytest.raises(checkpoint.ConcurrentRunError):
+        checkpoint.acquire_writer_lock(ckpt, "me")
+
+
+def test_dir_named_json_routed_by_contents(spark, tmp_path):
+    """A parquet DIRECTORY whose name ends in .json must be read as
+    parquet (by inspecting contained files), not routed to the JSON
+    reader where the enforced schema would yield all-null rows."""
+    from extractor.gen_fixtures import write_transcripts_parquet
+
+    pq = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(pq, 50, seed=5)
+    tricky = str(tmp_path / "exports.json")
+    spark.read.parquet(pq).write.parquet(tricky)
+    df = job.read_transcripts(spark, tricky)
+    assert df.count() == 50
+    assert df.where(F.col("conv_id").isNull()).count() == 0
