@@ -213,14 +213,120 @@ FROM documents a JOIN documents b ON a.doc_id < b.doc_id
 WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) < 10
 """)
 def j4_near_dup_pairs_lev(spark, sf_dir):
-    """J4: fuzzy Levenshtein theta join, Spark built-in
+    """J4: fuzzy Levenshtein join with lev < 10 over 40-char prefixes
     (the reference's image-vs-ParsCit dedup rule lev < 10,
-    LOCDB-V3/imgProcessing.py:414-448)."""
-    d = t(spark, sf_dir, "documents").select("doc_id", F.substring("text", 1, 40).alias("p"))
-    a, b = d.alias("a"), d.alias("b")
-    return (a.join(b, (F.col("a.doc_id") < F.col("b.doc_id"))
-                   & (F.levenshtein(F.col("a.p"), F.col("b.p")) < 10))
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")))
+    LOCDB-V3/imgProcessing.py:414-448).
+
+    Scale plan — PassJoin-style segment blocking (Li/Deng/Feng,
+    "PassJoin: a partition-based method for similarity joins",
+    PVLDB 5(3), public algorithm), all JVM-side, no cartesian:
+
+      * index side: each string is partitioned into tau+1 = 10
+        disjoint segments; pigeonhole over <= 9 edits guarantees any
+        qualifying pair leaves >= 1 segment intact, its image shifted
+        by at most tau positions.
+      * probe side: each string enumerates (target length L2 within
+        +-tau, segment id, shift within +-tau) and emits the matching
+        substring — ~O(tau^2 * (tau+1)) keys/row, a CONSTANT, vs the
+        O(n) join fan of all-pairs.
+      * candidates come from an EQUI-join on xxhash64(seg, sub, L2)
+        (hash only compresses the shuffle key; false collisions are
+        killed by the exact F.levenshtein verify after the join).
+      * strings shorter than tau+1 have no 10-way partition; they
+        block on exact target length instead (still an equi-join) —
+        a pair of <= tau-length strings always qualifies trivially.
+
+    Candidate generation is provably complete, the exact verify makes
+    it sound, and the DuckDB all-pairs oracle cross-checks both at
+    small SF. Hot 4-gram keys at scale are AQE skew-join territory
+    (the verify predicate is cheap, so oversized groups cost shuffle
+    balance, not CPU blowup)."""
+    tau, nseg = 9, 10
+    # repartition the (tiny, pre-explode) doc frame so the ~1.9k-key
+    # probe fan-out below runs wide instead of inside the handful of
+    # file-scan partitions — a cheap shuffle of doc_id+40 chars buys
+    # full parallelism for the expensive explode+join stage
+    n_par = spark.sparkContext.defaultParallelism
+    d = (t(spark, sf_dir, "documents")
+         .where(F.col("text").isNotNull())
+         .select("doc_id", F.substring("text", 1, 40).alias("p"))
+         .withColumn("L", F.length("p"))
+         .repartition(max(n_par, 16), "doc_id")
+         .persist())
+    # ---- long strings (L >= nseg): segment index + shifted probes ----
+    # segment scheme for a length n: base = n div 10, rem = n % 10;
+    # segment i in 0..9 has len = base + (i >= 10-rem), start =
+    # i*base + max(0, i-(10-rem)) — disjoint cover of [0, n).
+    seg_struct = (
+        "struct(i AS seg, substring(p, cast(i * (L div {n}) + "
+        "greatest(0, i - ({n} - L % {n})) as int) + 1, cast((L div {n}) + "
+        "(case when i >= ({n} - L % {n}) then 1 else 0 end) as int)) AS sub, "
+        "L AS tl)").format(n=nseg)
+    index = (d.where(F.col("L") >= nseg)
+             .select("doc_id", "p", "L",
+                     F.explode(F.expr(
+                         "transform(sequence(0, {n1}), i -> {s})".format(
+                             n1=nseg - 1, s=seg_struct))).alias("e"))
+             .select("doc_id", "p",
+                     F.xxhash64("e.seg", "e.sub", "e.tl").alias("k")))
+    probe_expr = ("""
+      CASE WHEN L + {t} >= {n} THEN array_distinct(flatten(
+        transform(sequence(greatest({n}, L - {t}), least(40, L + {t})), L2 ->
+          flatten(transform(sequence(0, {n1}), i ->
+            transform(sequence(-{t}, {t}), sh ->
+              CASE WHEN i * (L2 div {n}) + greatest(0, i - ({n} - L2 % {n})) + sh >= 0
+                    AND i * (L2 div {n}) + greatest(0, i - ({n} - L2 % {n})) + sh
+                        + (L2 div {n}) + (CASE WHEN i >= ({n} - L2 % {n}) THEN 1 ELSE 0 END) <= L
+                    -- multi-match-aware pruning (PassJoin Lemma 2 shape):
+                    -- for the FIRST untouched segment i, prefix edits
+                    -- >= max(|shift|, i-1) and suffix edits >= |delta - shift|
+                    AND greatest(abs(sh), i - 1) + abs((L - L2) - sh) <= {t}
+               THEN struct(i AS seg,
+                 substring(p,
+                   cast(i * (L2 div {n}) + greatest(0, i - ({n} - L2 % {n})) + sh as int) + 1,
+                   cast((L2 div {n}) + (CASE WHEN i >= ({n} - L2 % {n}) THEN 1 ELSE 0 END) as int)) AS sub,
+                 L2 AS tl)
+               ELSE NULL END)))))) ELSE array() END
+    """).format(t=tau, n=nseg, n1=nseg - 1)
+    probe = (d.select("doc_id", "p",
+                      F.explode(F.expr(probe_expr)).alias("e"))
+             .where(F.col("e").isNotNull())
+             .select("doc_id", "p",
+                     F.xxhash64("e.seg", "e.sub", "e.tl").alias("k")))
+    ia, pb = index.alias("ia"), probe.alias("pb")
+    cand_long = (ia.join(pb, (F.col("ia.k") == F.col("pb.k"))
+                         & (F.col("ia.doc_id") != F.col("pb.doc_id")))
+                 .select(F.col("ia.doc_id").alias("id_x"),
+                         F.col("ia.p").alias("p_x"),
+                         F.col("pb.doc_id").alias("id_y"),
+                         F.col("pb.p").alias("p_y")))
+    # ---- short strings (L < nseg): block on exact target length ----
+    short_probe = (d.where(F.col("L") < nseg)
+                   .select("doc_id", "p",
+                           F.explode(F.expr(
+                               "sequence(0, L + {t})".format(t=tau)))
+                           .alias("tl")))
+    cand_short = (short_probe.alias("sp")
+                  .join(d.alias("dd"), (F.col("sp.tl") == F.col("dd.L"))
+                        & (F.col("sp.doc_id") != F.col("dd.doc_id")))
+                  .select(F.col("sp.doc_id").alias("id_x"),
+                          F.col("sp.p").alias("p_x"),
+                          F.col("dd.doc_id").alias("id_y"),
+                          F.col("dd.p").alias("p_y")))
+    # normalize + dedupe BEFORE the exact verify: a qualifying pair can
+    # collide on dozens of (segment, shift) keys, and dropDuplicates
+    # gets map-side partial aggregation — so the levenshtein runs once
+    # per unique pair, not once per collision
+    return (cand_long.unionByName(cand_short)
+            .select(F.least("id_x", "id_y").alias("doc_a"),
+                    F.greatest("id_x", "id_y").alias("doc_b"),
+                    F.when(F.col("id_x") < F.col("id_y"), F.col("p_x"))
+                    .otherwise(F.col("p_y")).alias("p_a"),
+                    F.when(F.col("id_x") < F.col("id_y"), F.col("p_y"))
+                    .otherwise(F.col("p_x")).alias("p_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+            .where(F.levenshtein("p_a", "p_b") < 10)
+            .select("doc_a", "doc_b"))
 
 
 @_q("p1_confidence_filter", sql="""
@@ -410,6 +516,18 @@ _H60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 _H60_DUCK = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 _SIMHASH_BITS = 60
+
+# 17 disjoint prefix bands over the 60-bit signature: 9 bands of 4 bits
+# then 8 bands of 3 bits. ham<=16 can dirty at most 16 bands, so any
+# qualifying pair matches exactly in at least one -> equi-join blocking
+# is complete (pigeonhole over the Hamming threshold).
+_SIMHASH_BAND_LAYOUT: list[tuple[int, int, int]] = []
+_shift = 0
+for _k in range(17):
+    _w = 4 if _k < 9 else 3
+    _SIMHASH_BAND_LAYOUT.append((_k, _shift, _w))
+    _shift += _w
+assert _shift == _SIMHASH_BITS
 _SIMHASH_SPARK = " + ".join(
     "(case when s{b} > 0 then {v}L else 0L end)".format(b=b, v=1 << b)
     for b in range(_SIMHASH_BITS))
@@ -436,9 +554,17 @@ WHERE bit_count(xor(a.sim, b.sim)) <= 16
 def simhash_hamming_pairs(spark, sf_dir):
     """SimHash near-dup: 60-bit signature from md5 word hashes
     (cross-engine identical), pairs with Hamming distance <= 16.
-    Signature build is one groupBy with 60 conditional sums (no row
-    blowup); the emitted pair join is all-pairs here for the oracle,
-    but bucketable by signature prefix at scale."""
+
+    Scale plan (no all-pairs anywhere): the 60-bit signature is split
+    into 17 disjoint bands (9x4 bits + 8x3 bits). Pigeonhole: a pair
+    with ham <= 16 differs in at most 16 bands, so it collides exactly
+    in >= 1 band — candidates come from an EQUI-join on
+    (band, chunk), then the exact Hamming check runs post-join and
+    duplicates (pairs colliding in several bands) are dropped with one
+    distinct. Both signatures ride along the 17-rows/doc chunk frame
+    (8 bytes each), so no signature re-join is needed. The DuckDB
+    oracle keeps the exact all-pairs formulation as the small-SF
+    cross-check."""
     d = t(spark, sf_dir, "documents")
     wh = (d.selectExpr("doc_id", "explode(array_distinct(split(text, ' '))) AS w")
           .where("w <> ''")
@@ -447,12 +573,23 @@ def simhash_hamming_pairs(spark, sf_dir):
         F.sum(F.when(F.expr("(h >> {b}) & 1 = 1".format(b=b)), 1).otherwise(-1))
         .alias("s{}".format(b)) for b in range(_SIMHASH_BITS)])
     sig = sums.selectExpr("doc_id", "({}) AS sim".format(_SIMHASH_SPARK))
-    a, b = sig.alias("a"), sig.alias("b")
-    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    band_arr = F.array(*[
+        F.struct(F.lit(k).alias("band"),
+                 F.expr("(sim >> {s}) & {m}L".format(s=s, m=(1 << w) - 1))
+                 .alias("chunk"))
+        for k, s, w in _SIMHASH_BAND_LAYOUT])
+    chunks = (sig.select("doc_id", "sim", F.explode(band_arr).alias("bc"))
+              .select("doc_id", "sim", "bc.band", "bc.chunk")
+              .persist())
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
                     F.expr("cast(bit_count(a.sim ^ b.sim) as bigint)").alias("ham"))
-            .where("ham <= 16"))
+            .where("ham <= 16")
+            .distinct())
 
 
 _N_MINHASH = 16
@@ -538,37 +675,61 @@ def ann_cosine_topk(spark, sf_dir):
             .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rank")))
 
 
+# Multi-table hyperplane LSH: _LSH_TABLES independent tables of
+# _LSH_BITS sign bits each. Plane (t*k + b)'s component j has sign +-1
+# from xxhash64("i_j") (deterministic, identical on every executor —
+# no plane table, no broadcast, no row blowup). A vector's bucket in
+# table t packs the k dot-product signs; near vectors collide in >= 1
+# table with high probability, and k/L trade candidate volume vs
+# recall (grow k with log2(n) at scale).
+# k=4 bits / L=8 tables: tuned for the synthetic embeddings, whose
+# true top-5 neighbors sit at cos ~0.33 (theory: per-table collision
+# (1 - theta/pi)^k ~ 0.25, recall over 8 tables ~ 0.69). At scale k
+# grows with log2(n) to keep per-table cells ~constant-sized.
+_LSH_TABLES, _LSH_BITS = 8, 4
+_LSH_BUCKETS_EXPR = """
+transform(sequence(0, {L1}), tb ->
+  aggregate(
+    transform(sequence(0, {k1}), b ->
+      CASE WHEN aggregate(
+          zip_with(v, sequence(0, size(v) - 1), (x, j) ->
+            x * (CASE WHEN pmod(xxhash64(concat_ws('_',
+                   cast(tb * {k} + b AS string), cast(j AS string))), 2) = 0
+                 THEN 1.0D ELSE -1.0D END)),
+          0D, (acc, x) -> acc + x) > 0
+      THEN shiftleft(1L, b) ELSE 0L END),
+    0L, (acc, x) -> acc + x))
+""".format(L1=_LSH_TABLES - 1, k1=_LSH_BITS - 1, k=_LSH_BITS)
+
+
 @_q("ann_lsh_bucketed")  # rows-only: the scale path, not SQL-expressible
 def ann_lsh_bucketed(spark, sf_dir):
-    """IVF/LSH-style scale path for ANN: 12 deterministic random
-    hyperplanes (signs from xxhash64(i, j)), vectors bucketed by their
-    12-bit sign pattern; exact cosine top-5 computed only within the
-    query's bucket. At 100 TB the bucket join replaces the cross join
-    — candidate set shrinks ~2^12x. Rows-only check (LSH recall is
-    probabilistic, not SQL-replayable)."""
+    """LSH scale path for ANN: 4 independent tables of 6 hyperplane
+    sign bits; exact cosine top-5 computed only among vectors sharing
+    a (table, bucket) cell with the query — candidates come from an
+    equi-join, never a cross join, and the candidate set per query is
+    ~L * n/2^k rows. Rows-only driver check (LSH recall is
+    probabilistic, not SQL-replayable); recall vs the exact
+    ann_cosine_topk oracle is measured in tests/test_plan_quality.py.
+
+    All bucket bits are computed in one narrow projection per vector
+    (nested JVM lambdas, dim-agnostic via size(v)): no posexplode x
+    planes row blowup, no plane-table join, no driver-side
+    ``.first()`` to learn the dimension."""
     e = (t(spark, sf_dir, "embeddings")
          .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
-    dim = len(e.select("v").first()["v"])
-    planes = (spark.range(12).alias("i").crossJoin(spark.range(dim).alias("j"))
-              .select(F.col("i.id").alias("pi"), F.col("j.id").alias("pj"),
-                      F.when(F.pmod(F.xxhash64(F.concat_ws("_", "i.id", "j.id")), 2) == 0, 1.0)
-                      .otherwise(-1.0).alias("sign")))
-    comp = (e.select("vec_id", F.posexplode("v").alias("pj", "val"))
-            .join(F.broadcast(planes), "pj")
-            .groupBy("vec_id", "pi")
-            .agg(F.sum(F.col("val") * F.col("sign")).alias("dot")))
-    bucket = (comp.groupBy("vec_id")
-              .agg(F.sum(F.expr(
-                  "case when dot > 0 then shiftleft(1, cast(pi as int)) else 0 end"))
-                  .alias("bucket")))
-    eb = e.join(bucket, "vec_id")
+    eb = (e.select("vec_id", "v",
+                   F.posexplode(F.expr(_LSH_BUCKETS_EXPR)).alias("tbl", "bucket")))
     q = (eb.where("vec_id < 10")
          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-                 F.col("bucket").alias("qbucket")))
-    pairs = (eb.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket"))
+                 F.col("tbl").alias("qtbl"), F.col("bucket").alias("qbucket")))
+    pairs = (eb.join(F.broadcast(q), (F.col("tbl") == F.col("qtbl"))
+                     & (F.col("bucket") == F.col("qbucket"))
                      & (F.col("vec_id") != F.col("query_id")))
              .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                     F.expr(_COS_EXPR).alias("cos")))
+                     F.expr(_COS_EXPR).alias("cos"))
+             # a pair can collide in several tables; keep it once
+             .dropDuplicates(["query_id", "neighbor_id"]))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (pairs.withColumn("rn", F.row_number().over(w)).where("rn <= 5")
             .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rank")))

@@ -56,3 +56,62 @@ def test_arrow_eval_python_stage_present(spark):
     plan = _formatted_plan(spark)
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def _executed_plan(spark, name, sf="/root/testdata/sf0.001"):
+    from extractor.queries import QUERIES
+
+    df = QUERIES[name](spark, sf)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_similarity_joins_have_no_allpairs_plan(spark):
+    """The three similarity queries that were all-pairs in round 1
+    must stay blocked equi-joins: no cartesian product and no
+    broadcast-nested-loop join anywhere in the physical plan."""
+    for name in ("simhash_hamming_pairs", "j4_near_dup_pairs_lev",
+                 "ann_lsh_bucketed", "minhash_lsh_candidates"):
+        plan = _executed_plan(spark, name)
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert bad not in plan, (name, bad, plan)
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """LSH candidates are probabilistic; report recall against the
+    exact brute-force top-5 oracle and hold a floor consistent with
+    SRP theory for these embeddings (true neighbors at cos ~0.33:
+    per-table collision ~(1 - theta/pi)^4 ~ 0.25, expected recall
+    over 8 tables ~0.69; measured 0.54 at sf0.01 / 0.68 at sf0.001 —
+    planes are deterministic, so this is stable, not flaky)."""
+    from extractor.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in QUERIES["ann_cosine_topk"](spark, sf).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in QUERIES["ann_lsh_bucketed"](spark, sf).collect()}
+    recall = len(exact & got) / len(exact)
+    print("ann_lsh recall vs exact top-5:", recall)
+    assert recall >= 0.4, recall
+
+
+def test_ann_lsh_no_driver_side_collect_in_build(spark):
+    """Building the LSH plan must not collect row DATA to the driver
+    (the old version did a .first() to learn the dimension). Parquet
+    footer/schema metadata jobs are fine; row-fetch jobs are not —
+    compare the job count of building the LSH plan against building a
+    plain projection of the same table."""
+    from extractor.queries import QUERIES, t
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_during(fn):
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        fn()
+        return len(tracker.getJobIdsForGroup(None) or []) - before
+
+    sf = "/root/testdata/sf0.001"
+    baseline = jobs_during(lambda: t(spark, sf, "embeddings").select("vec_id"))
+    lsh = jobs_during(lambda: QUERIES["ann_lsh_bucketed"](spark, sf))
+    assert lsh <= baseline, (lsh, baseline)
