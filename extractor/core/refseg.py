@@ -172,8 +172,11 @@ _VENUE_RE = re.compile(r"\s*([A-Z][^,.;0-9]{3,80})[,.]")
 # "Surname, I. (YYYY). Title. Venue..." cascade found nothing):
 _AUTHOR_INV_RE = re.compile(r"\b((?:[A-Z]\.\s*)+)([A-Z][\w'À-ɏ-]+)")  # "J. Doe"
 _QUOTED_TITLE_RE = re.compile(r"[\"“]([^\"”]{4,200}?)[,.]?[\"”]")
-_AFTER_QUOTE_VENUE_RE = re.compile(r"\s*,?\s*(?:in\s+)?([A-Z][^,.;0-9]{3,80})",
-                                   re.IGNORECASE)
+# only the optional "in " prefix is case-insensitive; the leading
+# [A-Z] capital heuristic must stay case-SENSITIVE or lowercase tokens
+# after a quoted title (e.g. 'volume' in '"Title," volume 3') would be
+# captured as the journal name
+_AFTER_QUOTE_VENUE_RE = re.compile(r"\s*,?\s*(?:[iI][nN]\s+)?([A-Z][^,.;0-9]{3,80})")
 _BOOK_TITLE_RE = re.compile(r"\s*,\s*([^,]{4,200}?)\s*[,.]")
 
 EMPTY_FIELDS: dict = {

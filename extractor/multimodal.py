@@ -18,9 +18,9 @@ operators select only (key, meta) until the decode stage, and
 from __future__ import annotations
 
 import hashlib
-import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -51,16 +51,17 @@ def decode_image(payload: bytes) -> dict:
 
 
 def _byte_entropy_milli(b: bytes) -> int:
-    """Shannon entropy of the byte histogram, in milli-bits (exact int
-    from double math on small fixed-size histogram — deterministic)."""
+    """Shannon entropy of the byte histogram, in milli-bits
+    (deterministic double math over the fixed 256-bin histogram).
+
+    Vectorized: np.frombuffer + bincount is ~100x the per-byte Python
+    loop on MB-sized payloads and keeps the Arrow batch numpy-side."""
     if not b:
         return 0
-    counts: dict[int, int] = {}
-    for x in b:
-        counts[x] = counts.get(x, 0) + 1
+    counts = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
     n = len(b)
-    h = -sum((c / n) * math.log2(c / n) for c in counts.values())
-    return int(h * 1000)
+    p = counts[counts > 0] / n
+    return int(float(-(p * np.log2(p)).sum()) * 1000)
 
 
 def _features_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1062,16 +1062,35 @@ def dedup_cluster_assign(spark, sf_dir):
     edges = (pairs.selectExpr("doc_a AS u", "doc_b AS v")
              .unionByName(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
              .persist())
+    return _min_label_propagation(edges)
+
+
+def _min_label_propagation(edges: DataFrame) -> DataFrame:
+    """Iterative connected-components core over a symmetric (u, v)
+    edge list; returns (doc_id, cluster_id=component min). Factored
+    out of dedup_cluster_assign so deep-diameter graphs (and the
+    periodic lineage truncation) are unit-testable directly."""
     labels = edges.select(F.col("u").alias("doc_id"),
                           F.col("u").alias("cluster_id")).distinct().persist()
-    for _ in range(20):  # >= diameter of any near-dup cluster
+    converged = False
+    # hard cap well above any plausible near-dup component diameter;
+    # hitting it without convergence is an error, never a silent
+    # partial answer (labels would disagree with the transitive
+    # closure the oracle computes)
+    for rnd in range(1, 51):
         neigh = (edges.join(labels, edges["v"] == labels["doc_id"])
                  .groupBy("u").agg(F.min("cluster_id").alias("nmin")))
         new_labels = (labels.join(neigh, labels["doc_id"] == neigh["u"], "left")
                       .select(labels["doc_id"],
                               F.least("cluster_id", F.coalesce("nmin", "cluster_id"))
-                              .alias("cluster_id"))
-                      .persist())
+                              .alias("cluster_id")))
+        if rnd % 5 == 0:
+            # truncate lineage: over many rounds the plan otherwise
+            # grows one join+agg layer per round and replanning cost
+            # compounds
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "doc_id")
                    .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
@@ -1079,7 +1098,16 @@ def dedup_cluster_assign(spark, sf_dir):
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "dedup_cluster_assign: min-label propagation did not "
+            "converge within 50 rounds (changed={} in the last round) "
+            "— component diameter exceeds the cap; raise it rather "
+            "than returning labels that disagree with the transitive "
+            "closure".format(changed))
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
 
 

@@ -130,3 +130,51 @@ def test_multimodal_frame_sampling(spark):
     assert len(out) == 40  # 1 row -> 4 frames
     assert sorted(out["frame_idx"].unique().tolist()) == [0, 1, 2, 3]
     assert out["frame"].apply(len).min() > 0
+
+
+def test_entropy_milli_matches_reference_loop():
+    """Differential gate for the vectorized byte-entropy: the numpy
+    bincount path must produce the exact same milli-bit integers as
+    the original per-byte dict/loop formulation on 1k random payloads
+    (plus degenerate edges)."""
+    import math
+    import random
+
+    from extractor.multimodal import _byte_entropy_milli
+
+    def reference_loop(b: bytes) -> int:
+        if not b:
+            return 0
+        counts: dict[int, int] = {}
+        for x in b:
+            counts[x] = counts.get(x, 0) + 1
+        n = len(b)
+        h = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        return int(h * 1000)
+
+    rng = random.Random(42)
+    payloads = [b"", b"\x00", b"\x00" * 4096, bytes(range(256)) * 4]
+    for _ in range(1000):
+        ln = rng.randrange(1, 2000)
+        payloads.append(bytes(rng.randrange(0, 256) for _ in range(ln)))
+    mismatches = [(i, reference_loop(p), _byte_entropy_milli(p))
+                  for i, p in enumerate(payloads)
+                  if reference_loop(p) != _byte_entropy_milli(p)]
+    assert not mismatches, mismatches[:5]
+
+
+def test_min_label_propagation_deep_path_graph(spark):
+    """CC propagation on a diameter-24 path graph: needs 20+ rounds
+    (the old cap silently stopped at 20), crosses several
+    localCheckpoint lineage truncations, and must converge with every
+    node labeled by the component minimum."""
+    from extractor.queries import _min_label_propagation
+
+    n = 25  # path 0-1-2-...-24
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u: long, v: long")
+    edges = pairs.unionByName(
+        pairs.selectExpr("v AS u", "u AS v")).persist()
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in _min_label_propagation(edges).collect()}
+    assert got == {i: 0 for i in range(n)}
