@@ -455,13 +455,30 @@ def _fast_feed(doc: str, p: "_Extractor") -> None:
         pos = lt + 1
 
 
+# scripts written without inter-word spaces (CJK ideographs, kana,
+# hangul, fullwidth/halfwidth forms): whitespace word counts see one
+# giant token and the boilerpipe rules reject the whole page. Count
+# every 2 such chars as one effective word (avg CJK word ~1.5-2 chars)
+# — additive, so pure-Latin pages classify exactly as before.
+_CJK_RE = re.compile(
+    "[぀-ヿ㐀-䶿一-鿿"
+    "가-힯豈-﫿＀-￯]")
+
+
+def _block_words(text: str) -> int:
+    n = len(text.split())
+    if text and ord(max(text)) >= 0x3000:  # cheap has-CJK pre-check
+        n += len(_CJK_RE.findall(text)) // 2
+    return n
+
+
 def _classify(blocks: list[_Block]) -> list[bool]:
     """boilerpipe NumWordsRulesClassifier over the block sequence,
     with overrides: boiler ancestry always rejects; detected reference
     blocks and clean headings always accept (they carry the content
     contract: the References heading must survive for anchor-based
     downstream segmentation)."""
-    words = [len(b.text.split()) for b in blocks]
+    words = [_block_words(b.text) for b in blocks]
     ld = [b.anchor_chars / b.chars if b.chars else 1.0 for b in blocks]
     keep = []
     n = len(blocks)

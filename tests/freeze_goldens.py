@@ -23,17 +23,44 @@ N_TURNS = 400
 SEED = 42
 
 
-def main() -> None:
-    os.makedirs(GOLDEN_DIR, exist_ok=True)
-    df = gen_transcripts(N_TURNS, seed=SEED)
-    df.to_parquet(os.path.join(GOLDEN_DIR, "t1_input.parquet"), index=False)
+def _freeze(df, tag: str) -> None:
+    df.to_parquet(os.path.join(GOLDEN_DIR, tag + "_input.parquet"),
+                  index=False)
     out = extract_batch(df)
     # refs as JSON string for a stable, engine-neutral frozen format
     out["refs_json"] = [json.dumps(r, sort_keys=True) for r in out["refs"]]
     out.drop(columns=["refs"]).to_parquet(
-        os.path.join(GOLDEN_DIR, "t1_expected.parquet"), index=False
+        os.path.join(GOLDEN_DIR, tag + "_expected.parquet"), index=False
     )
-    print("froze {} turns (refs: {})".format(len(out), int(out["n_refs"].sum())))
+    print("froze {} {} turns (refs: {})".format(
+        len(out), tag, int(out["n_refs"].sum())))
+
+
+def adversarial_transcripts():
+    """make_adversarial_docs as a transcripts-shaped frame (one conv
+    per case, tool=browser)."""
+    import pandas as pd
+
+    from extractor.gen_fixtures import make_adversarial_docs
+
+    docs = make_adversarial_docs()
+    return pd.DataFrame({
+        "conv_id": ["adv-" + name for name, _ in docs],
+        "turn_idx": pd.array([0] * len(docs), dtype="int32"),
+        "role": ["user"] * len(docs),
+        "text": [html for _, html in docs],
+        "tool": ["browser"] * len(docs),
+        "ts": pd.to_datetime(["2026-01-01"] * len(docs)),
+    })
+
+
+def main() -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    _freeze(gen_transcripts(N_TURNS, seed=SEED), "t1")
+    # t2: adversarial real-world-shaped HTML (nested layout tables,
+    # RTL, minified single-line, deep nesting, spaceless CJK, entity
+    # soup) — VERDICT round-1 item 10
+    _freeze(adversarial_transcripts(), "t2")
 
 
 if __name__ == "__main__":

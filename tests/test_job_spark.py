@@ -468,3 +468,30 @@ def test_dir_named_json_routed_by_contents(spark, tmp_path):
     df = job.read_transcripts(spark, tricky)
     assert df.count() == 50
     assert df.where(F.col("conv_id").isNull()).count() == 0
+
+
+def test_adversarial_goldens_per_turn_equality(spark, tmp_path):
+    """t2 adversarial golden gate (real-world-shaped HTML: nested
+    layout tables, RTL/bidi, minified single-line, 60-deep nesting,
+    spaceless CJK, entity soup): the Spark job must match the frozen
+    pandas-oracle extraction byte-for-byte, AND the semantic contract
+    must hold per case — main prose kept, link-farm nav/footer
+    boilerplate dropped, CJK content not zeroed by word heuristics."""
+    inp = os.path.join(os.path.dirname(__file__), "goldens",
+                       "t2_input.parquet")
+    exp = (pd.read_parquet(os.path.join(os.path.dirname(__file__),
+                                        "goldens", "t2_expected.parquet"))
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    out = str(tmp_path / "out")
+    job.run_extract(spark, inp, out, n_buckets=4)
+    got = job.read_extracted(spark, out).toPandas()
+    assert (got["conv_id"].values == exp["conv_id"].values).all()
+    assert (got["clean_text"].values == exp["clean_text"].values).all()
+    by_conv = dict(zip(got["conv_id"], got["clean_text"]))
+    for conv, text in by_conv.items():
+        assert len(text) > 100, (conv, "content lost")
+        for boiler in ("Sitemap", "Subscribe", "Copyright"):
+            assert boiler not in text, (conv, "boilerplate leaked", boiler)
+    assert "学術文書" in by_conv["adv-cjk_mixed"]
+    assert "تحليل النصوص" in by_conv["adv-rtl_arabic"]
+    assert by_conv["adv-minified_single_line"].startswith("Layout analysis")
