@@ -65,3 +65,140 @@ def stream_extract(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Watermarked event-time windowed aggregation (late-data handling)
+# ---------------------------------------------------------------------------
+
+def windowed_turn_counts(
+    spark: SparkSession,
+    input_dir: str,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "10 minutes",
+):
+    """Streaming per-(event-time window, role) turn counts with a
+    watermark: rows later than ``watermark_delay`` behind the observed
+    max ts are DROPPED, and a window is emitted exactly once (append
+    mode) when the watermark passes its end — the Structured Streaming
+    pattern for late data over continuously-arriving transcripts.
+
+    Scale note: the state store holds only open windows x roles (a
+    handful of rows per trigger), independent of input volume; the
+    aggregation itself is the same partial-agg shuffle as the batch
+    groupBy."""
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    return (
+        src
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum(F.length("text")).alias("chars"))
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"),
+                "role", "n_turns", "chars")
+    )
+
+
+def run_windowed_turn_counts(spark: SparkSession, input_dir: str,
+                             output_path: str, **kw):
+    """Drive windowed_turn_counts to a parquet sink (append mode:
+    only watermark-finalized windows are written)."""
+    agg = windowed_turn_counts(spark, input_dir, **kw)
+    return (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(output_path, "_ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet").option("path", os.path.join(output_path, "data"))
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: streaming sessionization via
+# applyInPandasWithState (S11-analog for continuous event feeds)
+# ---------------------------------------------------------------------------
+
+_SESSION_STATE_SCHEMA = "last_us LONG, n_sessions LONG"
+_SESSION_OUT_SCHEMA = "user_id LONG, n_sessions LONG, last_us LONG"
+_SESSION_GAP_US = 1_800_000_000  # 30 min, identical to the batch query
+
+
+def _sessionize_group(key, pdf_iter, state):
+    """Per-user session counting with cross-batch state: carries
+    (last event time, session count) between micro-batches so a
+    session spanning a batch boundary is not double-counted. Arrow
+    batches are concatenated and sorted per group (vectorized numpy
+    gap compare, no per-row Python in the hot path)."""
+    import numpy as np
+    import pandas as pd
+
+    (user_id,) = key
+    last_us, n = state.get if state.exists else (None, 0)
+    pdf = pd.concat(list(pdf_iter), ignore_index=True)
+    pdf = pdf.sort_values(["us", "event_id"])
+    us = pdf["us"].to_numpy(dtype=np.int64)
+    if len(us):
+        gaps = np.diff(us) > _SESSION_GAP_US
+        n_new = int(gaps.sum())
+        if last_us is None:
+            n = 1 + n_new
+        else:
+            n = n + n_new + (1 if us[0] - last_us > _SESSION_GAP_US else 0)
+        last_us = int(us[-1])
+    state.update((last_us, n))
+    yield pd.DataFrame({"user_id": [user_id], "n_sessions": [n],
+                        "last_us": [last_us]})
+
+
+def stream_sessionize(spark: SparkSession, input_dir: str,
+                      output_path: str, events_schema):
+    """Streaming sessionization (30-min gap) over an events feed,
+    state kept per user_id across micro-batches. Update-mode stateful
+    output goes through foreachBatch to an epoch-stamped parquet sink;
+    the latest epoch per user is the current count — matches the batch
+    ``sessionization`` query when fed the same events in ts order."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(events_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .select("event_id", "user_id",
+                F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"))
+    )
+    updates = src.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    data_dir = os.path.join(output_path, "data")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (batch_df.withColumn("epoch", F.lit(int(epoch_id)))
+         .write.mode("append").parquet(data_dir))
+
+    return (
+        updates.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(output_path, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_session_counts(spark: SparkSession, output_path: str) -> DataFrame:
+    """Latest per-user session count from the epoch-stamped sink."""
+    from pyspark.sql import Window as W
+
+    df = spark.read.parquet(os.path.join(output_path, "data"))
+    w = W.partitionBy("user_id").orderBy(F.desc("epoch"))
+    return (df.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+            .select("user_id", "n_sessions"))

@@ -200,3 +200,91 @@ def test_iceberg_branch_dispatch_mocked():
     tables.read_table(spark, "iceberg:cat.db.transcripts")
     spark.read.table.assert_called_once_with("cat.db.transcripts")
     spark.read.parquet.assert_not_called()
+
+
+def test_streaming_windowed_counts_drop_late_rows(spark, tmp_path):
+    """Watermark semantics end-to-end: a row arriving a micro-batch
+    later and older than the watermark must be dropped, and the
+    finalized window is emitted exactly once (append mode)."""
+    import os
+    import time as _time
+
+    from extractor.streaming import run_windowed_turn_counts
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def turns(rows, path):
+        pd.DataFrame({
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pd.array(range(len(rows)), dtype="int32"),
+            "role": ["user"] * len(rows),
+            "text": ["words " * 5] * len(rows),
+            "tool": pd.Series([None] * len(rows), dtype="string"),
+            "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+        }).to_parquet(path)
+
+    # batch 0: three on-time rows in [10:00, 10:10) plus one at 11:00
+    # whose event time sets the post-batch watermark to 10:50
+    # (delay = 10 min)
+    f1 = os.path.join(in_dir, "part-0.parquet")
+    turns([("c1", "2026-01-01 10:00"), ("c1", "2026-01-01 10:03"),
+           ("c2", "2026-01-01 10:05"), ("c3", "2026-01-01 11:00")], f1)
+    # batch 1: runs under the committed 10:50 watermark -> finalizes
+    # and emits the [10:00, 10:10) window
+    f2 = os.path.join(in_dir, "part-1.parquet")
+    turns([("mid", "2026-01-01 11:01")], f2)
+    # batch 2: a LATE row for the already-closed 10:00 window — must
+    # be dropped (Spark guarantees drops only for data later than the
+    # committed watermark, hence the intermediate batch)
+    f3 = os.path.join(in_dir, "part-2.parquet")
+    turns([("c9", "2026-01-01 10:03")], f3)
+    _time.sleep(0.05)
+    os.utime(f1, (1, 1))  # force mtime order: f1, f2, f3
+    os.utime(f2, (2, 2))
+    out = str(tmp_path / "out")
+    q = run_windowed_turn_counts(spark, in_dir, out)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(os.path.join(out, "data")).toPandas()
+    # exactly one finalized window: [10:00, 10:10) with the 3 on-time
+    # rows; the late c9 row is dropped, the 11:00+ windows still open
+    assert len(got) == 1, got
+    row = got.iloc[0]
+    assert str(row["win_start"]).startswith("2026-01-01 10:00")
+    assert row["n_turns"] == 3, got
+
+
+def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization with cross-batch state:
+    events split into two ts-ordered micro-batches must yield the same
+    per-user session counts as the batch lag/gap query over the full
+    table — sessions spanning the batch boundary are the hard case."""
+    import os
+
+    from extractor.queries import sessionization
+    from extractor.streaming import read_session_counts, stream_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(os.path.join(sf, "events.parquet"),
+                         columns=["event_id", "ts", "user_id"])
+    ev = ev.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    cut = len(ev) // 2
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    f1 = os.path.join(in_dir, "part-0.parquet")
+    f2 = os.path.join(in_dir, "part-1.parquet")
+    ev.iloc[:cut].to_parquet(f1)
+    ev.iloc[cut:].to_parquet(f2)
+    os.utime(f1, (1, 1))  # mtime order: first half first
+
+    schema = spark.read.parquet(f1).schema
+    out = str(tmp_path / "out")
+    q = stream_sessionize(spark, in_dir, out, schema)
+    q.awaitTermination(180)
+
+    got = {r["user_id"]: r["n_sessions"]
+           for r in read_session_counts(spark, out).collect()}
+    want = {r["user_id"]: r["n_sessions"]
+            for r in sessionization(spark, sf).collect()}
+    assert got == want
