@@ -687,14 +687,16 @@ def ann_cosine_topk(spark, sf_dir):
 # (1 - theta/pi)^k ~ 0.25, recall over 8 tables ~ 0.69). At scale k
 # grows with log2(n) to keep per-table cells ~constant-sized.
 _LSH_TABLES, _LSH_BITS = 8, 4
+# plane sign = parity of xxhash64(plane_index, j) over the raw int64
+# args — no per-element string building (hashing "i_j" strings cost
+# ~3x the arithmetic it fed)
 _LSH_BUCKETS_EXPR = """
 transform(sequence(0, {L1}), tb ->
   aggregate(
     transform(sequence(0, {k1}), b ->
       CASE WHEN aggregate(
           zip_with(v, sequence(0, size(v) - 1), (x, j) ->
-            x * (CASE WHEN pmod(xxhash64(concat_ws('_',
-                   cast(tb * {k} + b AS string), cast(j AS string))), 2) = 0
+            x * (CASE WHEN pmod(xxhash64(tb * {k} + b, j), 2) = 0
                  THEN 1.0D ELSE -1.0D END)),
           0D, (acc, x) -> acc + x) > 0
       THEN shiftleft(1L, b) ELSE 0L END),
@@ -716,8 +718,13 @@ def ann_lsh_bucketed(spark, sf_dir):
     (nested JVM lambdas, dim-agnostic via size(v)): no posexplode x
     planes row blowup, no plane-table join, no driver-side
     ``.first()`` to learn the dimension."""
+    # repartition the narrow (vec_id, v) frame before the hash-heavy
+    # bucket projection: a single-file scan would otherwise compute
+    # every signature in one task
+    n_par = max(spark.sparkContext.defaultParallelism, 16)
     e = (t(spark, sf_dir, "embeddings")
-         .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+         .repartition(n_par, "vec_id"))
     eb = (e.select("vec_id", "v",
                    F.posexplode(F.expr(_LSH_BUCKETS_EXPR)).alias("tbl", "bucket")))
     q = (eb.where("vec_id < 10")

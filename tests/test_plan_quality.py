@@ -81,7 +81,7 @@ def test_ann_lsh_recall_vs_exact(spark):
     exact brute-force top-5 oracle and hold a floor consistent with
     SRP theory for these embeddings (true neighbors at cos ~0.33:
     per-table collision ~(1 - theta/pi)^4 ~ 0.25, expected recall
-    over 8 tables ~0.69; measured 0.54 at sf0.01 / 0.68 at sf0.001 —
+    over 8 tables ~0.69; measured 0.74 at sf0.001 / 0.76 at sf0.01 —
     planes are deterministic, so this is stable, not flaky)."""
     from extractor.queries import QUERIES
 
