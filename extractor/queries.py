@@ -238,18 +238,33 @@ def j4_near_dup_pairs_lev(spark, sf_dir):
 
     Candidate generation is provably complete, the exact verify makes
     it sound, and the DuckDB all-pairs oracle cross-checks both at
-    small SF. Hot 4-gram keys at scale are AQE skew-join territory
-    (the verify predicate is cheap, so oversized groups cost shuffle
-    balance, not CPU blowup)."""
+    small SF (plus a randomized brute-force differential over
+    adversarial lengths/alphabets in tests/test_extras.py). Hot
+    4-gram keys at scale are AQE skew-join territory (the verify
+    predicate is cheap, so oversized groups cost shuffle balance,
+    not CPU blowup)."""
+    docs = (t(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", F.substring("text", 1, 40).alias("p")))
+    return levenshtein_blocked_pairs(docs)
+
+
+def levenshtein_blocked_pairs(docs: DataFrame) -> DataFrame:
+    """PassJoin-blocked Levenshtein join core over (doc_id, p):
+    all unordered pairs with levenshtein(p_a, p_b) < 10, as
+    (doc_a, doc_b) with doc_a < doc_b. ``p`` must be <= 40 chars (the
+    probe's target-length enumeration is capped at 40 — callers
+    prefix-truncate). See j4_near_dup_pairs_lev for the algorithm;
+    factored out so the blocking's completeness is testable against
+    brute force on arbitrary string sets."""
+    spark = docs.sparkSession
     tau, nseg = 9, 10
     # repartition the (tiny, pre-explode) doc frame so the ~1.9k-key
     # probe fan-out below runs wide instead of inside the handful of
     # file-scan partitions — a cheap shuffle of doc_id+40 chars buys
     # full parallelism for the expensive explode+join stage
     n_par = spark.sparkContext.defaultParallelism
-    d = (t(spark, sf_dir, "documents")
-         .where(F.col("text").isNotNull())
-         .select("doc_id", F.substring("text", 1, 40).alias("p"))
+    d = (docs
          .withColumn("L", F.length("p"))
          .repartition(max(n_par, 16), "doc_id")
          .persist())

@@ -288,3 +288,67 @@ def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
     want = {r["user_id"]: r["n_sessions"]
             for r in sessionization(spark, sf).collect()}
     assert got == want
+
+
+def test_passjoin_blocking_matches_brute_force(spark):
+    """Randomized differential for the PassJoin-style Levenshtein
+    blocking: on adversarial string sets (empty strings, lengths
+    around the tau=9 short/long boundary, tiny alphabet forcing many
+    near-pairs, lengths up to the 40 cap) the blocked equi-join must
+    produce EXACTLY the brute-force pair set — completeness (no pair
+    missed by candidate generation) and soundness (exact verify) in
+    one check. Seeded, so deterministic."""
+    import random
+
+    from extractor.queries import levenshtein_blocked_pairs
+
+    def brute(strings):
+        # reference Levenshtein (plain DP) — independent of the code
+        # under test
+        def lev(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+        out = set()
+        for i in range(len(strings)):
+            for j in range(i + 1, len(strings)):
+                if lev(strings[i], strings[j]) < 10:
+                    out.add((i, j))
+        return out
+
+    rng = random.Random(77)
+    strings = ["", "a", "abcdefghi", "abcdefghij", "abcdefghijk"]
+    # tiny alphabet + clustered lengths -> dense near-pair structure
+    for _ in range(55):
+        ln = rng.choice([0, 3, 8, 9, 10, 11, 15, 20, 39, 40])
+        strings.append("".join(rng.choice("ab") for _ in range(ln)))
+    # mutated copies of a base string (the realistic near-dup shape)
+    base = "the quick brown fox jumps over the lazy"
+    for _ in range(20):
+        s = list(base)
+        for _ in range(rng.randrange(0, 14)):
+            op = rng.randrange(3)
+            pos = rng.randrange(max(1, len(s)))
+            if op == 0 and s:
+                s[pos] = rng.choice("xyz")
+            elif op == 1:
+                s.insert(pos, rng.choice("xyz"))
+            elif s:
+                del s[pos]
+        strings.append("".join(s)[:40])
+
+    docs = spark.createDataFrame(list(enumerate(strings)), "doc_id: long, p: string")
+    got = {(r["doc_a"], r["doc_b"])
+           for r in levenshtein_blocked_pairs(docs).collect()}
+    want = brute(strings)
+    missed = want - got
+    extra = got - want
+    assert not missed, ("blocking MISSED pairs", sorted(missed)[:10])
+    assert not extra, ("verify passed false pairs", sorted(extra)[:10])
