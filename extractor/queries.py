@@ -873,23 +873,45 @@ WHERE ((least(a.x2,b.x2)-greatest(a.x1,b.x1)) * (least(a.y2,b.y2)-greatest(a.y1,
           - (least(a.x2,b.x2)-greatest(a.x1,b.x1)) * (least(a.y2,b.y2)-greatest(a.y1,b.y1))) >= 100
 """)
 def j1_iou_box_join(spark, sf_dir):
-    """J1/F3: IoU box-overlap theta join (the reference's detection-box
+    """J1/F3: IoU box-overlap join (the reference's detection-box
     x OCR-line grouping, LOCDB-V3/imgProcessing.py:652-768, IoU at
     :606-619) at DataFrame level — boxes derived deterministically from
-    `part`, overlap predicate as a range-join condition, IoU emitted as
-    exact integer milli-IoU."""
+    `part`, IoU emitted as exact integer milli-IoU.
+
+    Scale plan — spatial grid blocking, the standard fix for the
+    all-pairs shape of a box-overlap theta join: each box explodes to
+    the fixed 128px grid cells it covers (bounded fan-out: cells ~
+    (w/128+1)(h/128+1)), candidates come from an equi-join on
+    (cx, cy), and each overlapping pair is emitted from exactly ONE
+    cell — the cell containing the intersection's top-left corner —
+    so no post-join distinct is needed. The exact overlap + IoU
+    predicate verifies after the equi-join; the DuckDB all-pairs SQL
+    stays as the oracle."""
+    g = 128  # grid cell size; boxes here are <= ~100px on a side
     p = (t(spark, sf_dir, "part").where("p_partkey < 500")
          .selectExpr("p_partkey AS id",
                      "(p_size * 10) % 500 AS x1",
                      "CAST(floor(p_retailprice) AS BIGINT) % 500 AS y1",
                      "(p_size * 10) % 500 + 40 + p_partkey % 60 AS x2",
                      "CAST(floor(p_retailprice) AS BIGINT) % 500 + 30 + p_partkey % 40 AS y2"))
-    a, b = p.alias("a"), p.alias("b")
+    cells = (p.select(
+        "id", "x1", "y1", "x2", "y2",
+        F.explode(F.expr(
+            "flatten(transform(sequence(x1 div {g}, (x2 - 1) div {g}), cx -> "
+            "transform(sequence(y1 div {g}, (y2 - 1) div {g}), cy -> "
+            "struct(cx, cy))))".format(g=g))).alias("c"))
+        .select("id", "x1", "y1", "x2", "y2", "c.cx", "c.cy"))
+    a, b = cells.alias("a"), cells.alias("b")
     inter = ("(least(a.x2,b.x2)-greatest(a.x1,b.x1)) * "
              "(least(a.y2,b.y2)-greatest(a.y1,b.y1))")
     union = ("(a.x2-a.x1)*(a.y2-a.y1) + (b.x2-b.x1)*(b.y2-b.y1) - " + inter)
-    return (a.join(b, F.expr("a.id < b.id AND a.x1 < b.x2 AND b.x1 < a.x2 "
-                             "AND a.y1 < b.y2 AND b.y1 < a.y2"))
+    return (a.join(b, (F.col("a.cx") == F.col("b.cx"))
+                   & (F.col("a.cy") == F.col("b.cy"))
+                   & F.expr("a.id < b.id AND a.x1 < b.x2 AND b.x1 < a.x2 "
+                            "AND a.y1 < b.y2 AND b.y1 < a.y2")
+                   # canonical cell: intersection top-left -> one emit
+                   & F.expr("a.cx = greatest(a.x1, b.x1) div {g} AND "
+                            "a.cy = greatest(a.y1, b.y1) div {g}".format(g=g)))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     F.expr("cast((({i}) * 1000) div ({u}) as bigint)"
                            .format(i=inter, u=union)).alias("iou_milli"))

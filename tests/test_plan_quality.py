@@ -70,7 +70,8 @@ def test_similarity_joins_have_no_allpairs_plan(spark):
     must stay blocked equi-joins: no cartesian product and no
     broadcast-nested-loop join anywhere in the physical plan."""
     for name in ("simhash_hamming_pairs", "j4_near_dup_pairs_lev",
-                 "ann_lsh_bucketed", "minhash_lsh_candidates"):
+                 "ann_lsh_bucketed", "minhash_lsh_candidates",
+                 "j1_iou_box_join"):
         plan = _executed_plan(spark, name)
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             assert bad not in plan, (name, bad, plan)
