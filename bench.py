@@ -41,6 +41,8 @@ HEADLINE_QUERIES = [
     "sessionization",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "simhash_hamming_pairs",
+    "j4_near_dup_pairs_lev",
     "minhash_lsh_candidates",
     "ann_cosine_topk",
     "ann_lsh_bucketed",

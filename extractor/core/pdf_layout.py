@@ -99,7 +99,15 @@ def _lines_in_column(ts_str, x0, y0, x1, y1) -> list[dict]:
     n = len(x0)
     yc = (y0 + y1) / 2.0
     heights = y1 - y0
-    med_h = float(np.median(heights)) if n else 1.0
+    # manual median (same semantics as np.median: midpoint average for
+    # even n) — np.median's _ureduce wrapper costs ~70us/call, ~3% of
+    # the whole pdf path at these small per-column arrays
+    if n:
+        hs = np.sort(heights)
+        m = n >> 1
+        med_h = float(hs[m]) if n & 1 else float((hs[m - 1] + hs[m]) / 2.0)
+    else:
+        med_h = 1.0
     if med_h <= 0:
         med_h = 1.0
     order = np.lexsort((x0, yc))  # primary yc, secondary x0 — deterministic
