@@ -61,6 +61,27 @@ _LD_PREV = 0.555556
 
 _WRAP_RE = re.compile(r"^\[['\"]?\s*|\s*['\"]?\]$")  # layout (c) "['...']" wrap
 
+# class/id-string -> (boiler, ref, noise) regex flags, memoized: real
+# pages repeat the same class strings hundreds of times (nav items,
+# list rows), so one dict hit replaces up to 4 regex searches. Pure
+# function of the string; bounded (cleared at 4096 distinct strings).
+_CLS_FLAG_CACHE: dict[str, tuple[bool, bool, bool]] = {}
+
+
+_NO_FLAGS = (False, False, False)
+
+
+def _cls_flags(cls: str) -> tuple[bool, bool, bool]:
+    f = _CLS_FLAG_CACHE.get(cls)
+    if f is None:
+        if len(_CLS_FLAG_CACHE) > 4096:
+            _CLS_FLAG_CACHE.clear()
+        f = (BOILER_CLASS_RE.search(cls) is not None,
+             REF_CLASS_RE.search(cls) is not None,
+             REF_NOISE_RE.search(cls) is not None)
+        _CLS_FLAG_CACHE[cls] = f
+    return f
+
 # differential-test hook: tests flip this to compare the fast tokenizer
 # against the stdlib state machine on the same corpus
 _use_stdlib_parser = False
@@ -153,24 +174,23 @@ class _Extractor(HTMLParser):
 
         # attr-free fast path: most tags carry no class/id, and every
         # regex below can only fire on class/id content
+        flags = _cls_flags(cls) if has_cls else _NO_FLAGS
         boiler = (top[_F_BOILER] if top else False) or tag in BOILER_TAGS \
-            or (has_cls and BOILER_CLASS_RE.search(cls) is not None)
+            or flags[0]
         ref_kind = top[_F_REF] if top else None
         if ref_kind is None:
             if tag == "cite":
                 ref_kind = "cite"
             elif tag == "dl" and "references" in cls.lower():
                 ref_kind = "dl"
-            elif has_cls and REF_CLASS_RE.search(cls) \
-                    and not BOILER_CLASS_RE.search(cls):
+            elif flags[1] and not flags[0]:
                 ref_kind = "class"
             elif tag in ("ol", "ul") and self.after_ref_heading:
                 ref_kind = "list"
             elif tag == "td" and a is not None \
                     and a.get("valign", "").lower() == "top":
                 ref_kind = "td"
-        noise = (top[_F_NOISE] if top else False) \
-            or (has_cls and REF_NOISE_RE.search(cls) is not None)
+        noise = (top[_F_NOISE] if top else False) or flags[2]
         if cls_attr:
             m = _CIT_FIELD_RE.search(cls_attr)
             cit_field = m.group(1).lower() if m else (top[_F_CIT] if top else None)
