@@ -38,16 +38,70 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("magic_hex", T.StringType(), True),
     T.StructField("entropy_milli", T.LongType(), True),
     T.StructField("content_sha1", T.StringType(), True),
+    # header-parsed container metadata (probe_image_dims) — real
+    # decoding, null when the payload is not a recognized image
+    T.StructField("img_format", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
 ])
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real image decode (dims, channels). STUB: requires PIL."""
+    """Real pixel decode (channels, pixel data). STUB: requires PIL.
+    Container metadata (format + dimensions) needs no codec — see
+    probe_image_dims, which parses the headers directly."""
     if not HAS_PIL:
         raise NotImplementedError(
-            "image decode needs PIL; absent in this environment — "
-            "byte-level features are extracted instead")
+            "pixel decode needs PIL; absent in this environment — "
+            "header metadata (probe_image_dims) and byte-level "
+            "features are extracted instead")
     raise NotImplementedError("wire PIL decode here when available")
+
+
+def probe_image_dims(b: bytes) -> tuple[str, int, int] | None:
+    """Parse (format, width, height) straight from container headers —
+    REAL metadata decoding, no codec library needed. Formats (all
+    public specs): PNG (IHDR at offset 16, big-endian), GIF87a/89a
+    (logical screen, little-endian), BMP (BITMAPINFOHEADER,
+    little-endian), JPEG (walk markers to the first SOF0-SOF15 frame
+    header, big-endian). Returns None for anything unrecognized or
+    truncated."""
+    n = len(b)
+    if n >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        return ("png", int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"))
+    if n >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return ("gif", int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"))
+    if n >= 26 and b[:2] == b"BM":
+        # BITMAPINFOHEADER: signed width/height at 18/22; negative
+        # height = top-down rows
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        return ("bmp", abs(w), abs(h))
+    if n >= 4 and b[:2] == b"\xff\xd8":  # JPEG SOI; walk the markers
+        i = 2
+        while i + 9 <= n:
+            if b[i] != 0xFF:
+                return None  # not at a marker boundary: corrupt
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+            if seg_len < 2:
+                return None
+            # SOF0..SOF15 excluding DHT(C4)/JPG(C8)/DAC(CC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    return None
+                return ("jpeg", int.from_bytes(b[i + 7:i + 9], "big"),
+                        int.from_bytes(b[i + 5:i + 7], "big"))
+            i += 2 + seg_len
+    return None
 
 
 def _byte_entropy_milli(b: bytes) -> int:
@@ -66,17 +120,24 @@ def _byte_entropy_milli(b: bytes) -> int:
 
 def _features_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
-        payloads = pdf["payload"].tolist()
+        payloads = [bytes(p) if p is not None else b""
+                    for p in pdf["payload"].tolist()]
         metas = pdf["meta"].tolist()
+        dims = [probe_image_dims(p) for p in payloads]
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"].to_numpy(),
             "mime": [m["mime"] if m else None for m in metas],
-            "n_bytes": [len(p) if p is not None else 0 for p in payloads],
-            "magic_hex": [bytes(p[:8]).hex() if p else "" for p in payloads],
-            "entropy_milli": [_byte_entropy_milli(bytes(p)) if p else 0
+            "n_bytes": [len(p) for p in payloads],
+            "magic_hex": [p[:8].hex() for p in payloads],
+            "entropy_milli": [_byte_entropy_milli(p) if p else 0
                               for p in payloads],
-            "content_sha1": [hashlib.sha1(bytes(p)).hexdigest() if p else ""
+            "content_sha1": [hashlib.sha1(p).hexdigest() if p else ""
                              for p in payloads],
+            "img_format": [d[0] if d else None for d in dims],
+            "width": pd.array([d[1] if d else None for d in dims],
+                              dtype="Int32"),
+            "height": pd.array([d[2] if d else None for d in dims],
+                               dtype="Int32"),
         })
 
 

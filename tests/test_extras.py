@@ -352,3 +352,60 @@ def test_passjoin_blocking_matches_brute_force(spark):
     extra = got - want
     assert not missed, ("blocking MISSED pairs", sorted(missed)[:10])
     assert not extra, ("verify passed false pairs", sorted(extra)[:10])
+
+
+def test_probe_image_dims_header_parsing():
+    """Container-header dimension parsing (real metadata decode, no
+    codec lib): PNG/GIF/BMP/JPEG crafted per their public specs, plus
+    truncated/corrupt payloads returning None."""
+    import struct
+
+    from extractor.multimodal import probe_image_dims
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+    assert probe_image_dims(png) == ("png", 640, 480)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    assert probe_image_dims(gif) == ("gif", 320, 200)
+
+    bmp = (b"BM" + struct.pack("<IHHI", 1000, 0, 0, 54)
+           + struct.pack("<IiiHH", 40, 800, -600, 1, 24))  # top-down h
+    assert probe_image_dims(bmp) == ("bmp", 800, 600)
+
+    jpeg = (b"\xff\xd8"                                   # SOI
+            + b"\xff\xe0" + struct.pack(">H", 15) + b"JFIF\x00" + b"\x00" * 8
+            + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65   # DQT
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9)  # SOF0
+    assert probe_image_dims(jpeg) == ("jpeg", 1920, 1080)
+
+    # progressive JPEG (SOF2) and DHT-before-SOF must still resolve
+    jpeg2 = (b"\xff\xd8"
+             + b"\xff\xc4" + struct.pack(">H", 5) + b"\x00" * 3      # DHT
+             + b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+             + struct.pack(">HH", 10, 20) + b"\x03" + b"\x00" * 9)   # SOF2
+    assert probe_image_dims(jpeg2) == ("jpeg", 20, 10)
+
+    assert probe_image_dims(b"") is None
+    assert probe_image_dims(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4) is None  # truncated
+    assert probe_image_dims(b"\xff\xd8\x00\x00garbage") is None  # corrupt
+    assert probe_image_dims(b"plain text payload") is None
+
+
+def test_multimodal_features_include_header_dims(spark):
+    """extract_features surfaces the header-parsed dims through the
+    Arrow stage; non-image payloads get nulls."""
+    import struct
+
+    from extractor.multimodal import extract_features
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 64, 32) + b"\x08\x02\x00\x00\x00")
+    df = spark.createDataFrame(
+        [(1, bytearray(png), ("image/png", "t")),
+         (2, bytearray(b"not an image"), ("text/plain", "t"))],
+        "doc_id long, payload binary, meta struct<mime:string,origin:string>")
+    got = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert (got[1]["img_format"], got[1]["width"], got[1]["height"]) == ("png", 64, 32)
+    assert got[2]["img_format"] is None and got[2]["width"] is None
