@@ -58,6 +58,42 @@ def decode_image(payload: bytes) -> dict:
     raise NotImplementedError("wire PIL decode here when available")
 
 
+def probe_audio_meta(b: bytes) -> dict | None:
+    """Parse WAV/RIFF audio metadata straight from the container
+    (public spec, no codec lib): walks RIFF chunks to ``fmt `` for
+    channels / sample rate / bits-per-sample, and ``data`` for the
+    payload size, deriving duration in milliseconds for PCM. Returns
+    None for non-WAV or truncated input."""
+    n = len(b)
+    if n < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    meta = None
+    data_bytes = None
+    i = 12
+    while i + 8 <= n:
+        cid = b[i:i + 4]
+        clen = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            meta = {
+                "codec": int.from_bytes(b[i + 8:i + 10], "little"),
+                "channels": int.from_bytes(b[i + 10:i + 12], "little"),
+                "sample_rate": int.from_bytes(b[i + 12:i + 16], "little"),
+                "byte_rate": int.from_bytes(b[i + 16:i + 20], "little"),
+                "bits_per_sample": int.from_bytes(b[i + 22:i + 24], "little"),
+            }
+        elif cid == b"data":
+            data_bytes = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if meta is None:
+        return None
+    if data_bytes is not None and meta["byte_rate"]:
+        meta["duration_ms"] = data_bytes * 1000 // meta["byte_rate"]
+    else:
+        meta["duration_ms"] = None
+    meta["data_bytes"] = data_bytes
+    return meta
+
+
 def probe_image_dims(b: bytes) -> tuple[str, int, int] | None:
     """Parse (format, width, height) straight from container headers —
     REAL metadata decoding, no codec library needed. Formats (all

@@ -409,3 +409,34 @@ def test_multimodal_features_include_header_dims(spark):
     got = {r["doc_id"]: r for r in extract_features(df).collect()}
     assert (got[1]["img_format"], got[1]["width"], got[1]["height"]) == ("png", 64, 32)
     assert got[2]["img_format"] is None and got[2]["width"] is None
+
+
+def test_probe_audio_meta_wav_header():
+    """RIFF/WAVE chunk-walk metadata decode: PCM fmt + data chunks
+    give channels, rate, bits, and derived duration; odd-sized chunks
+    respect word alignment; non-WAV returns None."""
+    import struct
+
+    from extractor.multimodal import probe_audio_meta
+
+    def wav(channels=2, rate=44100, bits=16, data_len=44100 * 4,
+            extra_chunk=False):
+        byte_rate = rate * channels * bits // 8
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate,
+                          channels * bits // 8, bits)
+        body = b"WAVE"
+        if extra_chunk:  # odd-length LIST chunk before fmt (alignment)
+            body += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", data_len) + b"\x00" * 16
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+    m = probe_audio_meta(wav())
+    assert (m["channels"], m["sample_rate"], m["bits_per_sample"]) == (2, 44100, 16)
+    assert m["duration_ms"] == 1000  # 1s of 44.1k stereo 16-bit
+    m2 = probe_audio_meta(wav(channels=1, rate=8000, bits=8,
+                              data_len=8000 * 3, extra_chunk=True))
+    assert (m2["channels"], m2["sample_rate"], m2["duration_ms"]) == (1, 8000, 3000)
+    assert probe_audio_meta(b"RIFFxxxxAVI LIST") is None
+    assert probe_audio_meta(b"\x89PNG\r\n\x1a\n") is None
+    assert probe_audio_meta(b"") is None
