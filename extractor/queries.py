@@ -411,6 +411,32 @@ def sessionization(spark, sf_dir):
             .agg((F.lit(1) + F.sum("is_new")).cast("long").alias("n_sessions")))
 
 
+@_q("w6_windowed_event_counts", sql="""
+SELECT CAST((epoch_us(ts) // 600000000) * 600 AS BIGINT) AS win_start_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(round(value * 100, 0)) AS BIGINT) AS cents
+FROM events GROUP BY 1, 2
+""")
+def w6_windowed_event_counts(spark, sf_dir):
+    """Event-time tumbling-window aggregation in BATCH via the same
+    F.window operator the streaming path uses (streaming.py adds the
+    watermark on top — this is its deterministic batch twin, so the
+    window bucketing itself gets an exact DuckDB oracle via epoch
+    arithmetic). One shuffle on (window, type), map-side partial agg;
+    win_start emitted as epoch seconds so the comparison is integer."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy(
+                F.window(F.col("ts").cast("timestamp_ltz"),
+                         "10 minutes").alias("win"),
+                "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100, 0)).cast("long")
+                 .alias("cents"))
+            .select(F.unix_seconds("win.start").alias("win_start_s"),
+                    "event_type", "n_events", "cents"))
+
+
 # ===========================================================================
 # Training-data pipeline operators (documents / embeddings)
 # ===========================================================================
