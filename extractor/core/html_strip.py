@@ -126,6 +126,13 @@ class _Extractor(HTMLParser):
         self.skip_depth = 0
         self.anchor_depth = 0
         self.after_ref_heading = False
+        # >0 while inside <table>: non-citation rows/cells merge into
+        # ONE block instead of per-cell micro-blocks, so a data table
+        # aggregates enough words to classify on its own content
+        # (link-farm layout tables still die by link density);
+        # citation cells (ref_kind set, e.g. td[valign=top]) keep
+        # their per-cell blocks
+        self.table_depth = 0
 
     # -- frame helpers ------------------------------------------------
     def _attrs(self, attrs):
@@ -201,11 +208,17 @@ class _Extractor(HTMLParser):
         if tag == "a":
             self.anchor_depth += 1
         if tag in BLOCK_TAGS:
-            self._open_block(tag)
-            if tag not in ("ol", "ul") and tag not in HEADING_TAGS:
-                # any other block content between heading and list keeps
-                # the heading's anchor effect only for headings/lists
-                pass
+            if (self.table_depth > 0 and tag in ("table", "tr", "td", "th")
+                    and ref_kind is None and self.cur is not None
+                    and self.cur.ref_kind is None):
+                # merged table cell: separator instead of a new block
+                if self.cur.parts:
+                    self.cur.parts.append(" ")
+                    self.cur._text = None
+            else:
+                self._open_block(tag)
+        if tag == "table":
+            self.table_depth += 1
 
     def handle_endtag(self, tag):
         tag = tag.lower()
@@ -228,7 +241,16 @@ class _Extractor(HTMLParser):
             if frame[_F_TAG] == "a" and self.anchor_depth > 0:
                 self.anchor_depth -= 1
         del stack[depth:]
+        if tag == "table" and self.table_depth > 0:
+            self.table_depth -= 1
         if tag in BLOCK_TAGS:
+            if (self.table_depth > 0 and tag in ("table", "tr", "td", "th")
+                    and self.cur is not None and self.cur.ref_kind is None):
+                # still inside a merged table: separator, keep the block
+                if self.cur.parts:
+                    self.cur.parts.append(" ")
+                    self.cur._text = None
+                return
             if tag in HEADING_TAGS and self.cur is not None:
                 self.after_ref_heading = refseg.is_anchor_line(self.cur.text)
             elif tag not in ("ol", "ul", "li"):

@@ -422,3 +422,30 @@ def test_pinned_stdlib_divergences_frozen():
         assert fast["clean_text"] == want_fast, (payload, fast)
         assert std["clean_text"] == want_std, (payload, std)
         assert fast != std, "divergence silently fixed: " + payload
+
+
+def test_data_table_content_merged_and_kept():
+    """Non-citation tables merge rows/cells into one block so a data
+    table classifies on its aggregate content (per-cell micro-blocks
+    used to fail every word threshold and the whole table vanished);
+    link-farm layout tables still die by link density, and citation
+    cells (td[valign=top]) keep their per-cell ref blocks."""
+    rows = "".join(
+        "<tr><td>Method {i}</td><td>{v}</td><td>{p}%</td></tr>".format(
+            i=i, v=80 + i, p=90 - i) for i in range(8))
+    doc = ("<html><body><article><h2>Results</h2>"
+           "<p>The following table summarizes the accuracy of each method "
+           "across the evaluation corpus with additional context.</p>"
+           "<table><tr><th>Method</th><th>Score</th><th>Coverage</th></tr>"
+           + rows + "</table></article></body></html>")
+    out = html_strip.strip_html(doc)["clean_text"]
+    assert "Method 3 83 87%" in out
+    assert "Method 7 87 83%" in out
+
+    farm = ("<html><body><table><tr>"
+            "<td><a href='/a'>Home</a></td><td><a href='/b'>News</a></td>"
+            "<td><a href='/c'>Shop</a></td><td><a href='/d'>More</a></td>"
+            "</tr></table><p>" + "word " * 45 + "</p></body></html>")
+    out = html_strip.strip_html(farm)["clean_text"]
+    assert "Home" not in out and "Shop" not in out
+    assert out.startswith("word word")
