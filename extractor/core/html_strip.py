@@ -32,7 +32,7 @@ import re
 from html.parser import HTMLParser
 
 from extractor.core import refseg
-from extractor.core.textnorm import normalize_block
+from extractor.core.textnorm import normalize_block, normalize_pre
 
 BLOCK_TAGS = {
     "p", "div", "section", "article", "main", "li", "dd", "dt", "td", "th",
@@ -95,7 +95,7 @@ _F_TAG, _F_BOILER, _F_REF, _F_NOISE, _F_CIT = range(5)
 
 class _Block:
     __slots__ = ("tag", "boiler", "ref_kind", "parts", "anchor_chars",
-                 "chars", "cit_fields", "heading", "_text")
+                 "chars", "cit_fields", "heading", "pre", "_text")
 
     def __init__(self, tag, boiler, ref_kind):
         self.tag = tag
@@ -106,6 +106,9 @@ class _Block:
         self.chars = 0
         self.cit_fields: dict[str, list[str]] = {}
         self.heading = tag in HEADING_TAGS
+        # preformatted blocks keep their line structure (code/console
+        # payloads in agent transcripts lose meaning fully flattened)
+        self.pre = tag == "pre"
         self._text: str | None = None
 
     @property
@@ -113,7 +116,9 @@ class _Block:
         # cached: classify + emit + ref-lift each read it, and parts
         # never mutate after the block is flushed
         if self._text is None:
-            self._text = normalize_block("".join(self.parts))
+            joined = "".join(self.parts)
+            self._text = (normalize_pre(joined) if self.pre
+                          else normalize_block(joined))
         return self._text
 
 

@@ -66,3 +66,13 @@ def normalize_plain(s: str) -> str:
     out = "\n".join(lines).strip("\n")
     out = _NL_RUN.sub("\n\n", out)
     return out
+
+
+def normalize_pre(s: str) -> str:
+    """Normalize preformatted text (code/console blocks): NFC + entity
+    unescape only — indentation and intra-line spacing are meaning,
+    so whitespace is left alone except for newline canonicalization
+    and outer blank-line trim."""
+    s = nfc(unescape_entities(s))
+    s = s.replace("\r\n", "\n").replace("\r", "\n")
+    return s.strip("\n")

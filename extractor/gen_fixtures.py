@@ -281,6 +281,27 @@ def make_adversarial_docs() -> list[tuple[str, str]]:
            "</article>" + _ADV_FOOT + "</body></html>")
     docs.append(("cjk_mixed", cjk))
 
+    # data table: short numeric cells that individually fail every
+    # word threshold — must survive via table-block merging
+    rows = "".join(
+        "<tr><td>Method {i}</td><td>{v}</td><td>{p}%</td></tr>".format(
+            i=i, v=80 + i, p=90 - i) for i in range(8))
+    dt = ("<html><body>" + _ADV_NAV +
+          "<article><h2>Results</h2><p>" + p + "</p>"
+          "<table><tr><th>Method</th><th>Score</th><th>Coverage</th></tr>"
+          + rows + "</table></article>" + _ADV_FOOT + "</body></html>")
+    docs.append(("data_table", dt))
+
+    # preformatted code: line structure must survive (agent-transcript
+    # payloads carry code/console output)
+    code = ("<html><body>" + _ADV_NAV + "<article><p>" + p + "</p>"
+            "<pre><code>def retry(fn, n=3):\n    for i in range(n):\n"
+            "        try:\n            return fn()\n"
+            "        except TimeoutError:\n            continue\n"
+            "    raise RuntimeError('gave up')</code></pre>"
+            "<p>" + p + "</p></article>" + _ADV_FOOT + "</body></html>")
+    docs.append(("code_pre", code))
+
     # entity soup: every space/bracket entity-escaped, double-escaped
     # ampersands in content
     ent = ("<html><body>" + _ADV_NAV + "<article><p>" +

@@ -449,3 +449,16 @@ def test_data_table_content_merged_and_kept():
     out = html_strip.strip_html(farm)["clean_text"]
     assert "Home" not in out and "Shop" not in out
     assert out.startswith("word word")
+
+
+def test_pre_block_keeps_line_structure():
+    """<pre> content keeps its newlines through extraction (code and
+    console payloads in transcripts lose meaning fully flattened);
+    surrounding prose still single-line normalizes."""
+    doc = ("<body><article><p>Prose before the snippet with enough words "
+           "to be kept by the classifier context rules here.</p>"
+           "<pre>line one\n    indented two\nline three</pre>"
+           "<p>Prose after the snippet, also carrying plenty of words "
+           "for the classifier to keep it in place.</p></article></body>")
+    out = html_strip.strip_html(doc)["clean_text"]
+    assert "line one\n    indented two\nline three" in out
