@@ -411,6 +411,64 @@ def sessionization(spark, sf_dir):
             .agg((F.lit(1) + F.sum("is_new")).cast("long").alias("n_sessions")))
 
 
+@_q("p10_name_predicate_filter", sql="""
+SELECT doc_id, fname FROM (
+  SELECT doc_id, source || '/doc-' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 4 = 0 THEN '-crop.png' ELSE '.png' END) AS fname
+  FROM documents)
+WHERE contains(fname, 'crop')
+""")
+def p10_name_predicate_filter(spark, sf_dir):
+    """P10: name-substring predicate over generated artifact names
+    (the reference classifies crop files by a "crop" filename
+    substring, LOCDB-V3/fileProcessor.py:267-276). Name construction
+    + `contains` filter, all JVM-side; the filter folds into the
+    project above the scan."""
+    d = t(spark, sf_dir, "documents")
+    named = d.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit("/doc-"),
+                 F.col("doc_id").cast("string"),
+                 F.when(F.col("doc_id") % 4 == 0, "-crop.png")
+                 .otherwise(".png")).alias("fname"))
+    return named.where(F.col("fname").contains("crop"))
+
+
+@_q("f12_filename_surgery", sql="""
+SELECT doc_id,
+       regexp_extract(fname, '([0-9]{{8}})_', 1)       AS ts_part,
+       regexp_extract(fname, '/([^/]+)\\.[a-z]+$', 1)  AS base,
+       regexp_extract(fname, '\\.([a-z]+)$', 1)        AS ext,
+       CAST(regexp_extract(fname, '-p([0-9]+)\\.', 1) AS BIGINT) AS page
+FROM (SELECT doc_id,
+             '20260101_' || source || '/chunk-p'
+             || CAST(doc_id % 7 AS VARCHAR) || '.txt' AS fname
+      FROM documents)
+""".format())
+def f12_filename_surgery(spark, sf_dir):
+    """F12: filename string surgery — timestamp prefix split,
+    basename/extension slicing, page-chunk parse (the reference's
+    split('_',1) / [-3:] / split('-') filename handling,
+    LOCDB-V3/fileProcessor.py:86-92,246-263;
+    LOCDB-V3/imgProcessing.py:202) as one projection of
+    regexp_extracts over constructed names. Typed columns make this
+    unnecessary in the engine proper; exposed as an operator for
+    ingest paths that still carry encoded filenames."""
+    d = t(spark, sf_dir, "documents")
+    named = d.select(
+        "doc_id",
+        F.concat(F.lit("20260101_"), F.col("source"), F.lit("/chunk-p"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".txt")).alias("fname"))
+    return named.select(
+        "doc_id",
+        F.regexp_extract("fname", r"([0-9]{8})_", 1).alias("ts_part"),
+        F.regexp_extract("fname", r"/([^/]+)\.[a-z]+$", 1).alias("base"),
+        F.regexp_extract("fname", r"\.([a-z]+)$", 1).alias("ext"),
+        F.regexp_extract("fname", r"-p([0-9]+)\.", 1).cast("long")
+        .alias("page"))
+
+
 @_q("w6_windowed_event_counts", sql="""
 SELECT CAST((epoch_us(ts) // 600000000) * 600 AS BIGINT) AS win_start_s,
        event_type,
