@@ -204,7 +204,9 @@ def _resize_stub(payload: bytes, max_dim: int) -> tuple[int, int, bytes]:
     max-dim clamp arithmetic for real, and 'resizes' by truncating the
     payload proportionally — exercising exactly the byte-shrinking
     shape a real thumbnailer has."""
-    h = hashlib.sha1(payload).digest()
+    # sha256 (not sha1) so the fake dims are replayable in the DuckDB
+    # oracle, which ships sha256 but not sha1
+    h = hashlib.sha256(payload).digest()
     w0 = 256 + int.from_bytes(h[0:2], "big") % 4096
     h0 = 256 + int.from_bytes(h[2:4], "big") % 4096
     m = max(w0, h0)

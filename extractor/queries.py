@@ -1239,11 +1239,35 @@ def _min_label_propagation(edges: DataFrame) -> DataFrame:
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
 
 
-@_q("mm_resize_meta")  # rows-only: stubbed decode (no PIL offline)
+@_q("mm_resize_meta", sql="""
+WITH d AS (SELECT doc_id,
+        -- sha256(VARCHAR) hashes the UTF-8 bytes = the Spark payload
+        256 + ('0x' || substr(sha256(text), 1, 4))::BIGINT % 4096 AS w0,
+        256 + ('0x' || substr(sha256(text), 5, 4))::BIGINT % 4096 AS h0,
+        octet_length(encode(text)) AS n FROM documents),
+s AS (SELECT *, greatest(w0, h0) AS m FROM d)
+SELECT doc_id,
+  CAST(CASE WHEN m <= 1024 THEN w0
+       ELSE greatest(1, CAST(floor(w0 * (1024.0 / m)) AS BIGINT)) END AS INT)
+    AS width,
+  CAST(CASE WHEN m <= 1024 THEN h0
+       ELSE greatest(1, CAST(floor(h0 * (1024.0 / m)) AS BIGINT)) END AS INT)
+    AS height,
+  CAST(CASE WHEN m <= 1024 THEN n
+       ELSE greatest(1, CAST(floor((n * (1024.0 / m)) * (1024.0 / m))
+                             AS BIGINT)) END AS BIGINT) AS n_bytes
+FROM s
+""")
 def mm_resize_meta(spark, sf_dir):
     """Multimodal resize plumbing (P9 at media scale): binary payloads
     through the Arrow-batched max-dim clamp; emits (doc_id, width,
-    height, n_bytes) — the byte column itself stays inside the stage."""
+    height, n_bytes) — the byte column itself stays inside the stage.
+
+    The stub's fake source dims are a pure function of sha256(payload)
+    and the clamp arithmetic is plain double math, so the whole thing
+    replays EXACTLY in DuckDB — upgrading this from a rows-only check
+    to a full value-hash oracle (same IEEE ops in the same order on
+    both engines)."""
     from extractor.multimodal import resize_images
 
     d = t(spark, sf_dir, "documents").select(
@@ -1253,11 +1277,19 @@ def mm_resize_meta(spark, sf_dir):
                     F.length("payload").cast("long").alias("n_bytes")))
 
 
-@_q("mm_frame_sample")  # rows-only: stubbed decode (no ffmpeg offline)
+@_q("mm_frame_sample", sql="""
+SELECT doc_id, CAST(k AS INT) AS frame_idx,
+       CAST(CASE WHEN n >= 4 THEN n // 4 ELSE 1 END AS BIGINT) AS frame_bytes
+FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+CROSS JOIN generate_series(0, 3) g(k)
+WHERE n > 0 AND k < least(4, n)
+""")
 def mm_frame_sample(spark, sf_dir):
     """Video frame-sampling plumbing (S5 page-explode shape for
     media): 1 binary row -> N frame rows inside the Arrow batch;
-    downstream selects only scalars."""
+    downstream selects only scalars. Equal-stride slicing makes every
+    emitted frame exactly stride = max(1, n//4) bytes, so frame count
+    and sizes replay exactly in SQL — a full oracle, not rows-only."""
     from extractor.multimodal import sample_frames
 
     d = t(spark, sf_dir, "documents").select(
