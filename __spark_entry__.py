@@ -14,10 +14,11 @@
   fingerprinting).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
   query (identical column names/types; exact-integer outputs where
-  possible). ``ann_lsh_bucketed`` and ``extract_synthetic_mix`` are
-  rows-only by nature (probabilistic LSH recall / generator-driven
-  payloads); their correctness is covered by ``ann_cosine_topk``'s
-  exact oracle and the pytest golden-equality gate respectively.
+  possible): 38 of 41. The 3 rows-only: ``ann_lsh_bucketed``
+  (probabilistic LSH — in-suite recall vs ``ann_cosine_topk``'s exact
+  oracle), ``extract_synthetic_mix`` (generator-driven payloads —
+  pytest golden-equality gate), ``mm_extract_features`` (entropy/sha1
+  not replayable in DuckDB — pinned by a differential test instead).
 """
 
 from __future__ import annotations
