@@ -681,14 +681,22 @@ def simhash_hamming_pairs(spark, sf_dir):
               .select("doc_id", "sim", "bc.band", "bc.chunk")
               .persist())
     a, b = chunks.alias("a"), chunks.alias("b")
+    # canonical-band emission (same trick as the IoU join's canonical
+    # cell): a pair colliding in several bands is emitted ONLY from
+    # its lowest matching band — computable from sim_a ^ sim_b alone —
+    # so no post-join distinct shuffle over the (large) pair set
+    first_band = "CASE " + " ".join(
+        "WHEN ((a.sim ^ b.sim) >> {s}) & {m}L = 0 THEN {k}".format(
+            s=s, m=(1 << w) - 1, k=k)
+        for k, s, w in _SIMHASH_BAND_LAYOUT) + " ELSE -1 END"
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.chunk") == F.col("b.chunk"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.col("a.band") == F.expr(first_band)))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
                     F.expr("cast(bit_count(a.sim ^ b.sim) as bigint)").alias("ham"))
-            .where("ham <= 16")
-            .distinct())
+            .where("ham <= 16"))
 
 
 _N_MINHASH = 16
