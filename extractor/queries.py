@@ -732,21 +732,26 @@ def minhash_lsh_candidates(spark, sf_dir):
     for the two sides of the candidate join."""
     ex = _shingles(spark, sf_dir)
     sig = ex.groupBy("doc_id").agg(*[F.expr(a) for a in _MINHASH_SPARK_AGGS])
-    band_structs = F.array(*[
-        F.struct(F.lit(bnum).alias("band"),
-                 F.md5(F.concat_ws(",", *[F.col(c).cast("string")
-                                          for c in cols])).alias("bh"))
-        for bnum, cols in _BANDS])
-    bands = (sig.select("doc_id", F.explode(band_structs).alias("bb"))
-             .select("doc_id", "bb.band", "bb.bh")
+    band_hashes = F.array(*[
+        F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        for _bnum, cols in _BANDS])
+    bands = (sig.select("doc_id", band_hashes.alias("bhs"))
+             .select("doc_id", "bhs",
+                     F.posexplode("bhs").alias("band", "bh"))
              .persist())
     a, b = bands.alias("a"), bands.alias("b")
+    # canonical-band emission: each candidate pair is emitted only
+    # from its lowest colliding band (the per-doc 4-hash array rides
+    # the join rows), so no post-join distinct shuffle
+    first_band = "CASE " + " ".join(
+        "WHEN a.bhs[{k}] = b.bhs[{k}] THEN {k}".format(k=k)
+        for k in range(len(_BANDS))) + " ELSE -1 END"
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.col("a.band") == F.expr(first_band)))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+                    F.col("b.doc_id").alias("doc_b")))
 
 
 _COS_EXPR = (
