@@ -658,12 +658,12 @@ def simhash_hamming_pairs(spark, sf_dir):
     into 17 disjoint bands (9x4 bits + 8x3 bits). Pigeonhole: a pair
     with ham <= 16 differs in at most 16 bands, so it collides exactly
     in >= 1 band — candidates come from an EQUI-join on
-    (band, chunk), then the exact Hamming check runs post-join and
-    duplicates (pairs colliding in several bands) are dropped with one
-    distinct. Both signatures ride along the 17-rows/doc chunk frame
-    (8 bytes each), so no signature re-join is needed. The DuckDB
-    oracle keeps the exact all-pairs formulation as the small-SF
-    cross-check."""
+    (band, chunk), the exact Hamming check runs post-join, and each
+    pair is emitted ONLY from its lowest matching band (canonical-band
+    predicate on sim_a ^ sim_b — no post-join distinct shuffle). Both
+    signatures ride along the 17-rows/doc chunk frame (8 bytes each),
+    so no signature re-join is needed. The DuckDB oracle keeps the
+    exact all-pairs formulation as the small-SF cross-check."""
     d = t(spark, sf_dir, "documents")
     wh = (d.selectExpr("doc_id", "explode(array_distinct(split(text, ' '))) AS w")
           .where("w <> ''")
