@@ -303,11 +303,20 @@ def levenshtein_blocked_pairs(docs: DataFrame) -> DataFrame:
                  L2 AS tl)
                ELSE NULL END)))))) ELSE array() END
     """).format(t=tau, n=nseg, n1=nseg - 1)
+    # prune probe keys whose target length doesn't exist on the index
+    # side: the distinct index-length set is tiny (<= 31 values, one
+    # per possible prefix length) and broadcast — on near-uniform
+    # corpora (all prefixes 40 chars) this drops ~90% of probe rows
+    # before they are hashed or shuffled
+    index_lengths = (d.where(F.col("L") >= nseg)
+                     .select(F.col("L").alias("tl")).distinct())
     probe = (d.select("doc_id", "p",
                       F.explode(F.expr(probe_expr)).alias("e"))
              .where(F.col("e").isNotNull())
+             .select("doc_id", "p", "e.seg", "e.sub", "e.tl")
+             .join(F.broadcast(index_lengths), "tl", "left_semi")
              .select("doc_id", "p",
-                     F.xxhash64("e.seg", "e.sub", "e.tl").alias("k")))
+                     F.xxhash64("seg", "sub", "tl").alias("k")))
     ia, pb = index.alias("ia"), probe.alias("pb")
     cand_long = (ia.join(pb, (F.col("ia.k") == F.col("pb.k"))
                          & (F.col("ia.doc_id") != F.col("pb.doc_id")))
