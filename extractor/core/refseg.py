@@ -167,7 +167,9 @@ _PUBLOC_RE = re.compile(r"([A-Z][A-Za-z .]+?):\s*([A-Z][\w&. ]+?)(?:[,.;]|$)")
 _JOURNAL_RE = re.compile(r"\bIn\s+([A-Z][^,.;]{3,80})")
 _LEAD_PUNCT_RE = re.compile(r"^[)\].,:;\s]+")
 _TITLE_RE = re.compile(r"([^.]{4,200})\.")
-_VENUE_RE = re.compile(r"\s*([A-Z][^,.;0-9]{3,80})[,.]")
+# ':' excluded so a trailing "City: Publisher." chunk is never
+# mistaken for a venue (Chicago book citations)
+_VENUE_RE = re.compile(r"\s*([A-Z][^,.;:0-9]{3,80})[,.]")
 # fallback styles (additive — only consulted when the canonical
 # "Surname, I. (YYYY). Title. Venue..." cascade found nothing):
 _AUTHOR_INV_RE = re.compile(r"\b((?:[A-Z]\.\s*)+)([A-Z][\w'À-ɏ-]+)")  # "J. Doe"
@@ -178,6 +180,18 @@ _QUOTED_TITLE_RE = re.compile(r"[\"“]([^\"”]{4,200}?)[,.]?[\"”]")
 # captured as the journal name
 _AFTER_QUOTE_VENUE_RE = re.compile(r"\s*,?\s*(?:[iI][nN]\s+)?([A-Z][^,.;0-9]{3,80})")
 _BOOK_TITLE_RE = re.compile(r"\s*,\s*([^,]{4,200}?)\s*[,.]")
+# Chicago/MLA "Surname, Firstname." at the string start (no initials);
+# normalized to the canonical "Surname F." shape
+_AUTHOR_FULLNAME_RE = re.compile(
+    r"^([A-Z][\w'À-ɏ-]+),\s+([A-Z][a-zà-ɏ]+)\b")
+# Vancouver "Surname AB, Surname C." — dotless initials, authors lead
+# the string; first match must start at position 0
+_AUTHOR_NODOT_RE = re.compile(
+    r"([A-Z][\w'À-ɏ-]+)\s+([A-Z]{1,2})(?=[,.])")
+# Harvard single-quoted title: opening quote at start/after space or
+# comma (so possessives like O'Brien never open a span)
+_SQUOTED_TITLE_RE = re.compile(
+    r"(?:^|(?<=[\s,]))['‘]([^'’]{4,200}?)[,.]?['’]")
 
 EMPTY_FIELDS: dict = {
     "authors": None,
@@ -204,17 +218,35 @@ def parse_fields(raw: str) -> dict:
     if m_year:
         f["date"] = m_year.group(1)
 
-    authors = ["{} {}".format(a.strip(), b.strip()) for a, b in _AUTHOR_RE.findall(s[: m_year.start()] if m_year else s)]
+    head = s[: m_year.start()] if m_year else s
+    authors = ["{} {}".format(a.strip(), b.strip())
+               for a, b in _AUTHOR_RE.findall(head)]
     inv_end = None
+    nodot_end = None
     if not authors:
         # IEEE/book style "A. Author and B. Writer, ..." — initials
         # first; normalized to the same "Surname I." shape
-        head = s[: m_year.start()] if m_year else s
         inv = list(_AUTHOR_INV_RE.finditer(head))
-        if inv:
+        # the author list must OPEN the citation — otherwise "Chen B.
+        # Deep citation..." steals "B. Deep" from the title
+        if inv and inv[0].start() == 0:
             authors = ["{} {}".format(m.group(2), " ".join(m.group(1).split()))
                        for m in inv]
             inv_end = inv[-1].end()
+    if not authors:
+        # Vancouver "Miller A, Chen B." — dotless initials; only when
+        # the author list opens the citation
+        nd = list(_AUTHOR_NODOT_RE.finditer(head))
+        if nd and nd[0].start() == 0:
+            authors = ["{} {}.".format(m.group(1), m.group(2))
+                       for m in nd]
+            nodot_end = nd[-1].end()
+    if not authors:
+        # Chicago/MLA "Surname, Firstname." — full first name at the
+        # start; normalized to "Surname F."
+        m_fn = _AUTHOR_FULLNAME_RE.match(head)
+        if m_fn:
+            authors = ["{} {}.".format(m_fn.group(1), m_fn.group(2)[0])]
     if authors:
         f["authors"] = authors
 
@@ -222,21 +254,33 @@ def parse_fields(raw: str) -> dict:
     if m_year:
         rest = s[m_year.end():]
         rest = _LEAD_PUNCT_RE.sub("", rest)
-        m_t = _TITLE_RE.match(rest)
-        if m_t:
-            f["title"] = m_t.group(1).strip()
-            tail = rest[m_t.end():]
+        if rest[:1] in ("'", "‘"):
+            # Harvard: «Surname, I. YYYY, 'Title', Journal, vol...»
+            m_sq = _SQUOTED_TITLE_RE.match(rest)
+            if m_sq:
+                f["title"] = m_sq.group(1).strip()
+                tail = _LEAD_PUNCT_RE.sub("", rest[m_sq.end():])
+            else:
+                tail = rest
         else:
-            tail = rest
+            m_t = _TITLE_RE.match(rest)
+            # a "title" that opens with digits/parens is volume/pages
+            # debris from year-at-mid styles (MLA/Vancouver), not a
+            # title — reject and let the fallbacks run
+            if m_t and m_t.group(1)[:1] not in "0123456789(":
+                f["title"] = m_t.group(1).strip()
+                tail = rest[m_t.end():]
+            else:
+                tail = rest
     else:
         tail = s
 
     if f["title"] is None:
-        # IEEE quoted title: «A. Author, "Title," Journal, vol...»
+        # IEEE/MLA quoted title: «..., "Title," Journal, vol...»
         m_q = _QUOTED_TITLE_RE.search(s)
         if m_q:
             f["title"] = m_q.group(1).strip()
-            if not tail.strip():
+            if not tail.strip() or f["title"] not in tail:
                 m_jq = _AFTER_QUOTE_VENUE_RE.match(s[m_q.end():])
                 if m_jq:
                     f["journal"] = m_jq.group(1).strip()
@@ -245,6 +289,20 @@ def parse_fields(raw: str) -> dict:
             m_bt = _BOOK_TITLE_RE.match(s[inv_end:])
             if m_bt:
                 f["title"] = m_bt.group(1).strip()
+        elif nodot_end is not None:
+            # Vancouver: title is the sentence after the author list,
+            # the journal the next one ("Title of work. J Abbrev.
+            # YYYY;12(3):1-9.")
+            vrest = _LEAD_PUNCT_RE.sub("", s[nodot_end:])
+            m_vt = _TITLE_RE.match(vrest)
+            if m_vt and m_vt.group(1)[:1] not in "0123456789(":
+                f["title"] = m_vt.group(1).strip()
+                after = _LEAD_PUNCT_RE.sub("", vrest[m_vt.end():])
+                m_vj = _TITLE_RE.match(after)
+                # digits mean we ran into the year/volume chunk, not
+                # a journal abbreviation
+                if m_vj and not any(c.isdigit() for c in m_vj.group(1)):
+                    f["journal"] = m_vj.group(1).strip()
 
     # year-at-end styles leave an empty tail; widen the venue/number
     # scan to the whole string for them (canonical mid-year citations

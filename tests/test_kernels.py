@@ -462,3 +462,53 @@ def test_pre_block_keeps_line_structure():
            "for the classifier to keep it in place.</p></article></body>")
     out = html_strip.strip_html(doc)["clean_text"]
     assert "line one\n    indented two\nline three" in out
+
+
+def test_parse_fields_chicago_style():
+    f = refseg.parse_fields(
+        "Miller, Anna. 1999. Understanding Layout Analysis. "
+        "Berlin: Springer.")
+    assert f["authors"] == ["Miller A."]
+    assert f["title"] == "Understanding Layout Analysis"
+    assert (f["location"], f["publisher"], f["date"]) == \
+        ("Berlin", "Springer", "1999")
+    assert f["journal"] is None  # "Berlin: Springer" is not a venue
+
+
+def test_parse_fields_harvard_style():
+    f = refseg.parse_fields(
+        "Miller, A. 1999, 'Deep citation parsing', Journal of Data "
+        "Systems, vol. 12, no. 3, pp. 41-59.")
+    assert f["authors"] == ["Miller A."]
+    assert f["title"] == "Deep citation parsing"
+    assert f["journal"] == "Journal of Data Systems"
+    assert (f["volume"], f["issue"], f["pages"]) == ("12", "3", "41-59")
+
+
+def test_parse_fields_mla_style():
+    f = refseg.parse_fields(
+        'Miller, Anna. "Deep Citation Parsing." Journal of Data '
+        "Systems 12.3 (1999): 41-59.")
+    assert f["authors"] == ["Miller A."]
+    assert f["title"] == "Deep Citation Parsing"
+    assert f["journal"] == "Journal of Data Systems"
+    assert (f["date"], f["pages"]) == ("1999", "41-59")
+
+
+def test_parse_fields_vancouver_style():
+    f = refseg.parse_fields(
+        "Miller A, Chen B. Deep citation parsing at scale. "
+        "J Data Syst. 1999;12(3):41-59.")
+    assert f["authors"] == ["Miller A.", "Chen B."]
+    assert f["title"] == "Deep citation parsing at scale"
+    assert f["journal"] == "J Data Syst"
+    assert (f["volume"], f["issue"], f["pages"]) == ("12", "3", "41-59")
+
+
+def test_parse_fields_apostrophe_surname_not_a_quote():
+    """O'Brien's apostrophe must never open a quoted-title span."""
+    f = refseg.parse_fields(
+        "O'Brien, A. (1999). A study of things. Journal of Data, "
+        "12(3), pp. 45-67.")
+    assert f["authors"] == ["O'Brien A."]
+    assert f["title"] == "A study of things"
