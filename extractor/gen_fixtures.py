@@ -302,6 +302,22 @@ def make_adversarial_docs() -> list[tuple[str, str]]:
             "<p>" + p + "</p></article>" + _ADV_FOOT + "</body></html>")
     docs.append(("code_pre", code))
 
+    # mixed citation styles under a References heading: Chicago,
+    # Harvard, MLA, Vancouver — exercises the X4 style fallbacks
+    # through the full DOM -> refs path
+    styles = ("<html><body>" + _ADV_NAV + "<article><p>" + p + "</p>"
+              "<h3>References</h3><ol>"
+              "<li>Miller, Anna. 1999. Understanding Layout Analysis. "
+              "Berlin: Springer.</li>"
+              "<li>Miller, A. 1999, 'Deep citation parsing', Journal "
+              "of Data Systems, vol. 12, no. 3, pp. 41-59.</li>"
+              "<li>Miller, Anna. \"Deep Citation Parsing.\" Journal "
+              "of Data Systems 12.3 (1999): 41-59.</li>"
+              "<li>Miller A, Chen B. Deep citation parsing at scale. "
+              "J Data Syst. 1999;12(3):41-59.</li>"
+              "</ol></article>" + _ADV_FOOT + "</body></html>")
+    docs.append(("citation_styles", styles))
+
     # entity soup: every space/bracket entity-escaped, double-escaped
     # ampersands in content
     ent = ("<html><body>" + _ADV_NAV + "<article><p>" +

@@ -493,5 +493,8 @@ def test_adversarial_goldens_per_turn_equality(spark, tmp_path):
         for boiler in ("Sitemap", "Subscribe", "Copyright"):
             assert boiler not in text, (conv, "boilerplate leaked", boiler)
     assert "学術文書" in by_conv["adv-cjk_mixed"]
+    refs_by_conv = dict(zip(got["conv_id"], got["n_refs"]))
+    # all four citation styles detected through the DOM path
+    assert refs_by_conv["adv-citation_styles"] == 4
     assert "تحليل النصوص" in by_conv["adv-rtl_arabic"]
     assert by_conv["adv-minified_single_line"].startswith("Layout analysis")
