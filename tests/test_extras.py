@@ -440,3 +440,31 @@ def test_probe_audio_meta_wav_header():
     assert probe_audio_meta(b"RIFFxxxxAVI LIST") is None
     assert probe_audio_meta(b"\x89PNG\r\n\x1a\n") is None
     assert probe_audio_meta(b"") is None
+
+
+def test_canonical_emission_yields_each_pair_once(spark, tmp_path):
+    """Maximal-collision guard for the dedup-free canonical-band /
+    canonical-key emission: six IDENTICAL documents collide in every
+    band of every scheme, so any double-emission bug shows up as
+    duplicate pairs. Expect exactly C(6,2)=15 unique pairs from
+    simhash, minhash, and the PassJoin Levenshtein join."""
+    import os
+
+    from extractor.queries import (j4_near_dup_pairs_lev,
+                                   minhash_lsh_candidates,
+                                   simhash_hamming_pairs)
+
+    sf = str(tmp_path)
+    pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["identical shingled text content here " * 8] * 6,
+        "lang": ["en"] * 6,
+        "source": ["s"] * 6,
+        "n_chars": pd.array([296] * 6, dtype="int32"),
+    }).to_parquet(os.path.join(sf, "documents.parquet"))
+
+    for fn in (simhash_hamming_pairs, minhash_lsh_candidates,
+               j4_near_dup_pairs_lev):
+        rows = [(r["doc_a"], r["doc_b"]) for r in fn(spark, sf).collect()]
+        assert len(rows) == 15, (fn.__name__, len(rows))
+        assert len(set(rows)) == 15, (fn.__name__, "duplicate pairs")
