@@ -157,6 +157,15 @@ def page_lines(page: dict) -> list[dict]:
     coords = np.array(
         [(g.get("x0", 0), g.get("y0", 0), g.get("x1", 0), g.get("y1", 0))
          for g in glyphs], dtype=np.float64)
+    # evict glyphs with non-finite coords (P5's zero-coordinate
+    # eviction, extended): a NaN would otherwise flow into the int64
+    # bbox cast with an undefined value
+    finite = np.isfinite(coords).all(axis=1)
+    if not finite.all():
+        coords = coords[finite]
+        ts_str = ts_str[finite]
+        if len(coords) == 0:
+            return []
     x0, y0, x1, y1 = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
     w = float(page.get("w", max(1.0, float(x1.max()))))
     h = float(page.get("h", max(1.0, float(y1.max()))))

@@ -512,3 +512,22 @@ def test_parse_fields_apostrophe_surname_not_a_quote():
         "12(3), pp. 45-67.")
     assert f["authors"] == ["O'Brien A."]
     assert f["title"] == "A study of things"
+
+
+def test_nonfinite_glyph_coords_evicted():
+    """NaN/inf glyph coordinates are dropped at parse time (P5
+    zero-coordinate eviction, extended) instead of flowing into the
+    int64 bbox cast with undefined values."""
+    payload = json.dumps({"pages": [{"w": 2400, "h": 3400, "glyphs": [
+        {"t": "keep", "x0": 100, "y0": 100, "x1": 160, "y1": 120},
+        {"t": "me", "x0": 170, "y0": 100, "x1": 210, "y1": 120},
+        {"t": "nan", "x0": float("nan"), "y0": 100, "x1": 240, "y1": 120},
+        {"t": "inf", "x0": 100, "y0": float("inf"), "x1": 240, "y1": 120},
+    ]}]})
+    res = pdf_layout.extract_pdf(payload)
+    assert res["clean_text"] == "keep me"
+    all_nan = json.dumps({"pages": [{"w": 100, "h": 100, "glyphs": [
+        {"t": "x", "x0": float("nan"), "y0": float("nan"),
+         "x1": float("nan"), "y1": float("nan")}]}]})
+    res2 = pdf_layout.extract_pdf(all_nan)
+    assert res2["clean_text"] == ""
