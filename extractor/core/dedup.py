@@ -25,17 +25,19 @@ def strip_spaces(s: str) -> str:
 def _counter_diff_bound(ca: Counter, cb: Counter) -> int:
     """ceil(symmetric-multiset-difference / 2) from prebuilt Counters —
     a Levenshtein lower bound: an insert/delete changes the char
-    multiset by 1, a substitution by 2."""
-    diff = 0
+    multiset by 1, a substitution by 2.
+
+    Computed as total_a + total_b - 2*intersection with ONE loop over
+    the smaller counter (identity: sum of positive diffs both ways
+    == la + lb - 2*sum(min)); Counter.total() is C-speed."""
+    if len(cb) < len(ca):
+        ca, cb = cb, ca
+    get = cb.get
+    inter = 0
     for ch, n in ca.items():
-        d = n - cb.get(ch, 0)
-        if d > 0:
-            diff += d
-    for ch, n in cb.items():
-        d = n - ca.get(ch, 0)
-        if d > 0:
-            diff += d
-    return (diff + 1) // 2
+        m = get(ch, 0)
+        inter += m if m < n else n
+    return (ca.total() + cb.total() - 2 * inter + 1) // 2
 
 
 def _multiset_lower_bound(a: str, b: str) -> int:
