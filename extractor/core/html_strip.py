@@ -138,6 +138,11 @@ class _Extractor(HTMLParser):
         # citation cells (ref_kind set, e.g. td[valign=top]) keep
         # their per-cell blocks
         self.table_depth = 0
+        # same for non-citation <dl>: dt/dd alternate 1-word terms and
+        # short definitions — per-item blocks kept the terms and
+        # dropped every definition; merged, the list classifies as one
+        # unit (dl.references keeps per-item ref blocks via ref_kind)
+        self.dl_depth = 0
 
     # -- frame helpers ------------------------------------------------
     def _attrs(self, attrs):
@@ -213,10 +218,12 @@ class _Extractor(HTMLParser):
         if tag == "a":
             self.anchor_depth += 1
         if tag in BLOCK_TAGS:
-            if (self.table_depth > 0 and tag in ("table", "tr", "td", "th")
-                    and ref_kind is None and self.cur is not None
+            merged = ((self.table_depth > 0
+                       and tag in ("table", "tr", "td", "th"))
+                      or (self.dl_depth > 0 and tag in ("dl", "dt", "dd")))
+            if (merged and ref_kind is None and self.cur is not None
                     and self.cur.ref_kind is None):
-                # merged table cell: separator instead of a new block
+                # merged table cell / dl item: separator, same block
                 if self.cur.parts:
                     self.cur.parts.append(" ")
                     self.cur._text = None
@@ -224,6 +231,8 @@ class _Extractor(HTMLParser):
                 self._open_block(tag)
         if tag == "table":
             self.table_depth += 1
+        elif tag == "dl":
+            self.dl_depth += 1
 
     def handle_endtag(self, tag):
         tag = tag.lower()
@@ -248,10 +257,15 @@ class _Extractor(HTMLParser):
         del stack[depth:]
         if tag == "table" and self.table_depth > 0:
             self.table_depth -= 1
+        elif tag == "dl" and self.dl_depth > 0:
+            self.dl_depth -= 1
         if tag in BLOCK_TAGS:
-            if (self.table_depth > 0 and tag in ("table", "tr", "td", "th")
-                    and self.cur is not None and self.cur.ref_kind is None):
-                # still inside a merged table: separator, keep the block
+            merged = ((self.table_depth > 0
+                       and tag in ("table", "tr", "td", "th"))
+                      or (self.dl_depth > 0 and tag in ("dl", "dt", "dd")))
+            if (merged and self.cur is not None
+                    and self.cur.ref_kind is None):
+                # still inside a merged table/dl: separator, keep block
                 if self.cur.parts:
                     self.cur.parts.append(" ")
                     self.cur._text = None

@@ -531,3 +531,16 @@ def test_nonfinite_glyph_coords_evicted():
          "x1": float("nan"), "y1": float("nan")}]}]})
     res2 = pdf_layout.extract_pdf(all_nan)
     assert res2["clean_text"] == ""
+
+
+def test_definition_list_merged_and_kept():
+    """Non-citation <dl> merges dt/dd into one block: per-item blocks
+    kept the 1-word terms and dropped every definition. dl.references
+    still yields per-item ref blocks."""
+    doc = ("<body><article><p>" + "word " * 20 + "</p><dl>"
+           "<dt>AQE</dt><dd>Adaptive query execution re-plans at "
+           "runtime.</dd><dt>LSH</dt><dd>Locality sensitive hashing "
+           "buckets near items.</dd></dl></article></body>")
+    out = html_strip.strip_html(doc)["clean_text"]
+    assert "AQE Adaptive query execution re-plans at runtime." in out
+    assert "LSH Locality sensitive hashing buckets near items." in out
