@@ -65,7 +65,15 @@ def _write_manifest(checkpoint_dir: str, manifest: dict) -> None:
     fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".tmp")
     with os.fdopen(fd, "w", encoding="utf-8") as f:
         json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())  # durable before rename: power loss must not
+        # leave a truncated manifest that replays committed buckets
     os.replace(tmp, _manifest_path(checkpoint_dir))  # atomic on POSIX
+    dir_fd = os.open(checkpoint_dir, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)  # persist the rename itself
+    finally:
+        os.close(dir_fd)
 
 
 def read_header(checkpoint_dir: str) -> dict | None:
@@ -177,13 +185,22 @@ def acquire_writer_lock(checkpoint_dir: str, run_id: str) -> None:
                 raise ConcurrentRunError(
                     "output is being written by live run {} (pid {})".format(
                         holder.get("run_id", "?"), pid))
-            # stale (dead pid) or our own: unlink and retry so the
-            # O_CREAT|O_EXCL create arbitrates exactly one winner when
-            # two drivers both observe the same stale lock
+            # stale (dead pid) or our own: the *steal itself* must be
+            # atomic. A bare unlink is racy — contender A could
+            # unlink+recreate, then contender B's unlink would remove
+            # A's fresh valid lock and both would proceed. os.rename of
+            # the stale file arbitrates exactly one stealer: the loser
+            # gets FileNotFoundError, loops, and then sees the winner's
+            # live lock via the O_EXCL create path.
+            stale = path + ".stale." + str(os.getpid())
             try:
-                os.unlink(path)
+                os.rename(path, stale)
             except FileNotFoundError:
-                pass  # another contender unlinked first; race via create
+                continue  # lost the steal race; re-check via create
+            try:
+                os.unlink(stale)
+            except FileNotFoundError:
+                pass
             continue
 
 

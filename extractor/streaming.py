@@ -140,7 +140,16 @@ def _sessionize_group(key, pdf_iter, state):
 
     (user_id,) = key
     last_us, n = state.get if state.exists else (None, 0)
-    pdf = pd.concat(list(pdf_iter), ignore_index=True)
+    batches = list(pdf_iter)
+    if not batches:
+        # Timeout-triggered invocation (no data for this key this
+        # batch): re-emit the current state unchanged. Unreachable
+        # under NoTimeout, but pd.concat([]) raises — guard so any
+        # future timeout config doesn't crash the stream.
+        yield pd.DataFrame({"user_id": [user_id], "n_sessions": [n],
+                            "last_us": [last_us]})
+        return
+    pdf = pd.concat(batches, ignore_index=True)
     pdf = pdf.sort_values(["us", "event_id"])
     us = pdf["us"].to_numpy(dtype=np.int64)
     if len(us):

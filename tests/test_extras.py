@@ -452,7 +452,8 @@ def test_canonical_emission_yields_each_pair_once(spark, tmp_path):
 
     from extractor.queries import (j4_near_dup_pairs_lev,
                                    minhash_lsh_candidates,
-                                   simhash_hamming_pairs)
+                                   simhash_hamming_pairs,
+                                   simhash_near_dup_scaled)
 
     sf = str(tmp_path)
     pd.DataFrame({
@@ -463,8 +464,8 @@ def test_canonical_emission_yields_each_pair_once(spark, tmp_path):
         "n_chars": pd.array([296] * 6, dtype="int32"),
     }).to_parquet(os.path.join(sf, "documents.parquet"))
 
-    for fn in (simhash_hamming_pairs, minhash_lsh_candidates,
-               j4_near_dup_pairs_lev):
+    for fn in (simhash_hamming_pairs, simhash_near_dup_scaled,
+               minhash_lsh_candidates, j4_near_dup_pairs_lev):
         rows = [(r["doc_a"], r["doc_b"]) for r in fn(spark, sf).collect()]
         assert len(rows) == 15, (fn.__name__, len(rows))
         assert len(set(rows)) == 15, (fn.__name__, "duplicate pairs")

@@ -69,12 +69,46 @@ def test_similarity_joins_have_no_allpairs_plan(spark):
     """The three similarity queries that were all-pairs in round 1
     must stay blocked equi-joins: no cartesian product and no
     broadcast-nested-loop join anywhere in the physical plan."""
-    for name in ("simhash_hamming_pairs", "j4_near_dup_pairs_lev",
-                 "ann_lsh_bucketed", "minhash_lsh_candidates",
-                 "j1_iou_box_join"):
+    for name in ("simhash_hamming_pairs", "simhash_near_dup_scaled",
+                 "j4_near_dup_pairs_lev", "ann_lsh_bucketed",
+                 "minhash_lsh_candidates", "j1_iou_box_join"):
         plan = _executed_plan(spark, name)
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             assert bad not in plan, (name, bad, plan)
+
+
+def test_simhash_scaled_candidates_linear(spark):
+    """The round-2 verdict's top finding: narrow bands degenerate to
+    ~n^2 candidates. The scale path's 30-bit 3-block keys must keep
+    candidate volume ~linear in corpus size. Synthetic corpus: every
+    3rd doc is an exact duplicate of its predecessor (n/3 planted dup
+    pairs x 20 table collisions each), all other docs share no words,
+    so their signatures are ~uniform and random 30-bit key collisions
+    are ~20*C(n,2)/2^30 ~ 0 at these n. Doubling n must ~double raw
+    candidate count (quadratic would quadruple)."""
+    import hashlib
+
+    from extractor.queries import _simhash_scaled_join, simhash_signatures
+
+    def corpus(n):
+        rows = []
+        for i in range(n):
+            if i % 3 == 2:
+                text = rows[-1][1]  # exact dup of predecessor
+            else:
+                text = " ".join(
+                    hashlib.md5("{}:{}".format(i, j).encode()).hexdigest()[:8]
+                    for j in range(40))
+            rows.append(("d{:05d}".format(i), text))
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    c1 = _simhash_scaled_join(simhash_signatures(corpus(600)),
+                              candidates_only=True).count()
+    c2 = _simhash_scaled_join(simhash_signatures(corpus(1200)),
+                              candidates_only=True).count()
+    print("simhash scaled candidates: n=600 ->", c1, "; n=1200 ->", c2)
+    assert c1 > 0
+    assert c2 <= 2.6 * c1, (c1, c2)
 
 
 def test_ann_lsh_recall_vs_exact(spark):
@@ -93,7 +127,7 @@ def test_ann_lsh_recall_vs_exact(spark):
            for r in QUERIES["ann_lsh_bucketed"](spark, sf).collect()}
     recall = len(exact & got) / len(exact)
     print("ann_lsh recall vs exact top-5:", recall)
-    assert recall >= 0.4, recall
+    assert recall >= 0.65, recall
 
 
 def test_ann_lsh_no_driver_side_collect_in_build(spark):
