@@ -211,13 +211,16 @@ SALT_FN = "pmod(xxhash64(conv_id,turn_idx),n_buckets)"
 
 def _bucket_input_counts(transcripts: DataFrame, n_buckets: int,
                          wave: list[int]) -> dict[int, int]:
-    """Input-side row count per salt bucket for one wave — the
-    ``turns_in`` the checkpoint schema promises (rows read per bucket
-    BEFORE the null-payload drop, so in/out diverge on dirty input).
+    """Input-side row count per salt bucket — the ``turns_in`` the
+    checkpoint schema promises (rows read per bucket BEFORE the
+    null-payload drop, so in/out diverge on dirty input).
 
     Scale note: a separate columnar aggregate over only the two key
     columns (conv_id, turn_idx) — parquet scan reads nothing else, so
-    at 100 TB this costs a metadata-light pass, not a payload re-read."""
+    at 100 TB this costs a metadata-light pass, not a payload re-read.
+    Called ONCE per run for all todo buckets (the bucket isin filter
+    cannot prune the scan, so a per-wave call would re-scan the keys
+    once per wave for no new information)."""
     rows = (
         transcripts
         .select("conv_id", "turn_idx")
@@ -260,6 +263,9 @@ def _run_extract_locked(spark, input_path, output_path, run_id, ckpt_dir,
         waves = waves[:max_waves]
 
     data_dir = os.path.join(output_path, "data")
+    # one key-column pre-pass counts turns_in for every todo bucket;
+    # each wave slices its own entries out of the dict
+    in_counts_all = _bucket_input_counts(transcripts, n_buckets, todo)
     for wave in waves:
         # bucket restriction applied below the Arrow stage: each wave
         # extracts only its own buckets (see plan_extract docstring)
@@ -278,13 +284,12 @@ def _run_extract_locked(spark, input_path, output_path, run_id, ckpt_dir,
             .collect()
         )
         by_bucket = {r["bucket"]: r for r in counters}
-        in_counts = _bucket_input_counts(transcripts, n_buckets, wave)
         recs = []
         for b in wave:
             r = by_bucket.get(b)
             recs.append({
                 "partition_id": int(b),
-                "turns_in": in_counts.get(int(b), 0),
+                "turns_in": in_counts_all.get(int(b), 0),
                 "turns_out": int(r["turns_out"]) if r else 0,
                 "refs_out": int(r["refs_out"]) if r else 0,
             })
@@ -336,10 +341,29 @@ def segment_lookup(spark: SparkSession, output_path: str,
     LOCDB-V3/imgProcessing.py:987-1083 / SURVEY.md §3.3): a
     predicate-pushdown point query on the extracted table, then an
     array-level filter keeping refs whose bbox overlaps the user box
-    (IoU > 0, i.e. any overlap). JVM-side throughout."""
+    (IoU > 0, i.e. any overlap). JVM-side throughout.
+
+    Partition pruning: the salt bucket is COMPUTABLE from the key —
+    the manifest header pins the exact salt fn (``SALT_FN``) — so when
+    the header is present the read carries a ``bucket = k`` predicate
+    on the partition column. xxhash64 over literals is constant-folded
+    by Catalyst, so the scan touches exactly one ``bucket=`` directory
+    (PartitionFilters in the formatted plan; at 10^12 turns the
+    un-pruned form touches every partition's footer for one row —
+    reference analog is an O(1) per-file lookup,
+    LOCDB-V3/imgProcessing.py:987-1083)."""
     x1, y1, x2, y2 = box
+    df = spark.read.parquet(os.path.join(output_path, "data"))
+    header = checkpoint.read_header(os.path.join(output_path, "_checkpoint"))
+    if header and header.get("salt") == SALT_FN:
+        # same expression, same literal types (string, int32) as
+        # plan_extract's salting — xxhash64 is type-sensitive
+        df = df.where(F.col("bucket") == F.pmod(
+            F.xxhash64(F.lit(conv_id),
+                       F.lit(int(turn_idx)).cast("int")),
+            F.lit(int(header["n_buckets"]))).cast("int"))
     return (
-        spark.read.parquet(os.path.join(output_path, "data"))
+        df
         .where((F.col("conv_id") == conv_id) & (F.col("turn_idx") == turn_idx))
         .select(
             "conv_id", "turn_idx",

@@ -27,6 +27,13 @@ def test_segment_lookup_overlap(spark, tmp_path):
     miss = job.segment_lookup(spark, out, row["conv_id"], row["turn_idx"],
                               [10**6, 10**6, 10**6 + 1, 10**6 + 1])
     assert miss.first()["refs"] == []
+    # the bucket is computable from the key (salt fn pinned in the
+    # manifest header), so the scan must prune to exactly one
+    # bucket= partition directory instead of touching every footer
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1) and "=" in m.group(1), plan
 
 
 def test_streaming_matches_batch(spark, tmp_path):
