@@ -240,9 +240,11 @@ def j4_near_dup_pairs_lev(spark, sf_dir):
     it sound, and the DuckDB all-pairs oracle cross-checks both at
     small SF (plus a randomized brute-force differential over
     adversarial lengths/alphabets in tests/test_extras.py). Hot
-    4-gram keys at scale are AQE skew-join territory (the verify
+    segment keys at scale are AQE skew-join territory (the verify
     predicate is cheap, so oversized groups cost shuffle balance,
-    not CPU blowup)."""
+    not CPU blowup) — no longer just a claim: the hot-shared-prefix
+    drill in tests/test_skew_drill.py asserts exact output AND that
+    AQE's skew split engages (skew=true in the adaptive plan)."""
     docs = (t(spark, sf_dir, "documents")
             .where(F.col("text").isNotNull())
             .select("doc_id", F.substring("text", 1, 40).alias("p")))
@@ -802,7 +804,9 @@ def simhash_near_dup_scaled(spark, sf_dir):
     citation). Output at sf0.01 is 2,932 pairs of 124,750 possible
     (2.4%) vs 68% for the ham<=16 compat query; candidate volume
     grows ~linearly in corpus size. DuckDB oracle is the exact
-    all-pairs formulation, value-hash-compared by the driver."""
+    all-pairs formulation, value-hash-compared by the driver. A hot
+    cell (many signatures sharing one 30-bit key) is drilled in
+    tests/test_skew_drill.py: exact output + AQE skew-split gate."""
     sig = simhash_signatures(t(spark, sf_dir, "documents"))
     return _simhash_scaled_join(sig)
 
