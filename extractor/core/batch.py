@@ -15,6 +15,9 @@ separate jobs.
 
 from __future__ import annotations
 
+import json
+import re
+
 import numpy as np
 import pandas as pd
 
@@ -51,6 +54,48 @@ def _plain_refs(clean_text: str, detector_default: str = "anchor") -> list[dict]
     return refs
 
 
+_TAG_RE = re.compile(r"<[^>]{0,400}>")
+
+
+def _flatten_tool_json(text: str) -> str | None:
+    """Tool-output JSON blob -> newline-joined string leaf values.
+
+    Agent transcripts carry tool results as JSON (search hits, API
+    responses); the trainable text lives in the string leaves, the
+    keys/numbers are schema noise. Deterministic document-order
+    traversal (dict insertion order == document order under
+    json.loads); embedded HTML markup in values is tag-stripped;
+    bare URL / data-URI values are dropped. Returns None when the
+    payload is not a JSON object/array — the caller falls back to the
+    plain-text path, so almost-JSON stays raw rather than half-parsed."""
+    head = text.lstrip()[:1]
+    if head not in ("{", "["):
+        return None
+    try:
+        doc = json.loads(text)
+    except (ValueError, RecursionError):
+        return None
+    if not isinstance(doc, (dict, list)):
+        return None
+    out: list[str] = []
+    stack: list = [doc]
+    while stack:  # iterative: payload nesting depth must not crash us
+        node = stack.pop()
+        if isinstance(node, dict):
+            stack.extend(reversed(list(node.values())))
+        elif isinstance(node, list):
+            stack.extend(reversed(node))
+        elif isinstance(node, str):
+            v = node
+            if v.startswith(("http://", "https://", "data:")):
+                continue
+            if "<" in v:
+                v = _TAG_RE.sub("", v)
+            if v.strip():
+                out.append(v)
+    return "\n".join(out)
+
+
 # oversize-payload clamp (P9 analog: the reference resizes inputs over
 # 3500px before analysis, LOCDB-V3/imgProcessing.py:24-28) — a single
 # pathological multi-MB turn must not pin an executor core
@@ -73,7 +118,14 @@ def extract_one(text: str, tool: str) -> tuple[str, list[dict]]:
         res = pdf_layout.extract_pdf(text)
         if res is not None:
             return res["clean_text"], dedup.dedup_refs(res["refs"])
-        # unparseable glyph payload -> plain fallback
+        # unparseable glyph payload -> plain fallback (raw, never the
+        # JSON flattener: a malformed glyph table half-flattened to its
+        # string leaves would silently look like clean output)
+    elif text.lstrip()[:1] in ("{", "["):
+        flat = _flatten_tool_json(text)
+        if flat is not None:
+            clean = normalize_plain(flat)
+            return clean, dedup.dedup_refs(_plain_refs(clean))
     clean = normalize_plain(text)
     return clean, dedup.dedup_refs(_plain_refs(clean))
 

@@ -595,6 +595,17 @@ def strip_html(raw_html: str) -> dict:
     has raw/span_start/span_end/detector='dom'/fields (geometry fields
     are the non-pdf defaults). Spans index into clean_text.
     """
+    # streamed-truncation repair (t3 golden shape): a payload cut off
+    # mid-tag ends with an unterminated "<tag attr=..." that both
+    # tokenizers surface as literal text. If the tail after the last
+    # '>' starts a tag that never closes, drop it BEFORE parsing (a
+    # pre-pass, so fast/stdlib tokenizer parity is untouched). A bare
+    # "a < b" in prose is not a tag start and is left alone.
+    cut = raw_html.rfind("<")
+    if cut > raw_html.rfind(">"):
+        tail = raw_html[cut + 1:cut + 2]
+        if tail.isalpha() or tail in ("/", "!", "?"):
+            raw_html = raw_html[:cut]
     p = _Extractor()
     try:
         if _use_stdlib_parser:

@@ -16,6 +16,30 @@ import unicodedata
 _WS_RUN = re.compile(r"[ \t\f\v]+")
 _NL_RUN = re.compile(r"\n{3,}")
 
+# Base64 payloads embedded in transcript text (data-URI images pasted
+# into markdown, MIME-style attachment walls in tool logs) are noise
+# for any text consumer — they wreck token counts, quality scores, and
+# dedup shingles. Three shapes, all impossible in natural prose:
+#   - data: URIs with a base64 payload (any length >= 16)
+#   - full LINES of >= 60 base64 chars (MIME wraps at 76 columns)
+#   - in-line unbroken runs of >= 120 base64 chars
+_B64_DATA_URI = re.compile(r"data:[\w.+-]+/[\w.+-]+;base64,[A-Za-z0-9+/=]{16,}")
+_B64_LINES = re.compile(r"(?:^[A-Za-z0-9+/]{60,}={0,2}$\n?)+", re.MULTILINE)
+_B64_INLINE = re.compile(r"[A-Za-z0-9+/]{120,}={0,2}")
+_B64_PRECHECK = re.compile(r"[A-Za-z0-9+/]{60}")
+
+
+def strip_base64_blobs(s: str) -> str:
+    """Remove embedded base64 payloads (see pattern comments above).
+    Identity unless a plausible blob marker is present."""
+    if "base64," in s:
+        s = _B64_DATA_URI.sub("", s)
+    # cheap pre-check: the line/inline rules need a 60+ char run
+    if _B64_PRECHECK.search(s):
+        s = _B64_LINES.sub("", s)
+        s = _B64_INLINE.sub("", s)
+    return s
+
 
 def unescape_entities(s: str) -> str:
     """HTML entity unescape, applied twice (double-escaped corpora are
@@ -59,7 +83,9 @@ def normalize_block(s: str) -> str:
 
 def normalize_plain(s: str) -> str:
     """Normalize multi-line plain text, preserving line structure:
-    NFC + unescape, per-line inline-ws collapse, >=3 blank lines -> 1."""
+    base64-blob strip, NFC + unescape, per-line inline-ws collapse,
+    >=3 blank lines -> 1."""
+    s = strip_base64_blobs(s)
     s = nfc(unescape_entities(s))
     s = s.replace("\r\n", "\n").replace("\r", "\n")
     lines = [collapse_inline_ws(ln) for ln in s.split("\n")]

@@ -331,8 +331,116 @@ def make_adversarial_docs() -> list[tuple[str, str]]:
 
 
 # --------------------------------------------------------------------------
-# pdf_glyphs payloads
+# t3: transcript-NATIVE payloads (the BASELINE input_hint shapes that the
+# t1/t2 corpora only approximate): tool-output JSON blobs, streamed /
+# truncated HTML fragments, base64-embedded binaries inside text, and
+# interleaved role turns. Frozen as the t3 golden set by
+# tests/freeze_goldens.py; gated byte-for-byte plus semantic asserts in
+# tests/test_job_spark.py.
 # --------------------------------------------------------------------------
+
+def _b64_blob(seed: str, n_bytes: int) -> str:
+    """Deterministic base64 payload (no random module)."""
+    import base64
+    import hashlib
+
+    raw = b"".join(hashlib.md5((seed + str(i)).encode()).digest()
+                   for i in range((n_bytes + 15) // 16))
+    return base64.b64encode(raw[:n_bytes]).decode()
+
+
+def make_transcript_native_cases() -> list[tuple[str, int, str, str, str]]:
+    """Deterministic (conv_id, turn_idx, role, text, tool) rows."""
+    rows: list[tuple[str, int, str, str, str]] = []
+
+    # -- an interleaved agent conversation around a search tool call --
+    search_json = json.dumps({
+        "query": "columnar shuffle formats",
+        "total": 3, "latency_ms": 41,
+        "results": [
+            {"title": "Columnar <b>shuffle</b> formats in depth",
+             "url": "https://example.org/shuffle-formats",
+             "snippet": "Arrow record batches cross the wire with "
+                        "zero-copy framing &amp; dictionary reuse.",
+             "score": 0.92},
+            {"title": "Partition pruning explained",
+             "url": "https://example.org/pruning",
+             "snippet": "A scan that reads <i>every</i> footer for one "
+                        "row is wrong — push the predicate down.",
+             "score": 0.87},
+            {"title": "シャッフルの設計",
+             "url": "https://example.jp/shuffle",
+             "snippet": "分散処理ではシャ"
+                        "ッフルが性能を決"
+                        "める。",
+             "score": 0.71}]})
+    rows += [
+        ("t3-agent-search", 0, "user",
+         "Which shuffle format should we pick for the 100 TB job? "
+         "Please check what the tradeoffs are.", ""),
+        ("t3-agent-search", 1, "assistant",
+         "Let me search for current columnar shuffle designs first.", ""),
+        ("t3-agent-search", 2, "tool", search_json, "search"),
+        ("t3-agent-search", 3, "assistant",
+         "Summary: Arrow framing wins for wide rows.\n\n"
+         "```python\nconf.set(\"spark.sql.shuffle.partitions\", 4096)\n```\n"
+         "Pruning matters more than the codec.", ""),
+    ]
+
+    # -- JSON edge shapes --
+    deep: dict | str = "bottom-level finding: retries were exhausted"
+    for i in range(48):
+        deep = {"level%d" % i: deep, "note%d" % i: "depth marker %d" % i} \
+            if i % 16 == 0 else {"level%d" % i: deep}
+    rows += [
+        ("t3-json-edge", 0, "tool", json.dumps(deep), "api"),
+        # numbers/bools only -> no trainable text at all
+        ("t3-json-edge", 1, "tool",
+         json.dumps({"ok": True, "counts": [1, 2, 3],
+                     "p99": 12.5, "retries": 0}), "api"),
+        # ALMOST-json (trailing comma): must stay raw via the plain
+        # path, never half-parsed
+        ("t3-json-edge", 2, "tool",
+         '{"broken": "payload", "oops": [1, 2,}', "api"),
+        # double-escaped entities + unicode escapes in values
+        ("t3-json-edge", 3, "tool",
+         '{"msg": "R&amp;amp;D results \\u2192 ready", '
+         '"attachment": "data:image/png;base64,%s"}' % _b64_blob("j", 48),
+         "api"),
+    ]
+
+    # -- streamed / truncated HTML fragments (browser tool died mid-page) --
+    rows += [
+        ("t3-html-frag", 0, "tool",
+         "<html><body><article><p>The committee reviewed the migration "
+         "plan and approved the phased rollout for the storage layer. "
+         "Costs stay flat through the second quarter.</p>"
+         '<div class="sidebar-partial" style="wid', "browser"),
+        ("t3-html-frag", 1, "tool",
+         "<div><div><p>Replication lag stayed under two seconds during "
+         "the failover drill, which satisfies the recovery objective "
+         "set by the operations review board.</p><ul><li>[1] Gray, J. "
+         "(1993). Transaction Processing. Morgan Kaufmann.</li><li>[2] "
+         "DeWitt, D.", "browser"),
+    ]
+
+    # -- base64-embedded binaries inside otherwise-normal text --
+    wall = "\n".join(_b64_blob("wall%d" % i, 57) for i in range(15))
+    rows += [
+        ("t3-b64", 0, "user",
+         "Here is the latency chart from the soak run:\n\n"
+         "![chart](data:image/png;base64,%s)\n\n"
+         "The knee appears at thirty-two executors as predicted."
+         % _b64_blob("chart", 900), ""),
+        ("t3-b64", 1, "tool",
+         "Attachment dump follows.\nContent-Transfer-Encoding: base64\n\n"
+         + wall + "\n\nEnd of attachment.", "log"),
+        ("t3-b64", 2, "user",
+         "The token from the failing request was "
+         + _b64_blob("tok", 120) +
+         " and retrying with a fresh one fixed the auth loop.", ""),
+    ]
+    return rows
 
 def _wrap_words(words: list[str], chars_per_line: int) -> list[str]:
     lines, cur, n = [], [], 0

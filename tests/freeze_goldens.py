@@ -54,6 +54,23 @@ def adversarial_transcripts():
     })
 
 
+def native_transcripts():
+    """make_transcript_native_cases as a transcripts-shaped frame."""
+    import pandas as pd
+
+    from extractor.gen_fixtures import make_transcript_native_cases
+
+    rows = make_transcript_native_cases()
+    return pd.DataFrame({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+        "role": [r[2] for r in rows],
+        "text": [r[3] for r in rows],
+        "tool": [r[4] for r in rows],
+        "ts": pd.to_datetime(["2026-01-01"] * len(rows)),
+    })
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     _freeze(gen_transcripts(N_TURNS, seed=SEED), "t1")
@@ -61,6 +78,10 @@ def main() -> None:
     # RTL, minified single-line, deep nesting, spaceless CJK, entity
     # soup) — VERDICT round-1 item 10
     _freeze(adversarial_transcripts(), "t2")
+    # t3: transcript-NATIVE payloads (tool-output JSON, streamed HTML
+    # fragments, base64-embedded binaries, interleaved roles) —
+    # VERDICT round-2 item 8
+    _freeze(native_transcripts(), "t3")
 
 
 if __name__ == "__main__":

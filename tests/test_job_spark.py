@@ -498,3 +498,51 @@ def test_adversarial_goldens_per_turn_equality(spark, tmp_path):
     assert refs_by_conv["adv-citation_styles"] == 4
     assert "تحليل النصوص" in by_conv["adv-rtl_arabic"]
     assert by_conv["adv-minified_single_line"].startswith("Layout analysis")
+
+
+def test_transcript_native_goldens_per_turn_equality(spark, tmp_path):
+    """t3 golden gate — the shapes agent transcripts actually contain
+    (BASELINE input_hint): tool-output JSON blobs, streamed/truncated
+    HTML fragments, base64-embedded binaries in text, interleaved role
+    turns. Byte-equal to the frozen pandas oracle, plus the semantic
+    contract per shape."""
+    import re
+
+    inp = os.path.join(os.path.dirname(__file__), "goldens",
+                       "t3_input.parquet")
+    exp = (pd.read_parquet(os.path.join(os.path.dirname(__file__),
+                                        "goldens", "t3_expected.parquet"))
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    out = str(tmp_path / "out")
+    job.run_extract(spark, inp, out, n_buckets=4)
+    got = job.read_extracted(spark, out).toPandas()
+    assert (got["conv_id"].values == exp["conv_id"].values).all()
+    assert (got["clean_text"].values == exp["clean_text"].values).all()
+    by_key = {(c, t): x for c, t, x in
+              zip(got["conv_id"], got["turn_idx"], got["clean_text"])}
+    # tool JSON: string leaves kept in document order, schema noise
+    # (keys, numbers, urls), markup, and attachments gone
+    s = by_key[("t3-agent-search", 2)]
+    assert "zero-copy framing & dictionary reuse" in s
+    assert "シャッフルの設計" in s
+    for noise in ('"title"', "<b>", "example.org", "0.92", "latency_ms"):
+        assert noise not in s, noise
+    assert by_key[("t3-json-edge", 1)] == ""  # numbers-only payload
+    # almost-JSON stays raw (never half-parsed)
+    assert by_key[("t3-json-edge", 2)].startswith('{"broken"')
+    assert by_key[("t3-json-edge", 3)] == "R&D results → ready"
+    # truncated HTML: prose kept, the cut-off tag never leaks
+    frag = by_key[("t3-html-frag", 0)]
+    assert "committee reviewed the migration plan" in frag
+    assert "<" not in frag
+    # a partial references list still segments
+    n_refs = {(c, t): n for c, t, n in
+              zip(got["conv_id"], got["turn_idx"], got["n_refs"])}
+    assert n_refs[("t3-html-frag", 1)] >= 1
+    # base64 blobs: no 60+ char base64 run survives in any clean text
+    b64run = re.compile(r"[A-Za-z0-9+/]{60}")
+    for (c, t), x in by_key.items():
+        assert not b64run.search(x), (c, t)
+    assert "thirty-two executors" in by_key[("t3-b64", 0)]
+    assert "End of attachment." in by_key[("t3-b64", 1)]
+    assert "fixed the auth loop" in by_key[("t3-b64", 2)]
