@@ -42,6 +42,7 @@ HEADLINE_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "simhash_hamming_pairs",
+    "simhash_near_dup_scaled",
     "j4_near_dup_pairs_lev",
     "minhash_lsh_candidates",
     "ann_cosine_topk",
