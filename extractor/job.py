@@ -115,6 +115,10 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
                 .option("escape", '"')
                 .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
                 .csv(path))
+    if fmt == "orc" or (fmt is None and low.endswith(".orc")):
+        # ORC is columnar like parquet (predicate pushdown + column
+        # pruning both apply); same enforced schema
+        return spark.read.schema(TRANSCRIPTS_SCHEMA).orc(path)
     if fmt == "parquet" or low.endswith(".parquet"):
         return spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
     return tables.read_table(spark, path)
@@ -135,6 +139,8 @@ def _dir_data_format(path: str) -> str:
                 return "json"
             if ext == ".csv":
                 return "csv"
+            if ext == ".orc":
+                return "orc"
             if ext == ".parquet":
                 return "parquet"
     return "parquet"
@@ -397,9 +403,13 @@ def make_pyfiles_zip(dest: str = "extractor.zip") -> str:
 def main(argv: list[str] | None = None) -> None:
     """spark-submit entry:
 
-        spark-submit --py-files extractor.zip -m extractor.job \\
+        spark-submit --py-files extractor.zip extractor/job.py \\
             --input <transcripts parquet/table> --output <dir> \\
             [--run-id X] [--buckets 4096] [--wave-buckets 256]
+
+    (the zip supplies the ``extractor`` package to driver and
+    executors; exercised end-to-end by
+    tests/test_job_spark.py::test_spark_submit_pyfiles_end_to_end)
 
     On a cluster the SparkSession comes from spark-submit's conf; the
     local fallback (get_spark) only applies when run as plain python.

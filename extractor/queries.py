@@ -967,6 +967,87 @@ def ann_lsh_bucketed(spark, sf_dir):
             .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rank")))
 
 
+_IVF_K, _IVF_ITERS, _IVF_NPROBE, _IVF_SAMPLE = 16, 10, 4, 256
+
+
+@_q("ann_ivf_topk")  # rows-only: probabilistic recall, like ann_lsh_bucketed
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN scale path (FAISS-style inverted file — public
+    design), the data-ADAPTIVE counterpart to ``ann_lsh_bucketed``'s
+    data-oblivious hash planes:
+
+    1. A spherical k-means coarse quantizer is trained driver-side on
+       a BOUNDED deterministic sample (first 256 vec_ids) — constant
+       cost wrt n, the standard IVF training practice; the unit
+       centroids are broadcast.
+    2. Every vector is assigned to its single nearest cell by a
+       vectorized Arrow pandas UDF (one numpy matmul per batch, no
+       per-row Python).
+    3. Queries probe their ``nprobe`` (4 of 16) nearest cells; the
+       exact cosine ranks only candidates inside probed cells — an
+       equi-join on cell id against the broadcast (bounded) query
+       side, never a cross join. Candidates per query ~ nprobe * n/k.
+       Cells partition the corpus, so a (query, neighbor) pair occurs
+       at most once: no dedup shuffle needed (unlike multi-table LSH).
+
+    Sizing at scale: k grows ~sqrt(n) (keeps cells ~sqrt(n)-sized),
+    nprobe trades recall vs candidate volume; re-train cadence follows
+    corpus drift. Recall vs the exact ``ann_cosine_topk`` oracle is
+    measured in tests/test_plan_quality.py."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (pandas_udf signature)
+    from pyspark.sql.functions import pandas_udf
+
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<float>").alias("v")))
+    # --- train: bounded sample (256 rows regardless of n) ---
+    sample = np.array(
+        [r["v"] for r in e.orderBy("vec_id").limit(_IVF_SAMPLE).collect()],
+        dtype=np.float64)
+    sn = sample / np.clip(np.linalg.norm(sample, axis=1, keepdims=True),
+                          1e-12, None)
+    cent = sn[:_IVF_K].copy()  # deterministic init
+    for _ in range(_IVF_ITERS):
+        assign = np.argmax(sn @ cent.T, axis=1)
+        for c in range(_IVF_K):
+            members = sn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    b_cent = spark.sparkContext.broadcast(cent)
+
+    @pandas_udf("int")
+    def cell_of(vs):
+        m = np.stack(vs.to_numpy())
+        mn = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True),
+                         1e-12, None)
+        return pd.Series(np.argmax(mn @ b_cent.value.T, axis=1)
+                         .astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_cells(vs):
+        m = np.stack(vs.to_numpy())
+        mn = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True),
+                         1e-12, None)
+        order = np.argsort(-(mn @ b_cent.value.T), axis=1)[:, :_IVF_NPROBE]
+        return pd.Series(list(order.astype(np.int32)))
+
+    n_par = max(spark.sparkContext.defaultParallelism, 16)
+    ev = e.repartition(n_par, "vec_id")
+    assigned = ev.select("vec_id", "v", cell_of("v").alias("cell"))
+    q = (ev.where("vec_id < 10")
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.explode(probe_cells("v")).alias("qcell")))
+    pairs = (assigned.join(F.broadcast(q),
+                           (F.col("cell") == F.col("qcell"))
+                           & (F.col("vec_id") != F.col("query_id")))
+             .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     F.expr(_COS_EXPR).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (pairs.withColumn("rn", F.row_number().over(w)).where("rn <= 5")
+            .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rank")))
+
+
 _STOP_RE = r"\b(the|and|of|to|a|in|is|it|that|for|on|as|with|was|at|by)\b"
 
 

@@ -317,14 +317,20 @@ def test_jsonl_and_csv_sources_match_parquet(spark, tmp_path):
                         rec["text"], rec["tool"],
                         rec["ts"].strftime("%Y-%m-%d %H:%M:%S")])
 
+    # ORC via Spark's native writer (dir of .orc files, dispatched by
+    # contained-file extension like the partitioned-parquet case)
+    orc = str(tmp_path / "t_orc")
+    spark.read.parquet(pq).write.orc(orc)
+
     outs = {}
-    for tag, inp in [("parquet", pq), ("jsonl", jl), ("csv", cs)]:
+    for tag, inp in [("parquet", pq), ("jsonl", jl), ("csv", cs),
+                     ("orc", orc)]:
         out = str(tmp_path / ("out_" + tag))
         stats = job.run_extract(spark, inp, out, n_buckets=8)
         assert stats["turns_out"] == len(src), (tag, stats)
         outs[tag] = (job.read_extracted(spark, out)
                      .toPandas().reset_index(drop=True))
-    for tag in ("jsonl", "csv"):
+    for tag in ("jsonl", "csv", "orc"):
         assert (outs[tag]["clean_text"].values
                 == outs["parquet"]["clean_text"].values).all(), tag
         assert (outs[tag]["n_refs"].values
@@ -498,6 +504,50 @@ def test_adversarial_goldens_per_turn_equality(spark, tmp_path):
     assert refs_by_conv["adv-citation_styles"] == 4
     assert "تحليل النصوص" in by_conv["adv-rtl_arabic"]
     assert by_conv["adv-minified_single_line"].startswith("Layout analysis")
+
+
+def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
+    """North-rule launch path: the job must run under
+    ``spark-submit --py-files extractor.zip`` with the package supplied
+    ONLY by the zip (cwd is a scratch dir, so nothing resolves from the
+    repo checkout implicitly), and the checkpointed output must equal
+    the pandas oracle."""
+    import shutil
+    import subprocess
+    import sys
+
+    from extractor.core.batch import extract_batch
+    from extractor.gen_fixtures import gen_transcripts, write_transcripts_parquet
+    from extractor.job import make_pyfiles_zip
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    zip_path = make_pyfiles_zip(str(tmp_path / "extractor.zip"))
+    inp = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(inp, 60, seed=9)
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    app = str(tmp_path / "app.py")  # job.py outside the repo tree
+    shutil.copy(os.path.join(repo, "extractor", "job.py"), app)
+    env = {**os.environ,
+           "PYSPARK_PYTHON": sys.executable,
+           "PYSPARK_DRIVER_PYTHON": sys.executable}
+    env.pop("PYTHONPATH", None)  # only the zip may provide the package
+    res = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", zip_path, app,
+         "--input", inp, "--output", out, "--buckets", "8"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300)
+    assert res.returncode == 0, res.stderr[-3000:]
+    got = job.read_extracted(spark, out).toPandas()
+    oracle = (extract_batch(gen_transcripts(60, seed=9))
+              .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert (got["clean_text"].values == oracle["clean_text"].values).all()
+    assert (got["n_refs"].to_numpy() == oracle["n_refs"].to_numpy()).all()
 
 
 def test_transcript_native_goldens_per_turn_equality(spark, tmp_path):
