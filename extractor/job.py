@@ -317,6 +317,28 @@ def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
     )
 
 
+def export_merged(spark: SparkSession, output_path: str, dest: str,
+                  n_files: int = 8, fmt: str = "parquet") -> None:
+    """Publish step (S13 analog: the reference zips results for
+    download, LOCDB-V3/app.py zip route / SURVEY.md §2.1): rewrite the
+    bucket-partitioned extraction output as a merged, globally ordered
+    file set for downstream consumers.
+
+    ``repartitionByRange(conv_id, turn_idx)`` makes file k hold keys
+    strictly below file k+1's (one range-exchange; the sampling pass is
+    metadata-cheap), and ``sortWithinPartitions`` orders inside each
+    file — so a reader concatenating files in name order sees the W3
+    contract ordering without any further sort. n_files sizes output
+    files for the consumer (at 100 TB, pick n_files so each lands near
+    the blob-store sweet spot, e.g. ~1 GB)."""
+    df = (spark.read.schema(EXTRACTED_BUCKET_SCHEMA)
+          .parquet(os.path.join(output_path, "data"))
+          .drop("bucket"))
+    (df.repartitionByRange(n_files, "conv_id", "turn_idx")
+       .sortWithinPartitions("conv_id", "turn_idx")
+       .write.mode("overwrite").format(fmt).save(dest))
+
+
 def found_notfound(requested: DataFrame, produced: DataFrame) -> DataFrame:
     """J8/S7: requested keys not present in the produced table
     (the reference's NotFound list, LOCDB-V3/fileProcessor.py:167-186)."""

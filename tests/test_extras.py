@@ -36,6 +36,33 @@ def test_segment_lookup_overlap(spark, tmp_path):
     assert m and "bucket" in m.group(1) and "=" in m.group(1), plan
 
 
+def test_export_merged_globally_ordered(spark, tmp_path):
+    """S13-analog publish: the exported file set must hold exactly the
+    extracted rows, globally ordered across files — file k's keys all
+    below file k+1's (range partitioning), sorted within each file."""
+    import glob
+    import os
+
+    out = str(tmp_path / "out")
+    job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=8)
+    dest = str(tmp_path / "export")
+    job.export_merged(spark, out, dest, n_files=4)
+    base = job.read_extracted(spark, out).toPandas()
+    files = sorted(glob.glob(os.path.join(dest, "part-*.parquet")))
+    assert len(files) >= 2  # actually split across files
+    frames = [pd.read_parquet(f) for f in files]
+    merged = pd.concat(frames, ignore_index=True)
+    # concatenation in file-name order IS the contract order: no sort
+    assert (merged["conv_id"].values == base["conv_id"].values).all()
+    assert (merged["turn_idx"].values == base["turn_idx"].values).all()
+    assert (merged["clean_text"].values == base["clean_text"].values).all()
+    # range property: every file's max key < next file's min key
+    for a, b in zip(frames, frames[1:]):
+        ka = (a["conv_id"].iloc[-1], int(a["turn_idx"].iloc[-1]))
+        kb = (b["conv_id"].iloc[0], int(b["turn_idx"].iloc[0]))
+        assert ka < kb, (ka, kb)
+
+
 def test_streaming_matches_batch(spark, tmp_path):
     from extractor.streaming import stream_extract
 
