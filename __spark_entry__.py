@@ -14,11 +14,12 @@
   fingerprinting).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
   query (identical column names/types; exact-integer outputs where
-  possible): 38 of 41. The 3 rows-only: ``ann_lsh_bucketed``
-  (probabilistic LSH — in-suite recall vs ``ann_cosine_topk``'s exact
-  oracle), ``extract_synthetic_mix`` (generator-driven payloads —
-  pytest golden-equality gate), ``mm_extract_features`` (entropy/sha1
-  not replayable in DuckDB — pinned by a differential test instead).
+  possible). The rows-only exceptions: ``ann_lsh_bucketed`` and
+  ``ann_ivf_topk`` (probabilistic ANN — in-suite recall floors vs
+  ``ann_cosine_topk``'s exact oracle), ``extract_synthetic_mix``
+  (generator-driven payloads — pytest golden-equality gate), and
+  ``mm_extract_features`` (entropy/sha1 not replayable in DuckDB —
+  pinned by a differential test instead).
 """
 
 from __future__ import annotations

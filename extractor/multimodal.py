@@ -59,12 +59,35 @@ def decode_image(payload: bytes) -> dict:
 
 
 def probe_audio_meta(b: bytes) -> dict | None:
-    """Parse WAV/RIFF audio metadata straight from the container
-    (public spec, no codec lib): walks RIFF chunks to ``fmt `` for
-    channels / sample rate / bits-per-sample, and ``data`` for the
-    payload size, deriving duration in milliseconds for PCM. Returns
-    None for non-WAV or truncated input."""
+    """Parse WAV/RIFF or FLAC audio metadata straight from the
+    container (public specs, no codec lib). WAV: walks RIFF chunks to
+    ``fmt `` for channels / sample rate / bits-per-sample and ``data``
+    for payload size, deriving duration for PCM. FLAC: decodes the
+    mandatory first STREAMINFO metadata block (sample rate 20 bits,
+    channels 3, bits-per-sample 5, total samples 36 — one big-endian
+    bitfield). Returns None for unrecognized or truncated input."""
     n = len(b)
+    if n >= 42 and b[:4] == b"fLaC":
+        # block header at 4: 1 byte last|type, 3 bytes length (BE);
+        # STREAMINFO (type 0) is mandatory first per spec
+        if (b[4] & 0x7F) != 0:
+            return None
+        si = b[8:8 + 34]
+        if len(si) < 18:
+            return None
+        x = int.from_bytes(si[10:18], "big")
+        rate = x >> 44
+        total = x & 0xFFFFFFFFF
+        return {
+            "container": "flac",
+            "codec": None,
+            "channels": ((x >> 41) & 0x7) + 1,
+            "sample_rate": rate,
+            "byte_rate": None,
+            "bits_per_sample": ((x >> 36) & 0x1F) + 1,
+            "duration_ms": total * 1000 // rate if rate else None,
+            "data_bytes": None,
+        }
     if n < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     meta = None
@@ -86,6 +109,7 @@ def probe_audio_meta(b: bytes) -> dict | None:
         i += 8 + clen + (clen & 1)  # chunks are word-aligned
     if meta is None:
         return None
+    meta["container"] = "wav"
     if data_bytes is not None and meta["byte_rate"]:
         meta["duration_ms"] = data_bytes * 1000 // meta["byte_rate"]
     else:
@@ -100,9 +124,23 @@ def probe_image_dims(b: bytes) -> tuple[str, int, int] | None:
     public specs): PNG (IHDR at offset 16, big-endian), GIF87a/89a
     (logical screen, little-endian), BMP (BITMAPINFOHEADER,
     little-endian), JPEG (walk markers to the first SOF0-SOF15 frame
-    header, big-endian). Returns None for anything unrecognized or
+    header, big-endian), WEBP (RIFF: VP8 keyframe / VP8L 14-bit pair /
+    VP8X 24-bit canvas). Returns None for anything unrecognized or
     truncated."""
     n = len(b)
+    if n >= 16 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        chunk = b[12:16]
+        if chunk == b"VP8 " and n >= 30 and b[23:26] == b"\x9d\x01\x2a":
+            return ("webp",
+                    int.from_bytes(b[26:28], "little") & 0x3FFF,
+                    int.from_bytes(b[28:30], "little") & 0x3FFF)
+        if chunk == b"VP8L" and n >= 25 and b[20] == 0x2F:
+            bits = int.from_bytes(b[21:25], "little")
+            return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        if chunk == b"VP8X" and n >= 30:
+            return ("webp", int.from_bytes(b[24:27], "little") + 1,
+                    int.from_bytes(b[27:30], "little") + 1)
+        return None
     if n >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
         return ("png", int.from_bytes(b[16:20], "big"),
                 int.from_bytes(b[20:24], "big"))

@@ -1070,6 +1070,52 @@ def lang_id_heuristic(spark, sf_dir):
         F.when(n_stop * 20 >= n_tok, "en").otherwise("unk").alias("lang_pred"))
 
 
+# Script classes as literal codepoint ranges (identical pattern string
+# handed to both engines — no \p{...} syntax divergence between Java
+# regex and RE2): Latin letters; CJK = kana + unified ideographs;
+# Arabic block; Cyrillic block.
+_SCRIPT_RES = {
+    "latin": "[A-Za-z]",
+    "cjk": "[぀-ヿ一-鿿]",
+    "arabic": "[؀-ۿ]",
+    "cyrillic": "[Ѐ-ӿ]",
+}
+_SCRIPT_PRED = """
+CASE WHEN n_cjk > 0 AND n_cjk >= GREATEST(n_latin, n_arabic, n_cyrillic)
+       THEN 'cjk'
+     WHEN n_arabic > 0 AND n_arabic >= GREATEST(n_latin, n_cyrillic)
+       THEN 'arabic'
+     WHEN n_cyrillic > 0 AND n_cyrillic >= n_latin THEN 'cyrillic'
+     WHEN n_latin > 0 THEN 'latin'
+     ELSE 'none' END"""
+
+
+@_q("script_detect", sql="""
+SELECT doc_id, n_latin, n_cjk, n_arabic, n_cyrillic,
+       {pred} AS script_pred
+FROM (SELECT doc_id,
+             {counts}
+      FROM documents)
+""".format(pred=_SCRIPT_PRED, counts=", ".join(
+    "CAST(len(regexp_extract_all(text, '{re}')) AS BIGINT) AS n_{k}"
+    .format(re=r, k=k) for k, r in _SCRIPT_RES.items())))
+def script_detect(spark, sf_dir):
+    """Script detection for routing multilingual corpora (the
+    text-analysis sibling of ``lang_id_heuristic``; at 100 TB this is
+    the cheap first-pass router that decides which language-specific
+    pipeline — tokenizer, quality model, stopword set — a document
+    enters). Counts characters per script class with literal-range
+    regexes (identical pattern strings in both engines) and picks the
+    dominant script with a deterministic precedence chain. JVM-side
+    throughout; one narrow projection, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(r), 0)).cast("long")
+        .alias("n_" + k) for k, r in _SCRIPT_RES.items()]
+    return (d.select("doc_id", *counts)
+            .withColumn("script_pred", F.expr(_SCRIPT_PRED)))
+
+
 _PUNCT_RE = r"[^A-Za-z0-9\s]"
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 

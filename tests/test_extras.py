@@ -36,6 +36,37 @@ def test_segment_lookup_overlap(spark, tmp_path):
     assert m and "bucket" in m.group(1) and "=" in m.group(1), plan
 
 
+def test_script_detect_classifies_all_branches(spark, tmp_path):
+    """script_detect on a corpus that actually exercises every branch
+    (the sf tables are all-Latin, so the oracle alone only proves the
+    latin path): CJK, Arabic, Cyrillic, mixed-dominant, and no-script
+    documents."""
+    import os
+
+    from extractor.queries import script_detect
+
+    cases = [
+        (0, "plain english words only", "latin"),
+        (1, "日本語の文書です 漢字とカナ", "cjk"),
+        (2, "تحليل النصوص العربية هنا", "arabic"),
+        (3, "русский текст для проверки", "cyrillic"),
+        (4, "mixed 漢字漢字漢字漢字漢字漢字漢字漢字漢字漢字漢字漢字 few latin",
+         "cjk"),  # CJK chars outnumber the latin letters
+        (5, "12345 !!! ???", "none"),
+    ]
+    pd.DataFrame({
+        "doc_id": [c[0] for c in cases],
+        "text": [c[1] for c in cases],
+        "lang": ["x"] * len(cases),
+        "source": ["s"] * len(cases),
+        "n_chars": pd.array([len(c[1]) for c in cases], dtype="int64"),
+    }).to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    got = {r["doc_id"]: r["script_pred"]
+           for r in script_detect(spark, str(tmp_path)).collect()}
+    for doc_id, _, want in cases:
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
 def test_export_merged_globally_ordered(spark, tmp_path):
     """S13-analog publish: the exported file set must hold exactly the
     extracted rows, globally ordered across files — file k's keys all
@@ -474,6 +505,43 @@ def test_probe_audio_meta_wav_header():
     assert probe_audio_meta(b"RIFFxxxxAVI LIST") is None
     assert probe_audio_meta(b"\x89PNG\r\n\x1a\n") is None
     assert probe_audio_meta(b"") is None
+
+
+def test_probe_webp_and_flac_headers():
+    """WEBP (all three chunk kinds) and FLAC STREAMINFO header
+    parsing, built byte-by-byte from the public specs."""
+    from extractor.multimodal import probe_audio_meta, probe_image_dims
+
+    def riff(chunk, payload):
+        body = chunk + len(payload).to_bytes(4, "little") + payload
+        return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+
+    # VP8 lossy keyframe: 3-byte frame tag, sync 9D 01 2A, w/h u16le
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + (640).to_bytes(2, "little") + (360).to_bytes(2, "little"))
+    assert probe_image_dims(vp8) == ("webp", 640, 360)
+    # VP8L lossless: 0x2F then 14-bit (w-1), 14-bit (h-1)
+    bits = (33 - 1) | ((17 - 1) << 14)
+    vp8l = riff(b"VP8L", b"\x2f" + bits.to_bytes(4, "little"))
+    assert probe_image_dims(vp8l) == ("webp", 33, 17)
+    # VP8X extended: 4 bytes flags, then 24-bit (w-1), 24-bit (h-1)
+    vp8x = riff(b"VP8X", b"\x00\x00\x00\x00"
+                + (1920 - 1).to_bytes(3, "little")
+                + (1080 - 1).to_bytes(3, "little") + b"\x00\x00")
+    assert probe_image_dims(vp8x) == ("webp", 1920, 1080)
+    assert probe_image_dims(b"RIFF\x04\x00\x00\x00WEBPJUNK" + b"\x00" * 20) is None
+
+    # FLAC STREAMINFO: rate 44100, stereo, 16 bps, 44100*2 samples
+    x = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | (44100 * 2)
+    streaminfo = b"\x00" * 10 + x.to_bytes(8, "big") + b"\x00" * 16
+    flac = b"fLaC" + b"\x00" + (34).to_bytes(3, "big") + streaminfo
+    m = probe_audio_meta(flac)
+    assert m["container"] == "flac" and m["channels"] == 2
+    assert m["sample_rate"] == 44100 and m["bits_per_sample"] == 16
+    assert m["duration_ms"] == 2000
+    # non-STREAMINFO first block violates the spec -> None
+    assert probe_audio_meta(b"fLaC" + b"\x04" + (34).to_bytes(3, "big")
+                            + streaminfo) is None
 
 
 def test_canonical_emission_yields_each_pair_once(spark, tmp_path):
