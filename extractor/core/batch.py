@@ -57,6 +57,16 @@ def _plain_refs(clean_text: str, detector_default: str = "anchor") -> list[dict]
 _TAG_RE = re.compile(r"<[^>]{0,400}>")
 
 
+def _json_head(text: str) -> str:
+    """First non-whitespace char without lstrip's full-string copy
+    (payloads run to MBs; this is on every plain turn's path)."""
+    i = 0
+    n = len(text)
+    while i < n and text[i] in " \t\r\n":
+        i += 1
+    return text[i:i + 1]
+
+
 def _flatten_tool_json(text: str) -> str | None:
     """Tool-output JSON blob -> newline-joined string leaf values.
 
@@ -68,8 +78,7 @@ def _flatten_tool_json(text: str) -> str | None:
     bare URL / data-URI values are dropped. Returns None when the
     payload is not a JSON object/array — the caller falls back to the
     plain-text path, so almost-JSON stays raw rather than half-parsed."""
-    head = text.lstrip()[:1]
-    if head not in ("{", "["):
+    if _json_head(text) not in ("{", "["):
         return None
     try:
         doc = json.loads(text)
@@ -121,7 +130,7 @@ def extract_one(text: str, tool: str) -> tuple[str, list[dict]]:
         # unparseable glyph payload -> plain fallback (raw, never the
         # JSON flattener: a malformed glyph table half-flattened to its
         # string leaves would silently look like clean output)
-    elif text.lstrip()[:1] in ("{", "["):
+    elif _json_head(text) in ("{", "["):
         flat = _flatten_tool_json(text)
         if flat is not None:
             clean = normalize_plain(flat)
