@@ -1446,6 +1446,45 @@ def dedup_cluster_assign(spark, sf_dir):
     return _min_label_propagation(edges)
 
 
+@_q("dedup_survivors_scaled", sql="""
+WITH RECURSIVE wh AS (SELECT DISTINCT doc_id, {h} AS h
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents) WHERE w <> ''),
+sums AS (SELECT doc_id, {sums} FROM wh GROUP BY doc_id),
+sig AS (SELECT doc_id, {val} AS sim FROM sums),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+clusters AS (SELECT u AS doc_id, min(v) AS cluster_id
+             FROM reach GROUP BY u)
+SELECT d.doc_id FROM documents d
+LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+""".format(h=_H60_DUCK.format(x="w"), sums=_SIMHASH_DUCK_SUMS,
+           val=_SIMHASH_DUCK_VAL))
+def dedup_survivors_scaled(spark, sf_dir):
+    """The END-TO-END near-dup dedup pipeline as one query — what a
+    training-data pipeline actually runs: scaled SimHash blocked join
+    (ham<=3, 20x30-bit tables) -> connected components over the pair
+    graph -> keep each cluster's min doc_id plus every unpaired doc.
+    Every stage is the scale formulation (blocked candidates,
+    min-label-propagation CC, anti-join drop set); the DuckDB oracle
+    replays it exactly (all-pairs + recursive-CTE closure)."""
+    pairs = simhash_near_dup_scaled(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.selectExpr("doc_a AS u", "doc_b AS v")
+             .unionByName(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
+             .persist())
+    clusters = _min_label_propagation(edges)
+    drop = clusters.where("cluster_id != doc_id").select("doc_id")
+    return (t(spark, sf_dir, "documents").select("doc_id")
+            .join(drop, "doc_id", "left_anti"))
+
+
 def _min_label_propagation(edges: DataFrame) -> DataFrame:
     """Iterative connected-components core over a symmetric (u, v)
     edge list; returns (doc_id, cluster_id=component min). Factored
