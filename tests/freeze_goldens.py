@@ -67,7 +67,11 @@ def native_transcripts():
         "role": [r[2] for r in rows],
         "text": [r[3] for r in rows],
         "tool": [r[4] for r in rows],
-        "ts": pd.to_datetime(["2026-01-01"] * len(rows)),
+        # microsecond resolution like gen_transcripts: pandas' ns
+        # default writes INT64(ns), which Spark's NTZ reader rejects
+        # when mixed with us files in one directory
+        "ts": pd.to_datetime(["2026-01-01"] * len(rows))
+        .astype("datetime64[us]"),
     })
 
 

@@ -67,6 +67,39 @@ def test_script_detect_classifies_all_branches(spark, tmp_path):
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
 
 
+def test_conv_dedup_exact_order_sensitive(spark, tmp_path):
+    """conv_dedup_exact groups identical conversations and keeps the
+    min conv_id — and a conversation with the SAME turns in a
+    DIFFERENT order is not a duplicate (the fingerprint hashes the
+    ordered concatenation)."""
+    import os
+
+    from extractor.queries import conv_dedup_exact
+
+    texts = ["first turn text", "second turn text", "third turn text"]
+    rows = []
+    did = 0
+    # convA and convB: identical turn sequences -> duplicates
+    for src in ("convA", "convB"):
+        for t_ in texts:
+            rows.append((did, t_, src))
+            did += 1
+    # convC: same turns, order swapped (turn order = doc_id rank)
+    for t_ in (texts[1], texts[0], texts[2]):
+        rows.append((did, t_, "convC"))
+        did += 1
+    pd.DataFrame({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": [r[2] for r in rows],
+        "n_chars": pd.array([len(r[1]) for r in rows], dtype="int64"),
+    }).to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    got = {r["keep_conv"]: r["n_convs"]
+           for r in conv_dedup_exact(spark, str(tmp_path)).collect()}
+    assert got == {"convA": 2, "convC": 1}, got
+
+
 def test_export_merged_globally_ordered(spark, tmp_path):
     """S13-analog publish: the exported file set must hold exactly the
     extracted rows, globally ordered across files — file k's keys all
@@ -95,6 +128,9 @@ def test_export_merged_globally_ordered(spark, tmp_path):
 
 
 def test_streaming_matches_batch(spark, tmp_path):
+    """Streaming extraction == batch, over BOTH the t1 payload mix and
+    the t3 transcript-native shapes (tool JSON / truncated HTML /
+    base64 walls stream through the same extract_batch kernel)."""
     from extractor.streaming import stream_extract
 
     out_b = str(tmp_path / "batch")
@@ -104,8 +140,10 @@ def test_streaming_matches_batch(spark, tmp_path):
     import os, shutil
     os.makedirs(in_dir)
     shutil.copy(GOLDEN_INPUT, os.path.join(in_dir, "part-0.parquet"))
+    t3 = os.path.join(os.path.dirname(__file__), "goldens", "t3_input.parquet")
+    shutil.copy(t3, os.path.join(in_dir, "part-1.parquet"))
 
-    job.run_extract(spark, GOLDEN_INPUT, out_b, n_buckets=8)
+    job.run_extract(spark, in_dir, out_b, n_buckets=8)
     q = stream_extract(spark, in_dir, out_s, n_buckets=8)
     q.awaitTermination(120)
 
