@@ -1485,6 +1485,28 @@ def dedup_survivors_scaled(spark, sf_dir):
             .join(drop, "doc_id", "left_anti"))
 
 
+@_q("sketch_event_stats")  # rows-only: sketches are approximate by design
+def sketch_event_stats(spark, sf_dir):
+    """Sketch operators over the events stream — the constant-memory
+    summaries a 100 TB pipeline uses where exact answers need an
+    unbounded shuffle: HyperLogLog++ distinct users and
+    QuantileSummaries (Greenwald-Khanna) value percentiles, both
+    Spark built-ins (JVM-side, map-side partial aggregation; the
+    groupBy shuffles fixed-size sketch buffers, never row sets).
+    Rows-only driver check — a sketch's exact value is
+    implementation-defined — with accuracy pinned in-suite against
+    the exact answers (tests/test_extras.py: HLL within 5%,
+    percentiles within rank tolerance)."""
+    d = t(spark, sf_dir, "events")
+    return (d.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.02)
+                 .cast("long").alias("approx_users"),
+                 F.percentile_approx("value", F.lit(0.5), F.lit(10000))
+                 .alias("p50"),
+                 F.percentile_approx("value", F.lit(0.95), F.lit(10000))
+                 .alias("p95")))
+
+
 @_q("conv_dedup_exact", sql="""
 WITH tr AS (SELECT source AS conv_id,
                    row_number() OVER (PARTITION BY source ORDER BY doc_id)

@@ -67,6 +67,32 @@ def test_script_detect_classifies_all_branches(spark, tmp_path):
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
 
 
+def test_sketch_event_stats_accuracy(spark):
+    """Pin the sketches against exact answers at sf0.01: HLL++
+    distinct users within 5% (rsd=0.02), approx percentiles within
+    1% rank tolerance of the sorted values."""
+    import numpy as np
+
+    from extractor.queries import sketch_event_stats, t
+
+    sf = "/root/testdata/sf0.01"
+    got = {r["event_type"]: r for r in sketch_event_stats(spark, sf).collect()}
+    ev = t(spark, sf, "events").select("event_type", "user_id", "value").toPandas()
+    assert set(got) == set(ev["event_type"].unique())
+    for etype, grp in ev.groupby("event_type"):
+        exact_users = grp["user_id"].nunique()
+        approx = got[etype]["approx_users"]
+        assert abs(approx - exact_users) <= max(2, 0.05 * exact_users), (
+            etype, approx, exact_users)
+        vals = np.sort(grp["value"].to_numpy())
+        for col, q in (("p50", 0.5), ("p95", 0.95)):
+            # rank tolerance: the approx answer must be a value whose
+            # rank is within 1% of the target quantile's rank
+            r = np.searchsorted(vals, got[etype][col])
+            assert abs(r - q * len(vals)) <= max(2, 0.01 * len(vals)) + 1, (
+                etype, col, got[etype][col], r, q * len(vals))
+
+
 def test_conv_dedup_exact_order_sensitive(spark, tmp_path):
     """conv_dedup_exact groups identical conversations and keeps the
     min conv_id — and a conversation with the SAME turns in a

@@ -128,3 +128,30 @@ def test_fast_tokenizer_differential_random(doc):
     finally:
         html_strip._use_stdlib_parser = False
     assert html_strip.strip_html(doc) == std
+
+
+# -- transcript-native normalization properties ----------------------------
+
+@given(st.lists(
+    st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=30),
+    min_size=0, max_size=60).map(" ".join))
+@settings(max_examples=200, deadline=None)
+def test_strip_base64_is_identity_on_short_token_text(text):
+    """Texts whose tokens are all < 60 chars contain no base64 blob by
+    definition — the stripper must be the identity on them."""
+    from extractor.core.textnorm import strip_base64_blobs
+
+    assert strip_base64_blobs(text) == text
+
+
+def test_flatten_tool_json_survives_pathological_nesting():
+    """A hostile payload nested past the json recursion limit must
+    fall back to None (plain path), never crash the worker; and a
+    wide-but-shallow document flattens fine."""
+    from extractor.core.batch import _flatten_tool_json
+
+    assert _flatten_tool_json("[" * 100_000 + "]" * 100_000) is None
+    wide = "[" + ",".join('"w%d"' % i for i in range(50_000)) + "]"
+    out = _flatten_tool_json(wide)
+    assert out is not None and out.count("\n") == 49_999
