@@ -1485,6 +1485,85 @@ def dedup_survivors_scaled(spark, sf_dir):
             .join(drop, "doc_id", "left_anti"))
 
 
+# PII patterns — identical regex strings in both engines (Java regex
+# and RE2 agree on these constructs). Scrub order matters: emails first
+# (usernames contain digits/dots), then IPv4, then phone-shaped runs.
+_PII_RES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d{3}[ .-]?\d{3}[ .-]?\d{4}\b", "[PHONE]"),
+]
+
+
+@_q("pii_scrub", sql="""
+SELECT doc_id,
+       {counts},
+       md5({scrub}) AS scrub_fp
+FROM documents
+""".format(
+    counts=", ".join(
+        "CAST(len(regexp_extract_all(text, '{re}')) AS BIGINT) AS n_{k}"
+        .format(re=r, k=k)
+        for k, r, _ in _PII_RES),
+    scrub="regexp_replace(" * len(_PII_RES) + "text" + "".join(
+        ", '{re}', '{tok}', 'g')".format(re=r, tok=tok)
+        for _, r, tok in _PII_RES)))
+def pii_scrub(spark, sf_dir):
+    """PII redaction — a standard training-data pipeline pass: emails,
+    IPv4 addresses, and phone-shaped digit runs replaced with typed
+    placeholder tokens, plus per-class match counts. One narrow
+    projection, JVM regex throughout, no shuffle; the oracle compares
+    md5 fingerprints of the scrubbed text, so the replacement
+    semantics (order included — emails before IPs before phones) are
+    value-hash-gated cross-engine. Pattern behavior on real PII shapes
+    is pinned by the unit test (the sf corpus contains none)."""
+    d = t(spark, sf_dir, "documents")
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(r), 0)).cast("long")
+        .alias("n_" + k) for k, r, _ in _PII_RES]
+    scrub = F.col("text")
+    for _, r, tok in _PII_RES:
+        scrub = F.regexp_replace(scrub, r, tok.replace("$", "\\$"))
+    return d.select("doc_id", *counts, F.md5(scrub).alias("scrub_fp"))
+
+
+_SHINGLE8 = _H60.format(x="concat_ws(' ', slice(w, i, 8))")
+_SHINGLE8_DUCK = _H60_DUCK.format(x="array_to_string(w[i:i+7], ' ')")
+
+
+@_q("contamination_flag", sql="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, unnest([{h} for i in range(1, greatest(len(w) - 6, 1))]) AS h
+       FROM words),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 5)
+SELECT s.doc_id, CAST(count(DISTINCT s.h) AS BIGINT) AS n_hits
+FROM sh s JOIN bench b USING (h)
+WHERE s.doc_id >= 5
+GROUP BY s.doc_id
+""".format(h=_SHINGLE8_DUCK))
+def contamination_flag(spark, sf_dir):
+    """Benchmark-contamination detection — the decontamination pass a
+    training pipeline runs before training: flag corpus documents that
+    share any 8-gram with a benchmark set (here: doc_id < 5 plays the
+    benchmark; in production it is the eval suites). Shingles are
+    md5-hashed 8-word windows (cross-engine identical); the benchmark
+    shingle set is DISTINCT and broadcast (bounded — benchmark size,
+    not corpus size), and candidates come from a broadcast semi-ish
+    equi-join, so the corpus side streams map-side with no shuffle of
+    raw shingles against the benchmark. Output: per contaminated doc,
+    the count of distinct matching shingles."""
+    docs = (t(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", " ").alias("w")))
+    sh = docs.select("doc_id", F.explode(F.expr(
+        "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), "
+        "i -> {h}) ELSE array() END".format(h=_SHINGLE8))).alias("h"))
+    bench = sh.where("doc_id < 5").select("h").distinct()
+    return (sh.where("doc_id >= 5")
+            .join(F.broadcast(bench), "h")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("h").cast("long").alias("n_hits")))
+
+
 @_q("sketch_event_stats")  # rows-only: sketches are approximate by design
 def sketch_event_stats(spark, sf_dir):
     """Sketch operators over the events stream — the constant-memory

@@ -67,6 +67,68 @@ def test_script_detect_classifies_all_branches(spark, tmp_path):
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
 
 
+def _docs_parquet(tmp_path, texts):
+    import os
+
+    pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["s"] * len(texts),
+        "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+    }).to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_pii_scrub_redacts_real_shapes(spark, tmp_path):
+    """The sf corpus has no PII, so the oracle only gates regex
+    parity; this pins actual redaction behavior on real shapes."""
+    from extractor.queries import pii_scrub
+
+    sf = _docs_parquet(tmp_path, [
+        "contact bob.smith+spam@corp.example.org or call 415-555-0199 now",
+        "server at 10.42.7.255 responded; backup at 192.168.0.1 did not",
+        "no personal data in this sentence at all",
+        "call 212 555 0123 and bare 4155550199 both redact",
+    ])
+    got = {r["doc_id"]: r for r in pii_scrub(spark, sf).collect()}
+    assert got[0]["n_email"] == 1 and got[0]["n_phone"] == 1
+    assert got[1]["n_ip"] == 2 and got[1]["n_email"] == 0
+    assert got[2]["n_email"] == got[2]["n_ip"] == got[2]["n_phone"] == 0
+    assert got[3]["n_phone"] == 2
+    # the fingerprint proves replacement happened: scrubbing doc 2
+    # (no PII) is the identity
+    import hashlib
+    assert got[2]["scrub_fp"] == hashlib.md5(
+        b"no personal data in this sentence at all").hexdigest()
+    assert got[0]["scrub_fp"] != hashlib.md5(
+        "contact bob.smith+spam@corp.example.org or call 415-555-0199 now"
+        .encode()).hexdigest()
+
+
+def test_contamination_flag_planted_overlap(spark, tmp_path):
+    """Docs sharing an 8-gram with the benchmark set (doc_id < 5) are
+    flagged; paraphrases that break every 8-gram are not."""
+    from extractor.queries import contamination_flag
+
+    bench_sent = ("the quick brown fox jumps over the lazy dog "
+                  "while the band plays on")
+    texts = [bench_sent] + [
+        "benchmark filler doc %d with its own words entirely" % i
+        for i in range(1, 5)]
+    # doc 5: verbatim copy of a benchmark sentence -> flagged
+    texts.append("prefix words then " + bench_sent + " suffix words")
+    # doc 6: every 8th word changed -> no shared 8-gram -> clean
+    words = bench_sent.split()
+    for i in range(0, len(words), 7):
+        words[i] = words[i] + "x"
+    texts.append(" ".join(words))
+    got = {r["doc_id"]: r["n_hits"]
+           for r in contamination_flag(spark, _docs_parquet(tmp_path, texts)).collect()}
+    assert 5 in got and got[5] >= 1
+    assert 6 not in got, got
+
+
 def test_sketch_event_stats_accuracy(spark):
     """Pin the sketches against exact answers at sf0.01: HLL++
     distinct users within 5% (rsd=0.02), approx percentiles within
