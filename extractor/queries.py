@@ -1593,7 +1593,7 @@ WITH tr AS (SELECT source AS conv_id,
                    text
             FROM documents),
 fp AS (SELECT conv_id,
-              md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS fp
+              md5(string_agg(md5(text), chr(31) ORDER BY turn_idx)) AS fp
        FROM tr GROUP BY conv_id)
 SELECT fp, CAST(count(*) AS BIGINT) AS n_convs, min(conv_id) AS keep_conv
 FROM fp GROUP BY fp
@@ -1602,19 +1602,22 @@ def conv_dedup_exact(spark, sf_dir):
     """CONVERSATION-level exact dedup — the transcripts-native
     granularity (agent pipelines drop whole duplicated conversations,
     e.g. re-ingested sessions, before any turn-level work): fingerprint
-    = md5 over the conversation's turns concatenated in stable
-    turn_idx order with an unprintable separator, then group to
-    (fingerprint, count, canonical keeper = min conv_id). Two shuffles
-    total (conv agg with map-side partial concat-list, then the tiny
-    fingerprint agg); no driver-side anything. The order-sensitivity
-    matters: two conversations with the same turns in different order
-    are NOT duplicates — the fingerprint hashes the ordered
-    concatenation, pinned by the unit test's reordered-conv case."""
+    = md5 over the conversation's PER-TURN md5 hashes concatenated in
+    stable turn_idx order (hashing turns first bounds the agg buffer
+    at 32 bytes/turn — a million-turn conversation costs ~32 MB, not
+    its full text; the row-level md5 runs map-side before the
+    shuffle), then group to (fingerprint, count, canonical keeper =
+    min conv_id). Two shuffles total; no driver-side anything. The
+    order-sensitivity matters: two conversations with the same turns
+    in different order are NOT duplicates — the fingerprint hashes
+    the ordered concatenation, pinned by the unit test's
+    reordered-conv case."""
     tr = _documents_as_transcripts(spark, sf_dir)
-    fp = tr.groupBy("conv_id").agg(
+    fp = tr.select("conv_id", "turn_idx", F.md5("text").alias("th")) \
+        .groupBy("conv_id").agg(
         F.expr("md5(concat_ws(char(31), "
-               "transform(array_sort(collect_list(struct(turn_idx, text))), "
-               "s -> s.text)))").alias("fp"))
+               "transform(array_sort(collect_list(struct(turn_idx, th))), "
+               "s -> s.th)))").alias("fp"))
     return (fp.groupBy("fp")
             .agg(F.count("*").cast("long").alias("n_convs"),
                  F.min("conv_id").alias("keep_conv")))
