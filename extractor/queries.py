@@ -1485,6 +1485,46 @@ def dedup_survivors_scaled(spark, sf_dir):
             .join(drop, "doc_id", "left_anti"))
 
 
+@_q("j9_asof_join", sql="""
+SELECT c.event_id, COALESCE(p.event_id, -1) AS prior_purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""")
+def j9_asof_join(spark, sf_dir):
+    """AS-OF join — the canonical operator Spark's API lacks (DuckDB
+    ships it natively, which is the oracle here): for every click,
+    the same user's LATEST purchase at or before the click's
+    timestamp.
+
+    Scale formulation (no range-join explosion, no per-key sort on
+    the driver): tag both streams, UNION them, and run ONE window —
+    partitionBy(user) orderBy(ts, side, id) with
+    last(purchase_id, ignorenulls=True) over unbounded-preceding..
+    current — then keep only the probe rows. One shuffle on user_id
+    total; a naive range join would produce O(clicks x purchases) per
+    user before aggregation. Purchases sort before clicks at equal ts
+    (inclusive >= semantics) and ties break on event_id, so the
+    result is deterministic; missing prior -> -1 (COALESCE'd on both
+    engines for a null-free hash compare)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", "ts", F.lit(1).alias("is_probe"),
+        "event_id", F.lit(None).cast("long").alias("p_id"))
+    purch = ev.where("event_type = 'purchase'").select(
+        "user_id", "ts", F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("p_id"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "is_probe", "p_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (clicks.unionByName(purch)
+            .withColumn("last_p", F.last("p_id", ignorenulls=True).over(w))
+            .where("is_probe = 1")
+            .select("event_id",
+                    F.coalesce("last_p", F.lit(-1)).alias("prior_purchase_id")))
+
+
 # PII patterns — identical regex strings in both engines (Java regex
 # and RE2 agree on these constructs). Scrub order matters: emails first
 # (usernames contain digits/dots), then IPv4, then phone-shaped runs.
@@ -1562,6 +1602,36 @@ def contamination_flag(spark, sf_dir):
             .join(F.broadcast(bench), "h")
             .groupBy("doc_id")
             .agg(F.countDistinct("h").cast("long").alias("n_hits")))
+
+
+@_q("quality_repetition", sql="""
+WITH wc AS (SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> ''
+            GROUP BY doc_id, w)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct_words,
+       CAST(max(c) AS BIGINT) AS top_word_count
+FROM wc GROUP BY doc_id
+""")
+def quality_repetition(spark, sf_dir):
+    """Repetition quality signal (the Gopher-rules shape: repeated
+    content is the strongest single low-quality indicator in web
+    corpora): per document, total words, distinct words, and the
+    top word's frequency — consumers derive dup-word fraction and
+    top-word dominance from the integer counts (integers keep the
+    oracle hash exact). One explode then two aggregations, both with
+    map-side partial agg; no arrays ride the shuffle."""
+    d = t(spark, sf_dir, "documents")
+    wc = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+          .where("w <> ''")
+          .groupBy("doc_id", "w").agg(F.count("*").alias("c")))
+    return (wc.groupBy("doc_id")
+            .agg(F.sum("c").cast("long").alias("n_words"),
+                 F.count("*").cast("long").alias("n_distinct_words"),
+                 F.max("c").cast("long").alias("top_word_count")))
 
 
 @_q("sketch_event_stats")  # rows-only: sketches are approximate by design
