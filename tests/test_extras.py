@@ -129,6 +129,37 @@ def test_contamination_flag_planted_overlap(spark, tmp_path):
     assert 6 not in got, got
 
 
+def test_asof_join_edge_semantics(spark, tmp_path):
+    """As-of edges: a purchase at EXACTLY the click's timestamp counts
+    (inclusive >=); a click before any purchase gets -1; the latest of
+    several priors wins; users never mix."""
+    import os
+
+    from extractor.queries import j9_asof_join
+
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, "2026-01-01 10:00:00", 1, "click"),     # before any purchase
+        (2, "2026-01-01 11:00:00", 1, "purchase"),
+        (3, "2026-01-01 11:00:00", 1, "click"),     # same-instant purchase
+        (4, "2026-01-01 12:00:00", 1, "purchase"),
+        (5, "2026-01-01 13:00:00", 1, "click"),     # latest prior = 4
+        (6, "2026-01-01 09:00:00", 2, "purchase"),
+        (7, "2026-01-01 14:00:00", 2, "click"),     # other user's stream
+    ]
+    pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+        "user_id": [r[2] for r in rows],
+        "event_type": [r[3] for r in rows],
+        "value": [0.0] * len(rows),
+        "props": [""] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    got = {r["event_id"]: r["prior_purchase_id"]
+           for r in j9_asof_join(spark, str(tmp_path)).collect()}
+    assert got == {1: -1, 3: 2, 5: 4, 7: 6}, got
+
+
 def test_sketch_event_stats_accuracy(spark):
     """Pin the sketches against exact answers at sf0.01: HLL++
     distinct users within 5% (rsd=0.02), approx percentiles within
