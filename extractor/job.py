@@ -276,6 +276,15 @@ def _run_extract_locked(spark, input_path, output_path, run_id, ckpt_dir,
         # bucket restriction applied below the Arrow stage: each wave
         # extracts only its own buckets (see plan_extract docstring)
         part = plan_extract(transcripts, n_buckets, bucket_in=wave)
+        # local (no-shuffle) sort inside each bucket partition: the
+        # point lookup's (conv_id, turn_idx) predicate can then prune
+        # parquet ROW GROUPS via min/max stats — unsorted buckets make
+        # every row group span the whole key range — and sorted
+        # conv_ids compress better under zstd. ``bucket`` leads the
+        # sort keys: the partitioned writer REQUIRES ordering by the
+        # partition column and would otherwise insert its own
+        # (unstable) sort on bucket alone, destroying the key order
+        part = part.sortWithinPartitions("bucket", "conv_id", "turn_idx")
         tables.write_partitioned(part, data_dir, "bucket")
         # per-bucket counters from the durably written wave (columnar
         # count over n_refs only — cheap), then atomic commit

@@ -34,6 +34,15 @@ def test_segment_lookup_overlap(spark, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1) and "=" in m.group(1), plan
+    # and within a bucket file, rows are key-sorted so the pushed
+    # (conv_id, turn_idx) predicate prunes row groups via stats
+    import glob
+    import os
+    bucket_file = glob.glob(os.path.join(out, "data", "bucket=*",
+                                         "*.parquet"))[0]
+    bf = pd.read_parquet(bucket_file, columns=["conv_id", "turn_idx"])
+    keys = list(zip(bf["conv_id"], bf["turn_idx"]))
+    assert keys == sorted(keys)
 
 
 def test_script_detect_classifies_all_branches(spark, tmp_path):
