@@ -1485,6 +1485,71 @@ def dedup_survivors_scaled(spark, sf_dir):
             .join(drop, "doc_id", "left_anti"))
 
 
+@_q("agg_mad_value", sql="""
+SELECT event_type, round(mad(value), 6) AS mad_value
+FROM events GROUP BY event_type
+""")
+def agg_mad_value(spark, sf_dir):
+    """Custom vectorized UDAF: median absolute deviation of event
+    values per type — the robust spread statistic Spark has no
+    built-in for (DuckDB ships ``mad``, which is the oracle). A
+    GROUPED_AGG pandas_udf: Arrow ships each group's value column to
+    one numpy call (two medians), no per-row Python. Note the scale
+    contract of a median-family UDAF: the group's values DO gather on
+    one executor (exact medians are not mergeable) — right for
+    bounded-cardinality groups like event types; unbounded keys
+    should use the mergeable sketch (``sketch_event_stats``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mad_fn(v):
+        m = float(np.median(v.to_numpy()))
+        return float(np.median(np.abs(v.to_numpy() - m)))
+
+    # module-level `from __future__ import annotations` stringifies
+    # hints, which pandas_udf can't resolve for locally-imported pd —
+    # attach real annotation objects so it infers GROUPED_AGG
+    _mad_fn.__annotations__ = {"v": pd.Series, "return": float}
+    _mad = pandas_udf(_mad_fn, "double")
+
+    return (t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.round(_mad("value"), 6).alias("mad_value")))
+
+
+@_q("a7_rollup_revenue", sql="""
+SELECT COALESCE(l_returnflag, '*') AS rflag,
+       COALESCE(l_linestatus, '*') AS lstatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS gid,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def a7_rollup_revenue(spark, sf_dir):
+    """Hierarchical aggregation via ROLLUP (subtotal + grand-total
+    rows in one pass — the reporting shape S7's merged view feeds):
+    per (returnflag, linestatus), per returnflag, and overall quantity
+    totals, with the grouping id distinguishing levels. Spark expands
+    grouping sets in a single Expand + one partial-agg shuffle —
+    strictly cheaper than three separate groupBys unioned. NULL
+    grouping keys are COALESCE'd to '*' on both engines (a rolled-up
+    NULL is indistinguishable from a data NULL only via grouping(),
+    which is also emitted)."""
+    d = t(spark, sf_dir, "lineitem")
+    return (d.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+                 .alias("sum_qty"),
+                 F.count("*").cast("long").alias("n"),
+                 (F.grouping("l_returnflag") * 2
+                  + F.grouping("l_linestatus")).cast("long").alias("gid"))
+            .select(F.coalesce("l_returnflag", F.lit("*")).alias("rflag"),
+                    F.coalesce("l_linestatus", F.lit("*")).alias("lstatus"),
+                    "gid", "sum_qty", "n"))
+
+
 @_q("j9_asof_join", sql="""
 SELECT c.event_id, COALESCE(p.event_id, -1) AS prior_purchase_id
 FROM (SELECT * FROM events WHERE event_type = 'click') c
