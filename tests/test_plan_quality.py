@@ -151,7 +151,20 @@ def test_ann_ivf_recall_vs_exact(spark):
     assert recall >= 0.65, recall
 
 
-def test_ann_lsh_no_driver_side_collect_in_build(spark):
+def test_asof_join_single_shuffle(spark):
+    """The as-of join's whole point is one shuffle on the key (vs a
+    range join's per-key row blowup): the plan must contain exactly
+    one Exchange, and no join operator at all (it is a window, not a
+    join, on the physical side)."""
+    import re
+
+    from extractor.queries import QUERIES
+
+    df = QUERIES["j9_asof_join"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 1, plan
+    assert "Join" not in plan, plan
     """Building the LSH plan must not collect row DATA to the driver
     (the old version did a .first() to learn the dimension). Parquet
     footer/schema metadata jobs are fine; row-fetch jobs are not —
