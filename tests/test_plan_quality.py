@@ -165,6 +165,25 @@ def test_asof_join_single_shuffle(spark):
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_ex == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_pipeline_op_plan_shapes(spark):
+    """pii_scrub is a pure narrow projection — zero Exchange in the
+    plan; contamination_flag must join the corpus against the
+    BROADCAST benchmark shingle set (a shuffled join would move every
+    corpus shingle for a benchmark-sized build side)."""
+    from extractor.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    plan = (QUERIES["pii_scrub"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    plan = (QUERIES["contamination_flag"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ann_lsh_no_driver_side_collect_in_build(spark):
     """Building the LSH plan must not collect row DATA to the driver
     (the old version did a .first() to learn the dimension). Parquet
     footer/schema metadata jobs are fine; row-fetch jobs are not —
