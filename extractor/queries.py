@@ -1897,3 +1897,245 @@ def q3_shipping_priority(spark, sf_dir):
             .select("l_orderkey", "revenue_cents",
                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
                     "o_orderpriority"))
+
+
+# ===========================================================================
+# Round-3 extension batch: sampling / substring-dedup / TF-IDF / event
+# analytics. Same discipline as every operator above: exact DuckDB
+# oracle, integer-or-string outputs, plan notes for 100-TB scale.
+# ===========================================================================
+
+@_q("stratified_sample_balanced", sql="""
+WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+tgt AS (SELECT min(cnt) AS target FROM counts)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN counts c USING (lang), tgt
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+      < (tgt.target * 1000000) // c.cnt
+""")
+def stratified_sample_balanced(spark, sf_dir):
+    """Deterministic stratified sampling: downsample every language
+    stratum to (in expectation) the size of the smallest one, keyed by
+    a content hash so the sample is reproducible run-to-run and
+    engine-to-engine (no rand()).
+
+    Keep rule is pure integer arithmetic — ``h60(doc_id) % 1e6 <
+    target*1e6 div cnt(lang)`` — so Spark and DuckDB agree bit-for-bit
+    (no float threshold). At 100 TB: the per-stratum counts are one
+    2-column columnar scan + tiny agg; the rate table is a handful of
+    rows broadcast back onto the full scan — no shuffle of the data
+    itself, and the sample predicate is embedded in the scan stage.
+    Two scans beat a window-count formulation, which would shuffle
+    every row just to learn per-stratum sizes.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    target = counts.agg(F.min("cnt").alias("target"))
+    rates = (counts.crossJoin(F.broadcast(target))
+             .selectExpr("lang", "target * 1000000L div cnt AS keep_below"))
+    h = F.expr(_H60.format(x="cast(doc_id as string)") + " % 1000000")
+    return (d.join(F.broadcast(rates), "lang")
+            .where(h < F.col("keep_below"))
+            .select("doc_id", "lang"))
+
+
+_DUP_N = 8  # duplicated-span gram width (words)
+
+
+@_q("dup_ngram_spans", sql="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= {n}),
+g AS (SELECT doc_id, len(w) AS n_words, i AS pos,
+             array_to_string(list_slice(w, i + 1, i + {n}), ' ') AS gram
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(0, len(w) - {n})) AS i FROM d)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+cov AS (SELECT doc_id, count(DISTINCT wi) AS covered_words
+        FROM (SELECT doc_id, pos + j AS wi
+              FROM dp, generate_series(0, {n} - 1) AS s(j))
+        GROUP BY doc_id),
+base AS (SELECT doc_id, n_words, count(*) AS n_grams
+         FROM g GROUP BY doc_id, n_words),
+dd AS (SELECT doc_id, count(*) AS dup_grams FROM dp GROUP BY doc_id)
+SELECT base.doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(dup_grams, 0) AS BIGINT) AS dup_grams,
+       CAST(coalesce(covered_words, 0) AS BIGINT) AS covered_words
+FROM base LEFT JOIN dd USING (doc_id) LEFT JOIN cov USING (doc_id)
+""".format(n=_DUP_N))
+def dup_ngram_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" class,
+    fixed-width formulation): for every 8-word gram that occurs more
+    than once in the corpus, mark the words it covers; emit per-doc
+    gram/coverage counters so a downstream filter can drop or trim
+    docs by duplicated-span fraction (covered_words / n_words).
+
+    Spark plan: posexplode the gram positions, shuffle once on
+    xxhash64(gram) (64-bit key, not the gram string — ~8x smaller
+    shuffle; collision risk n^2/2^64, and a collision only inflates a
+    counter by 1), left-semi back onto the positions, then two partial
+    aggs. The oracle joins on the raw gram string — agreement also
+    certifies the hash-compression step lost nothing at this SF.
+    Covered-word count unions the per-gram [pos, pos+7] intervals via
+    an 8x integer explode + count(DISTINCT) — exact interval union
+    without a sort, bounded by 8x int rows. Hot grams (boilerplate)
+    skew the gram shuffle; at 100 TB add the df-cap stop-gram drop
+    used by dedup_ngram_jaccard above, or let AQE skew-split handle it
+    (both drilled in tests/test_skew_drill.py for the sibling joins).
+    """
+    n = _DUP_N
+    d = (t(spark, sf_dir, "documents")
+         .selectExpr("doc_id", "split(text, ' ') AS w")
+         .where(F.size("w") >= n))
+    g = d.selectExpr(
+        "doc_id", "size(w) AS n_words",
+        "posexplode(transform(sequence(0, size(w) - {n}),"
+        " i -> xxhash64(concat_ws(' ', slice(w, i + 1, {n})))))"
+        " AS (pos, gh)".format(n=n))
+    dup = (g.groupBy("gh").agg(F.count("*").alias("c"))
+           .where("c >= 2").select("gh"))
+    dp = g.join(dup, "gh", "left_semi").select("doc_id", "pos")
+    cov = (dp.select("doc_id",
+                     F.explode(F.expr("sequence(pos, pos + {})".format(n - 1)))
+                     .alias("wi"))
+           .groupBy("doc_id")
+           .agg(F.countDistinct("wi").alias("covered_words")))
+    base = (g.groupBy("doc_id", "n_words")
+            .agg(F.count("*").alias("n_grams")))
+    dd = dp.groupBy("doc_id").agg(F.count("*").alias("dup_grams"))
+    return (base.join(dd, "doc_id", "left").join(cov, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.col("n_grams").cast("long").alias("n_grams"),
+                    F.coalesce("dup_grams", F.lit(0)).cast("long")
+                    .alias("dup_grams"),
+                    F.coalesce("covered_words", F.lit(0)).cast("long")
+                    .alias("covered_words")))
+
+
+@_q("tfidf_top_terms", sql="""
+WITH tf AS (SELECT doc_id, w AS term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id, w),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+r AS (SELECT doc_id, term,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rnk
+      FROM tf JOIN df USING (term))
+SELECT doc_id, term, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3
+""")
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by TF-IDF with a
+    *linear* idf (score = tf / df). The linear form is chosen for the
+    cross-engine gate: tf/df is one IEEE division of two small ints —
+    bit-identical in Spark and DuckDB — whereas log-idf leans on each
+    engine's libm ln() (<=1-ulp wiggle that could flip a near-tie in
+    the rank ordering). Ranking by tf/df orders ties exactly: equal
+    rationals (2/4 vs 1/2) round to the same double, and residual ties
+    break on term asc.
+
+    Plan: tf agg shuffles on (doc_id, term) with map-side combine; df
+    agg reuses tf (term-only shuffle over the much smaller distinct
+    set); one join on term (AQE broadcasts when the vocab fits, which
+    a zipf vocab usually does even at 100 TB); final ranking window
+    shuffles on doc_id. No full-corpus sort.
+    """
+    words = (t(spark, sf_dir, "documents")
+             .selectExpr("doc_id", "explode(split(text, ' ')) AS term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.expr("CAST(tf AS DOUBLE) / df").desc(), F.asc("term")))
+    return (tf.join(df_, "term")
+            .withColumn("rnk", F.row_number().over(w))
+            .where("rnk <= 3")
+            .select("doc_id", "term", F.col("rnk").cast("long").alias("rank")))
+
+
+@_q("funnel_conversion", sql="""
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+""")
+def funnel_conversion(spark, sf_dir):
+    """Ordered 3-step funnel (view -> click -> purchase, each step
+    strictly after the previous step's first occurrence) — the
+    MATCH_RECOGNIZE / sequence-pattern class of event analytics.
+
+    The oracle states it as three dependent self-joins (each step
+    re-scans events). The Spark plan does it in ONE shuffle: hash-
+    partition by user_id, then three chained whole-partition window
+    mins — t1 = min(ts | view), t2 = min(ts | click AND ts > t1),
+    t3 = min(ts | purchase AND ts > t2). Chained windows over the same
+    partitioning add no exchanges (one Window operator stack), so the
+    100-TB cost is one shuffle of (user_id, type, ts) + a distinct.
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    ev = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+    ev = ev.withColumn(
+        "t2", F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") > F.col("t1")), F.col("ts"))).over(w))
+    ev = ev.withColumn(
+        "t3", F.min(F.when((F.col("event_type") == "purchase")
+                           & (F.col("ts") > F.col("t2")), F.col("ts"))).over(w))
+    stage = (F.when(F.col("t3").isNotNull(), 3)
+             .when(F.col("t2").isNotNull(), 2)
+             .when(F.col("t1").isNotNull(), 1)
+             .otherwise(0)).cast("long").alias("funnel_stage")
+    return ev.select("user_id", stage).distinct()
+
+
+@_q("cohort_retention", sql="""
+WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cw,
+             date_diff('day', f.cw, date_trunc('week', e.ts)) // 7
+             AS week_offset
+      FROM events e JOIN f USING (user_id))
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cw, week_offset
+""")
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; n_users active at each whole-week offset from their
+    cohort week. Both engines truncate weeks to Monday, and the offset
+    is an exact integer (day-diff of two Monday-truncated dates div 7)
+    so no calendar-float drift can enter the hash gate.
+
+    Plan: first-seen agg shuffles on user_id; the cohort label (a few
+    bytes) joins back — AQE broadcast at test scale, and at 100 TB the
+    per-user first-seen table is ~users-count rows, far smaller than
+    events, so the join stays the small side. The distinct and the
+    final agg share the (user_id-derived) keys; no full-event sort.
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw"))
+    a = (ev.join(f, "user_id")
+         .select("user_id", "cw",
+                 F.expr("datediff(date_trunc('week', ts), cw) div 7")
+                 .alias("week_offset"))
+         .distinct())
+    return (a.groupBy("cw", "week_offset")
+            .agg(F.count("*").alias("n_users"))
+            .select(F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+                    F.col("week_offset").cast("long").alias("week_offset"),
+                    F.col("n_users").cast("long").alias("n_users")))

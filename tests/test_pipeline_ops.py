@@ -1,0 +1,151 @@
+"""Hand-computed semantics for the round-3 extension operators
+(stratified sampling, duplicated-n-gram spans, TF-IDF top terms,
+funnel, cohort retention). The DuckDB oracle gate proves engine
+parity; these pin the *intended* semantics on fixtures small enough
+to verify by hand — the same split used for j9_asof_join and
+pii_scrub."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+
+from extractor.queries import (
+    cohort_retention,
+    dup_ngram_spans,
+    funnel_conversion,
+    stratified_sample_balanced,
+    tfidf_top_terms,
+)
+
+
+def _docs(tmp_path, texts, langs=None):
+    pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": texts,
+        "lang": langs or ["en"] * len(texts),
+        "source": ["s"] * len(texts),
+        "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+    }).to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def _events(tmp_path, rows):
+    """rows: (event_id, ts, user_id, event_type)"""
+    pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+        "user_id": [r[2] for r in rows],
+        "event_type": [r[3] for r in rows],
+        "value": [0.0] * len(rows),
+        "props": [""] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    return str(tmp_path)
+
+
+def test_dup_ngram_spans_counters(spark, tmp_path):
+    """Cross-doc dup gram marks exactly its 8-word span; intra-doc
+    repetition counts as duplication (Lee et al. semantics); docs
+    shorter than the gram width are excluded entirely."""
+    sf = _docs(tmp_path, [
+        "a b c d e f g h x0 y0 z0",        # 11w, 4 grams, pos0 dup
+        "p1 a b c d e f g h q1",           # 10w, 3 grams, pos1 dup
+        "c20 c21 c22 c23 c24 c25 c26 c27", # 8w, 1 unique gram
+        "s t u",                           # <8 words: excluded
+        " ".join(["m"] * 16),              # all 9 grams identical
+    ])
+    got = {r["doc_id"]: (r["n_words"], r["n_grams"], r["dup_grams"],
+                         r["covered_words"])
+           for r in dup_ngram_spans(spark, sf).collect()}
+    assert got == {
+        0: (11, 4, 1, 8),
+        1: (10, 3, 1, 8),
+        2: (8, 1, 0, 0),
+        4: (16, 9, 9, 16),
+    }, got
+
+
+def test_stratified_sample_balanced_deterministic(spark, tmp_path):
+    """The keep rule is pure integer hash arithmetic: the smallest
+    stratum survives whole, and the downsampled stratum matches an
+    independent md5 reimplementation of the rule exactly."""
+    texts = ["t%d" % i for i in range(44)]
+    langs = ["xx"] * 4 + ["yy"] * 40
+    sf = _docs(tmp_path, texts, langs)
+    kept = {(r["doc_id"], r["lang"])
+            for r in stratified_sample_balanced(spark, sf).collect()}
+    # all 4 'xx' docs kept (target == cnt -> keep_below == 1e6)
+    assert {(i, "xx") for i in range(4)} <= kept
+    # 'yy' keeps exactly the docs whose 60-bit md5 prefix mod 1e6
+    # falls under 4*1e6 // 40 = 100000
+    def h(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+    exp_yy = {(i, "yy") for i in range(4, 44) if h(i) % 1000000 < 100000}
+    assert {k for k in kept if k[1] == "yy"} == exp_yy
+    # deterministic run-to-run
+    again = {(r["doc_id"], r["lang"])
+             for r in stratified_sample_balanced(spark, sf).collect()}
+    assert again == kept
+
+
+def test_tfidf_top_terms_hand(spark, tmp_path):
+    """Linear-idf scores (tf/df) computed by hand; ties break on term
+    ascending; docs with <3 distinct terms emit what they have."""
+    sf = _docs(tmp_path, [
+        "apple apple banana common common",  # apple 2/1, common 2/3, banana 1/2
+        "banana cherry common",              # cherry 1/1, banana 1/2, common 1/3
+        "common dog dog dog",                # dog 3/1, common 1/3
+        "x y",                               # tie 1/1 vs 1/1 -> term asc
+    ])
+    got = {(r["doc_id"], r["rank"]): r["term"]
+           for r in tfidf_top_terms(spark, sf).collect()}
+    assert got == {
+        (0, 1): "apple", (0, 2): "common", (0, 3): "banana",
+        (1, 1): "cherry", (1, 2): "banana", (1, 3): "common",
+        (2, 1): "dog", (2, 2): "common",
+        (3, 1): "x", (3, 2): "y",
+    }, got
+
+
+def test_funnel_conversion_stages(spark, tmp_path):
+    """Each step must be STRICTLY after the previous step's first
+    occurrence: same-instant doesn't advance, and a purchase before
+    the first qualifying click doesn't count."""
+    sf = _events(tmp_path, [
+        (1, "2026-01-01 10:00", 1, "view"),
+        (2, "2026-01-01 11:00", 1, "click"),
+        (3, "2026-01-01 12:00", 1, "purchase"),   # full funnel
+        (4, "2026-01-01 10:00", 2, "click"),      # click before view
+        (5, "2026-01-01 11:00", 2, "view"),
+        (6, "2026-01-01 12:00", 2, "purchase"),   # no click after view
+        (7, "2026-01-01 10:00", 3, "view"),
+        (8, "2026-01-01 11:00", 3, "purchase"),   # purchase before click
+        (9, "2026-01-01 12:00", 3, "click"),
+        (10, "2026-01-01 10:00", 4, "error"),     # never entered
+        (11, "2026-01-01 10:00", 5, "view"),
+        (12, "2026-01-01 10:00", 5, "click"),     # same instant: not after
+    ])
+    got = {r["user_id"]: r["funnel_stage"]
+           for r in funnel_conversion(spark, sf).collect()}
+    assert got == {1: 3, 2: 1, 3: 2, 4: 0, 5: 1}, got
+
+
+def test_cohort_retention_weeks(spark, tmp_path):
+    """Cohort = Monday-truncated week of first event; offsets are
+    whole weeks between Monday truncations."""
+    sf = _events(tmp_path, [
+        (1, "2026-01-05 09:00", 1, "view"),   # Mon -> cohort 2026-01-05
+        (2, "2026-01-14 09:00", 1, "view"),   # week of 01-12 -> offset 1
+        (3, "2026-01-07 09:00", 2, "view"),   # Wed -> same cohort week
+        (4, "2026-01-20 09:00", 2, "view"),   # week of 01-19 -> offset 2
+        (5, "2026-01-09 09:00", 2, "view"),   # same week -> offset 0 (dedup)
+    ])
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in cohort_retention(spark, sf).collect()}
+    assert got == {
+        ("2026-01-05", 0): 2,
+        ("2026-01-05", 1): 1,
+        ("2026-01-05", 2): 1,
+    }, got
