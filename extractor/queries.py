@@ -2139,3 +2139,140 @@ def cohort_retention(spark, sf_dir):
             .select(F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
                     F.col("week_offset").cast("long").alias("week_offset"),
                     F.col("n_users").cast("long").alias("n_users")))
+
+
+@_q("domain_cap_sample", sql="""
+SELECT doc_id, source, CAST(rn AS BIGINT) AS cap_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                      doc_id) AS rn
+  FROM documents) WHERE rn <= 5
+""")
+def domain_cap_sample(spark, sf_dir):
+    """Per-domain cap: keep at most 5 documents per source, chosen by
+    a deterministic content-hash order (h60(doc_id), doc_id tiebreak)
+    so the survivors are a stable pseudo-random sample, not
+    "whatever sorted first" (which would bias toward low doc_ids /
+    early crawl segments). The domain-cap is the standard counter to
+    single-host dominance in web corpora (C4 kept ~1 page per URL;
+    per-domain caps generalize it).
+
+    Plan: one shuffle on source + one in-partition sort of
+    (h, doc_id); row_number is a narrow window over that
+    partitioning. At 100 TB a mega-domain makes one hot partition —
+    but the cap itself bounds the OUTPUT per key at 5, so the fix is
+    the standard two-level trick: pre-aggregate a per-(source, salt)
+    top-5 first, then re-cap the <= 5*S survivors per source (same
+    arithmetic, tiny second pass). The single-level form here is the
+    oracle-exact one; tests/test_skew_drill.py drills the sibling
+    joins for the same hot-key shape.
+    """
+    h = F.expr(_H60.format(x="cast(doc_id as string)"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.asc("doc_id"))
+    return (t(spark, sf_dir, "documents").select("doc_id", "source")
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn <= 5")
+            .select("doc_id", "source", F.col("rn").cast("long").alias("cap_rank")))
+
+
+@_q("gopher_quality_filter", sql="""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(replace(text, ' ', '')) AS word_chars,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis
+  FROM documents)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(word_chars AS BIGINT) AS word_chars,
+       CAST(n_hash AS BIGINT) AS n_hash,
+       CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND word_chars >= 3 * n_words
+                  AND word_chars <= 10 * n_words
+                  AND 10 * n_hash <= n_words
+                  AND 10 * n_ellipsis <= n_words
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+""")
+def gopher_quality_filter(spark, sf_dir):
+    """Gopher-style (Rae et al. 2021, Appendix A) composite document
+    quality rules, integer-arithmetic formulation: word-count bounds
+    [50, 100000], mean word length in [3, 10] (stated as
+    3n <= chars <= 10n — no float division anywhere), and
+    symbol-to-word ratio <= 0.1 for '#' and '...' (stated as
+    10*count <= n_words). Every signal column is emitted alongside
+    the keep flag so downstream thresholds can be retuned without a
+    recompute.
+
+    All built-in string functions over one scan — a pure narrow map,
+    no shuffle at any scale (plan-gated). Counting '#' and '...' by
+    length-difference keeps the whole row JVM-side; the '...' count
+    divides the length delta by the pattern width, matching an
+    unanchored non-overlapping scan in both engines.
+    """
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    word_chars = F.length(F.regexp_replace("text", " ", ""))
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = ((F.length("text")
+                   - F.length(F.regexp_replace("text", r"\.\.\.", ""))) / 3
+                  ).cast("long")
+    keep = (n_words.between(50, 100000)
+            & (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+            & (10 * n_hash <= n_words) & (10 * n_ellipsis <= n_words))
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        word_chars.cast("long").alias("word_chars"),
+        n_hash.cast("long").alias("n_hash"),
+        n_ellipsis.alias("n_ellipsis"),
+        keep.cast("long").alias("keep"))
+
+
+@_q("length_decile_bins", sql="""
+SELECT doc_id, CAST((rank0 * 10) // total + 1 AS BIGINT) AS decile FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank0,
+         count(*) OVER () AS total
+  FROM documents)
+""")
+def length_decile_bins(spark, sf_dir):
+    """Exact global decile assignment by document length WITHOUT a
+    global single-partition sort. The oracle states it as a global
+    row_number; this plan derives the same rank as
+    offset(n_chars) + rank_within(n_chars):
+
+    - per-length counts: one shuffle over the BOUNDED distinct
+      n_chars domain (thousands of values, not rows);
+    - prefix-sum those counts with a window over the tiny counts
+      table (the plan's only single-partition exchange carries
+      |distinct n_chars| rows — plan-tested);
+    - broadcast the offsets back onto the scan and take
+      row_number within each n_chars group (shuffle on n_chars,
+      data-sized but per-key, never one partition).
+
+    decile = rank0*10 div total + 1 — pure integer arithmetic, the
+    same expression in both engines (deliberately NOT NTILE, whose
+    front-loaded remainder distribution differs from this even-split
+    arithmetic). The pattern is the scalable form of any exact
+    order-statistic assignment (percentile bins, global rank) when
+    the sort key has bounded cardinality.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    counts = d.groupBy("n_chars").agg(F.count("*").alias("c"))
+    w_off = (Window.orderBy("n_chars")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.select(
+        "n_chars",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"))
+    total = counts.agg(F.sum("c").alias("total"))
+    w_in = Window.partitionBy("n_chars").orderBy("doc_id")
+    return (d.join(F.broadcast(offs), "n_chars")
+            .crossJoin(F.broadcast(total))
+            .withColumn("rank0",
+                        F.col("off") + F.row_number().over(w_in) - 1)
+            .select("doc_id",
+                    F.expr("(rank0 * 10) div total + 1")
+                    .cast("long").alias("decile")))

@@ -149,3 +149,61 @@ def test_cohort_retention_weeks(spark, tmp_path):
         ("2026-01-05", 1): 1,
         ("2026-01-05", 2): 1,
     }, got
+
+
+def test_domain_cap_sample_caps_and_order(spark, tmp_path):
+    """At most 5 docs per source survive; the survivors are exactly
+    the 5 lowest by (md5-hash, doc_id) — reimplemented independently —
+    and a source with <=5 docs survives whole."""
+    texts = ["t%d" % i for i in range(12)]
+    sf = _docs(tmp_path, texts)
+    # overwrite source column: 9 docs on 'big', 3 on 'small'
+    import pandas as pd
+    df = pd.read_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    df["source"] = ["big"] * 9 + ["small"] * 3
+    df.to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    from extractor.queries import domain_cap_sample
+    got = {(r["doc_id"], r["source"], r["cap_rank"])
+           for r in domain_cap_sample(spark, sf).collect()}
+
+    def h(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+    exp_big = sorted(range(9), key=lambda i: (h(i), i))[:5]
+    exp = {(d, "big", r + 1) for r, d in enumerate(exp_big)}
+    exp |= {(d, "small", r + 1)
+            for r, d in enumerate(sorted(range(9, 12), key=lambda i: (h(i), i)))}
+    assert got == exp, (got, exp)
+
+
+def test_gopher_quality_filter_rules(spark, tmp_path):
+    """Each rule flips keep independently: word count bounds, mean
+    word length bounds (integer form), '#' and '...' ratios."""
+    from extractor.queries import gopher_quality_filter
+    good = " ".join(["word%03d" % i for i in range(60)])        # 7-char words
+    short = "only three words"                                   # <50 words
+    thin = " ".join(["ab"] * 60)                                 # mean len 2 < 3
+    fat = " ".join(["x" * 11] * 60)                              # mean len 11 > 10
+    hashy = " ".join(["word#"] * 30 + ["word"] * 30)             # 30 '#' > 6
+    dotty = " ".join(["word..."] * 30 + ["word"] * 30)           # 30 '...' > 6
+    sf = _docs(tmp_path, [good, short, thin, fat, hashy, dotty])
+    got = {r["doc_id"]: r["keep"]
+           for r in gopher_quality_filter(spark, sf).collect()}
+    assert got == {0: 1, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0}, got
+    row = {r["doc_id"]: r for r in gopher_quality_filter(spark, sf).collect()}
+    assert row[0]["n_words"] == 60 and row[0]["word_chars"] == 60 * 7
+    assert row[4]["n_hash"] == 30 and row[5]["n_ellipsis"] == 30
+
+
+def test_length_decile_bins_exact(spark, tmp_path):
+    """Bins match the integer formula on a 23-doc corpus with heavy
+    length ties (ties broken by doc_id, remainder spread evenly —
+    NOT ntile's front-loading)."""
+    lengths = [5] * 7 + [9] * 9 + [2] * 4 + [40, 40, 1]
+    texts = ["x" * n for n in lengths]
+    sf = _docs(tmp_path, texts)
+    from extractor.queries import length_decile_bins
+    got = {r["doc_id"]: r["decile"]
+           for r in length_decile_bins(spark, sf).collect()}
+    order = sorted(range(23), key=lambda i: (lengths[i], i))
+    exp = {d: (r * 10) // 23 + 1 for r, d in enumerate(order)}
+    assert got == exp, (got, exp)

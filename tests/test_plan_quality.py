@@ -203,3 +203,65 @@ def test_ann_lsh_no_driver_side_collect_in_build(spark):
     baseline = jobs_during(lambda: t(spark, sf, "embeddings").select("vec_id"))
     lsh = jobs_during(lambda: QUERIES["ann_lsh_bucketed"](spark, sf))
     assert lsh <= baseline, (lsh, baseline)
+
+
+def test_round3_extension_plan_shapes(spark):
+    """Plan gates for the round-3 extension batch (the architectural
+    claims each docstring makes, pinned against refactor drift):
+
+    - funnel_conversion: the oracle needs 4 scans of events and 3
+      joins; the Spark plan must do it in ONE scan, ONE exchange
+      (the user_id window shuffle — the distinct reuses that
+      partitioning because user_id is a prefix of its keys) and ZERO
+      join operators.
+    - stratified_sample_balanced: the per-stratum rate table joins
+      onto the full scan as a BROADCAST (shuffling the corpus by lang
+      to meet a <=#langs-row table would be the scale bug).
+    - dup_ngram_spans / tfidf_top_terms: never a cartesian — the
+      dup-gram semi join and the term df join are equi-joins on
+      bounded keys.
+    """
+    from extractor.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    plan = (QUERIES["funnel_conversion"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert len(re.findall(r"Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+    plan = (QUERIES["stratified_sample_balanced"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+    for name in ("dup_ngram_spans", "tfidf_top_terms"):
+        plan = (QUERIES[name](spark, sf)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, plan
+
+
+def test_quality_sampling_plan_shapes(spark):
+    """gopher_quality_filter is a pure narrow projection (zero
+    exchanges); domain_cap_sample is one shuffle on source;
+    length_decile_bins must NOT sort the data globally — no
+    rangepartitioning exchange, and its (<=2) single-partition
+    exchanges carry only the tiny distinct-n_chars counts table
+    (the whole point of the offset+rank_within formulation)."""
+    from extractor.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    plan = (QUERIES["gopher_quality_filter"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+
+    plan = (QUERIES["domain_cap_sample"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+    plan = (QUERIES["length_decile_bins"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 2, plan
