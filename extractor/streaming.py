@@ -211,3 +211,67 @@ def read_session_counts(spark: SparkSession, output_path: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy(F.desc("epoch"))
     return (df.withColumn("rn", F.row_number().over(w)).where("rn = 1")
             .select("user_id", "n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup (streaming exact dedup + committed-history
+# anti-join) — the continuous form of queries.dedup_exact
+# ---------------------------------------------------------------------------
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    known_fps_path: str | None = None,
+    watermark_delay: str = "10 minutes",
+):
+    """Continuously ingest transcript turns, keeping only the FIRST
+    occurrence of each content fingerprint.
+
+    Two dedup layers, each bounded at 100-TB scale:
+
+    - within the stream: ``dropDuplicatesWithinWatermark`` on the
+      fingerprint — the state store holds only fingerprints younger
+      than the event-time watermark (vs plain ``dropDuplicates``,
+      whose state grows without bound for the lifetime of the query);
+    - against history: a stream-STATIC ``left_anti`` join on a
+      committed-fingerprint snapshot (e.g. the batch corpus's
+      ``dedup_exact`` output). The static side re-reads per
+      micro-batch, so refreshing the snapshot file picks up new
+      history without a restart; at scale this is a broadcast when
+      the fp snapshot fits, else a shuffled anti-join of
+      16-byte keys only.
+
+    Fingerprint = md5 over (role, tool, text) with a \\x1f separator —
+    the same recipe as queries.dedup_exact so batch and stream agree
+    on identity. Sink appends epoch-stamped parquet (append-only
+    output mode is what first-occurrence semantics produce).
+    Returns the StreamingQuery (availableNow trigger).
+    """
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    fp = F.md5(F.concat_ws("\x1f", F.col("role"), F.col("tool"),
+                           F.col("text")))
+    s = (src.withColumn("fp", fp)
+         # NTZ physical type in the source schema; watermarks need TIMESTAMP
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .withWatermark("ts", watermark_delay)
+         .dropDuplicatesWithinWatermark(["fp"]))
+    if known_fps_path is not None:
+        known = spark.read.parquet(known_fps_path).select("fp")
+        s = s.join(known, "fp", "left_anti")
+    data_dir = os.path.join(output_path, "data")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (batch_df.withColumn("epoch", F.lit(int(epoch_id)))
+         .write.mode("append").parquet(data_dir))
+
+    return (
+        s.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(output_path, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -737,3 +737,59 @@ def test_canonical_emission_yields_each_pair_once(spark, tmp_path):
         rows = [(r["doc_a"], r["doc_b"]) for r in fn(spark, sf).collect()]
         assert len(rows) == 15, (fn.__name__, len(rows))
         assert len(set(rows)) == 15, (fn.__name__, "duplicate pairs")
+
+
+def test_stream_dedup_ingest_first_occurrence_and_history(spark, tmp_path):
+    """Streaming ingest dedup: exactly one row per fingerprint
+    survives across micro-batches (watermark-bounded state), and
+    fingerprints already in the committed-history snapshot are
+    anti-joined away. Fingerprint recipe matches queries.dedup_exact
+    (md5 over role\\x1ftool\\x1ftext)."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from extractor.streaming import stream_dedup_ingest
+
+    def fp(role, tool, text):
+        return hashlib.md5(
+            ("\x1f".join([role, tool, text])).encode()).hexdigest()
+
+    def write_file(path, rows, base_idx):
+        pd.DataFrame({
+            "conv_id": ["c%d" % (base_idx + i) for i in range(len(rows))],
+            "turn_idx": pd.array(range(len(rows)), dtype="int32"),
+            "role": [r[0] for r in rows],
+            "text": [r[2] for r in rows],
+            "tool": [r[1] for r in rows],
+            "ts": pd.to_datetime(
+                ["2026-01-01 10:%02d" % (base_idx + i)
+                 for i in range(len(rows))]).astype("datetime64[us]"),
+        }).to_parquet(path)
+
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    # 5 files -> >=2 micro-batches at maxFilesPerTrigger=4: the f4
+    # repeat of "dup-early" crosses a batch boundary
+    contents = [
+        [("user", "", "dup-early"), ("user", "", "only-once")],
+        [("user", "", "dup-early")],                    # in-stream dup
+        [("user", "", "known-hist")],                   # in history
+        [("user", "", "fresh-b")],
+        [("user", "", "dup-early"), ("user", "", "fresh-c")],  # cross-batch dup
+    ]
+    for i, rows in enumerate(contents):
+        write_file(os.path.join(in_dir, "f%d.parquet" % i), rows, i * 10)
+
+    hist = str(tmp_path / "hist.parquet")
+    pd.DataFrame({"fp": [fp("user", "", "known-hist")]}).to_parquet(hist)
+
+    out = str(tmp_path / "out")
+    q = stream_dedup_ingest(spark, in_dir, out, known_fps_path=hist)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out + "/data").toPandas()
+    assert sorted(got["fp"]) == sorted([
+        fp("user", "", "dup-early"), fp("user", "", "only-once"),
+        fp("user", "", "fresh-b"), fp("user", "", "fresh-c")]), got
+    assert got["fp"].is_unique
