@@ -48,6 +48,8 @@ HEADLINE_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "text_quality",
+    "dup_ngram_spans",
+    "tfidf_top_terms",
     "extract_documents_clean",
 ]
 

@@ -2276,3 +2276,42 @@ def length_decile_bins(spark, sf_dir):
             .select("doc_id",
                     F.expr("(rank0 * 10) div total + 1")
                     .cast("long").alias("decile")))
+
+
+_CAP_SQL = """
+SELECT doc_id, source, CAST(rn AS BIGINT) AS cap_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                      doc_id) AS rn
+  FROM documents) WHERE rn <= 5
+"""
+
+
+@_q("domain_cap_sample_scaled", sql=_CAP_SQL)
+def domain_cap_sample_scaled(spark, sf_dir):
+    """The two-level salted form of ``domain_cap_sample`` — EXACTLY
+    the same output (same oracle SQL), different physical shape for
+    the mega-domain case:
+
+    pass 1 caps within (source, salt16) partitions — a hot domain's
+    rows split across 16 partitions instead of serializing one task —
+    then pass 2 re-caps the <= 5*16 survivors per source with the
+    same (h, doc_id) order. Deterministic-order caps compose exactly:
+    the global top-5 of a source is contained in the union of its
+    per-salt top-5s, so no candidate is lost and the second-pass
+    row_number reproduces the single-level rank. Two shuffles, but
+    the second moves at most 80 rows per source; this is the shape
+    that survives a domain holding 10^9 documents.
+    """
+    h = F.expr(_H60.format(x="cast(doc_id as string)"))
+    d = (t(spark, sf_dir, "documents").select("doc_id", "source")
+         .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(16))))
+    w1 = Window.partitionBy("source", "salt").orderBy(h.asc(), F.asc("doc_id"))
+    pre = (d.withColumn("rn", F.row_number().over(w1))
+           .where("rn <= 5").drop("rn", "salt"))
+    w2 = Window.partitionBy("source").orderBy(h.asc(), F.asc("doc_id"))
+    return (pre.withColumn("rn", F.row_number().over(w2))
+            .where("rn <= 5")
+            .select("doc_id", "source",
+                    F.col("rn").cast("long").alias("cap_rank")))

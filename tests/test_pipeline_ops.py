@@ -207,3 +207,21 @@ def test_length_decile_bins_exact(spark, tmp_path):
     order = sorted(range(23), key=lambda i: (lengths[i], i))
     exp = {d: (r * 10) // 23 + 1 for r, d in enumerate(order)}
     assert got == exp, (got, exp)
+
+
+def test_domain_cap_scaled_equals_single_level(spark, tmp_path):
+    """The two-level salted cap must reproduce the single-level cap
+    EXACTLY (rows and ranks) — deterministic-order caps compose. A
+    200-doc single hot source forces every salt partition to
+    overflow its local cap, exercising the re-cap pass."""
+    import pandas as pd
+
+    texts = ["t%d" % i for i in range(220)]
+    sf = _docs(tmp_path, texts)
+    df = pd.read_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    df["source"] = ["hot"] * 200 + ["s%d" % i for i in range(20)]
+    df.to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    from extractor.queries import domain_cap_sample, domain_cap_sample_scaled
+    one = {tuple(r) for r in domain_cap_sample(spark, sf).collect()}
+    two = {tuple(r) for r in domain_cap_sample_scaled(spark, sf).collect()}
+    assert one == two and len(one) == 5 + 20, (len(one), len(two))

@@ -265,3 +265,15 @@ def test_quality_sampling_plan_shapes(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange rangepartitioning" not in plan, plan
     assert len(re.findall(r"Exchange SinglePartition", plan)) <= 2, plan
+
+
+def test_domain_cap_scaled_salted_first_pass(spark):
+    """The scaled cap's first shuffle must partition on
+    (source, salt) — the whole point — and the plan has exactly two
+    hash exchanges (pre-cap + re-cap)."""
+    from extractor.queries import QUERIES
+
+    plan = (QUERIES["domain_cap_sample_scaled"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert re.search(r"Exchange hashpartitioning\(source#\d+, salt#\d+", plan), plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
