@@ -2315,3 +2315,51 @@ def domain_cap_sample_scaled(spark, sf_dir):
             .where("rn <= 5")
             .select("doc_id", "source",
                     F.col("rn").cast("long").alias("cap_rank")))
+
+
+@_q("pack_sequences", sql="""
+WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                          doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin_id
+FROM c
+""")
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining batch construction: assign
+    every document to a ~4096-token bin via contiguous fill — walk
+    the docs of each lang in a deterministic hash order, keep a
+    running token total, and a doc lands in bin (cum_before div
+    4096). Contiguous fill is the streaming-friendly packer (one
+    pass, no bin lookback); bins can overflow by at most one doc,
+    which the trainer's truncation handles — the classic alternative,
+    first-fit-decreasing, is inherently sequential with unbounded
+    lookback and cannot be stated as a window.
+
+    The hash order de-clusters same-source runs (adjacent docs in
+    crawl order are near-duplicates more often than random pairs), so
+    bins mix sources — the property packing exists to provide.
+
+    Plan: one shuffle on lang, then a running-sum window within each
+    lang partition — no global sort, no single-partition stage (the
+    per-lang stream is the unit a 100-TB packer shards on; for a
+    mega-lang, sub-shard by adding a hash-range prefix to the
+    partition key, which only renumbers bins). n_tokens here is the
+    whitespace count; swap in token_count_bpeish's regex for BPE-ish
+    budgeting — bin arithmetic is unchanged.
+    """
+    h = F.expr(_H60.format(x="cast(doc_id as string)"))
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")))
+    w = (Window.partitionBy("lang").orderBy(h.asc(), F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.withColumn("cum", F.sum("n_tokens").over(w))
+            .select("doc_id", "lang",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.expr("(cum - n_tokens) div 4096")
+                    .cast("long").alias("bin_id")))

@@ -225,3 +225,27 @@ def test_domain_cap_scaled_equals_single_level(spark, tmp_path):
     one = {tuple(r) for r in domain_cap_sample(spark, sf).collect()}
     two = {tuple(r) for r in domain_cap_sample_scaled(spark, sf).collect()}
     assert one == two and len(one) == 5 + 20, (len(one), len(two))
+
+
+def test_pack_sequences_contiguous_fill(spark, tmp_path):
+    """Bins fill contiguously in (hash, doc_id) order per lang:
+    bin_id = cum_before div 4096, reimplemented independently;
+    an oversize doc still gets the bin its cum_before selects."""
+    texts = [" ".join(["w"] * n)
+             for n in [3000, 2000, 1500, 5000, 100]]  # token counts
+    sf = _docs(tmp_path, texts, langs=["en"] * 4 + ["fr"])
+    from extractor.queries import pack_sequences
+    got = {r["doc_id"]: (r["n_tokens"], r["bin_id"])
+           for r in pack_sequences(spark, sf).collect()}
+
+    def h(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+    order = sorted(range(4), key=lambda i: (h(i), i))
+    toks = {0: 3000, 1: 2000, 2: 1500, 3: 5000}
+    cum = 0
+    exp = {}
+    for d in order:
+        exp[d] = (toks[d], cum // 4096)
+        cum += toks[d]
+    exp[4] = (100, 0)  # sole fr doc
+    assert got == exp, (got, exp)
