@@ -2363,3 +2363,99 @@ def pack_sequences(spark, sf_dir):
                     F.col("n_tokens").cast("long").alias("n_tokens"),
                     F.expr("(cum - n_tokens) div 4096")
                     .cast("long").alias("bin_id")))
+
+
+@_q("split_assign_grouped", sql="""
+SELECT doc_id, source,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source,
+             ('0x' || substr(md5(source), 1, 15))::BIGINT % 100 AS b
+      FROM documents)
+""")
+def split_assign_grouped(spark, sf_dir):
+    """Leakage-safe train/val/test assignment: the split key is the
+    *source* (domain), not the document, so near-duplicate docs from
+    one site can never straddle train and test — the standard guard
+    against split contamination in pretraining corpora (reference
+    analog: per-file routing, job.py bucket assignment).
+
+    90/5/5 by a deterministic 60-bit md5 bucket of the group key: a
+    pure projection, no shuffle, no state — embarrassingly parallel at
+    any scale, and stable across reruns/backfills because the hash
+    depends only on the key (adding new docs never reassigns old
+    ones, unlike fraction-based randomSplit).
+    """
+    h = F.expr(_H60.format(x="source"))
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", "source", (h % 100).alias("b"))
+            .select("doc_id", "source",
+                    F.when(F.col("b") < 90, "train")
+                     .when(F.col("b") < 95, "val")
+                     .otherwise("test").alias("split")))
+
+
+@_q("winsorize_nchars", sql="""
+WITH p AS (SELECT lang,
+                  percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars) AS p05,
+                  percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang,
+       round(CASE WHEN d.n_chars < p.p05 THEN p.p05
+                  WHEN d.n_chars > p.p95 THEN p.p95
+                  ELSE d.n_chars END, 2) AS n_chars_w
+FROM documents d JOIN p USING (lang)
+""")
+def winsorize_nchars(spark, sf_dir):
+    """Robust-statistics outlier clamp (winsorization) of the doc
+    length feature, per language: exact p05/p95 linear-interpolation
+    percentiles, then clamp. The pattern behind quality-score
+    normalization in corpus pipelines (clip the tails so one 100 MB
+    page doesn't dominate a mean).
+
+    Plan: ONE aggregation shuffle keyed on lang computes the tiny
+    per-lang percentile dim (|langs| rows), which is broadcast back
+    onto the fact scan — no window over the full table, no second
+    shuffle. Exact `percentile` (not approx_percentile) because the
+    oracle demands value equality; at 100 TB swap in approx_percentile
+    with a pinned accuracy and the plan shape is unchanged.
+    """
+    d = t(spark, sf_dir, "documents")
+    p = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"))
+    return (d.join(F.broadcast(p), "lang")
+            .select("doc_id", "lang",
+                    F.round(F.when(F.col("n_chars") < F.col("p05"), F.col("p05"))
+                             .when(F.col("n_chars") > F.col("p95"), F.col("p95"))
+                             .otherwise(F.col("n_chars").cast("double")), 2)
+                    .alias("n_chars_w")))
+
+
+@_q("emb_centroid_per_label", sql="""
+SELECT label, CAST(o - 1 AS BIGINT) AS pos,
+       round(avg(CAST(v AS DOUBLE)), 5) AS centroid
+FROM (SELECT label, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS o
+      FROM embeddings)
+GROUP BY label, o
+""")
+def emb_centroid_per_label(spark, sf_dir):
+    """Per-class embedding centroid (the reduce step of k-means /
+    IVF coarse-quantizer training, and the class prototype used by
+    centroid-distance data pruning a la SemDeDup): posexplode the
+    vector, average each coordinate per label.
+
+    Plan: explode multiplies rows by dim (bounded, ~128) but the agg
+    is map-side partial — the shuffle carries only
+    |labels| x dim x n_partial rows, independent of corpus size. For
+    very high dim, the mapInPandas alternative (sum vectors per
+    partition, reduce driver-side) saves the explode; at dim<=4k the
+    explode + codegen agg wins on simplicity and stays JVM-side.
+    Rounded to 5 decimals: double summation-order noise is ~1e-15,
+    far from the rounding boundary.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    return (e.select("label", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("label", F.col("pos").cast("long").alias("pos"))
+            .agg(F.round(F.avg(F.col("v").cast("double")), 5).alias("centroid")))

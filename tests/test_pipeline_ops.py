@@ -249,3 +249,56 @@ def test_pack_sequences_contiguous_fill(spark, tmp_path):
         cum += toks[d]
     exp[4] = (100, 0)  # sole fr doc
     assert got == exp, (got, exp)
+
+
+def test_split_assign_group_consistent_and_shuffle_free(spark):
+    """Every doc of a source gets the same split, splits are decided
+    by md5(source) alone (recomputable), and the plan is a pure
+    narrow projection — zero Exchange."""
+    from extractor.queries import split_assign_grouped
+    df = split_assign_grouped(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan, plan
+    rows = df.collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in by_source.values()), by_source
+    for src, splits in by_source.items():
+        b = int(hashlib.md5(src.encode()).hexdigest()[:15], 16) % 100
+        exp = "train" if b < 90 else ("val" if b < 95 else "test")
+        assert splits == {exp}, (src, b, splits)
+
+
+def test_winsorize_broadcasts_percentile_dim(spark):
+    """The per-lang percentile frame must come back as a broadcast
+    join, and clamping must hold: every output within [p05, p95]."""
+    from extractor.queries import winsorize_nchars
+    df = winsorize_nchars(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    pdf = df.toPandas()
+    lo = pdf.groupby("lang")["n_chars_w"].min()
+    hi = pdf.groupby("lang")["n_chars_w"].max()
+    import pandas as _pd
+    raw = _pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    q = raw.groupby("lang")["n_chars"].quantile([0.05, 0.95]).unstack()
+    for lang in q.index:
+        assert abs(lo[lang] - round(q.loc[lang, 0.05], 2)) < 1e-9 or \
+            lo[lang] > q.loc[lang, 0.05]  # no doc below p05 pre-clamp
+        assert hi[lang] <= round(q.loc[lang, 0.95], 2) + 1e-9
+
+
+def test_emb_centroid_matches_numpy(spark):
+    from extractor.queries import emb_centroid_per_label
+    import numpy as np
+    got = emb_centroid_per_label(spark, "/root/testdata/sf0.001").toPandas()
+    raw = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for label, grp in raw.groupby("label"):
+        mat = np.stack(grp["embedding"].to_numpy()).astype("float64")
+        exp = np.round(mat.mean(axis=0), 5)
+        sub = (got[got["label"] == label].sort_values("pos")
+               ["centroid"].to_numpy())
+        assert np.allclose(sub, exp, atol=1e-9), label
