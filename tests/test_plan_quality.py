@@ -277,3 +277,41 @@ def test_domain_cap_scaled_salted_first_pass(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert re.search(r"Exchange hashpartitioning\(source#\d+, salt#\d+", plan), plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located join via bucketing (the 100-TB fact-join recipe):
+    both sides written with bucketBy(8, custkey) + sortBy, then joined
+    on the bucket key — the plan must be a SortMergeJoin with ZERO
+    Exchange (bucket layout replaces the shuffle). This is the sink
+    contract export_merged relies on writ large: pre-partitioned
+    storage turns every downstream key-join/agg into a narrow op.
+    Result equality vs the plain (shuffling) join is asserted too.
+    """
+    from pyspark.sql import functions as F
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(sf + "/orders.parquet")
+    cust = spark.read.parquet(sf + "/customer.parquet")
+    for name, df, key in (("b_orders", orders, "o_custkey"),
+                          ("b_cust", cust, "c_custkey")):
+        (df.write.format("parquet").mode("overwrite")
+           .option("path", str(tmp_path / name))
+           .bucketBy(8, key).sortBy(key).saveAsTable(name))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_cust"),
+            F.col("o_custkey") == F.col("c_custkey")).select(
+            "o_orderkey", "c_mktsegment")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        expected = orders.join(
+            cust, F.col("o_custkey") == F.col("c_custkey")).count()
+        assert j.count() == expected and expected > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
