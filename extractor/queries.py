@@ -2459,3 +2459,82 @@ def emb_centroid_per_label(spark, sf_dir):
     return (e.select("label", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("label", F.col("pos").cast("long").alias("pos"))
             .agg(F.round(F.avg(F.col("v").cast("double")), 5).alias("centroid")))
+
+
+@_q("ohlc_hourly_bars", sql="""
+WITH w AS (SELECT user_id,
+                  CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS h,
+                  CAST(round(value * 100, 0) AS BIGINT) AS c, ts, event_id
+           FROM events),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id, h
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY user_id, h
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM w)
+SELECT user_id, h,
+       max(CASE WHEN ra = 1 THEN c END) AS open_c,
+       max(c) AS high_c, min(c) AS low_c,
+       max(CASE WHEN rd = 1 THEN c END) AS close_c,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM r GROUP BY user_id, h
+""")
+def ohlc_hourly_bars(spark, sf_dir):
+    """Hourly OHLC time-bars per user (the hypertable/time-series
+    rollup class, a7's event-time sibling): open/close are the first/
+    last value in the bar under the total order (ts, event_id) —
+    min_by/max_by with a struct ordering key, so the whole bar is ONE
+    partial-aggregable groupBy: a single shuffle on (user_id, hour),
+    no window sort over the fact table (the oracle's two row_number
+    windows are the semantics spec, not the plan). Values in integer
+    cents; bar start as epoch seconds (w6 recipe)."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (ev.groupBy(
+                "user_id",
+                F.window(F.col("ts").cast("timestamp_ltz"), "1 hour")
+                .alias("win"))
+            .agg(F.expr("min_by(cast(round(value*100,0) as bigint),"
+                        " struct(ts, event_id))").alias("open_c"),
+                 F.max(cents).alias("high_c"),
+                 F.min(cents).alias("low_c"),
+                 F.expr("max_by(cast(round(value*100,0) as bigint),"
+                        " struct(ts, event_id))").alias("close_c"),
+                 F.count("*").alias("n_events"))
+            .select("user_id", F.unix_seconds("win.start").alias("h"),
+                    "open_c", "high_c", "low_c", "close_c", "n_events"))
+
+
+@_q("source_mix_weights", sql="""
+WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source)
+SELECT source, n_docs, n_tokens,
+       round(sqrt(CAST(n_tokens AS DOUBLE))
+             / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS mix_weight
+FROM s
+""")
+def source_mix_weights(spark, sf_dir):
+    """Temperature-smoothed data-mixture weights (the multi-source
+    sampling recipe of multilingual/multi-corpus pretraining, alpha =
+    0.5): per-source token mass, then weight ∝ tokens^alpha
+    renormalized — upweights the tail, caps the head.
+
+    Plan: the fact scan collapses to a |sources|-row dim in one
+    partially-aggregated shuffle; the normalizing sum runs as an
+    unpartitioned window over THAT dim only (single partition by
+    construction — fine because its input is already one row per
+    source, never the corpus). sqrt is correctly-rounded IEEE on both
+    engines; round(,6) absorbs summation-order noise in the
+    normalizer."""
+    d = (t(spark, sf_dir, "documents")
+         .select("source", F.size(F.split("text", " ")).alias("n_tok")))
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"))
+    allw = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    rt = F.sqrt(F.col("n_tokens").cast("double"))
+    return s.select(
+        "source", "n_docs", "n_tokens",
+        F.round(rt / F.sum(rt).over(allw), 6).alias("mix_weight"))

@@ -302,3 +302,52 @@ def test_emb_centroid_matches_numpy(spark):
         sub = (got[got["label"] == label].sort_values("pos")
                ["centroid"].to_numpy())
         assert np.allclose(sub, exp, atol=1e-9), label
+
+
+def test_ohlc_bars_tiebreak_and_single_shuffle(spark, tmp_path):
+    """Two events share the opening timestamp — min_by's
+    (ts, event_id) struct order must pick the lower event_id as open.
+    Plan gate: ONE Exchange (the groupBy), zero Window/Sort over the
+    fact table."""
+    import re
+    from extractor.queries import ohlc_hourly_bars
+    rows = [  # (event_id, ts, user_id, value)
+        (1, "2026-01-01 10:00:00", 7, 5.00),
+        (0, "2026-01-01 10:00:00", 7, 9.00),   # same ts, lower id -> open
+        (2, "2026-01-01 10:30:00", 7, 1.00),   # low
+        (3, "2026-01-01 10:59:59", 7, 7.00),   # close
+        (4, "2026-01-01 11:00:01", 7, 2.00),   # next bar
+    ]
+    sf = _events(tmp_path, [(e, ts, u, "view") for e, ts, u, _ in rows])
+    import pandas as pd2
+    pdf = pd2.read_parquet(os.path.join(sf, "events.parquet"))
+    pdf["value"] = [r[3] for r in rows]
+    pdf.to_parquet(os.path.join(sf, "events.parquet"))
+    df = ohlc_hourly_bars(spark, sf)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "(Window" not in plan and ") Window" not in plan, plan
+    got = {(r["user_id"], r["h"]): (r["open_c"], r["high_c"],
+                                    r["low_c"], r["close_c"], r["n_events"])
+           for r in df.collect()}
+    import datetime as dt
+    h0 = int(dt.datetime(2026, 1, 1, 10, tzinfo=dt.timezone.utc).timestamp())
+    assert got[(7, h0)] == (900, 900, 100, 700, 4), got
+    assert got[(7, h0 + 3600)] == (200, 200, 200, 200, 1), got
+
+
+def test_source_mix_weights_sum_to_one_and_alpha(spark, tmp_path):
+    """alpha=0.5 smoothing: a source with 4x the tokens gets only 2x
+    the weight; weights sum to 1."""
+    from extractor.queries import source_mix_weights
+    texts = ["w " * 399 + "w", "w " * 99 + "w"]  # 400 vs 100 tokens
+    sf = _docs(tmp_path, texts)
+    pdf = pd.read_parquet(os.path.join(sf, "documents.parquet"))
+    pdf["source"] = ["big", "small"]
+    pdf.to_parquet(os.path.join(sf, "documents.parquet"))
+    got = {r["source"]: r for r in source_mix_weights(spark, sf).collect()}
+    assert got["big"]["n_tokens"] == 400 and got["small"]["n_tokens"] == 100
+    w_big, w_small = got["big"]["mix_weight"], got["small"]["mix_weight"]
+    assert abs(w_big + w_small - 1.0) < 1e-6
+    assert abs(w_big / w_small - 2.0) < 1e-4, (w_big, w_small)
