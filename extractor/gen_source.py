@@ -1,0 +1,153 @@
+"""`transcript_gen` — a PySpark Python DataSource that *generates* the
+transcripts table instead of reading it (reference analog: the
+fixture-upload ingress, LOCDB-V3 server.py file intake — here the
+"files" are synthesized on the executors).
+
+Why a source and not a driver-side DataFrame: at the north-rule scale
+(10^12 turns) the input cannot be materialized to storage just to
+benchmark the engine. Every conversation in gen_fixtures is already
+generated from ``Random((seed, conv_id))`` — no cross-conversation
+state — so generation is embarrassingly partition-parallel: the
+planner hands each ``InputPartition`` a half-open conversation-index
+range and each executor synthesizes only its own range. Conversation
+*sizes* are also drawn per-index (``Random((seed, "size", ci))``), so
+no partition ever needs another partition's cursor — O(1) planning
+per partition, O(own rows) work per task, any ``numPartitions``.
+
+The hot-conversation skew fixture is preserved: conversation index 0
+is ``conv-hot-000000`` sized ``hot_frac`` of the requested total, so
+the salted-bucket repartition in job.py sees the same adversarial
+shape the parquet fixtures carry.
+
+Rows are emitted as pyarrow RecordBatches (the Arrow fast path of the
+Python DataSource API), types matching BASELINE.json input_hint:
+(conv_id string, turn_idx int32, role string, text string,
+tool string, ts timestamp[us]).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pyarrow as pa
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from extractor.gen_fixtures import EPOCH, make_turn_text
+
+_SCHEMA_DDL = ("conv_id string, turn_idx int, role string, "
+               "text string, tool string, ts timestamp_ntz")
+
+_ARROW_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+])
+
+
+def _conv_size(seed: int, ci: int, n_turns: int, hot_frac: float) -> int:
+    if ci == 0:
+        return max(1, int(n_turns * hot_frac))
+    return random.Random((seed, "size", ci).__repr__()).randint(4, 40)
+
+
+def _n_convs(seed: int, n_turns: int, hot_frac: float) -> int:
+    """Smallest conversation count whose sizes sum to >= n_turns.
+
+    Driver-side planning cost: expected size is 22, so this walks
+    ~n_turns/22 indices doing one Random() draw each. For genuinely
+    astronomic n_turns, pass num_convs directly instead (sizes then
+    define the total) — the per-index size draw needs no prefix sum,
+    which is what makes that contract O(1) plannable.
+    """
+    total, ci = 0, 0
+    while total < n_turns:
+        total += _conv_size(seed, ci, n_turns, hot_frac)
+        ci += 1
+    return ci
+
+
+class _GenPartition(InputPartition):
+    def __init__(self, seed, hot_frac, n_turns, ci_lo, ci_hi):
+        self.seed, self.hot_frac, self.n_turns = seed, hot_frac, n_turns
+        self.ci_lo, self.ci_hi = ci_lo, ci_hi
+
+
+class _GenReader(DataSourceReader):
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.hot_frac = float(options.get("hot_frac", 0.30))
+        self.n_parts = int(options.get("numPartitions", 32))
+        n_convs = options.get("num_convs")
+        if n_convs is not None:
+            self.n_convs = int(n_convs)
+            self.n_turns = int(options.get("n_turns", 0)) or 200_000
+        else:
+            self.n_turns = int(options.get("n_turns", 2000))
+            self.n_convs = _n_convs(self.seed, self.n_turns, self.hot_frac)
+
+    def partitions(self):
+        n = min(self.n_parts, self.n_convs)
+        step = -(-self.n_convs // n)
+        return [
+            _GenPartition(self.seed, self.hot_frac, self.n_turns,
+                          lo, min(lo + step, self.n_convs))
+            for lo in range(0, self.n_convs, step)
+        ]
+
+    def read(self, part):
+        rows = {k: [] for k in
+                ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+
+        def flush():
+            batch = pa.record_batch(
+                [pa.array(rows["conv_id"], pa.string()),
+                 pa.array(rows["turn_idx"], pa.int32()),
+                 pa.array(rows["role"], pa.string()),
+                 pa.array(rows["text"], pa.string()),
+                 pa.array(rows["tool"], pa.string()),
+                 pa.array(rows["ts"], pa.timestamp("us"))],
+                schema=_ARROW_SCHEMA)
+            for k in rows:
+                rows[k] = []
+            return batch
+
+        for ci in range(part.ci_lo, part.ci_hi):
+            conv_id = ("conv-hot-000000" if ci == 0
+                       else "conv-{:06d}".format(ci))
+            size = _conv_size(part.seed, ci, part.n_turns, part.hot_frac)
+            conv_rng = random.Random((part.seed, conv_id).__repr__())
+            base = EPOCH + dt.timedelta(
+                seconds=conv_rng.randrange(10_000_000))
+            for ti in range(size):
+                text, tool = make_turn_text(conv_rng)
+                rows["conv_id"].append(conv_id)
+                rows["turn_idx"].append(ti)
+                rows["role"].append(("user", "assistant", "tool")[ti % 3])
+                rows["text"].append(text)
+                rows["tool"].append(tool)
+                rows["ts"].append(base + dt.timedelta(seconds=7 * ti))
+            if len(rows["conv_id"]) >= 2048:
+                yield flush()
+        if rows["conv_id"]:
+            yield flush()
+
+
+class TranscriptGenDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "transcript_gen"
+
+    def schema(self):
+        return _SCHEMA_DDL
+
+    def reader(self, schema):
+        return _GenReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(TranscriptGenDataSource)

@@ -1,0 +1,58 @@
+"""transcript_gen Python DataSource: the storage-free input path for
+north-rule-scale benchmarking. Pins (a) the input_hint schema, (b)
+partition-count invariance (the property that makes the 10^12-turn
+contract honest — any executor count yields the same table), (c) the
+skew fixture survives, and (d) the real extraction pipeline over the
+generated frame matches the pandas oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from extractor import gen_source, job
+from extractor.core.batch import extract_batch
+
+
+@pytest.fixture(scope="module")
+def gen_spark(spark):
+    gen_source.register(spark)
+    return spark
+
+
+def _read(spark, **opts):
+    r = spark.read.format("transcript_gen")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_schema_matches_input_hint(gen_spark):
+    df = _read(gen_spark, n_turns=200, numPartitions=2)
+    assert df.schema.simpleString() == (
+        "struct<conv_id:string,turn_idx:int,role:string,"
+        "text:string,tool:string,ts:timestamp_ntz>")
+
+
+def test_partition_invariance_and_skew(gen_spark):
+    a = _read(gen_spark, n_turns=2000, numPartitions=3)
+    b = _read(gen_spark, n_turns=2000, numPartitions=16)
+    assert a.rdd.getNumPartitions() == 3
+    # ceil-step chunking may yield slightly fewer than requested
+    assert 8 < b.rdd.getNumPartitions() <= 16
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) >= 2000
+    hot = [r for r in ra if r[0] == "conv-hot-000000"]
+    assert len(hot) == 600  # hot_frac 0.30 of requested total
+
+
+def test_generated_input_extracts_to_oracle(gen_spark):
+    src = _read(gen_spark, n_turns=600, numPartitions=4)
+    got = (job.plan_extract(src, n_buckets=8)
+           .orderBy("conv_id", "turn_idx").toPandas())
+    pdf = src.toPandas()
+    exp = (extract_batch(pdf)
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert (got["clean_text"].values == exp["clean_text"].values).all()
+    assert list(got["conv_id"]) == list(exp["conv_id"])
