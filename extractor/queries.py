@@ -2538,3 +2538,105 @@ def source_mix_weights(spark, sf_dir):
     return s.select(
         "source", "n_docs", "n_tokens",
         F.round(rt / F.sum(rt).over(allw), 6).alias("mix_weight"))
+
+
+@_q("bigram_pmi_top", sql="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+       FROM tok, unnest(range(1, len(ws))) AS t(i)),
+pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+       FROM bg GROUP BY w1, w2),
+uc AS (SELECT w1 AS w, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY w1),
+vc AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY w2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM bg),
+sc AS (SELECT p.w1, p.w2, p.n_pair,
+              round((CAST(p.n_pair AS DOUBLE) * t.n_tot)
+                    / (CAST(u.n AS DOUBLE) * v.n), 4) AS lift
+       FROM pc p JOIN uc u ON p.w1 = u.w JOIN vc v ON p.w2 = v.w
+       CROSS JOIN tot t
+       WHERE p.n_pair >= 5)
+SELECT w1, w2, n_pair, lift FROM
+  (SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rn FROM sc)
+WHERE rn <= 20
+""")
+def bigram_pmi_top(spark, sf_dir):
+    """Top collocations by PMI lift (exp(PMI) — the log is monotone,
+    so ranking on the raw ratio avoids any cross-engine libm ln()
+    risk; same trick as tfidf_top_terms): P(w1,w2)/(P(w1)P(w2)) over
+    adjacent-word bigrams, min support 5, deterministic (lift, w1,
+    w2) tie-break.
+
+    Plan: one explode pass produces the bigram stream; three partial
+    aggs (pair / left-unigram / right-unigram) shuffle on their own
+    keys; the two unigram dims are |vocab|-sized and broadcast back
+    onto the pair counts; the scalar corpus total rides a 1-row cross
+    join. Final top-20 is rank-on-tiny (the filtered pair dim), not a
+    global sort of the corpus. Lift's one multiply + one divide per
+    row is exact IEEE, rounded at 4."""
+    tok = (t(spark, sf_dir, "documents")
+           .select(F.split("text", " ").alias("ws")))
+    bg = tok.select(
+        F.expr("explode(arrays_zip(slice(ws, 1, size(ws) - 1),"
+               " slice(ws, 2, size(ws) - 1)))").alias("z")
+    ).select(F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+    bg = bg.persist()
+    pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    uc = bg.groupBy(F.col("w1").alias("w")).agg(F.count("*").alias("nu"))
+    vc = bg.groupBy(F.col("w2").alias("w")).agg(F.count("*").alias("nv"))
+    tot = bg.agg(F.count("*").alias("n_tot"))
+    sc = (pc.where(F.col("n_pair") >= 5)
+          .join(F.broadcast(uc), pc["w1"] == uc["w"]).drop("w")
+          .join(F.broadcast(vc), pc["w2"] == vc["w"]).drop("w")
+          .crossJoin(F.broadcast(tot))
+          .select("w1", "w2", "n_pair",
+                  F.round((F.col("n_pair").cast("double") * F.col("n_tot"))
+                          / (F.col("nu").cast("double") * F.col("nv")), 4)
+                  .alias("lift")))
+    w = Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+    return (sc.withColumn("rn", F.row_number().over(w))
+            .where("rn <= 20").drop("rn"))
+
+
+@_q("cdc_snapshot_diff", sql="""
+WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents
+             WHERE doc_id % 10 < 8),
+new AS (SELECT doc_id,
+               md5(CASE WHEN doc_id % 10 = 5 THEN upper(text)
+                        ELSE text END) AS fp
+        FROM documents WHERE doc_id % 10 > 1)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+""")
+def cdc_snapshot_diff(spark, sf_dir):
+    """Change-data-capture between two corpus snapshots (the
+    backfill/refresh primitive of a crawled corpus: which docs were
+    added / removed / changed since the last build): content
+    fingerprints on both sides, FULL OUTER join on the key, classify.
+    The snapshots are carved deterministically from the one documents
+    table (old = doc_id%10 in [0,8), new = doc_id%10 in [2,10) with
+    docs ending in 5 rewritten), so the oracle sees every branch.
+
+    Plan: both sides shuffle once on doc_id for the full-outer
+    sort-merge join — the one join type with no broadcast shortcut
+    (either side may contribute unmatched rows). At 100 TB, snapshots
+    stored bucket-by-doc_id make this a zero-exchange zipper (see the
+    bucketed-join plan gate)."""
+    d = t(spark, sf_dir, "documents")
+    old = (d.where("doc_id % 10 < 8")
+           .select("doc_id", F.md5("text").alias("fp_o")))
+    new = (d.where("doc_id % 10 > 1")
+           .select("doc_id",
+                   F.md5(F.when(F.col("doc_id") % 10 == 5,
+                                F.upper("text"))
+                         .otherwise(F.col("text"))).alias("fp_n")))
+    j = old.join(new, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("fp_o").isNull(), "added")
+         .when(F.col("fp_n").isNull(), "removed")
+         .when(F.col("fp_o") != F.col("fp_n"), "changed")
+         .otherwise("unchanged").alias("status"))

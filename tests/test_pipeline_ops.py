@@ -351,3 +351,34 @@ def test_source_mix_weights_sum_to_one_and_alpha(spark, tmp_path):
     w_big, w_small = got["big"]["mix_weight"], got["small"]["mix_weight"]
     assert abs(w_big + w_small - 1.0) < 1e-6
     assert abs(w_big / w_small - 2.0) < 1e-4, (w_big, w_small)
+
+
+def test_cdc_snapshot_diff_all_branches(spark):
+    """sf0.001 has doc_id 0..499: digits 0,1 -> removed (100), digits
+    8,9 -> added (100), digit 5 -> changed (50), rest unchanged (250).
+    Plan must be a full-outer SortMergeJoin (no broadcast shortcut
+    exists for full outer)."""
+    from extractor.queries import cdc_snapshot_diff
+    df = cdc_snapshot_diff(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    got = {r["status"]: r["count"]
+           for r in df.groupBy("status").count().collect()}
+    assert got == {"removed": 100, "added": 100,
+                   "changed": 50, "unchanged": 250}, got
+
+
+def test_bigram_pmi_prefers_exclusive_pair(spark, tmp_path):
+    """'alpha beta' always co-occur exclusively (lift = n_tot /
+    n_pair-ish >> 1); 'the the' is frequent but independent (lift
+    ~1). The exclusive pair must rank first."""
+    from extractor.queries import bigram_pmi_top
+    texts = [("alpha beta " + "the cat " * 10).strip() for _ in range(5)]
+    sf = _docs(tmp_path, texts)
+    rows = bigram_pmi_top(spark, sf).collect()
+    assert rows, "no pair reached min support"
+    top = rows[0]
+    assert (top["w1"], top["w2"]) == ("alpha", "beta"), rows[:3]
+    lifts = {(r["w1"], r["w2"]): r["lift"] for r in rows}
+    assert lifts[("alpha", "beta")] > lifts[("the", "cat")], lifts
