@@ -2640,3 +2640,104 @@ def cdc_snapshot_diff(spark, sf_dir):
          .when(F.col("fp_n").isNull(), "removed")
          .when(F.col("fp_o") != F.col("fp_n"), "changed")
          .otherwise("unchanged").alias("status"))
+
+
+@_q("props_json_stats", sql="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_with_props,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events WHERE props <> '' GROUP BY event_type
+""")
+def props_json_stats(spark, sf_dir):
+    """Semi-structured payload stats (SURVEY §2.8 at the query layer,
+    the tool-output-JSON analog of the extraction path's flattener):
+    parse the events.props JSON ONCE per row with a schema-pinned
+    from_json (one Jackson pass, JVM-side — not N get_json_object
+    re-parses), then an ordinary partial-agg shuffle on event_type.
+    The empty-props filter is pushed to the scan."""
+    ev = t(spark, sf_dir, "events").where(F.col("props") != "")
+    k = F.from_json("props", "k long").getField("k")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_with_props"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k")))
+
+
+@_q("corpus_build_pipeline", sql="""
+WITH g AS (
+  SELECT doc_id, text, lang, source,
+         len(string_split(text, ' ')) AS n_words,
+         length(replace(text, ' ', '')) AS word_chars,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+  FROM documents),
+q AS (SELECT doc_id, text, lang, source FROM g
+      WHERE n_words BETWEEN 50 AND 100000
+        AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+        AND 10 * n_hash <= n_words AND 10 * n_ell <= n_words),
+d AS (SELECT * FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS dup_rn
+        FROM q) WHERE dup_rn = 1),
+c AS (SELECT * FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15))::BIGINT,
+                            doc_id) AS rn
+        FROM d) WHERE rn <= 5)
+SELECT doc_id, lang, source,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, lang, source,
+             ('0x' || substr(md5(source), 1, 15))::BIGINT % 100 AS b
+      FROM c)
+""")
+def corpus_build_pipeline(spark, sf_dir):
+    """The stages composed end-to-end — what a user of this engine
+    actually runs to cut a training corpus: Gopher quality filter
+    (narrow map, pushdown-friendly) -> exact dedup keep-first
+    (min-doc_id per content hash) -> per-domain cap (<=5, hash-order
+    deterministic) -> leakage-safe split assignment (hash of source,
+    pure projection). One query, each stage's semantics identical to
+    its standalone operator, which the shared oracle fragments prove;
+    plan-gated at exactly TWO Exchanges (the content-fingerprint
+    window and the source-cap window — filter and split are narrow). Plan-gated at exactly TWO Exchanges: the
+    content-fingerprint window and the source-cap window; the quality
+    filter and the split are narrow.
+
+    Composition is where plan quality pays: the quality filter runs
+    BEFORE any shuffle (cuts shuffle volume by the reject rate), the
+    dedup window and the cap window are back-to-back narrow-after-
+    shuffle stages, and the split adds zero exchanges. At 100 TB this
+    whole chain is 2 shuffle rounds over surviving rows only."""
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    word_chars = F.length(F.regexp_replace("text", " ", ""))
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ell = ((F.length("text")
+              - F.length(F.regexp_replace("text", r"\.\.\.", ""))) / 3)
+    n_ell = n_ell.cast("long")
+    q = (d.where(n_words.between(50, 100000)
+                 & (word_chars >= 3 * n_words)
+                 & (word_chars <= 10 * n_words)
+                 & (10 * n_hash <= n_words)
+                 & (10 * n_ell <= n_words))
+         .select("doc_id", "text", "lang", "source"))
+    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = (q.withColumn("dup_rn", F.row_number().over(wd))
+          .where("dup_rn = 1").select("doc_id", "lang", "source"))
+    h = F.expr(_H60.format(x="cast(doc_id as string)"))
+    wc = Window.partitionBy("source").orderBy(h.asc(), F.asc("doc_id"))
+    c = (dd.withColumn("rn", F.row_number().over(wc))
+         .where("rn <= 5").select("doc_id", "lang", "source"))
+    hs = F.expr(_H60.format(x="source")) % 100
+    return c.select(
+        "doc_id", "lang", "source",
+        F.when(hs < 90, "train").when(hs < 95, "val")
+         .otherwise("test").alias("split"))

@@ -382,3 +382,20 @@ def test_bigram_pmi_prefers_exclusive_pair(spark, tmp_path):
     assert (top["w1"], top["w2"]) == ("alpha", "beta"), rows[:3]
     lifts = {(r["w1"], r["w2"]): r["lift"] for r in rows}
     assert lifts[("alpha", "beta")] > lifts[("the", "cat")], lifts
+
+
+def test_corpus_build_pipeline_two_exchanges(spark):
+    """The composed corpus-cut chain must cost exactly two shuffles
+    (dedup fingerprint window + domain-cap window); quality filter and
+    split assignment are narrow. Survivors obey the cap and carry a
+    group-consistent split."""
+    import re
+    from extractor.queries import corpus_build_pipeline
+    df = corpus_build_pipeline(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert pdf.groupby("source").size().max() <= 5
+    assert (pdf.groupby("source")["split"].nunique() == 1).all()
