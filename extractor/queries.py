@@ -2741,3 +2741,66 @@ def corpus_build_pipeline(spark, sf_dir):
         "doc_id", "lang", "source",
         F.when(hs < 90, "train").when(hs < 95, "val")
          .otherwise("test").alias("split"))
+
+
+@_q("pagerank_supplier_part", sql="""
+WITH e AS (SELECT DISTINCT -l_suppkey AS src, l_partkey AS dst
+           FROM lineitem),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0 AS r FROM nodes),
+r1 AS (SELECT n.id,
+              0.15 + 0.85 * coalesce(sum(r0.r / deg.d), 0) AS r
+       FROM nodes n LEFT JOIN e ON e.dst = n.id
+       LEFT JOIN deg ON deg.src = e.src
+       LEFT JOIN r0 ON r0.id = e.src GROUP BY n.id),
+r2 AS (SELECT n.id,
+              0.15 + 0.85 * coalesce(sum(r1.r / deg.d), 0) AS r
+       FROM nodes n LEFT JOIN e ON e.dst = n.id
+       LEFT JOIN deg ON deg.src = e.src
+       LEFT JOIN r1 ON r1.id = e.src GROUP BY n.id),
+r3 AS (SELECT n.id,
+              0.15 + 0.85 * coalesce(sum(r2.r / deg.d), 0) AS r
+       FROM nodes n LEFT JOIN e ON e.dst = n.id
+       LEFT JOIN deg ON deg.src = e.src
+       LEFT JOIN r2 ON r2.id = e.src GROUP BY n.id)
+SELECT id AS node_id, round(r, 6) AS rank FROM r3
+""")
+def pagerank_supplier_part(spark, sf_dir):
+    """Fixed-iteration PageRank (damping 0.85, 3 rounds) over the
+    supplier->part procurement graph (suppliers negated into their own
+    id space) — the second iterative-algorithm operator next to
+    dedup_cluster_assign's connected components, and the same
+    driver-side loop-over-declarative-plan pattern (A4): each round
+    is join(edges, ranks) -> per-dst partial-agg sum -> left join back
+    onto the node set. Fixed iteration count keeps it SQL-expressible
+    (the oracle unrolls the three rounds as CTE levels); the
+    convergence-loop variant would hard-raise like the CC loop does.
+
+    Scale: ranks and degrees are keyed on src, edges shuffle once per
+    round on src then once on dst — the canonical Pregel-on-DataFrames
+    cost. Dangling mass (sink parts) intentionally leaks, identically
+    in both engines. round(6) absorbs summation-order noise."""
+    li = (t(spark, sf_dir, "lineitem")
+          .select((-F.col("l_suppkey")).alias("src"),
+                  F.col("l_partkey").alias("dst"))
+          .distinct().persist())
+    nodes = (li.select(F.col("src").alias("id"))
+             .union(li.select(F.col("dst").alias("id")))
+             .distinct().persist())
+    deg = li.groupBy("src").agg(F.count("*").alias("d"))
+    ranks = nodes.select("id", F.lit(1.0).alias("r"))
+    for _ in range(3):
+        contrib = (li.join(deg, "src")
+                   .join(ranks.withColumnRenamed("id", "rid"),
+                         F.col("src") == F.col("rid"))
+                   .select(F.col("dst").alias("id"),
+                           (F.col("r") / F.col("d")).alias("c")))
+        sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(sums, "id", "left")
+                 .select("id",
+                         (F.lit(0.15)
+                          + F.lit(0.85) * F.coalesce(F.col("s"),
+                                                     F.lit(0.0))).alias("r")))
+    return ranks.select(F.col("id").alias("node_id"),
+                        F.round("r", 6).alias("rank"))

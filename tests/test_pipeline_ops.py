@@ -399,3 +399,18 @@ def test_corpus_build_pipeline_two_exchanges(spark):
     assert len(pdf) > 0
     assert pdf.groupby("source").size().max() <= 5
     assert (pdf.groupby("source")["split"].nunique() == 1).all()
+
+
+def test_pagerank_hand_computed(spark, tmp_path):
+    """Star graph: supplier 1 -> {part 1, part 2}, supplier 2 ->
+    part 1. Three damped iterations computed by hand; suppliers (no
+    inbound) settle at 0.15 after round 1."""
+    from extractor.queries import pagerank_supplier_part
+    pd.DataFrame({
+        "l_suppkey": [1, 1, 2, 1],   # duplicate edge collapses
+        "l_partkey": [1, 2, 1, 1],
+    }).to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = {r["node_id"]: r["rank"]
+           for r in pagerank_supplier_part(spark, str(tmp_path)).collect()}
+    assert got == {-1: 0.15, -2: 0.15,
+                   1: 0.34125, 2: 0.21375}, got
