@@ -348,6 +348,42 @@ def export_merged(spark: SparkSession, output_path: str, dest: str,
        .write.mode("overwrite").format(fmt).save(dest))
 
 
+def compact_buckets(spark: SparkSession, output_path: str) -> int:
+    """Maintenance compaction for the bucket-partitioned sink (the
+    small-files problem: every wave and every task appends a file, so
+    a long-lived output accretes per-bucket file counts that make
+    readers pay open + footer costs per file — at 100 TB the classic
+    table-maintenance job, cf. Iceberg rewrite_data_files).
+
+    Rewrites each bucket directory into ONE key-sorted file while
+    preserving both sink contracts: the bucket partition layout
+    (pruned point lookups) and the within-file (conv_id, turn_idx)
+    order (row-group pruning + zstd locality; ``bucket`` leads the
+    sort keys for the same writer reason as in run_extract).
+
+    Stage-and-swap, not in-place: Spark cannot overwrite a path it is
+    reading, and a mid-compaction crash must not lose committed data —
+    so write to ``data.compact``, then two atomic renames. (On an
+    object store, swap via the catalog instead — rename is a copy
+    there; this path targets HDFS/local semantics.) Checkpoint
+    manifest/counters are untouched: content is bit-identical, only
+    file boundaries change. Returns the number of buckets rewritten."""
+    data_dir = os.path.join(output_path, "data")
+    stage_dir = data_dir + ".compact"
+    old_dir = data_dir + ".old"
+    df = spark.read.schema(EXTRACTED_BUCKET_SCHEMA).parquet(data_dir)
+    n_buckets = df.select("bucket").distinct().count()
+    part = (df.repartition(max(n_buckets, 1), "bucket")
+            .sortWithinPartitions("bucket", "conv_id", "turn_idx"))
+    part.write.mode("overwrite").partitionBy("bucket").parquet(stage_dir)
+    import shutil
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(data_dir, old_dir)
+    os.rename(stage_dir, data_dir)
+    shutil.rmtree(old_dir)
+    return n_buckets
+
+
 def found_notfound(requested: DataFrame, produced: DataFrame) -> DataFrame:
     """J8/S7: requested keys not present in the produced table
     (the reference's NotFound list, LOCDB-V3/fileProcessor.py:167-186)."""

@@ -596,3 +596,36 @@ def test_transcript_native_goldens_per_turn_equality(spark, tmp_path):
     assert "thirty-two executors" in by_key[("t3-b64", 0)]
     assert "End of attachment." in by_key[("t3-b64", 1)]
     assert "fixed the auth loop" in by_key[("t3-b64", 2)]
+import glob, os
+import pyarrow.parquet as pq
+
+
+def test_compact_buckets_preserves_content_and_order(spark, tmp_path):
+    from extractor import job
+    src = "/root/repo/tests/goldens/t1_input.parquet"
+    out = str(tmp_path / "out")
+    # two waves -> at least two files in every bucket touched twice
+    job.run_extract(spark, src, out, n_buckets=4, wave_buckets=2)
+    before = job.read_extracted(spark, out).toPandas()
+    files_before = glob.glob(os.path.join(out, "data", "bucket=*", "*.parquet"))
+    n = job.compact_buckets(spark, out)
+    files_after = glob.glob(os.path.join(out, "data", "bucket=*", "*.parquet"))
+    # one file per bucket dir now
+    per_dir = {}
+    for f in files_after:
+        per_dir.setdefault(os.path.dirname(f), []).append(f)
+    assert all(len(v) == 1 for v in per_dir.values()), per_dir
+    assert len(files_after) <= len(files_before)
+    assert n == len(per_dir)
+    after = job.read_extracted(spark, out).toPandas()
+    for c in before.columns:
+        a, b = before[c], after[c]
+        if c == "refs":  # array column: elementwise via str
+            a, b = a.apply(lambda v: tuple(map(str, v))), \
+                   b.apply(lambda v: tuple(map(str, v)))
+        assert (a.values == b.values).all(), c
+    # within-file key order survives (row-group pruning contract)
+    for f in files_after:
+        t = pq.read_table(f, columns=["conv_id", "turn_idx"]).to_pandas()
+        keys = list(zip(t["conv_id"], t["turn_idx"]))
+        assert keys == sorted(keys), f
