@@ -32,7 +32,9 @@ import random
 
 import pyarrow as pa
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 
 from extractor.gen_fixtures import EPOCH, make_turn_text
 
@@ -100,41 +102,101 @@ class _GenReader(DataSourceReader):
         ]
 
     def read(self, part):
-        rows = {k: [] for k in
-                ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+        return _gen_conv_batches(part)
 
-        def flush():
-            batch = pa.record_batch(
-                [pa.array(rows["conv_id"], pa.string()),
-                 pa.array(rows["turn_idx"], pa.int32()),
-                 pa.array(rows["role"], pa.string()),
-                 pa.array(rows["text"], pa.string()),
-                 pa.array(rows["tool"], pa.string()),
-                 pa.array(rows["ts"], pa.timestamp("us"))],
-                schema=_ARROW_SCHEMA)
-            for k in rows:
-                rows[k] = []
-            return batch
 
-        for ci in range(part.ci_lo, part.ci_hi):
-            conv_id = ("conv-hot-000000" if ci == 0
-                       else "conv-{:06d}".format(ci))
-            size = _conv_size(part.seed, ci, part.n_turns, part.hot_frac)
-            conv_rng = random.Random((part.seed, conv_id).__repr__())
-            base = EPOCH + dt.timedelta(
-                seconds=conv_rng.randrange(10_000_000))
-            for ti in range(size):
-                text, tool = make_turn_text(conv_rng)
-                rows["conv_id"].append(conv_id)
-                rows["turn_idx"].append(ti)
-                rows["role"].append(("user", "assistant", "tool")[ti % 3])
-                rows["text"].append(text)
-                rows["tool"].append(tool)
-                rows["ts"].append(base + dt.timedelta(seconds=7 * ti))
-            if len(rows["conv_id"]) >= 2048:
-                yield flush()
-        if rows["conv_id"]:
+def _gen_conv_batches(part):
+    """Synthesize the conversations in ``[part.ci_lo, part.ci_hi)``
+    as Arrow batches (the batch reader's fast path)."""
+    rows = {k: [] for k in
+            ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+
+    def flush():
+        batch = pa.record_batch(
+            [pa.array(rows["conv_id"], pa.string()),
+             pa.array(rows["turn_idx"], pa.int32()),
+             pa.array(rows["role"], pa.string()),
+             pa.array(rows["text"], pa.string()),
+             pa.array(rows["tool"], pa.string()),
+             pa.array(rows["ts"], pa.timestamp("us"))],
+            schema=_ARROW_SCHEMA)
+        for k in rows:
+            rows[k] = []
+        return batch
+
+    for ci in range(part.ci_lo, part.ci_hi):
+        conv_id = ("conv-hot-000000" if ci == 0
+                   else "conv-{:06d}".format(ci))
+        size = _conv_size(part.seed, ci, part.n_turns, part.hot_frac)
+        conv_rng = random.Random((part.seed, conv_id).__repr__())
+        base = EPOCH + dt.timedelta(
+            seconds=conv_rng.randrange(10_000_000))
+        for ti in range(size):
+            text, tool = make_turn_text(conv_rng)
+            rows["conv_id"].append(conv_id)
+            rows["turn_idx"].append(ti)
+            rows["role"].append(("user", "assistant", "tool")[ti % 3])
+            rows["text"].append(text)
+            rows["tool"].append(tool)
+            rows["ts"].append(base + dt.timedelta(seconds=7 * ti))
+        if len(rows["conv_id"]) >= 2048:
             yield flush()
+    if rows["conv_id"]:
+        yield flush()
+
+
+def _gen_conv_rows(seed, hot_frac, n_turns, ci_lo, ci_hi):
+    """Row-tuple twin of :func:`_gen_conv_batches` for the stream
+    reader (the simple streaming API expects tuples, not Arrow)."""
+    for ci in range(ci_lo, ci_hi):
+        conv_id = ("conv-hot-000000" if ci == 0
+                   else "conv-{:06d}".format(ci))
+        size = _conv_size(seed, ci, n_turns, hot_frac)
+        conv_rng = random.Random((seed, conv_id).__repr__())
+        base = EPOCH + dt.timedelta(seconds=conv_rng.randrange(10_000_000))
+        for ti in range(size):
+            text, tool = make_turn_text(conv_rng)
+            yield (conv_id, ti, ("user", "assistant", "tool")[ti % 3],
+                   text, tool, base + dt.timedelta(seconds=7 * ti))
+
+
+class _GenStreamReader(SimpleDataSourceStreamReader):
+    """Continuous synthetic ingest: the offset IS the conversation
+    index, so a micro-batch is a conversation-range window — the batch
+    reader's planning unit, replayed incrementally. Spark passes the
+    committed start offset into :meth:`read` on every micro-batch
+    (including after a restart), so resume needs no reader-side
+    bookkeeping; and because every conversation is a pure function of
+    ``(seed, ci)``, :meth:`readBetweenOffsets` replays any committed
+    range bit-identically — the property the WAL requires of a source.
+    ``convs_per_batch`` is the rate limit. The simple (driver-side)
+    reader variant is deliberate: a micro-batch here is a bounded
+    trickle feeding the streaming-dedup pipeline; bulk generation goes
+    through the partition-parallel batch reader above."""
+
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.hot_frac = float(options.get("hot_frac", 0.30))
+        self.batch_convs = int(options.get("convs_per_batch", 50))
+        self.n_turns = int(options.get("n_turns", 2000))
+
+    def initialOffset(self):
+        return {"ci": 0}
+
+    def read(self, start):
+        lo = int(start["ci"])
+        end = {"ci": lo + self.batch_convs}
+        return self.readBetweenOffsets(start, end), end
+
+    def readBetweenOffsets(self, start, end):
+        # Materialized list, not a generator: Spark pickles the
+        # records into the micro-batch plan for WAL replay.
+        return list(_gen_conv_rows(self.seed, self.hot_frac,
+                                   self.n_turns,
+                                   int(start["ci"]), int(end["ci"])))
+
+    def commit(self, end):
+        pass
 
 
 class TranscriptGenDataSource(DataSource):
@@ -147,6 +209,9 @@ class TranscriptGenDataSource(DataSource):
 
     def reader(self, schema):
         return _GenReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _GenStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -56,3 +56,33 @@ def test_generated_input_extracts_to_oracle(gen_spark):
            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
     assert (got["clean_text"].values == exp["clean_text"].values).all()
     assert list(got["conv_id"]) == list(exp["conv_id"])
+
+
+def test_stream_reader_resumes_from_checkpoint(gen_spark, tmp_path):
+    """Two availableNow runs against one checkpoint: run 2 must resume
+    at the committed conversation offset (no re-emit, no gap), and the
+    union must equal the batch source over conv range [0, 2*batch).
+    Determinism-under-replay is the property the WAL requires."""
+    import os
+
+    out = str(tmp_path)
+
+    def run_once():
+        q = (gen_spark.readStream.format("transcript_gen")
+             .option("n_turns", 2000).option("convs_per_batch", 9).load()
+             .writeStream.format("parquet")
+             .option("path", os.path.join(out, "data"))
+             .option("checkpointLocation", os.path.join(out, "ckpt"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    run_once()
+    run_once()
+    got = gen_spark.read.parquet(os.path.join(out, "data"))
+    assert got.select("conv_id").distinct().count() == 18
+    batch = (gen_spark.read.format("transcript_gen")
+             .option("n_turns", 2000).option("num_convs", 18)
+             .option("numPartitions", 3).load())
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
