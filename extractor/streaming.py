@@ -67,6 +67,62 @@ def stream_extract(
     return writer.start()
 
 
+def stream_extract_gen(
+    spark: SparkSession,
+    output_path: str,
+    n_buckets: int = 16,
+    convs_per_batch: int = 50,
+    n_turns: int = 2000,
+    seed: int = 42,
+):
+    """Storage-free continuous ingest: the `transcript_gen` stream
+    source (offset = conversation index, resumable from the WAL)
+    feeding the SAME epoch-partitioned exactly-once extraction sink as
+    :func:`stream_extract`. This is the north-rule shape with no input
+    table materialized at all — at 10^12 turns the ingress is a queue,
+    not a directory, and this path proves the engine consumes one
+    without changing the extraction plan or the output contract.
+
+    Returns the StreamingQuery (availableNow trigger: drains one rate-
+    limited micro-batch per run against the shared checkpoint, so
+    repeated calls advance through the conversation sequence).
+    """
+    from extractor.gen_source import register
+
+    register(spark)
+    src = (
+        spark.readStream.format("transcript_gen")
+        .option("seed", seed)
+        .option("n_turns", n_turns)
+        .option("convs_per_batch", convs_per_batch)
+        .load()
+    )
+    data_dir = os.path.join(output_path, "data")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # same idempotency argument as stream_extract's sink: a
+        # replayed epoch dynamic-overwrites only its own partitions
+        out = plan_extract(batch_df, n_buckets).withColumn(
+            "epoch", F.lit(int(epoch_id)))
+        spark_ = out.sparkSession
+        prev = spark_.conf.get("spark.sql.sources.partitionOverwriteMode",
+                               "static")
+        spark_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (out.write.mode("overwrite")
+             .partitionBy("epoch", "bucket").parquet(data_dir))
+        finally:
+            spark_.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation",
+                os.path.join(output_path, "_stream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Watermarked event-time windowed aggregation (late-data handling)
 # ---------------------------------------------------------------------------

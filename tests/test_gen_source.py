@@ -86,3 +86,27 @@ def test_stream_reader_resumes_from_checkpoint(gen_spark, tmp_path):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b
+
+
+def test_stream_extract_gen_end_to_end_resume(gen_spark, tmp_path):
+    """Storage-free continuous ingest -> extraction: two availableNow
+    runs of stream_extract_gen against one checkpoint must together
+    produce exactly the extraction of conversations [0, 18) — i.e. the
+    stream source's WAL resume composes with the epoch-partitioned
+    exactly-once sink, matching the pandas oracle byte-for-byte."""
+    out = str(tmp_path / "se")
+    from extractor.streaming import stream_extract_gen
+
+    for _ in range(2):
+        q = stream_extract_gen(gen_spark, out, n_buckets=8,
+                               convs_per_batch=9, n_turns=2000)
+        assert q.awaitTermination(120)
+
+    got = (gen_spark.read.parquet(out + "/data").drop("bucket", "epoch")
+           .orderBy("conv_id", "turn_idx").toPandas())
+    src = _read(gen_spark, n_turns=2000, num_convs=18, numPartitions=3)
+    exp = (extract_batch(src.toPandas())
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert (got["clean_text"].values == exp["clean_text"].values).all()
+    assert list(got["conv_id"]) == list(exp["conv_id"])
