@@ -189,11 +189,13 @@ class _GenStreamReader(SimpleDataSourceStreamReader):
         return self.readBetweenOffsets(start, end), end
 
     def readBetweenOffsets(self, start, end):
-        # Materialized list, not a generator: Spark pickles the
-        # records into the micro-batch plan for WAL replay.
-        return list(_gen_conv_rows(self.seed, self.hot_frac,
-                                   self.n_turns,
-                                   int(start["ci"]), int(end["ci"])))
+        # list_iterator, not a bare generator or list: the prefetch
+        # path pickles the records into the micro-batch plan (rules
+        # out generators) while the WAL-replay path type-checks for
+        # an iterator (rules out lists).
+        return iter(list(_gen_conv_rows(self.seed, self.hot_frac,
+                                        self.n_turns,
+                                        int(start["ci"]), int(end["ci"]))))
 
     def commit(self, end):
         pass

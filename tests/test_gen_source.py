@@ -110,3 +110,49 @@ def test_stream_extract_gen_end_to_end_resume(gen_spark, tmp_path):
     assert len(got) == len(exp)
     assert (got["clean_text"].values == exp["clean_text"].values).all()
     assert list(got["conv_id"]) == list(exp["conv_id"])
+
+
+def test_stream_extract_gen_replays_uncommitted_epoch_idempotently(
+        gen_spark, tmp_path):
+    """Exactly-once under the real failure window: crash AFTER the
+    foreachBatch sink wrote parquet but BEFORE Spark committed the
+    epoch. Simulated by deleting commits/1 from the stream checkpoint;
+    on restart Spark replays batch 1 over the same offset range
+    (readBetweenOffsets determinism) and the sink's dynamic overwrite
+    of its own epoch partitions must leave the output byte-identical —
+    no duplicate (conv_id, turn_idx), no changed rows."""
+    import os
+
+    from extractor.streaming import stream_extract_gen
+
+    out = str(tmp_path / "se")
+    for _ in range(2):
+        q = stream_extract_gen(gen_spark, out, n_buckets=8,
+                               convs_per_batch=9, n_turns=2000)
+        assert q.awaitTermination(120)
+
+    def snap():
+        pdf = (gen_spark.read.parquet(out + "/data")
+               .toPandas().sort_values(["conv_id", "turn_idx"])
+               .reset_index(drop=True))
+        return pdf
+
+    before = snap()
+    assert not before.duplicated(["conv_id", "turn_idx"]).any()
+
+    # crash window: epoch 1's output exists, its commit marker doesn't
+    # (drop the checksum sidecar too — a crash before the atomic
+    # rename leaves neither file, and a stale .crc breaks the rename)
+    os.remove(os.path.join(out, "_stream_ckpt", "commits", "1"))
+    os.remove(os.path.join(out, "_stream_ckpt", "commits", ".1.crc"))
+    q = stream_extract_gen(gen_spark, out, n_buckets=8,
+                           convs_per_batch=9, n_turns=2000)
+    assert q.awaitTermination(120)
+
+    after = snap()
+    assert not after.duplicated(["conv_id", "turn_idx"]).any()
+    # every pre-crash row survives the replay unchanged (the rerun may
+    # ALSO have drained a new epoch beyond it — allowed, not required)
+    replayed = (after[after["epoch"] <= 1]
+                .reset_index(drop=True))
+    pd.testing.assert_frame_equal(replayed, before)
