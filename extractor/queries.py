@@ -2642,6 +2642,72 @@ def cdc_snapshot_diff(spark, sf_dir):
          .otherwise("unchanged").alias("status"))
 
 
+@_q("merge_upsert_cdc", sql="""
+WITH base AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+chg AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'upsert' ELSE 'delete' END AS op,
+         'v2:' || substr(text, 1, 40) AS new_text, source
+  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL)
+SELECT b.doc_id, b.text, b.source, 'kept' AS merge_action
+FROM base b LEFT JOIN chg c ON b.doc_id = c.doc_id
+WHERE c.doc_id IS NULL
+UNION ALL
+SELECT c.doc_id, c.new_text AS text, c.source,
+       CASE WHEN b.doc_id IS NULL THEN 'inserted' ELSE 'updated' END
+         AS merge_action
+FROM chg c LEFT JOIN base b ON c.doc_id = b.doc_id
+WHERE c.op = 'upsert'
+""")
+def merge_upsert_cdc(spark, sf_dir):
+    """MERGE INTO semantics (the lakehouse upsert-apply primitive,
+    Delta/Iceberg MERGE class; reference analog: last-writer-wins
+    re-upload of a conversation, LOCDB-V3 server.py file intake):
+    apply a CDC changeset (op in {upsert, delete}) to a snapshot in
+    ONE pass — matched+upsert -> update, matched+delete -> drop,
+    unmatched-change+upsert -> insert, untouched base rows -> keep.
+
+    Spark-first shape: a single FULL OUTER join on the key with CASE
+    resolution — one shuffle total, vs the oracle's anti-join + union
+    (two joins). Presence flags (`_b`) rather than key-null checks so
+    the resolution is explicit and null-text-safe. At 100 TB this is
+    the standard copy-on-write merge: the same join keyed on the
+    table's bucket/partition scheme rewrites only touched partitions
+    (see the dynamic-overwrite sink and the bucketed-join plan gate);
+    the changeset side is typically small enough to broadcast, which
+    AQE decides from its runtime size.
+
+    Inputs are carved deterministically from documents so every
+    branch occurs: base = doc_id%3<>0; changes = doc_id%2=0 with
+    op=upsert iff doc_id%4=0 (doc_id%12 covers kept / updated /
+    deleted / inserted / no-op-delete)."""
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    base = (d.where("doc_id % 3 != 0")
+            .select("doc_id", "text", "source", F.lit(True).alias("_b")))
+    chg = (d.where("doc_id % 2 = 0")
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 4 == 0, "upsert")
+                    .otherwise("delete").alias("op"),
+                   F.concat(F.lit("v2:"), F.substring("text", 1, 40))
+                    .alias("new_text"),
+                   F.col("source").alias("c_source")))
+    j = base.join(chg, ["doc_id"], "full_outer")
+    return (j.withColumn(
+                "merge_action",
+                F.when(F.col("op").isNull(), "kept")
+                 .when((F.col("op") == "upsert") & F.col("_b").isNotNull(),
+                       "updated")
+                 .when(F.col("op") == "upsert", "inserted"))
+            .where(F.col("merge_action").isNotNull())
+            .select("doc_id",
+                    F.when(F.col("merge_action") == "kept", F.col("text"))
+                     .otherwise(F.col("new_text")).alias("text"),
+                    F.coalesce("source", "c_source").alias("source"),
+                    "merge_action"))
+
+
 @_q("props_json_stats", sql="""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_with_props,

@@ -414,3 +414,24 @@ def test_pagerank_hand_computed(spark, tmp_path):
            for r in pagerank_supplier_part(spark, str(tmp_path)).collect()}
     assert got == {-1: 0.15, -2: 0.15,
                    1: 0.34125, 2: 0.21375}, got
+
+
+def test_merge_upsert_cdc_all_actions(spark):
+    """sf0.001 has doc_id 0..499: kept = odd non-multiples-of-3 (167),
+    updated = %4==0 non-multiples-of-3 (83), inserted = multiples of
+    12 (42), and 83 base rows deleted (base 333 -> 167+83 surviving).
+    One FULL OUTER SortMergeJoin is the whole physical plan's join
+    surface (MERGE in a single pass, vs the oracle's anti+union)."""
+    from extractor.queries import merge_upsert_cdc
+    df = merge_upsert_cdc(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    for other in ("BroadcastHashJoin", "ShuffledHashJoin",
+                  "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert other not in plan, plan
+    got = {r["merge_action"]: r["count"]
+           for r in df.groupBy("merge_action").count().collect()}
+    assert got == {"kept": 167, "updated": 83, "inserted": 42}, got
+    upd = df.where("merge_action != 'kept'").select("text").collect()
+    assert all(r["text"].startswith("v2:") for r in upd)
