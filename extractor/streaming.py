@@ -331,3 +331,70 @@ def stream_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def attribution_join(clicks: DataFrame, buys: DataFrame) -> DataFrame:
+    """Shared logical plan for click->purchase attribution: inner
+    join on user_id with the purchase inside (click_ts, click_ts +
+    1 hour]. Written once so the streaming and batch twins cannot
+    drift (the test feeds both from the same parquet)."""
+    return (clicks.join(
+        buys,
+        (clicks["user_id"] == buys["b_user"])
+        & (buys["purchase_ts"] > clicks["click_ts"])
+        & (buys["purchase_ts"]
+           <= clicks["click_ts"] + F.expr("INTERVAL 1 HOUR")),
+        "inner")
+        .select("user_id", "click_id", "purchase_id"))
+
+
+def stream_stream_attribution(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    events_schema,
+    watermark_delay: str = "2 hours",
+):
+    """Stream-STREAM interval join (the last Structured Streaming
+    join class the engine exercises; reference analog: correlating a
+    crop-request event with its later OCR result, dev-version
+    fileProcessor flow): click and purchase streams join on user_id
+    with purchase_ts in (click_ts, click_ts + 1h].
+
+    Scale mechanics: BOTH sides carry an event-time watermark and the
+    join predicate bounds their time skew, so Spark's symmetric hash
+    join state store evicts a click once the purchase watermark
+    passes click_ts + 1h (and vice versa) — state is bounded by
+    watermark horizon x arrival rate, not by stream length. Inner
+    matches emit immediately; the watermark only governs eviction.
+    Without both watermarks + the time bound, Spark rejects the plan
+    as unbounded-state.
+
+    Returns the StreamingQuery (availableNow; appends matched triples
+    to ``output_path``/data).
+    """
+    def side(event_type, id_alias, ts_alias, user_alias="user_id"):
+        return (
+            spark.readStream.schema(events_schema)
+            .option("maxFilesPerTrigger", 2).parquet(input_dir)
+            .where(F.col("event_type") == event_type)
+            .select(F.col("event_id").alias(id_alias),
+                    F.col("user_id").alias(user_alias),
+                    F.col("ts").cast("timestamp").alias(ts_alias))
+            .withWatermark(ts_alias, "2 hours"))
+
+    clicks = side("click", "click_id", "click_ts")
+    buys = side("purchase", "purchase_id", "purchase_ts", "b_user")
+    j = attribution_join(clicks, buys)
+    data_dir = os.path.join(output_path, "data")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (batch_df.withColumn("epoch", F.lit(int(epoch_id)))
+         .write.mode("append").parquet(data_dir))
+
+    return (
+        j.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(output_path, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -793,3 +793,37 @@ def test_stream_dedup_ingest_first_occurrence_and_history(spark, tmp_path):
         fp("user", "", "dup-early"), fp("user", "", "only-once"),
         fp("user", "", "fresh-b"), fp("user", "", "fresh-c")]), got
     assert got["fp"].is_unique
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """Stream-STREAM watermarked interval join == the identical batch
+    join over the same events (the shared attribution_join plan), fed
+    in 3 files with maxFilesPerTrigger=2 so matches must span
+    micro-batch boundaries through the symmetric join state."""
+    from extractor.streaming import attribution_join, stream_stream_attribution
+
+    in_dir = str(tmp_path / "ev")
+    out = str(tmp_path / "attr")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.repartition(3).write.parquet(in_dir)
+
+    q = stream_stream_attribution(spark, in_dir, out, ev.schema)
+    assert q.awaitTermination(180)
+
+    def side(et, idc, tsc, uc="user_id"):
+        from pyspark.sql import functions as F
+        return (spark.read.parquet(in_dir)
+                .where(F.col("event_type") == et)
+                .select(F.col("event_id").alias(idc),
+                        F.col("user_id").alias(uc),
+                        F.col("ts").cast("timestamp").alias(tsc)))
+
+    exp = attribution_join(side("click", "click_id", "click_ts"),
+                           side("purchase", "purchase_id", "purchase_ts",
+                                "b_user"))
+    got = spark.read.parquet(out + "/data").select(
+        "user_id", "click_id", "purchase_id")
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, exp.collect()))
+    assert len(b) > 0, "fixture must produce at least one attribution"
+    assert a == b
