@@ -22,6 +22,29 @@ from extractor.job import plan_extract
 from extractor.schema import TRANSCRIPTS_SCHEMA
 
 
+def _epoch_idempotent_sink(data_dir: str):
+    """foreachBatch sink that is safe under epoch REPLAY (crash between
+    the parquet write and the WAL commit): output is partitioned by
+    epoch and the write dynamic-overwrites ONLY that epoch's partition,
+    so re-running a batch replaces its own rows instead of appending
+    duplicates. Micro-batch output is deterministic under Spark's
+    state-store versioning, so the replacement is byte-equivalent."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = batch_df.withColumn("epoch", F.lit(int(epoch_id)))
+        spark_ = out.sparkSession
+        prev = spark_.conf.get("spark.sql.sources.partitionOverwriteMode",
+                               "static")
+        spark_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (out.write.mode("overwrite")
+             .partitionBy("epoch").parquet(data_dir))
+        finally:
+            spark_.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return sink
+
+
 def stream_extract(
     spark: SparkSession,
     input_dir: str,
@@ -246,9 +269,7 @@ def stream_sessionize(spark: SparkSession, input_dir: str,
     )
     data_dir = os.path.join(output_path, "data")
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        (batch_df.withColumn("epoch", F.lit(int(epoch_id)))
-         .write.mode("append").parquet(data_dir))
+    sink = _epoch_idempotent_sink(data_dir)
 
     return (
         updates.writeStream.foreachBatch(sink)
@@ -321,9 +342,7 @@ def stream_dedup_ingest(
         s = s.join(known, "fp", "left_anti")
     data_dir = os.path.join(output_path, "data")
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        (batch_df.withColumn("epoch", F.lit(int(epoch_id)))
-         .write.mode("append").parquet(data_dir))
+    sink = _epoch_idempotent_sink(data_dir)
 
     return (
         s.writeStream.foreachBatch(sink)
@@ -388,9 +407,7 @@ def stream_stream_attribution(
     j = attribution_join(clicks, buys)
     data_dir = os.path.join(output_path, "data")
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        (batch_df.withColumn("epoch", F.lit(int(epoch_id)))
-         .write.mode("append").parquet(data_dir))
+    sink = _epoch_idempotent_sink(data_dir)
 
     return (
         j.writeStream.foreachBatch(sink)
