@@ -1590,6 +1590,38 @@ def j9_asof_join(spark, sf_dir):
                     F.coalesce("last_p", F.lit(-1)).alias("prior_purchase_id")))
 
 
+@_q("j10_attribution_interval_join", sql="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""")
+def j10_attribution_interval_join(spark, sf_dir):
+    """J10: event-time interval join (click -> purchase within 1h by
+    the same user) — the batch twin of streaming.stream_stream_
+    attribution, BUILT FROM THE SAME attribution_join plan so the two
+    cannot drift (reference analog: correlating a crop request with
+    its later OCR result).
+
+    Plan: equi-join on user_id (SMJ/AQE decides) with the interval
+    bounds as join filters — per-user event streams are small, so the
+    range never degenerates; the shuffle is keyed on user_id only."""
+    from extractor.streaming import attribution_join
+
+    ev = t(spark, sf_dir, "events")
+
+    def side(et, idc, tsc, uc="user_id"):
+        return (ev.where(F.col("event_type") == et)
+                .select(F.col("event_id").alias(idc),
+                        F.col("user_id").alias(uc),
+                        F.col("ts").alias(tsc)))
+
+    return attribution_join(side("click", "click_id", "click_ts"),
+                            side("purchase", "purchase_id", "purchase_ts",
+                                 "b_user"))
+
+
 # PII patterns — identical regex strings in both engines (Java regex
 # and RE2 agree on these constructs). Scrub order matters: emails first
 # (usernames contain digits/dots), then IPv4, then phone-shaped runs.
