@@ -85,12 +85,22 @@ def _extract_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+def read_transcripts(spark: SparkSession, path: str,
+                     ignore_corrupt: bool = False) -> DataFrame:
     """Transcripts source with format dispatch (the reference accepted
     a dozen upload formats via an extension allowlist,
     LOCDB-V3/app.py:27 / fileProcessor.py:50-52 — here the analog is
     parquet/Iceberg plus line-JSON and CSV ingest, all normalized to
     TRANSCRIPTS_SCHEMA so every downstream plan is format-agnostic).
+
+    ``ignore_corrupt`` (opt-in) sets the per-read ``ignoreCorruptFiles``
+    option: at 100 TB a handful of truncated/garbage blobs is routine,
+    and one of them must not kill a 1000-executor job (the reference's
+    analog failure: one bad upload aborts the whole RQ batch). Kept
+    OFF by default — silently skipping data is the wrong default for
+    correctness — and when on, the shortfall stays visible through the
+    checkpoint's turns_in counters and ``found_notfound`` (both are
+    computed from the same tolerant read).
 
     Scale note: line-JSON splits per line and scales like parquet
     (minus columnar pruning); CSV uses multiLine for embedded
@@ -105,11 +115,14 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     schema instead of an error)."""
     fmt = _dir_data_format(path) if os.path.isdir(path) else None
     low = path.lower()
+    reader = spark.read.schema(TRANSCRIPTS_SCHEMA)
+    if ignore_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
     if fmt == "json" or (fmt is None and
                          low.endswith((".jsonl", ".json", ".ndjson"))):
-        return spark.read.schema(TRANSCRIPTS_SCHEMA).json(path)
+        return reader.json(path)
     if fmt == "csv" or (fmt is None and low.endswith(".csv")):
-        return (spark.read.schema(TRANSCRIPTS_SCHEMA)
+        return (reader
                 .option("header", "true")
                 .option("multiLine", "true")
                 .option("escape", '"')
@@ -118,9 +131,9 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     if fmt == "orc" or (fmt is None and low.endswith(".orc")):
         # ORC is columnar like parquet (predicate pushdown + column
         # pruning both apply); same enforced schema
-        return spark.read.schema(TRANSCRIPTS_SCHEMA).orc(path)
+        return reader.orc(path)
     if fmt == "parquet" or low.endswith(".parquet"):
-        return spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
+        return reader.parquet(path)
     return tables.read_table(spark, path)
 
 
@@ -189,12 +202,14 @@ def run_extract(
     n_buckets: int = 64,
     wave_buckets: int | None = None,
     max_waves: int | None = None,
+    ignore_corrupt: bool = False,
 ) -> dict:
     """Checkpointed, resumable extraction run.
 
     ``wave_buckets`` buckets are written + committed per wave (default:
     everything in one wave). ``max_waves`` lets tests simulate a kill
-    between commits. Returns counters.
+    between commits. ``ignore_corrupt`` tolerates corrupt input files
+    (see read_transcripts). Returns counters.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     ckpt_dir = os.path.join(output_path, "_checkpoint")
@@ -204,7 +219,7 @@ def run_extract(
     try:
         return _run_extract_locked(spark, input_path, output_path, run_id,
                                    ckpt_dir, n_buckets, wave_buckets,
-                                   max_waves)
+                                   max_waves, ignore_corrupt)
     finally:
         checkpoint.release_writer_lock(ckpt_dir)
 
@@ -243,7 +258,8 @@ def _bucket_input_counts(transcripts: DataFrame, n_buckets: int,
 
 
 def _run_extract_locked(spark, input_path, output_path, run_id, ckpt_dir,
-                        n_buckets, wave_buckets, max_waves) -> dict:
+                        n_buckets, wave_buckets, max_waves,
+                        ignore_corrupt=False) -> dict:
     # pin the run config before anything is committed; a resume whose
     # config contradicts the manifest header hard-fails here instead of
     # silently skipping buckets whose membership changed
@@ -261,7 +277,8 @@ def _run_extract_locked(spark, input_path, output_path, run_id, ckpt_dir,
     if not todo:
         return stats
 
-    transcripts = read_transcripts(spark, input_path)
+    transcripts = read_transcripts(spark, input_path,
+                                   ignore_corrupt=ignore_corrupt)
 
     wave_buckets = wave_buckets or len(todo)
     waves = [todo[i:i + wave_buckets] for i in range(0, len(todo), wave_buckets)]

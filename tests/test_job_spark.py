@@ -629,3 +629,30 @@ def test_compact_buckets_preserves_content_and_order(spark, tmp_path):
         t = pq.read_table(f, columns=["conv_id", "turn_idx"]).to_pandas()
         keys = list(zip(t["conv_id"], t["turn_idx"]))
         assert keys == sorted(keys), f
+
+
+def test_ignore_corrupt_input_files(spark, tmp_path):
+    """A garbage blob among the input files: default read FAILS the
+    job (silent skipping must be opt-in); ignore_corrupt=True extracts
+    the good files' turns exactly (output equals a run over the clean
+    dir alone) — at 100 TB one truncated upload must not kill a
+    1000-executor run."""
+    import shutil
+
+    dirty, clean = str(tmp_path / "dirty"), str(tmp_path / "clean")
+    for d in (dirty, clean):
+        os.makedirs(d)
+        shutil.copy(GOLDEN_INPUT, os.path.join(d, "part-0.parquet"))
+    with open(os.path.join(dirty, "part-1.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a parquet file \x00\xff" * 64)
+
+    with pytest.raises(Exception):
+        job.run_extract(spark, dirty, str(tmp_path / "boom"), n_buckets=8)
+
+    r = job.run_extract(spark, dirty, str(tmp_path / "ok"), n_buckets=8,
+                        ignore_corrupt=True)
+    job.run_extract(spark, clean, str(tmp_path / "ref"), n_buckets=8)
+    a = (job.read_extracted(spark, str(tmp_path / "ok")).toPandas())
+    b = (job.read_extracted(spark, str(tmp_path / "ref")).toPandas())
+    assert r["turns_out"] == len(b) and len(a) == len(b)
+    assert (a["clean_text"].values == b["clean_text"].values).all()
