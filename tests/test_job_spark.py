@@ -656,3 +656,41 @@ def test_ignore_corrupt_input_files(spark, tmp_path):
     b = (job.read_extracted(spark, str(tmp_path / "ref")).toPandas())
     assert r["turns_out"] == len(b) and len(a) == len(b)
     assert (a["clean_text"].values == b["clean_text"].values).all()
+
+
+def test_schema_drift_tolerated(spark, tmp_path):
+    """Upstream schema drift: an input with EXTRA columns (enforced
+    schema projects them away) and one missing the optional `tool`
+    column (enforced schema fills nulls) both extract identically to
+    the pristine golden input — the contract that lets 10^12-turn
+    backfills span producer versions."""
+    import pyarrow.parquet as _pq
+    import pyarrow as _pa
+
+    base = pd.read_parquet(GOLDEN_INPUT)
+
+    extra_dir = str(tmp_path / "extra")
+    extra = base.copy()
+    extra["session_id"] = extra["conv_id"] + ":s"
+    extra["retry_count"] = 7
+    os.makedirs(extra_dir)
+    _pq.write_table(_pa.Table.from_pandas(extra, preserve_index=False),
+                    os.path.join(extra_dir, "part-0.parquet"))
+
+    job.run_extract(spark, extra_dir, str(tmp_path / "oe"), n_buckets=8)
+    job.run_extract(spark, GOLDEN_INPUT, str(tmp_path / "og"), n_buckets=8)
+    a = job.read_extracted(spark, str(tmp_path / "oe")).toPandas()
+    g = job.read_extracted(spark, str(tmp_path / "og")).toPandas()
+    assert len(a) == len(g)
+    assert (a["clean_text"].values == g["clean_text"].values).all()
+
+    miss_dir = str(tmp_path / "miss")
+    os.makedirs(miss_dir)
+    _pq.write_table(
+        _pa.Table.from_pandas(base.drop(columns=["tool"]),
+                              preserve_index=False),
+        os.path.join(miss_dir, "part-0.parquet"))
+    got = job.read_transcripts(spark, miss_dir)
+    assert got.schema["tool"].dataType.simpleString() == "string"
+    n_null = got.where(F.col("tool").isNull()).count()
+    assert n_null == len(base)
