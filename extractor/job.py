@@ -159,6 +159,29 @@ def _dir_data_format(path: str) -> str:
     return "parquet"
 
 
+def suggest_buckets(spark: SparkSession, path: str,
+                    target_bucket_bytes: int = 3 * 2**30,
+                    min_buckets: int = 16) -> int:
+    """Derive ``n_buckets`` from the input's on-disk size (the README
+    knob 'buckets ~ total_bytes / 2-4 GB' made executable): a bucket
+    should be re-extractable in minutes after a failure and keep the
+    partitioned writer's per-directory output sane. Uses Catalyst's
+    own relation statistics (``sizeInBytes`` — the same number the
+    planner uses for broadcast decisions), so Iceberg/parquet/JSON all
+    report through one code path with no filesystem walk of our own.
+
+    Rounded UP to a power of two: resume hard-fails on a changed
+    bucket count (manifest header pin), and pow2 counts make the
+    suggestion stable under small input growth — a 10% bigger backfill
+    suggests the SAME count, so re-runs over refreshed snapshots keep
+    their committed buckets valid."""
+    df = read_transcripts(spark, path)
+    size = int(df._jdf.queryExecution().optimizedPlan().stats()
+               .sizeInBytes())
+    need = max(min_buckets, -(-size // target_bucket_bytes))
+    return 1 << (need - 1).bit_length()
+
+
 def plan_extract(df: DataFrame, n_buckets: int,
                  bucket_in: list[int] | None = None) -> DataFrame:
     """The declarative extraction plan over a transcripts DataFrame

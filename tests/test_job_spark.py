@@ -694,3 +694,22 @@ def test_schema_drift_tolerated(spark, tmp_path):
     assert got.schema["tool"].dataType.simpleString() == "string"
     n_null = got.where(F.col("tool").isNull()).count()
     assert n_null == len(base)
+
+
+def test_suggest_buckets_scales_with_input_bytes(spark, tmp_path):
+    """suggest_buckets = pow2 ceil(bytes / target): the golden input
+    (~KBs) floors at min_buckets; shrinking the target to 64 KiB must
+    yield a larger pow2 count that covers the input at ~64 KiB per
+    bucket; and the suggestion is stable under small growth (pow2
+    rounding), which keeps resume's pinned bucket count valid."""
+    n_floor = job.suggest_buckets(spark, GOLDEN_INPUT)
+    assert n_floor == 16
+
+    n_small = job.suggest_buckets(spark, GOLDEN_INPUT,
+                                  target_bucket_bytes=64 * 1024)
+    assert n_small >= 16 and (n_small & (n_small - 1)) == 0
+    size = os.path.getsize(GOLDEN_INPUT)
+    assert n_small >= size // (64 * 1024)
+    # pow2 stability: same suggestion for a target 10% tighter
+    assert n_small == job.suggest_buckets(
+        spark, GOLDEN_INPUT, target_bucket_bytes=int(64 * 1024 * 0.9))
