@@ -527,7 +527,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--run-id", default=None)
-    p.add_argument("--buckets", type=int, default=256)
+    p.add_argument("--buckets", type=int, default=None,
+                   help="salt-bucket count; default: suggest_buckets "
+                        "from the input's Catalyst size stats")
     p.add_argument("--wave-buckets", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -538,8 +540,9 @@ def main(argv: list[str] | None = None) -> None:
                 spark.conf.set(k, v)
             except Exception:
                 pass  # static conf on a running session
+    n_buckets = args.buckets or suggest_buckets(spark, args.input)
     stats = run_extract(spark, args.input, args.output, run_id=args.run_id,
-                        n_buckets=args.buckets, wave_buckets=args.wave_buckets)
+                        n_buckets=n_buckets, wave_buckets=args.wave_buckets)
     print(stats)
 
 
