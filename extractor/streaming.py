@@ -22,23 +22,27 @@ from extractor.job import plan_extract
 from extractor.schema import TRANSCRIPTS_SCHEMA
 
 
-def _epoch_idempotent_sink(data_dir: str):
+def _epoch_idempotent_sink(data_dir: str, transform=None,
+                           extra_partitions: tuple = ()):
     """foreachBatch sink that is safe under epoch REPLAY (crash between
     the parquet write and the WAL commit): output is partitioned by
-    epoch and the write dynamic-overwrites ONLY that epoch's partition,
-    so re-running a batch replaces its own rows instead of appending
-    duplicates. Micro-batch output is deterministic under Spark's
-    state-store versioning, so the replacement is byte-equivalent."""
+    epoch (plus ``extra_partitions``) and the write dynamic-overwrites
+    ONLY that epoch's partitions, so re-running a batch replaces its
+    own rows instead of appending duplicates. Micro-batch output is
+    deterministic under Spark's state-store versioning, so the
+    replacement is byte-equivalent. ``transform`` (optional) is the
+    per-batch plan to apply before writing (e.g. plan_extract)."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        out = batch_df.withColumn("epoch", F.lit(int(epoch_id)))
+        out = transform(batch_df) if transform is not None else batch_df
+        out = out.withColumn("epoch", F.lit(int(epoch_id)))
         spark_ = out.sparkSession
         prev = spark_.conf.get("spark.sql.sources.partitionOverwriteMode",
                                "static")
         spark_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (out.write.mode("overwrite")
-             .partitionBy("epoch").parquet(data_dir))
+             .partitionBy("epoch", *extra_partitions).parquet(data_dir))
         finally:
             spark_.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -65,21 +69,9 @@ def stream_extract(
     )
     data_dir = os.path.join(output_path, "data")
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        # partition by (epoch, bucket): a replayed micro-batch
-        # dynamic-overwrites exactly its own epoch's partitions, never
-        # earlier epochs' output -> idempotent, exactly-once to parquet
-        out = plan_extract(batch_df, n_buckets).withColumn(
-            "epoch", F.lit(int(epoch_id)))
-        spark_ = out.sparkSession
-        prev = spark_.conf.get("spark.sql.sources.partitionOverwriteMode",
-                               "static")
-        spark_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (out.write.mode("overwrite")
-             .partitionBy("epoch", "bucket").parquet(data_dir))
-        finally:
-            spark_.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    sink = _epoch_idempotent_sink(
+        data_dir, transform=lambda df: plan_extract(df, n_buckets),
+        extra_partitions=("bucket",))
 
     writer = (
         src.writeStream.foreachBatch(sink)
@@ -122,20 +114,9 @@ def stream_extract_gen(
     )
     data_dir = os.path.join(output_path, "data")
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        # same idempotency argument as stream_extract's sink: a
-        # replayed epoch dynamic-overwrites only its own partitions
-        out = plan_extract(batch_df, n_buckets).withColumn(
-            "epoch", F.lit(int(epoch_id)))
-        spark_ = out.sparkSession
-        prev = spark_.conf.get("spark.sql.sources.partitionOverwriteMode",
-                               "static")
-        spark_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (out.write.mode("overwrite")
-             .partitionBy("epoch", "bucket").parquet(data_dir))
-        finally:
-            spark_.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    sink = _epoch_idempotent_sink(
+        data_dir, transform=lambda df: plan_extract(df, n_buckets),
+        extra_partitions=("bucket",))
 
     return (
         src.writeStream.foreachBatch(sink)
