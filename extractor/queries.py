@@ -18,6 +18,17 @@ Conventions for hash-stable comparison:
   (verified), giving a shared 60-bit integer hash for minhash/simhash;
 - doubles only where unavoidable (q1 sums are rounded; ANN emits ranks,
   not similarities).
+
+PERSIST NOTE: a few builders persist() an intermediate consumed by
+2+ downstream branches of the SAME returned plan (self-joins, multi-
+agg fan-outs). A builder cannot unpersist what its caller has yet to
+collect, so these blocks live until session LRU eviction — deliberate:
+StorageLevel MEMORY_AND_DISK spills instead of OOMing, the block
+manager reclaims under pressure, and the alternative (Catalyst
+exchange reuse with no explicit persist) was measured slower because
+the branches' exchanges don't unify after the per-branch projections.
+Loop-internal persists (connected components, PageRank) DO unpersist
+superseded iterations inline.
 """
 
 from __future__ import annotations
@@ -269,7 +280,7 @@ def levenshtein_blocked_pairs(docs: DataFrame) -> DataFrame:
     d = (docs
          .withColumn("L", F.length("p"))
          .repartition(max(n_par, 16), "doc_id")
-         .persist())
+         .persist())  # 4 consumers (index/probe/lengths/short); see PERSIST NOTE
     # ---- long strings (L >= nseg): segment index + shifted probes ----
     # segment scheme for a length n: base = n div 10, rem = n % 10;
     # segment i in 0..9 has len = base + (i >= 10-rem), start =
@@ -695,7 +706,7 @@ def simhash_hamming_pairs(spark, sf_dir):
         for k, s, w in _SIMHASH_BAND_LAYOUT])
     chunks = (sig.select("doc_id", "sim", F.explode(band_arr).alias("bc"))
               .select("doc_id", "sim", "bc.band", "bc.chunk")
-              .persist())
+              .persist())  # self-joined below; see PERSIST NOTE
     a, b = chunks.alias("a"), chunks.alias("b")
     # canonical-band emission (same trick as the IoU join's canonical
     # cell): a pair colliding in several bands is emitted ONLY from
@@ -850,7 +861,7 @@ def minhash_lsh_candidates(spark, sf_dir):
     bands = (sig.select("doc_id", band_hashes.alias("bhs"))
              .select("doc_id", "bhs",
                      F.posexplode("bhs").alias("band", "bh"))
-             .persist())
+             .persist())  # self-joined below; see PERSIST NOTE
     a, b = bands.alias("a"), bands.alias("b")
     # canonical-band emission: each candidate pair is emitted only
     # from its lowest colliding band (the per-doc 4-hash array rides
@@ -2611,7 +2622,7 @@ def bigram_pmi_top(spark, sf_dir):
         F.expr("explode(arrays_zip(slice(ws, 1, size(ws) - 1),"
                " slice(ws, 2, size(ws) - 1)))").alias("z")
     ).select(F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
-    bg = bg.persist()
+    bg = bg.persist()  # 4 aggregations over one explode; see PERSIST NOTE
     pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
     uc = bg.groupBy(F.col("w1").alias("w")).agg(F.count("*").alias("nu"))
     vc = bg.groupBy(F.col("w2").alias("w")).agg(F.count("*").alias("nv"))
