@@ -388,6 +388,33 @@ def export_merged(spark: SparkSession, output_path: str, dest: str,
        .write.mode("overwrite").format(fmt).save(dest))
 
 
+def export_jsonl_shards(spark: SparkSession, output_path: str, dest: str,
+                        n_files: int = 8,
+                        max_records_per_file: int = 50_000,
+                        compression: str = "gzip") -> None:
+    """Publish step for training pipelines: the extracted table as
+    compressed JSONL shards (one json object per line: conv_id,
+    turn_idx, clean_text, refs) — the interchange format tokenizer /
+    packing stages consume. Same global-order recipe as export_merged
+    (range partition + in-partition sort, so name-ordered shard concat
+    preserves the W3 contract ordering); ``max_records_per_file``
+    additionally rolls oversized ranges into sequential sub-files, the
+    knob that keeps shards near a tokenizer-friendly size at 100 TB
+    without retuning n_files per corpus. to_json is JVM-side
+    (whole-stage codegen), not a Python UDF."""
+    df = (spark.read.schema(EXTRACTED_BUCKET_SCHEMA)
+          .parquet(os.path.join(output_path, "data"))
+          .drop("bucket"))
+    (df.repartitionByRange(n_files, "conv_id", "turn_idx")
+       .sortWithinPartitions("conv_id", "turn_idx")
+       .select(F.to_json(F.struct("conv_id", "turn_idx", "clean_text",
+                                  "refs")).alias("value"))
+       .write.mode("overwrite")
+       .option("maxRecordsPerFile", max_records_per_file)
+       .option("compression", compression)
+       .text(dest))
+
+
 def compact_buckets(spark: SparkSession, output_path: str) -> int:
     """Maintenance compaction for the bucket-partitioned sink (the
     small-files problem: every wave and every task appends a file, so

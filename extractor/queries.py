@@ -2713,8 +2713,9 @@ def merge_upsert_cdc(spark, sf_dir):
     unmatched-change+upsert -> insert, untouched base rows -> keep.
 
     Spark-first shape: a single FULL OUTER join on the key with CASE
-    resolution — one shuffle total, vs the oracle's anti-join + union
-    (two joins). Presence flags (`_b`) rather than key-null checks so
+    resolution — each side shuffles once on doc_id and there is ONE
+    join, vs the oracle's anti-join + union (two joins, four side
+    scans). Presence flags (`_b`) rather than key-null checks so
     the resolution is explicit and null-text-safe. At 100 TB this is
     the standard copy-on-write merge: the same join keyed on the
     table's bucket/partition scheme rewrites only touched partitions

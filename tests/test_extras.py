@@ -827,3 +827,38 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     b = sorted(map(tuple, exp.collect()))
     assert len(b) > 0, "fixture must produce at least one attribution"
     assert a == b
+
+
+def test_export_jsonl_shards_roundtrip_ordered(spark, tmp_path):
+    """Training-handoff publish: gzip JSONL shards must (a) roll files
+    at max_records_per_file, (b) concatenate in name order to the W3
+    contract ordering, and (c) JSON-roundtrip clean_text and the refs
+    raw strings exactly."""
+    import glob
+    import gzip
+    import json
+    import os
+
+    out = str(tmp_path / "out")
+    job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=8)
+    dest = str(tmp_path / "jsonl")
+    job.export_jsonl_shards(spark, out, dest, n_files=2,
+                            max_records_per_file=120)
+    base = job.read_extracted(spark, out).toPandas()
+
+    files = sorted(glob.glob(os.path.join(dest, "part-*.txt.gz")))
+    assert len(files) >= 4  # 2 ranges, each rolled at 120 records
+    rows, per_file = [], []
+    for fp in files:
+        with gzip.open(fp, "rt", encoding="utf-8") as f:
+            lines = [json.loads(ln) for ln in f]
+        per_file.append(len(lines))
+        rows.extend(lines)
+    assert max(per_file) <= 120
+    assert len(rows) == len(base)
+    assert [r["conv_id"] for r in rows] == list(base["conv_id"])
+    assert [r["turn_idx"] for r in rows] == list(base["turn_idx"])
+    assert [r["clean_text"] for r in rows] == list(base["clean_text"])
+    got_refs = [[x["raw"] for x in r.get("refs") or []] for r in rows]
+    exp_refs = [[x["raw"] for x in rr] for rr in base["refs"]]
+    assert got_refs == exp_refs
