@@ -50,6 +50,8 @@ HEADLINE_QUERIES = [
     "text_quality",
     "dup_ngram_spans",
     "tfidf_top_terms",
+    "merge_upsert_cdc",
+    "j10_attribution_interval_join",
     "extract_documents_clean",
 ]
 
