@@ -55,16 +55,19 @@ def stream_extract(
     output_path: str,
     n_buckets: int = 64,
     trigger_once: bool = True,
+    max_files_per_trigger: int = 8,
 ):
     """File-source streaming extraction. Returns the StreamingQuery.
 
     ``trigger_once`` processes everything available and stops (the
     batch-parity mode used by tests); in production use a processing-
     time trigger and the same foreachBatch body.
+    ``max_files_per_trigger`` is the micro-batch size knob (small
+    values = more, smaller exactly-once epochs).
     """
     src = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
     data_dir = os.path.join(output_path, "data")

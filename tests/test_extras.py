@@ -862,3 +862,73 @@ def test_export_jsonl_shards_roundtrip_ordered(spark, tmp_path):
     got_refs = [[x["raw"] for x in r.get("refs") or []] for r in rows]
     exp_refs = [[x["raw"] for x in rr] for rr in base["refs"]]
     assert got_refs == exp_refs
+
+
+def test_sigkill_mid_stream_then_resume(tmp_path):
+    """Streaming counterpart of the batch SIGKILL soak: hard-kill a
+    separate driver mid-drain (several 1-file micro-batches), restart
+    against the same checkpoint in a fresh process — the drained table
+    must equal the pandas oracle with no duplicate or missing turns
+    (WAL resume + epoch-overwrite sink compose under a real kill)."""
+    import glob
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    from extractor.core.batch import extract_batch
+    from extractor.gen_fixtures import write_transcripts_parquet
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    one = str(tmp_path / "one.parquet")
+    write_transcripts_parquet(one, 600, seed=13)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    full = pd.read_parquet(one)
+    step = -(-len(full) // 6)
+    for i in range(6):
+        full.iloc[i * step:(i + 1) * step].to_parquet(
+            os.path.join(in_dir, "part-{}.parquet".format(i)), index=False)
+    out = str(tmp_path / "out")
+
+    driver = (
+        "import sys; sys.path.insert(0, {repo!r})\n"
+        "from extractor import job\n"
+        "from extractor.streaming import stream_extract\n"
+        "spark = job.get_spark('skill9', master='local[2]',\n"
+        "                      shuffle_partitions=8,\n"
+        "                      extra_conf={{'spark.ui.enabled': 'false'}})\n"
+        "q = stream_extract(spark, {inp!r}, {out!r}, n_buckets=8,\n"
+        "                   max_files_per_trigger=1)\n"
+        "assert q.awaitTermination(300)\n"
+        "print('DRAINED')\n"
+    ).format(repo=repo, inp=in_dir, out=out)
+    proc = subprocess.Popen([sys.executable, "-c", driver],
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    commits = os.path.join(out, "_stream_ckpt", "commits")
+    deadline = _time.time() + 240
+    while _time.time() < deadline:  # wait for >=1 committed epoch
+        if glob.glob(os.path.join(commits, "[0-9]*")):
+            break
+        if proc.poll() is not None:
+            break
+        _time.sleep(0.2)
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=60)
+    n_committed = len(glob.glob(os.path.join(commits, "[0-9]*")))
+    assert n_committed >= 1, "driver drained before it could be killed"
+
+    r = subprocess.run([sys.executable, "-c", driver],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0 and "DRAINED" in r.stdout, r.stderr[-3000:]
+
+    got = (pd.read_parquet(os.path.join(out, "data"))
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
+    oracle = (extract_batch(full)
+              .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert len(got) == len(oracle)
+    assert (got["clean_text"].values == oracle["clean_text"].values).all()
