@@ -877,6 +877,52 @@ def minhash_lsh_candidates(spark, sf_dir):
                     F.col("b.doc_id").alias("doc_b")))
 
 
+@_q("minhash_incremental_candidates", sql="WITH " + _SHINGLES_SQL + """
+, sig AS (SELECT doc_id, {aggs} FROM ex GROUP BY doc_id),
+bands AS ({union})
+SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS hist_doc
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+""".format(aggs=_MINHASH_DUCK_AGGS,
+           union=" UNION ALL ".join(
+               "SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sig".format(
+                   b=b, cols=" || ',' || ".join(c + "::VARCHAR" for c in cols))
+               for b, cols in _BANDS)))
+def minhash_incremental_candidates(spark, sf_dir):
+    """Incremental near-dup: an ARRIVING batch (odd doc_ids) banded
+    against the COMMITTED corpus's signature table (even doc_ids) —
+    the corpus-growth shape, where re-running the self-join over
+    10^9 committed docs per ingest batch would be absurd. Same 16
+    minhashes / 4x4 bands as minhash_lsh_candidates, same canonical-
+    band single emission (no post-join distinct).
+
+    Scale mechanics: the committed side is a PERSISTED (doc_id, band,
+    bh) table — 4 tiny rows per doc, maintained by appending each
+    batch's bands after ingest (the exact-dedup analog is
+    stream_dedup_ingest's committed-fp snapshot) — and the new batch's
+    band frame is broadcast, so a batch-vs-corpus near-dup check
+    touches no corpus shuffle at all. Here both sides derive from the
+    one documents table so DuckDB can replay the split."""
+    ex = _shingles(spark, sf_dir)
+    sig = ex.groupBy("doc_id").agg(*[F.expr(a) for a in _MINHASH_SPARK_AGGS])
+    band_hashes = F.array(*[
+        F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        for _bnum, cols in _BANDS])
+    bands = (sig.select("doc_id", band_hashes.alias("bhs"))
+             .select("doc_id", "bhs",
+                     F.posexplode("bhs").alias("band", "bh")))
+    hist = bands.where(F.col("doc_id") % 2 == 0).alias("b")
+    new = F.broadcast(bands.where(F.col("doc_id") % 2 == 1)).alias("a")
+    first_band = "CASE " + " ".join(
+        "WHEN a.bhs[{k}] = b.bhs[{k}] THEN {k}".format(k=k)
+        for k in range(len(_BANDS))) + " ELSE -1 END"
+    return (new.join(hist, (F.col("a.band") == F.col("b.band"))
+                     & (F.col("a.bh") == F.col("b.bh"))
+                     & (F.col("a.band") == F.expr(first_band)))
+            .select(F.col("a.doc_id").alias("new_doc"),
+                    F.col("b.doc_id").alias("hist_doc")))
+
+
 _COS_EXPR = (
     "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     " / (sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"

@@ -72,7 +72,8 @@ def test_similarity_joins_have_no_allpairs_plan(spark):
     for name in ("simhash_hamming_pairs", "simhash_near_dup_scaled",
                  "j4_near_dup_pairs_lev", "ann_lsh_bucketed",
                  "ann_ivf_topk", "minhash_lsh_candidates",
-                 "j1_iou_box_join", "j10_attribution_interval_join"):
+                 "j1_iou_box_join", "j10_attribution_interval_join",
+                 "minhash_incremental_candidates"):
         plan = _executed_plan(spark, name)
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             assert bad not in plan, (name, bad, plan)
