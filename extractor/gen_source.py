@@ -105,49 +105,12 @@ class _GenReader(DataSourceReader):
         return _gen_conv_batches(part)
 
 
-def _gen_conv_batches(part):
-    """Synthesize the conversations in ``[part.ci_lo, part.ci_hi)``
-    as Arrow batches (the batch reader's fast path)."""
-    rows = {k: [] for k in
-            ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
-
-    def flush():
-        batch = pa.record_batch(
-            [pa.array(rows["conv_id"], pa.string()),
-             pa.array(rows["turn_idx"], pa.int32()),
-             pa.array(rows["role"], pa.string()),
-             pa.array(rows["text"], pa.string()),
-             pa.array(rows["tool"], pa.string()),
-             pa.array(rows["ts"], pa.timestamp("us"))],
-            schema=_ARROW_SCHEMA)
-        for k in rows:
-            rows[k] = []
-        return batch
-
-    for ci in range(part.ci_lo, part.ci_hi):
-        conv_id = ("conv-hot-000000" if ci == 0
-                   else "conv-{:06d}".format(ci))
-        size = _conv_size(part.seed, ci, part.n_turns, part.hot_frac)
-        conv_rng = random.Random((part.seed, conv_id).__repr__())
-        base = EPOCH + dt.timedelta(
-            seconds=conv_rng.randrange(10_000_000))
-        for ti in range(size):
-            text, tool = make_turn_text(conv_rng)
-            rows["conv_id"].append(conv_id)
-            rows["turn_idx"].append(ti)
-            rows["role"].append(("user", "assistant", "tool")[ti % 3])
-            rows["text"].append(text)
-            rows["tool"].append(tool)
-            rows["ts"].append(base + dt.timedelta(seconds=7 * ti))
-        if len(rows["conv_id"]) >= 2048:
-            yield flush()
-    if rows["conv_id"]:
-        yield flush()
-
-
 def _gen_conv_rows(seed, hot_frac, n_turns, ci_lo, ci_hi):
-    """Row-tuple twin of :func:`_gen_conv_batches` for the stream
-    reader (the simple streaming API expects tuples, not Arrow)."""
+    """THE conversation generator (single source of truth for both
+    readers — the stream reader consumes the tuples directly, the
+    batch reader batches them into Arrow): synthesize every turn of
+    conversations ``[ci_lo, ci_hi)`` as
+    (conv_id, turn_idx, role, text, tool, ts) tuples."""
     for ci in range(ci_lo, ci_hi):
         conv_id = ("conv-hot-000000" if ci == 0
                    else "conv-{:06d}".format(ci))
@@ -158,6 +121,30 @@ def _gen_conv_rows(seed, hot_frac, n_turns, ci_lo, ci_hi):
             text, tool = make_turn_text(conv_rng)
             yield (conv_id, ti, ("user", "assistant", "tool")[ti % 3],
                    text, tool, base + dt.timedelta(seconds=7 * ti))
+
+
+def _gen_conv_batches(part):
+    """Arrow-batching wrapper over :func:`_gen_conv_rows` (the batch
+    reader's fast path)."""
+    cols = [[] for _ in _ARROW_SCHEMA]
+
+    def flush():
+        batch = pa.record_batch(
+            [pa.array(vals, f.type)
+             for vals, f in zip(cols, _ARROW_SCHEMA)],
+            schema=_ARROW_SCHEMA)
+        for c in cols:
+            c.clear()
+        return batch
+
+    for row in _gen_conv_rows(part.seed, part.hot_frac, part.n_turns,
+                              part.ci_lo, part.ci_hi):
+        for c, v in zip(cols, row):
+            c.append(v)
+        if len(cols[0]) >= 2048:
+            yield flush()
+    if cols[0]:
+        yield flush()
 
 
 class _GenStreamReader(SimpleDataSourceStreamReader):

@@ -161,7 +161,8 @@ def _dir_data_format(path: str) -> str:
 
 def suggest_buckets(spark: SparkSession, path: str,
                     target_bucket_bytes: int = 3 * 2**30,
-                    min_buckets: int = 16) -> int:
+                    min_buckets: int = 16,
+                    max_buckets: int = 2**20) -> int:
     """Derive ``n_buckets`` from the input's on-disk size (the README
     knob 'buckets ~ total_bytes / 2-4 GB' made executable): a bucket
     should be re-extractable in minutes after a failure and keep the
@@ -174,12 +175,18 @@ def suggest_buckets(spark: SparkSession, path: str,
     bucket count (manifest header pin), and pow2 counts make the
     suggestion stable under small input growth — a 10% bigger backfill
     suggests the SAME count, so re-runs over refreshed snapshots keep
-    their committed buckets valid."""
+    their committed buckets valid.
+
+    ``max_buckets`` (pow2) bounds the answer: catalog relations with
+    no file statistics report Catalyst's defaultSizeInBytes
+    (Long.MaxValue) and would otherwise suggest a ~2^32-bucket
+    manifest; 2^20 one-target-size buckets already cover ~3 PB —
+    beyond that, partition the BACKFILL, not the bucket space."""
     df = read_transcripts(spark, path)
     size = int(df._jdf.queryExecution().optimizedPlan().stats()
                .sizeInBytes())
     need = max(min_buckets, -(-size // target_bucket_bytes))
-    return 1 << (need - 1).bit_length()
+    return min(1 << (need - 1).bit_length(), max_buckets)
 
 
 def plan_extract(df: DataFrame, n_buckets: int,
@@ -366,6 +373,19 @@ def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
     )
 
 
+def _ordered_export_frame(spark: SparkSession, output_path: str,
+                          n_files: int) -> DataFrame:
+    """Shared publish recipe: the extracted table range-partitioned on
+    (conv_id, turn_idx) into n_files and sorted within each partition,
+    so EVERY export format inherits the same guarantee — concatenating
+    output files in name order IS the W3 contract ordering."""
+    return (spark.read.schema(EXTRACTED_BUCKET_SCHEMA)
+            .parquet(os.path.join(output_path, "data"))
+            .drop("bucket")
+            .repartitionByRange(n_files, "conv_id", "turn_idx")
+            .sortWithinPartitions("conv_id", "turn_idx"))
+
+
 def export_merged(spark: SparkSession, output_path: str, dest: str,
                   n_files: int = 8, fmt: str = "parquet") -> None:
     """Publish step (S13 analog: the reference zips results for
@@ -380,12 +400,8 @@ def export_merged(spark: SparkSession, output_path: str, dest: str,
     contract ordering without any further sort. n_files sizes output
     files for the consumer (at 100 TB, pick n_files so each lands near
     the blob-store sweet spot, e.g. ~1 GB)."""
-    df = (spark.read.schema(EXTRACTED_BUCKET_SCHEMA)
-          .parquet(os.path.join(output_path, "data"))
-          .drop("bucket"))
-    (df.repartitionByRange(n_files, "conv_id", "turn_idx")
-       .sortWithinPartitions("conv_id", "turn_idx")
-       .write.mode("overwrite").format(fmt).save(dest))
+    (_ordered_export_frame(spark, output_path, n_files)
+     .write.mode("overwrite").format(fmt).save(dest))
 
 
 def export_jsonl_shards(spark: SparkSession, output_path: str, dest: str,
@@ -402,11 +418,7 @@ def export_jsonl_shards(spark: SparkSession, output_path: str, dest: str,
     knob that keeps shards near a tokenizer-friendly size at 100 TB
     without retuning n_files per corpus. to_json is JVM-side
     (whole-stage codegen), not a Python UDF."""
-    df = (spark.read.schema(EXTRACTED_BUCKET_SCHEMA)
-          .parquet(os.path.join(output_path, "data"))
-          .drop("bucket"))
-    (df.repartitionByRange(n_files, "conv_id", "turn_idx")
-       .sortWithinPartitions("conv_id", "turn_idx")
+    (_ordered_export_frame(spark, output_path, n_files)
        .select(F.to_json(F.struct("conv_id", "turn_idx", "clean_text",
                                   "refs")).alias("value"))
        .write.mode("overwrite")

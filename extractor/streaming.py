@@ -36,15 +36,13 @@ def _epoch_idempotent_sink(data_dir: str, transform=None,
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
         out = out.withColumn("epoch", F.lit(int(epoch_id)))
-        spark_ = out.sparkSession
-        prev = spark_.conf.get("spark.sql.sources.partitionOverwriteMode",
-                               "static")
-        spark_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (out.write.mode("overwrite")
-             .partitionBy("epoch", *extra_partitions).parquet(data_dir))
-        finally:
-            spark_.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-WRITE dynamic overwrite (not the session conf): two
+        # concurrent streams sharing one session must not race on a
+        # global setting — a mid-plan reset to "static" would turn a
+        # sibling sink's write into a full-directory overwrite
+        (out.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch", *extra_partitions).parquet(data_dir))
 
     return sink
 
@@ -305,8 +303,16 @@ def stream_dedup_ingest(
 
     Fingerprint = md5 over (role, tool, text) with a \\x1f separator —
     the same recipe as queries.dedup_exact so batch and stream agree
-    on identity. Sink appends epoch-stamped parquet (append-only
-    output mode is what first-occurrence semantics produce).
+    on identity. Sink writes epoch-PARTITIONED parquet via the shared
+    replay-idempotent dynamic overwrite (_epoch_idempotent_sink).
+    Replay caveat: if the known_fps snapshot is refreshed between a
+    crash and its replay, the replayed epoch can emit FEWER rows (the
+    refreshed history claims more fingerprints) — the epoch's
+    partition then holds the smaller set, which is still a CORRECT
+    first-occurrence answer against the newer history (every dropped
+    row's fingerprint is committed there), just not byte-identical to
+    the pre-crash write; hold snapshot refreshes while a query is
+    down to get byte-stable replays.
     Returns the StreamingQuery (availableNow trigger).
     """
     src = (
@@ -384,7 +390,7 @@ def stream_stream_attribution(
             .select(F.col("event_id").alias(id_alias),
                     F.col("user_id").alias(user_alias),
                     F.col("ts").cast("timestamp").alias(ts_alias))
-            .withWatermark(ts_alias, "2 hours"))
+            .withWatermark(ts_alias, watermark_delay))
 
     clicks = side("click", "click_id", "click_ts")
     buys = side("purchase", "purchase_id", "purchase_ts", "b_user")

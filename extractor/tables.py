@@ -26,12 +26,11 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
     if path.startswith("iceberg:"):
         df.writeTo(path[len("iceberg:"):]).overwritePartitions()
         return
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (df.write.mode("overwrite").partitionBy(partition_col).parquet(path))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-WRITE option, not the session conf: concurrent writers in
+    # one session must not race on a global setting
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(partition_col).parquet(path))
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
