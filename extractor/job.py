@@ -450,6 +450,12 @@ def compact_buckets(spark: SparkSession, output_path: str) -> int:
     data_dir = os.path.join(output_path, "data")
     stage_dir = data_dir + ".compact"
     old_dir = data_dir + ".old"
+    # crash recovery: a kill between the two swap renames leaves the
+    # live dir missing while data.old holds the pre-compaction table —
+    # roll back before doing anything else, so a rerun (or any reader
+    # calling this first) always sees a complete table
+    if not os.path.isdir(data_dir) and os.path.isdir(old_dir):
+        os.rename(old_dir, data_dir)
     df = spark.read.schema(EXTRACTED_BUCKET_SCHEMA).parquet(data_dir)
     n_buckets = df.select("bucket").distinct().count()
     part = (df.repartition(max(n_buckets, 1), "bucket")

@@ -713,3 +713,22 @@ def test_suggest_buckets_scales_with_input_bytes(spark, tmp_path):
     # pow2 stability: same suggestion for a target 10% tighter
     assert n_small == job.suggest_buckets(
         spark, GOLDEN_INPUT, target_bucket_bytes=int(64 * 1024 * 0.9))
+
+
+def test_compact_buckets_recovers_mid_swap_crash(spark, tmp_path):
+    """Kill between compact's two swap renames leaves data/ missing
+    and data.old holding the committed table; the next compact call
+    must roll back first and complete normally (no data loss, same
+    rows, ordering contract intact)."""
+    out = str(tmp_path / "out")
+    job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=8)
+    base = job.read_extracted(spark, out).toPandas()
+
+    data = os.path.join(out, "data")
+    os.rename(data, data + ".old")  # the exact mid-swap crash state
+    n = job.compact_buckets(spark, out)
+    assert n >= 1
+    assert not os.path.exists(data + ".old")
+    got = job.read_extracted(spark, out).toPandas()
+    assert len(got) == len(base)
+    assert (got["clean_text"].values == base["clean_text"].values).all()
