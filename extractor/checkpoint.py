@@ -157,11 +157,19 @@ def acquire_writer_lock(checkpoint_dir: str, run_id: str) -> None:
     path = _lock_path(checkpoint_dir)
     payload = json.dumps({"run_id": run_id, "pid": os.getpid(),
                           "at": dt.datetime.now(dt.timezone.utc).isoformat()})
+    # the lock must appear ATOMICALLY WITH its payload: an O_EXCL
+    # create followed by a separate write leaves a window where a
+    # contender reads an empty file, classifies it corrupt->stale, and
+    # steals a LIVE lock. Hard-linking a fully-written temp file into
+    # place closes that window — link fails if the path exists, and on
+    # success the payload is already durable in the inode.
+    tmp = path + ".tmp." + str(os.getpid())
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(payload)
     while True:
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w", encoding="utf-8") as f:
-                f.write(payload)
+            os.link(tmp, path)
+            os.unlink(tmp)
             return
         except FileExistsError:
             try:
@@ -182,6 +190,10 @@ def acquire_writer_lock(checkpoint_dir: str, run_id: str) -> None:
                     # user) — the holder is alive, not stale
                     alive = True
             if alive and pid != os.getpid():
+                try:
+                    os.unlink(tmp)
+                except FileNotFoundError:
+                    pass
                 raise ConcurrentRunError(
                     "output is being written by live run {} (pid {})".format(
                         holder.get("run_id", "?"), pid))
@@ -191,7 +203,7 @@ def acquire_writer_lock(checkpoint_dir: str, run_id: str) -> None:
             # A's fresh valid lock and both would proceed. os.rename of
             # the stale file arbitrates exactly one stealer: the loser
             # gets FileNotFoundError, loops, and then sees the winner's
-            # live lock via the O_EXCL create path.
+            # live lock (payload and all) via the link-create path.
             stale = path + ".stale." + str(os.getpid())
             try:
                 os.rename(path, stale)

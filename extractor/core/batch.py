@@ -130,7 +130,11 @@ def extract_one(text: str, tool: str) -> tuple[str, list[dict]]:
         # unparseable glyph payload -> plain fallback (raw, never the
         # JSON flattener: a malformed glyph table half-flattened to its
         # string leaves would silently look like clean output)
-    elif _json_head(text) in ("{", "["):
+    elif tool and _json_head(text) in ("{", "["):
+        # flatten only TOOL-emitted JSON (search/api payloads): a
+        # user/assistant turn (tool='') whose text happens to be
+        # pasted JSON is content, not a payload — flattening would
+        # drop its keys and every non-string leaf
         flat = _flatten_tool_json(text)
         if flat is not None:
             clean = normalize_plain(flat)

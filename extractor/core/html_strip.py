@@ -600,12 +600,20 @@ def strip_html(raw_html: str) -> dict:
     # tokenizers surface as literal text. If the tail after the last
     # '>' starts a tag that never closes, drop it BEFORE parsing (a
     # pre-pass, so fast/stdlib tokenizer parity is untouched). A bare
-    # "a < b" in prose is not a tag start and is left alone.
+    # "a < b" in prose is not a tag start and is left alone — and
+    # neither is unspaced math prose like "n<m for the bound to hold":
+    # a genuine cut-off tag ends at the name, carries attribute
+    # punctuation (= " '), or has at most one bare word after the
+    # name; several plain words with no attr chars is a sentence.
     cut = raw_html.rfind("<")
     if cut > raw_html.rfind(">"):
-        tail = raw_html[cut + 1:cut + 2]
-        if tail.isalpha() or tail in ("/", "!", "?"):
-            raw_html = raw_html[:cut]
+        frag = raw_html[cut + 1:]
+        m = re.match(r"[/!?]$|[/!?]?[a-zA-Z][\w.-]*", frag)
+        if m:
+            rest = frag[m.end():]
+            if (not rest or any(c in rest for c in "=\"'")
+                    or len(rest.split()) <= 1):
+                raw_html = raw_html[:cut]
     p = _Extractor()
     try:
         if _use_stdlib_parser:

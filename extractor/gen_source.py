@@ -93,6 +93,11 @@ class _GenReader(DataSourceReader):
             self.n_convs = _n_convs(self.seed, self.n_turns, self.hot_frac)
 
     def partitions(self):
+        if self.n_convs <= 0:
+            # empty table, not a planning error (n_turns=0 etc.):
+            # one empty partition keeps the DataFrame contract
+            return [_GenPartition(self.seed, self.hot_frac,
+                                  self.n_turns, 0, 0)]
         n = min(self.n_parts, self.n_convs)
         step = -(-self.n_convs // n)
         return [

@@ -2083,6 +2083,9 @@ def dup_ngram_spans(spark, sf_dir):
         "posexplode(transform(sequence(0, size(w) - {n}),"
         " i -> xxhash64(concat_ws(' ', slice(w, i + 1, {n})))))"
         " AS (pos, gh)".format(n=n))
+    # 3 consumers (dup counts / semi-join probe / per-doc base) on
+    # DIFFERENT keys, so no exchange reuse applies; see PERSIST NOTE
+    g = g.persist()
     dup = (g.groupBy("gh").agg(F.count("*").alias("c"))
            .where("c >= 2").select("gh"))
     dp = g.join(dup, "gh", "left_semi").select("doc_id", "pos")
@@ -2863,9 +2866,8 @@ def corpus_build_pipeline(spark, sf_dir):
     pure projection). One query, each stage's semantics identical to
     its standalone operator, which the shared oracle fragments prove;
     plan-gated at exactly TWO Exchanges (the content-fingerprint
-    window and the source-cap window — filter and split are narrow). Plan-gated at exactly TWO Exchanges: the
-    content-fingerprint window and the source-cap window; the quality
-    filter and the split are narrow.
+    window and the source-cap window — the quality filter and the
+    split are narrow).
 
     Composition is where plan quality pays: the quality filter runs
     BEFORE any shuffle (cuts shuffle volume by the reject rate), the

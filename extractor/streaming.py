@@ -327,12 +327,21 @@ def stream_dedup_ingest(
          .withColumn("ts", F.col("ts").cast("timestamp"))
          .withWatermark("ts", watermark_delay)
          .dropDuplicatesWithinWatermark(["fp"]))
-    if known_fps_path is not None:
-        known = spark.read.parquet(known_fps_path).select("fp")
-        s = s.join(known, "fp", "left_anti")
     data_dir = os.path.join(output_path, "data")
 
-    sink = _epoch_idempotent_sink(data_dir)
+    # the history anti-join lives INSIDE the sink, not in the stream
+    # plan: a batch DataFrame built once would pin its file listing at
+    # definition time, so a refreshed snapshot (new part files) would
+    # be invisible until restart — re-reading per micro-batch is what
+    # makes the documented no-restart refresh true
+    def transform(batch_df: DataFrame) -> DataFrame:
+        if known_fps_path is None:
+            return batch_df
+        known = (batch_df.sparkSession.read.parquet(known_fps_path)
+                 .select("fp"))
+        return batch_df.join(known, "fp", "left_anti")
+
+    sink = _epoch_idempotent_sink(data_dir, transform=transform)
 
     return (
         s.writeStream.foreachBatch(sink)

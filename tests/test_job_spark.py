@@ -596,13 +596,14 @@ def test_transcript_native_goldens_per_turn_equality(spark, tmp_path):
     assert "thirty-two executors" in by_key[("t3-b64", 0)]
     assert "End of attachment." in by_key[("t3-b64", 1)]
     assert "fixed the auth loop" in by_key[("t3-b64", 2)]
-import glob, os
-import pyarrow.parquet as pq
 
 
 def test_compact_buckets_preserves_content_and_order(spark, tmp_path):
-    from extractor import job
-    src = "/root/repo/tests/goldens/t1_input.parquet"
+    import glob
+
+    import pyarrow.parquet as pq
+
+    src = GOLDEN_INPUT
     out = str(tmp_path / "out")
     # two waves -> at least two files in every bucket touched twice
     job.run_extract(spark, src, out, n_buckets=4, wave_buckets=2)
@@ -732,3 +733,45 @@ def test_compact_buckets_recovers_mid_swap_crash(spark, tmp_path):
     got = job.read_extracted(spark, out).toPandas()
     assert len(got) == len(base)
     assert (got["clean_text"].values == base["clean_text"].values).all()
+
+
+def test_writer_lock_steal_race_single_winner(tmp_path):
+    """Six fresh processes race to steal one STALE lock (dead pid):
+    exactly one may hold it afterwards, the rest must fail fast with
+    ConcurrentRunError — and the surviving lock file must be complete
+    JSON (the lock appears atomically WITH its payload; a contender
+    can never read a half-created lock, classify it corrupt, and
+    steal it from a live winner)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    # a stale holder: a pid that existed once and is certainly dead now
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+    with open(os.path.join(ckpt, "writer.lock"), "w") as f:
+        f.write(_json.dumps({"run_id": "ghost", "pid": dead.pid}))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    contender = (
+        "import sys, time; sys.path.insert(0, {repo!r})\n"
+        "from extractor import checkpoint\n"
+        "time.sleep(0.1)\n"  # let all contenders start first
+        "try:\n"
+        "    checkpoint.acquire_writer_lock({ckpt!r}, 'r' + sys.argv[1])\n"
+        "    time.sleep(0.6)\n"  # hold while the others contend
+        "    print('WON')\n"
+        "except checkpoint.ConcurrentRunError:\n"
+        "    print('LOST')\n"
+    ).format(repo=repo, ckpt=ckpt)
+    procs = [subprocess.Popen([sys.executable, "-c", contender, str(i)],
+                              stdout=subprocess.PIPE, text=True)
+             for i in range(6)]
+    outs = [p.communicate(timeout=120)[0].strip() for p in procs]
+    assert sorted(outs).count("WON") == 1, outs
+    with open(os.path.join(ckpt, "writer.lock")) as f:
+        holder = _json.load(f)  # complete JSON, never a partial write
+    assert holder["run_id"].startswith("r")
+    assert not [fn for fn in os.listdir(ckpt) if ".tmp." in fn]

@@ -155,3 +155,39 @@ def test_flatten_tool_json_survives_pathological_nesting():
     wide = "[" + ",".join('"w%d"' % i for i in range(50_000)) + "]"
     out = _flatten_tool_json(wide)
     assert out is not None and out.count("\n") == 49_999
+
+
+def test_user_pasted_json_is_content_not_payload():
+    """The JSON flattener is scoped to TOOL-emitted payloads: a user
+    turn (tool='') whose text is pasted JSON must pass through the
+    plain-text path intact (keys and numeric leaves preserved), while
+    the same text under a tool name is flattened to string leaves."""
+    from extractor.core.batch import extract_one
+
+    pasted = '{"retries": 3, "timeout_ms": 5000, "note": "keep alive"}'
+    clean_user, _ = extract_one(pasted, "")
+    assert "retries" in clean_user and "5000" in clean_user
+    clean_tool, _ = extract_one(pasted, "api")
+    assert clean_tool == "keep alive"
+
+
+def test_truncation_repair_spares_unspaced_math_prose():
+    """The pre-pass drops genuinely cut-off tags but must not eat a
+    sentence tail after unspaced math like 'n<m for the bound'."""
+    from extractor.core.html_strip import strip_html
+
+    body = ("The convergence argument proceeds in three steps and "
+            "relies on the usual compactness machinery of the proof. ")
+    # (in a WELL-FORMED doc "<m ..." is a real tag open that swallows
+    # to the next '>' in both tokenizers — spec behavior, parity-
+    # locked, not the pre-pass's business. The pre-pass only touches
+    # the no-later-'>' tail, where both tokenizers would surface the
+    # text as literal data — so it must spare prose there.)
+    cut_prose = "<p>" + body * 3 + "we require n<m for the bound to hold"
+    assert "bound to hold" in strip_html(cut_prose)["clean_text"]
+    # genuinely truncated tags still get repaired
+    for tail in ("<div cla", "<img src=\"par", "<a href='x", "</p", "<b"):
+        doc = "<p>" + body * 3 + "kept sentence.</p>" + tail
+        out = strip_html(doc)["clean_text"]
+        assert "kept sentence." in out
+        assert "cla" not in out.split("kept sentence.")[-1]
