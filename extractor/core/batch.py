@@ -34,10 +34,7 @@ def _plain_refs(clean_text: str, detector_default: str = "anchor") -> list[dict]
     if not cands:
         return []
     lines = clean_text.split("\n")
-    lengths = np.array([len(t) for t in lines], dtype=np.int64)
-    starts = np.zeros(len(lines), dtype=np.int64)
-    if len(lines) > 1:
-        starts[1:] = np.cumsum(lengths[:-1] + 1)
+    starts, lengths = pdf_layout.line_offset_index(lines)
     refs = []
     for c in cands:
         ls, le = c["line_start"], c["line_end"]
@@ -113,8 +110,13 @@ MAX_PAYLOAD_CHARS = 2_000_000
 
 def extract_one(text: str, tool: str) -> tuple[str, list[dict]]:
     """Extract (clean_text, refs) for one turn. Deterministic."""
-    if text is None:
+    # pandas null spellings: Arrow delivers None, but CSV round-trips
+    # and hand-built oracle frames deliver NaN — a truthy float that
+    # would crash len() below and sneak a "tool" past the JSON gate
+    if text is None or not isinstance(text, str):
         return "", []
+    if not isinstance(tool, str):
+        tool = ""
     if len(text) > MAX_PAYLOAD_CHARS:
         text = text[:MAX_PAYLOAD_CHARS]
     if tool == "browser":

@@ -59,7 +59,10 @@ _CIT_FIELD_RE = re.compile(r"\bcit-([a-z-]+)\b", re.IGNORECASE)
 _LD_CURR = 0.333333
 _LD_PREV = 0.555556
 
-_WRAP_RE = re.compile(r"^\[['\"]?\s*|\s*['\"]?\]$")  # layout (c) "['...']" wrap
+# layout (c) "['...']" wrap. The quote is REQUIRED: a bare leading
+# "[" is a citation marker ("[1] Smith..."), not a wrap, and must
+# survive into raw — matching the pdf/plain paths.
+_WRAP_RE = re.compile(r"^\[['\"]\s*|\s*['\"]\]$")
 
 # class/id-string -> (boiler, ref, noise) regex flags, memoized: real
 # pages repeat the same class strings hundreds of times (nav items,
@@ -252,13 +255,18 @@ class _Extractor(HTMLParser):
         if depth is None:
             return
         for frame in reversed(stack[depth:]):
+            # every depth counter must track IMPLICIT pops too: an
+            # unclosed <table> removed by an ancestor's </div> would
+            # otherwise leave table_depth stuck >0 and fuse every
+            # later table's surroundings into one block (same rule
+            # anchor_depth already followed)
             if frame[_F_TAG] == "a" and self.anchor_depth > 0:
                 self.anchor_depth -= 1
+            elif frame[_F_TAG] == "table" and self.table_depth > 0:
+                self.table_depth -= 1
+            elif frame[_F_TAG] == "dl" and self.dl_depth > 0:
+                self.dl_depth -= 1
         del stack[depth:]
-        if tag == "table" and self.table_depth > 0:
-            self.table_depth -= 1
-        elif tag == "dl" and self.dl_depth > 0:
-            self.dl_depth -= 1
         if tag in BLOCK_TAGS:
             merged = ((self.table_depth > 0
                        and tag in ("table", "tr", "td", "th"))

@@ -263,6 +263,18 @@ def _hanging_indent_blocks(lines: list[dict]) -> list[dict]:
     return out
 
 
+def line_offset_index(texts: list[str]) -> tuple:
+    """Running char-offset index (A3): starts[i] = offset of line i in
+    '\\n'.join(texts), lengths[i] = len(texts[i]). Shared by the pdf
+    and plain span-filling paths so the byte-equality contract cannot
+    drift between them (vectorized prefix sum, np.cumsum)."""
+    lengths = np.array([len(t) for t in texts], dtype=np.int64)
+    starts = np.zeros(len(texts), dtype=np.int64)
+    if len(texts) > 1:
+        starts[1:] = np.cumsum(lengths[:-1] + 1)
+    return starts, lengths
+
+
 def extract_pdf(text: str) -> dict | None:
     """Full pdf_glyphs pipeline for one payload.
 
@@ -273,6 +285,18 @@ def extract_pdf(text: str) -> dict | None:
     obj = parse_payload(text)
     if obj is None:
         return None
+    try:
+        return _extract_parsed(obj)
+    except (TypeError, AttributeError, ValueError, KeyError, IndexError):
+        # JSON that parses but is not a glyph table (string pages,
+        # glyph entries that aren't dicts, null dimensions, ...):
+        # structurally invalid -> the documented plain-text fallback,
+        # never a task-killing poison pill. Scoped to shape errors;
+        # genuine bugs (e.g. numpy faults) still surface.
+        return None
+
+
+def _extract_parsed(obj: dict) -> dict:
     raw_lines: list[dict] = []
     for page in obj["pages"]:
         raw_lines.extend(page_lines(page))
@@ -280,30 +304,21 @@ def extract_pdf(text: str) -> dict | None:
 
     texts = [ln["text"] for ln in lines]
     clean_text = "\n".join(texts)
-    # running char-offset index (A3): starts[i] = offset of line i
-    lengths = np.array([len(t) for t in texts], dtype=np.int64)
-    starts = np.zeros(len(texts), dtype=np.int64)
-    if len(texts) > 1:
-        starts[1:] = np.cumsum(lengths[:-1] + 1)
+    starts, lengths = line_offset_index(texts)
 
     a = refseg.find_anchor(texts)
     if a >= 0:
         cands = refseg.segment_lines(texts, a + 1, "anchor")
     else:
+        # anchor-less: every bounded marker run (wrapped continuation
+        # lines stay inside their run — two-column PDFs wrap almost
+        # every entry), each run gated by the same strict-majority
+        # validity rule as the plain path
         cands = []
-        run_start, run_len = -1, 0
-        for i, t in enumerate(texts):
-            if refseg.is_marker_line(t):
-                if run_start < 0:
-                    run_start = i
-                run_len += 1
-            else:
-                if run_len >= 2:
-                    cands.extend(refseg.segment_lines(
-                        texts[: i], run_start, "layout"))
-                run_start, run_len = -1, 0
-        if run_len >= 2:
-            cands.extend(refseg.segment_lines(texts, run_start, "layout"))
+        for rs, re_, n_markers in refseg.find_layout_runs(texts):
+            got = refseg.segment_lines(texts[: re_ + 1], rs, "layout")
+            if refseg.layout_run_accept(got, n_markers, re_, texts):
+                cands.extend(got)
         if not cands:
             cands = _hanging_indent_blocks(lines)
 

@@ -64,6 +64,55 @@ def find_anchor(lines: list[str]) -> int:
     return -1
 
 
+# wrapped citations carry 1-3 continuation lines between markers in
+# 2-column PDFs; more consecutive marker-less lines means prose
+MAX_RUN_GAP = 3
+
+
+def find_layout_runs(lines: list[str],
+                     max_cont: int = MAX_RUN_GAP) -> list[tuple]:
+    """Maximal marker runs for anchor-less layout detection (F6),
+    tolerating up to ``max_cont`` non-blank continuation lines between
+    markers (wrapped entries are the norm in 2-column PDF output — a
+    run must not reset on the wrap). Returns ``(start, end,
+    n_markers)`` per run with >=2 markers: start = first marker line,
+    end = last marker line plus its trailing continuation lines (same
+    gap bound, stopping at a blank line), so a run never swallows the
+    unbounded prose tail of the document."""
+    runs: list[tuple] = []
+    cur = None  # [start, last_marker, n_markers]
+    gap = 0
+
+    def close(c):
+        if c is not None and c[2] >= 2:
+            end = c[1]
+            cont = 0
+            for j in range(c[1] + 1, len(lines)):
+                if not lines[j].strip() or cont >= max_cont:
+                    break
+                if is_marker_line(lines[j]):
+                    break
+                cont += 1
+                end = j
+            runs.append((c[0], end, c[2]))
+
+    for i, ln in enumerate(lines):
+        if is_marker_line(ln):
+            if cur is None:
+                cur = [i, i, 1]
+            else:
+                cur[1] = i
+                cur[2] += 1
+            gap = 0
+        elif ln.strip():
+            gap += 1
+            if cur is not None and gap > max_cont:
+                close(cur)
+                cur, gap = None, 0
+    close(cur)
+    return runs
+
+
 def segment_lines(
     lines: list[str],
     start: int,
@@ -135,22 +184,40 @@ def segment_text(text: str) -> list[dict]:
     a = find_anchor(lines)
     if a >= 0:
         return segment_lines(lines, a + 1, "anchor")
-    # no anchor: look for a run of >=2 marker lines
-    run_start, run_len, best = -1, 0, -1
-    for i, ln in enumerate(lines):
-        if is_marker_line(ln):
-            if run_start < 0:
-                run_start = i
-            run_len += 1
-        elif ln.strip():
-            if run_len >= 2 and best < 0:
-                best = run_start
-            run_start, run_len = -1, 0
-    if run_len >= 2 and best < 0:
-        best = run_start
-    if best >= 0:
-        return segment_lines(lines, best, "layout")
-    return []
+    # no anchor: the TRAILING marker run (references sit at the end by
+    # convention; a mid-document numbered list is a how-to list, not a
+    # bibliography), bounded so it never swallows prose to EOF
+    runs = find_layout_runs(lines)
+    if not runs:
+        return []
+    start, end, n_markers = runs[-1]
+    cands = segment_lines(lines[: end + 1], start, "layout")
+    if not layout_run_accept(cands, n_markers, end, lines):
+        return []
+    return cands
+
+
+def layout_run_accept(cands: list[dict], n_markers: int, end: int,
+                      lines: list[str]) -> bool:
+    """Strict-majority validity gate for anchor-less layout runs: with
+    no References heading the numbered shape alone is weak evidence —
+    if half or more of the entries fail the citation test (no year /
+    authors), this is a step list whose last item merely mentions a
+    year, and emitting it as a reference is worse than emitting
+    nothing. One exception: an entry that fails validity AND is the
+    document's final line is a streamed-TRUNCATION artifact ("[2]
+    DeWitt, D." cut mid-entry), not evidence against the list — it
+    leaves the denominator instead of voting it down."""
+    denom = n_markers
+    last_nonblank = -1
+    for i in range(len(lines) - 1, -1, -1):
+        if lines[i].strip():
+            last_nonblank = i
+            break
+    if (end == last_nonblank and denom > 0
+            and not any(c["line_end"] == end for c in cands)):
+        denom -= 1
+    return len(cands) * 2 > denom
 
 
 # ---------------------------------------------------------------------------

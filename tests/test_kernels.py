@@ -544,3 +544,99 @@ def test_definition_list_merged_and_kept():
     out = html_strip.strip_html(doc)["clean_text"]
     assert "AQE Adaptive query execution re-plans at runtime." in out
     assert "LSH Locality sensitive hashing buckets near items." in out
+
+
+def test_malformed_glyph_json_falls_back_to_plain():
+    """JSON that parses but is not a glyph table must take the
+    documented plain-text fallback, never kill the task (poison-pill
+    class: one bad turn would fail the mapInPandas stage on every
+    retry)."""
+    from extractor.core.batch import extract_one
+
+    for payload in ('{"pages": ["x"]}',
+                    '{"pages": [{"glyphs": ["g"]}]}',
+                    '{"pages": [{"w": null, "glyphs": '
+                    '[{"t":"a","x0":1,"y0":1,"x1":2,"y1":2}]}]}'):
+        clean, refs = extract_one(payload, "pdf")
+        assert clean  # raw text via the plain path, not a crash
+
+
+def test_extract_batch_tolerates_nan_nulls():
+    """pandas spells nulls as NaN after CSV round-trips: NaN text must
+    behave like None (row -> empty) and NaN tool like '' (user JSON is
+    content, not a tool payload)."""
+    import numpy as np
+    import pandas as pd
+
+    from extractor.core.batch import extract_batch
+
+    pdf = pd.DataFrame({
+        "conv_id": ["c", "c"], "turn_idx": [0, 1],
+        "text": [np.nan, '{"retries": 3, "note": "keep alive"}'],
+        "tool": ["", np.nan],
+    })
+    out = extract_batch(pdf)
+    assert out["clean_text"].iloc[0] == ""
+    assert "retries" in out["clean_text"].iloc[1]  # NOT json-flattened
+
+
+def test_unclosed_table_depth_does_not_leak():
+    """An unclosed <table> popped implicitly by an ancestor's </div>
+    must decrement table_depth: a LATER well-formed table's
+    surroundings must not fuse into its block."""
+    from extractor.core.html_strip import strip_html
+
+    body = ("This paragraph carries enough narrative words to be kept "
+            "as genuine page content by the block classifier. ") * 2
+    doc = ("<div><table><tr><td>stranded cell</td></tr></div>"
+           "<p>" + body + "</p>"
+           "<table><tr><td>second table</td></tr></table>"
+           "<p>" + body + "Trailing marker sentence.</p>")
+    out = strip_html(doc)["clean_text"]
+    assert "Trailing marker sentence." in out
+    # the trailing paragraph must be its own block, not fused into the
+    # second table's block (the leak fused everything after it)
+    assert "second table" not in out.split("Trailing marker sentence.")[0].split("\n")[-1]
+
+
+def test_dom_numbered_ref_keeps_bracket():
+    """A [1]-numbered reference in a DOM list ships raw WITH its
+    bracket, matching the pdf/plain paths (the wrap-strip regex is for
+    quoted \"['...']\" layout wraps only)."""
+    from extractor.core.html_strip import strip_html
+
+    doc = ("<h2>References</h2><ol>"
+           "<li>[1] Smith, J. (1999). A study of things. "
+           "Journal of Stuff, 4(2), 10-19.</li>"
+           "<li>[2] Jones, K. (2001). Another look at stuff. "
+           "Review of Items, 7(1), 5-9.</li></ol>")
+    refs = strip_html(doc)["refs"]
+    assert refs and all(r["raw"].startswith("[") for r in refs)
+
+
+def test_wrapped_marker_entries_segment_without_anchor():
+    """Two-column-PDF shape: every entry wraps onto a continuation
+    line; the anchor-less layout detector must still find the run
+    (a wrap must not reset the marker-run counter)."""
+    from extractor.core.refseg import segment_text
+
+    t = ("[1] Smith, J. (1999). A study of\n"
+         "reference wrapping behavior. Journal, 4(2), 1-9.\n"
+         "[2] Jones, K. (2001). Wrap handling in two\n"
+         "column layouts. Proc. of Things, 8(3), 11-19.")
+    refs = segment_text(t)
+    assert len(refs) == 2
+    assert refs[0]["raw"].endswith("Journal, 4(2), 1-9.")
+
+
+def test_howto_list_with_year_in_prose_is_not_references():
+    """A mid-document numbered step list followed by prose that
+    happens to contain a year must yield NO layout refs (strict-
+    majority validity gate)."""
+    from extractor.core.refseg import segment_text
+
+    t = ("Setup steps:\n1. Install the package\n2. Run the migration "
+         "tool\nAfter that, the 2019 release notes describe the "
+         "upgrade path in detail, including compatibility holes and "
+         "the rollback story for the previous series.")
+    assert segment_text(t) == []
