@@ -191,3 +191,22 @@ def test_truncation_repair_spares_unspaced_math_prose():
         out = strip_html(doc)["clean_text"]
         assert "kept sentence." in out
         assert "cla" not in out.split("kept sentence.")[-1]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.sampled_from(list(
+        "abDJS .,()[]0123456789\t-:;'\"\n")), max_size=60), max_size=25))
+def test_segment_text_never_raises_and_spans_bounded(lines):
+    """Fuzz the rewritten anchor-less layout path: segment_text must
+    never raise, and every candidate's line span must lie inside the
+    document with start <= end and a marker-led first line."""
+    from extractor.core.refseg import is_marker_line, segment_text
+
+    text = "\n".join(lines)
+    out = segment_text(text)
+    doc_lines = text.split("\n")
+    for c in out:
+        assert 0 <= c["line_start"] <= c["line_end"] < len(doc_lines)
+        if c["detector"] == "layout":
+            assert is_marker_line(doc_lines[c["line_start"]])
