@@ -27,8 +27,10 @@ StorageLevel MEMORY_AND_DISK spills instead of OOMing, the block
 manager reclaims under pressure, and the alternative (Catalyst
 exchange reuse with no explicit persist) was measured slower because
 the branches' exchanges don't unify after the per-branch projections.
-Loop-internal persists (connected components, PageRank) DO unpersist
-superseded iterations inline.
+The CC loop unpersists superseded iterations
+inline; PageRank's FIXED 3 rounds deliberately rely on lineage alone
+(its persists are the loop-invariant edges/nodes frames) — a
+convergence-loop extension must add per-round cleanup like CC's.
 """
 
 from __future__ import annotations
@@ -219,9 +221,13 @@ def j2_price_band_join(spark, sf_dir):
 
 
 @_q("j4_near_dup_pairs_lev", sql="""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 40) AS p FROM documents
+  WHERE text IS NOT NULL
+    AND strlen(substr(text, 1, 40)) = length(substr(text, 1, 40)))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) < 10
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) < 10
 """)
 def j4_near_dup_pairs_lev(spark, sf_dir):
     """J4: fuzzy Levenshtein join with lev < 10 over 40-char prefixes
@@ -258,7 +264,16 @@ def j4_near_dup_pairs_lev(spark, sf_dir):
     AQE's skew split engages (skew=true in the adaptive plan)."""
     docs = (t(spark, sf_dir, "documents")
             .where(F.col("text").isNotNull())
-            .select("doc_id", F.substring("text", 1, 40).alias("p")))
+            .select("doc_id", F.substring("text", 1, 40).alias("p"))
+            # ASCII-prefix scope, mirrored in the oracle: Spark's
+            # levenshtein counts CODEPOINTS while every DuckDB edit
+            # distance counts BYTES (verified: levenshtein('café',
+            # 'cafe') = 1 vs 2), so the lev<10 gate would diverge on
+            # any multibyte prefix. The ENGINE path is fully unicode —
+            # levenshtein_blocked_pairs carries no such filter and is
+            # brute-force differential-tested over non-ASCII alphabets
+            # — only this oracle-compared query pins the common set.
+            .where(F.octet_length("p") == F.length("p")))
     return levenshtein_blocked_pairs(docs)
 
 
@@ -306,9 +321,15 @@ def levenshtein_blocked_pairs(docs: DataFrame) -> DataFrame:
                     AND i * (L2 div {n}) + greatest(0, i - ({n} - L2 % {n})) + sh
                         + (L2 div {n}) + (CASE WHEN i >= ({n} - L2 % {n}) THEN 1 ELSE 0 END) <= L
                     -- multi-match-aware pruning (PassJoin Lemma 2 shape):
-                    -- for the FIRST untouched segment i, prefix edits
-                    -- >= max(|shift|, i-1) and suffix edits >= |delta - shift|
-                    AND greatest(abs(sh), i - 1) + abs((L - L2) - sh) <= {t}
+                    -- if segment i (0-BASED) is the first untouched
+                    -- one, the i segments before it each carry >= 1
+                    -- edit and the prefix absorbs the shift, so
+                    -- prefix edits >= max(|shift|, i); suffix edits
+                    -- >= |delta - shift|. The true candidate always
+                    -- satisfies this, so the bound prunes without
+                    -- losing completeness (brute-force differential
+                    -- in tests/test_extras.py certifies it)
+                    AND greatest(abs(sh), i) + abs((L - L2) - sh) <= {t}
                THEN struct(i AS seg,
                  substring(p,
                    cast(i * (L2 div {n}) + greatest(0, i - ({n} - L2 % {n})) + sh as int) + 1,
@@ -833,6 +854,30 @@ _MINHASH_DUCK_AGGS = ", ".join(
 _BANDS = [(b, ["m{}".format(b * 4 + j) for j in range(4)]) for b in range(4)]
 
 
+_MINHASH_FIRST_BAND = "CASE " + " ".join(
+    "WHEN a.bhs[{k}] = b.bhs[{k}] THEN {k}".format(k=k)
+    for k in range(len(_BANDS))) + " ELSE -1 END"
+
+
+def _minhash_bands(spark, sf_dir):
+    """(doc_id, bhs, band, bh) LSH band frame shared by the self-join
+    and incremental candidate paths — 16 md5-derived minhashes over
+    word-3-gram shingles, banded 4x4, with the per-doc 4-hash array
+    riding along for canonical-band emission. Persisted: every caller
+    consumes it on two join branches; see PERSIST NOTE. Factored so a
+    band-count or hash-recipe change cannot desynchronize the batch
+    and incremental paths."""
+    ex = _shingles(spark, sf_dir)
+    sig = ex.groupBy("doc_id").agg(*[F.expr(a) for a in _MINHASH_SPARK_AGGS])
+    band_hashes = F.array(*[
+        F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        for _bnum, cols in _BANDS])
+    return (sig.select("doc_id", band_hashes.alias("bhs"))
+            .select("doc_id", "bhs",
+                    F.posexplode("bhs").alias("band", "bh"))
+            .persist())
+
+
 @_q("minhash_lsh_candidates", sql="WITH " + _SHINGLES_SQL + """
 , sig AS (SELECT doc_id, {aggs} FROM ex GROUP BY doc_id),
 bands AS ({union})
@@ -853,22 +898,12 @@ def minhash_lsh_candidates(spark, sf_dir):
     (one scan of the signature frame, not a 4-way union), and the
     tiny (doc_id, band, bh) frame — 4 rows/doc — is what gets cached
     for the two sides of the candidate join."""
-    ex = _shingles(spark, sf_dir)
-    sig = ex.groupBy("doc_id").agg(*[F.expr(a) for a in _MINHASH_SPARK_AGGS])
-    band_hashes = F.array(*[
-        F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-        for _bnum, cols in _BANDS])
-    bands = (sig.select("doc_id", band_hashes.alias("bhs"))
-             .select("doc_id", "bhs",
-                     F.posexplode("bhs").alias("band", "bh"))
-             .persist())  # self-joined below; see PERSIST NOTE
+    bands = _minhash_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     # canonical-band emission: each candidate pair is emitted only
     # from its lowest colliding band (the per-doc 4-hash array rides
     # the join rows), so no post-join distinct shuffle
-    first_band = "CASE " + " ".join(
-        "WHEN a.bhs[{k}] = b.bhs[{k}] THEN {k}".format(k=k)
-        for k in range(len(_BANDS))) + " ELSE -1 END"
+    first_band = _MINHASH_FIRST_BAND
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))
                    & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -903,19 +938,10 @@ def minhash_incremental_candidates(spark, sf_dir):
     band frame is broadcast, so a batch-vs-corpus near-dup check
     touches no corpus shuffle at all. Here both sides derive from the
     one documents table so DuckDB can replay the split."""
-    ex = _shingles(spark, sf_dir)
-    sig = ex.groupBy("doc_id").agg(*[F.expr(a) for a in _MINHASH_SPARK_AGGS])
-    band_hashes = F.array(*[
-        F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-        for _bnum, cols in _BANDS])
-    bands = (sig.select("doc_id", band_hashes.alias("bhs"))
-             .select("doc_id", "bhs",
-                     F.posexplode("bhs").alias("band", "bh")))
+    bands = _minhash_bands(spark, sf_dir)
     hist = bands.where(F.col("doc_id") % 2 == 0).alias("b")
     new = F.broadcast(bands.where(F.col("doc_id") % 2 == 1)).alias("a")
-    first_band = "CASE " + " ".join(
-        "WHEN a.bhs[{k}] = b.bhs[{k}] THEN {k}".format(k=k)
-        for k in range(len(_BANDS))) + " ELSE -1 END"
+    first_band = _MINHASH_FIRST_BAND
     return (new.join(hist, (F.col("a.band") == F.col("b.band"))
                      & (F.col("a.bh") == F.col("b.bh"))
                      & (F.col("a.band") == F.expr(first_band)))
@@ -1610,7 +1636,13 @@ def a7_rollup_revenue(spark, sf_dir):
 @_q("j9_asof_join", sql="""
 SELECT c.event_id, COALESCE(p.event_id, -1) AS prior_purchase_id
 FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (
+  -- pre-collapse equal-timestamp purchases to the max event_id:
+  -- DuckDB's ASOF spec leaves the tie pick UNCONSTRAINED, while the
+  -- Spark window's (ts, side, p_id) ordering deterministically takes
+  -- the max — one row per (user, ts) removes the ambiguity entirely
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
   ON c.user_id = p.user_id AND c.ts >= p.ts
 """)
 def j9_asof_join(spark, sf_dir):
@@ -2233,14 +2265,53 @@ def cohort_retention(spark, sf_dir):
                     F.col("n_users").cast("long").alias("n_users")))
 
 
-@_q("domain_cap_sample", sql="""
+_CAP_SQL = """
 SELECT doc_id, source, CAST(rn AS BIGINT) AS cap_rank FROM (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source
              ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
                       doc_id) AS rn
   FROM documents) WHERE rn <= 5
-""")
+"""
+
+
+# shared Column/Window builders: the composed corpus_build_pipeline is
+# documented as stage-for-stage identical to the standalone operators,
+# and that identity must live in ONE place, not in hand-mirrored copies
+
+
+def _gopher_signals():
+    """(n_words, word_chars, n_hash, n_ellipsis, keep) Columns of the
+    Gopher quality rules over documents.text — shared by
+    gopher_quality_filter and corpus_build_pipeline."""
+    n_words = F.size(F.split("text", " "))
+    word_chars = F.length(F.regexp_replace("text", " ", ""))
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = ((F.length("text")
+                   - F.length(F.regexp_replace("text", r"\.\.\.", ""))) / 3
+                  ).cast("long")
+    keep = (n_words.between(50, 100000)
+            & (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+            & (10 * n_hash <= n_words) & (10 * n_ellipsis <= n_words))
+    return n_words, word_chars, n_hash, n_ellipsis, keep
+
+
+def _cap_window():
+    """The per-source cap ordering (h60(doc_id), doc_id) — shared by
+    domain_cap_sample and corpus_build_pipeline."""
+    h = F.expr(_H60.format(x="cast(doc_id as string)"))
+    return Window.partitionBy("source").orderBy(h.asc(), F.asc("doc_id"))
+
+
+def _split_expr():
+    """90/5/5 leakage-safe split of the source key — shared by
+    split_assign_grouped and corpus_build_pipeline."""
+    hs = F.expr(_H60.format(x="source")) % 100
+    return (F.when(hs < 90, "train").when(hs < 95, "val")
+            .otherwise("test"))
+
+
+@_q("domain_cap_sample", sql=_CAP_SQL)
 def domain_cap_sample(spark, sf_dir):
     """Per-domain cap: keep at most 5 documents per source, chosen by
     a deterministic content-hash order (h60(doc_id), doc_id tiebreak)
@@ -2260,8 +2331,7 @@ def domain_cap_sample(spark, sf_dir):
     oracle-exact one; tests/test_skew_drill.py drills the sibling
     joins for the same hot-key shape.
     """
-    h = F.expr(_H60.format(x="cast(doc_id as string)"))
-    w = Window.partitionBy("source").orderBy(h.asc(), F.asc("doc_id"))
+    w = _cap_window()
     return (t(spark, sf_dir, "documents").select("doc_id", "source")
             .withColumn("rn", F.row_number().over(w))
             .where("rn <= 5")
@@ -2305,15 +2375,7 @@ def gopher_quality_filter(spark, sf_dir):
     unanchored non-overlapping scan in both engines.
     """
     d = t(spark, sf_dir, "documents")
-    n_words = F.size(F.split("text", " "))
-    word_chars = F.length(F.regexp_replace("text", " ", ""))
-    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
-    n_ellipsis = ((F.length("text")
-                   - F.length(F.regexp_replace("text", r"\.\.\.", ""))) / 3
-                  ).cast("long")
-    keep = (n_words.between(50, 100000)
-            & (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
-            & (10 * n_hash <= n_words) & (10 * n_ellipsis <= n_words))
+    n_words, word_chars, n_hash, n_ellipsis, keep = _gopher_signals()
     return d.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
@@ -2368,16 +2430,6 @@ def length_decile_bins(spark, sf_dir):
             .select("doc_id",
                     F.expr("(rank0 * 10) div total + 1")
                     .cast("long").alias("decile")))
-
-
-_CAP_SQL = """
-SELECT doc_id, source, CAST(rn AS BIGINT) AS cap_rank FROM (
-  SELECT doc_id, source,
-         row_number() OVER (PARTITION BY source
-             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
-                      doc_id) AS rn
-  FROM documents) WHERE rn <= 5
-"""
 
 
 @_q("domain_cap_sample_scaled", sql=_CAP_SQL)
@@ -2478,13 +2530,8 @@ def split_assign_grouped(spark, sf_dir):
     depends only on the key (adding new docs never reassigns old
     ones, unlike fraction-based randomSplit).
     """
-    h = F.expr(_H60.format(x="source"))
     return (t(spark, sf_dir, "documents")
-            .select("doc_id", "source", (h % 100).alias("b"))
-            .select("doc_id", "source",
-                    F.when(F.col("b") < 90, "train")
-                     .when(F.col("b") < 95, "val")
-                     .otherwise("test").alias("split")))
+            .select("doc_id", "source", _split_expr().alias("split")))
 
 
 @_q("winsorize_nchars", sql="""
@@ -2718,18 +2765,25 @@ def cdc_snapshot_diff(spark, sf_dir):
     stored bucket-by-doc_id make this a zero-exchange zipper (see the
     bucketed-join plan gate)."""
     d = t(spark, sf_dir, "documents")
+    # presence flags, NOT fp-nullness: a NULL-text row present in both
+    # snapshots has fp NULL on both sides and must classify by KEY
+    # presence (the oracle's o.doc_id IS NULL test), not look 'added'.
+    # The fp inequality then matches SQL CASE semantics exactly: a
+    # NULL comparison falls through to 'unchanged' on both engines.
     old = (d.where("doc_id % 10 < 8")
-           .select("doc_id", F.md5("text").alias("fp_o")))
+           .select("doc_id", F.md5("text").alias("fp_o"),
+                   F.lit(True).alias("_o")))
     new = (d.where("doc_id % 10 > 1")
            .select("doc_id",
                    F.md5(F.when(F.col("doc_id") % 10 == 5,
                                 F.upper("text"))
-                         .otherwise(F.col("text"))).alias("fp_n")))
+                         .otherwise(F.col("text"))).alias("fp_n"),
+                   F.lit(True).alias("_n")))
     j = old.join(new, "doc_id", "full_outer")
     return j.select(
         "doc_id",
-        F.when(F.col("fp_o").isNull(), "added")
-         .when(F.col("fp_n").isNull(), "removed")
+        F.when(F.col("_o").isNull(), "added")
+         .when(F.col("_n").isNull(), "removed")
          .when(F.col("fp_o") != F.col("fp_n"), "changed")
          .otherwise("unchanged").alias("status"))
 
@@ -2875,30 +2929,15 @@ def corpus_build_pipeline(spark, sf_dir):
     shuffle stages, and the split adds zero exchanges. At 100 TB this
     whole chain is 2 shuffle rounds over surviving rows only."""
     d = t(spark, sf_dir, "documents")
-    n_words = F.size(F.split("text", " "))
-    word_chars = F.length(F.regexp_replace("text", " ", ""))
-    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
-    n_ell = ((F.length("text")
-              - F.length(F.regexp_replace("text", r"\.\.\.", ""))) / 3)
-    n_ell = n_ell.cast("long")
-    q = (d.where(n_words.between(50, 100000)
-                 & (word_chars >= 3 * n_words)
-                 & (word_chars <= 10 * n_words)
-                 & (10 * n_hash <= n_words)
-                 & (10 * n_ell <= n_words))
-         .select("doc_id", "text", "lang", "source"))
+    _, _, _, _, keep = _gopher_signals()
+    q = d.where(keep).select("doc_id", "text", "lang", "source")
     wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     dd = (q.withColumn("dup_rn", F.row_number().over(wd))
           .where("dup_rn = 1").select("doc_id", "lang", "source"))
-    h = F.expr(_H60.format(x="cast(doc_id as string)"))
-    wc = Window.partitionBy("source").orderBy(h.asc(), F.asc("doc_id"))
-    c = (dd.withColumn("rn", F.row_number().over(wc))
+    c = (dd.withColumn("rn", F.row_number().over(_cap_window()))
          .where("rn <= 5").select("doc_id", "lang", "source"))
-    hs = F.expr(_H60.format(x="source")) % 100
-    return c.select(
-        "doc_id", "lang", "source",
-        F.when(hs < 90, "train").when(hs < 95, "val")
-         .otherwise("test").alias("split"))
+    return c.select("doc_id", "lang", "source",
+                    _split_expr().alias("split"))
 
 
 @_q("pagerank_supplier_part", sql="""
