@@ -3001,3 +3001,181 @@ def pagerank_supplier_part(spark, sf_dir):
                                                      F.lit(0.0))).alias("r")))
     return ranks.select(F.col("id").alias("node_id"),
                         F.round("r", 6).alias("rank"))
+
+
+_SEMDEDUP_TAU = 0.35  # within-cluster cosine prune threshold; the
+# nearest pair-to-boundary distance in the synthetic embeddings is
+# 5.4e-5 at sf0.1 (measured), ~10 orders above cross-engine FP noise.
+
+
+@_q("semdedup_prune", sql="""
+SELECT e.vec_id, CAST(e.label AS INTEGER) AS label
+FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings a
+  WHERE a.label = e.label AND a.vec_id < e.vec_id
+    AND list_cosine_similarity(a.embedding::DOUBLE[],
+                               e.embedding::DOUBLE[]) >= 0.35)
+""")
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup-class semantic dedup (Abbas et al. 2023): within each
+    cluster, drop a vector if ANY lower-id vector in the same cluster
+    has cosine >= 0.35 with it; survivors are returned. The cluster
+    here is the `label` column (the corpus's k-means assignment
+    analog — emb_centroid_per_label is the matching reduce step); the
+    keep rule is the deterministic dominated-by-any-smaller-id variant
+    (SQL-expressible; NOT greedy-chain, which needs iteration — same
+    min-id convention as dedup_survivors_scaled's CC keep rule).
+
+    Scale shape: the quadratic is BLOCKED by cluster — one equi-join
+    on label (SortMergeJoin; per-cluster pair count is bounded because
+    cluster count grows with n at fixed cluster size), cosine as a JVM
+    zip_with/aggregate lambda (no Python), then one left_anti on
+    vec_id. No cross join (plan-gated in tests)."""
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("label").cast("int").alias("label"),
+                 F.col("embedding").cast("array<double>").alias("v")))
+    other = e.select(F.col("vec_id").alias("ovid"),
+                     F.col("label").alias("olabel"),
+                     F.col("v").alias("ov"))
+    cos = F.expr(
+        "aggregate(zip_with(v, ov, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        " / (sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
+        "  * sqrt(aggregate(ov, 0D, (acc, x) -> acc + x * x)))")
+    dominated = (e.join(other, (F.col("label") == F.col("olabel"))
+                        & (F.col("ovid") < F.col("vec_id")))
+                 .where(cos >= _SEMDEDUP_TAU)
+                 .select("vec_id").distinct())
+    return (e.join(dominated, "vec_id", "left_anti")
+            .select("vec_id", "label"))
+
+
+_TRUNC_TOKENS = 32  # token-budget clamp (documents avg ~54 tokens, so
+# both the clipped and unclipped branches are exercised at every SF)
+
+
+@_q("truncate_tokens", sql=r"""
+SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+       CAST(least(len(l), 32) AS BIGINT) AS n_kept,
+       array_to_string(list_slice(l, 1, 32), ' ') AS text_trunc
+FROM (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') l
+      FROM documents)
+""")
+def truncate_tokens(spark, sf_dir):
+    """Token-budget clamp (the seq-len cap before packing): keep the
+    first 32 whitespace tokens of each doc, emit before/after counts
+    and the truncated text. Pure narrow projection — zero Exchange
+    (plan-gated), all JVM lambda expressions (filter/slice/array_join),
+    the cheap-and-wide map that must never shuffle at 10^12 rows.
+    Complements pack_sequences (which bins the already-clamped
+    lengths)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.expr(r"filter(split(text, '\\s+'), x -> x <> '')")
+    return d.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens"),
+        F.least(F.size(toks), F.lit(_TRUNC_TOKENS)).cast("long").alias("n_kept"),
+        F.array_join(F.slice(toks, 1, _TRUNC_TOKENS), " ").alias("text_trunc"))
+
+
+@_q("sft_pair_build", sql="""
+SELECT conv_id, turn_idx, CAST(len(ctx) AS BIGINT) AS n_ctx,
+       md5(array_to_string(ctx, ' ') || '|' || text) AS pair_md5
+FROM (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
+         list(text) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx,
+         text
+  FROM documents
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id))
+WHERE turn_idx >= 1
+""")
+def sft_pair_build(spark, sf_dir):
+    """SFT training-pair construction over the transcripts view: for
+    every non-first turn, (context, target) where context is the
+    previous <= 3 turns joined in order — the sliding-window chat-to-
+    sample step of an instruction-tuning pipeline. Emitted as
+    md5(context | target) so the comparison is exact.
+
+    Scale shape: ONE shuffle on the conversation key — turn_idx (a
+    row_number) and the context window are computed over the SAME
+    (source, doc_id) window spec, so Catalyst plans one Exchange for
+    both (going through the aliased transcripts view costs a second
+    exchange because conv_id hides that the key is source; gated in
+    tests). The collect_list frame is ROWS BETWEEN 3 PRECEDING AND 1
+    PRECEDING, so per-row window state is bounded by the context
+    width (constant), never by conversation length — safe under the
+    hot-conversation skew the extraction job salts against."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (d.select(F.col("source").alias("conv_id"),
+                     (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+                     F.collect_list("text").over(w.rowsBetween(-3, -1))
+                     .alias("ctx"),
+                     "text")
+            .where("turn_idx >= 1")
+            .select("conv_id", "turn_idx",
+                    F.size("ctx").cast("long").alias("n_ctx"),
+                    F.md5(F.concat_ws("|", F.array_join("ctx", " "),
+                                      F.col("text"))).alias("pair_md5")))
+
+
+@_q("minhash_verified_pairs", sql="WITH " + _SHINGLES_SQL + """
+, sig AS (SELECT doc_id, {aggs} FROM ex GROUP BY doc_id),
+bands AS ({union}),
+cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                                   AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) sz FROM ex GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) i
+          FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
+                      JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+          GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b,
+       CAST((1000 * i) // (sa.sz + sb.sz - i) AS BIGINT) AS jac_milli
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (1000 * i) // (sa.sz + sb.sz - i) >= 200
+""".format(aggs=_MINHASH_DUCK_AGGS,
+           union=" UNION ALL ".join(
+               "SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sig".format(
+                   b=b, cols=" || ',' || ".join(c + "::VARCHAR" for c in cols))
+               for b, cols in _BANDS)))
+def minhash_verified_pairs(spark, sf_dir):
+    """The COMPLETE MinHash near-dup pipeline: LSH banding for
+    candidates (minhash_lsh_candidates' canonical-band join), then an
+    EXACT Jaccard verify on candidates only — the candidate->verify
+    contract PassJoin established for edit distance, applied to set
+    similarity. Output = candidate pairs with true milli-Jaccard
+    >= 200 (exact integers; false positives from banding are dropped,
+    and any bands miss is absent from BOTH engines because the oracle
+    replays the same banding).
+
+    Scale shape: the verify never touches non-candidates — each doc's
+    sorted xxhash64 shingle array (bounded by doc length) is joined
+    onto the candidate pair list (two hash joins on doc ids), and the
+    intersection is a JVM array_intersect, so verify cost is
+    O(candidates x doc_len), not O(n^2)."""
+    bands = _minhash_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.col("a.band") == F.expr(_MINHASH_FIRST_BAND)))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b")))
+    sh = (_shingles(spark, sf_dir)
+          .select("doc_id", F.xxhash64("s").alias("s"))
+          .groupBy("doc_id")
+          .agg(F.array_sort(F.collect_set("s")).alias("sha")))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sha").alias("sha_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sha").alias("sha_b"))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.size(F.array_intersect("sha_a", "sha_b")).alias("i"),
+                    F.size("sha_a").alias("za"), F.size("sha_b").alias("zb"))
+            .select("doc_a", "doc_b",
+                    F.expr("(1000 * i) div (za + zb - i)")
+                    .cast("long").alias("jac_milli"))
+            .where("jac_milli >= 200"))

@@ -435,3 +435,80 @@ def test_merge_upsert_cdc_all_actions(spark):
     assert got == {"kept": 167, "updated": 83, "inserted": 42}, got
     upd = df.where("merge_action != 'kept'").select("text").collect()
     assert all(r["text"].startswith("v2:") for r in upd)
+
+
+def _embs(tmp_path, vecs, labels):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([np.asarray(v, dtype=np.float32) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_semdedup_prune_hand(spark, tmp_path):
+    """Within-label domination: v1 is near-parallel to lower-id v0
+    (pruned); v2 is orthogonal to both (kept); v3 duplicates v0 but
+    lives in another label (kept — clusters block the comparison)."""
+    from extractor.queries import semdedup_prune
+
+    sf = _embs(tmp_path,
+               [[1.0, 0.0], [0.9999, 0.01], [0.0, 1.0], [1.0, 0.0]],
+               [0, 0, 0, 1])
+    got = {r["vec_id"]: r["label"] for r in semdedup_prune(spark, sf).collect()}
+    assert got == {0: 0, 2: 0, 3: 1}
+
+
+def test_truncate_tokens_hand(spark, tmp_path):
+    """32-token clamp: long doc clipped to its first 32 tokens, short
+    doc untouched, repeated whitespace collapses (empty tokens are
+    filtered before the slice, both engines)."""
+    from extractor.queries import truncate_tokens
+
+    long_text = " ".join("w{}".format(i) for i in range(40))
+    sf = _docs(tmp_path, [long_text, "a b c", "a  b"])
+    got = {r["doc_id"]: r for r in truncate_tokens(spark, sf).collect()}
+    assert (got[0]["n_tokens"], got[0]["n_kept"]) == (40, 32)
+    assert got[0]["text_trunc"] == " ".join("w{}".format(i) for i in range(32))
+    assert (got[1]["n_tokens"], got[1]["n_kept"], got[1]["text_trunc"]) == \
+        (3, 3, "a b c")
+    assert (got[2]["n_tokens"], got[2]["text_trunc"]) == (2, "a b")
+
+
+def test_sft_pair_build_hand(spark, tmp_path):
+    """(context, target) pairs: turn k's context is the previous <=3
+    turns joined in order; the first turn emits nothing."""
+    from extractor.queries import sft_pair_build
+
+    sf = _docs(tmp_path, ["A", "B", "C", "D", "E"])
+    rows = {r["turn_idx"]: r for r in sft_pair_build(spark, sf).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    exp = {1: ("A", "B"), 2: ("A B", "C"), 3: ("A B C", "D"),
+           4: ("B C D", "E")}
+    for k, (ctx, tgt) in exp.items():
+        assert rows[k]["n_ctx"] == len(ctx.split())
+        want = hashlib.md5("{}|{}".format(ctx, tgt).encode()).hexdigest()
+        assert rows[k]["pair_md5"] == want, k
+
+
+def test_minhash_verified_pairs_verify_drops_nondups(spark, tmp_path):
+    """Identical docs always collide (identical signatures) and
+    verify at exactly 1000 milli-Jaccard; disjoint-vocab docs share no
+    shingles and never reach the output."""
+    from extractor.queries import minhash_verified_pairs
+
+    dup = " ".join("t{}".format(i) for i in range(12))
+    sf = _docs(tmp_path, [
+        dup, dup,
+        " ".join("u{}".format(i) for i in range(12)),
+        " ".join("v{}".format(i) for i in range(12)),
+    ])
+    got = [(r["doc_a"], r["doc_b"], r["jac_milli"])
+           for r in minhash_verified_pairs(spark, sf).collect()]
+    assert got == [(0, 1, 1000)]

@@ -73,7 +73,8 @@ def test_similarity_joins_have_no_allpairs_plan(spark):
                  "j4_near_dup_pairs_lev", "ann_lsh_bucketed",
                  "ann_ivf_topk", "minhash_lsh_candidates",
                  "j1_iou_box_join", "j10_attribution_interval_join",
-                 "minhash_incremental_candidates"):
+                 "minhash_incremental_candidates", "semdedup_prune",
+                 "minhash_verified_pairs"):
         plan = _executed_plan(spark, name)
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             assert bad not in plan, (name, bad, plan)
@@ -316,3 +317,21 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_truncate_and_sft_plan_shapes(spark):
+    """truncate_tokens is the cheap-and-wide map that must never
+    shuffle (zero Exchange); sft_pair_build is one window = exactly
+    one hash Exchange and no join operator."""
+    import re
+
+    from extractor.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    plan = (QUERIES["truncate_tokens"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    plan = (QUERIES["sft_pair_build"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
