@@ -469,6 +469,44 @@ def compact_buckets(spark: SparkSession, output_path: str) -> int:
     return n_buckets
 
 
+def zorder_expr(col_x: str, col_y: str, bits: int = 16):
+    """Morton/Z-value of two non-negative int columns: bit-interleave
+    the low ``bits`` bits of each (x -> even positions, y -> odd) into
+    one BIGINT sort key. Pure JVM lambda arithmetic (aggregate over a
+    bit-index sequence — whole-stage codegen, no Python), so it costs
+    one projection at write time.
+
+    Z-ordering is the standard multi-dimensional layout trick (cf.
+    Delta/Iceberg OPTIMIZE ZORDER): a table range-partitioned and
+    sorted by z gets parquet min/max row-group pruning on BOTH
+    dimensions, where a linear sort prunes only its leading column —
+    the difference between reading ~sqrt-fraction and reading 100% of
+    a 100 TB table for a predicate on the second dimension. Callers
+    pre-scale values into [0, 2**bits)."""
+    t = ("shiftleft(shiftright(cast({x} as bigint), {i}) & 1, {e})"
+         " + shiftleft(shiftright(cast({y} as bigint), {i}) & 1, {o})")
+    terms = " + ".join(
+        t.format(x=col_x, y=col_y, i=i, e=2 * i, o=2 * i + 1)
+        for i in range(bits))
+    return F.expr(terms)
+
+
+def zorder_write(df: DataFrame, dest: str, col_x: str, col_y: str,
+                 n_files: int = 32, bits: int = 16) -> None:
+    """Write ``df`` as parquet laid out along the Z-curve of
+    (col_x, col_y): range-partition on the z-value (balanced files via
+    sampled range bounds), sort within partitions, drop the key before
+    writing. The projection after the sort does not disturb the
+    in-partition row order, so row-group min/max stats stay tight on
+    both dimensions. Layout-only: content is whatever ``df`` holds."""
+    z = zorder_expr(col_x, col_y, bits).alias("_z")
+    (df.select("*", z)
+       .repartitionByRange(n_files, "_z")
+       .sortWithinPartitions("_z")
+       .drop("_z")
+       .write.mode("overwrite").parquet(dest))
+
+
 def found_notfound(requested: DataFrame, produced: DataFrame) -> DataFrame:
     """J8/S7: requested keys not present in the produced table
     (the reference's NotFound list, LOCDB-V3/fileProcessor.py:167-186)."""
