@@ -3179,3 +3179,59 @@ def minhash_verified_pairs(spark, sf_dir):
                     F.expr("(1000 * i) div (za + zb - i)")
                     .cast("long").alias("jac_milli"))
             .where("jac_milli >= 200"))
+
+
+@_q("rolling_count_1h", sql="""
+SELECT event_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_1h
+FROM events
+""")
+def rolling_count_1h(spark, sf_dir):
+    """Trailing-hour activity counter per user (rate-limit / burst
+    detection shape): a RANGE window frame over EVENT TIME — the
+    value-based frame the rows-based windows elsewhere can't express
+    (each row's frame is [ts - 1h, ts], including ts-peers, per the
+    SQL standard both engines implement). The frame is an INTERVAL
+    range directly over the TIMESTAMP_NTZ column — exact at timestamp
+    precision in both engines (a seconds cast would truncate and
+    disagree with INTERVAL arithmetic on sub-second data, and
+    unix_micros rejects NTZ).
+
+    Scale shape: one shuffle on user_id; per-row frame state is
+    bounded by the user's 1-hour event volume, not history length."""
+    e = t(spark, sf_dir, "events")
+    return e.selectExpr(
+        "event_id",
+        "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts"
+        " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS n_1h")
+
+
+@_q("table_fingerprint_xor", sql="""
+SELECT source,
+       bit_xor(('0x' || substr(md5(doc_id::VARCHAR || '|' || text), 1, 15))
+               ::BIGINT) AS fp,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY source
+""")
+def table_fingerprint_xor(spark, sf_dir):
+    """Order-invariant per-partition table checksum (anti-entropy /
+    replication-validation primitive, cf. Cassandra repair and DVC
+    data checksums): fp = XOR of a 60-bit md5 integer per row, grouped
+    by source. XOR is commutative/associative -> partial-agg-safe (one
+    map-side combine, one tiny shuffle) and insensitive to row order,
+    so two replicas (or a pre/post-migration pair) compare with a
+    |sources|-row exchange instead of a row-level diff; the row count
+    rides along to catch the XOR blind spot (a row duplicated an even
+    number of times cancels out).
+
+    Shares the _H60 cross-engine hash contract (md5-prefix integer,
+    identical in Spark and DuckDB)."""
+    d = t(spark, sf_dir, "documents")
+    h = F.expr(_H60.format(x="concat_ws('|', doc_id, text)"))
+    return (d.select("source", h.alias("h"))
+            .groupBy("source")
+            .agg(F.expr("bit_xor(h)").alias("fp"),
+                 F.count("*").cast("long").alias("n")))

@@ -36,7 +36,8 @@ def _events(tmp_path, rows):
     """rows: (event_id, ts, user_id, event_type)"""
     pd.DataFrame({
         "event_id": [r[0] for r in rows],
-        "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+        "ts": pd.to_datetime([r[1] for r in rows],
+                             format="mixed").astype("datetime64[us]"),
         "user_id": [r[2] for r in rows],
         "event_type": [r[3] for r in rows],
         "value": [0.0] * len(rows),
@@ -512,3 +513,45 @@ def test_minhash_verified_pairs_verify_drops_nondups(spark, tmp_path):
     got = [(r["doc_a"], r["doc_b"], r["jac_milli"])
            for r in minhash_verified_pairs(spark, sf).collect()]
     assert got == [(0, 1, 1000)]
+
+
+def test_rolling_count_1h_boundaries(spark, tmp_path):
+    """The trailing-hour frame is inclusive at exactly -1h, excludes
+    anything older, and counts equal-ts peers (RANGE semantics)."""
+    from extractor.queries import rolling_count_1h
+
+    sf = _events(tmp_path, [
+        (0, "2025-01-01 10:00:00", 1, "view"),
+        (1, "2025-01-01 11:00:00", 1, "view"),   # exactly 1h later: frame has both
+        (2, "2025-01-01 12:00:00.000001", 1, "view"),  # 1h+1us after ev1
+        (3, "2025-01-01 12:00:00.000001", 1, "view"),  # ts peer of ev2
+        (4, "2025-01-01 10:30:00", 2, "view"),   # other user untouched
+    ])
+    got = {r["event_id"]: r["n_1h"] for r in rolling_count_1h(spark, sf).collect()}
+    assert got == {0: 1, 1: 2, 2: 2, 3: 2, 4: 1}
+
+
+def test_table_fingerprint_xor_order_invariant(spark, tmp_path):
+    """Same rows in any order -> same fingerprint; one changed byte ->
+    different fingerprint; n rides along to catch even-duplication."""
+    import pandas as pd
+
+    from extractor.queries import table_fingerprint_xor
+
+    def write(rows, d):
+        os.makedirs(str(d), exist_ok=True)
+        pd.DataFrame({
+            "doc_id": [r[0] for r in rows], "text": [r[1] for r in rows],
+            "lang": "en", "source": [r[2] for r in rows],
+            "n_chars": pd.array([len(r[1]) for r in rows], dtype="int64"),
+        }).to_parquet(os.path.join(str(d), "documents.parquet"))
+        return str(d)
+
+    a = write([(1, "alpha", "s"), (2, "beta", "s")], tmp_path / "a")
+    b = write([(2, "beta", "s"), (1, "alpha", "s")], tmp_path / "b")
+    c = write([(1, "alphA", "s"), (2, "beta", "s")], tmp_path / "c")
+    fa = table_fingerprint_xor(spark, a).collect()[0]
+    fb = table_fingerprint_xor(spark, b).collect()[0]
+    fc = table_fingerprint_xor(spark, c).collect()[0]
+    assert (fa["fp"], fa["n"]) == (fb["fp"], fb["n"])
+    assert fa["fp"] != fc["fp"]
