@@ -299,3 +299,40 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
                                 "frame": frames})
     return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+_EXT_MIME = {"png": "image/png", "gif": "image/gif", "bmp": "image/bmp",
+             "jpg": "image/jpeg", "jpeg": "image/jpeg",
+             "webp": "image/webp", "wav": "audio/wav",
+             "flac": "audio/flac"}
+
+
+def read_binary_files(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Ingest raw media files through Spark's built-in ``binaryFile``
+    source into the (doc_id, payload, meta) shape the feature /
+    resize / frame-sample stages consume — the S1 scan surface for
+    media sitting as loose files rather than parquet-embedded blobs.
+
+    ``pathGlobFilter`` prunes non-media files at LISTING time (the
+    files are never opened); mime is derived from the extension via a
+    literal map (JVM-side), doc_id is the xxhash64 of the stable file
+    path. binaryFile caps single files at
+    ``spark.sql.sources.binaryFile.maxLength`` (int max) — fine for
+    media assets; video beyond 2 GB belongs in chunked storage, not a
+    single row."""
+    from itertools import chain
+
+    from pyspark.sql import functions as F
+
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime_map = F.create_map(*[
+        F.lit(x) for x in chain.from_iterable(_EXT_MIME.items())])
+    return df.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(mime_map[ext].alias("mime"),
+                 F.col("path").alias("origin")).alias("meta"))

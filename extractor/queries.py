@@ -3235,3 +3235,35 @@ def table_fingerprint_xor(spark, sf_dir):
             .groupBy("source")
             .agg(F.expr("bit_xor(h)").alias("fp"),
                  F.count("*").cast("long").alias("n")))
+
+
+@_q("w7_sliding_window_counts", sql="""
+SELECT ws, ws + 600 AS we, event_type, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT (floor(epoch(ts))::BIGINT // 300) * 300 - k * 300 AS ws,
+             event_type
+      FROM events, unnest([0, 1]) AS t(k))
+GROUP BY ws, we, event_type
+""")
+def w7_sliding_window_counts(spark, sf_dir):
+    """SLIDING event-time windows (10-minute windows every 5 minutes)
+    — the overlapping-window capability w6's tumbling windows can't
+    express: each event lands in exactly window_size/slide = 2
+    windows. Spark plans F.window(slide < size) as a 2-row Expand
+    before the aggregation — the scale-correct shape (rows duplicated
+    map-side into both windows, then one partial-agg shuffle), not a
+    self-join. Bounds are emitted as epoch SECONDS via pure
+    TIMESTAMP_NTZ arithmetic (timestampdiff from the NTZ epoch — no
+    session-timezone dependence); the oracle must floor() epoch()'s
+    DOUBLE before casting (DuckDB cast rounds, and every synthetic ts
+    has fractional seconds)."""
+    e = t(spark, sf_dir, "events")
+    ntz_epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    return (e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                      "event_type")
+            .count()
+            .select(F.expr("timestampdiff(SECOND, {}, w.start)"
+                           .format(ntz_epoch)).cast("long").alias("ws"),
+                    F.expr("timestampdiff(SECOND, {}, w.end)"
+                           .format(ntz_epoch)).cast("long").alias("we"),
+                    "event_type",
+                    F.col("count").cast("long").alias("n")))

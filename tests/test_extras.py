@@ -932,3 +932,51 @@ def test_sigkill_mid_stream_then_resume(tmp_path):
               .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
     assert len(got) == len(oracle)
     assert (got["clean_text"].values == oracle["clean_text"].values).all()
+
+
+def test_read_binary_files_feeds_feature_pipeline(spark, tmp_path):
+    """binaryFile ingest: glob prunes non-media at listing time, mime
+    derives from the extension, and the probed header metadata comes
+    out of the SAME extract_features stage the parquet-embedded path
+    uses (one ingest shape, two storage layouts)."""
+    import struct
+
+    from extractor.multimodal import (extract_features, probe_audio_meta,
+                                      read_binary_files)
+
+    d = tmp_path / "media"
+    d.mkdir()
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 64, 48) + b"\x08\x02\x00\x00\x00"
+           + b"\x00" * 4)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    pcm = b"\x00" * 88200
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    (d / "a.png").write_bytes(png)
+    (d / "b.gif").write_bytes(gif)
+    (d / "c.wav").write_bytes(wav)
+    (d / "notes.txt").write_bytes(b"not media")
+
+    src = read_binary_files(spark, str(d), glob="*.{png,gif,wav}")
+    rows = src.collect()
+    assert len(rows) == 3  # txt pruned at listing
+    assert len({r["doc_id"] for r in rows}) == 3
+    by_mime = {r["meta"]["mime"]: r for r in rows}
+    assert set(by_mime) == {"image/png", "image/gif", "audio/wav"}
+
+    feats = {f["mime"]: f for f in extract_features(src).collect()}
+    assert (feats["image/png"]["img_format"],
+            feats["image/png"]["width"],
+            feats["image/png"]["height"]) == ("png", 64, 48)
+    assert (feats["image/gif"]["img_format"],
+            feats["image/gif"]["width"],
+            feats["image/gif"]["height"]) == ("gif", 320, 200)
+    assert feats["audio/wav"]["img_format"] is None
+    assert feats["audio/wav"]["n_bytes"] == len(wav)
+
+    am = probe_audio_meta(bytes(by_mime["audio/wav"]["payload"]))
+    assert (am["channels"], am["sample_rate"], am["duration_ms"]) == \
+        (2, 44100, 500)
