@@ -3267,3 +3267,60 @@ def w7_sliding_window_counts(spark, sf_dir):
                            .format(ntz_epoch)).cast("long").alias("we"),
                     "event_type",
                     F.col("count").cast("long").alias("n")))
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]  # explicit value list:
+# deterministic output schema AND no extra distinct-scan job (pivot
+# without values runs a collect of the pivot column's domain first)
+
+
+@_q("pivot_lang_counts", sql="""
+SELECT source,
+       CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+       CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+       CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+       CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+       CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+FROM documents GROUP BY source
+""")
+def pivot_lang_counts(spark, sf_dir):
+    """Relational PIVOT: per-source doc counts spread across language
+    columns (the corpus-composition matrix a mixture dashboard reads).
+    The pivot value list is EXPLICIT — that both pins the output
+    schema (a driver-contract requirement) and skips the extra
+    distinct-collect job Spark runs to discover the domain when values
+    are omitted (one full scan saved; at 10^12 rows, the difference
+    between one agg and two). Physically a pivot with known values is
+    just one partial-aggregable shuffle of FILTER-style aggregates —
+    exactly what the oracle spells out."""
+    d = t(spark, sf_dir, "documents")
+    out = (d.groupBy("source").pivot("lang", _PIVOT_LANGS).count()
+           .na.fill(0, _PIVOT_LANGS))
+    return out.select("source",
+                      *[F.col(c).cast("long").alias(c)
+                        for c in _PIVOT_LANGS])
+
+
+@_q("unpivot_source_metrics", sql="""
+WITH m AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+                  CAST(sum(n_chars) AS BIGINT) total_chars,
+                  CAST(max(n_chars) AS BIGINT) max_chars
+           FROM documents GROUP BY source)
+SELECT source, metric, val FROM (
+  SELECT source, 'n_docs' AS metric, n_docs AS val FROM m
+  UNION ALL SELECT source, 'total_chars', total_chars FROM m
+  UNION ALL SELECT source, 'max_chars', max_chars FROM m)
+""")
+def unpivot_source_metrics(spark, sf_dir):
+    """Relational UNPIVOT/MELT: a wide per-source metrics row turned
+    into (source, metric, val) long form — the shape metric stores and
+    plotting layers ingest. Spark's native unpivot() (an Expand node —
+    rows fan out map-side, no join, no shuffle beyond the one metric
+    agg); the oracle spells the same thing as a UNION ALL."""
+    d = t(spark, sf_dir, "documents")
+    m = (d.groupBy("source")
+         .agg(F.count("*").cast("long").alias("n_docs"),
+              F.sum("n_chars").cast("long").alias("total_chars"),
+              F.max("n_chars").cast("long").alias("max_chars")))
+    return m.unpivot("source", ["n_docs", "total_chars", "max_chars"],
+                     "metric", "val")

@@ -555,3 +555,27 @@ def test_table_fingerprint_xor_order_invariant(spark, tmp_path):
     fc = table_fingerprint_xor(spark, c).collect()[0]
     assert (fa["fp"], fa["n"]) == (fb["fp"], fb["n"])
     assert fa["fp"] != fc["fp"]
+
+
+def test_pivot_zero_fill_and_unpivot_expand(spark, tmp_path):
+    """Pivot: a (source, lang) cell with no rows reads 0, not null.
+    Unpivot: physically an Expand (no join, exactly the one metric-agg
+    Exchange)."""
+    from extractor.queries import pivot_lang_counts, unpivot_source_metrics
+
+    sf = _docs(tmp_path, ["x y z", "p q r", "a b c"],
+               langs=["en", "en", "zh"])
+    row = {r["source"]: r for r in pivot_lang_counts(spark, sf).collect()}["s"]
+    assert (row["en"], row["zh"], row["de"], row["es"], row["fr"]) == \
+        (2, 1, 0, 0, 0)
+
+    got = {r["metric"]: r["val"]
+           for r in unpivot_source_metrics(spark, sf).collect()}
+    assert got == {"n_docs": 3, "total_chars": 15, "max_chars": 5}
+    # fresh plan (pre-execution): AQE rewrites exchanges once collected
+    plan = (unpivot_source_metrics(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan, plan
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Expand" in plan, plan
