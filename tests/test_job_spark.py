@@ -755,20 +755,35 @@ def test_writer_lock_steal_race_single_winner(tmp_path):
         f.write(_json.dumps({"run_id": "ghost", "pid": dead.pid}))
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # start barrier: every contender signals readiness, then blocks on
+    # a go-file the parent creates once ALL are ready. Without it, a
+    # slow python startup under load lets an early winner finish its
+    # hold and EXIT before a late contender even begins — the late one
+    # then (correctly) steals the now-dead holder's lock, and the test
+    # miscounts a legitimate sequential steal as a race violation.
+    go = os.path.join(ckpt, "go")
     contender = (
-        "import sys, time; sys.path.insert(0, {repo!r})\n"
+        "import os, sys, time; sys.path.insert(0, {repo!r})\n"
         "from extractor import checkpoint\n"
-        "time.sleep(0.1)\n"  # let all contenders start first
+        "open({ckpt!r} + '/ready.' + sys.argv[1], 'w').close()\n"
+        "while not os.path.exists({go!r}):\n"
+        "    time.sleep(0.01)\n"
         "try:\n"
         "    checkpoint.acquire_writer_lock({ckpt!r}, 'r' + sys.argv[1])\n"
-        "    time.sleep(0.6)\n"  # hold while the others contend
+        "    time.sleep(3.0)\n"  # hold until every contender has raced
         "    print('WON')\n"
         "except checkpoint.ConcurrentRunError:\n"
         "    print('LOST')\n"
-    ).format(repo=repo, ckpt=ckpt)
+    ).format(repo=repo, ckpt=ckpt, go=go)
     procs = [subprocess.Popen([sys.executable, "-c", contender, str(i)],
                               stdout=subprocess.PIPE, text=True)
              for i in range(6)]
+    import time as _time
+    deadline = _time.time() + 60
+    while (len([f for f in os.listdir(ckpt) if f.startswith("ready.")]) < 6
+           and _time.time() < deadline):
+        _time.sleep(0.01)
+    open(go, "w").close()
     outs = [p.communicate(timeout=120)[0].strip() for p in procs]
     assert sorted(outs).count("WON") == 1, outs
     with open(os.path.join(ckpt, "writer.lock")) as f:
