@@ -38,7 +38,7 @@ import uuid
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from extractor import checkpoint, tables
@@ -323,6 +323,16 @@ def _run_extract_locked(spark, input_path, output_path, run_id, ckpt_dir,
         # bucket restriction applied below the Arrow stage: each wave
         # extracts only its own buckets (see plan_extract docstring)
         part = plan_extract(transcripts, n_buckets, bucket_in=wave)
+        # free in-flight row count via df.observe (CollectMetrics rides
+        # the already-executing write — no extra job, no extra scan; it
+        # sits ABOVE the scan filter so pushdown is untouched). This is
+        # a write-integrity diagnostic ONLY: rows the plan produced vs
+        # rows durably counted back from disk below. The MANIFEST
+        # counters deliberately stay scan-derived — observed metrics
+        # are accumulator-based and can overcount under task retries /
+        # speculation, which lineage must never do.
+        obs = Observation()  # auto-named: unique per wave and per rerun
+        part = part.observe(obs, F.count(F.lit(1)).alias("rows"))
         # local (no-shuffle) sort inside each bucket partition: the
         # point lookup's (conv_id, turn_idx) predicate can then prune
         # parquet ROW GROUPS via min/max stats — unsorted buckets make
@@ -359,6 +369,8 @@ def _run_extract_locked(spark, input_path, output_path, run_id, ckpt_dir,
         stats["waves"] += 1
         stats["turns_out"] += sum(rec["turns_out"] for rec in recs)
         stats["refs_out"] += sum(rec["refs_out"] for rec in recs)
+        stats["turns_observed"] = (stats.get("turns_observed", 0)
+                                   + int(obs.get["rows"]))
     return stats
 
 

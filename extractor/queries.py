@@ -3324,3 +3324,45 @@ def unpivot_source_metrics(spark, sf_dir):
               F.max("n_chars").cast("long").alias("max_chars")))
     return m.unpivot("source", ["n_docs", "total_chars", "max_chars"],
                      "metric", "val")
+
+
+@_q("session_window_native", sql="""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS ws,
+       CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY user_id, sid
+""")
+def session_window_native(spark, sf_dir):
+    """Spark's NATIVE session_window operator (the gap-window primitive
+    the streaming engine shares), distinct from the lag+cumsum
+    formulation in `sessionization`: one groupBy(session_window(ts,
+    gap), user_id) — physically a single shuffle on user_id followed by
+    the session-merge aggregation, no window-function sort pass.
+
+    Boundary semantics pinned by hand test (sf-data can't expose them:
+    fractional timestamps never land exactly on the boundary): Spark
+    MERGES touching sessions — an event at EXACTLY prev_ts + gap
+    extends the session, i.e. a new session needs a gap STRICTLY
+    greater than 30 min, matching `sessionization`'s `>` (the
+    first-draft `>=` oracle passed the sf0.01 hash gate and was wrong).
+    Emits (user_id, session start as floored epoch seconds, row
+    count); timestampdiff truncation == floor(epoch()) for positive
+    epochs."""
+    e = t(spark, sf_dir, "events")
+    ntz_epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    return (e.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                      "user_id")
+            .count()
+            .select("user_id",
+                    F.expr("timestampdiff(SECOND, {}, w.start)"
+                           .format(ntz_epoch)).cast("long").alias("ws"),
+                    F.col("count").cast("long").alias("n")))

@@ -790,3 +790,14 @@ def test_writer_lock_steal_race_single_winner(tmp_path):
         holder = _json.load(f)  # complete JSON, never a partial write
     assert holder["run_id"].startswith("r")
     assert not [fn for fn in os.listdir(ckpt) if ".tmp." in fn]
+
+
+def test_observed_rows_match_durable_counters(spark, tmp_path):
+    """df.observe rides the wave write (no extra job): rows the plan
+    produced must equal the turns_out counted back from disk — the
+    write-integrity invariant. Holds across multiple waves."""
+    out = str(tmp_path / "out")
+    stats = job.run_extract(spark, GOLDEN_INPUT, out,
+                            n_buckets=8, wave_buckets=3)
+    assert stats["turns_observed"] == stats["turns_out"] > 0
+    assert stats["waves"] == 3

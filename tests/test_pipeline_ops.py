@@ -579,3 +579,22 @@ def test_pivot_zero_fill_and_unpivot_expand(spark, tmp_path):
     import re
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_session_window_native_boundary(spark, tmp_path):
+    """Native session_window merges TOUCHING sessions: an event at
+    exactly prev_ts + gap extends (strict-greater breaks) — verified
+    against Spark itself; the oracle encodes the same `>`."""
+    from extractor.queries import session_window_native
+
+    sf = _events(tmp_path, [
+        (0, "2025-01-01 10:00:00", 1, "view"),
+        (1, "2025-01-01 10:30:00", 1, "view"),          # exactly +30min:
+        # touching windows MERGE (one session of 2)
+        (2, "2025-01-01 11:30:00.000001", 1, "view"),   # +30min+1us:
+        # strictly beyond the gap -> new session
+        (3, "2025-01-01 09:00:00", 2, "view"),          # other user
+    ])
+    got = sorted((r["user_id"], r["n"])
+                 for r in session_window_native(spark, sf).collect())
+    assert got == [(1, 1), (1, 2), (2, 1)]
