@@ -303,7 +303,8 @@ def _run_extract_locked(spark, input_path, output_path, run_id, ckpt_dir,
     todo = [b for b in range(n_buckets) if b not in committed]
     stats = {"run_id": run_id, "n_buckets": n_buckets,
              "skipped_committed": len(committed),
-             "waves": 0, "turns_out": 0, "refs_out": 0}
+             "waves": 0, "turns_out": 0, "refs_out": 0,
+             "turns_observed": 0}
     if not todo:
         return stats
 
@@ -369,8 +370,7 @@ def _run_extract_locked(spark, input_path, output_path, run_id, ckpt_dir,
         stats["waves"] += 1
         stats["turns_out"] += sum(rec["turns_out"] for rec in recs)
         stats["refs_out"] += sum(rec["refs_out"] for rec in recs)
-        stats["turns_observed"] = (stats.get("turns_observed", 0)
-                                   + int(obs.get["rows"]))
+        stats["turns_observed"] += int(obs.get["rows"])
     return stats
 
 

@@ -949,10 +949,18 @@ def minhash_incremental_candidates(spark, sf_dir):
                     F.col("b.doc_id").alias("hist_doc")))
 
 
-_COS_EXPR = (
-    "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    " / (sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
-    "  * sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x)))")
+def _cos_expr(a: str, b: str) -> str:
+    """JVM-lambda cosine similarity between two array<double> columns —
+    the ONE formula every embedding query shares (ANN, SemDeDup)."""
+    return (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x)"
+        " / (sqrt(aggregate({a}, 0D, (acc, x) -> acc + x * x))"
+        "  * sqrt(aggregate({b}, 0D, (acc, x) -> acc + x * x)))"
+    ).format(a=a, b=b)
+
+
+_COS_EXPR = _cos_expr("v", "qv")
 
 
 @_q("ann_cosine_topk", sql="""
@@ -3038,10 +3046,7 @@ def semdedup_prune(spark, sf_dir):
     other = e.select(F.col("vec_id").alias("ovid"),
                      F.col("label").alias("olabel"),
                      F.col("v").alias("ov"))
-    cos = F.expr(
-        "aggregate(zip_with(v, ov, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-        " / (sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
-        "  * sqrt(aggregate(ov, 0D, (acc, x) -> acc + x * x)))")
+    cos = F.expr(_cos_expr("v", "ov"))
     dominated = (e.join(other, (F.col("label") == F.col("olabel"))
                         & (F.col("ovid") < F.col("vec_id")))
                  .where(cos >= _SEMDEDUP_TAU)
@@ -3157,14 +3162,10 @@ def minhash_verified_pairs(spark, sf_dir):
     onto the candidate pair list (two hash joins on doc ids), and the
     intersection is a JVM array_intersect, so verify cost is
     O(candidates x doc_len), not O(n^2)."""
-    bands = _minhash_bands(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bh") == F.col("b.bh"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id"))
-                   & (F.col("a.band") == F.expr(_MINHASH_FIRST_BAND)))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b")))
+    # the candidate frame IS the candidates query — one definition of
+    # the banding/canonical-emission logic, so the verified pipeline
+    # can never desynchronize from the candidate query
+    cand = minhash_lsh_candidates(spark, sf_dir)
     sh = (_shingles(spark, sf_dir)
           .select("doc_id", F.xxhash64("s").alias("s"))
           .groupBy("doc_id")
@@ -3211,8 +3212,9 @@ def rolling_count_1h(spark, sf_dir):
 
 @_q("table_fingerprint_xor", sql="""
 SELECT source,
-       bit_xor(('0x' || substr(md5(doc_id::VARCHAR || '|' || text), 1, 15))
-               ::BIGINT) AS fp,
+       bit_xor(('0x' || substr(md5(doc_id::VARCHAR || '|'
+                   || (text IS NULL)::INT::VARCHAR || '|'
+                   || coalesce(text, '')), 1, 15))::BIGINT) AS fp,
        CAST(count(*) AS BIGINT) AS n
 FROM documents GROUP BY source
 """)
@@ -3230,7 +3232,13 @@ def table_fingerprint_xor(spark, sf_dir):
     Shares the _H60 cross-engine hash contract (md5-prefix integer,
     identical in Spark and DuckDB)."""
     d = t(spark, sf_dir, "documents")
-    h = F.expr(_H60.format(x="concat_ws('|', doc_id, text)"))
+    # NULL-safe row encoding, identical on both engines: concat_ws
+    # silently DROPS nulls (Spark) while || propagates them (DuckDB) —
+    # so a null flag + coalesce pins one semantics: a NULL-text row is
+    # hashed, distinctly from an empty-text row
+    h = F.expr(_H60.format(
+        x="concat_ws('|', doc_id, cast(text is null as int),"
+          " coalesce(text, ''))"))
     return (d.select("source", h.alias("h"))
             .groupBy("source")
             .agg(F.expr("bit_xor(h)").alias("fp"),

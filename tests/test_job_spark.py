@@ -783,6 +783,11 @@ def test_writer_lock_steal_race_single_winner(tmp_path):
     while (len([f for f in os.listdir(ckpt) if f.startswith("ready.")]) < 6
            and _time.time() < deadline):
         _time.sleep(0.01)
+    # the barrier must actually complete: opening the gate with a
+    # contender still starting reintroduces the legitimate-sequential-
+    # steal flake — fail loudly as an environment problem instead
+    assert len([f for f in os.listdir(ckpt)
+                if f.startswith("ready.")]) == 6, "contenders not ready"
     open(go, "w").close()
     outs = [p.communicate(timeout=120)[0].strip() for p in procs]
     assert sorted(outs).count("WON") == 1, outs

@@ -598,3 +598,41 @@ def test_session_window_native_boundary(spark, tmp_path):
     got = sorted((r["user_id"], r["n"])
                  for r in session_window_native(spark, sf).collect())
     assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_table_fingerprint_xor_null_text_cross_engine(spark, tmp_path):
+    """NULL text must be hashed (not dropped) and hashed DISTINCTLY
+    from empty text — and both engines must agree (concat_ws drops
+    nulls in Spark while || propagates them in DuckDB; the null flag +
+    coalesce encoding pins one semantics)."""
+    import duckdb
+    import pandas as pd
+
+    from extractor.queries import ORACLES, table_fingerprint_xor
+
+    p = os.path.join(str(tmp_path), "documents.parquet")
+    pd.DataFrame({
+        "doc_id": [1, 2, 3], "text": ["alpha", None, ""],
+        "lang": "en", "source": ["s", "s", "t"],
+        "n_chars": pd.array([5, 0, 0], dtype="int64"),
+    }).to_parquet(p)
+    got = {r["source"]: (r["fp"], r["n"])
+           for r in table_fingerprint_xor(spark, str(tmp_path)).collect()}
+    assert got["s"][1] == 2  # the NULL-text row is counted and hashed
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('{}')".format(p))
+    exp = {r[0]: (r[1], r[2])
+           for r in con.sql(ORACLES["table_fingerprint_xor"]).fetchall()}
+    assert got == exp
+
+    # NULL and '' must fingerprint differently: swap them and compare
+    pd.DataFrame({
+        "doc_id": [1, 2, 3], "text": ["alpha", "", None],
+        "lang": "en", "source": ["s", "s", "t"],
+        "n_chars": pd.array([5, 0, 0], dtype="int64"),
+    }).to_parquet(p)
+    swapped = {r["source"]: (r["fp"], r["n"])
+               for r in table_fingerprint_xor(spark, str(tmp_path)).collect()}
+    assert swapped["s"] != got["s"]
