@@ -3374,3 +3374,56 @@ def session_window_native(spark, sf_dir):
                     F.expr("timestampdiff(SECOND, {}, w.start)"
                            .format(ntz_epoch)).cast("long").alias("ws"),
                     F.col("count").cast("long").alias("n")))
+
+
+@_q("user_gap_median", sql="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap
+  FROM events),
+o AS (SELECT user_id, gap,
+             row_number() OVER (PARTITION BY user_id ORDER BY gap) rn,
+             count(*) OVER (PARTITION BY user_id) n
+      FROM g WHERE gap IS NOT NULL)
+SELECT user_id, CAST(max(n) + 1 AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN gap ELSE 0 END)
+          + sum(CASE WHEN rn = n // 2 + 1 THEN gap ELSE 0 END)
+          AS BIGINT) AS med2_gap_us
+FROM o GROUP BY user_id
+""")
+def user_gap_median(spark, sf_dir):
+    """Exact per-user MEDIAN inter-event gap via grouped-map
+    applyInPandas — the §2.10 grouped path's batch instance. The
+    median is the honest grouped-map case: it is NOT mergeable (no
+    partial aggregate exists), so the choice is a full sort-based
+    window pipeline or shipping each group through one Arrow batch and
+    letting numpy sort locally — the latter is one shuffle on user_id
+    and zero sort passes JVM-side. Per-group state is the user's event
+    count (bounded), the salting lesson's good case.
+
+    Exactness across engines: the doubled median (lo+hi middle gaps,
+    integer microseconds) avoids the .5 interpolation float; users
+    with one event have no gap and are excluded (both engines).
+    Emits (user_id, n_events, med2_gap_us)."""
+    import numpy as np
+    import pandas as pd
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # Arrow hands timestamps to pandas as datetime64[ns]; convert
+        # explicitly — astype(int64) on the ns series is 1000x off
+        us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        if len(us) < 2:
+            return pd.DataFrame({"user_id": [], "n_events": [],
+                                 "med2_gap_us": []})
+        g = np.sort(np.diff(us))
+        n = len(g)
+        med2 = int(g[(n - 1) // 2]) + int(g[n // 2])
+        return pd.DataFrame({"user_id": [int(pdf["user_id"].iloc[0])],
+                             "n_events": [len(us)],
+                             "med2_gap_us": [med2]})
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return e.groupBy("user_id").applyInPandas(
+        per_user, "user_id long, n_events long, med2_gap_us long")

@@ -137,6 +137,7 @@ def windowed_turn_counts(
     input_dir: str,
     window_duration: str = "10 minutes",
     watermark_delay: str = "10 minutes",
+    slide_duration: str | None = None,
 ):
     """Streaming per-(event-time window, role) turn counts with a
     watermark: rows later than ``watermark_delay`` behind the observed
@@ -144,10 +145,14 @@ def windowed_turn_counts(
     mode) when the watermark passes its end — the Structured Streaming
     pattern for late data over continuously-arriving transcripts.
 
+    ``slide_duration`` < window_duration makes the windows SLIDING
+    (each row fans into size/slide windows via the same Expand the
+    batch twin w7_sliding_window_counts plans); None = tumbling.
+
     Scale note: the state store holds only open windows x roles (a
-    handful of rows per trigger), independent of input volume; the
-    aggregation itself is the same partial-agg shuffle as the batch
-    groupBy."""
+    handful of rows per trigger — size/slide of them when sliding),
+    independent of input volume; the aggregation itself is the same
+    partial-agg shuffle as the batch groupBy."""
     src = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -157,7 +162,9 @@ def windowed_turn_counts(
         src
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark_delay)
-        .groupBy(F.window("ts", window_duration).alias("win"), "role")
+        .groupBy(F.window("ts", window_duration,
+                          slide_duration or window_duration).alias("win"),
+                 "role")
         .agg(F.count("*").alias("n_turns"),
              F.sum(F.length("text")).alias("chars"))
         .select(F.col("win.start").alias("win_start"),

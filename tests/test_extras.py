@@ -980,3 +980,61 @@ def test_read_binary_files_feeds_feature_pipeline(spark, tmp_path):
     am = probe_audio_meta(bytes(by_mime["audio/wav"]["payload"]))
     assert (am["channels"], am["sample_rate"], am["duration_ms"]) == \
         (2, 44100, 500)
+
+
+def test_streaming_sliding_windows_match_batch_twin(spark, tmp_path):
+    """Sliding windows in the STREAM (10 min / 5 min slide): each row
+    fans into 2 windows, finalized windows are emitted once, and the
+    finalized subset equals the batch groupBy of the same data
+    restricted to those windows (the streaming/batch twin contract
+    w6/w7 promise)."""
+    import os
+    import time as _time
+
+    from extractor.streaming import run_windowed_turn_counts
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def turns(rows, path):
+        pd.DataFrame({
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pd.array(range(len(rows)), dtype="int32"),
+            "role": ["user"] * len(rows),
+            "text": ["words " * 5] * len(rows),
+            "tool": pd.Series([None] * len(rows), dtype="string"),
+            "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+        }).to_parquet(path)
+
+    f1 = os.path.join(in_dir, "part-0.parquet")
+    turns([("c1", "2026-01-01 10:02"), ("c2", "2026-01-01 10:06"),
+           ("adv", "2026-01-01 11:00")], f1)
+    f2 = os.path.join(in_dir, "part-1.parquet")
+    turns([("adv2", "2026-01-01 11:05")], f2)
+    _time.sleep(0.05)
+    os.utime(f1, (1, 1))
+    out = str(tmp_path / "out")
+    q = run_windowed_turn_counts(spark, in_dir, out,
+                                 slide_duration="5 minutes")
+    q.awaitTermination(120)
+
+    got = (spark.read.parquet(os.path.join(out, "data"))
+           .toPandas().sort_values("win_start").reset_index(drop=True))
+    # the 10:02 row lands in [09:55,10:05) and [10:00,10:10); the
+    # 10:06 row in [10:00,10:10) and [10:05,10:15) — all four windows
+    # finalize under the 10:55 watermark
+    starts_counts = list(zip(
+        [str(s)[11:16] for s in got["win_start"]], got["n_turns"]))
+    assert starts_counts == [("09:55", 1), ("10:00", 2), ("10:05", 1)], got
+
+    # batch twin over the same files, restricted to finalized windows
+    batch = (spark.read.schema(job.TRANSCRIPTS_SCHEMA).parquet(in_dir)
+             .groupBy(F.window("ts", "10 minutes", "5 minutes")
+                      .alias("win"), "role")
+             .agg(F.count("*").alias("n_turns"))
+             .where(F.col("win.start") < "2026-01-01 10:55")
+             .select(F.col("win.start").alias("win_start"), "n_turns")
+             .toPandas().sort_values("win_start").reset_index(drop=True))
+    assert list(batch["n_turns"]) == list(got["n_turns"])
+    assert [str(s) for s in batch["win_start"]] == \
+        [str(s) for s in got["win_start"]]
