@@ -3427,3 +3427,32 @@ def user_gap_median(spark, sf_dir):
     e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     return e.groupBy("user_id").applyInPandas(
         per_user, "user_id long, n_events long, med2_gap_us long")
+
+
+@_q("u5_except_intersect_all", sql="""
+SELECT 'only_snapshot_a' AS side, lang, source FROM (
+  SELECT lang, source FROM documents WHERE doc_id % 3 <> 0
+  EXCEPT ALL
+  SELECT lang, source FROM documents WHERE doc_id % 3 = 0)
+UNION ALL
+SELECT 'in_both' AS side, lang, source FROM (
+  SELECT lang, source FROM documents WHERE doc_id % 3 <> 0
+  INTERSECT ALL
+  SELECT lang, source FROM documents WHERE doc_id % 3 = 0)
+""")
+def u5_except_intersect_all(spark, sf_dir):
+    """MULTISET set operations — exceptAll / intersectAll (U-class
+    completion beyond u2/u3's DISTINCT forms): per-row bag semantics,
+    so duplicates carry counts (3 copies EXCEPT ALL 1 copy = 2 rows
+    survive) — the right tool for diffing corpus snapshots where
+    multiplicity IS the signal (e.g. how many MORE docs per (lang,
+    source) cell one snapshot holds). Physically one shuffle per side
+    + a count-difference generate, not a join per duplicate."""
+    d = t(spark, sf_dir, "documents").select("lang", "source", "doc_id")
+    a = d.where("doc_id % 3 <> 0").select("lang", "source")
+    b = d.where("doc_id % 3 = 0").select("lang", "source")
+    ex = a.exceptAll(b).select(F.lit("only_snapshot_a").alias("side"),
+                               "lang", "source")
+    it = a.intersectAll(b).select(F.lit("in_both").alias("side"),
+                                  "lang", "source")
+    return ex.unionByName(it)

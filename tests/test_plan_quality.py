@@ -335,3 +335,47 @@ def test_truncate_and_sft_plan_shapes(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_runtime_bloom_filter_reduces_probe_side(spark, tmp_path):
+    """The 100-TB fact-join reducer: with runtime bloom filters on,
+    a selective dimension side injects a might_contain() predicate
+    into the FACT scan's stage — rows that cannot join are dropped
+    before the shuffle, the semi-join reduction that matters when the
+    probe side is 1000x the build side. Thresholds are floored for
+    test scale (the defaults require a 10 GB probe side — the
+    production setting); result must equal the plain join. Confs are
+    set/restored on the shared session (getOrCreate would hand back
+    this same session, so a second-session approach would stop() the
+    fixture for every later test)."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    flags = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    li = spark.read.parquet(sf + "/lineitem.parquet")
+    orders = (spark.read.parquet(sf + "/orders.parquet")
+              .where("o_orderpriority = '1-URGENT'"))
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .select("l_orderkey", "o_orderpriority"))
+    exp = j.count()  # plain-config join, same session
+    old_vals = {k: spark.conf.get(k, None) for k in flags}
+    for k, v in flags.items():
+        spark.conf.set(k, v)
+    try:
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+        got = j.count()
+    finally:
+        for k, v in old_vals.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == exp > 0
