@@ -3456,3 +3456,29 @@ def u5_except_intersect_all(spark, sf_dir):
     it = a.intersectAll(b).select(F.lit("in_both").alias("side"),
                                   "lang", "source")
     return ex.unionByName(it)
+
+
+@_q("a8_cube_doc_counts", sql="""
+SELECT COALESCE(lang, '*') AS lang, COALESCE(source, '*') AS source,
+       CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY CUBE (lang, source)
+""")
+def a8_cube_doc_counts(spark, sf_dir):
+    """CUBE — the full-lattice companion to a7's ROLLUP: all four
+    grouping sets {(lang,source),(lang),(source),()} in ONE Expand +
+    one partial-agg shuffle (a rollup misses the (source)-only
+    marginal; four separate groupBys would scan four times). Same
+    NULL convention as a7: keys COALESCE'd to '*', grouping id rides
+    along to disambiguate a data NULL from a rolled-up one."""
+    d = t(spark, sf_dir, "documents")
+    return (d.cube("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("chars"),
+                 (F.grouping("lang") * 2
+                  + F.grouping("source")).cast("long").alias("gid"))
+            .select(F.coalesce("lang", F.lit("*")).alias("lang"),
+                    F.coalesce("source", F.lit("*")).alias("source"),
+                    "gid", "n_docs", "chars"))

@@ -210,3 +210,27 @@ def test_segment_text_never_raises_and_spans_bounded(lines):
         assert 0 <= c["line_start"] <= c["line_end"] < len(doc_lines)
         if c["detector"] == "layout":
             assert is_marker_line(doc_lines[c["line_start"]])
+
+
+def test_window_mass_conservation(spark):
+    """Conservation laws the window operators must satisfy on ANY
+    input: sliding 10/5-min windows count every event exactly twice
+    (size/slide = 2 windows each); native sessions partition the
+    events (counts sum to the total); the cube's gid=0 cells sum to
+    the gid=3 grand total."""
+    from extractor.queries import (a8_cube_doc_counts,
+                                   session_window_native,
+                                   w7_sliding_window_counts)
+
+    sf = "/root/testdata/sf0.001"
+    n_events = spark.read.parquet(sf + "/events.parquet").count()
+    w7 = w7_sliding_window_counts(spark, sf).agg(
+        {"n": "sum"}).first()[0]
+    assert w7 == 2 * n_events
+    sess = session_window_native(spark, sf).agg({"n": "sum"}).first()[0]
+    assert sess == n_events
+    cube = {r["gid"]: r for r in a8_cube_doc_counts(spark, sf)
+            .groupBy("gid").agg({"n_docs": "sum"})
+            .withColumnRenamed("sum(n_docs)", "s").collect()}
+    n_docs = spark.read.parquet(sf + "/documents.parquet").count()
+    assert all(cube[g]["s"] == n_docs for g in (0, 1, 2, 3))
