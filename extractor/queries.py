@@ -3055,6 +3055,64 @@ def semdedup_prune(spark, sf_dir):
             .select("vec_id", "label"))
 
 
+_SEMDEDUP_SALT = 8
+
+
+@_q("semdedup_prune_salted", sql="""
+SELECT e.vec_id, CAST(e.label AS INTEGER) AS label
+FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings a
+  WHERE a.label = e.label AND a.vec_id < e.vec_id
+    AND list_cosine_similarity(a.embedding::DOUBLE[],
+                               e.embedding::DOUBLE[]) >= 0.35)
+""")
+def semdedup_prune_salted(spark, sf_dir):
+    """The HOT-CLUSTER scale path for semdedup_prune — identical
+    output (same oracle SQL; equality also pinned on an adversarial
+    fixture in tests/test_skew_drill.py), different join geometry.
+
+    Why it exists (measured, not assumed): a hot cluster makes the
+    label self-join's shuffle cell huge on BOTH sides, and Spark's
+    OptimizeSkewedJoin declines to split a partition that is skewed on
+    both sides of a SortMergeJoin — the detector flags it
+    ("number of skewed partitions: left 6, right 6" in the rule's
+    DEBUG log on the drill fixture) but the final plan carries no
+    skew=true. Every AQE-rescued join elsewhere in this repo has one
+    structurally smaller side (canonical-band filter, broadcast
+    length-prune); a symmetric self-join has none, so the split must
+    be engineered: SALT the probing side (each row gets one of
+    _SEMDEDUP_SALT salts from its vec_id hash) and replicate the
+    dominating side across all salts. Each (smaller, larger) pair
+    still meets exactly once — at the larger row's salt — so the
+    dominated set is unchanged; the hot cell is now _SEMDEDUP_SALT
+    cells, bounded by construction instead of by hope.
+
+    Cost: the dominating side shuffles _SEMDEDUP_SALT x — the
+    deliberate price of symmetric-skew immunity. Use the plain variant
+    when cluster sizes are controlled upstream (k grows with n); this
+    one when they are not."""
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("label").cast("int").alias("label"),
+                 F.col("embedding").cast("array<double>").alias("v")))
+    probe = e.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(_SEMDEDUP_SALT))
+        .cast("int"))
+    dom = (e.select(F.col("vec_id").alias("ovid"),
+                    F.col("label").alias("olabel"),
+                    F.col("v").alias("ov"))
+           .withColumn("salt", F.explode(F.array(
+               *[F.lit(i).cast("int") for i in range(_SEMDEDUP_SALT)]))))
+    cos = F.expr(_cos_expr("v", "ov"))
+    dominated = (probe.join(dom, (probe.salt == dom.salt)
+                            & (probe.label == dom.olabel)
+                            & (dom.ovid < probe.vec_id))
+                 .where(cos >= _SEMDEDUP_TAU)
+                 .select("vec_id").distinct())
+    return (e.join(dominated, "vec_id", "left_anti")
+            .select("vec_id", "label"))
+
+
 _TRUNC_TOKENS = 32  # token-budget clamp (documents avg ~54 tokens, so
 # both the clipped and unclipped branches are exercised at every SF)
 

@@ -205,3 +205,67 @@ def test_ann_lsh_hot_bucket_is_broadcast_immune(spark, tmp_path):
         nbrs = got[got["query_id"] == q]["neighbor_id"].tolist()
         assert len(nbrs) == 5, (q, nbrs)
         assert all(n < 600 for n in nbrs), (q, nbrs)
+
+
+def test_semdedup_hot_cluster(spark, tmp_path):
+    """One semantic-dedup cluster hot: label 0 holds ~40% of vectors
+    (1000 of 2500) with DISTINCT md5-derived embeddings. Unlike the
+    other blocked joins, AQE can NOT rescue this one: the label
+    self-join's hot cell is skewed on BOTH sides, and
+    OptimizeSkewedJoin declines both-side-skewed partitions (verified
+    via the rule's DEBUG log — it counts the skewed partitions, then
+    emits no skew=true). The scale answer is engineered, not adaptive:
+    semdedup_prune_salted salts the probing side and replicates the
+    dominating side, turning the hot cell into _SEMDEDUP_SALT bounded
+    cells. Gates: BOTH variants return exactly the numpy brute-force
+    survivor set on the adversarial fixture, and the salted variant's
+    first join genuinely partitions on the salt."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from extractor.queries import (_SEMDEDUP_TAU, semdedup_prune,
+                                   semdedup_prune_salted)
+
+    def vec(seed: str) -> np.ndarray:
+        b = hashlib.md5(seed.encode()).digest()[:8]
+        return np.frombuffer(b, dtype=np.uint8).astype(np.float64) - 128.0
+
+    vecs, labels = [], []
+    for i in range(2500):
+        lab = 0 if i < 1000 else 1 + (i % 5)
+        v = vec("v%d" % i)
+        if i % 97 == 3:  # planted near-dup of the previous same-label vec
+            v = vecs[i - 1] * 1.5 if labels[i - 1] == lab else v
+        vecs.append(v)
+        labels.append(lab)
+    V = np.asarray(vecs)
+    norm = V / np.linalg.norm(V, axis=1, keepdims=True)
+    exp = set()
+    for i in range(len(V)):
+        sims = norm[:i] @ norm[i]
+        same = np.asarray(labels[:i]) == labels[i]
+        if not (same & (sims >= _SEMDEDUP_TAU)).any():
+            exp.add(i)
+    assert len(exp) < 2500  # the planted pairs prune something
+
+    tbl = pa.table({
+        "vec_id": pa.array(range(2500), pa.int64()),
+        "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+
+    with _skew_confs(spark):
+        plain, _ = _run_and_plan(semdedup_prune(spark, str(tmp_path)))
+        salted, plan = _run_and_plan(semdedup_prune_salted(spark,
+                                                           str(tmp_path)))
+    assert {r["vec_id"] for r in plain} == exp
+    assert {r["vec_id"] for r in salted} == exp
+    # the engineered split is in the plan: the join shuffle is keyed on
+    # the salt (hot cell -> _SEMDEDUP_SALT bounded cells by construction)
+    import re
+    assert re.search(r"hashpartitioning\(salt#\d+", plan), plan
