@@ -52,6 +52,9 @@ HEADLINE_QUERIES = [
     "tfidf_top_terms",
     "merge_upsert_cdc",
     "j10_attribution_interval_join",
+    "semdedup_prune",
+    "minhash_verified_pairs",
+    "w7_sliding_window_counts",
     "extract_documents_clean",
 ]
 

@@ -234,3 +234,39 @@ def test_window_mass_conservation(spark):
             .withColumnRenamed("sum(n_docs)", "s").collect()}
     n_docs = spark.read.parquet(sf + "/documents.parquet").count()
     assert all(cube[g]["s"] == n_docs for g in (0, 1, 2, 3))
+
+
+def test_semdedup_salted_equals_plain_on_random_corpora(spark, tmp_path):
+    """The salted scale path must return EXACTLY the plain variant's
+    survivors on arbitrary inputs, not just the drill fixture — three
+    seeded random corpora with varied cluster counts and planted
+    near-dups (salting changes join geometry only; any divergence is
+    a pair met twice or missed)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from extractor.queries import semdedup_prune, semdedup_prune_salted
+
+    for seed, n, k in ((1, 300, 3), (2, 500, 1), (3, 400, 11)):
+        rng = np.random.default_rng(seed)
+        V = rng.standard_normal((n, 6))
+        for i in range(5, n, 37):  # planted near-parallel pairs
+            V[i] = V[i - 1] * (1 + 0.001 * i)
+        d = tmp_path / ("c%d" % seed)
+        d.mkdir()
+        pq.write_table(pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.astype(np.float32) for v in V],
+                                  pa.list_(pa.float32())),
+            "label": pa.array((np.arange(n) % k).astype("int32"),
+                              pa.int32()),
+        }), os.path.join(str(d), "embeddings.parquet"))
+        plain = {r["vec_id"] for r in semdedup_prune(spark, str(d)).collect()}
+        salted = {r["vec_id"]
+                  for r in semdedup_prune_salted(spark, str(d)).collect()}
+        assert plain == salted, (seed, len(plain), len(salted),
+                                 sorted(plain ^ salted)[:5])
+        assert len(plain) < n  # the planted pairs pruned something
