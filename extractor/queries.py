@@ -3540,3 +3540,64 @@ def a8_cube_doc_counts(spark, sf_dir):
             .select(F.coalesce("lang", F.lit("*")).alias("lang"),
                     F.coalesce("source", F.lit("*")).alias("source"),
                     "gid", "n_docs", "chars"))
+
+
+@_q("quality_filter_cascade", sql="""
+SELECT doc_id,
+       CAST(CASE WHEN reasons = '' THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       reasons
+FROM (
+  SELECT doc_id, concat_ws(',',
+    CASE WHEN NOT (n_words BETWEEN 50 AND 100000)
+         THEN 'word_count' END,
+    CASE WHEN word_chars < 3 * n_words OR word_chars > 10 * n_words
+         THEN 'word_length' END,
+    CASE WHEN 10 * n_hash > n_words THEN 'hash_ratio' END,
+    CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang' END,
+    CASE WHEN max_tok > (n_words + 1) / 2 THEN 'repetition' END
+  ) AS reasons
+  FROM (
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_words,
+           length(replace(text, ' ', '')) AS word_chars,
+           length(text) - length(replace(text, '#', '')) AS n_hash,
+           (SELECT max(cnt) FROM (
+              SELECT count(*) cnt FROM unnest(string_split(text, ' '))
+                AS t(w) GROUP BY w)) AS max_tok
+    FROM documents))
+""")
+def quality_filter_cascade(spark, sf_dir):
+    """The auditable filter cascade (the keep/drop stage every corpus
+    pipeline runs before training): five independent rules — Gopher
+    word-count / mean-word-length / '#'-ratio (shared _gopher_signals
+    expressions), a language allowlist, and a dominant-token
+    repetition rule (most frequent token > half the words) — evaluated
+    in ONE narrow pass, emitting keep plus a REASONS string listing
+    every failed rule in fixed rule order. Reason codes are what make
+    a 10^12-row filter operable: per-rule drop volumes come from one
+    groupBy(reasons) over this output instead of re-running each rule
+    (both engines' concat_ws skips the NULL case branches
+    identically). The repetition signal is a JVM lambda over the
+    token array — no explode, no shuffle; the whole operator is a
+    projection (plan-gated: zero Exchange). That lambda is
+    O(distinct_tokens x n_words) per row — right for document-scale
+    rows (trivially dominated by the string scan); for book-scale
+    rows switch to the exploded groupBy form (quality_repetition)."""
+    d = t(spark, sf_dir, "documents")
+    n_words, word_chars, n_hash, _, _ = _gopher_signals()
+    max_tok = F.expr("""
+        array_max(transform(array_distinct(split(text, ' ')), w ->
+          size(filter(split(text, ' '), x -> x = w))))""")
+    reasons = F.concat_ws(
+        ",",
+        F.when(~n_words.between(50, 100000), F.lit("word_count")),
+        F.when((word_chars < 3 * n_words) | (word_chars > 10 * n_words),
+               F.lit("word_length")),
+        F.when(10 * n_hash > n_words, F.lit("hash_ratio")),
+        F.when(~F.col("lang").isin("en", "de", "fr", "es"), F.lit("lang")),
+        F.when(max_tok > (n_words + 1) / 2, F.lit("repetition")),
+    )
+    return d.select(
+        "doc_id",
+        F.when(reasons == "", 1).otherwise(0).cast("long").alias("keep"),
+        reasons.alias("reasons"))

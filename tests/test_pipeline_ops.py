@@ -636,3 +636,28 @@ def test_table_fingerprint_xor_null_text_cross_engine(spark, tmp_path):
     swapped = {r["source"]: (r["fp"], r["n"])
                for r in table_fingerprint_xor(spark, str(tmp_path)).collect()}
     assert swapped["s"] != got["s"]
+
+
+def test_quality_filter_cascade_reason_codes(spark, tmp_path):
+    """Each rule fires independently and reasons accumulate in fixed
+    rule order; a clean doc keeps with an empty reasons string."""
+    from extractor.queries import quality_filter_cascade
+
+    clean = " ".join("token%02d" % i for i in range(60))  # mean len 7
+    sf = _docs(tmp_path, [
+        clean,                                  # keeps
+        "too short",                            # word_count
+        " ".join(["a"] * 60),                   # word_length (mean 1) + repetition
+        clean + " " + "#" * 40,                 # hash_ratio (61 words, 40 '#')
+        clean,                                  # lang -> zz
+    ], langs=["en", "en", "en", "en", "zz"])
+    got = {r["doc_id"]: (r["keep"], r["reasons"])
+           for r in quality_filter_cascade(spark, sf).collect()}
+    assert got[0] == (1, "")
+    assert got[1] == (0, "word_count")
+    assert got[2] == (0, "word_length,repetition")
+    assert got[3] == (0, "hash_ratio")
+    assert got[4] == (0, "lang")
+    plan = (quality_filter_cascade(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
