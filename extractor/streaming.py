@@ -421,3 +421,34 @@ def stream_stream_attribution(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_session_windows(spark: SparkSession, input_dir: str,
+                           output_path: str, events_schema,
+                           gap: str = "30 minutes",
+                           watermark_delay: str = "30 minutes"):
+    """Gap sessions via the NATIVE session_window in streaming mode —
+    the built-in state mechanics (merging session state store) next to
+    the hand-rolled applyInPandasWithState sessionizer: append-mode
+    emission means a session row appears exactly once, when the
+    watermark passes session_end + nothing can extend it. Same
+    touching-sessions-merge semantics as the batch twin
+    (session_window_native — pinned there by hand test)."""
+    src = (spark.readStream.schema(events_schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(input_dir)
+           # watermarks require TIMESTAMP (LTZ); session TZ is pinned
+           # UTC so the NTZ cast is an identity (same as the windowed
+           # counts source)
+           .withColumn("ts", F.col("ts").cast("timestamp"))
+           .withWatermark("ts", watermark_delay))
+    agg = (src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+           .agg(F.count("*").alias("n"))
+           .select("user_id", F.col("w.start").alias("session_start"),
+                   F.col("w.end").alias("session_end"), "n"))
+    return (agg.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(output_path, "_ckpt"))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", os.path.join(output_path, "data"))
+            .start())

@@ -1038,3 +1038,63 @@ def test_streaming_sliding_windows_match_batch_twin(spark, tmp_path):
     assert list(batch["n_turns"]) == list(got["n_turns"])
     assert [str(s) for s in batch["win_start"]] == \
         [str(s) for s in got["win_start"]]
+
+
+def test_streaming_native_session_window_finalizes(spark, tmp_path):
+    """Native session_window in the STREAM: sessions merge across
+    micro-batches, and a session is emitted exactly once after the
+    watermark passes its end. The finalized sessions equal the batch
+    twin restricted to the watermark-closed region."""
+    import os
+    import time as _time
+
+    from extractor.queries import session_window_native
+    from extractor.streaming import stream_session_windows
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def events(rows, path):
+        pd.DataFrame({
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+            "user_id": [r[2] for r in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [0.0] * len(rows),
+            "props": [""] * len(rows),
+        }).to_parquet(path)
+
+    f1 = os.path.join(in_dir, "part-0.parquet")
+    # user 1: two events 10 min apart (one session); user 2: one event
+    events([(0, "2026-01-01 10:00", 1), (1, "2026-01-01 10:10", 1),
+            (2, "2026-01-01 10:05", 2)], f1)
+    # batch 1: extends user 1's session across the micro-batch
+    # boundary, and advances the watermark far enough to close all
+    f2 = os.path.join(in_dir, "part-1.parquet")
+    events([(3, "2026-01-01 10:20", 1), (4, "2026-01-01 14:00", 9)], f2)
+    _time.sleep(0.05)
+    os.utime(f1, (1, 1))
+    out = str(tmp_path / "out")
+    ev_schema = spark.read.parquet(f1).schema
+    q = stream_session_windows(spark, in_dir, out, ev_schema)
+    q.awaitTermination(120)
+
+    got = (spark.read.parquet(os.path.join(out, "data"))
+           .orderBy("user_id").toPandas())
+    # users 1 and 2 finalized (watermark 13:30 > their ends);
+    # user 9's session is still open -> absent
+    assert list(got["user_id"]) == [1, 2]
+    assert list(got["n"]) == [3, 1]  # the cross-batch merge happened
+    assert str(got["session_start"].iloc[0]).startswith("2026-01-01 10:00")
+
+    # batch twin agreement on the closed region
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    import shutil
+    # concatenate both files as the batch events table
+    pd.concat([pd.read_parquet(f1), pd.read_parquet(f2)]).to_parquet(
+        os.path.join(sf, "events.parquet"))
+    batch = {(r["user_id"], r["n"])
+             for r in session_window_native(spark, sf).collect()
+             if r["user_id"] != 9}
+    assert batch == {(1, 3), (2, 1)}
