@@ -3016,15 +3016,18 @@ _SEMDEDUP_TAU = 0.35  # within-cluster cosine prune threshold; the
 # 5.4e-5 at sf0.1 (measured), ~10 orders above cross-engine FP noise.
 
 
-@_q("semdedup_prune", sql="""
+_SEMDEDUP_ORACLE = """
 SELECT e.vec_id, CAST(e.label AS INTEGER) AS label
 FROM embeddings e
 WHERE NOT EXISTS (
   SELECT 1 FROM embeddings a
   WHERE a.label = e.label AND a.vec_id < e.vec_id
     AND list_cosine_similarity(a.embedding::DOUBLE[],
-                               e.embedding::DOUBLE[]) >= 0.35)
-""")
+                               e.embedding::DOUBLE[]) >= {tau})
+""".format(tau=_SEMDEDUP_TAU)
+
+
+@_q("semdedup_prune", sql=_SEMDEDUP_ORACLE)
 def semdedup_prune(spark, sf_dir):
     """SemDeDup-class semantic dedup (Abbas et al. 2023): within each
     cluster, drop a vector if ANY lower-id vector in the same cluster
@@ -3058,15 +3061,7 @@ def semdedup_prune(spark, sf_dir):
 _SEMDEDUP_SALT = 8
 
 
-@_q("semdedup_prune_salted", sql="""
-SELECT e.vec_id, CAST(e.label AS INTEGER) AS label
-FROM embeddings e
-WHERE NOT EXISTS (
-  SELECT 1 FROM embeddings a
-  WHERE a.label = e.label AND a.vec_id < e.vec_id
-    AND list_cosine_similarity(a.embedding::DOUBLE[],
-                               e.embedding::DOUBLE[]) >= 0.35)
-""")
+@_q("semdedup_prune_salted", sql=_SEMDEDUP_ORACLE)
 def semdedup_prune_salted(spark, sf_dir):
     """The HOT-CLUSTER scale path for semdedup_prune — identical
     output (same oracle SQL; equality also pinned on an adversarial
@@ -3553,6 +3548,7 @@ FROM (
     CASE WHEN word_chars < 3 * n_words OR word_chars > 10 * n_words
          THEN 'word_length' END,
     CASE WHEN 10 * n_hash > n_words THEN 'hash_ratio' END,
+    CASE WHEN 10 * n_ellipsis > n_words THEN 'ellipsis_ratio' END,
     CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang' END,
     CASE WHEN max_tok > (n_words + 1) / 2 THEN 'repetition' END
   ) AS reasons
@@ -3561,6 +3557,8 @@ FROM (
            len(string_split(text, ' ')) AS n_words,
            length(replace(text, ' ', '')) AS word_chars,
            length(text) - length(replace(text, '#', '')) AS n_hash,
+           (length(text) - length(replace(text, '...', ''))) // 3
+             AS n_ellipsis,
            (SELECT max(cnt) FROM (
               SELECT count(*) cnt FROM unnest(string_split(text, ' '))
                 AS t(w) GROUP BY w)) AS max_tok
@@ -3568,9 +3566,11 @@ FROM (
 """)
 def quality_filter_cascade(spark, sf_dir):
     """The auditable filter cascade (the keep/drop stage every corpus
-    pipeline runs before training): five independent rules — Gopher
-    word-count / mean-word-length / '#'-ratio (shared _gopher_signals
-    expressions), a language allowlist, and a dominant-token
+    pipeline runs before training): six independent rules — Gopher
+    word-count / mean-word-length / '#'-ratio / '...'-ratio (the
+    shared _gopher_signals expressions, ALL of them — dropping one
+    silently diverges this keep set from gopher_quality_filter's),
+    a language allowlist, and a dominant-token
     repetition rule (most frequent token > half the words) — evaluated
     in ONE narrow pass, emitting keep plus a REASONS string listing
     every failed rule in fixed rule order. Reason codes are what make
@@ -3584,20 +3584,27 @@ def quality_filter_cascade(spark, sf_dir):
     rows (trivially dominated by the string scan); for book-scale
     rows switch to the exploded groupBy form (quality_repetition)."""
     d = t(spark, sf_dir, "documents")
-    n_words, word_chars, n_hash, _, _ = _gopher_signals()
-    max_tok = F.expr("""
-        array_max(transform(array_distinct(split(text, ' ')), w ->
-          size(filter(split(text, ' '), x -> x = w))))""")
+    n_words, word_chars, n_hash, n_ellipsis, _ = _gopher_signals()
+    # tokens projected ONCE: Catalyst does not hoist loop-invariant
+    # expressions out of higher-order-function lambdas, so inlining
+    # split(text,' ') inside the transform body would re-split the
+    # full text once per distinct token
+    toks = d.select("doc_id", "lang", "text",
+                    F.split("text", " ").alias("toks"))
+    max_tok = F.expr(
+        "array_max(transform(array_distinct(toks), w ->"
+        " size(filter(toks, x -> x = w))))")
     reasons = F.concat_ws(
         ",",
         F.when(~n_words.between(50, 100000), F.lit("word_count")),
         F.when((word_chars < 3 * n_words) | (word_chars > 10 * n_words),
                F.lit("word_length")),
         F.when(10 * n_hash > n_words, F.lit("hash_ratio")),
+        F.when(10 * n_ellipsis > n_words, F.lit("ellipsis_ratio")),
         F.when(~F.col("lang").isin("en", "de", "fr", "es"), F.lit("lang")),
         F.when(max_tok > (n_words + 1) / 2, F.lit("repetition")),
     )
-    return d.select(
+    return toks.select(
         "doc_id",
         F.when(reasons == "", 1).otherwise(0).cast("long").alias("keep"),
         reasons.alias("reasons"))

@@ -1028,11 +1028,14 @@ def test_streaming_sliding_windows_match_batch_twin(spark, tmp_path):
     assert starts_counts == [("09:55", 1), ("10:00", 2), ("10:05", 1)], got
 
     # batch twin over the same files, restricted to finalized windows
+    # finalized == window END has passed the watermark (append mode
+    # emits on end <= watermark; a start-based filter would admit
+    # still-open windows whose start precedes the watermark)
     batch = (spark.read.schema(job.TRANSCRIPTS_SCHEMA).parquet(in_dir)
              .groupBy(F.window("ts", "10 minutes", "5 minutes")
                       .alias("win"), "role")
              .agg(F.count("*").alias("n_turns"))
-             .where(F.col("win.start") < "2026-01-01 10:55")
+             .where(F.col("win.end") <= "2026-01-01 10:55")
              .select(F.col("win.start").alias("win_start"), "n_turns")
              .toPandas().sort_values("win_start").reset_index(drop=True))
     assert list(batch["n_turns"]) == list(got["n_turns"])
@@ -1090,7 +1093,6 @@ def test_streaming_native_session_window_finalizes(spark, tmp_path):
     # batch twin agreement on the closed region
     sf = str(tmp_path / "sf")
     os.makedirs(sf)
-    import shutil
     # concatenate both files as the batch events table
     pd.concat([pd.read_parquet(f1), pd.read_parquet(f2)]).to_parquet(
         os.path.join(sf, "events.parquet"))

@@ -650,7 +650,8 @@ def test_quality_filter_cascade_reason_codes(spark, tmp_path):
         " ".join(["a"] * 60),                   # word_length (mean 1) + repetition
         clean + " " + "#" * 40,                 # hash_ratio (61 words, 40 '#')
         clean,                                  # lang -> zz
-    ], langs=["en", "en", "en", "en", "zz"])
+        clean + " " + "... " * 9 + "...",       # ellipsis_ratio (70 words, 10 '...')
+    ], langs=["en", "en", "en", "en", "zz", "en"])
     got = {r["doc_id"]: (r["keep"], r["reasons"])
            for r in quality_filter_cascade(spark, sf).collect()}
     assert got[0] == (1, "")
@@ -658,6 +659,7 @@ def test_quality_filter_cascade_reason_codes(spark, tmp_path):
     assert got[2] == (0, "word_length,repetition")
     assert got[3] == (0, "hash_ratio")
     assert got[4] == (0, "lang")
+    assert got[5] == (0, "ellipsis_ratio")
     plan = (quality_filter_cascade(spark, sf)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan

@@ -253,8 +253,9 @@ def test_semdedup_salted_equals_plain_on_random_corpora(spark, tmp_path):
     for seed, n, k in ((1, 300, 3), (2, 500, 1), (3, 400, 11)):
         rng = np.random.default_rng(seed)
         V = rng.standard_normal((n, 6))
-        for i in range(5, n, 37):  # planted near-parallel pairs
-            V[i] = V[i - 1] * (1 + 0.001 * i)
+        for i in range(5 + k, n, 37):  # planted near-parallel pairs —
+            # copied from i-k so the pair shares label (i % k)
+            V[i] = V[i - k] * (1 + 0.001 * i)
         d = tmp_path / ("c%d" % seed)
         d.mkdir()
         pq.write_table(pa.table({
