@@ -1100,3 +1100,26 @@ def test_streaming_native_session_window_finalizes(spark, tmp_path):
              for r in session_window_native(spark, sf).collect()
              if r["user_id"] != 9}
     assert batch == {(1, 3), (2, 1)}
+
+
+def test_map_in_arrow_features_match_pandas_path(spark, tmp_path):
+    """extract_features_arrow (mapInArrow) must equal extract_features
+    (mapInPandas) row-for-row on real container bytes + null payloads
+    — the no-pandas fast path can never drift from the canonical
+    one."""
+    import struct
+
+    from extractor.multimodal import extract_features, extract_features_arrow
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 7, 9) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4)
+    rows = [(1, bytearray(png), {"mime": "image/png", "origin": "a"}),
+            (2, bytearray(b"\xff\xd8\xff junk"), {"mime": "image/jpeg",
+                                                  "origin": "b"}),
+            (3, None, None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, meta struct<mime:string,origin:string>")
+    a = sorted([tuple(r) for r in extract_features(df).collect()])
+    b = sorted([tuple(r) for r in extract_features_arrow(df).collect()])
+    assert a == b
+    assert a[0][6:9] == ("png", 7, 9)  # dims really parsed
