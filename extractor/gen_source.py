@@ -33,8 +33,9 @@ import random
 import pyarrow as pa
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition,
-                                    SimpleDataSourceStreamReader)
+                                    DataSourceWriter, InputPartition,
+                                    SimpleDataSourceStreamReader,
+                                    WriterCommitMessage)
 
 from extractor.gen_fixtures import EPOCH, make_turn_text
 
@@ -210,3 +211,96 @@ class TranscriptGenDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(TranscriptGenDataSource)
+
+
+class _ShardCommitMessage(WriterCommitMessage):
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class _JsonlShardWriter(DataSourceWriter):
+    """Task-commit / driver-commit JSONL-shard writer (the two-phase
+    protocol every exactly-once sink needs, made explicit): each task
+    streams its partition to a STAGED gzip file named by task id +
+    uuid, returns the path in its commit message, and only the
+    driver-side commit() renames staged files into the final directory
+    (plus a _SUCCESS marker with the row count). A failed/speculated
+    task's staged file is never renamed — abort() sweeps the staging
+    dir — so partial output is unobservable, exactly the guarantee the
+    checkpointed job gets from its manifest. Parallels job.
+    export_jsonl_shards (the built-in sink); this one exists to
+    complete the Python DataSource API surface (batch read + stream
+    read + WRITE) with the commit protocol under test."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("transcript_jsonl writer requires path")
+        self.overwrite = overwrite
+
+    def write(self, rows):
+        import gzip
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        stage_dir = os.path.join(self.path, "_staging")
+        os.makedirs(stage_dir, exist_ok=True)
+        staged = os.path.join(stage_dir, "task-{}-{}.jsonl.gz".format(
+            tc.partitionId() if tc else 0, _uuid.uuid4().hex[:8]))
+        n = 0
+        with gzip.open(staged, "wt", encoding="utf-8") as f:
+            for row in rows:
+                f.write(_json.dumps(row.asDict(), ensure_ascii=False,
+                                    default=str) + "\n")
+                n += 1
+        return _ShardCommitMessage(staged, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+        import shutil
+
+        os.makedirs(self.path, exist_ok=True)
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path,
+                                 "part-{:05d}.jsonl.gz".format(i))
+            os.replace(m.staged_path, final)
+            total += m.n_rows
+        shutil.rmtree(os.path.join(self.path, "_staging"),
+                      ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(_json.dumps({"rows": total}))
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"),
+                      ignore_errors=True)
+        # no staged file was ever renamed, so the final dir holds no
+        # partial output; nothing else to undo
+        _ = messages
+        _ = os
+
+
+class TranscriptJsonlSink(DataSource):
+    """`transcript_jsonl` — writable Python DataSource (the WRITE side
+    of the custom-source surface; `transcript_gen` covers batch +
+    stream reads)."""
+
+    @classmethod
+    def name(cls):
+        return "transcript_jsonl"
+
+    def writer(self, schema, overwrite):
+        return _JsonlShardWriter(self.options, overwrite)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(TranscriptJsonlSink)

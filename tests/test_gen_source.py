@@ -156,3 +156,61 @@ def test_stream_extract_gen_replays_uncommitted_epoch_idempotently(
     replayed = (after[after["epoch"] <= 1]
                 .reset_index(drop=True))
     pd.testing.assert_frame_equal(replayed, before)
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """The writable data source: staged files become visible only via
+    the driver commit (part files + _SUCCESS with the row count), the
+    staging dir is gone, and the shards round-trip to the input."""
+    import glob
+    import gzip
+    import json
+    import os
+
+    from extractor.gen_source import register_sink
+
+    register_sink(spark)
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hello", "", "2025-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string").unionByName(spark.createDataFrame(
+            [("c1", 1, "assistant", "hi → there", "",
+              "2025-01-01 00:00:07")],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string"))
+    out = str(tmp_path / "sink")
+    df.repartition(3).write.format("transcript_jsonl") \
+        .option("path", out).mode("append").save()
+
+    assert not os.path.isdir(os.path.join(out, "_staging"))
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert json.load(f)["rows"] == 2
+    rows = []
+    for fn in sorted(glob.glob(os.path.join(out, "part-*.jsonl.gz"))):
+        with gzip.open(fn, "rt", encoding="utf-8") as f:
+            rows += [json.loads(l) for l in f]
+    assert sorted(r["turn_idx"] for r in rows) == [0, 1]
+    assert {r["text"] for r in rows} == {"hello", "hi → there"}
+
+
+def test_jsonl_sink_abort_leaves_no_partial_output(spark, tmp_path):
+    """A failing write must leave the destination unobservably empty:
+    no part files, no _SUCCESS, staging swept — the two-phase
+    guarantee under test."""
+    import os
+
+    import pytest as _pytest
+
+    from extractor.gen_source import register_sink
+
+    register_sink(spark)
+    df = (spark.range(100).selectExpr(
+        "cast(id as string) conv_id",
+        "assert_true(id < 50, 'boom') is null or id < 999 as bad"))
+    out = str(tmp_path / "sink2")
+    with _pytest.raises(Exception):
+        df.write.format("transcript_jsonl").option("path", out) \
+            .mode("append").save()
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [f for f in (os.listdir(out) if os.path.isdir(out) else [])
+                if f.startswith("part-")]
