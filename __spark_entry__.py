@@ -17,9 +17,10 @@
   possible). The rows-only exceptions: ``ann_lsh_bucketed`` and
   ``ann_ivf_topk`` (probabilistic ANN — in-suite recall floors vs
   ``ann_cosine_topk``'s exact oracle), ``extract_synthetic_mix``
-  (generator-driven payloads — pytest golden-equality gate), and
+  (generator-driven payloads — pytest golden-equality gate),
   ``mm_extract_features`` (entropy/sha1 not replayable in DuckDB —
-  pinned by a differential test instead).
+  pinned by a differential test instead), and ``sketch_event_stats``
+  (HLL++/GK approximations — accuracy pinned vs exact in-suite).
 """
 
 from __future__ import annotations
