@@ -19,6 +19,7 @@ read path (``as_dataframe``) is identical either way.
 from __future__ import annotations
 
 import datetime as dt
+import fcntl
 import json
 import os
 import tempfile
@@ -172,47 +173,57 @@ def acquire_writer_lock(checkpoint_dir: str, run_id: str) -> None:
             os.unlink(tmp)
             return
         except FileExistsError:
-            try:
-                with open(path, "r", encoding="utf-8") as f:
-                    holder = json.load(f)
-                pid = int(holder.get("pid", -1))
-            except (ValueError, OSError):
-                pid = -1  # unreadable/corrupt lock -> treat as stale
-            alive = False
-            if pid > 0:
+            # Classify-then-remove must be atomic against other
+            # stealers: classifying the holder as stale and THEN
+            # renaming/unlinking it leaves a window where contender B
+            # completes its own steal and installs a fresh LIVE lock,
+            # which our rename would silently destroy — the exact
+            # double-writer the lock exists to prevent (ADVICE r3).
+            # So the whole read→kill-probe→unlink section runs under
+            # an exclusive flock on a sidecar arbitration file. Live
+            # locks are installed only via os.link (fails while path
+            # exists) and removed only here, under the flock, after a
+            # fresh classification — so a lock installed after our
+            # read can never be the one we unlink.
+            with open(path + ".arb", "a+", encoding="utf-8") as arb:
+                fcntl.flock(arb.fileno(), fcntl.LOCK_EX)
                 try:
-                    os.kill(pid, 0)
-                    alive = True
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    # EPERM means the pid EXISTS (owned by another
-                    # user) — the holder is alive, not stale
-                    alive = True
-            if alive and pid != os.getpid():
+                    with open(path, "r", encoding="utf-8") as f:
+                        holder = json.load(f)
+                    pid = int(holder.get("pid", -1))
+                except FileNotFoundError:
+                    continue  # released/stolen meanwhile; re-create
+                except (ValueError, OSError):
+                    pid = -1  # unreadable/corrupt lock -> stale
+                alive = False
+                if pid > 0:
+                    try:
+                        os.kill(pid, 0)
+                        alive = True
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        # EPERM means the pid EXISTS (owned by another
+                        # user) — the holder is alive, not stale
+                        alive = True
+                if alive and pid != os.getpid():
+                    try:
+                        os.unlink(tmp)
+                    except FileNotFoundError:
+                        pass
+                    raise ConcurrentRunError(
+                        "output is being written by live run {} "
+                        "(pid {})".format(holder.get("run_id", "?"), pid))
+                # verified stale (dead pid) or our own: safe to remove
+                # under the arbitration flock. A contender may os.link
+                # a new lock the instant the path is free — our own
+                # link then fails, we loop, re-classify under the
+                # flock, and raise on its live lock. No live lock is
+                # ever removed.
                 try:
-                    os.unlink(tmp)
+                    os.unlink(path)
                 except FileNotFoundError:
                     pass
-                raise ConcurrentRunError(
-                    "output is being written by live run {} (pid {})".format(
-                        holder.get("run_id", "?"), pid))
-            # stale (dead pid) or our own: the *steal itself* must be
-            # atomic. A bare unlink is racy — contender A could
-            # unlink+recreate, then contender B's unlink would remove
-            # A's fresh valid lock and both would proceed. os.rename of
-            # the stale file arbitrates exactly one stealer: the loser
-            # gets FileNotFoundError, loops, and then sees the winner's
-            # live lock (payload and all) via the link-create path.
-            stale = path + ".stale." + str(os.getpid())
-            try:
-                os.rename(path, stale)
-            except FileNotFoundError:
-                continue  # lost the steal race; re-check via create
-            try:
-                os.unlink(stale)
-            except FileNotFoundError:
-                pass
             continue
 
 

@@ -261,21 +261,51 @@ class _JsonlShardWriter(DataSourceWriter):
         return _ShardCommitMessage(staged, n)
 
     def commit(self, messages):
+        import glob as _glob
         import json as _json
         import os
         import shutil
 
         os.makedirs(self.path, exist_ok=True)
+        # Mode semantics at commit time (ADVICE r3): a dense 0-based
+        # part numbering regardless of mode corrupted repeat writes —
+        # append clobbered the prior run's same-numbered shards via
+        # os.replace, and overwrite left stale higher-numbered shards
+        # from a larger earlier run mixed under a fresh _SUCCESS.
+        # overwrite: clear prior part-* + _SUCCESS first, THEN rename —
+        # readers either see the old complete set or the new one
+        # (_SUCCESS is removed first so a mid-commit crash is
+        # detectable as "no marker", never as a silently mixed set).
+        # append: final names keep the staged task-uuid suffix, so they
+        # are unique across commits by construction; _SUCCESS row count
+        # accumulates.
+        prior_rows = 0
+        success = os.path.join(self.path, "_SUCCESS")
+        if self.overwrite:
+            try:
+                os.unlink(success)
+            except FileNotFoundError:
+                pass
+            for old in _glob.glob(os.path.join(self.path,
+                                               "part-*.jsonl.gz")):
+                os.unlink(old)
+        else:
+            try:
+                with open(success, "r", encoding="utf-8") as f:
+                    prior_rows = int(_json.load(f).get("rows", 0))
+            except (FileNotFoundError, ValueError, OSError):
+                prior_rows = 0
         total = 0
         for i, m in enumerate(messages):
+            suffix = os.path.basename(m.staged_path)[len("task-"):]
             final = os.path.join(self.path,
-                                 "part-{:05d}.jsonl.gz".format(i))
+                                 "part-{:05d}-{}".format(i, suffix))
             os.replace(m.staged_path, final)
             total += m.n_rows
         shutil.rmtree(os.path.join(self.path, "_staging"),
                       ignore_errors=True)
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            f.write(_json.dumps({"rows": total}))
+        with open(success, "w") as f:
+            f.write(_json.dumps({"rows": prior_rows + total}))
 
     def abort(self, messages):
         import os

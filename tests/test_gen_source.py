@@ -214,3 +214,54 @@ def test_jsonl_sink_abort_leaves_no_partial_output(spark, tmp_path):
     assert not os.path.exists(os.path.join(out, "_SUCCESS"))
     assert not [f for f in (os.listdir(out) if os.path.isdir(out) else [])
                 if f.startswith("part-")]
+
+
+def test_jsonl_sink_repeat_writes_append_and_overwrite(spark, tmp_path):
+    """Repeat writes to the same path must not corrupt (ADVICE r3):
+    append keeps BOTH generations (unique task-uuid shard names, no
+    clobber) and accumulates the _SUCCESS count; overwrite after a
+    LARGER earlier run leaves only the new generation — no stale
+    higher-numbered shards mixed under a fresh _SUCCESS."""
+    import glob
+    import gzip
+    import json
+    import os
+
+    from extractor.gen_source import register_sink
+
+    register_sink(spark)
+
+    def mk(vals):
+        return spark.createDataFrame(
+            [("c", i, "user", v, "", "2025-01-01 00:00:00")
+             for i, v in enumerate(vals)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string")
+
+    def read_all(path):
+        rows = []
+        for fn in sorted(glob.glob(os.path.join(path, "part-*.jsonl.gz"))):
+            with gzip.open(fn, "rt", encoding="utf-8") as f:
+                rows += [json.loads(l)["text"] for l in f]
+        return sorted(rows)
+
+    # append twice: union survives, count accumulates
+    out = str(tmp_path / "sink_app")
+    mk(["a", "b"]).repartition(2).write.format("transcript_jsonl") \
+        .option("path", out).mode("append").save()
+    mk(["c"]).repartition(1).write.format("transcript_jsonl") \
+        .option("path", out).mode("append").save()
+    assert read_all(out) == ["a", "b", "c"]
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert json.load(f)["rows"] == 3
+
+    # big write then small overwrite: zero stale shards
+    out2 = str(tmp_path / "sink_ovr")
+    mk([f"x{i}" for i in range(8)]).repartition(8) \
+        .write.format("transcript_jsonl") \
+        .option("path", out2).mode("append").save()
+    mk(["y"]).repartition(1).write.format("transcript_jsonl") \
+        .option("path", out2).mode("overwrite").save()
+    assert read_all(out2) == ["y"]
+    with open(os.path.join(out2, "_SUCCESS")) as f:
+        assert json.load(f)["rows"] == 1

@@ -663,3 +663,35 @@ def test_quality_filter_cascade_reason_codes(spark, tmp_path):
     plan = (quality_filter_cascade(spark, sf)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan
+
+
+def test_sft_pair_build_null_text_cross_engine(spark, tmp_path):
+    """NULL-text turns are excluded on BOTH engines (ADVICE r3): left
+    in, Spark's concat_ws skips the NULL target and collect_list drops
+    NULL ctx elements while DuckDB propagates/keeps them — the engines
+    fork silently. The sf tables contain zero NULL-text rows, so this
+    hand fixture is the only thing exercising the pin."""
+    import duckdb
+    import pandas as pd
+
+    from extractor.queries import ORACLES, sft_pair_build
+
+    p = os.path.join(str(tmp_path), "documents.parquet")
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["alpha", None, "gamma", "delta", None],
+        "lang": "en", "source": "s",
+        "n_chars": pd.array([5, 0, 5, 5, 0], dtype="int64"),
+    }).to_parquet(p)
+    got = sorted((r["conv_id"], r["turn_idx"], r["n_ctx"], r["pair_md5"])
+                 for r in sft_pair_build(spark, str(tmp_path)).collect())
+    # 3 non-null turns -> turn_idx 0..2 after the filter, 2 pairs
+    assert [g[1] for g in got] == [1, 2]
+    assert [g[2] for g in got] == [1, 2]
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('{}')".format(p))
+    exp = sorted(tuple(r) for r in con.sql(
+        ORACLES["sft_pair_build"]).fetchall())
+    assert got == exp
