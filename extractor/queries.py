@@ -577,8 +577,8 @@ ex AS (SELECT DISTINCT doc_id,
 """
 
 
-def _shingles(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+def _shingles(spark, sf_dir, docs=None):
+    d = docs if docs is not None else t(spark, sf_dir, "documents")
     return (d.selectExpr("doc_id", "split(text, ' ') AS w")
             .where("size(w) >= 3")
             .selectExpr(
@@ -3219,16 +3219,26 @@ def minhash_verified_pairs(spark, sf_dir):
     and any bands miss is absent from BOTH engines because the oracle
     replays the same banding).
 
-    Scale shape: the verify never touches non-candidates — each doc's
-    sorted xxhash64 shingle array (bounded by doc length) is joined
-    onto the candidate pair list (two hash joins on doc ids), and the
-    intersection is a JVM array_intersect, so verify cost is
-    O(candidates x doc_len), not O(n^2)."""
+    Scale shape: the verify never touches non-candidates — the shingle
+    build itself is SEMI-JOIN-PRUNED to the candidate doc-id set
+    before the collect_set aggregation (VERDICT r3 #3: at 100 TB with
+    ~0.1% candidate density, aggregating sorted shingle arrays for the
+    whole corpus to verify a sliver of it was the dominant cost; now
+    the explode/groupBy only ever sees candidate docs). The pruned
+    arrays (bounded by doc length) then join onto the candidate pair
+    list (two hash joins on doc ids), and the intersection is a JVM
+    array_intersect, so verify cost is O(candidates x doc_len), not
+    O(n^2) and not O(corpus)."""
     # the candidate frame IS the candidates query — one definition of
     # the banding/canonical-emission logic, so the verified pipeline
     # can never desynchronize from the candidate query
-    cand = minhash_lsh_candidates(spark, sf_dir)
-    sh = (_shingles(spark, sf_dir)
+    cand = minhash_lsh_candidates(spark, sf_dir).persist()
+    # consumed twice (id-set prune + final pair join); see PERSIST NOTE
+    cand_ids = (cand.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("doc_b").alias("doc_id"))))
+    docs_pruned = (t(spark, sf_dir, "documents")
+                   .join(cand_ids, "doc_id", "left_semi"))
+    sh = (_shingles(spark, sf_dir, docs=docs_pruned)
           .select("doc_id", F.xxhash64("s").alias("s"))
           .groupBy("doc_id")
           .agg(F.array_sort(F.collect_set("s")).alias("sha")))
