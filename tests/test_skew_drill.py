@@ -269,3 +269,122 @@ def test_semdedup_hot_cluster(spark, tmp_path):
     # the salt (hot cell -> _SEMDEDUP_SALT bounded cells by construction)
     import re
     assert re.search(r"hashpartitioning\(salt#\d+", plan), plan
+
+
+def test_minhash_verified_pairs_hot_clique_and_giant_doc(spark, tmp_path):
+    """Hot inputs for the verify join (VERDICT r3 #6): a 200-doc
+    near-exact dup CLIQUE (the realistic hot case for a dedup
+    pipeline — mass duplication) plus one GIANT-shingle-set doc
+    (1200 words vs ~50) with a planted near-dup partner. Gates:
+
+    - EXACT output vs the DuckDB oracle, which replays the identical
+      banding — the clique's ~C(200,2) pairs are fully verified,
+      never truncated, and the giant doc's pair survives its outsized
+      shingle array riding the join.
+    - BOUNDED KEY MULTIPLICITY: a K-clique's candidate pairs spread
+      over K-1 distinct doc_a keys (max per-key rows == K-1, never
+      C(K,2) on one key) — the structural property that keeps the
+      verify join's hottest shuffle cell linear in cluster size.
+    - no CartesianProduct / BroadcastNestedLoopJoin.
+
+    AQE skew-split is deliberately NOT asserted here: a dup clique's
+    join payloads are near-identical rows that compress to almost
+    nothing, so the (compressed-bytes-based) detector correctly sees
+    small partitions — the protection is the multiplicity bound, not
+    an adaptive split (contrast test_passjoin_hot_segment_key, whose
+    hot rows are md5-distinct)."""
+    import os
+
+    import duckdb
+
+    from extractor.queries import (ORACLES, minhash_lsh_candidates,
+                                   minhash_verified_pairs)
+
+    def words(seed, n):
+        return [hashlib.md5("{}-{}".format(seed, i).encode())
+                .hexdigest()[:8] for i in range(n)]
+
+    core = words("core", 50)
+    docs = [(i, " ".join(core + ["tail%04d" % i]), "en", "s", 0)
+            for i in range(200)]  # clique: J ~= 48/52 pairwise
+    giant = words("giant", 1200)
+    docs.append((1000, " ".join(giant), "en", "s", 0))
+    docs.append((1001, " ".join(giant[:1080]), "en", "s", 0))  # J ~= 0.9
+    docs += [(2000 + i, " ".join(words("f%d" % i, 40)), "en", "s", 0)
+             for i in range(150)]  # unrelated filler, no shared shingles
+    pd.DataFrame(docs, columns=[
+        "doc_id", "text", "lang", "source", "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+
+    sf = str(tmp_path)
+    with _skew_confs(spark):
+        mult = (minhash_lsh_candidates(spark, sf)
+                .groupBy("doc_a").count()
+                .agg(F.max("count").alias("m")).collect()[0]["m"])
+        rows_out, plan = _run_and_plan(minhash_verified_pairs(spark, sf))
+    assert mult <= 199, mult  # K-1 for the 200-clique
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, (bad, plan)
+
+    got = sorted((r["doc_a"], r["doc_b"], r["jac_milli"]) for r in rows_out)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('{}')"
+                .format(os.path.join(sf, "documents.parquet")))
+    exp = sorted(tuple(r) for r in
+                 con.sql(ORACLES["minhash_verified_pairs"]).fetchall())
+    assert got == exp, (len(got), len(exp))
+    assert (1000, 1001) in {(a, b) for a, b, _ in got}  # giant pair found
+    assert len(got) > 15000  # the clique is verified in full
+
+
+def test_ann_ivf_hot_cell_is_broadcast_immune(spark, tmp_path):
+    """One IVF cell hot (VERDICT r3 #6): ~60% of vectors are copies of
+    one direction and all land in the same cell, while the first-256
+    training sample keeps the quantizer diverse. Like the LSH drill,
+    the candidate join broadcasts the bounded query side, so the big
+    side is never shuffled by cell id — a hot cell costs candidate
+    volume, not a pinned executor. Gates: BroadcastHashJoin in the
+    plan (no SortMergeJoin), and every query (a hot-cell member) gets
+    its exact top-5, all cos=1.0 duplicates from the hot set."""
+    import collections
+    import os
+
+    import numpy as np
+
+    from extractor.queries import ann_ivf_topk
+
+    dim = 16
+    hot = np.array([float(j % 3 - 1) or 1.0 for j in range(dim)],
+                   dtype=np.float32)
+
+    def rv(seed):
+        h = hashlib.md5(seed.encode()).digest()
+        return np.array([(h[j % 16] - 127.5) / 128.0 for j in range(dim)],
+                        dtype=np.float32)
+
+    vecs = {}
+    for i in range(10):
+        vecs[i] = hot                      # queries = hot copies
+    for i in range(10, 256):
+        vecs[i] = rv("t%d" % i)            # training diversity
+    for i in range(256, 850):
+        vecs[i] = hot                      # hot-cell mass
+    for i in range(850, 1000):
+        vecs[i] = rv("f%d" % i)
+    ids = sorted(vecs)
+    pd.DataFrame({"vec_id": ids, "embedding": [vecs[i] for i in ids],
+                  "label": [0] * len(ids)}).to_parquet(
+        os.path.join(str(tmp_path), "embeddings.parquet"))
+
+    with _skew_confs(spark):
+        rows_out, plan = _run_and_plan(ann_ivf_topk(spark, str(tmp_path)))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    got = collections.defaultdict(list)
+    for r in rows_out:
+        got[r["query_id"]].append(r["neighbor_id"])
+    hotset = set(range(10)) | set(range(256, 850))
+    assert len(got) == 10
+    for q, nbrs in got.items():
+        assert len(nbrs) == 5, (q, nbrs)
+        assert all(n in hotset for n in nbrs), (q, nbrs)
