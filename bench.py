@@ -226,7 +226,74 @@ materialization, no disk-write variance).
     }))
 
 
+def run_soak(n_turns: int) -> None:
+    """10M-turn (default) checkpointed soak off the transcript_gen
+    source — zero input storage. Two full runs into fresh output dirs;
+    prints refs_out determinism, an order-invariant content
+    fingerprint equality (XOR of per-row md5 over conv_id|turn_idx|
+    clean_text|refs), wave counters, and driver-RSS samples (flatness:
+    the driver holds only wave counters + manifest, never row data).
+    """
+    import shutil
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from extractor import job
+
+    rss: list[int] = []
+    stop = threading.Event()
+
+    def _sample():
+        while not stop.wait(10.0):
+            with open("/proc/self/status") as f:
+                for ln in f:
+                    if ln.startswith("VmRSS:"):
+                        rss.append(int(ln.split()[1]) // 1024)
+
+    spark = job.get_spark("soak", master="local[{}]".format(CPUS),
+                          shuffle_partitions=max(2 * CPUS, 64),
+                          extra_conf={"spark.ui.enabled": "false"})
+    threading.Thread(target=_sample, daemon=True).start()
+    inp = "gen:n_turns={},seed=7,numPartitions={}".format(n_turns, 4 * CPUS)
+    runs = []
+    try:
+        for i in (1, 2):
+            out = "/tmp/soak{}m_run{}".format(n_turns // 1_000_000, i)
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.time()
+            c = job.run_extract(spark, inp, out, n_buckets=256,
+                                wave_buckets=64)
+            sec = time.time() - t0
+            fp = (job.read_extracted(spark, out)
+                  .select(F.conv(F.substring(F.md5(F.concat_ws(
+                      "|", "conv_id", "turn_idx", "clean_text",
+                      F.to_json("refs"))), 1, 15), 16, 10)
+                      .cast("long").alias("h"))
+                  .agg(F.expr("bit_xor(h)").alias("fp"))
+                  .collect()[0]["fp"])
+            runs.append({"run": i, "sec": round(sec, 1),
+                         "turns_per_sec": round(c["turns_out"] / sec, 1),
+                         "counters": c, "content_fp": fp})
+            shutil.rmtree(out, ignore_errors=True)
+    finally:
+        stop.set()
+        spark.stop()
+    print(json.dumps({
+        "soak_turns": n_turns,
+        "runs": runs,
+        "refs_out_equal": runs[0]["counters"]["refs_out"]
+        == runs[1]["counters"]["refs_out"],
+        "content_fp_equal": runs[0]["content_fp"] == runs[1]["content_fp"],
+        "rss_mb_samples": rss,
+        "rss_mb_peak": max(rss) if rss else None,
+    }))
+
+
 def main() -> None:
+    if "--soak" in sys.argv:
+        run_soak(int(os.environ.get("SPARK_GRAFT_SOAK_TURNS", "10000000")))
+        return
     if "--scaling" in sys.argv:
         run_scaling()
         return

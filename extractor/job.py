@@ -113,6 +113,19 @@ def read_transcripts(spark: SparkSession, path: str,
     that happens to be named ``exports.json`` must not be routed to
     the JSON reader (it would yield all-null rows under the enforced
     schema instead of an error)."""
+    if path.startswith("gen:"):
+        # synthesized input: "gen:n_turns=10000000,seed=7,..." options
+        # pass through to the transcript_gen Python DataSource — the
+        # zero-storage 10^12-turn path (soaks/benches generate on the
+        # executors instead of landing parquet first)
+        from extractor.gen_source import register as _register_gen
+        _register_gen(spark)
+        reader = spark.read.format("transcript_gen")
+        spec = path[len("gen:"):]
+        for kv in filter(None, spec.split(",")):
+            k, _, v = kv.partition("=")
+            reader = reader.option(k.strip(), v.strip())
+        return reader.load()
     fmt = _dir_data_format(path) if os.path.isdir(path) else None
     low = path.lower()
     reader = spark.read.schema(TRANSCRIPTS_SCHEMA)
