@@ -3271,7 +3271,10 @@ def sft_pair_build(spark, sf_dir):
                                       F.col("text"))).alias("pair_md5")))
 
 
-@_q("minhash_verified_pairs", sql="WITH " + _SHINGLES_SQL + """
+# verified-pairs CTE chain, shared by the pairs query and the
+# end-to-end survivors pipeline (one definition of the banding +
+# exact-verify oracle, so the two can never desynchronize)
+_MINHASH_VP_CTES = _SHINGLES_SQL + """
 , sig AS (SELECT doc_id, {aggs} FROM ex GROUP BY doc_id),
 bands AS ({union}),
 cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
@@ -3281,17 +3284,21 @@ sizes AS (SELECT doc_id, count(*) sz FROM ex GROUP BY doc_id),
 inter AS (SELECT c.doc_a, c.doc_b, count(*) i
           FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
                       JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
-          GROUP BY c.doc_a, c.doc_b)
-SELECT doc_a, doc_b,
-       CAST((1000 * i) // (sa.sz + sb.sz - i) AS BIGINT) AS jac_milli
-FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-           JOIN sizes sb ON doc_b = sb.doc_id
-WHERE (1000 * i) // (sa.sz + sb.sz - i) >= 200
+          GROUP BY c.doc_a, c.doc_b),
+vp AS (SELECT doc_a, doc_b,
+              CAST((1000 * i) // (sa.sz + sb.sz - i) AS BIGINT) AS jac_milli
+       FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                  JOIN sizes sb ON doc_b = sb.doc_id
+       WHERE (1000 * i) // (sa.sz + sb.sz - i) >= 200)
 """.format(aggs=_MINHASH_DUCK_AGGS,
            union=" UNION ALL ".join(
                "SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sig".format(
                    b=b, cols=" || ',' || ".join(c + "::VARCHAR" for c in cols))
-               for b, cols in _BANDS)))
+               for b, cols in _BANDS))
+
+
+@_q("minhash_verified_pairs", sql="WITH " + _MINHASH_VP_CTES
+    + "SELECT doc_a, doc_b, jac_milli FROM vp")
 def minhash_verified_pairs(spark, sf_dir):
     """The COMPLETE MinHash near-dup pipeline: LSH banding for
     candidates (minhash_lsh_candidates' canonical-band join), then an
@@ -3710,6 +3717,127 @@ def quality_filter_cascade(spark, sf_dir):
         "doc_id",
         F.when(reasons == "", 1).otherwise(0).cast("long").alias("keep"),
         reasons.alias("reasons"))
+
+
+@_q("minhash_dedup_survivors", sql="WITH RECURSIVE " + _MINHASH_VP_CTES + """
+, edges AS (SELECT doc_a AS u, doc_b AS v FROM vp
+            UNION ALL SELECT doc_b, doc_a FROM vp),
+reach(u, v) AS (SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+clusters AS (SELECT u AS doc_id, min(v) AS cluster_id
+             FROM reach GROUP BY u)
+SELECT d.doc_id FROM documents d
+LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+""")
+def minhash_dedup_survivors(spark, sf_dir):
+    """END-TO-END MinHash dedup: LSH candidates -> exact-Jaccard
+    verify (minhash_verified_pairs, jac >= 0.2) -> connected
+    components over the verified-pair graph -> keep each cluster's
+    min doc_id plus every unpaired doc. The set-similarity twin of
+    dedup_survivors_scaled (which runs the same composition over
+    SimHash/Hamming pairs) — together they cover both families a
+    corpus dedup actually deploys (Lee et al. 2021 run exactly this
+    minhash->components->keep-one chain).
+
+    Scale shape inherits its stages: semi-join-pruned verify (only
+    candidate docs aggregate shingle arrays), min-label-propagation CC
+    (localCheckpoint per round, hard-raise at the iteration cap —
+    see _min_label_propagation), one final left_anti against the
+    corpus. The DuckDB oracle replays banding + verify + a
+    recursive-CTE transitive closure, so the survivor set is exact,
+    not heuristic."""
+    pairs = minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.selectExpr("doc_a AS u", "doc_b AS v")
+             .unionByName(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
+             .persist())  # consumed every CC round; see PERSIST NOTE
+    clusters = _min_label_propagation(edges)
+    drop = clusters.where("cluster_id != doc_id").select("doc_id")
+    return (t(spark, sf_dir, "documents").select("doc_id")
+            .join(drop, "doc_id", "left_anti"))
+
+
+_BM25_TERMS = ["join", "vector", "hash"]  # fixed query (pinned so the
+# oracle is a closed expression); k1/b are the standard defaults
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@_q("bm25_topk", sql="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM toks),
+tf AS (SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) AS tf,
+              any_value(dl) AS dl
+       FROM (SELECT doc_id, unnest(ws) AS w, CAST(len(ws) AS DOUBLE) AS dl
+             FROM toks)
+       WHERE w IN ('join', 'vector', 'hash')
+       GROUP BY doc_id, w),
+idf AS (SELECT term, ln(1 + (s.n - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+        FROM tf, stats s GROUP BY term, s.n),
+scored AS (SELECT doc_id,
+                  sum(idf.idf * tf.tf * (1.2 + 1)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)))
+                  AS score
+           FROM tf JOIN idf USING (term), stats s
+           GROUP BY doc_id, s.avgdl)
+SELECT doc_id, round(score, 4) AS score_r,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM scored ORDER BY rank LIMIT 10
+""")
+def bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval for a fixed 3-term query (Robertson/
+    Spärck Jones probabilistic relevance; the idf is Lucene's
+    non-negative ln(1 + (N-df+0.5)/(df+0.5)) variant, which keeps
+    corpus-frequent terms from going negative). The full-text-search
+    scoring primitive a training pipeline uses for targeted corpus
+    slicing (topic mining, eval-set curation).
+
+    Scale shape: tokens explode ONCE and are filtered to the query's
+    terms before any shuffle (a 3-term IN list prunes ~everything at
+    the scan side of the explode); per-(doc,term) tf is one
+    map-side-combinable groupBy; idf is a |terms|-row aggregate
+    (broadcast); the final top-10 is an orderBy(limit) — Spark plans
+    TakeOrderedAndProject, a per-partition heap + driver merge of 10
+    rows, never a global sort shuffle.
+
+    Cross-engine exactness: scores are DOUBLE chains of
+    correctly-rounded ops (ln/div/mul diverge <= 1 ulp between JVM
+    libm and DuckDB); emitted rounded to 4 decimals, with rank from
+    the UNROUNDED order. A margin test pins both gaps (adjacent
+    unrounded scores, distance to the rounding boundary) far above
+    1e-9 at the tested SFs."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ws"))
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size("ws").cast("double")).alias("avgdl"))
+    tf = (toks.select("doc_id",
+                      F.size("ws").cast("double").alias("dl"),
+                      F.explode("ws").alias("term"))
+          .where(F.col("term").isin(_BM25_TERMS))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").cast("double").alias("tf"),
+               F.first("dl").alias("dl")))
+    idf = (tf.groupBy("term").agg(F.count("*").alias("df"))
+           .crossJoin(F.broadcast(stats))
+           .select("term", F.log(1 + (F.col("n") - F.col("df") + 0.5)
+                                 / (F.col("df") + 0.5)).alias("idf")))
+    scored = (tf.join(F.broadcast(idf), "term")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.sum(
+                  F.col("idf") * F.col("tf") * (_BM25_K1 + 1)
+                  / (F.col("tf") + _BM25_K1
+                     * (1 - _BM25_B + _BM25_B * F.col("dl")
+                        / F.col("avgdl")))).alias("score")))
+    # top-10 FIRST via orderBy(limit) — TakeOrderedAndProject (per-
+    # partition heap + 10-row driver merge, no global sort shuffle);
+    # the single-partition rank window then only ever sees 10 rows
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select("doc_id", F.round("score", 4).alias("score_r"),
+                      F.row_number().over(w).cast("long").alias("rank"))
 
 
 # ===========================================================================

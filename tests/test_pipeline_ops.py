@@ -747,3 +747,54 @@ def test_semdedup_pipeline_margins_and_assignment(spark):
             i = int(np.where(ids == v)[0][0])
             same = np.where((labels == labels[i]) & (ids < v))[0]
             assert (mn[same] @ mn[i] >= _SEMDEDUP_TAU).any(), v
+
+
+def test_bm25_topk_margins_and_plan(spark):
+    """bm25's cross-engine exactness rests on (1) adjacent UNROUNDED
+    scores around the top-10 cut being separated by far more than the
+    <=1-ulp ln/div divergence between JVM and DuckDB libm, and (2) no
+    score sitting on a 4-decimal rounding boundary. Measured with a
+    numpy replay of the same formula. Plan: the top-10 must be
+    TakeOrderedAndProject (per-partition heap), not a global sort."""
+    import collections
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from extractor.queries import _BM25_B, _BM25_K1, _BM25_TERMS, bm25_topk
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = pd.read_parquet(os.path.join(sf, "documents.parquet"))
+        toks = [str(t).split(" ") for t in docs["text"]]
+        n = float(len(docs))
+        avgdl = float(np.mean([len(ws) for ws in toks]))
+        df = {q: sum(1 for ws in toks if q in ws) for q in _BM25_TERMS}
+        idf = {q: math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+               for q in _BM25_TERMS if df[q]}
+        scores = {}
+        for did, ws in zip(docs["doc_id"], toks):
+            c = collections.Counter(ws)
+            s = sum(idf[q] * c[q] * (_BM25_K1 + 1)
+                    / (c[q] + _BM25_K1 * (1 - _BM25_B
+                                          + _BM25_B * len(ws) / avgdl))
+                    for q in idf if c[q])
+            if s > 0:
+                scores[int(did)] = s
+        ordered = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        vals = [v for _, v in ordered[:12]]
+        gaps = [a - b for a, b in zip(vals, vals[1:]) if a != b]
+        assert min(gaps) > 1e-9, gaps  # adjacent-score margin
+        for v in vals:  # rounding-boundary margin at 4 decimals
+            frac = abs(v * 10000 - round(v * 10000))
+            assert abs(frac - 0.5) > 1e-6, v
+
+        got = [(r["doc_id"], r["score_r"], r["rank"])
+               for r in bm25_topk(spark, sf).collect()]
+        exp = [(d, round(v, 4), i + 1)
+               for i, (d, v) in enumerate(ordered[:10])]
+        assert got == exp, (got, exp)
+
+    plan = bm25_topk(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan

@@ -75,7 +75,7 @@ def test_similarity_joins_have_no_allpairs_plan(spark):
                  "j1_iou_box_join", "j10_attribution_interval_join",
                  "minhash_incremental_candidates", "semdedup_prune",
                  "minhash_verified_pairs", "semdedup_prune_salted",
-                 "semdedup_pipeline"):
+                 "semdedup_pipeline", "minhash_dedup_survivors"):
         plan = _executed_plan(spark, name)
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             assert bad not in plan, (name, bad, plan)
