@@ -53,7 +53,10 @@ HEADLINE_QUERIES = [
     "merge_upsert_cdc",
     "j10_attribution_interval_join",
     "semdedup_prune",
+    "semdedup_pipeline",
     "minhash_verified_pairs",
+    "minhash_dedup_survivors",
+    "bm25_topk",
     "w7_sliding_window_counts",
     "extract_documents_clean",
 ]
