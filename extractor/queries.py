@@ -3840,6 +3840,60 @@ def bm25_topk(spark, sf_dir):
                       F.row_number().over(w).cast("long").alias("rank"))
 
 
+_LOGREG_BIAS = -0.2  # fixed public toy model: w_j = ((37j mod 19) - 9)/10
+
+
+@_q("embedding_logreg_inference", sql="""
+WITH w AS (SELECT list_transform(range(0, 64),
+                                 j -> ((j * 37 % 19) - 9) / 10.0) AS wv)
+SELECT vec_id,
+       round(1 / (1 + exp(-(list_dot_product(embedding::DOUBLE[], wv)
+                            + (-0.2)))), 6) AS score_r,
+       CAST(1 / (1 + exp(-(list_dot_product(embedding::DOUBLE[], wv)
+                           + (-0.2)))) >= 0.5 AS BIGINT) AS pred
+FROM embeddings, w
+""")
+def embedding_logreg_inference(spark, sf_dir):
+    """Batch model inference — the broadcast-weights + vectorized
+    Arrow pandas-UDF pattern (the canonical Spark serving shape for a
+    trained classifier: quality scorer, toxicity filter, relevance
+    model): score = sigmoid(w·x + b) with a fixed deterministic
+    weight vector (w_j = ((37j mod 19) - 9)/10, bias -0.2 — a closed
+    formula both engines generate, so the oracle is exact), emitting
+    the 6-decimal score and the >= 0.5 decision.
+
+    Scale shape: ZERO shuffles — the model is a broadcast variable,
+    each Arrow batch is one numpy matmul (rows x dim @ dim), no
+    per-row Python; this is exactly how a 100 TB corpus gets scored
+    by any linear/MLP head (swap the matmul for the model's forward).
+
+    Cross-engine FP: numpy's pairwise-summed matmul vs DuckDB's
+    sequential list_dot_product differ by <= ~dim ulps; the margin
+    test pins every score's distance to the rounding boundary and to
+    the 0.5 decision threshold far above that."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.array([((j * 37 % 19) - 9) / 10.0 for j in range(64)])
+    b_w = spark.sparkContext.broadcast(w)
+
+    def _score_fn(vs):
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        z = m @ b_w.value + _LOGREG_BIAS
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    _score_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    score = pandas_udf(_score_fn, "double")
+
+    e = t(spark, sf_dir, "embeddings")
+    return (e.select("vec_id",
+                     score(F.col("embedding").cast("array<double>"))
+                     .alias("s"))
+            .select("vec_id", F.round("s", 6).alias("score_r"),
+                    (F.col("s") >= 0.5).cast("long").alias("pred")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

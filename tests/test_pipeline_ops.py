@@ -798,3 +798,35 @@ def test_bm25_topk_margins_and_plan(spark):
     plan = bm25_topk(spark, "/root/testdata/sf0.001") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_logreg_inference_margins_and_zero_exchange(spark):
+    """Inference exactness margins: every score's distance to its
+    6-decimal rounding boundary and to the 0.5 decision threshold
+    must exceed the summation-order divergence between numpy's
+    pairwise matmul and DuckDB's sequential dot (<= ~dim ulps).
+    Also: the plan must contain ZERO Exchange (broadcast model,
+    pure projection) and match a numpy replay exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from extractor.queries import _LOGREG_BIAS, embedding_logreg_inference
+
+    w = np.array([((j * 37 % 19) - 9) / 10.0 for j in range(64)])
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = pd.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        s = 1.0 / (1.0 + np.exp(-(m @ w + _LOGREG_BIAS)))
+        frac = np.abs(s * 1e6 - np.round(s * 1e6))
+        assert np.abs(frac - 0.5).min() > 1e-6   # rounding-boundary gap
+        assert np.abs(s - 0.5).min() > 1e-9      # decision-threshold gap
+
+        got = {r["vec_id"]: (r["score_r"], r["pred"])
+               for r in embedding_logreg_inference(spark, sf).collect()}
+        exp = {int(v): (round(float(x), 6), int(x >= 0.5))
+               for v, x in zip(emb["vec_id"], s)}
+        assert got == exp
+
+    plan = embedding_logreg_inference(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
