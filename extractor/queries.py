@@ -3840,6 +3840,40 @@ def bm25_topk(spark, sf_dir):
                       F.row_number().over(w).cast("long").alias("rank"))
 
 
+@_q("w8_rank_family", sql="""
+SELECT event_id,
+       CAST(rank()       OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist()    OVER w AS cdist,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""")
+def w8_rank_family(spark, sf_dir):
+    """The complete SQL ranking-function family over one window
+    (rank / dense_rank / percent_rank / cume_dist / ntile) — the
+    surface w1/w4/w7 left uncovered. percent_rank and cume_dist are
+    emitted as raw doubles: both are single correctly-rounded IEEE
+    divisions of the same small integers on both engines ((rank-1)/
+    (n-1) and peers/n), so the values are bit-identical — no rounding
+    pin needed. The order key is (value, event_id): deterministic
+    under value ties, which ntile and cume_dist both depend on.
+
+    Scale shape: ONE shuffle on event_type; all five functions share
+    a single Window spec, so Catalyst plans one Exchange + one sort,
+    computing the family in one pass."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"))
+
+
 _LOGREG_BIAS = -0.2  # fixed public toy model: w_j = ((37j mod 19) - 9)/10
 
 
