@@ -3840,6 +3840,57 @@ def bm25_topk(spark, sf_dir):
                       F.row_number().over(w).cast("long").alias("rank"))
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24  # 8-token overlap
+
+
+@_q("chunk_tokens_overlap", sql=r"""
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(l, s + 1, s + 32)) AS BIGINT) AS n_tok,
+       md5(array_to_string(list_slice(l, s + 1, s + 32), ' ')) AS chunk_md5
+FROM (
+  SELECT doc_id, l, generate_subscripts(starts, 1) - 1 AS k,
+         unnest(starts) AS s
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') l,
+               range(0, greatest(len(list_filter(string_split_regex(
+                   text, '\s+'), x -> x <> '')), 1), 24) AS starts
+        FROM documents))
+WHERE s = 0 OR s < len(l)
+""")
+def chunk_tokens_overlap(spark, sf_dir):
+    """Sliding-window document chunking (size 32, stride 24 -> 8-token
+    overlap) — the chunker every RAG index / long-context pretraining
+    pipeline runs before embedding or packing. Emits one row per
+    chunk: position, token count, and an md5 of the chunk text (exact
+    comparison without shipping the text twice).
+
+    Scale shape: a pure projection + one explode — tokens are split
+    ONCE, chunk starts come from a JVM sequence(), each chunk is a
+    slice of the already-split array (no re-scan of the text per
+    chunk, no shuffle anywhere; plan-gated zero Exchange). Chunk
+    count per doc is ceil(n/stride): output is O(input x 4/3) rows —
+    linear, partition-preserving, safe at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(r"filter(split(text, '\\s+'), x -> x <> '')").alias("l"))
+    chunks = toks.select(
+        "doc_id", "l",
+        F.posexplode(F.expr(
+            "sequence(0, greatest(size(l) - 1, 0), {})".format(
+                _CHUNK_STRIDE))).alias("k", "s"))
+    # a doc shorter than one stride still emits its single (possibly
+    # empty-text) chunk at s=0; later starts must lie inside the doc
+    chunks = chunks.where((F.col("s") == 0) | (F.col("s") < F.size("l")))
+    sl = F.slice(F.col("l"), F.col("s") + 1, _CHUNK_SIZE)
+    return chunks.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_idx"),
+        F.size(sl).cast("long").alias("n_tok"),
+        F.md5(F.array_join(sl, " ")).alias("chunk_md5"))
+
+
 @_q("w8_rank_family", sql="""
 SELECT event_id,
        CAST(rank()       OVER w AS BIGINT) AS rnk,

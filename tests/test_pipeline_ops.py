@@ -830,3 +830,48 @@ def test_logreg_inference_margins_and_zero_exchange(spark):
     plan = embedding_logreg_inference(spark, "/root/testdata/sf0.001") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_chunk_tokens_overlap_edges_and_plan(spark, tmp_path):
+    """Chunker edge cases pinned by hand: doc shorter than one chunk
+    (single chunk), exact multiple of the stride (no empty tail
+    chunk), stride+1 (two chunks, 8-token overlap intact), empty
+    text (one empty chunk at s=0) — plus cross-engine equality and
+    the zero-Exchange plan gate."""
+    import duckdb
+    import pandas as pd
+
+    from extractor.queries import ORACLES, chunk_tokens_overlap
+
+    def wtxt(n):
+        return " ".join("w%d" % i for i in range(n))
+
+    p = os.path.join(str(tmp_path), "documents.parquet")
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [wtxt(5), wtxt(24), wtxt(25), wtxt(80), ""],
+        "lang": "en", "source": "s",
+        "n_chars": pd.array([0] * 5, dtype="int64"),
+    }).to_parquet(p)
+    got = sorted((r["doc_id"], r["chunk_idx"], r["n_tok"])
+                 for r in chunk_tokens_overlap(spark, str(tmp_path))
+                 .collect())
+    assert [(d, k, n) for d, k, n in got if d == 1] == [(1, 0, 5)]
+    assert [(d, k, n) for d, k, n in got if d == 2] == [(2, 0, 24)]
+    assert [(d, k, n) for d, k, n in got if d == 3] == [(3, 0, 25),
+                                                        (3, 1, 1)]
+    # 80 tokens: starts 0,24,48,72 -> sizes 32,32,32,8
+    assert [(d, k, n) for d, k, n in got if d == 4] == [
+        (4, 0, 32), (4, 1, 32), (4, 2, 32), (4, 3, 8)]
+    assert [(d, k, n) for d, k, n in got if d == 5] == [(5, 0, 0)]
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('{}')".format(p))
+    exp = sorted((r[0], r[1], r[2]) for r in
+                 con.sql(ORACLES["chunk_tokens_overlap"]).fetchall())
+    assert got == exp
+
+    plan = chunk_tokens_overlap(spark, str(tmp_path)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
