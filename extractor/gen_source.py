@@ -293,8 +293,23 @@ class _JsonlShardWriter(DataSourceWriter):
             try:
                 with open(success, "r", encoding="utf-8") as f:
                     prior_rows = int(_json.load(f).get("rows", 0))
-            except (FileNotFoundError, ValueError, OSError):
+            except FileNotFoundError:
+                # no marker: refuse to append onto a markerless
+                # directory that already holds shards — that is the
+                # detectable wreckage of a crashed overwrite commit,
+                # and appending would legitimize it under a fresh
+                # _SUCCESS whose count excludes the stale shards
+                if _glob.glob(os.path.join(self.path, "part-*.jsonl.gz")):
+                    raise IOError(
+                        "append to {}: part-* shards present without "
+                        "_SUCCESS (interrupted overwrite?) — clean up "
+                        "or re-run in overwrite mode".format(self.path))
                 prior_rows = 0
+            except (ValueError, OSError):
+                raise IOError(
+                    "append to {}: unreadable _SUCCESS marker — "
+                    "refusing to guess the prior row count".format(
+                        self.path))
         total = 0
         for i, m in enumerate(messages):
             suffix = os.path.basename(m.staged_path)[len("task-"):]

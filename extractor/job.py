@@ -122,9 +122,19 @@ def read_transcripts(spark: SparkSession, path: str,
         _register_gen(spark)
         reader = spark.read.format("transcript_gen")
         spec = path[len("gen:"):]
+        allowed = {"n_turns", "seed", "numPartitions", "hot_frac",
+                   "num_convs"}
         for kv in filter(None, spec.split(",")):
             k, _, v = kv.partition("=")
-            reader = reader.option(k.strip(), v.strip())
+            k = k.strip()
+            # unknown keys must be loud: the source defaults silently
+            # (a typo'd n_turn would yield a 2000-turn dataset that
+            # "passes" a 10M-turn soak in seconds)
+            if k not in allowed:
+                raise ValueError(
+                    "gen: URI option {!r} unknown (allowed: {})".format(
+                        k, sorted(allowed)))
+            reader = reader.option(k, v.strip())
         return reader.load()
     fmt = _dir_data_format(path) if os.path.isdir(path) else None
     low = path.lower()

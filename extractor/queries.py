@@ -3163,6 +3163,15 @@ def semdedup_pipeline(spark, sf_dir):
          .select("vec_id", F.col("embedding").cast("array<double>")
                  .alias("v")))
     cents = e.where(F.col("vec_id") < _SEMPIPE_K).orderBy("vec_id").collect()
+    if not cents:
+        # an empty centroid set must be loud: array_max over an empty
+        # literal array would label every vector NULL (pruning nothing)
+        # while the oracle's cent CTE returns zero rows — the silent
+        # divergence the fixed-centroid contract exists to prevent
+        raise ValueError(
+            "semdedup_pipeline: no vectors with vec_id < {} to serve as "
+            "centroids — this corpus/slice needs its own centroid set"
+            .format(_SEMPIPE_K))
     cent_lit = F.array(*[
         F.struct(F.lit(int(r["vec_id"])).alias("cid"),
                  F.array(*[F.lit(float(x)) for x in r["v"]]).alias("cv"))
@@ -3808,7 +3817,9 @@ def bm25_topk(spark, sf_dir):
     unrounded scores, distance to the rounding boundary) far above
     1e-9 at the tested SFs."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("ws"))
+    toks = (d.select("doc_id", F.split("text", " ").alias("ws"))
+            .persist())  # 2 consumers (corpus stats + tf) that do NOT
+    # unify under ReuseExchange (different aggregates); see PERSIST NOTE
     stats = toks.agg(
         F.count("*").cast("double").alias("n"),
         F.avg(F.size("ws").cast("double")).alias("avgdl"))
@@ -3856,7 +3867,6 @@ FROM (
                range(0, greatest(len(list_filter(string_split_regex(
                    text, '\s+'), x -> x <> '')), 1), 24) AS starts
         FROM documents))
-WHERE s = 0 OR s < len(l)
 """)
 def chunk_tokens_overlap(spark, sf_dir):
     """Sliding-window document chunking (size 32, stride 24 -> 8-token
@@ -3875,14 +3885,14 @@ def chunk_tokens_overlap(spark, sf_dir):
     toks = d.select(
         "doc_id",
         F.expr(r"filter(split(text, '\\s+'), x -> x <> '')").alias("l"))
+    # sequence(0, greatest(size-1, 0), stride) emits exactly the valid
+    # starts: every s < size for non-empty docs, and the single s=0
+    # (possibly empty-text) chunk for an empty doc — no post-filter
     chunks = toks.select(
         "doc_id", "l",
         F.posexplode(F.expr(
             "sequence(0, greatest(size(l) - 1, 0), {})".format(
                 _CHUNK_STRIDE))).alias("k", "s"))
-    # a doc shorter than one stride still emits its single (possibly
-    # empty-text) chunk at s=0; later starts must lie inside the doc
-    chunks = chunks.where((F.col("s") == 0) | (F.col("s") < F.size("l")))
     sl = F.slice(F.col("l"), F.col("s") + 1, _CHUNK_SIZE)
     return chunks.select(
         "doc_id",

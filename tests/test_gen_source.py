@@ -265,3 +265,34 @@ def test_jsonl_sink_repeat_writes_append_and_overwrite(spark, tmp_path):
     assert read_all(out2) == ["y"]
     with open(os.path.join(out2, "_SUCCESS")) as f:
         assert json.load(f)["rows"] == 1
+
+
+def test_jsonl_sink_append_refuses_markerless_wreckage(spark, tmp_path):
+    """Appending onto a directory holding part-* shards WITHOUT a
+    _SUCCESS marker (the detectable wreckage of a crashed overwrite
+    commit) must hard-fail, not legitimize the stale shards under a
+    fresh marker whose count excludes them."""
+    import os
+
+    import pytest as _pytest
+
+    from extractor.gen_source import register_sink
+
+    register_sink(spark)
+    out = str(tmp_path / "sink_wreck")
+    df = spark.createDataFrame(
+        [("c", 0, "user", "x", "", "2025-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string")
+    df.write.format("transcript_jsonl").option("path", out) \
+        .mode("append").save()
+    os.unlink(os.path.join(out, "_SUCCESS"))  # simulate crashed commit
+    with _pytest.raises(Exception, match="without\\s+_SUCCESS|_SUCCESS"):
+        df.write.format("transcript_jsonl").option("path", out) \
+            .mode("append").save()
+    # overwrite still recovers the directory cleanly
+    df.write.format("transcript_jsonl").option("path", out) \
+        .mode("overwrite").save()
+    import json as _json
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert _json.load(f)["rows"] == 1

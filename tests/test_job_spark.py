@@ -806,3 +806,15 @@ def test_observed_rows_match_durable_counters(spark, tmp_path):
                             n_buckets=8, wave_buckets=3)
     assert stats["turns_observed"] == stats["turns_out"] > 0
     assert stats["waves"] == 3
+
+
+def test_gen_uri_rejects_unknown_option(spark):
+    """A typo'd gen: option must be loud — the source would otherwise
+    default silently (n_turn=10000000 -> a 2000-turn dataset that
+    'passes' a 10M-turn soak in seconds)."""
+    import pytest as _pytest
+
+    from extractor import job
+
+    with _pytest.raises(ValueError, match="n_turn"):
+        job.read_transcripts(spark, "gen:n_turn=1000,seed=7")
