@@ -1123,3 +1123,20 @@ def test_map_in_arrow_features_match_pandas_path(spark, tmp_path):
     b = sorted([tuple(r) for r in extract_features_arrow(df).collect()])
     assert a == b
     assert a[0][6:9] == ("png", 7, 9)  # dims really parsed
+
+
+def test_registry_rotation_unverified_first_and_lossless():
+    """The driver iterates QUERIES in dict order and (empirically)
+    records only a prefix, so never-driver-verified names must come
+    first and the rotation must be a pure permutation: same key set,
+    ORACLES still aligned, every verified name still registered."""
+    from extractor.queries import (_DRIVER_VERIFIED_THROUGH_R3, ORACLES,
+                                   QUERIES)
+
+    names = list(QUERIES)
+    k = sum(1 for n in names if n not in _DRIVER_VERIFIED_THROUGH_R3)
+    assert k > 0
+    assert all(n not in _DRIVER_VERIFIED_THROUGH_R3 for n in names[:k])
+    assert all(n in _DRIVER_VERIFIED_THROUGH_R3 for n in names[k:])
+    assert set(ORACLES) <= set(QUERIES)
+    assert _DRIVER_VERIFIED_THROUGH_R3 <= set(QUERIES)
