@@ -310,6 +310,15 @@ class _JsonlShardWriter(DataSourceWriter):
                     "append to {}: unreadable _SUCCESS marker — "
                     "refusing to guess the prior row count".format(
                         self.path))
+            # crash-detectability for APPEND commits too: remove the
+            # marker BEFORE renaming shards, so a commit that dies
+            # mid-rename leaves a markerless directory (refused above
+            # on the next append, recovered by overwrite) instead of a
+            # stale marker silently undercounting the orphan shards
+            try:
+                os.unlink(success)
+            except FileNotFoundError:
+                pass
         total = 0
         for i, m in enumerate(messages):
             suffix = os.path.basename(m.staged_path)[len("task-"):]

@@ -122,15 +122,17 @@ def read_transcripts(spark: SparkSession, path: str,
         _register_gen(spark)
         reader = spark.read.format("transcript_gen")
         spec = path[len("gen:"):]
-        allowed = {"n_turns", "seed", "numPartitions", "hot_frac",
+        allowed = {"n_turns", "seed", "numpartitions", "hot_frac",
                    "num_convs"}
         for kv in filter(None, spec.split(",")):
             k, _, v = kv.partition("=")
             k = k.strip()
             # unknown keys must be loud: the source defaults silently
             # (a typo'd n_turn would yield a 2000-turn dataset that
-            # "passes" a 10M-turn soak in seconds)
-            if k not in allowed:
+            # "passes" a 10M-turn soak in seconds). Comparison is
+            # case-INsensitive, matching DataSource option semantics
+            # (the reader resolves numPartitions/numpartitions alike)
+            if k.lower() not in allowed:
                 raise ValueError(
                     "gen: URI option {!r} unknown (allowed: {})".format(
                         k, sorted(allowed)))

@@ -556,16 +556,27 @@ def dedup_exact(spark, sf_dir):
                  F.count("*").alias("dup_count")))
 
 
+# Whitespace tokenization class shared VERBATIM by both engines
+# wherever a regex split/replace feeds an exact oracle: Java's \s is
+# [ \t\n\x0B\f\r] but RE2's \s EXCLUDES vertical tab, so '\s+' is a
+# latent cross-engine divergence on any \x0B-bearing doc. The explicit
+# class below resolves identically under both engines' regex-level
+# escape handling (code-review r4 finding).
+_WS_CLASS = r"[ \t\n\r\f\x0B]+"
+
+
 @_q("doc_fingerprint", sql=r"""
-SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fp
 FROM documents
 """)
 def doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 over whitespace-normalized,
-    lowercased text (identical hex both engines)."""
+    lowercased text (identical hex both engines; see _WS_CLASS)."""
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id",
-                    F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp"))
+                    F.md5(F.lower(F.regexp_replace("text", _WS_CLASS, " ")))
+                    .alias("fp"))
 
 
 _SHINGLES_SQL = r"""
@@ -3209,7 +3220,8 @@ SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
        CAST(least(len(l), 32) AS BIGINT) AS n_kept,
        array_to_string(list_slice(l, 1, 32), ' ') AS text_trunc
 FROM (SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), x -> x <> '') l
+             list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
+                         x -> x <> '') l
       FROM documents)
 """)
 def truncate_tokens(spark, sf_dir):
@@ -3221,7 +3233,7 @@ def truncate_tokens(spark, sf_dir):
     Complements pack_sequences (which bins the already-clamped
     lengths)."""
     d = t(spark, sf_dir, "documents")
-    toks = F.expr(r"filter(split(text, '\\s+'), x -> x <> '')")
+    toks = F.filter(F.split("text", _WS_CLASS), lambda x: x != "")
     return d.select(
         "doc_id", F.size(toks).cast("long").alias("n_tokens"),
         F.least(F.size(toks), F.lit(_TRUNC_TOKENS)).cast("long").alias("n_kept"),
@@ -3858,14 +3870,17 @@ _CHUNK_SIZE, _CHUNK_STRIDE = 32, 24  # 8-token overlap
 SELECT doc_id,
        CAST(k AS BIGINT) AS chunk_idx,
        CAST(len(list_slice(l, s + 1, s + 32)) AS BIGINT) AS n_tok,
-       md5(array_to_string(list_slice(l, s + 1, s + 32), ' ')) AS chunk_md5
+       md5(coalesce(array_to_string(list_slice(l, s + 1, s + 32), ' '), ''))
+         AS chunk_md5
 FROM (
   SELECT doc_id, l, generate_subscripts(starts, 1) - 1 AS k,
          unnest(starts) AS s
   FROM (SELECT doc_id,
-               list_filter(string_split_regex(text, '\s+'), x -> x <> '') l,
+               list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
+                           x -> x <> '') l,
                range(0, greatest(len(list_filter(string_split_regex(
-                   text, '\s+'), x -> x <> '')), 1), 24) AS starts
+                   text, '[ \t\n\r\f\x0B]+'), x -> x <> '')), 1), 24)
+                 AS starts
         FROM documents))
 """)
 def chunk_tokens_overlap(spark, sf_dir):
@@ -3873,7 +3888,9 @@ def chunk_tokens_overlap(spark, sf_dir):
     overlap) — the chunker every RAG index / long-context pretraining
     pipeline runs before embedding or packing. Emits one row per
     chunk: position, token count, and an md5 of the chunk text (exact
-    comparison without shipping the text twice).
+    comparison without shipping the text twice; the empty chunk of an
+    empty doc hashes as md5('') on BOTH engines — DuckDB's
+    array_to_string of an empty list is NULL and is coalesced).
 
     Scale shape: a pure projection + one explode — tokens are split
     ONCE, chunk starts come from a JVM sequence(), each chunk is a
@@ -3884,7 +3901,7 @@ def chunk_tokens_overlap(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.expr(r"filter(split(text, '\\s+'), x -> x <> '')").alias("l"))
+        F.filter(F.split("text", _WS_CLASS), lambda x: x != "").alias("l"))
     # sequence(0, greatest(size-1, 0), stride) emits exactly the valid
     # starts: every s < size for non-empty docs, and the single s=0
     # (possibly empty-text) chunk for an empty doc — no post-filter

@@ -848,14 +848,19 @@ def test_chunk_tokens_overlap_edges_and_plan(spark, tmp_path):
 
     p = os.path.join(str(tmp_path), "documents.parquet")
     pd.DataFrame({
-        "doc_id": [1, 2, 3, 4, 5],
-        "text": [wtxt(5), wtxt(24), wtxt(25), wtxt(80), ""],
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        # doc 6 carries a VERTICAL TAB separator: Java \s includes
+        # \x0B, RE2 \s does not — the shared explicit _WS_CLASS must
+        # tokenize it identically on both engines (3 tokens)
+        "text": [wtxt(5), wtxt(24), wtxt(25), wtxt(80), "",
+                 "a\x0bb c"],
         "lang": "en", "source": "s",
-        "n_chars": pd.array([0] * 5, dtype="int64"),
+        "n_chars": pd.array([0] * 6, dtype="int64"),
     }).to_parquet(p)
-    got = sorted((r["doc_id"], r["chunk_idx"], r["n_tok"])
-                 for r in chunk_tokens_overlap(spark, str(tmp_path))
-                 .collect())
+    got4 = sorted((r["doc_id"], r["chunk_idx"], r["n_tok"], r["chunk_md5"])
+                  for r in chunk_tokens_overlap(spark, str(tmp_path))
+                  .collect())
+    got = [(d, k, n) for d, k, n, _ in got4]
     assert [(d, k, n) for d, k, n in got if d == 1] == [(1, 0, 5)]
     assert [(d, k, n) for d, k, n in got if d == 2] == [(2, 0, 24)]
     assert [(d, k, n) for d, k, n in got if d == 3] == [(3, 0, 25),
@@ -864,13 +869,18 @@ def test_chunk_tokens_overlap_edges_and_plan(spark, tmp_path):
     assert [(d, k, n) for d, k, n in got if d == 4] == [
         (4, 0, 32), (4, 1, 32), (4, 2, 32), (4, 3, 8)]
     assert [(d, k, n) for d, k, n in got if d == 5] == [(5, 0, 0)]
+    assert [(d, k, n) for d, k, n in got if d == 6] == [(6, 0, 3)]
 
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM "
                 "read_parquet('{}')".format(p))
-    exp = sorted((r[0], r[1], r[2]) for r in
-                 con.sql(ORACLES["chunk_tokens_overlap"]).fetchall())
-    assert got == exp
+    # FULL-row equality incl. chunk_md5: the empty chunk must hash as
+    # md5('') on both engines (DuckDB's empty array_to_string is NULL
+    # and is coalesced — dropping md5 from this compare would have
+    # hidden exactly that divergence)
+    exp4 = sorted(tuple(r) for r in
+                  con.sql(ORACLES["chunk_tokens_overlap"]).fetchall())
+    assert got4 == exp4
 
     plan = chunk_tokens_overlap(spark, str(tmp_path)) \
         ._jdf.queryExecution().executedPlan().toString()
