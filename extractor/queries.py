@@ -3952,6 +3952,72 @@ def w8_rank_family(spark, sf_dir):
         F.ntile(4).over(w).cast("long").alias("quartile"))
 
 
+@_q("a9_percentile_exact", sql="""
+SELECT event_type,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       CAST(count(*) AS BIGINT)   AS n
+FROM events GROUP BY event_type
+""")
+def a9_percentile_exact(spark, sf_dir):
+    """EXACT per-group percentiles (p50/p95) — the precise counterpart
+    to sketch_event_stats' mergeable GK approximation. Both engines
+    implement the same linear-interpolation definition (SQL
+    percentile_cont): rank h = (n-1)p, result = v[floor(h)] +
+    (h - floor(h)) * (v[floor(h)+1] - v[floor(h)]) — bit-identical
+    doubles cross-engine (verified at sf0.01, no rounding pin needed).
+
+    Scale contract (same as agg_mad_value): an exact percentile is not
+    mergeable, so each group's values gather on one executor — right
+    for bounded-cardinality keys like event_type; unbounded keys must
+    use the sketch. One shuffle on event_type."""
+    e = t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.expr("percentile(value, array(0.5D, 0.95D))").alias("p"),
+                 F.count("*").cast("long").alias("n"))
+            .selectExpr("event_type", "p[0] AS p50", "p[1] AS p95", "n"))
+
+
+@_q("a10_grouping_sets", sql="""
+SELECT COALESCE(event_type, '*') AS etype,
+       COALESCE(CAST(user_id % 10 AS VARCHAR), '*') AS ubucket,
+       CAST(grouping(event_type) * 2
+            + grouping(user_id % 10) AS BIGINT) AS gid,
+       round(sum(value), 6) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+""")
+def a10_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the irregular-lattice member of the
+    multi-aggregation family (a7 ROLLUP gives prefixes, a8 CUBE the
+    full lattice; GROUPING SETS picks exactly the marginals wanted):
+    per-event-type totals, per-user-bucket totals, and the grand
+    total in ONE pass. grouping() flags disambiguate a real value
+    from the rolled-up '*', exactly as in a7/a8.
+
+    Scale shape: one Expand + one shuffle — Spark expands each input
+    row once per grouping set (3x here) and aggregates with map-side
+    combine; three separate GROUP BYs would scan the fact table three
+    times. sum rounded to 6dp to absorb summation-order noise (the
+    a7/a8 convention)."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "ubucket_raw", (F.col("user_id") % 10))
+    return (e.groupingSets([["event_type"], ["ubucket_raw"], []],
+                           "event_type", "ubucket_raw")
+            # grouping() flags are aggregate-scope expressions — they
+            # must be computed inside agg(), not a downstream select
+            .agg((F.grouping("event_type") * 2
+                  + F.grouping("ubucket_raw")).cast("long").alias("gid"),
+                 F.round(F.sum("value"), 6).alias("sum_value"),
+                 F.count("*").cast("long").alias("n"))
+            .select(
+                F.coalesce("event_type", F.lit("*")).alias("etype"),
+                F.coalesce(F.col("ubucket_raw").cast("string"),
+                           F.lit("*")).alias("ubucket"),
+                "gid", "sum_value", "n"))
+
+
 _LOGREG_BIAS = -0.2  # fixed public toy model: w_j = ((37j mod 19) - 9)/10
 
 
