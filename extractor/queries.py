@@ -4073,6 +4073,145 @@ def embedding_logreg_inference(spark, sf_dir):
 
 
 # ===========================================================================
+# Round-4 continuation: log compaction, vocabulary stats, preference pairs
+# ===========================================================================
+
+@_q("w9_rle_collapse", sql="""
+WITH runs AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+grp AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_idx
+  FROM runs)
+SELECT user_id, CAST(run_idx AS BIGINT) AS run_idx, event_type,
+       CAST(count(*) AS BIGINT) AS run_len,
+       min(event_id) AS min_event_id
+FROM grp GROUP BY user_id, run_idx, event_type
+""")
+def w9_rle_collapse(spark, sf_dir):
+    """Consecutive-duplicate collapse (run-length encoding) over each
+    user's event stream — the transcript-cleaning primitive that
+    collapses repeated retry turns / duplicated log lines before any
+    downstream dedup (a run of k identical consecutive event_types
+    becomes ONE row with run_len=k). Change detection is null-safe
+    (Spark ~eqNullSafe == SQL IS DISTINCT FROM), order is fully
+    deterministic ((ts, event_id) tiebreak), and the output is
+    all-integer/string — exact cross-engine, no FP anywhere.
+
+    Scale shape: one shuffle on user_id; the lag window, the running
+    sum, and the final groupBy all share the same partitioning
+    (Catalyst plans a single Exchange — the groupBy keys are a
+    superset of the window partition key), so the stream compacts in
+    one pass per user partition."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+        F.lit(0)).otherwise(F.lit(1))
+    run = (e.withColumn("chg", chg)
+           .withColumn("run_idx",
+                       F.sum("chg").over(
+                           w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (run.groupBy("user_id", "run_idx", "event_type")
+            .agg(F.count("*").cast("long").alias("run_len"),
+                 F.min("event_id").alias("min_event_id"))
+            .select("user_id", F.col("run_idx").cast("long").alias("run_idx"),
+                    "event_type", "run_len", "min_event_id"))
+
+
+_VOCAB_TOP_K = 16  # in-vocab = the corpus's top-K tokens by frequency
+
+
+@_q("vocab_oov_rate", sql=r"""
+WITH toks AS (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                            '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS w
+              FROM documents),
+vocab AS (SELECT w FROM (SELECT w, count(*) c FROM toks GROUP BY w)
+          ORDER BY c DESC, w LIMIT 16),
+j AS (SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN vocab v USING (w))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
+FROM j GROUP BY doc_id
+""")
+def vocab_oov_rate(spark, sf_dir):
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-K frequency vocabulary — the tokenizer-coverage / domain-shift
+    diagnostic every pretraining data audit runs (docs whose tokens
+    fall outside the head vocabulary are candidates for mojibake,
+    code, or underrepresented languages). Vocabulary = top-16 tokens
+    by (count DESC, token ASC) — the tie at the K boundary is
+    deterministic by construction. oov_rate is a SINGLE int/int
+    division, bit-identical cross-engine (no rounding pin needed).
+
+    Scale shape: tokens explode once; the vocabulary is a
+    TakeOrderedAndProject (per-partition heap + K-row driver merge,
+    never a global sort) whose K rows broadcast into the probe join —
+    the corpus-side token stream is never shuffled for membership,
+    only for the final per-doc groupBy. Empty docs have no tokens and
+    are absent by definition (n_tok >= 1 for every emitted row)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                           lambda x: x != "")).alias("w"))
+    vocab = (toks.groupBy("w").agg(F.count("*").alias("c"))
+             .orderBy(F.desc("c"), F.asc("w")).limit(_VOCAB_TOP_K)
+             .select("w"))
+    j = toks.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))),
+                  "w", "left")
+    return (j.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tok"),
+                 F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_oov"))
+            .select("doc_id", "n_tok", "n_oov",
+                    (F.col("n_oov").cast("double") / F.col("n_tok"))
+                    .alias("oov_rate")))
+
+
+@_q("dpo_pair_build", sql="""
+SELECT lang, source,
+       first(doc_id ORDER BY n_chars DESC, doc_id DESC) AS chosen_doc,
+       first(doc_id ORDER BY n_chars ASC, doc_id ASC)   AS rejected_doc,
+       max(n_chars) - min(n_chars) AS margin,
+       CAST(count(*) AS BIGINT) AS group_n
+FROM documents
+GROUP BY lang, source
+HAVING count(*) >= 2
+""")
+def dpo_pair_build(spark, sf_dir):
+    """Preference-pair construction for DPO/RLHF-style training: per
+    prompt group (here (lang, source) — the grouping a real pipeline
+    would key on prompt id), pick the best and worst response by a
+    deterministic quality score (n_chars, with doc_id as total
+    tiebreak) and emit (chosen, rejected, margin). Groups of one are
+    dropped — a pair needs two distinct members, guaranteed because
+    doc_id is unique. The batch twin of sft_pair_build (which builds
+    supervised context->target pairs; this builds contrastive ones).
+    All-integer output, exact cross-engine.
+
+    Scale shape: ONE shuffle — a single groupBy computing both
+    extremes via max_by/min_by over the same struct ordering
+    (argmax/argmin are mergeable aggregates: partial per partition,
+    merge at reduce; no window, no sort, no second pass)."""
+    d = t(spark, sf_dir, "documents")
+    return (d.groupBy("lang", "source")
+            .agg(F.expr("max_by(doc_id, struct(n_chars, doc_id))")
+                 .alias("chosen_doc"),
+                 F.expr("min_by(doc_id, struct(n_chars, doc_id))")
+                 .alias("rejected_doc"),
+                 (F.max("n_chars") - F.min("n_chars")).alias("margin"),
+                 F.count("*").cast("long").alias("group_n"))
+            .where(F.col("group_n") >= 2))
+
+
+# ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================
 # The round-3 driver recorded CORRECTNESS rows for only the first ~50

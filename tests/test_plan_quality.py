@@ -380,3 +380,41 @@ def test_runtime_bloom_filter_reduces_probe_side(spark, tmp_path):
             else:
                 spark.conf.set(k, v)
     assert got == exp > 0
+
+
+def test_round4_batch_plan_shapes(spark):
+    """Plan gates for the round-4 continuation batch:
+
+    - w9_rle_collapse: ONE exchange total, on user_id — the lag
+      window, the running sum, and the final (user_id, run_idx,
+      event_type) groupBy all reuse the window's hashpartitioning
+      (user_id is a subset of the group keys, so ClusteredDistribution
+      is already satisfied; a second exchange would mean the reuse
+      broke).
+    - vocab_oov_rate: the K-row vocabulary must broadcast into the
+      probe (never shuffle the corpus token stream for membership),
+      and the vocab build must be a TakeOrdered, not a global sort.
+    - dpo_pair_build: ONE exchange on (lang, source) — max_by/min_by
+      are mergeable, so no window/sort appears.
+    """
+    from extractor.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    plan = (QUERIES["w9_rle_collapse"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    ex = re.findall(r"Exchange \w+", plan)
+    assert len(ex) == 1 and "hashpartitioning" in ex[0], plan
+
+    plan = (QUERIES["vocab_oov_rate"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+    plan = (QUERIES["dpo_pair_build"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    ex = re.findall(r"Exchange \w+", plan)
+    assert len(ex) == 1 and "hashpartitioning" in ex[0], plan
+    assert "Window" not in plan, plan
