@@ -4211,6 +4211,199 @@ def dpo_pair_build(spark, sf_dir):
             .where(F.col("group_n") >= 2))
 
 
+@_q("ngram_novelty_rate", sql="WITH " + _SHINGLES_SQL + """
+, dfr AS (SELECT s, count(*) AS df FROM ex GROUP BY s)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS dup_rate
+FROM ex JOIN dfr USING (s) GROUP BY doc_id
+""")
+def ngram_novelty_rate(spark, sf_dir):
+    """Per-document duplication rate: the fraction of a doc's distinct
+    word-3-gram shingles that also appear in at least one OTHER doc
+    (df >= 2) — the memorization-risk / cross-doc-duplication metric
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better") report per corpus, here per document so the tail
+    is actionable. Shares _shingles with dedup_ngram_jaccard (distinct
+    shingles per doc, so df counts documents, not occurrences).
+    dup_rate is a SINGLE int/int division — bit-identical cross-engine.
+
+    Scale shape: shingles hash to 8-byte xxhash64 join keys (Spark
+    side only — the oracle joins the strings; same counts unless a
+    64-bit collision merges two shingles, the same accepted risk as
+    dedup_ngram_jaccard); df is one map-side-combinable groupBy; the
+    join back is equi on the hashed key; final per-doc agg is one
+    more shuffle. No df cap is needed — unlike the pair join, a hot
+    shingle contributes one counter here, not a quadratic blowup."""
+    hashed = _shingles(spark, sf_dir).select(
+        "doc_id", F.xxhash64("s").alias("s"))
+    dfr = hashed.groupBy("s").agg(F.count("*").alias("df"))
+    return (hashed.join(dfr, "s")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_shingles"),
+                 F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+                 .cast("long").alias("n_dup"))
+            .select("doc_id", "n_shingles", "n_dup",
+                    (F.col("n_dup").cast("double") / F.col("n_shingles"))
+                    .alias("dup_rate")))
+
+
+@_q("char_entropy", sql=r"""
+WITH ch AS (SELECT doc_id,
+                   unnest(regexp_extract_all(substr(text, 1, 2000),
+                                             '[^\n\r]')) AS ch
+            FROM documents),
+h AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+doc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_scored,
+               sum(c * ln(c)) AS s
+        FROM h GROUP BY doc_id)
+SELECT doc_id, n_scored, round(ln(n_scored) - s / n_scored, 4) AS entropy_r
+FROM doc
+""")
+def char_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the character distribution
+    (nats) — the cheapest mojibake / binary-junk / pathological-
+    repetition detector a corpus audit runs (natural text sits ~3-4.5
+    nats; base64 blobs and single-char floods fall far outside).
+    Computed as ln(n) - (1/n) * sum(c * ln c) over the per-char counts
+    c — one algebraic pass, no per-char probability division. Scoring
+    is bounded to the first 2000 chars per doc (standard practice:
+    quality signals don't need the tail, and the bound caps the
+    explode at 2000 rows/doc regardless of document size). The char
+    class is the explicit [^\\n\\r] on BOTH engines (Java's '.' and
+    RE2's '.' disagree on \\r and U+0085 — same trap as _WS_CLASS).
+
+    Cross-engine FP: sum order differs (partial aggregation vs
+    sequential), noise ~1e-13 relative; emitted rounded to 4 decimals
+    with the rounding-boundary margin pinned by test far above the
+    noise."""
+    d = t(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(
+            F.substring("text", 1, 2000), F.lit(r"[^\n\r]"),
+            F.lit(0))).alias("ch"))
+    h = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    doc = (h.groupBy("doc_id")
+           .agg(F.sum("c").cast("long").alias("n_scored"),
+                F.sum(F.col("c") * F.log(F.col("c"))).alias("s")))
+    return doc.select(
+        "doc_id", "n_scored",
+        F.round(F.log(F.col("n_scored")) - F.col("s") / F.col("n_scored"), 4)
+        .alias("entropy_r"))
+
+
+@_q("unigram_lm_nll", sql=r"""
+WITH toks AS (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                            '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS w
+              FROM documents),
+dw AS (SELECT doc_id, w, count(*) AS m FROM toks GROUP BY doc_id, w),
+cnt AS (SELECT w, CAST(sum(m) AS BIGINT) AS c FROM dw GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T, CAST(count(*) AS DOUBLE) AS V
+        FROM cnt),
+doc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tok,
+               sum(m * -ln((c + 1.0) / (T + V))) / sum(m) AS nll
+        FROM dw JOIN cnt USING (w), tot GROUP BY doc_id)
+SELECT doc_id, n_tok, round(nll, 4) AS nll_r
+FROM doc
+""")
+def unigram_lm_nll(spark, sf_dir):
+    """CCNet-style language-model quality score: train an add-one-
+    smoothed unigram LM on the corpus itself (p(w) = (c(w)+1)/(T+V)),
+    then score every document by its mean per-token negative
+    log-likelihood — the head/middle/tail perplexity signal Wenzek et
+    al. 2020 (CCNet) bucket crawl data by before sampling. Emitted as
+    the raw nll (4 decimals); the bucketing cut is a consumer choice
+    (percentile on this column — at 100 TB via the GK sketch, which
+    sketch_event_stats already provides, never an exact gather).
+
+    Scale shape: tokens reduce to (doc, word, multiplicity) FIRST
+    (map-side combinable; the LM join then moves distinct pairs, not
+    token instances), word counts are one groupBy, (T, V) is a 1-row
+    broadcast, and the per-doc score is one more shuffle on doc_id.
+    The LM join is equi on the word — hot stopwords are wide keys but
+    each carries one 8-byte count, and AQE splits skewed probe
+    partitions (same regime as the drilled joins).
+
+    Cross-engine FP: per-doc sum order differs; noise ~1e-13
+    relative. nll_r is rounded to 4 decimals with the boundary margin
+    pinned by test. n_tok and the join structure are exact."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                           lambda x: x != "")).alias("w"))
+    dw = (toks.groupBy("doc_id", "w").agg(F.count("*").alias("m"))
+          .persist())  # two consumers: LM counts + the scored probe
+    cnt = (dw.groupBy("w").agg(F.sum("m").alias("c"))
+           .persist())  # two consumers: (T, V) + the LM join
+    tot = cnt.agg(F.sum("c").cast("double").alias("T"),
+                  F.count("*").cast("double").alias("V"))
+    scored = (dw.join(cnt, "w").crossJoin(F.broadcast(tot))
+              .select("doc_id", "m",
+                      (F.col("m") * -F.log((F.col("c") + 1.0)
+                                           / (F.col("T") + F.col("V"))))
+                      .alias("mnll")))
+    doc = (scored.groupBy("doc_id")
+           .agg(F.sum("m").cast("long").alias("n_tok"),
+                (F.sum("mnll") / F.sum("m")).alias("nll")))
+    return doc.select("doc_id", "n_tok", F.round("nll", 4).alias("nll_r"))
+
+
+@_q("corpus_zipf_stats", sql=r"""
+WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text),
+                            '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS w
+              FROM documents),
+cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+top AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+        FROM cnt ORDER BY c DESC, w LIMIT 100),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS distinct_terms FROM cnt)
+SELECT total_tokens, distinct_terms,
+       round((SELECT regr_slope(ln(c), ln(r)) FROM top), 4) AS zipf_slope_r,
+       round(ln(distinct_terms) / ln(total_tokens), 6) AS heaps_ratio_r
+FROM tot
+""")
+def corpus_zipf_stats(spark, sf_dir):
+    """One-row corpus-health fingerprint: total/distinct token counts,
+    the Zipf slope (OLS of ln(frequency) on ln(rank) over the top-100
+    terms — natural corpora sit near -1; synthetic or templated text
+    drifts far off), and the Heaps ratio ln(V)/ln(T) (vocabulary
+    growth exponent). The audit a pipeline runs per ingest batch to
+    catch a broken upstream (wrong tokenizer, collapsed dedup, junk
+    flood) in one cheap scan.
+
+    Scale shape: one token count groupBy; the top-100 is a
+    TakeOrderedAndProject (per-partition heap, K-row driver merge);
+    the rank window and regression run over <= 100 rows (single tiny
+    partition — bounded by K, not by data); (T, V) is a 1-row
+    aggregate. Nothing global ever sorts.
+
+    Cross-engine FP: regr_slope accumulates moments in different
+    orders; both emit rounded to 4 (slope) / 6 (ratio) decimals with
+    boundary margins pinned by test."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                           lambda x: x != "")).alias("w"))
+    cnt = toks.groupBy("w").agg(F.count("*").alias("c")).persist()
+    # two consumers (top + tot); see PERSIST NOTE
+    top = cnt.orderBy(F.desc("c"), F.asc("w")).limit(100)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w"))))
+    slope = ranked.agg(
+        F.regr_slope(F.log("c"), F.log("r")).alias("zipf_slope"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("total_tokens"),
+                  F.count("*").cast("long").alias("distinct_terms"))
+    return (tot.crossJoin(F.broadcast(slope))
+            .select("total_tokens", "distinct_terms",
+                    F.round("zipf_slope", 4).alias("zipf_slope_r"),
+                    F.round(F.log("distinct_terms") / F.log("total_tokens"),
+                            6).alias("heaps_ratio_r")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

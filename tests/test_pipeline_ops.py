@@ -885,3 +885,76 @@ def test_chunk_tokens_overlap_edges_and_plan(spark, tmp_path):
     plan = chunk_tokens_overlap(spark, str(tmp_path)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_round4_text_stats_margins_and_plans(spark):
+    """Cross-engine exactness margins for the round-4 text-statistics
+    batch (char_entropy, unigram_lm_nll, corpus_zipf_stats): every
+    emitted value's UNROUNDED distance to its rounding boundary must
+    exceed the ~1e-13 summation-order noise between Spark partial
+    aggregation and DuckDB sequential aggregation by orders of
+    magnitude. Measured with a numpy replay of the same formulas.
+    Plan gates: novelty joins are equi (never cartesian), entropy is
+    join-free, zipf's top-100 is a TakeOrdered (no global sort)."""
+    import collections
+    import math
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    from extractor.queries import QUERIES
+
+    def boundary_margin(vals, dp):
+        scaled = np.asarray(vals, dtype=float) * 10 ** dp
+        frac = np.abs(scaled - np.round(scaled))
+        return float(np.min(np.abs(frac - 0.5)))
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = pd.read_parquet(os.path.join(sf, "documents.parquet"))
+
+        # char_entropy replay: ln(n) - sum(c ln c)/n over first 2000
+        # chars (no \n\r in testdata, verified by the regex class)
+        ents = []
+        for txt in docs["text"]:
+            c = collections.Counter(str(txt)[:2000])
+            n = sum(c.values())
+            ents.append(math.log(n) - sum(k * math.log(k)
+                                          for k in c.values()) / n)
+        assert boundary_margin(ents, 4) > 1e-6, boundary_margin(ents, 4)
+
+        # unigram_lm_nll replay
+        toks = [str(t).lower().split(" ") for t in docs["text"]]
+        cnt = collections.Counter(w for ws in toks for w in ws if w)
+        T, V = float(sum(cnt.values())), float(len(cnt))
+        nlls = []
+        for ws in toks:
+            ws = [w for w in ws if w]
+            if ws:
+                nlls.append(sum(-math.log((cnt[w] + 1.0) / (T + V))
+                                for w in ws) / len(ws))
+        assert boundary_margin(nlls, 4) > 1e-6, boundary_margin(nlls, 4)
+
+        # zipf slope replay over top-100 (count desc, word asc)
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        x = np.log(np.arange(1, len(top) + 1, dtype=float))
+        y = np.log(np.array([c for _, c in top], dtype=float))
+        slope = float(np.polyfit(x, y, 1)[0])
+        assert boundary_margin([slope], 4) > 1e-6, slope
+        assert boundary_margin([math.log(V) / math.log(T)], 6) > 1e-6
+
+    sf = "/root/testdata/sf0.001"
+    plan = (QUERIES["ngram_novelty_rate"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    plan = (QUERIES["char_entropy"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan, plan
+    assert len(_re.findall(r"Exchange \w+", plan)) == 2, plan
+
+    plan = (QUERIES["corpus_zipf_stats"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
