@@ -4404,6 +4404,103 @@ def corpus_zipf_stats(spark, sf_dir):
                             6).alias("heaps_ratio_r")))
 
 
+_KMEANS_K, _KMEANS_ITER = 8, 2
+
+
+@_q("kmeans_lloyd_assign", sql="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+a1 AS (SELECT vec_id, v, cid FROM (
+         SELECT e.vec_id, e.v, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+         FROM e CROSS JOIN c0 c) WHERE rn = 1),
+u1 AS (SELECT cid, d, avg(x) AS m
+       FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS d
+             FROM a1)
+       GROUP BY cid, d),
+c1 AS (SELECT cid, list(m ORDER BY d) AS cv FROM u1 GROUP BY cid
+       UNION ALL
+       SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cid FROM u1)),
+a2 AS (SELECT vec_id, v, cid FROM (
+         SELECT e.vec_id, e.v, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+         FROM e CROSS JOIN c1 c) WHERE rn = 1),
+u2 AS (SELECT cid, d, avg(x) AS m
+       FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS d
+             FROM a2)
+       GROUP BY cid, d),
+c2 AS (SELECT cid, list(m ORDER BY d) AS cv FROM u2 GROUP BY cid
+       UNION ALL
+       SELECT cid, cv FROM c1 WHERE cid NOT IN (SELECT cid FROM u2)),
+a3 AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+         FROM e CROSS JOIN c2 c) WHERE rn = 1)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a3
+""")
+def kmeans_lloyd_assign(spark, sf_dir):
+    """Deterministic Lloyd k-means over the embedding table — K=8,
+    init = the first K vectors by vec_id, exactly 2 update iterations,
+    output = the final assignment. The iterative-training pattern
+    Spark MLlib's KMeans uses, expressed directly: per iteration the
+    assignment is a ZERO-SHUFFLE projection (current centroids inlined
+    as a literal array, argmin via one JVM transform/array_min lambda
+    with struct (dist, cid) tie-break — smaller cid wins exact ties),
+    and the update is ONE shuffle (explode dims, groupBy (cid, dim)
+    avg — map-side combinable) followed by a BOUNDED driver collect of
+    K x dim = 512 coordinate means (constant in n — centroids living
+    on the driver between iterations is how MLlib does it too). An
+    empty cluster keeps its previous centroid on both engines.
+
+    The DuckDB oracle replays the same two Lloyd steps as a CTE chain
+    (arg_min over [distance, cid] lists == the struct tie-break;
+    list_distance's sqrt is monotone in the squared distance Spark
+    computes, so argmins agree wherever the squared-distance gap
+    clears FP noise — per-round argmin margins are measured in
+    tests/test_pipeline_ops.py). Integer-only output: no rounding
+    pins anywhere."""
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v"))
+         .persist())  # scanned once per assign/update round
+    rows = e.where(F.col("vec_id") < _KMEANS_K).orderBy("vec_id").collect()
+    if not rows:
+        raise ValueError(
+            "kmeans_lloyd_assign: no vectors with vec_id < {} to seed "
+            "centroids".format(_KMEANS_K))
+    cents = [(int(r["vec_id"]), list(r["v"])) for r in rows]
+
+    def _assign(frame, cs):
+        lit = F.array(*[
+            F.struct(F.lit(cid).alias("cid"),
+                     F.array(*[F.lit(float(x)) for x in cv]).alias("cv"))
+            for cid, cv in cs])
+        best = F.expr(
+            "array_min(transform(__cents, x -> struct("
+            "aggregate(zip_with(v, x.cv, (a, b) -> (a - b) * (a - b)),"
+            " 0D, (acc, s) -> acc + s) AS dist, x.cid AS cid)))")
+        return (frame.withColumn("__cents", lit)
+                .withColumn("cid", best.getField("cid"))
+                .drop("__cents"))
+
+    for _ in range(_KMEANS_ITER):
+        asg = _assign(e, cents)
+        means = (asg.select("cid", F.posexplode("v").alias("d", "x"))
+                 .groupBy("cid", "d").agg(F.avg("x").alias("m"))
+                 .collect())  # bounded: K x dim rows, constant in n
+        upd: dict[int, list[float]] = {}
+        for r in means:
+            upd.setdefault(int(r["cid"]), [0.0] * len(cents[0][1]))
+        for r in means:
+            upd[int(r["cid"])][int(r["d"])] = float(r["m"])
+        cents = [(cid, upd.get(cid, cv)) for cid, cv in cents]
+    return (_assign(e, cents)
+            .select("vec_id", F.col("cid").cast("long").alias("cluster")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

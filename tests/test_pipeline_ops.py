@@ -958,3 +958,54 @@ def test_round4_text_stats_margins_and_plans(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_kmeans_lloyd_margins_and_plan(spark):
+    """kmeans_lloyd_assign's cross-engine exactness rests on every
+    point's argmin being unambiguous: the relative gap between its
+    best and second-best squared distance must dwarf the FP noise
+    from (a) summation-order differences in the per-dim centroid
+    means and (b) DuckDB's sqrt vs Spark's squared distance. Replay
+    all three assignment rounds in numpy, assert the min relative gap
+    per round, and that the replay's final labels equal Spark's. Plan:
+    each assignment is a literal-centroid projection — the executed
+    plan of the returned frame must contain NO join operator."""
+    import numpy as np
+    import pandas as pd
+
+    from extractor.queries import _KMEANS_ITER, _KMEANS_K, QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = pd.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        emb = emb.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        ids = emb["vec_id"].to_numpy()
+        cents = X[ids < _KMEANS_K].copy()
+        cids = ids[ids < _KMEANS_K].copy()
+
+        def assign(C):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d, axis=1, kind="stable")
+            best, second = d[np.arange(len(X)), order[:, 0]], \
+                d[np.arange(len(X)), order[:, 1]]
+            gap = np.min((second - best) / np.maximum(best, 1e-300))
+            return order[:, 0], gap
+
+        labels = None
+        for _ in range(_KMEANS_ITER):
+            a, gap = assign(cents)
+            assert gap > 1e-9, gap
+            for j in range(len(cids)):
+                m = a == j
+                if m.any():
+                    cents[j] = X[m].mean(axis=0)
+        labels, gap = assign(cents)
+        assert gap > 1e-9, gap
+
+        got = (QUERIES["kmeans_lloyd_assign"](spark, sf).toPandas()
+               .sort_values("vec_id").reset_index(drop=True))
+        assert (got["cluster"].to_numpy() == cids[labels]).all()
+
+    plan = (QUERIES["kmeans_lloyd_assign"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan, plan
