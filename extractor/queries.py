@@ -1903,8 +1903,15 @@ def _min_label_propagation(edges: DataFrame) -> DataFrame:
     edge list; returns (doc_id, cluster_id=component min). Factored
     out of dedup_cluster_assign so deep-diameter graphs (and the
     periodic lineage truncation) are unit-testable directly."""
-    labels = edges.select(F.col("u").alias("doc_id"),
-                          F.col("u").alias("cluster_id")).distinct().persist()
+    # fused round 1: from identity labels, one propagation step is just
+    # label(u) = min(u, min over neighbors v) — a single aggregation,
+    # replacing the generic round's two joins (and the distinct() init:
+    # the groupBy already dedups u)
+    labels = (edges.groupBy("u")
+              .agg(F.least(F.col("u"), F.min("v")).alias("cluster_id"))
+              .select(F.col("u").alias("doc_id"), "cluster_id")
+              .persist())
+    cached = labels  # the currently-persisted round frame
     converged = False
     # hard cap well above any plausible near-dup component diameter;
     # hitting it without convergence is an error, never a silent
@@ -1913,23 +1920,27 @@ def _min_label_propagation(edges: DataFrame) -> DataFrame:
     for rnd in range(1, 51):
         neigh = (edges.join(labels, edges["v"] == labels["doc_id"])
                  .groupBy("u").agg(F.min("cluster_id").alias("nmin")))
-        new_labels = (labels.join(neigh, labels["doc_id"] == neigh["u"], "left")
-                      .select(labels["doc_id"],
-                              F.least("cluster_id", F.coalesce("nmin", "cluster_id"))
-                              .alias("cluster_id")))
+        # carry the previous label through the update so convergence is
+        # read off the SAME materialization (one filter+count over the
+        # cached frame) instead of a separate labels-vs-new join — that
+        # extra join added a whole shuffle per round and dominated the
+        # loop's wall time on small graphs
+        upd = (labels.join(neigh, labels["doc_id"] == neigh["u"], "left")
+               .select(labels["doc_id"],
+                       F.col("cluster_id").alias("old_cid"),
+                       F.least("cluster_id", F.coalesce("nmin", "cluster_id"))
+                       .alias("cluster_id")))
         if rnd % 5 == 0:
             # truncate lineage: over many rounds the plan otherwise
             # grows one join+agg layer per round and replanning cost
             # compounds
-            new_labels = new_labels.localCheckpoint(eager=True)
+            upd = upd.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.persist()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                   .count())
-        labels.unpersist()
-        labels = new_labels
+            upd = upd.persist()
+        changed = upd.where(F.col("cluster_id") != F.col("old_cid")).count()
+        cached.unpersist()  # the PERSISTED handle (labels is a projection)
+        cached = upd
+        labels = upd.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True
             break
