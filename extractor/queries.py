@@ -4512,6 +4512,102 @@ def kmeans_lloyd_assign(spark, sf_dir):
             .select("vec_id", F.col("cid").cast("long").alias("cluster")))
 
 
+@_q("deterministic_sample", sql="""
+SELECT doc_id, lang, source,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 100 AS BIGINT) AS bucket
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 100 < 10
+""")
+def deterministic_sample(spark, sf_dir):
+    """Reproducible 10% corpus sample by keyed hashing — the way a
+    100 TB pipeline actually samples (df.sample() draws from a
+    per-partition RNG whose output changes with partitioning, retries,
+    and Spark version; a hash of the stable key gives the SAME sample
+    on every engine, every run, every cluster size — and it composes:
+    the same predicate re-selects the identical rows in a later job
+    without materializing the sample). Bucket = top-60-bits-of-md5 mod
+    100, the repo's established shared cross-engine integer hash
+    (identical hex -> identical bigint on Spark and DuckDB).
+
+    Scale shape: a pure narrow filter+projection — zero Exchange, no
+    RNG state, trivially pushed behind any downstream operator."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 15), 16, 10)
+              .cast("long") % 100)
+    return (d.select("doc_id", "lang", "source",
+                     bucket.cast("long").alias("bucket"))
+            .where(F.col("bucket") < 10))
+
+
+@_q("pair_graph_triangles", sql="WITH " + _MINHASH_VP_CTES + """
+, deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+          FROM (SELECT doc_a AS u FROM vp
+                UNION ALL SELECT doc_b FROM vp) GROUP BY u),
+tri AS (SELECT count(*) AS n_tri
+        FROM vp e1 JOIN vp e2 ON e1.doc_b = e2.doc_a
+                   JOIN vp e3 ON e3.doc_a = e1.doc_a
+                              AND e3.doc_b = e2.doc_b),
+wed AS (SELECT sum(d * (d - 1) / 2) AS n_wed FROM deg)
+SELECT CAST(n_tri AS BIGINT) AS n_triangles,
+       CAST(n_wed AS BIGINT) AS n_wedges,
+       CASE WHEN n_wed = 0 THEN 0.0
+            ELSE CAST(3 * n_tri AS DOUBLE) / n_wed END AS clustering
+FROM tri, wed
+""")
+def pair_graph_triangles(spark, sf_dir):
+    """Triangle count + global clustering coefficient of the verified
+    near-dup pair graph — the dedup-graph diagnostic that separates
+    true duplicate CLUSTERS (clustering -> 1: pairs close transitively,
+    components are cliques, keep-one-per-component is safe) from
+    CHAINS of marginal pairs (clustering -> 0: A~B~C but A!~C, where
+    keep-one policies silently drop non-duplicates). Triangles are
+    enumerated on the canonical a<b edge orientation — (a<b<c) joins
+    (a,b)x(b,c) then closes with (a,c), each triangle counted exactly
+    once (the standard distributed formulation; Suri & Vassilvitskii
+    WWW'11). Wedges come from the degree table; clustering =
+    3*triangles / wedges is a single int/int division, bit-identical
+    cross-engine.
+
+    Scale shape: two equi self-joins on a graph that is ~orders
+    smaller than the corpus (verified pairs only); join-key
+    multiplicity is bounded by max degree, and a K-clique component
+    contributes C(K,3) triangles BY DEFINITION — cubic in cluster
+    size, not corpus size (same inherent-output caveat as
+    simhash_hamming_pairs documents). The pair frame is persisted
+    once and feeds all three roles."""
+    pairs = (minhash_verified_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").persist())  # 3 join roles + deg
+    return _triangle_stats(pairs)
+
+
+def _triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Triangle/wedge/clustering core over a canonical (doc_a < doc_b)
+    edge frame; factored out of pair_graph_triangles so the counting
+    math is unit-testable on constructed graphs (open wedges are
+    near-impossible to plant through the LSH front-end: Jaccard is a
+    metric, so two >=tau edges bound the closing edge's similarity
+    from below — verified-pair graphs are clique-like BY NATURE)."""
+    deg = (pairs.selectExpr("doc_a AS u")
+           .unionByName(pairs.selectExpr("doc_b AS u"))
+           .groupBy("u").agg(F.count("*").alias("d")))
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+           .join(e3, (F.col("e3.doc_a") == F.col("e1.doc_a"))
+                 & (F.col("e3.doc_b") == F.col("e2.doc_b")))
+           .agg(F.count("*").alias("n_tri")))
+    wed = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2)
+                  .cast("long").alias("n_wed"))
+    return (tri.crossJoin(F.broadcast(wed))
+            .select(F.col("n_tri").cast("long").alias("n_triangles"),
+                    F.col("n_wed").alias("n_wedges"),
+                    F.when(F.col("n_wed") == 0, F.lit(0.0))
+                    .otherwise((3 * F.col("n_tri")).cast("double")
+                               / F.col("n_wed")).alias("clustering")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

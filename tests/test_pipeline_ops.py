@@ -1009,3 +1009,76 @@ def test_kmeans_lloyd_margins_and_plan(spark):
     plan = (QUERIES["kmeans_lloyd_assign"](spark, "/root/testdata/sf0.001")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan, plan
+
+
+def test_triangle_stats_chain_and_clique(spark):
+    """Unit pin for the triangle/wedge/clustering math on a
+    CONSTRUCTED edge frame — a 4-clique (4 triangles, 12 wedges:
+    4 nodes of degree 3, C(3,2)=3 each) plus an open 3-chain
+    (0 triangles, 1 wedge) and an isolated edge (nothing): totals
+    4 triangles, 13 wedges, clustering 3*4/13 = 12/13.
+    Constructed directly because the LSH front-end
+    cannot reliably plant open wedges (Jaccard's triangle inequality
+    closes high-similarity chains; borderline ones are banding-luck),
+    which is exactly what pair_graph_triangles' docstring claims."""
+    from extractor.queries import _triangle_stats
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(10, 11), (11, 12)]
+    lone = [(20, 21)]
+    pairs = spark.createDataFrame(clique + chain + lone,
+                                  ["doc_a", "doc_b"])
+    got = _triangle_stats(pairs).collect()[0]
+    assert got["n_triangles"] == 4
+    assert got["n_wedges"] == 4 * 3 + 1  # C(3,2)=3 per clique node + chain
+    assert got["clustering"] == 12 / 13
+    # wedge-free graph: clustering defined as 0, not a division error
+    got0 = _triangle_stats(spark.createDataFrame(lone, ["doc_a", "doc_b"])
+                           ).collect()[0]
+    assert (got0["n_triangles"], got0["n_wedges"], got0["clustering"]) \
+        == (0, 0, 0.0)
+
+
+def test_pair_graph_triangles_clique_replay(spark, tmp_path):
+    """End-to-end pin for pair_graph_triangles through the real LSH +
+    verify front-end: a planted 5-doc near-dup clique must close
+    completely (clustering == 1.0 exactly), with triangles and wedges
+    equal to a pure-Python walk over the DuckDB oracle's own verified
+    edge set."""
+    import itertools
+    import os
+
+    import duckdb
+
+    from extractor.queries import ORACLES, QUERIES
+
+    def words(seed, n):
+        return [hashlib.md5("{}-{}".format(seed, i).encode())
+                .hexdigest()[:8] for i in range(n)]
+
+    core = words("clq", 60)
+    docs = [(i, " ".join(core + ["t%d" % i]), "en", "s", 0)
+            for i in range(5)]
+    docs += [(100 + i, " ".join(words("f%d" % i, 40)), "en", "s", 0)
+             for i in range(20)]
+    pd.DataFrame(docs, columns=[
+        "doc_id", "text", "lang", "source", "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('{}')"
+                .format(os.path.join(str(tmp_path), "documents.parquet")))
+    edges = set(map(tuple, con.sql(
+        ORACLES["minhash_verified_pairs"]).df()[["doc_a", "doc_b"]]
+        .itertuples(index=False)))
+    assert len(edges) == 10  # the 5-clique catches completely
+    nodes = sorted({n for e in edges for n in e})
+    n_tri = sum((a, b) in edges and (b, c) in edges and (a, c) in edges
+                for a, b, c in itertools.combinations(nodes, 3))
+    deg = {n: sum(n in e for e in edges) for n in nodes}
+    n_wed = sum(d * (d - 1) // 2 for d in deg.values())
+
+    got = QUERIES["pair_graph_triangles"](spark, str(tmp_path)).collect()[0]
+    assert got["n_triangles"] == n_tri == 10
+    assert got["n_wedges"] == n_wed == 30
+    assert got["clustering"] == 1.0
