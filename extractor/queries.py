@@ -4608,6 +4608,126 @@ def _triangle_stats(pairs: DataFrame) -> DataFrame:
                                / F.col("n_wed")).alias("clustering")))
 
 
+_PFX_TAU = 500  # milli-Jaccard threshold, exact rational arithmetic
+
+
+@_q("jaccard_prefix_join", sql="WITH " + _SHINGLES_SQL + """
+, sz AS (SELECT doc_id, count(*) sz FROM ex GROUP BY doc_id),
+pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST((1000 * inter) // (sa.sz + sb.sz - inter) AS BIGINT) AS jac_milli
+FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+WHERE (1000 * inter) // (sa.sz + sb.sz - inter) >= {tau}
+""".format(tau=_PFX_TAU))
+def jaccard_prefix_join(spark, sf_dir):
+    """Exact set-similarity self-join via PREFIX FILTERING (Chaudhuri,
+    Ganti & Kaushik, SSJoin ICDE'06; Xiao et al., ppjoin WWW'08) —
+    the lossless counterpart to dedup_ngram_jaccard's df-cap strategy
+    over the SAME 3-gram shingle sets: instead of dropping hot
+    shingles (which silently caps recall for stop-shingle-heavy near
+    dups), each doc emits only its PREFIX — the first
+    sz - ceil(tau*sz) + 1 shingles under a global
+    (document-frequency asc, shingle asc) total order — and the
+    published lemma guarantees every pair with Jaccard >= tau shares
+    a prefix shingle (jac >= tau forces |A-and-B| >= ceil(tau*|A|);
+    a doc's prefix is exactly large enough that any tau-overlapping
+    set must hit it). ceil is computed in INTEGER arithmetic
+    ((tau_milli*sz + 999) div 1000) — a float 0.6*5 = 3.0000...04
+    style ceil would silently shrink the prefix and break
+    completeness. ppjoin's length filter (tau*|A| <= |B| <= |A|/tau,
+    also integer milli math) prunes candidates before dedup; exact
+    milli-Jaccard verification keeps only true pairs, so the oracle
+    is plain brute force.
+
+    Scale shape: prefix shingles are the RAREST (1-tau) fraction of
+    each doc under the global df order, so candidate join keys are
+    cold by construction — a frequent shingle enters a prefix only
+    when a doc has almost nothing rarer. No information is dropped
+    (unlike the df cap), at the cost of one extra df join. Shingles
+    ride as xxhash64 bigints (8-byte shuffle rows, same convention as
+    dedup_ngram_jaccard). Worst case (near-identical corpus) is
+    quadratic in OUTPUT by definition — same inherent-output caveat
+    simhash_hamming_pairs documents."""
+    ex = (_shingles(spark, sf_dir)
+          .select("doc_id", F.xxhash64("s").alias("s"))
+          .persist())  # 3 consumers: df table, prefix build, verify
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    pre = (ex.join(dfreq, "s")
+           .groupBy("doc_id")
+           .agg(F.array_sort(F.collect_list(F.struct("df", "s")))
+                .alias("ts"))
+           .select(
+               "doc_id", F.size("ts").alias("sz"),
+               F.expr("transform(slice(ts, 1, size(ts)"
+                      " - (({t} * size(ts) + 999) div 1000) + 1),"
+                      " x -> x.s)".format(t=_PFX_TAU)).alias("pre"))
+           .select("doc_id", "sz", F.explode("pre").alias("s")))
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .where("1000 * a.sz >= {t} * b.sz"
+                   " AND 1000 * b.sz >= {t} * a.sz".format(t=_PFX_TAU))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.sz").alias("sza"),
+                    F.col("b.sz").alias("szb"))
+            .distinct())
+    ta, tb = ex.alias("ta"), ex.alias("tb")
+    inter = (cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+             .join(tb, (F.col("doc_b") == F.col("tb.doc_id"))
+                   & (F.col("ta.s") == F.col("tb.s")))
+             .groupBy("doc_a", "doc_b", "sza", "szb")
+             .agg(F.count("*").alias("inter")))
+    return (inter.select(
+        "doc_a", "doc_b",
+        F.expr("(1000 * inter) div (sza + szb - inter)")
+        .cast("long").alias("jac_milli"))
+        .where("jac_milli >= {t}".format(t=_PFX_TAU)))
+
+
+@_q("weighted_sample_wor", sql="""
+SELECT source, doc_id, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY
+           ln((""" + _H60_DUCK.format(x="CAST(doc_id AS VARCHAR)")
+    + """ + 1) / 1152921504606846976.0) / n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 3
+""")
+def weighted_sample_wor(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, 3 docs per source,
+    inclusion probability proportional to n_chars — the A-Res scheme
+    of Efraimidis & Spirtakis (IPL 2006): each row draws key
+    u^(1/w) with u ~ U(0,1] and the top-k keys per group ARE a
+    weighted sample without replacement. Ranked by ln(u)/w (monotone
+    in the key, numerically tame). u is DETERMINISTIC — (h60+1)/2^60
+    from the repo's shared md5 top-60-bit hash — so the sample is
+    reproducible across engines, runs, retries, and cluster sizes,
+    which df.sample() fundamentally is not (per-partition RNG), and
+    the same expression re-selects the identical rows in a later job
+    without materializing the sample.
+
+    Cross-engine note: ln() is in the 1-ulp class (not bit-pinned,
+    like bm25/logreg), so the emitted columns are integers only
+    (source, doc_id, rank) and the adjacent-key margins around the
+    k boundary are measured in tests — md5-derived keys make a
+    sub-1e-9 gap astronomically unlikely.
+
+    Scale shape: one hash-partitioned window per source (single
+    shuffle); at 10^9 rows/group the same key feeds a groupBy-top-k
+    partial aggregation instead — the KEY stays valid because A-Res
+    keys are independent of how rows are scanned."""
+    d = t(spark, sf_dir, "documents")
+    u = ((F.expr(_H60.format(x="cast(doc_id as string)")) + F.lit(1))
+         / F.lit(float(2 ** 60)))
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.desc(key), F.asc("doc_id"))
+    return (d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+            .where("rn <= 3")
+            .select("source", "doc_id", F.col("rn").cast("long").alias("rank")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -1082,3 +1082,111 @@ def test_pair_graph_triangles_clique_replay(spark, tmp_path):
     assert got["n_triangles"] == n_tri == 10
     assert got["n_wedges"] == n_wed == 30
     assert got["clustering"] == 1.0
+
+
+def test_jaccard_prefix_join_boundary_fixture(spark, tmp_path):
+    """Boundary pin for jaccard_prefix_join: a pair engineered to sit
+    EXACTLY at Jaccard 0.5 (shared 12-word run -> 10 shared interior
+    shingles; 5 unique trailing words each -> 15 shingles/doc; 10/20 =
+    0.5) must be emitted with jac_milli == 500; the same construction
+    with one extra unique word on one side (10/21 -> 476) must be
+    excluded; a near-identical pair lands high. The whole output is
+    then equality-checked against a brute-force pure-Python Jaccard
+    over every doc pair — prefix-filter completeness certified
+    end-to-end, not just on the threshold cases."""
+    import itertools
+
+    from extractor.queries import QUERIES
+
+    def w(tag, n):
+        return ["%s%d" % (tag, i) for i in range(n)]
+
+    shared = w("sh", 12)
+    shared2 = w("sg", 12)
+    texts = [
+        " ".join(shared + w("a", 5)),    # 0: 15 shingles
+        " ".join(shared + w("b", 5)),    # 1: 15 shingles -> jac(0,1)=0.5
+        " ".join(shared2 + w("c", 5)),   # 2: 15 shingles
+        " ".join(shared2 + w("d", 6)),   # 3: 16 shingles -> jac(2,3)=10/21
+        " ".join(w("e", 20) + ["zz"]),   # 4: 19 shingles
+        " ".join(w("e", 20) + ["yy"]),   # 5: 19 shingles -> jac(4,5)=18/20
+        " ".join(w("f", 30)),            # 6: unrelated
+    ]
+    sf = _docs(tmp_path, texts)
+
+    def shingles(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    brute = {}
+    for i, j in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i] | sets[j])
+        jm = (1000 * inter) // union
+        if jm >= 500:
+            brute[(i, j)] = jm
+
+    got = {(r["doc_a"], r["doc_b"]): r["jac_milli"]
+           for r in QUERIES["jaccard_prefix_join"](spark, sf).collect()}
+    assert got == brute
+    assert got[(0, 1)] == 500        # exact-boundary pair included
+    assert (2, 3) not in got         # just-below pair excluded
+    assert got[(4, 5)] == 1000 * 18 // 20
+
+
+def test_jaccard_prefix_join_plan_and_prefix_prune(spark):
+    """Plan gate: candidate generation is an equi join on prefix
+    shingle hashes — no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere in the executed plan. Also measures the prefix's actual
+    pruning power on real data: prefix rows emitted must be at most
+    ~(1-tau)+eps of total shingle rows (the whole point of the
+    strategy vs joining on every shingle)."""
+    from extractor.queries import _PFX_TAU, _shingles, QUERIES
+
+    df = QUERIES["jaccard_prefix_join"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    ex = (_shingles(spark, "/root/testdata/sf0.001")
+          .select("doc_id", "s").distinct())
+    tot = ex.count()
+    per_doc = ex.groupBy("doc_id").count()
+    pre_rows = per_doc.selectExpr(
+        "sum(count - (({t} * count + 999) div 1000) + 1) AS p"
+        .format(t=_PFX_TAU)).collect()[0]["p"]
+    # tau=0.5 -> prefix is ~half of each doc's shingles (+1 slack/doc)
+    assert pre_rows <= tot * (1 - _PFX_TAU / 1000) + per_doc.count()
+
+
+def test_weighted_sample_wor_margins_and_replay(spark):
+    """weighted_sample_wor's cross-engine exactness rests on the
+    A-Res ordering ln(u)/w being unambiguous at every emitted rank:
+    replay the keys in numpy at two SFs, assert Spark's top-3 per
+    source equals the replay exactly, and that the minimum adjacent
+    relative key gap within each source's top-5 dwarfs the 1-ulp
+    ln() divergence class (>= 1e-9)."""
+    import numpy as np
+
+    from extractor.queries import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = pd.read_parquet(os.path.join(sf, "documents.parquet"))
+        h = d["doc_id"].astype(str).map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16))
+        u = (h.to_numpy().astype(np.float64) + 1) / float(2 ** 60)
+        d = d.assign(key=np.log(u) / d["n_chars"].to_numpy())
+        want = {}
+        for src, g in d.groupby("source"):
+            g = g.sort_values(["key", "doc_id"],
+                              ascending=[False, True]).head(5)
+            ks = g["key"].to_numpy()
+            gaps = np.abs(np.diff(ks)) / np.maximum(np.abs(ks[:-1]), 1e-300)
+            assert gaps.min() > 1e-9, (src, gaps.min())
+            for rank, doc in enumerate(g["doc_id"].head(3), 1):
+                want[(src, int(doc))] = rank
+        got = {(r["source"], r["doc_id"]): r["rank"]
+               for r in QUERIES["weighted_sample_wor"](spark, sf).collect()}
+        assert got == want
