@@ -4728,6 +4728,136 @@ def weighted_sample_wor(spark, sf_dir):
             .select("source", "doc_id", F.col("rn").cast("long").alias("rank")))
 
 
+# Product quantization geometry: 64 dims -> _PQ_M subspaces of 4
+# dims, _PQ_K centroids per subspace => a 16-code (12-bit-packable)
+# word per vector, ~16x smaller than float32. ADC scans the codes,
+# keeps the best _PQ_RERANK, and only those touch full vectors again
+# (Jegou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 — including the shortlist + re-rank protocol).
+_PQ_M, _PQ_K, _PQ_SAMPLE, _PQ_ITERS, _PQ_RERANK = 16, 64, 256, 4, 100
+
+
+@_q("ann_pq_topk")  # rows-only: probabilistic recall, like ann_ivf_topk
+def ann_pq_topk(spark, sf_dir):
+    """PQ-compressed ANN (Jegou et al. TPAMI'11) — completes the
+    repo's ANN family: brute (exact), LSH (oblivious buckets), IVF
+    (adaptive cells), PQ (compressed scan + exact re-rank). Vectors
+    are L2-NORMALIZED first so squared-L2 order == cosine order
+    (||a-b||^2 = 2 - 2cos on unit vectors) and recall is measured
+    against the same exact-cosine ground truth as LSH/IVF.
+
+    1. TRAIN (driver, bounded): per-subspace Lloyd k-means on the
+       first _PQ_SAMPLE vec_ids — deterministic init (first _PQ_K
+       subvectors), _PQ_ITERS iterations, empty cell keeps its
+       centroid; constant cost wrt n (same contract as IVF's coarse
+       quantizer).
+    2. ENCODE: one vectorized Arrow pandas UDF (the ivf cell_of
+       convention — numpy argmin per batch against the BROADCAST
+       codebook; a 4096-literal expression would blow codegen), zero
+       shuffle, no per-row Python.
+    3. ADC SHORTLIST: each of the 10 bounded queries precomputes its
+       M*K distance lookup table driver-side; the LUT rides as DATA
+       in the broadcast query frame and approx dist = sum_m
+       lut[m*K + code[m]] is one JVM aggregate over the codes —
+       top-_PQ_RERANK per query by (adc, neighbor_id).
+    4. RE-RANK: only the shortlist (bounded: 10 x _PQ_RERANK rows)
+       joins back to full vectors — broadcast equi join on vec_id —
+       and exact cosine picks the final top-5. Final recall@5 ==
+       shortlist capture rate (the re-rank is exact), floor-gated in
+       tests/test_plan_quality.py.
+
+    Scale story: the corpus-side scan state is M small codes per
+    vector (a 100 TB float corpus becomes a few TB of codes); full
+    vectors are touched only by a shortlist whose size is queries x
+    _PQ_RERANK, independent of n. Encoding is embarrassingly
+    parallel; training is constant-size driver work. At scale PQ
+    composes with IVF (IVF-PQ: probe cells, ADC within) — the cell
+    machinery already exists in ann_ivf_topk."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (pandas_udf signature)
+    from pyspark.sql.functions import pandas_udf
+
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v"))
+         .withColumn("vn", F.expr(
+             "transform(v, x -> x / sqrt(aggregate(v, 0D,"
+             " (a, y) -> a + y * y)))"))
+         .drop("v"))
+
+    # --- train: bounded deterministic sample, per-subspace Lloyd ---
+    sample = np.array(
+        [r["vn"] for r in e.orderBy("vec_id").limit(_PQ_SAMPLE).collect()],
+        dtype=np.float64)
+    if len(sample) < _PQ_K:
+        raise ValueError("ann_pq_topk: need >= {} training vectors, got {}"
+                         .format(_PQ_K, len(sample)))
+    dsub = sample.shape[1] // _PQ_M
+    cb = np.empty((_PQ_M, _PQ_K, dsub))
+    for m in range(_PQ_M):
+        sub = sample[:, m * dsub:(m + 1) * dsub]
+        cent = sub[:_PQ_K].copy()  # deterministic init
+        for _ in range(_PQ_ITERS):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> lowest c (argmin)
+            for c in range(_PQ_K):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        cb[m] = cent
+    b_cb = spark.sparkContext.broadcast(cb)
+
+    # --- encode: Arrow-batched numpy argmin, zero shuffle ---
+    @pandas_udf("array<int>")
+    def encode(vs):
+        X = np.stack(vs.to_numpy())
+        C = b_cb.value
+        cols = []
+        for m in range(_PQ_M):
+            sub = X[:, m * dsub:(m + 1) * dsub]
+            d2 = ((sub[:, None, :] - C[m][None, :, :]) ** 2).sum(axis=2)
+            cols.append(np.argmin(d2, axis=1))
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    coded = e.select("vec_id", encode("vn").alias("codes"))
+
+    # --- ADC shortlist: per-query LUT rides as broadcast data ---
+    qrows = e.where("vec_id < 10").orderBy("vec_id").collect()
+    qdata = []
+    for r in qrows:
+        qv = np.asarray(r["vn"], dtype=np.float64)
+        lut = [float(((qv[m * dsub:(m + 1) * dsub] - cb[m][c]) ** 2).sum())
+               for m in range(_PQ_M) for c in range(_PQ_K)]
+        qdata.append((int(r["vec_id"]), lut, [float(x) for x in qv]))
+    q = spark.createDataFrame(
+        qdata, "query_id long, lut array<double>, qv array<double>")
+    dist_expr = ("aggregate(sequence(0, {M1}), 0D, (acc, m) -> "
+                 "acc + lut[m * {K} + codes[m]])"
+                 ).format(M1=_PQ_M - 1, K=_PQ_K)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id"))
+    shortlist = (coded.crossJoin(F.broadcast(q.select("query_id", "lut")))
+                 .where("vec_id <> query_id")
+                 .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                         F.expr(dist_expr).alias("adc"))
+                 .withColumn("rn", F.row_number().over(w_adc))
+                 .where(F.col("rn") <= _PQ_RERANK)
+                 .drop("rn", "adc"))
+
+    # --- exact re-rank of the bounded shortlist only ---
+    rer = (shortlist.join(F.broadcast(q.select("query_id", "qv")),
+                          "query_id")
+           .join(e, F.col("neighbor_id") == F.col("vec_id"))
+           .select("query_id", "neighbor_id",
+                   F.expr("aggregate(zip_with(vn, qv, (x, y) -> x * y),"
+                          " 0D, (acc, s) -> acc + s)").alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (rer.withColumn("rn", F.row_number().over(w)).where("rn <= 5")
+            .select("query_id", "neighbor_id",
+                    F.col("rn").cast("long").alias("rank")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -418,3 +418,34 @@ def test_round4_batch_plan_shapes(spark):
     ex = re.findall(r"Exchange \w+", plan)
     assert len(ex) == 1 and "hashpartitioning" in ex[0], plan
     assert "Window" not in plan, plan
+
+
+def test_ann_pq_recall_and_rerank_shape(spark):
+    """PQ shortlist + exact re-rank: final recall@5 equals the
+    shortlist capture rate (the re-rank is exact cosine), measured
+    1.00 (sf0.001, sf0.01) / 0.92 (sf0.1) with the fixed M=16/K=64/
+    R=100 geometry — floor 0.75, above the LSH/IVF 0.65 gate because
+    the re-rank protocol should beat single-stage approximations.
+    Determinism: fixed sample, init, iterations. Shape: the ADC scan
+    must read codes through exactly one ArrowEvalPython (the encode
+    UDF) and the full-vector re-rank join must be broadcast, never a
+    sort-merge over the corpus."""
+    from extractor.queries import QUERIES
+
+    for sf, floor in (("/root/testdata/sf0.001", 0.75),
+                      ("/root/testdata/sf0.01", 0.75)):
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in QUERIES["ann_cosine_topk"](spark, sf).collect()}
+        rows = QUERIES["ann_pq_topk"](spark, sf).collect()
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        assert len(rows) == len(got), "duplicate pairs"
+        recall = len(exact & got) / len(exact)
+        print("ann_pq recall vs exact top-5:", sf, recall)
+        assert recall >= floor, (sf, recall)
+
+    df = QUERIES["ann_pq_topk"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
