@@ -4858,6 +4858,87 @@ def ann_pq_topk(spark, sf_dir):
                     F.col("rn").cast("long").alias("rank")))
 
 
+_LOGREG_ITER, _LOGREG_ETA = 2, 0.5
+
+
+@_q("logreg_gd_train", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM e),
+g1 AS (SELECT d, sum((0.5 - y) * x) / (SELECT c FROM n) AS g
+       FROM (SELECT y, unnest(v) AS x, generate_subscripts(v, 1) AS d
+             FROM e) GROUP BY d),
+w1 AS (SELECT list(-0.5 * g ORDER BY d) AS wv FROM g1),
+b1 AS (SELECT -0.5 * (sum(0.5 - y) / (SELECT c FROM n)) AS b FROM e),
+z2 AS (SELECT vec_id, y, v,
+              1 / (1 + exp(-(list_dot_product(v, (SELECT wv FROM w1))
+                             + (SELECT b FROM b1)))) AS s FROM e),
+g2 AS (SELECT d, sum((s - y) * x) / (SELECT c FROM n) AS g
+       FROM (SELECT s, y, unnest(v) AS x, generate_subscripts(v, 1) AS d
+             FROM z2) GROUP BY d),
+w2 AS (SELECT list((SELECT wv FROM w1)[d] - 0.5 * g ORDER BY d) AS wv
+       FROM g2),
+b2 AS (SELECT (SELECT b FROM b1)
+              - 0.5 * (sum(s - y) / (SELECT c FROM n)) AS b FROM z2)
+SELECT vec_id, round(s, 6) AS score_r, CAST(s >= 0.5 AS BIGINT) AS pred
+FROM (SELECT vec_id,
+             1 / (1 + exp(-(list_dot_product(v, (SELECT wv FROM w2))
+                            + (SELECT b FROM b2)))) AS s FROM e)
+""")
+def logreg_gd_train(spark, sf_dir):
+    """Distributed logistic-regression TRAINING — full-batch gradient
+    descent, _LOGREG_ITER iterations at eta=_LOGREG_ETA on
+    (embedding -> label%2), then inference with the learned weights.
+    Completes the train half of the embedding_logreg_inference pair
+    and is the supervised twin of kmeans_lloyd_assign's iterative
+    contract: per iteration the model is inlined as a LITERAL (the
+    sigmoid residual is a zero-join projection), the gradient is ONE
+    map-side-combinable shuffle (posexplode dims -> groupBy(dim)
+    sum(residual*x) — exactly how MLlib aggregates gradients), and
+    the update is a BOUNDED driver collect of dim+1 doubles, constant
+    in n. w0 = 0 (sigmoid(0) = 0.5 on both engines, no FP hazard in
+    the first residual).
+
+    The DuckDB oracle replays both GD steps as a CTE chain. Sums of n
+    doubles are order-dependent, so emitted scores are rounded to 6dp
+    and the distance of every score from its rounding boundary and
+    from the 0.5 decision threshold is margin-tested (the
+    bm25/logreg-inference discipline for the ln/exp FP class)."""
+    d = t(spark, sf_dir, "embeddings")
+    e = (d.select("vec_id",
+                  F.col("embedding").cast("array<double>").alias("v"),
+                  (F.col("label") % 2).cast("double").alias("y"))
+         .persist())  # scanned 2 per iteration + count + final scoring
+    n = float(e.count())
+    if n == 0:
+        raise ValueError("logreg_gd_train: empty embeddings table")
+    dim = len(e.select("v").first()["v"])
+    w, b = [0.0] * dim, 0.0
+
+    def scored(frame, wv, bv):
+        wlit = F.array(*[F.lit(float(x)) for x in wv])
+        return (frame.withColumn("__w", wlit)
+                .withColumn("__b", F.lit(float(bv)))
+                .withColumn("s", F.expr(
+                    "1 / (1 + exp(-(aggregate(zip_with(v, __w,"
+                    " (x, c) -> x * c), 0D, (acc, p) -> acc + p)"
+                    " + __b)))"))
+                .drop("__w", "__b"))
+
+    for _ in range(_LOGREG_ITER):
+        r = scored(e, w, b).withColumn("r", F.col("s") - F.col("y"))
+        gs = (r.select("r", F.posexplode("v").alias("d", "x"))
+              .groupBy("d").agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+              .collect())  # bounded: dim rows, constant in n
+        gb = r.agg(F.sum("r").alias("g")).collect()[0]["g"]
+        for row in gs:
+            w[int(row["d"])] -= _LOGREG_ETA * float(row["g"]) / n
+        b -= _LOGREG_ETA * float(gb) / n
+    return (scored(e, w, b)
+            .select("vec_id", F.round("s", 6).alias("score_r"),
+                    (F.col("s") >= 0.5).cast("long").alias("pred")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

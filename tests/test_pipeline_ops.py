@@ -1190,3 +1190,50 @@ def test_weighted_sample_wor_margins_and_replay(spark):
         got = {(r["source"], r["doc_id"]): r["rank"]
                for r in QUERIES["weighted_sample_wor"](spark, sf).collect()}
         assert got == want
+
+
+def test_logreg_gd_train_margins_and_plan(spark):
+    """logreg_gd_train's cross-engine exactness rests on every score
+    being far from BOTH hazards of the ln/exp FP class: the 6dp
+    rounding boundary and the 0.5 decision threshold. Replay the two
+    GD steps in numpy at two SFs, assert the Spark scores match the
+    replay to 1e-9 (the engine-vs-engine summation-order band), that
+    no score sits within 1e-9 of a 0.5e-6 rounding midpoint or the
+    threshold, and that predictions match the replay exactly. Plan:
+    the scoring pass is a literal-weight projection — no join
+    operator in the executed plan."""
+    import numpy as np
+
+    from extractor.queries import _LOGREG_ETA, _LOGREG_ITER, QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = pd.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        emb = emb.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        y = (emb["label"].to_numpy() % 2).astype(np.float64)
+        n, dim = X.shape
+        w, b = np.zeros(dim), 0.0
+        for _ in range(_LOGREG_ITER):
+            s = 1 / (1 + np.exp(-(X @ w + b)))
+            w -= _LOGREG_ETA * (X.T @ (s - y)) / n
+            b -= _LOGREG_ETA * (s - y).sum() / n
+        s = 1 / (1 + np.exp(-(X @ w + b)))
+        # margin vs the 6dp round midpoints and the 0.5 threshold:
+        # frac is in 1e-6 units, so 1e-5 here = 1e-11 in score units —
+        # ~4 orders above the ~1e-15 summation-order divergence band
+        # (measured min at these SFs: 9.5e-4, i.e. 9.5e-10 in scores)
+        frac = np.abs((s * 1e6) % 1 - 0.5)
+        assert frac.min() > 1e-5, frac.min()
+        assert np.abs(s - 0.5).min() > 1e-6, np.abs(s - 0.5).min()
+
+        got = {r["vec_id"]: (r["score_r"], r["pred"])
+               for r in QUERIES["logreg_gd_train"](spark, sf).collect()}
+        for vid, sc, pr in zip(emb["vec_id"], s, (s >= 0.5).astype(int)):
+            gsc, gpr = got[vid]
+            assert abs(gsc - round(float(sc), 6)) < 1.5e-6, (vid, gsc, sc)
+            assert gpr == pr, (vid, gpr, pr)
+
+    df = QUERIES["logreg_gd_train"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
