@@ -4611,6 +4611,25 @@ def _triangle_stats(pairs: DataFrame) -> DataFrame:
 _PFX_TAU = 500  # milli-Jaccard threshold, exact rational arithmetic
 
 
+def _shingle_prefix(ex: DataFrame, tau_milli: int) -> DataFrame:
+    """(doc_id, sz, s): each doc's PREFIX — the first
+    sz - ceil(tau*sz) + 1 of its shingles under the global
+    (document-frequency asc, shingle asc) total order (ceil in exact
+    integer milli arithmetic — see jaccard_prefix_join). Shared by
+    the Jaccard and containment prefix-filter joins."""
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    return (ex.join(dfreq, "s")
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("df", "s")))
+                 .alias("ts"))
+            .select(
+                "doc_id", F.size("ts").alias("sz"),
+                F.expr("transform(slice(ts, 1, size(ts)"
+                       " - (({t} * size(ts) + 999) div 1000) + 1),"
+                       " x -> x.s)".format(t=tau_milli)).alias("pre"))
+            .select("doc_id", "sz", F.explode("pre").alias("s")))
+
+
 @_q("jaccard_prefix_join", sql="WITH " + _SHINGLES_SQL + """
 , sz AS (SELECT doc_id, count(*) sz FROM ex GROUP BY doc_id),
 pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
@@ -4653,17 +4672,7 @@ def jaccard_prefix_join(spark, sf_dir):
     ex = (_shingles(spark, sf_dir)
           .select("doc_id", F.xxhash64("s").alias("s"))
           .persist())  # 3 consumers: df table, prefix build, verify
-    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
-    pre = (ex.join(dfreq, "s")
-           .groupBy("doc_id")
-           .agg(F.array_sort(F.collect_list(F.struct("df", "s")))
-                .alias("ts"))
-           .select(
-               "doc_id", F.size("ts").alias("sz"),
-               F.expr("transform(slice(ts, 1, size(ts)"
-                      " - (({t} * size(ts) + 999) div 1000) + 1),"
-                      " x -> x.s)".format(t=_PFX_TAU)).alias("pre"))
-           .select("doc_id", "sz", F.explode("pre").alias("s")))
+    pre = _shingle_prefix(ex, _PFX_TAU)
     a, b = pre.alias("a"), pre.alias("b")
     cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -4937,6 +4946,68 @@ def logreg_gd_train(spark, sf_dir):
     return (scored(e, w, b)
             .select("vec_id", F.round("s", 6).alias("score_r"),
                     (F.col("s") >= 0.5).cast("long").alias("pred")))
+
+
+_CONT_TAU = 800  # milli containment threshold
+
+
+@_q("containment_prefix_join", sql="WITH " + _SHINGLES_SQL + """
+, sz AS (SELECT doc_id, count(*) sz FROM ex GROUP BY doc_id),
+pairs AS (SELECT a.doc_id doc_inner, b.doc_id doc_outer, count(*) inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_inner, doc_outer,
+       CAST((1000 * inter) // sa.sz AS BIGINT) AS cont_milli
+FROM pairs JOIN sz sa ON doc_inner = sa.doc_id
+WHERE (1000 * inter) // sa.sz >= {tau}
+""".format(tau=_CONT_TAU))
+def containment_prefix_join(spark, sf_dir):
+    """DIRECTED set-containment join: |inner AND outer| / |inner| >=
+    tau over the 3-gram shingle sets — the asymmetric cousin of
+    jaccard_prefix_join that catches EXCERPT duplication (a short doc
+    quoted nearly whole inside a long one has high containment but
+    low Jaccard, so symmetric dedup never sees it; the Lee et al.'21
+    motivation for substring-level dedup, expressed at set level).
+    Candidate generation is prefix-filtered on the PROBE (inner) side
+    only: containment >= tau forces |inner AND outer| >=
+    ceil(tau*|inner|), so inner's prefix (first sz - ceil(tau*sz) + 1
+    shingles under the global df order, integer-exact ceil) must
+    contain a shared shingle — and the OUTER side must index ALL its
+    shingles because containment puts no upper bound on |outer|
+    (the asymmetric variant of the SSJoin prefix lemma, Chaudhuri et
+    al. ICDE'06 sec 4). Size filter 1000*|outer| >= tau*|inner| is
+    implied-exact integer math; exact milli containment verifies.
+
+    Scale shape: one side of the candidate join carries only rare
+    prefix shingles, so key multiplicity is df_prefix(s) x df(s) —
+    the hot factor appears at most once per pair. Output is directed:
+    mutual near-dups emit both directions (by design — survivors
+    policies treat inner-in-outer asymmetrically). Same xxhash64
+    8-byte key convention as the Jaccard path."""
+    ex = (_shingles(spark, sf_dir)
+          .select("doc_id", F.xxhash64("s").alias("s"))
+          .persist())  # 3 consumers: prefix build, index side, verify
+    pre = _shingle_prefix(ex, _CONT_TAU)
+    idx = (ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+           .join(ex, "doc_id")
+           .select(F.col("doc_id").alias("doc_outer"),
+                   F.col("sz").alias("szb"), "s"))
+    cand = (pre.join(idx, "s")
+            .where("doc_id <> doc_outer AND 1000 * szb >= {t} * sz"
+                   .format(t=_CONT_TAU))
+            .select(F.col("doc_id").alias("doc_inner"),
+                    F.col("sz").alias("sza"), "doc_outer")
+            .distinct())
+    ta, tb = ex.alias("ta"), ex.alias("tb")
+    inter = (cand.join(ta, F.col("doc_inner") == F.col("ta.doc_id"))
+             .join(tb, (F.col("doc_outer") == F.col("tb.doc_id"))
+                   & (F.col("ta.s") == F.col("tb.s")))
+             .groupBy("doc_inner", "doc_outer", "sza")
+             .agg(F.count("*").alias("inter")))
+    return (inter.select(
+        "doc_inner", "doc_outer",
+        F.expr("(1000 * inter) div sza").cast("long").alias("cont_milli"))
+        .where("cont_milli >= {t}".format(t=_CONT_TAU)))
 
 
 # ===========================================================================

@@ -1237,3 +1237,51 @@ def test_logreg_gd_train_margins_and_plan(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_containment_prefix_join_excerpt_fixture(spark, tmp_path):
+    """The excerpt case the operator exists for: a 12-word doc quoted
+    whole inside an 80-word doc has containment 1.0 (inner->outer)
+    but Jaccard ~10/78 — jaccard_prefix_join at tau 0.5 must NOT see
+    the pair, containment_prefix_join must, and only in the inner->
+    outer direction. Whole output equality-checked against a brute
+    pure-Python containment over every directed doc pair, certifying
+    the asymmetric (probe-prefix x full-index) candidate scheme."""
+    import itertools
+
+    from extractor.queries import QUERIES
+
+    def w(tag, n):
+        return ["%s%d" % (tag, i) for i in range(n)]
+
+    quote = w("q", 12)
+    texts = [
+        " ".join(quote),                            # 0: the excerpt
+        " ".join(w("pre", 30) + quote + w("post", 38)),  # 1: quotes 0 whole
+        " ".join(w("x", 25)),                       # 2: unrelated
+        " ".join(w("y", 20) + ["t1"]),              # 3: near-dup of 4
+        " ".join(w("y", 20) + ["t2"]),              # 4
+    ]
+    sf = _docs(tmp_path, texts)
+
+    def sh(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    brute = {}
+    for i, j in itertools.permutations(sorted(sets), 2):
+        inter = len(sets[i] & sets[j])
+        cm = (1000 * inter) // len(sets[i])
+        if cm >= 800:
+            brute[(i, j)] = cm
+
+    got = {(r["doc_inner"], r["doc_outer"]): r["cont_milli"]
+           for r in QUERIES["containment_prefix_join"](spark, sf).collect()}
+    assert got == brute
+    assert got[(0, 1)] == 1000          # full quote: containment 1.0
+    assert (1, 0) not in got            # never the reverse direction
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in QUERIES["jaccard_prefix_join"](spark, sf).collect()}
+    assert (0, 1) not in jac            # symmetric dedup is blind to it
+    assert (3, 4) in jac                # but still sees true near-dups
