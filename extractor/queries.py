@@ -5010,6 +5010,93 @@ def containment_prefix_join(spark, sf_dir):
         .where("cont_milli >= {t}".format(t=_CONT_TAU)))
 
 
+_PCA_ITER = 3
+# one power-iteration step as a DuckDB CTE pair: scores s = v.x per
+# row (previous direction {prev} inlined), then the un-normalized
+# next direction u_d = sum_i x_id * s_i, normalized into {cur}
+_PCA_STEP_SQL = """
+s{i} AS (SELECT vec_id, v, list_dot_product(v, {prev}) AS s FROM e),
+u{i} AS (SELECT d, sum(x * s) AS u
+         FROM (SELECT s, unnest(v) AS x, generate_subscripts(v, 1) AS d
+               FROM s{i}) GROUP BY d),
+v{i} AS (SELECT list(u / sqrt((SELECT sum(u * u) FROM u{i})) ORDER BY d)
+         AS vv FROM u{i})"""
+
+
+@_q("pca_power_projection", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"""
+    + _PCA_STEP_SQL.format(i=1, prev="list_transform(range(64), j -> 0.125)")
+    + "," + _PCA_STEP_SQL.format(i=2, prev="(SELECT vv FROM v1)")
+    + "," + _PCA_STEP_SQL.format(i=3, prev="(SELECT vv FROM v2)")
+    + """,
+sgn AS (SELECT CASE WHEN (SELECT sum(x) FROM (SELECT unnest(vv) AS x
+                          FROM v3)) >= 0 THEN 1.0 ELSE -1.0 END AS g)
+SELECT vec_id,
+       round((SELECT g FROM sgn)
+             * list_dot_product(v, (SELECT vv FROM v3)), 5) AS pc1_r
+FROM e
+""")
+def pca_power_projection(spark, sf_dir):
+    """First principal direction of the embedding table by POWER
+    ITERATION, Gram-matrix-free (Golub & Van Loan, Matrix
+    Computations sec 7.3 — the textbook method; MLlib's RowMatrix
+    PCA is the same matvec loop): _PCA_ITER fixed iterations from
+    the exact-binary start 1/sqrt(64) = 0.125 per dim. Per iteration
+    the score pass s = v.x is a ZERO-JOIN literal projection and the
+    matvec u = sum_i x_i s_i is ONE map-side-combinable shuffle
+    (posexplode dims -> groupBy(d) sum(x*s)) with a BOUNDED driver
+    collect of dim doubles — never materializing the dim x dim Gram
+    matrix, never collecting rows. Output = each vector's projection
+    onto the final direction (the input SemDeDup-style pipelines
+    whiten with), sign-stabilized by flipping the direction so
+    sum(v) >= 0 (eigenvectors are sign-ambiguous; both engines
+    decide from their own FP copy, so the |sum| margin is measured
+    in tests alongside the 5dp rounding margins — ln/exp-class
+    discipline).
+
+    Un-centered by design (second-moment direction): centering is
+    emb_centroid_per_label's job and keeps this op one-pass. The
+    DuckDB oracle replays the identical three steps as a CTE chain
+    (u / sqrt(sum u^2) normalization inside the engine)."""
+    import math
+
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id",
+                 F.col("embedding").cast("array<double>").alias("v"))
+         .persist())  # scanned once per iteration + final projection
+    dim_row = e.select("v").first()
+    if dim_row is None:
+        raise ValueError("pca_power_projection: empty embeddings table")
+    dim = len(dim_row["v"])
+    v = [1.0 / math.sqrt(dim)] * dim
+
+    def with_score(frame, direction):
+        dlit = F.array(*[F.lit(float(x)) for x in direction])
+        return (frame.withColumn("__d", dlit)
+                .withColumn("s", F.expr(
+                    "aggregate(zip_with(v, __d, (x, c) -> x * c), 0D,"
+                    " (acc, p) -> acc + p)"))
+                .drop("__d"))
+
+    for _ in range(_PCA_ITER):
+        u_rows = (with_score(e, v)
+                  .select("s", F.posexplode("v").alias("d", "x"))
+                  .groupBy("d").agg(F.sum(F.col("x") * F.col("s")).alias("u"))
+                  .collect())  # bounded: dim rows, constant in n
+        u = [0.0] * dim
+        for r in u_rows:
+            u[int(r["d"])] = float(r["u"])
+        norm = math.sqrt(sum(x * x for x in u))
+        if norm == 0.0:
+            raise ValueError("pca_power_projection: zero matvec "
+                             "(degenerate input)")
+        v = [x / norm for x in u]
+    if sum(v) < 0:
+        v = [-x for x in v]
+    return (with_score(e, v)
+            .select("vec_id", F.round("s", 5).alias("pc1_r")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

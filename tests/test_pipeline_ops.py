@@ -1285,3 +1285,42 @@ def test_containment_prefix_join_excerpt_fixture(spark, tmp_path):
            for r in QUERIES["jaccard_prefix_join"](spark, sf).collect()}
     assert (0, 1) not in jac            # symmetric dedup is blind to it
     assert (3, 4) in jac                # but still sees true near-dups
+
+
+def test_pca_power_projection_margins_and_plan(spark):
+    """pca_power_projection exactness pins: replay the three power
+    steps in numpy at two SFs, assert (a) every projection sits far
+    from its 5dp rounding midpoint relative to the summation-order
+    divergence band, (b) the sign rule's |sum(v)| margin is fat (a
+    near-zero component sum could flip sign between engines), and
+    (c) Spark's output equals the replay after rounding. Plan: the
+    scoring pass is a literal-direction projection — no join in the
+    executed plan."""
+    import numpy as np
+
+    from extractor.queries import _PCA_ITER, QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = pd.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        emb = emb.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        v = np.full(X.shape[1], 1.0 / np.sqrt(X.shape[1]))
+        for _ in range(_PCA_ITER):
+            u = X.T @ (X @ v)
+            v = u / np.linalg.norm(u)
+        assert abs(v.sum()) > 1e-3, v.sum()     # sign-rule margin
+        if v.sum() < 0:
+            v = -v
+        p = X @ v
+        frac = np.abs((p * 1e5) % 1 - 0.5)
+        assert frac.min() > 1e-5, frac.min()    # 1e-10 in projection units
+
+        got = {r["vec_id"]: r["pc1_r"]
+               for r in QUERIES["pca_power_projection"](spark, sf).collect()}
+        for vid, x in zip(emb["vec_id"], p):
+            assert abs(got[vid] - round(float(x), 5)) < 1.5e-5, (vid, got[vid], x)
+
+    df = QUERIES["pca_power_projection"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
