@@ -4618,14 +4618,20 @@ def _shingle_prefix(ex: DataFrame, tau_milli: int) -> DataFrame:
     integer milli arithmetic — see jaccard_prefix_join). Shared by
     the Jaccard and containment prefix-filter joins."""
     dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    # sz rides as BIGINT so every downstream milli multiplication
+    # (tau * sz, 1000 * sz) is 64-bit — F.size() is int32 and a
+    # multi-million-shingle doc would wrap 1000*sz negative,
+    # silently length-pruning true pairs (review-pass finding).
+    # The slice length itself always fits int32 (<= size(ts)).
     return (ex.join(dfreq, "s")
             .groupBy("doc_id")
             .agg(F.array_sort(F.collect_list(F.struct("df", "s")))
                  .alias("ts"))
             .select(
-                "doc_id", F.size("ts").alias("sz"),
-                F.expr("transform(slice(ts, 1, size(ts)"
-                       " - (({t} * size(ts) + 999) div 1000) + 1),"
+                "doc_id", F.size("ts").cast("long").alias("sz"),
+                F.expr("transform(slice(ts, 1, cast(size(ts)"
+                       " - (({t} * cast(size(ts) as bigint) + 999)"
+                       " div 1000) + 1 as int)),"
                        " x -> x.s)".format(t=tau_milli)).alias("pre"))
             .select("doc_id", "sz", F.explode("pre").alias("s")))
 
@@ -4744,6 +4750,7 @@ def weighted_sample_wor(spark, sf_dir):
 # (Jegou, Douze & Schmid, "Product Quantization for Nearest Neighbor
 # Search", TPAMI 2011 — including the shortlist + re-rank protocol).
 _PQ_M, _PQ_K, _PQ_SAMPLE, _PQ_ITERS, _PQ_RERANK = 16, 64, 256, 4, 100
+_PQ_SALT = 16  # stage-1 top-R parallelism of the salted two-stage scan
 
 
 @_q("ann_pq_topk")  # rows-only: probabilistic recall, like ann_ivf_topk
@@ -4792,7 +4799,8 @@ def ann_pq_topk(spark, sf_dir):
          .withColumn("vn", F.expr(
              "transform(v, x -> x / sqrt(aggregate(v, 0D,"
              " (a, y) -> a + y * y)))"))
-         .drop("v"))
+         .drop("v")
+         .persist())  # 4 consumers: train sample, queries, encode, re-rank
 
     # --- train: bounded deterministic sample, per-subspace Lloyd ---
     sample = np.array(
@@ -4843,20 +4851,36 @@ def ann_pq_topk(spark, sf_dir):
     dist_expr = ("aggregate(sequence(0, {M1}), 0D, (acc, m) -> "
                  "acc + lut[m * {K} + codes[m]])"
                  ).format(M1=_PQ_M - 1, K=_PQ_K)
+    # two-stage salted top-R: a single row_number window per query
+    # would funnel the whole code scan for a query through ONE task's
+    # sort — stage 1 takes top-R inside each (query, salt-of-
+    # neighbor) group (parallel across _PQ_SALT * queries tasks),
+    # stage 2 re-ranks the surviving R * _PQ_SALT rows per query
+    # (bounded). Salting on the neighbor id is deterministic, so the
+    # final top-R set is exactly the unsalted one.
+    adc = (coded.crossJoin(F.broadcast(q.select("query_id", "lut")))
+           .where("vec_id <> query_id")
+           .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                   F.expr(dist_expr).alias("adc")))
+    w_part = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64("neighbor_id"), F.lit(_PQ_SALT))
+    ).orderBy(F.asc("adc"), F.asc("neighbor_id"))
     w_adc = Window.partitionBy("query_id").orderBy(
         F.asc("adc"), F.asc("neighbor_id"))
-    shortlist = (coded.crossJoin(F.broadcast(q.select("query_id", "lut")))
-                 .where("vec_id <> query_id")
-                 .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                         F.expr(dist_expr).alias("adc"))
+    shortlist = (adc.withColumn("prn", F.row_number().over(w_part))
+                 .where(F.col("prn") <= _PQ_RERANK)
                  .withColumn("rn", F.row_number().over(w_adc))
                  .where(F.col("rn") <= _PQ_RERANK)
-                 .drop("rn", "adc"))
+                 .drop("prn", "rn", "adc"))
 
-    # --- exact re-rank of the bounded shortlist only ---
-    rer = (shortlist.join(F.broadcast(q.select("query_id", "qv")),
-                          "query_id")
-           .join(e, F.col("neighbor_id") == F.col("vec_id"))
+    # --- exact re-rank of the bounded shortlist only: the BOUNDED
+    # shortlist side is broadcast so the full-vector table is never
+    # shuffled (review-pass finding: without the hint a misestimate
+    # plans a corpus-wide SortMergeJoin) ---
+    rer = (e.join(F.broadcast(
+        shortlist.join(F.broadcast(q.select("query_id", "qv")),
+                       "query_id")),
+        F.col("neighbor_id") == F.col("vec_id"))
            .select("query_id", "neighbor_id",
                    F.expr("aggregate(zip_with(vn, qv, (x, y) -> x * y),"
                           " 0D, (acc, s) -> acc + s)").alias("cos")))
@@ -4868,32 +4892,46 @@ def ann_pq_topk(spark, sf_dir):
 
 
 _LOGREG_ITER, _LOGREG_ETA = 2, 0.5
+_EMB_DIM = 64  # the embeddings-table dim the iterative oracles pin
+
+# one full-batch GD step as a DuckDB CTE group, parameterized on the
+# PREVIOUS weight/bias expressions and _LOGREG_ETA — generated from
+# the same module constants the Spark loop uses, so changing the
+# iteration count or learning rate cannot desync the oracle
+# (review-pass finding). Step 1 feeds the all-zero weight literal:
+# sigmoid(0) = 0.5 exactly on both engines.
+_LOGREG_STEP_SQL = """
+z{i} AS (SELECT vec_id, y, v,
+         1 / (1 + exp(-(list_dot_product(v, {w}) + ({b})))) AS s FROM e),
+g{i} AS (SELECT d, sum((s - y) * x) / (SELECT c FROM n) AS g
+         FROM (SELECT s, y, unnest(v) AS x,
+                      generate_subscripts(v, 1) AS d FROM z{i}) GROUP BY d),
+w{i} AS (SELECT list(({w})[d] - {eta} * g ORDER BY d) AS wv FROM g{i}),
+b{i} AS (SELECT ({b}) - {eta} * (sum(s - y) / (SELECT c FROM n)) AS b
+         FROM z{i})"""
 
 
-@_q("logreg_gd_train", sql="""
+def _logreg_sql() -> str:
+    w_prev = "list_transform(range({d}), j -> 0.0)".format(d=_EMB_DIM)
+    b_prev = "0.0"
+    parts = []
+    for i in range(1, _LOGREG_ITER + 1):
+        parts.append(_LOGREG_STEP_SQL.format(
+            i=i, w=w_prev, b=b_prev, eta=repr(_LOGREG_ETA)))
+        w_prev = "(SELECT wv FROM w{})".format(i)
+        b_prev = "(SELECT b FROM b{})".format(i)
+    return ("""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
-n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM e),
-g1 AS (SELECT d, sum((0.5 - y) * x) / (SELECT c FROM n) AS g
-       FROM (SELECT y, unnest(v) AS x, generate_subscripts(v, 1) AS d
-             FROM e) GROUP BY d),
-w1 AS (SELECT list(-0.5 * g ORDER BY d) AS wv FROM g1),
-b1 AS (SELECT -0.5 * (sum(0.5 - y) / (SELECT c FROM n)) AS b FROM e),
-z2 AS (SELECT vec_id, y, v,
-              1 / (1 + exp(-(list_dot_product(v, (SELECT wv FROM w1))
-                             + (SELECT b FROM b1)))) AS s FROM e),
-g2 AS (SELECT d, sum((s - y) * x) / (SELECT c FROM n) AS g
-       FROM (SELECT s, y, unnest(v) AS x, generate_subscripts(v, 1) AS d
-             FROM z2) GROUP BY d),
-w2 AS (SELECT list((SELECT wv FROM w1)[d] - 0.5 * g ORDER BY d) AS wv
-       FROM g2),
-b2 AS (SELECT (SELECT b FROM b1)
-              - 0.5 * (sum(s - y) / (SELECT c FROM n)) AS b FROM z2)
+n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM e),"""
+            + ",".join(parts) + """
 SELECT vec_id, round(s, 6) AS score_r, CAST(s >= 0.5 AS BIGINT) AS pred
 FROM (SELECT vec_id,
-             1 / (1 + exp(-(list_dot_product(v, (SELECT wv FROM w2))
-                            + (SELECT b FROM b2)))) AS s FROM e)
-""")
+             1 / (1 + exp(-(list_dot_product(v, {w}) + ({b})))) AS s
+      FROM e)""".format(w=w_prev, b=b_prev))
+
+
+@_q("logreg_gd_train", sql=_logreg_sql())
 def logreg_gd_train(spark, sf_dir):
     """Distributed logistic-regression TRAINING — full-batch gradient
     descent, _LOGREG_ITER iterations at eta=_LOGREG_ETA on
@@ -4922,6 +4960,10 @@ def logreg_gd_train(spark, sf_dir):
     if n == 0:
         raise ValueError("logreg_gd_train: empty embeddings table")
     dim = len(e.select("v").first()["v"])
+    if dim != _EMB_DIM:
+        raise ValueError(
+            "logreg_gd_train: oracle is pinned at dim {}, table has {}"
+            .format(_EMB_DIM, dim))  # loud, not a silent hash mismatch
     w, b = [0.0] * dim, 0.0
 
     def scored(frame, wv, bv):
@@ -4936,13 +4978,21 @@ def logreg_gd_train(spark, sf_dir):
 
     for _ in range(_LOGREG_ITER):
         r = scored(e, w, b).withColumn("r", F.col("s") - F.col("y"))
-        gs = (r.select("r", F.posexplode("v").alias("d", "x"))
+        # bias gradient = gradient of a constant-1 feature: prepend
+        # 1.0 so dim index 0 is the bias and the WHOLE gradient is
+        # one shuffle + one bounded collect (review-pass finding:
+        # a separate agg for the bias re-scored the corpus twice)
+        gs = (r.select("r", F.posexplode(
+                  F.concat(F.array(F.lit(1.0)), F.col("v")))
+                  .alias("d", "x"))
               .groupBy("d").agg(F.sum(F.col("r") * F.col("x")).alias("g"))
-              .collect())  # bounded: dim rows, constant in n
-        gb = r.agg(F.sum("r").alias("g")).collect()[0]["g"]
+              .collect())  # bounded: dim+1 rows, constant in n
         for row in gs:
-            w[int(row["d"])] -= _LOGREG_ETA * float(row["g"]) / n
-        b -= _LOGREG_ETA * float(gb) / n
+            d = int(row["d"])
+            if d == 0:
+                b -= _LOGREG_ETA * float(row["g"]) / n
+            else:
+                w[d - 1] -= _LOGREG_ETA * float(row["g"]) / n
     return (scored(e, w, b)
             .select("vec_id", F.round("s", 6).alias("score_r"),
                     (F.col("s") >= 0.5).cast("long").alias("pred")))
@@ -5023,19 +5073,32 @@ v{i} AS (SELECT list(u / sqrt((SELECT sum(u * u) FROM u{i})) ORDER BY d)
          AS vv FROM u{i})"""
 
 
-@_q("pca_power_projection", sql="""
+def _pca_sql() -> str:
+    """Chain generated from _PCA_ITER/_EMB_DIM — the same constants
+    the Spark loop uses (review-pass finding: hand-unrolled steps
+    silently desync when the constants move). 1/sqrt(64) = 0.125 is
+    exact binary; repr() keeps it so."""
+    import math
+
+    prev = "list_transform(range({d}), j -> {v0})".format(
+        d=_EMB_DIM, v0=repr(1.0 / math.sqrt(_EMB_DIM)))
+    parts = []
+    for i in range(1, _PCA_ITER + 1):
+        parts.append(_PCA_STEP_SQL.format(i=i, prev=prev))
+        prev = "(SELECT vv FROM v{})".format(i)
+    return ("""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"""
-    + _PCA_STEP_SQL.format(i=1, prev="list_transform(range(64), j -> 0.125)")
-    + "," + _PCA_STEP_SQL.format(i=2, prev="(SELECT vv FROM v1)")
-    + "," + _PCA_STEP_SQL.format(i=3, prev="(SELECT vv FROM v2)")
-    + """,
+            + ",".join(parts) + """,
 sgn AS (SELECT CASE WHEN (SELECT sum(x) FROM (SELECT unnest(vv) AS x
-                          FROM v3)) >= 0 THEN 1.0 ELSE -1.0 END AS g)
+                          FROM v{T})) >= 0 THEN 1.0 ELSE -1.0 END AS g)
 SELECT vec_id,
        round((SELECT g FROM sgn)
-             * list_dot_product(v, (SELECT vv FROM v3)), 5) AS pc1_r
+             * list_dot_product(v, (SELECT vv FROM v{T})), 5) AS pc1_r
 FROM e
-""")
+""".format(T=_PCA_ITER))
+
+
+@_q("pca_power_projection", sql=_pca_sql())
 def pca_power_projection(spark, sf_dir):
     """First principal direction of the embedding table by POWER
     ITERATION, Gram-matrix-free (Golub & Van Loan, Matrix
@@ -5068,6 +5131,10 @@ def pca_power_projection(spark, sf_dir):
     if dim_row is None:
         raise ValueError("pca_power_projection: empty embeddings table")
     dim = len(dim_row["v"])
+    if dim != _EMB_DIM:
+        raise ValueError(
+            "pca_power_projection: oracle is pinned at dim {}, table has {}"
+            .format(_EMB_DIM, dim))  # loud, not a silent hash mismatch
     v = [1.0 / math.sqrt(dim)] * dim
 
     def with_score(frame, direction):
