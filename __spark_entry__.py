@@ -14,9 +14,10 @@
   fingerprinting).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
   query (identical column names/types; exact-integer outputs where
-  possible). The rows-only exceptions: ``ann_lsh_bucketed`` and
-  ``ann_ivf_topk`` (probabilistic ANN — in-suite recall floors vs
-  ``ann_cosine_topk``'s exact oracle), ``extract_synthetic_mix``
+  possible). The rows-only exceptions: ``ann_lsh_bucketed``,
+  ``ann_ivf_topk`` and ``ann_pq_topk`` (probabilistic ANN — in-suite
+  recall floors vs ``ann_cosine_topk``'s exact oracle),
+  ``extract_synthetic_mix``
   (generator-driven payloads — pytest golden-equality gate),
   ``mm_extract_features`` (entropy/sha1 not replayable in DuckDB —
   pinned by a differential test instead), and ``sketch_event_stats``

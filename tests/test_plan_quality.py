@@ -449,3 +449,17 @@ def test_ann_pq_recall_and_rerank_shape(spark):
     assert plan.count("ArrowEvalPython") >= 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_containment_prefix_join_plan(spark):
+    """Candidate generation is an equi join on prefix-shingle hashes
+    (probe side) against the full shingle index (outer side) — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere, mirroring
+    the jaccard_prefix_join gate."""
+    from extractor.queries import QUERIES
+
+    df = QUERIES["containment_prefix_join"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
