@@ -388,3 +388,83 @@ def test_ann_ivf_hot_cell_is_broadcast_immune(spark, tmp_path):
     for q, nbrs in got.items():
         assert len(nbrs) == 5, (q, nbrs)
         assert all(n in hotset for n in nbrs), (q, nbrs)
+
+
+def test_prefix_join_hot_shingle_stays_out_of_prefixes(spark, tmp_path):
+    """The prefix-filter joins' skew story is STRUCTURAL, not AQE:
+    prefix shingles are the rarest (1-tau) fraction of each doc under
+    the global df order, so a stop-shingle shared by 40% of the
+    corpus never becomes a candidate join key — unless a doc has
+    nothing rarer (the degenerate excerpt), in which case its
+    multiplicity on the PREFIX side is exactly that doc. Build that
+    corpus and assert: (a) the hot shingle appears in exactly ONE
+    prefix row (the 1-shingle excerpt doc), so candidate pairs via
+    the hot key are bounded by df(hot) x 1, never df(hot)^2; (b) both
+    joins stay exactly correct vs brute-force Python — the hot cell
+    is pruned from CANDIDATE GENERATION, never from the result: the
+    excerpt's containment-1000 edges into all 48 hot docs (inherent
+    output, real excerpts) all surface."""
+    import itertools
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from extractor.queries import (
+        _shingle_prefix, _shingles, QUERIES,
+    )
+
+    hot = "hot0 hot1 hot2"
+
+    def w(tag, n):
+        return ["%s-%d" % (tag, i) for i in range(n)]
+
+    texts = []
+    for i in range(48):  # 40%-hot block: shared run + 12 unique words
+        texts.append(" ".join(hot.split() + w("u%d" % i, 12)))
+    # one planted near-dup pair inside the hot block
+    texts[1] = texts[0][:-1] + "X"
+    texts.append(hot)  # 49th hot occurrence: the 1-shingle excerpt
+    for i in range(70):  # cold filler
+        texts.append(" ".join(w("c%d" % i, 14)))
+    pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts,
+        "lang": ["en"] * len(texts), "source": ["s"] * len(texts),
+        "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+    }).to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    sf = str(tmp_path)
+
+    ex = (_shingles(spark, sf)
+          .select("doc_id", F.xxhash64("s").alias("s")))
+    hot_hash = (spark.createDataFrame([(hot,)], "s string")
+                .select(F.xxhash64("s").alias("h")).collect()[0]["h"])
+    assert ex.where(F.col("s") == hot_hash).count() == 49  # fixture sane
+    for tau in (500, 800):
+        pre_hot = (_shingle_prefix(ex, tau)
+                   .where(F.col("s") == hot_hash).collect())
+        assert [r["doc_id"] for r in pre_hot] == [48], (tau, pre_hot)
+
+    def sh(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    brute_j, brute_c = {}, {}
+    for i, j in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[i] & sets[j])
+        jm = (1000 * inter) // len(sets[i] | sets[j])
+        if jm >= 500:
+            brute_j[(i, j)] = jm
+    for i, j in itertools.permutations(sorted(sets), 2):
+        inter = len(sets[i] & sets[j])
+        cm = (1000 * inter) // len(sets[i])
+        if cm >= 800:
+            brute_c[(i, j)] = cm
+
+    got_j = {(r["doc_a"], r["doc_b"]): r["jac_milli"]
+             for r in QUERIES["jaccard_prefix_join"](spark, sf).collect()}
+    got_c = {(r["doc_inner"], r["doc_outer"]): r["cont_milli"]
+             for r in QUERIES["containment_prefix_join"](spark, sf).collect()}
+    assert got_j == brute_j
+    assert got_c == brute_c
+    assert (0, 1) in got_j                      # planted near-dup found
+    assert sum(1 for (i, _o) in got_c if i == 48) == 48  # excerpt edges
