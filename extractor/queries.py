@@ -4514,12 +4514,10 @@ def kmeans_lloyd_assign(spark, sf_dir):
 
 @_q("deterministic_sample", sql="""
 SELECT doc_id, lang, source,
-       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-            % 100 AS BIGINT) AS bucket
+       CAST({h} % 100 AS BIGINT) AS bucket
 FROM documents
-WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-      % 100 < 10
-""")
+WHERE {h} % 100 < 10
+""".format(h=_H60_DUCK.format(x="CAST(doc_id AS VARCHAR)")))
 def deterministic_sample(spark, sf_dir):
     """Reproducible 10% corpus sample by keyed hashing — the way a
     100 TB pipeline actually samples (df.sample() draws from a
@@ -4534,9 +4532,7 @@ def deterministic_sample(spark, sf_dir):
     Scale shape: a pure narrow filter+projection — zero Exchange, no
     RNG state, trivially pushed behind any downstream operator."""
     d = t(spark, sf_dir, "documents")
-    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
-                                 1, 15), 16, 10)
-              .cast("long") % 100)
+    bucket = F.expr(_H60.format(x="cast(doc_id as string)")) % 100
     return (d.select("doc_id", "lang", "source",
                      bucket.cast("long").alias("bucket"))
             .where(F.col("bucket") < 10))
@@ -4550,7 +4546,7 @@ tri AS (SELECT count(*) AS n_tri
         FROM vp e1 JOIN vp e2 ON e1.doc_b = e2.doc_a
                    JOIN vp e3 ON e3.doc_a = e1.doc_a
                               AND e3.doc_b = e2.doc_b),
-wed AS (SELECT sum(d * (d - 1) / 2) AS n_wed FROM deg)
+wed AS (SELECT coalesce(sum(d * (d - 1) // 2), 0) AS n_wed FROM deg)
 SELECT CAST(n_tri AS BIGINT) AS n_triangles,
        CAST(n_wed AS BIGINT) AS n_wedges,
        CASE WHEN n_wed = 0 THEN 0.0
@@ -4598,8 +4594,13 @@ def _triangle_stats(pairs: DataFrame) -> DataFrame:
            .join(e3, (F.col("e3.doc_a") == F.col("e1.doc_a"))
                  & (F.col("e3.doc_b") == F.col("e2.doc_b")))
            .agg(F.count("*").alias("n_tri")))
-    wed = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2)
-                  .cast("long").alias("n_wed"))
+    # (d*(d-1)) is even, so `div 2` is exact per term and the sum
+    # stays 64-bit integer end-to-end (a DOUBLE running sum would
+    # round past 2^53 wedges — review-pass finding); coalesce keeps
+    # the empty-graph contract at (0, 0, 0.0) instead of NULLs
+    wed = deg.agg(F.coalesce(
+        F.sum(F.expr("(d * (d - 1)) div 2")), F.lit(0))
+        .cast("long").alias("n_wed"))
     return (tri.crossJoin(F.broadcast(wed))
             .select(F.col("n_tri").cast("long").alias("n_triangles"),
                     F.col("n_wed").alias("n_wedges"),
@@ -4809,6 +4810,11 @@ def ann_pq_topk(spark, sf_dir):
     if len(sample) < _PQ_K:
         raise ValueError("ann_pq_topk: need >= {} training vectors, got {}"
                          .format(_PQ_K, len(sample)))
+    if sample.shape[1] == 0 or sample.shape[1] % _PQ_M != 0:
+        raise ValueError(
+            "ann_pq_topk: dim {} not divisible by M={} subspaces — "
+            "trailing dims would silently drop out of every code"
+            .format(sample.shape[1], _PQ_M))  # loud, not silent recall loss
     dsub = sample.shape[1] // _PQ_M
     cb = np.empty((_PQ_M, _PQ_K, dsub))
     for m in range(_PQ_M):
@@ -4988,11 +4994,11 @@ def logreg_gd_train(spark, sf_dir):
               .groupBy("d").agg(F.sum(F.col("r") * F.col("x")).alias("g"))
               .collect())  # bounded: dim+1 rows, constant in n
         for row in gs:
-            d = int(row["d"])
-            if d == 0:
+            di = int(row["d"])  # di, not d: don't shadow the table handle
+            if di == 0:
                 b -= _LOGREG_ETA * float(row["g"]) / n
             else:
-                w[d - 1] -= _LOGREG_ETA * float(row["g"]) / n
+                w[di - 1] -= _LOGREG_ETA * float(row["g"]) / n
     return (scored(e, w, b)
             .select("vec_id", F.round("s", 6).alias("score_r"),
                     (F.col("s") >= 0.5).cast("long").alias("pred")))

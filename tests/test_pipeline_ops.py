@@ -1037,6 +1037,12 @@ def test_triangle_stats_chain_and_clique(spark):
                            ).collect()[0]
     assert (got0["n_triangles"], got0["n_wedges"], got0["clustering"]) \
         == (0, 0, 0.0)
+    # EMPTY graph (no verified pairs at all): still (0, 0, 0.0), never
+    # NULLs — sum-over-empty is coalesced on both engines
+    gote = _triangle_stats(
+        spark.createDataFrame([], "doc_a long, doc_b long")).collect()[0]
+    assert (gote["n_triangles"], gote["n_wedges"], gote["clustering"]) \
+        == (0, 0, 0.0)
 
 
 def test_pair_graph_triangles_clique_replay(spark, tmp_path):

@@ -446,7 +446,11 @@ def test_ann_pq_recall_and_rerank_shape(spark):
     df = QUERIES["ann_pq_topk"](spark, "/root/testdata/sf0.001")
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") >= 1, plan
+    # AdaptiveSparkPlan's toString repeats operators in the
+    # "== Initial Plan ==" section — count only the final plan:
+    # the encode UDF must evaluate exactly ONCE over the corpus
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ArrowEvalPython") == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
 
