@@ -5170,6 +5170,93 @@ def pca_power_projection(spark, sf_dir):
             .select("vec_id", F.round("s", 5).alias("pc1_r")))
 
 
+@_q("event_transition_probs", sql="""
+WITH seq AS (SELECT user_id, event_type,
+                    lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev
+             FROM events),
+cnt AS (SELECT prev AS prev_type, event_type, count(*) AS cnt
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, event_type, CAST(cnt AS BIGINT) AS cnt,
+       CAST((1000 * cnt) // sum(cnt) OVER (PARTITION BY prev_type)
+            AS BIGINT) AS p_milli
+FROM cnt
+""")
+def event_transition_probs(spark, sf_dir):
+    """First-order Markov transition matrix of per-user event
+    sequences — the sequence-mining primitive behind next-action
+    models and anomaly scoring: order each user's events by
+    (ts, event_id) (the id tie-break makes same-instant rows
+    deterministic on both engines), lag() gives the previous type,
+    and the global (prev, next) counts normalize to exact integer
+    milli probabilities per source state (1000*cnt div row-total —
+    no FP anywhere).
+
+    Scale shape: ONE shuffle (the per-user window; at 10^12 events
+    the same lag rides the events table's natural (user, ts)
+    clustering), then aggregation over a frame whose size is
+    |event_type|^2 = 25 rows — the second window is driver-trivial.
+    The transition matrix is the conversation-level analog of
+    w9_rle_collapse's lag machinery aimed at COUNTS, not runs."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (ev.withColumn("prev", F.lag("event_type").over(w))
+           .where(F.col("prev").isNotNull())
+           .groupBy(F.col("prev").alias("prev_type"), "event_type")
+           .agg(F.count("*").alias("cnt")))
+    return (cnt.select(
+        "prev_type", "event_type", F.col("cnt").cast("long").alias("cnt"),
+        F.expr("(1000 * cnt) div (sum(cnt) OVER"
+               " (PARTITION BY prev_type))")
+        .cast("long").alias("p_milli")))
+
+
+@_q("source_kl_divergence", sql="""
+WITH sl AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+tot AS (SELECT source, sum(c) AS st FROM sl GROUP BY 1),
+lg AS (SELECT lang, sum(c) AS lc FROM sl GROUP BY 1),
+n AS (SELECT sum(c) AS n FROM sl)
+SELECT source,
+       round(sum((CAST(c AS DOUBLE) / st)
+                 * ln((CAST(c AS DOUBLE) / st)
+                      / (CAST(lc AS DOUBLE) / (SELECT n FROM n)))), 6)
+       AS kl_r
+FROM sl JOIN tot USING (source) JOIN lg USING (lang)
+GROUP BY source
+""")
+def source_kl_divergence(spark, sf_dir):
+    """Per-source KL divergence of its language distribution from the
+    corpus-wide one, KL(P_source || P_corpus) in nats — the standard
+    data-MIXING diagnostic (which sources skew the language balance a
+    sampler must correct; cf. the domain/language re-weighting in
+    Gopher appendix A / The Pile): absent (source, lang) cells
+    contribute 0 by the 0*ln(0) = 0 convention, which the grouped
+    frame encodes naturally by absence, and q > 0 wherever p > 0
+    since the corpus marginal includes every source's counts.
+
+    Scale shape: one groupBy shuffle on (source, lang); everything
+    after operates on a |sources| x |langs| frame — the lang marginal
+    is broadcast-joined (5 rows) and the source totals ride a window
+    over the same partitioning. ln() is the 1-ulp cross-engine class:
+    emitted rounded to 6dp with the rounding-boundary margin measured
+    in tests (bm25/logreg discipline); counts and fractions are exact
+    integers divided once, bit-identical."""
+    d = t(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    ws = Window.partitionBy("source")
+    lg = sl.groupBy("lang").agg(F.sum("c").alias("lc"))
+    n = sl.agg(F.sum("c").alias("n"))
+    return (sl.withColumn("st", F.sum("c").over(ws))
+            .join(F.broadcast(lg), "lang")
+            .crossJoin(F.broadcast(n))
+            .withColumn("term", F.expr(
+                "(cast(c as double) / st)"
+                " * ln((cast(c as double) / st)"
+                "      / (cast(lc as double) / n))"))
+            .groupBy("source")
+            .agg(F.round(F.sum("term"), 6).alias("kl_r")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -1330,3 +1330,59 @@ def test_pca_power_projection_margins_and_plan(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_event_transition_probs_hand(spark, tmp_path):
+    """Hand-pinned Markov counts: user 1 walks view->click->view->
+    click (transitions vc, cv, vc), user 2 has a same-instant pair
+    whose order is decided by event_id (tie-break determinism), and a
+    single-event user contributes nothing. p_milli is exact integer
+    division within each prev state."""
+    from extractor.queries import QUERIES
+
+    sf = _events(tmp_path, [
+        (1, "2026-01-01 10:00", 1, "view"),
+        (2, "2026-01-01 11:00", 1, "click"),
+        (3, "2026-01-01 12:00", 1, "view"),
+        (4, "2026-01-01 13:00", 1, "click"),
+        (5, "2026-01-01 10:00", 2, "signup"),   # same instant as 6:
+        (6, "2026-01-01 10:00", 2, "error"),    # event_id orders them
+        (7, "2026-01-01 10:00", 3, "view"),     # lone event: no pair
+    ])
+    got = {(r["prev_type"], r["event_type"]): (r["cnt"], r["p_milli"])
+           for r in QUERIES["event_transition_probs"](spark, sf).collect()}
+    assert got == {
+        ("view", "click"): (2, 1000),
+        ("click", "view"): (1, 1000),
+        ("signup", "error"): (1, 1000),
+    }, got
+
+
+def test_source_kl_divergence_margins_and_replay(spark):
+    """KL replayed in numpy at two SFs: Spark's 6dp-rounded values
+    must match the replay, and every value must sit far from its
+    rounding midpoint relative to the ln() 1-ulp divergence band."""
+    import numpy as np
+
+    from extractor.queries import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = pd.read_parquet(os.path.join(sf, "documents.parquet"))
+        n = len(d)
+        lc = d["lang"].value_counts()
+        want = {}
+        for src, g in d.groupby("source"):
+            st = len(g)
+            kl = 0.0
+            for lang, c in g["lang"].value_counts().items():
+                p = c / st
+                q = lc[lang] / n
+                kl += p * np.log(p / q)
+            frac = abs((kl * 1e6) % 1 - 0.5)
+            assert frac > 1e-5, (src, frac)   # 1e-11 in KL units
+            want[src] = round(float(kl), 6)
+        got = {r["source"]: r["kl_r"]
+               for r in QUERIES["source_kl_divergence"](spark, sf).collect()}
+        for src in want:
+            assert abs(got[src] - want[src]) < 1.5e-6, (src, got[src], want[src])
+        assert set(got) == set(want)
