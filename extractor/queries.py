@@ -5257,6 +5257,56 @@ def source_kl_divergence(spark, sf_dir):
             .agg(F.round(F.sum("term"), 6).alias("kl_r")))
 
 
+@_q("q5_local_supplier_volume", sql="""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+""")
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume) — the multi-way join-planning
+    stress the relational set lacked: six tables, a LOCAL-commerce
+    correlation (customer and supplier must share a nation), a
+    region filter that prunes through two dimension hops, and a date
+    window that must reach the orders scan as a pushed filter. The
+    plan Catalyst should pick — and the plan gate asserts — is the
+    classic star shape: region/nation/supplier/customer broadcast
+    (small dims), lineitem-orders as the only shuffle-worthy join,
+    NO CartesianProduct despite the comma-join-style predicate set.
+    Revenue in exact integer cents via the repo's established
+    round(x*100) pin (q1/q3 convention — bit-identical both
+    engines)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    na = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    cents = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100, 0) as bigint)")
+    return (li
+            .join(o.where((F.col("o_orderdate") >= "1995-01-01")
+                          & (F.col("o_orderdate") < "1997-01-01")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(s),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(na),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.sum(cents).cast("long").alias("revenue_cents")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

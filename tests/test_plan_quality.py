@@ -467,3 +467,24 @@ def test_containment_prefix_join_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q5_star_join_plan(spark):
+    """TPC-H Q5's plan must be the star shape the docstring promises:
+    every dimension hop a BroadcastHashJoin (>= 4 of them; AQE may
+    also broadcast orders at test SF), never a CartesianProduct /
+    BroadcastNestedLoopJoin despite the 6-table predicate set, the
+    o_orderdate window PUSHED into the orders scan, and the orders
+    ReadSchema pruned to exactly the 3 columns the query touches."""
+    from extractor.queries import QUERIES
+
+    df = QUERIES["q5_local_supplier_volume"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert ("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,"
+            "o_orderdate:timestamp" in plan), plan
