@@ -33,6 +33,7 @@ import random
 import pyarrow as pa
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamWriter,
                                     DataSourceWriter, InputPartition,
                                     SimpleDataSourceStreamReader,
                                     WriterCommitMessage)
@@ -343,10 +344,104 @@ class _JsonlShardWriter(DataSourceWriter):
         _ = os
 
 
+class _JsonlStreamShardWriter(DataSourceStreamWriter):
+    """Per-epoch exactly-once streaming JSONL sink — the STREAMING
+    half of the two-phase protocol _JsonlShardWriter implements for
+    batch, completing the Python DataSource API matrix (batch read /
+    stream read / batch write / STREAM write). Tasks stage shards
+    exactly like the batch writer; the driver-side commit(messages,
+    batchId) makes the epoch durable with REPLAY idempotency:
+
+    - a `_commits/<batchId>` marker is created O_CREAT|O_EXCL AFTER
+      the epoch's staged shards are renamed to
+      `part-e{batchId}-<task-uuid>.jsonl.gz`;
+    - if the marker already exists (Structured Streaming re-runs the
+      last epoch after a crash between sink commit and checkpoint
+      write-ahead commit), the staged duplicates are DELETED and the
+      commit returns — the epoch's rows appear exactly once;
+    - a crash BETWEEN renames and marker creation is the only
+      in-between state, healed on replay by the epoch prefix: replay
+      first removes any `part-e{batchId}-*` orphans, then renames its
+      own shards, then marks. Final names carry the epoch, so no
+      other epoch's files are ever touched.
+
+    abort(messages, batchId) drops the epoch's staged files only —
+    committed epochs are immutable."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("transcript_jsonl stream writer requires path")
+
+    def write(self, iterator):
+        import gzip
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        stage_dir = os.path.join(self.path, "_staging")
+        os.makedirs(stage_dir, exist_ok=True)
+        staged = os.path.join(stage_dir, "task-{}-{}.jsonl.gz".format(
+            tc.partitionId() if tc else 0, _uuid.uuid4().hex[:8]))
+        n = 0
+        with gzip.open(staged, "wt", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), ensure_ascii=False,
+                                    default=str) + "\n")
+                n += 1
+        return _ShardCommitMessage(staged, n)
+
+    def commit(self, messages, batchId):
+        import glob as _glob
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        commits = os.path.join(self.path, "_commits")
+        os.makedirs(commits, exist_ok=True)
+        marker = os.path.join(commits, str(int(batchId)))
+        staged = [m.staged_path for m in messages if m is not None]
+        if os.path.exists(marker):
+            # epoch replay after a crash: the rows are already
+            # durable — drop the duplicate staged shards
+            for p in staged:
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
+            return
+        # heal a crash that renamed shards but died before marking:
+        # this replay's shards REPLACE the orphans wholesale
+        for orphan in _glob.glob(os.path.join(
+                self.path, "part-e{:010d}-*.jsonl.gz".format(int(batchId)))):
+            os.unlink(orphan)
+        for p in staged:
+            suffix = os.path.basename(p)[len("task-"):]
+            os.replace(p, os.path.join(
+                self.path,
+                "part-e{:010d}-{}".format(int(batchId), suffix)))
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.unlink(m.staged_path)
+                except FileNotFoundError:
+                    pass
+        _ = batchId
+
+
 class TranscriptJsonlSink(DataSource):
     """`transcript_jsonl` — writable Python DataSource (the WRITE side
     of the custom-source surface; `transcript_gen` covers batch +
-    stream reads)."""
+    stream reads). Batch writes via writer(); streaming writes via
+    streamWriter() with per-epoch exactly-once replay semantics."""
 
     @classmethod
     def name(cls):
@@ -354,6 +449,9 @@ class TranscriptJsonlSink(DataSource):
 
     def writer(self, schema, overwrite):
         return _JsonlShardWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return _JsonlStreamShardWriter(self.options)
 
 
 def register_sink(spark) -> None:

@@ -296,3 +296,74 @@ def test_jsonl_sink_append_refuses_markerless_wreckage(spark, tmp_path):
     import json as _json
     with open(os.path.join(out, "_SUCCESS")) as f:
         assert _json.load(f)["rows"] == 1
+
+
+def test_jsonl_sink_stream_writer_exactly_once(gen_spark, tmp_path):
+    """STREAMING write path (DataSourceStreamWriter, completing the
+    Python DataSource matrix): gen stream source -> transcript_jsonl
+    sink across two availableNow runs on one checkpoint must equal
+    the batch source exactly — no duplicate, no loss, across epochs
+    AND restarts. Then the two crash windows are driven directly:
+    (a) replay of an already-committed epoch (marker present) drops
+    its staged duplicates and leaves the directory untouched;
+    (b) the renamed-but-unmarked window (marker missing, part-e files
+    present) is healed by wholesale replacement on replay."""
+    import glob
+    import gzip
+    import json
+    import os
+
+    from extractor.gen_source import (_JsonlStreamShardWriter,
+                                      _ShardCommitMessage, register_sink)
+
+    register_sink(gen_spark)
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (gen_spark.readStream.format("transcript_gen")
+             .option("n_turns", 2000).option("convs_per_batch", 9).load()
+             .writeStream.format("transcript_jsonl")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    run_once()
+    run_once()
+    rows = []
+    for p in sorted(glob.glob(os.path.join(out, "part-e*.jsonl.gz"))):
+        with gzip.open(p, "rt", encoding="utf-8") as f:
+            rows += [json.loads(line) for line in f]
+    batch = (gen_spark.read.format("transcript_gen")
+             .option("n_turns", 2000).option("num_convs", 18)
+             .load()).toPandas()
+    assert len(rows) == len(batch)
+    assert (sorted((r["conv_id"], r["turn_idx"]) for r in rows)
+            == sorted(zip(batch["conv_id"], batch["turn_idx"])))
+    markers = os.listdir(os.path.join(out, "_commits"))
+    assert len(markers) >= 2, markers
+
+    # (a) committed-epoch replay: staged duplicate dropped, dir intact
+    w = _JsonlStreamShardWriter({"path": out})
+    stage_dir = os.path.join(out, "_staging")
+    os.makedirs(stage_dir, exist_ok=True)
+    dup = os.path.join(stage_dir, "task-0-deadbeef.jsonl.gz")
+    with gzip.open(dup, "wt", encoding="utf-8") as f:
+        f.write('{"x": 1}\n')
+    bid = int(sorted(markers, key=int)[0])
+    before = sorted(glob.glob(os.path.join(out, "part-e*.jsonl.gz")))
+    w.commit([_ShardCommitMessage(dup, 1)], bid)
+    assert not os.path.exists(dup)
+    assert sorted(glob.glob(os.path.join(out, "part-e*.jsonl.gz"))) == before
+
+    # (b) renamed-but-unmarked heal: same epoch re-committed replaces
+    # its orphans wholesale and re-creates the marker
+    os.unlink(os.path.join(out, "_commits", str(bid)))
+    rep = os.path.join(stage_dir, "task-0-cafebabe.jsonl.gz")
+    with gzip.open(rep, "wt", encoding="utf-8") as f:
+        f.write(json.dumps({"conv_id": "healed"}) + "\n")
+    w.commit([_ShardCommitMessage(rep, 1)], bid)
+    healed = glob.glob(
+        os.path.join(out, "part-e{:010d}-*.jsonl.gz".format(bid)))
+    assert len(healed) == 1 and healed[0].endswith("cafebabe.jsonl.gz")
+    assert os.path.exists(os.path.join(out, "_commits", str(bid)))
