@@ -4754,6 +4754,38 @@ _PQ_M, _PQ_K, _PQ_SAMPLE, _PQ_ITERS, _PQ_RERANK = 16, 64, 256, 4, 100
 _PQ_SALT = 16  # stage-1 top-R parallelism of the salted two-stage scan
 
 
+def _pq_train(sample, who: str):
+    """Deterministic per-subspace Lloyd codebook (_PQ_M x _PQ_K x
+    dsub) from a bounded driver sample: init = first _PQ_K
+    subvectors, _PQ_ITERS iterations, argmin tie -> lowest cid,
+    empty cell keeps its centroid. Shared by the flat-PQ and IVF-PQ
+    scans (IVF-PQ trains on cell RESIDUALS, same machinery)."""
+    import numpy as np
+
+    if len(sample) < _PQ_K:
+        raise ValueError("{}: need >= {} training vectors, got {}"
+                         .format(who, _PQ_K, len(sample)))
+    if sample.shape[1] == 0 or sample.shape[1] % _PQ_M != 0:
+        raise ValueError(
+            "{}: dim {} not divisible by M={} subspaces — trailing "
+            "dims would silently drop out of every code"
+            .format(who, sample.shape[1], _PQ_M))  # loud, not recall loss
+    dsub = sample.shape[1] // _PQ_M
+    cb = np.empty((_PQ_M, _PQ_K, dsub))
+    for m in range(_PQ_M):
+        sub = sample[:, m * dsub:(m + 1) * dsub]
+        cent = sub[:_PQ_K].copy()  # deterministic init
+        for _ in range(_PQ_ITERS):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> lowest c (argmin)
+            for c in range(_PQ_K):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        cb[m] = cent
+    return cb
+
+
 @_q("ann_pq_topk")  # rows-only: probabilistic recall, like ann_ivf_topk
 def ann_pq_topk(spark, sf_dir):
     """PQ-compressed ANN (Jegou et al. TPAMI'11) — completes the
@@ -4807,27 +4839,8 @@ def ann_pq_topk(spark, sf_dir):
     sample = np.array(
         [r["vn"] for r in e.orderBy("vec_id").limit(_PQ_SAMPLE).collect()],
         dtype=np.float64)
-    if len(sample) < _PQ_K:
-        raise ValueError("ann_pq_topk: need >= {} training vectors, got {}"
-                         .format(_PQ_K, len(sample)))
-    if sample.shape[1] == 0 or sample.shape[1] % _PQ_M != 0:
-        raise ValueError(
-            "ann_pq_topk: dim {} not divisible by M={} subspaces — "
-            "trailing dims would silently drop out of every code"
-            .format(sample.shape[1], _PQ_M))  # loud, not silent recall loss
+    cb = _pq_train(sample, "ann_pq_topk")
     dsub = sample.shape[1] // _PQ_M
-    cb = np.empty((_PQ_M, _PQ_K, dsub))
-    for m in range(_PQ_M):
-        sub = sample[:, m * dsub:(m + 1) * dsub]
-        cent = sub[:_PQ_K].copy()  # deterministic init
-        for _ in range(_PQ_ITERS):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)  # ties -> lowest c (argmin)
-            for c in range(_PQ_K):
-                members = sub[assign == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-        cb[m] = cent
     b_cb = spark.sparkContext.broadcast(cb)
 
     # --- encode: Arrow-batched numpy argmin, zero shuffle ---
@@ -5305,6 +5318,144 @@ def q5_local_supplier_volume(spark, sf_dir):
                   F.col("n_regionkey") == F.col("r_regionkey"))
             .groupBy("n_name")
             .agg(F.sum(cents).cast("long").alias("revenue_cents")))
+
+
+@_q("ann_ivfpq_topk")  # rows-only: probabilistic recall, like its parents
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ — the production ANN architecture (FAISS IVFPQ; Jegou
+    et al. TPAMI'11 sec V) composed from the repo's two existing
+    stages exactly as ann_pq_topk's docstring promises: an IVF
+    coarse quantizer restricts each query to its nprobe nearest
+    cells, and within those cells distances come from PQ codes
+    trained on cell RESIDUALS (x - centroid[cell]) — residual
+    quantization is what lets one codebook serve every cell. Scan
+    state per vector: one cell id + M codes; full vectors are
+    touched only by the exact re-rank of the bounded shortlist.
+
+    - TRAIN (driver, bounded): spherical k-means cells on the first
+      _IVF_SAMPLE vec_ids (the ann_ivf_topk recipe), then the shared
+      _pq_train on the SAMPLE's residuals.
+    - ENCODE: one Arrow pandas UDF emitting (cell, codes) per vector
+      — assign cell by max cosine, subtract its centroid, PQ-encode
+      the residual; zero shuffle, no per-row Python.
+    - PROBE + ADC: each query precomputes an M*K LUT per probed cell
+      (its residual wrt THAT cell's centroid — 40 LUTs total, rides
+      as broadcast DATA); candidates come from an equi join on cell
+      id (never a cross join against the corpus), ADC is one JVM
+      aggregate, and the salted two-stage top-R bounds every sort.
+    - RE-RANK: exact cosine over the broadcast bounded shortlist
+      (the ann_pq_topk protocol; final recall == shortlist capture).
+
+    Recall floor vs the exact oracle is gated in
+    tests/test_plan_quality.py next to its LSH/IVF/PQ siblings."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (pandas_udf signature)
+    from pyspark.sql.functions import pandas_udf
+
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v"))
+         .withColumn("vn", F.expr(
+             "transform(v, x -> x / sqrt(aggregate(v, 0D,"
+             " (a, y) -> a + y * y)))"))
+         .drop("v")
+         .persist())  # 4 consumers: train sample, queries, encode, re-rank
+
+    # --- train: IVF cells (spherical), then PQ on sample residuals ---
+    sample = np.array(
+        [r["vn"] for r in e.orderBy("vec_id").limit(_IVF_SAMPLE).collect()],
+        dtype=np.float64)
+    if len(sample) < _IVF_K:
+        raise ValueError("ann_ivfpq_topk: need >= {} training vectors"
+                         .format(_IVF_K))
+    cent = sample[:_IVF_K].copy()  # deterministic init (unit inputs)
+    for _ in range(_IVF_ITERS):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(_IVF_K):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    res = sample - cent[np.argmax(sample @ cent.T, axis=1)]
+    cb = _pq_train(res, "ann_ivfpq_topk")
+    dsub = sample.shape[1] // _PQ_M
+    b_cent = spark.sparkContext.broadcast(cent)
+    b_cb = spark.sparkContext.broadcast(cb)
+
+    # --- encode: cell + residual PQ codes in ONE Arrow batch pass ---
+    @pandas_udf("struct<cell: int, codes: array<int>>")
+    def encode(vs):
+        X = np.stack(vs.to_numpy())
+        C, Q = b_cent.value, b_cb.value
+        cells = np.argmax(X @ C.T, axis=1)
+        R = X - C[cells]
+        cols = []
+        for m in range(_PQ_M):
+            sub = R[:, m * dsub:(m + 1) * dsub]
+            d2 = ((sub[:, None, :] - Q[m][None, :, :]) ** 2).sum(axis=2)
+            cols.append(np.argmin(d2, axis=1))
+        codes = np.stack(cols, axis=1)
+        return pd.DataFrame({"cell": cells.astype("int32"),
+                             "codes": list(codes)})
+
+    # asNondeterministic: extracting BOTH struct fields would
+    # otherwise let project-collapse inline the UDF expression once
+    # per field — two full ArrowEvalPython passes over the corpus for
+    # one logical encode (caught by the ==1 plan gate)
+    encode = encode.asNondeterministic()
+    coded = (e.select("vec_id", encode("vn").alias("cc"))
+             .select("vec_id", F.col("cc.cell").alias("cell"),
+                     F.col("cc.codes").alias("codes")))
+
+    # --- probe: nprobe LUTs per query, one row per (query, cell) ---
+    qrows = e.where("vec_id < 10").orderBy("vec_id").collect()
+    qdata = []
+    for r in qrows:
+        qv = np.asarray(r["vn"], dtype=np.float64)
+        probes = np.argsort(-(qv @ cent.T), kind="stable")[:_IVF_NPROBE]
+        for c in probes:
+            qres = qv - cent[c]
+            lut = [float(((qres[m * dsub:(m + 1) * dsub] - cb[m][k]) ** 2)
+                         .sum())
+                   for m in range(_PQ_M) for k in range(_PQ_K)]
+            qdata.append((int(r["vec_id"]), int(c), lut,
+                          [float(x) for x in qv]))
+    q = spark.createDataFrame(
+        qdata, "query_id long, cell int, lut array<double>,"
+               " qv array<double>")
+    dist_expr = ("aggregate(sequence(0, {M1}), 0D, (acc, m) -> "
+                 "acc + lut[m * {K} + codes[m]])"
+                 ).format(M1=_PQ_M - 1, K=_PQ_K)
+    adc = (coded.join(F.broadcast(q.select("query_id", "cell", "lut")),
+                      "cell")
+           .where("vec_id <> query_id")
+           .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                   F.expr(dist_expr).alias("adc")))
+    w_part = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64("neighbor_id"), F.lit(_PQ_SALT))
+    ).orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id"))
+    shortlist = (adc.withColumn("prn", F.row_number().over(w_part))
+                 .where(F.col("prn") <= _PQ_RERANK)
+                 .withColumn("rn", F.row_number().over(w_adc))
+                 .where(F.col("rn") <= _PQ_RERANK)
+                 .drop("prn", "rn", "adc"))
+
+    # --- exact re-rank of the bounded shortlist (PQ protocol) ---
+    rer = (e.join(F.broadcast(
+        shortlist.join(F.broadcast(
+            q.select("query_id", "qv").dropDuplicates(["query_id"])),
+            "query_id")),
+        F.col("neighbor_id") == F.col("vec_id"))
+           .select("query_id", "neighbor_id",
+                   F.expr("aggregate(zip_with(vn, qv, (x, y) -> x * y),"
+                          " 0D, (acc, s) -> acc + s)").alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (rer.withColumn("rn", F.row_number().over(w)).where("rn <= 5")
+            .select("query_id", "neighbor_id",
+                    F.col("rn").cast("long").alias("rank")))
 
 
 # ===========================================================================
