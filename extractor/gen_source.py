@@ -282,6 +282,7 @@ class _JsonlShardWriter(DataSourceWriter):
         # accumulates.
         prior_rows = 0
         success = os.path.join(self.path, "_SUCCESS")
+        commits_dir = os.path.join(self.path, "_commits")
         if self.overwrite:
             try:
                 os.unlink(success)
@@ -290,7 +291,19 @@ class _JsonlShardWriter(DataSourceWriter):
             for old in _glob.glob(os.path.join(self.path,
                                                "part-*.jsonl.gz")):
                 os.unlink(old)
+            # the part-* glob above also removes STREAMING epochs'
+            # part-e* shards — their _commits markers must go with
+            # them, or a stream restarted on this path would treat
+            # replayed epochs as already-durable and silently drop
+            # their rows (review-pass finding)
+            shutil.rmtree(commits_dir, ignore_errors=True)
         else:
+            if os.path.isdir(commits_dir):
+                raise IOError(
+                    "append to {}: directory is a streaming-sink "
+                    "target (_commits present) — batch append would "
+                    "mix row-count domains; use overwrite or a "
+                    "different path".format(self.path))
             try:
                 with open(success, "r", encoding="utf-8") as f:
                     prior_rows = int(_json.load(f).get("rows", 0))
@@ -405,12 +418,12 @@ class _JsonlStreamShardWriter(DataSourceStreamWriter):
         staged = [m.staged_path for m in messages if m is not None]
         if os.path.exists(marker):
             # epoch replay after a crash: the rows are already
-            # durable — drop the duplicate staged shards
-            for p in staged:
-                try:
-                    os.unlink(p)
-                except FileNotFoundError:
-                    pass
+            # durable — drop the duplicate staged shards (and any
+            # orphans from failed/speculated tasks — see below)
+            import shutil as _shutil
+
+            _shutil.rmtree(os.path.join(self.path, "_staging"),
+                           ignore_errors=True)
             return
         # heal a crash that renamed shards but died before marking:
         # this replay's shards REPLACE the orphans wholesale
@@ -424,17 +437,24 @@ class _JsonlStreamShardWriter(DataSourceStreamWriter):
                 "part-e{:010d}-{}".format(int(batchId), suffix)))
         fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         os.close(fd)
+        # sweep orphaned staged shards from failed/speculated tasks —
+        # only files in `messages` were renamed; anything left in
+        # _staging is a loser's write that would otherwise accumulate
+        # forever (epochs are sequential per query, so nothing live
+        # can be in _staging at commit time). Batch writer parity.
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(self.path, "_staging"),
+                       ignore_errors=True)
 
     def abort(self, messages, batchId):
+        import shutil as _shutil
+
         import os
 
-        for m in messages:
-            if m is not None:
-                try:
-                    os.unlink(m.staged_path)
-                except FileNotFoundError:
-                    pass
-        _ = batchId
+        _shutil.rmtree(os.path.join(self.path, "_staging"),
+                       ignore_errors=True)
+        _ = (messages, batchId, os)
 
 
 class TranscriptJsonlSink(DataSource):

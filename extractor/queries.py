@@ -1072,6 +1072,30 @@ def ann_lsh_bucketed(spark, sf_dir):
 _IVF_K, _IVF_ITERS, _IVF_NPROBE, _IVF_SAMPLE = 16, 10, 4, 256
 
 
+def _ivf_train(sn):
+    """Deterministic spherical k-means cells (_IVF_K x dim) over
+    UNIT-normalized sample rows: init = first _IVF_K rows,
+    _IVF_ITERS iterations of argmax-cosine assign + renormalized
+    means, empty cell keeps its centroid. Shared by ann_ivf_topk and
+    ann_ivfpq_topk — a drift between their coarse quantizers would
+    silently desync ivfpq's cell assignment from the recall gate's
+    ivf-flat reference."""
+    import numpy as np
+
+    if len(sn) < _IVF_K:
+        raise ValueError("ivf train: need >= {} vectors, got {}"
+                         .format(_IVF_K, len(sn)))
+    cent = sn[:_IVF_K].copy()  # deterministic init
+    for _ in range(_IVF_ITERS):
+        assign = np.argmax(sn @ cent.T, axis=1)
+        for c in range(_IVF_K):
+            members = sn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
 @_q("ann_ivf_topk")  # rows-only: probabilistic recall, like ann_lsh_bucketed
 def ann_ivf_topk(spark, sf_dir):
     """IVF-flat ANN scale path (FAISS-style inverted file — public
@@ -1108,14 +1132,7 @@ def ann_ivf_topk(spark, sf_dir):
         dtype=np.float64)
     sn = sample / np.clip(np.linalg.norm(sample, axis=1, keepdims=True),
                           1e-12, None)
-    cent = sn[:_IVF_K].copy()  # deterministic init
-    for _ in range(_IVF_ITERS):
-        assign = np.argmax(sn @ cent.T, axis=1)
-        for c in range(_IVF_K):
-            members = sn[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    cent = _ivf_train(sn)
     b_cent = spark.sparkContext.broadcast(cent)
 
     @pandas_udf("int")
@@ -5290,9 +5307,13 @@ def q5_local_supplier_volume(spark, sf_dir):
     region filter that prunes through two dimension hops, and a date
     window that must reach the orders scan as a pushed filter. The
     plan Catalyst should pick — and the plan gate asserts — is the
-    classic star shape: region/nation/supplier/customer broadcast
-    (small dims), lineitem-orders as the only shuffle-worthy join,
-    NO CartesianProduct despite the comma-join-style predicate set.
+    classic star shape: region/nation/supplier broadcast (true small
+    dims, hinted), customer LEFT TO AQE — it is O(SF) fact-sized
+    (1.5M rows at sf10), so a forced broadcast would blow the build
+    side at exactly the scales this models; AQE broadcasts it at
+    test SF and shuffles it at scale — lineitem-orders as the only
+    always-shuffle join, NO CartesianProduct despite the
+    comma-join-style predicate set.
     Revenue in exact integer cents via the repo's established
     round(x*100) pin (q1/q3 convention — bit-identical both
     engines)."""
@@ -5308,7 +5329,7 @@ def q5_local_supplier_volume(spark, sf_dir):
             .join(o.where((F.col("o_orderdate") >= "1995-01-01")
                           & (F.col("o_orderdate") < "1997-01-01")),
                   F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(s),
                   (F.col("l_suppkey") == F.col("s_suppkey"))
                   & (F.col("c_nationkey") == F.col("s_nationkey")))
@@ -5365,17 +5386,7 @@ def ann_ivfpq_topk(spark, sf_dir):
     sample = np.array(
         [r["vn"] for r in e.orderBy("vec_id").limit(_IVF_SAMPLE).collect()],
         dtype=np.float64)
-    if len(sample) < _IVF_K:
-        raise ValueError("ann_ivfpq_topk: need >= {} training vectors"
-                         .format(_IVF_K))
-    cent = sample[:_IVF_K].copy()  # deterministic init (unit inputs)
-    for _ in range(_IVF_ITERS):
-        assign = np.argmax(sample @ cent.T, axis=1)
-        for c in range(_IVF_K):
-            members = sample[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    cent = _ivf_train(sample)  # inputs already unit-normalized
     res = sample - cent[np.argmax(sample @ cent.T, axis=1)]
     cb = _pq_train(res, "ann_ivfpq_topk")
     dsub = sample.shape[1] // _PQ_M
@@ -5495,14 +5506,18 @@ _DRIVER_VERIFIED_THROUGH_R3 = frozenset({
 
 
 def _driver_verified_names() -> frozenset:
-    """Names with a recorded row in ANY CORRECTNESS_r*.json at the
-    repo root — the driver records only the first ~50 registry
+    """Names with a PASSING row in any CORRECTNESS_r*.json at the
+    repo root (flat name -> result-dict format, the only one the
+    driver writes) — the driver records only the first ~50 registry
     entries per round, so rotation must know who already has the
     hard external signal. Reading the driver's own files makes the
-    rotation SELF-UPDATING round over round (the round-3 lesson:
-    a hand-frozen set goes stale the moment a new round's file
-    lands). Falls back to the frozen round-3 set when no files are
-    readable (fresh clone, no driver runs yet)."""
+    rotation SELF-UPDATING round over round (the round-3 lesson: a
+    hand-frozen set goes stale the moment a new round's file lands).
+    A row that FAILED (err set, or rows/hash mismatch) does NOT
+    count as verified — it stays in the re-run-first group, so a
+    regression the driver caught is re-checked next round rather
+    than rotated out of sight. Falls back to the frozen round-3 set
+    when no files are readable (fresh clone, no driver runs yet)."""
     import glob
     import json
     import os
@@ -5516,17 +5531,21 @@ def _driver_verified_names() -> frozenset:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
-        if isinstance(data, dict):
-            for key in ("queries", "results", "per_query"):
-                if isinstance(data.get(key), dict):
-                    seen.update(data[key].keys())
-                    break
-            else:
-                seen.update(k for k, v in data.items()
-                            if isinstance(v, dict))
-        elif isinstance(data, list):
-            seen.update(r.get("name") for r in data
-                        if isinstance(r, dict) and r.get("name"))
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            if err == "no_oracle":
+                # rows-only query: a recorded spark_rows IS its
+                # (weaker) driver check — nothing stronger exists
+                if row.get("spark_rows") is not None:
+                    seen.add(name)
+            elif (err in (None, "")
+                    and row.get("rows_match", True) is not False
+                    and row.get("hash_match", True) is not False):
+                seen.add(name)
     return frozenset(seen) if seen else _DRIVER_VERIFIED_THROUGH_R3
 
 

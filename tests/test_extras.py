@@ -1129,14 +1129,22 @@ def test_registry_rotation_unverified_first_and_lossless():
     """The driver iterates QUERIES in dict order and (empirically)
     records only a prefix, so never-driver-verified names must come
     first and the rotation must be a pure permutation: same key set,
-    ORACLES still aligned, every verified name still registered."""
-    from extractor.queries import (_DRIVER_VERIFIED_THROUGH_R3, ORACLES,
+    ORACLES still aligned, every verified name still registered.
+    Partitioned on the LIVE derived set (_driver_verified_names
+    reads the CORRECTNESS_r*.json files), so the pin keeps holding
+    when the next round's file lands and the rotation self-updates —
+    asserting against the frozen fallback would break on exactly
+    that event (review-pass finding)."""
+    from extractor.queries import (_driver_verified_names, ORACLES,
                                    QUERIES)
 
+    verified = _driver_verified_names()
     names = list(QUERIES)
-    k = sum(1 for n in names if n not in _DRIVER_VERIFIED_THROUGH_R3)
+    k = sum(1 for n in names if n not in verified)
     assert k > 0
-    assert all(n not in _DRIVER_VERIFIED_THROUGH_R3 for n in names[:k])
-    assert all(n in _DRIVER_VERIFIED_THROUGH_R3 for n in names[k:])
+    assert all(n not in verified for n in names[:k])
+    assert all(n in verified for n in names[k:])
     assert set(ORACLES) <= set(QUERIES)
-    assert _DRIVER_VERIFIED_THROUGH_R3 <= set(QUERIES)
+    # every verified name that still exists must stay registered
+    # (names may legitimately be superseded between rounds)
+    assert verified & set(QUERIES) == {n for n in names[k:]}

@@ -359,6 +359,7 @@ def test_jsonl_sink_stream_writer_exactly_once(gen_spark, tmp_path):
     # (b) renamed-but-unmarked heal: same epoch re-committed replaces
     # its orphans wholesale and re-creates the marker
     os.unlink(os.path.join(out, "_commits", str(bid)))
+    os.makedirs(stage_dir, exist_ok=True)  # replay sweep removed it
     rep = os.path.join(stage_dir, "task-0-cafebabe.jsonl.gz")
     with gzip.open(rep, "wt", encoding="utf-8") as f:
         f.write(json.dumps({"conv_id": "healed"}) + "\n")
@@ -367,3 +368,43 @@ def test_jsonl_sink_stream_writer_exactly_once(gen_spark, tmp_path):
         os.path.join(out, "part-e{:010d}-*.jsonl.gz".format(bid)))
     assert len(healed) == 1 and healed[0].endswith("cafebabe.jsonl.gz")
     assert os.path.exists(os.path.join(out, "_commits", str(bid)))
+
+
+def test_jsonl_sink_batch_modes_respect_streaming_epochs(spark, tmp_path):
+    """Cross-mode guards on one path (review-pass finding): a batch
+    APPEND onto a streaming-sink target (_commits present) must
+    refuse — its _SUCCESS count cannot account for epoch shards —
+    and a batch OVERWRITE must remove the epoch shards AND their
+    _commits markers together, else a restarted stream would treat
+    replayed epochs as already-durable and silently drop rows."""
+    import glob
+    import gzip
+    import os
+
+    from extractor.gen_source import register_sink
+
+    register_sink(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(os.path.join(out, "_commits"))
+    with gzip.open(os.path.join(out, "part-e0000000000-x.jsonl.gz"),
+                   "wt", encoding="utf-8") as f:
+        f.write('{"conv_id": "s"}\n')
+    open(os.path.join(out, "_commits", "0"), "w").close()
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hello", "", "2025-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="streaming-sink target"):
+        (df.write.format("transcript_jsonl").mode("append")
+         .option("path", out).save())
+
+    (df.write.format("transcript_jsonl").mode("overwrite")
+     .option("path", out).save())
+    assert not glob.glob(os.path.join(out, "part-e*.jsonl.gz"))
+    assert not os.path.exists(os.path.join(out, "_commits"))
+    # fresh batch shards only (count = task partitioning, >= 1)
+    assert glob.glob(os.path.join(out, "part-*.jsonl.gz"))
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
