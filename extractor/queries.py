@@ -5469,6 +5469,73 @@ def ann_ivfpq_topk(spark, sf_dir):
                     F.col("rn").cast("long").alias("rank")))
 
 
+@_q("scd2_dimension_build", sql="""
+WITH seq AS (SELECT user_id, ts, event_type,
+                    lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id DESC) AS prev_ts
+             FROM events),
+win AS (SELECT user_id, ts, event_type FROM seq
+        WHERE prev_ts IS NULL OR prev_ts <> ts),
+chg AS (SELECT user_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts) AS prev_type
+        FROM win),
+ver AS (SELECT user_id, event_type AS state, ts AS eff_from
+        FROM chg
+        WHERE prev_type IS NULL OR event_type <> prev_type)
+SELECT user_id, state,
+       strftime(eff_from, '%Y-%m-%d %H:%M:%S') AS eff_from,
+       coalesce(strftime(lead(eff_from) OVER (PARTITION BY user_id
+                                              ORDER BY eff_from),
+                         '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00')
+       AS eff_to,
+       CAST(lead(eff_from) OVER (PARTITION BY user_id ORDER BY eff_from)
+            IS NULL AS BIGINT) AS is_current
+FROM ver
+""")
+def scd2_dimension_build(spark, sf_dir):
+    """Slowly-Changing-Dimension Type 2 build (Kimball's versioned
+    dimension, the standard warehouse pattern CDC pipelines feed):
+    treat each user's event_type stream as attribute changes and
+    emit one VERSION row per run of equal values — [eff_from,
+    eff_to) half-open validity, 9999-12-31 sentinel + is_current
+    flag on the open version. Same-instant events dedup to the
+    highest event_id — picked as the HEAD of each ts-run under the
+    (ts asc, event_id desc) order (a lag(ts) comparison, NOT a
+    (user, ts)-partitioned row_number, which would cost a second
+    Exchange on a different key), then a run-collapse (lag <>
+    current, w9_rle_collapse's mechanism aimed at INTERVALS) and a
+    lead() close each version against the next change.
+
+    Scale shape: everything rides ONE hash partitioning on user_id —
+    the dedup row_number, the change-detection lag, and the closing
+    lead share the same Exchange (plan-gated: exactly one). At
+    10^12 events the window is per-user sequential but users
+    partition freely; no join anywhere. Timestamps are emitted as
+    formatted strings (exact cross-engine; the repo's f13
+    convention)."""
+    ev = t(spark, sf_dir, "events")
+    w_dedup = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.desc("event_id"))
+    w_seq = Window.partitionBy("user_id").orderBy("ts")
+    w_ver = Window.partitionBy("user_id").orderBy("eff_from")
+    chg = (ev.withColumn("prev_ts", F.lag("ts").over(w_dedup))
+           .where(F.col("prev_ts").isNull()
+                  | (F.col("prev_ts") != F.col("ts")))
+           .withColumn("prev_type", F.lag("event_type").over(w_seq))
+           .where(F.col("prev_type").isNull()
+                  | (F.col("event_type") != F.col("prev_type")))
+           .select("user_id", F.col("event_type").alias("state"),
+                   F.col("ts").alias("eff_from")))
+    nxt = F.lead("eff_from").over(w_ver)
+    return (chg.select(
+        "user_id", "state",
+        F.date_format("eff_from", "yyyy-MM-dd HH:mm:ss").alias("eff_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"),
+                   F.lit("9999-12-31 00:00:00")).alias("eff_to"),
+        nxt.isNull().cast("long").alias("is_current")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -1386,3 +1386,46 @@ def test_source_kl_divergence_margins_and_replay(spark):
         for src in want:
             assert abs(got[src] - want[src]) < 1.5e-6, (src, got[src], want[src])
         assert set(got) == set(want)
+
+
+def test_scd2_dimension_build_hand(spark, tmp_path):
+    """Version intervals pinned by hand: user 1 changes view->click->
+    view (3 versions, half-open chained intervals, last one open with
+    the 9999 sentinel); user 2's same-instant pair keeps only the
+    highest event_id (the 'error' row wins, one version); repeated
+    equal states collapse into one version (user 3). Plan: everything
+    rides ONE hashpartitioning Exchange on user_id."""
+    import re
+
+    from extractor.queries import QUERIES
+
+    sf = _events(tmp_path, [
+        (1, "2026-01-01 10:00", 1, "view"),
+        (2, "2026-01-01 11:00", 1, "click"),
+        (3, "2026-01-01 12:00", 1, "view"),
+        (4, "2026-01-01 10:00", 2, "signup"),  # same instant as 5:
+        (5, "2026-01-01 10:00", 2, "error"),   # id 5 wins the dedup
+        (6, "2026-01-01 10:00", 3, "view"),
+        (7, "2026-01-01 11:00", 3, "view"),    # equal run: no version
+        (8, "2026-01-01 12:00", 3, "click"),
+    ])
+    got = {(r["user_id"], r["eff_from"]):
+           (r["state"], r["eff_to"], r["is_current"])
+           for r in QUERIES["scd2_dimension_build"](spark, sf).collect()}
+    S = "9999-12-31 00:00:00"
+    assert got == {
+        (1, "2026-01-01 10:00:00"): ("view", "2026-01-01 11:00:00", 0),
+        (1, "2026-01-01 11:00:00"): ("click", "2026-01-01 12:00:00", 0),
+        (1, "2026-01-01 12:00:00"): ("view", S, 1),
+        (2, "2026-01-01 10:00:00"): ("error", S, 1),
+        (3, "2026-01-01 10:00:00"): ("view", "2026-01-01 12:00:00", 0),
+        (3, "2026-01-01 12:00:00"): ("click", S, 1),
+    }, got
+
+    df = QUERIES["scd2_dimension_build"](spark, sf)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    ex = re.findall(r"Exchange hashpartitioning", final)
+    assert len(ex) == 1, plan
+    assert "Join" not in final, plan
