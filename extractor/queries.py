@@ -5537,6 +5537,212 @@ def scd2_dimension_build(spark, sf_dir):
 
 
 # ===========================================================================
+# Catalyst subquery surfaces (TPC-H Q4/Q16/Q17/Q18/Q19/Q22 patterns)
+# ===========================================================================
+# The one relational family the contract had not yet exercised:
+# SUBQUERIES, declared as SQL and decorrelated by Catalyst into the
+# distributed join shapes a 100 TB run needs. Each query below is the
+# canonical TPC-H pattern (spec v3.0.1, qgen templates) adapted to the
+# driver schema (no partsupp table, no commit/receipt dates — the
+# lineitem<->supplier association and the ship-after-order predicate
+# stand in). The engine story is deliberate: these are NOT hand-
+# decorrelated into DataFrame joins — the point is that the optimizer
+# performs the rewrite (EXISTS -> LeftSemi, NOT IN -> null-aware
+# LeftAnti, correlated scalar agg -> Aggregate + equi-join, global
+# scalar -> one-row Subquery broadcast), and the physical shapes are
+# pinned in tests/test_plan_quality.py::test_subquery_family_plans so
+# a Catalyst regression to a nested-loop plan fails CI, not the
+# cluster. spark.sql's {df} templating keeps the session catalog
+# clean (no temp-view name collisions across the 120-query registry).
+
+
+@_q("q4_order_priority_exists", sql="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""")
+def q4_order_priority_exists(spark, sf_dir):
+    """TPC-H Q4: correlated EXISTS with a NON-EQUI correlated
+    predicate (l_shipdate > o_orderdate). Catalyst decorrelates to a
+    LeftSemi hash join on l_orderkey = o_orderkey carrying the date
+    comparison as the join's extra condition — one pass over
+    lineitem, no per-order probe.
+
+    Scale shape: the semi join keys on orderkey (the fact table's
+    densest key, uniform by construction), the o_orderdate window is
+    pushed to the orders scan, and the final agg is 5 groups wide —
+    partial map-side agg makes the second Exchange carry ~5 rows per
+    task. At 10^12 lineitems this is scan + one shuffle."""
+    return spark.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM {o} o
+        WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+          AND EXISTS (SELECT 1 FROM {li}
+                      WHERE l_orderkey = o.o_orderkey
+                        AND l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """, o=t(spark, sf_dir, "orders"), li=t(spark, sf_dir, "lineitem"))
+
+
+@_q("q16_supplier_cnt_not_in", sql="""
+SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size IN (1, 5, 9, 13, 17)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+""")
+def q16_supplier_cnt_not_in(spark, sf_dir):
+    """TPC-H Q16: NOT IN over a subquery — the NULL-AWARE anti join,
+    a physical operator nothing else in the registry exercises. SQL's
+    NOT IN is three-valued (one NULL in the subquery makes every row
+    non-qualifying), so Catalyst cannot plan a plain LeftAnti; it
+    plans a BroadcastHashJoin LeftAnti with NullAware semantics
+    (buildSide must fit in memory — here the blocklist is tiny by
+    construction, the standard shape for exclusion lists at scale).
+
+    count(DISTINCT) rides Spark's two-phase distinct-aggregate
+    expansion; p_size IN (...) is pushed to the part scan."""
+    return spark.sql("""
+        SELECT p_brand, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM {li} JOIN {p} ON p_partkey = l_partkey
+        WHERE p_size IN (1, 5, 9, 13, 17)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM {s}
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+    """, li=t(spark, sf_dir, "lineitem"), p=t(spark, sf_dir, "part"),
+        s=t(spark, sf_dir, "supplier"))
+
+
+@_q("q17_small_qty_revenue", sql="""
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+GROUP BY p_brand
+""")
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17: CORRELATED SCALAR subquery with an aggregate —
+    per-part average quantity as the row filter. Catalyst
+    decorrelates into Aggregate(lineitem GROUP BY l_partkey) joined
+    back on the correlation key: the naive plan is one subquery
+    execution per outer row (10^12 scans); the decorrelated plan is
+    exactly two scans of lineitem and two hash joins.
+
+    Cross-engine determinism: l_quantity is integer-valued, so the
+    per-part sum is EXACT in IEEE double regardless of Spark's vs
+    DuckDB's addition order — the 0.2*avg threshold and the strict <
+    cannot flip between engines (the same argument table_fingerprint
+    uses for XOR). The revenue sum is rounded to 2dp like q1."""
+    return spark.sql("""
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+               round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM {li} l JOIN {p} ON p_partkey = l.l_partkey
+        WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM {li} l2
+                              WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand
+    """, li=t(spark, sf_dir, "lineitem"), p=t(spark, sf_dir, "part"))
+
+
+@_q("q18_large_volume_orders", sql="""
+SELECT c_name, o_orderkey, round(o_totalprice, 2) AS total_price
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+""")
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18: IN over a GROUPED subquery with HAVING — the
+    aggregate-inside-semi-join shape (find orders whose total
+    quantity exceeds the threshold, then enrich). Catalyst plans the
+    inner GROUP BY as a partial+final aggregate whose output feeds a
+    LeftSemi join on o_orderkey; the HAVING sum is computed once per
+    order, never per probe row. The customer hop broadcasts (dim
+    side is O(customers), orders is the fact)."""
+    return spark.sql("""
+        SELECT c_name, o_orderkey, round(o_totalprice, 2) AS total_price
+        FROM {c} JOIN {o} ON c_custkey = o_custkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM {li}
+                             GROUP BY l_orderkey
+                             HAVING sum(l_quantity) > 180)
+    """, c=t(spark, sf_dir, "customer"), o=t(spark, sf_dir, "orders"),
+        li=t(spark, sf_dir, "lineitem"))
+
+
+@_q("q19_disjunctive_revenue", sql="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""")
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19: OR-of-conjunctions across BOTH join sides — the
+    disjunctive-pushdown test. A naive planner sees no conjunctive
+    join predicate and falls back to a nested-loop cross product;
+    Catalyst extracts the common p_partkey = l_partkey equi-key from
+    every disjunct (so the join hashes, never loops) AND derives
+    per-side CNF filters (p_brand IN its 3 values, p_size <= 15,
+    l_quantity ranges) that are pushed into each parquet scan —
+    gated: the part scan's PushedFilters must carry an Or and the
+    plan must show a hash join, no BroadcastNestedLoopJoin."""
+    return spark.sql("""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM {li} JOIN {p} ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """, li=t(spark, sf_dir, "lineitem"), p=t(spark, sf_dir, "part"))
+
+
+@_q("q22_idle_balance_anti", sql="""
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01')
+GROUP BY c_nationkey
+""")
+def q22_idle_balance_anti(spark, sf_dir):
+    """TPC-H Q22: UNCORRELATED scalar subquery (global average
+    balance, computed once and broadcast as a one-row Subquery —
+    never re-evaluated per row) combined with NOT EXISTS (plain
+    LeftAnti: unlike q16's NOT IN, EXISTS is two-valued, so no
+    null-aware machinery is needed — the cheap anti join is the
+    reward for writing NOT EXISTS instead of NOT IN). The date
+    window on the inner orders scan is pushed down before the anti
+    join, shrinking the build side.
+
+    The avg threshold is a double, but a cross-engine flip would
+    need a 2dp account balance within ~1 ulp of the 1500-row mean —
+    structurally impossible on this data (margin verified in the
+    suite's oracle gate at three SFs)."""
+    return spark.sql("""
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM {c} c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM {c}
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM {o}
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderdate >= '1995-01-01'
+                            AND o_orderdate < '1995-07-01')
+        GROUP BY c_nationkey
+    """, c=t(spark, sf_dir, "customer"), o=t(spark, sf_dir, "orders"))
+
+
+# ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================
 # The round-3 driver recorded CORRECTNESS rows for only the first ~50

@@ -518,3 +518,68 @@ def test_ann_ivfpq_recall_and_plan(spark):
     assert final.count("ArrowEvalPython") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def _final_plan(spark, name, sf="/root/testdata/sf0.001"):
+    from extractor.queries import QUERIES
+
+    df = QUERIES[name](spark, sf)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_subquery_family_plans(spark):
+    """The six TPC-H subquery patterns must decorrelate into the
+    distributed shapes their docstrings promise — never a per-row
+    subquery re-execution (CartesianProduct / BroadcastNestedLoopJoin
+    is how that failure presents at the physical layer).
+
+    q4  EXISTS            -> LeftSemi hash join (non-equi date
+                             comparison rides as the extra condition)
+    q17 correlated scalar -> Aggregate over lineitem joined back on
+                             the correlation key (two hash joins, a
+                             partial_avg stage; NOT one scan/probe)
+    q18 IN + HAVING       -> LeftSemi over the grouped aggregate
+    q19 OR-of-conjuncts   -> common equi-key extracted (hash join) +
+                             disjunctive filter pushed to the scan
+    q22 scalar + NOT EXISTS -> one-row Subquery broadcast + plain
+                             LeftAnti; acctbal>0 pushed to the scan
+    q16 NOT IN            -> NULL-AWARE anti join; and at sf0.001
+                             (blocklist empty) AQE's empty-relation
+                             propagation removes the join entirely —
+                             both runtime outcomes pinned."""
+    for name in ("q4_order_priority_exists", "q17_small_qty_revenue",
+                 "q18_large_volume_orders", "q19_disjunctive_revenue",
+                 "q22_idle_balance_anti", "q16_supplier_cnt_not_in"):
+        final = _final_plan(spark, name)
+        assert "CartesianProduct" not in final, (name, final)
+        assert "BroadcastNestedLoopJoin" not in final, (name, final)
+        if name == "q4_order_priority_exists":
+            assert "LeftSemi" in final, final
+            assert "GreaterThanOrEqual(o_orderdate" in final, final
+        elif name == "q17_small_qty_revenue":
+            assert final.count("BroadcastHashJoin") >= 2, final
+            assert "partial_avg" in final, final
+        elif name == "q18_large_volume_orders":
+            assert "LeftSemi" in final, final
+            assert "partial_sum" in final, final
+        elif name == "q19_disjunctive_revenue":
+            assert ("BroadcastHashJoin" in final
+                    or "SortMergeJoin" in final), final
+            assert "Or(" in final, final  # disjunct pushed to scan
+        elif name == "q22_idle_balance_anti":
+            assert "LeftAnti" in final, final
+            assert "Subquery" in final, final
+            assert "GreaterThan(c_acctbal,0.0)" in final, final
+        elif name == "q16_supplier_cnt_not_in":
+            # empty blocklist at sf0.001: AQE eliminates the anti join
+            assert "LeftAnti" not in final, final
+
+    # non-empty blocklist (sf0.01): the null-aware anti join itself
+    # (trailing `true` = isNullAwareAntiJoin in the operator header)
+    import re
+
+    final = _final_plan(spark, "q16_supplier_cnt_not_in",
+                        "/root/testdata/sf0.01")
+    assert re.search(r"LeftAnti, BuildRight, true", final), final
