@@ -35,6 +35,7 @@ convergence-loop extension must add per-round cleanup like CC's.
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -5740,6 +5741,232 @@ def q22_idle_balance_anti(spark, sf_dir):
                             AND o_orderdate < '1995-07-01')
         GROUP BY c_nationkey
     """, c=t(spark, sf_dir, "customer"), o=t(spark, sf_dir, "orders"))
+
+
+# ===========================================================================
+# Ranking evaluation, skyline, and time-spine gap fill
+# ===========================================================================
+
+_IR_SALT = 16  # stage-1 parallelism of the exact two-stage top-10
+
+
+@_q("ir_eval_ndcg", sql="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM toks),
+tf AS (SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) AS tf,
+              any_value(dl) AS dl
+       FROM (SELECT doc_id, unnest(ws) AS w, CAST(len(ws) AS DOUBLE) AS dl
+             FROM toks)
+       WHERE w IN ('join', 'vector', 'hash')
+       GROUP BY doc_id, w),
+idf AS (SELECT term, ln(1 + (s.n - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+        FROM tf, stats s GROUP BY term, s.n),
+ranked AS (
+  SELECT tf.term, tf.doc_id,
+         row_number() OVER (PARTITION BY tf.term
+                            ORDER BY idf.idf * tf.tf * 2.2
+                              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+                              DESC, tf.doc_id) AS rank,
+         CASE WHEN tf.tf >= 4 THEN 2 WHEN tf.tf >= 2 THEN 1 ELSE 0 END AS rel
+  FROM tf JOIN idf USING (term), stats s),
+ideal AS (
+  SELECT term, rel, row_number() OVER (PARTITION BY term
+                                       ORDER BY rel DESC, doc_id) AS irank
+  FROM ranked),
+m AS (
+  SELECT r.term,
+         sum(CASE WHEN r.rank <= 10
+                  THEN (power(2, r.rel) - 1) / log2(r.rank + 1) END) AS dcg,
+         min(CASE WHEN r.rel > 0 AND r.rank <= 10 THEN r.rank END) AS frank,
+         sum(CASE WHEN r.rank <= 10 AND r.rel > 0 THEN 1 ELSE 0 END) AS nrel
+  FROM ranked r GROUP BY r.term),
+mi AS (
+  SELECT term, sum((power(2, rel) - 1) / log2(irank + 1)) AS idcg
+  FROM ideal WHERE irank <= 10 GROUP BY term)
+SELECT m.term, round(m.dcg / mi.idcg, 4) AS ndcg10,
+       round(coalesce(1.0 / m.frank, 0.0), 4) AS mrr10,
+       round(m.nrel / 10.0, 4) AS p10
+FROM m JOIN mi USING (term)
+""")
+def ir_eval_ndcg(spark, sf_dir):
+    """Ranking-quality evaluation of the BM25 retriever: nDCG@10
+    (Järvelin & Kekäläinen TOIS'02 graded gain), MRR@10, and P@10
+    per query term — the eval loop every retrieval/RAG pipeline runs
+    after an index or scorer change. Relevance grades are derived
+    from term frequency thresholds (tf>=4 -> 2, tf>=2 -> 1, else 0),
+    deliberately NOT the ranking signal itself, so BM25's length
+    normalization visibly reorders against the grades (nDCG ~0.88 at
+    sf0.01, not 1.0).
+
+    Scale shape: the token explode is pruned to the |Q|=3 query terms
+    BEFORE any shuffle (as bm25_topk); both top-10 cuts — by score
+    for DCG, by grade for the ideal DCG — run the exact salted
+    two-stage pattern (stage 1 per (term, hash-salt) group, stage 2
+    over the bounded survivors), so no single task ever sorts a full
+    posting list. Metric sums are <= 10 fixed-order terms per query.
+
+    Cross-engine exactness: grades and ranks are integers; DCG sums
+    10 doubles whose addition order is rank-fixed; the 4dp rounding
+    sits far from any boundary (same margin argument bm25_topk pins
+    in its unit test)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ws")).persist()
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size("ws").cast("double")).alias("avgdl"))
+    tf = (toks.select("doc_id",
+                      F.size("ws").cast("double").alias("dl"),
+                      F.explode("ws").alias("term"))
+          .where(F.col("term").isin(_BM25_TERMS))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").cast("double").alias("tf"),
+               F.first("dl").alias("dl")))
+    idf = (tf.groupBy("term").agg(F.count("*").alias("df"))
+           .crossJoin(F.broadcast(stats))
+           .select("term", F.log(1 + (F.col("n") - F.col("df") + 0.5)
+                                 / (F.col("df") + 0.5)).alias("idf")))
+    scored = (tf.join(F.broadcast(idf), "term")
+              .crossJoin(F.broadcast(stats))
+              .select(
+                  "term", "doc_id",
+                  (F.col("idf") * F.col("tf") * (_BM25_K1 + 1)
+                   / (F.col("tf") + _BM25_K1
+                      * (1 - _BM25_B + _BM25_B * F.col("dl")
+                         / F.col("avgdl")))).alias("score"),
+                  F.when(F.col("tf") >= 4, 2)
+                  .when(F.col("tf") >= 2, 1).otherwise(0).alias("rel"))
+              .persist())  # 2 top-10 cuts consume it; see PERSIST NOTE
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(_IR_SALT))
+
+    def _top10(df, order):
+        w1 = Window.partitionBy("term", salt).orderBy(*order)
+        w2 = Window.partitionBy("term").orderBy(*order)
+        return (df.withColumn("prn", F.row_number().over(w1))
+                .where(F.col("prn") <= 10)
+                .withColumn("rank", F.row_number().over(w2))
+                .where(F.col("rank") <= 10).drop("prn"))
+
+    top = _top10(scored, (F.desc("score"), F.asc("doc_id")))
+    ideal = _top10(scored, (F.desc("rel"), F.asc("doc_id")))
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rank") + 1)
+    m = top.groupBy("term").agg(
+        F.sum(gain).alias("dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("frank"),
+        F.sum((F.col("rel") > 0).cast("long")).alias("nrel"))
+    mi = ideal.groupBy("term").agg(F.sum(gain).alias("idcg"))
+    return (m.join(mi, "term")
+            .select("term",
+                    F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg10"),
+                    F.round(F.coalesce(1.0 / F.col("frank"), F.lit(0.0)), 4)
+                    .alias("mrr10"),
+                    F.round(F.col("nrel") / 10.0, 4).alias("p10")))
+
+
+@_q("skyline_pareto_parts", sql="""
+SELECT p_partkey, p_size, round(p_retailprice, 2) AS price_r
+FROM part p1
+WHERE NOT EXISTS (
+  SELECT 1 FROM part p2
+  WHERE p2.p_retailprice >= p1.p_retailprice AND p2.p_size <= p1.p_size
+    AND (p2.p_retailprice > p1.p_retailprice OR p2.p_size < p1.p_size))
+""")
+def skyline_pareto_parts(spark, sf_dir):
+    """Skyline / Pareto-frontier operator (Börzsönyi et al. ICDE'01):
+    parts not strictly dominated in (maximize p_retailprice, minimize
+    p_size). The multi-objective shortlist pattern (best quality per
+    cost tier) — the oracle is the literal quadratic NOT EXISTS
+    dominance test; the Spark plan is the linear two-pass rewrite.
+
+    Scale shape: pass 1 reduces the corpus to max-price-per-size (ONE
+    map-side-combinable groupBy; the group count is bounded by the
+    size DOMAIN, ~50, not by n). Pass 2's running-max window over
+    sizes orders those <= 50 rows in a single task — bounded by the
+    domain, a constant at 100x data. The frontier (also <= domain
+    size) broadcasts back onto the corpus as an equi semi-join on
+    (size, price): dominated rows never leave their scan task.
+
+    Correctness of the rewrite: a point (s, p) survives iff p equals
+    its size's max AND every strictly smaller size has max < p —
+    equality ties on both dims survive on BOTH engines (neither
+    point strictly dominates the other)."""
+    p = t(spark, sf_dir, "part")
+    msize = p.groupBy("p_size").agg(F.max("p_retailprice").alias("mp"))
+    w = Window.orderBy("p_size").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (msize.withColumn("rm_prev", F.max("mp").over(w))
+                .where(F.col("rm_prev").isNull()
+                       | (F.col("mp") > F.col("rm_prev")))
+                .select("p_size", "mp"))
+    return (p.join(F.broadcast(frontier),
+                   (p.p_size == frontier.p_size)
+                   & (p.p_retailprice == frontier.mp), "left_semi")
+            .select("p_partkey", "p_size",
+                    F.round("p_retailprice", 2).alias("price_r")))
+
+
+@_q("time_spine_gapfill", sql="""
+WITH jan AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value, ts,
+         event_id
+  FROM events WHERE ts >= '2024-01-01' AND ts < '2024-02-01'),
+daily AS (
+  SELECT user_id, day, value FROM (
+    SELECT user_id, day, value,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY ts DESC, event_id DESC) rn
+    FROM jan) WHERE rn = 1),
+users AS (SELECT DISTINCT user_id FROM jan),
+spine AS (
+  SELECT u.user_id, CAST(gs.generate_series AS DATE) AS day
+  FROM users u, generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                INTERVAL 1 DAY) gs)
+SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day_str,
+       round(last_value(d.value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_value,
+       CAST(d.value IS NOT NULL AS BIGINT) AS has_obs
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+""")
+def time_spine_gapfill(spark, sf_dir):
+    """Date-spine densification + forward fill: every (user, day) of
+    January 2024 exists in the output, carrying the last observed
+    per-day closing value across gap days (LOCF — the
+    missing-period repair step of feature pipelines and OHLC charts;
+    the per-day closer reuses w4's latest-per-key tiebreak). Days
+    before a user's first observation stay NULL by design (sf0.01
+    has 16 such rows — the fill must not invent history).
+
+    Scale shape: the spine is generated WITH F.sequence + explode —
+    31 rows per user, a domain constant, never a shuffle-side blowup
+    (contrast a calendar cross join, which would shuffle |users| x
+    |days| rows built on the wrong side). The daily close, the
+    spine join, and the LOCF window all key on user_id, and the fill
+    window's state is one value — safe under hot-user skew.
+    Per-row values pass through untouched (no cross-engine
+    arithmetic); 4dp rounding only guards the noop."""
+    ev = (t(spark, sf_dir, "events")
+          .where((F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-02-01"))
+          .withColumn("day", F.to_date(F.date_trunc("day", "ts"))))
+    w_d = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    daily = (ev.withColumn("rn", F.row_number().over(w_d))
+             .where("rn = 1").select("user_id", "day", "value"))
+    users = daily.select("user_id").distinct()
+    spine = users.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.lit(dt.date(2024, 1, 1)), F.lit(dt.date(2024, 1, 31)),
+            F.expr("interval 1 day"))).alias("day"))
+    w_f = (Window.partitionBy("user_id").orderBy("day")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    return (spine.join(daily, ["user_id", "day"], "left")
+            .withColumn("filled_value",
+                        F.round(F.last("value", ignorenulls=True).over(w_f),
+                                4))
+            .select("user_id",
+                    F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+                    "filled_value",
+                    F.col("value").isNotNull().cast("long").alias("has_obs")))
 
 
 # ===========================================================================

@@ -1429,3 +1429,112 @@ def test_scd2_dimension_build_hand(spark, tmp_path):
     ex = re.findall(r"Exchange hashpartitioning", final)
     assert len(ex) == 1, plan
     assert "Join" not in final, plan
+
+
+def test_ir_eval_ndcg_margins_and_replay(spark):
+    """ir_eval_ndcg's cross-engine exactness needs (1) adjacent
+    unrounded BM25 scores around each term's top-10 cut separated by
+    far more than libm's <=1-ulp divergence (the ranking cannot flip
+    between engines), and (2) no metric value on a 4-decimal rounding
+    boundary. Both measured with a full numpy/pure-Python replay of
+    the metric definitions, which must also reproduce the Spark
+    output exactly."""
+    import collections
+    import math
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from extractor.queries import _BM25_B, _BM25_K1, _BM25_TERMS, ir_eval_ndcg
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = pd.read_parquet(os.path.join(sf, "documents.parquet"))
+        toks = [str(t).split(" ") for t in docs["text"]]
+        n = float(len(docs))
+        avgdl = float(np.mean([len(ws) for ws in toks]))
+        df = {q: sum(1 for ws in toks if q in ws) for q in _BM25_TERMS}
+        idf = {q: math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+               for q in _BM25_TERMS if df[q]}
+        exp = {}
+        for term in idf:
+            rows = []
+            for did, ws in zip(docs["doc_id"], toks):
+                tf = collections.Counter(ws)[term]
+                if tf:
+                    s = (idf[term] * tf * (_BM25_K1 + 1)
+                         / (tf + _BM25_K1 * (1 - _BM25_B
+                                             + _BM25_B * len(ws) / avgdl)))
+                    rel = 2 if tf >= 4 else (1 if tf >= 2 else 0)
+                    rows.append((int(did), s, rel))
+            ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+            vals = [s for _, s, _ in ranked[:12]]
+            gaps = [a - b for a, b in zip(vals, vals[1:]) if a != b]
+            assert min(gaps) > 1e-9, (term, gaps)  # cut-boundary margin
+            top = ranked[:10]
+            ideal = sorted(rows, key=lambda r: (-r[2], r[0]))[:10]
+            dcg = sum((2.0 ** rel - 1) / math.log2(i + 2)
+                      for i, (_, _, rel) in enumerate(top))
+            idcg = sum((2.0 ** rel - 1) / math.log2(i + 2)
+                       for i, (_, _, rel) in enumerate(ideal))
+            franks = [i + 1 for i, (_, _, rel) in enumerate(top) if rel > 0]
+            mrr = 1.0 / franks[0] if franks else 0.0
+            p10 = sum(1 for _, _, rel in top if rel > 0) / 10.0
+            for v in (dcg / idcg, mrr, p10):  # 4dp boundary margin
+                frac = abs(v * 10000 - round(v * 10000))
+                assert abs(frac - 0.5) > 1e-6, (term, v)
+            exp[term] = (round(dcg / idcg, 4), round(mrr, 4), round(p10, 4))
+        got = {r["term"]: (r["ndcg10"], r["mrr10"], r["p10"])
+               for r in ir_eval_ndcg(spark, sf).collect()}
+        assert got == exp, (got, exp)
+
+
+def test_skyline_and_gapfill_replay(spark):
+    """Brute-force pandas replays of the two rewrites:
+
+    - skyline_pareto_parts: the Spark two-pass (max-per-size +
+      running max over the size domain) must equal the literal
+      quadratic strict-dominance scan.
+    - time_spine_gapfill: LOCF semantics — before a user's first
+      observed day the fill is NULL (no invented history); on and
+      after it, the fill equals the last observed daily close."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from extractor.queries import skyline_pareto_parts, time_spine_gapfill
+
+    sf = "/root/testdata/sf0.001"
+    parts = pd.read_parquet(os.path.join(sf, "part.parquet"))
+    pr = parts["p_retailprice"].to_numpy()
+    sz = parts["p_size"].to_numpy()
+    keep = []
+    for i in range(len(parts)):
+        dominated = (((pr >= pr[i]) & (sz <= sz[i])
+                      & ((pr > pr[i]) | (sz < sz[i]))).any())
+        if not dominated:
+            keep.append(int(parts["p_partkey"].iloc[i]))
+    got = sorted(r["p_partkey"] for r in
+                 skyline_pareto_parts(spark, sf).collect())
+    assert got == sorted(keep), (got, sorted(keep))
+
+    ev = pd.read_parquet(os.path.join(sf, "events.parquet"))
+    jan = ev[(ev["ts"] >= "2024-01-01") & (ev["ts"] < "2024-02-01")].copy()
+    jan["day"] = jan["ts"].dt.floor("D")
+    close = (jan.sort_values(["ts", "event_id"])
+             .groupby(["user_id", "day"]).last()["value"])
+    rows = time_spine_gapfill(spark, sf).collect()
+    assert len(rows) == jan["user_id"].nunique() * 31
+    by_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["day_str"])):
+        u = r["user_id"]
+        day = pd.Timestamp(r["day_str"])
+        if (u, day) in close.index:
+            assert r["has_obs"] == 1
+            assert r["filled_value"] == round(float(close[(u, day)]), 4), r
+            by_user[u] = r["filled_value"]
+        else:
+            assert r["has_obs"] == 0
+            expf = by_user.get(u)  # None before first obs
+            assert r["filled_value"] == expf, (r, expf)

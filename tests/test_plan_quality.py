@@ -583,3 +583,56 @@ def test_subquery_family_plans(spark):
     final = _final_plan(spark, "q16_supplier_cnt_not_in",
                         "/root/testdata/sf0.01")
     assert re.search(r"LeftAnti, BuildRight, true", final), final
+
+
+def test_ranking_skyline_spine_plan_shapes(spark):
+    """Plan gates for the ranking-eval / skyline / gap-fill batch:
+
+    - ir_eval_ndcg: both top-10 cuts (score + ideal-grade) run the
+      salted two-stage pattern — pmod(xxhash64(doc_id)) partitioning
+      appears in the window specs, and no SortMergeJoin sneaks in
+      (every join side is a broadcast: idf, stats, the two bounded
+      metric frames).
+    - skyline_pareto_parts: the single-partition running-max window
+      reads the per-size AGGREGATE (HashAggregate upstream of the
+      Window, domain-bounded rows), the frontier rejoins as a
+      broadcast LeftSemi, and the quadratic NOT EXISTS of the oracle
+      never appears (no CartesianProduct / nested loop).
+    - time_spine_gapfill: the spine comes from Generate(explode) on
+      the users side (31 rows per key), the daily-close join is a
+      hash join, and the only sort feeding the LOCF window keys on
+      user_id."""
+    from extractor.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    df = QUERIES["ir_eval_ndcg"](spark, sf)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert "pmod(xxhash64(doc_id" in final, final
+    assert "SortMergeJoin" not in final, final
+    assert "CartesianProduct" not in final, final
+
+    df = QUERIES["skyline_pareto_parts"](spark, sf)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert "LeftSemi" in final, final
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
+    # the global window must sit above the per-size aggregate, never
+    # above the raw scan: Window appears after (deeper than) the
+    # aggregate's max(p_retailprice)
+    assert "partial_max(p_retailprice" in final, final
+
+    df = QUERIES["time_spine_gapfill"](spark, sf)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    # the sequence() spine is CONSTANT-FOLDED to a literal array at
+    # plan time (both endpoints are literals) — the Generate explodes
+    # an UnsafeArrayData, not a runtime sequence call
+    assert "Generate explode(" in final, final
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
