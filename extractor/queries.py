@@ -3857,6 +3857,23 @@ def bm25_topk(spark, sf_dir):
     the UNROUNDED order. A margin test pins both gaps (adjacent
     unrounded scores, distance to the rounding boundary) far above
     1e-9 at the tested SFs."""
+    scored = (_bm25_term_scores(spark, sf_dir)
+              .groupBy("doc_id").agg(F.sum("score").alias("score")))
+    # top-10 FIRST via orderBy(limit) — TakeOrderedAndProject (per-
+    # partition heap + 10-row driver merge, no global sort shuffle);
+    # the single-partition rank window then only ever sees 10 rows
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select("doc_id", F.round("score", 4).alias("score_r"),
+                      F.row_number().over(w).cast("long").alias("rank"))
+
+
+def _bm25_term_scores(spark, sf_dir) -> DataFrame:
+    """Shared per-(doc, term) BM25 scoring frame — the single source
+    of the scoring formula for bm25_topk (which sums it per doc) and
+    ir_eval_ndcg (which ranks it per term): an idf variant or
+    tokenizer change lands in ONE place or the retriever and its
+    evaluator silently diverge. Columns: term, doc_id, tf, score."""
     d = t(spark, sf_dir, "documents")
     toks = (d.select("doc_id", F.split("text", " ").alias("ws"))
             .persist())  # 2 consumers (corpus stats + tf) that do NOT
@@ -3875,21 +3892,13 @@ def bm25_topk(spark, sf_dir):
            .crossJoin(F.broadcast(stats))
            .select("term", F.log(1 + (F.col("n") - F.col("df") + 0.5)
                                  / (F.col("df") + 0.5)).alias("idf")))
-    scored = (tf.join(F.broadcast(idf), "term")
-              .crossJoin(F.broadcast(stats))
-              .groupBy("doc_id")
-              .agg(F.sum(
-                  F.col("idf") * F.col("tf") * (_BM25_K1 + 1)
-                  / (F.col("tf") + _BM25_K1
-                     * (1 - _BM25_B + _BM25_B * F.col("dl")
-                        / F.col("avgdl")))).alias("score")))
-    # top-10 FIRST via orderBy(limit) — TakeOrderedAndProject (per-
-    # partition heap + 10-row driver merge, no global sort shuffle);
-    # the single-partition rank window then only ever sees 10 rows
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.select("doc_id", F.round("score", 4).alias("score_r"),
-                      F.row_number().over(w).cast("long").alias("rank"))
+    return (tf.join(F.broadcast(idf), "term")
+            .crossJoin(F.broadcast(stats))
+            .select("term", "doc_id", "tf",
+                    (F.col("idf") * F.col("tf") * (_BM25_K1 + 1)
+                     / (F.col("tf") + _BM25_K1
+                        * (1 - _BM25_B + _BM25_B * F.col("dl")
+                           / F.col("avgdl")))).alias("score")))
 
 
 _CHUNK_SIZE, _CHUNK_STRIDE = 32, 24  # 8-token overlap
@@ -5810,32 +5819,10 @@ def ir_eval_ndcg(spark, sf_dir):
     10 doubles whose addition order is rank-fixed; the 4dp rounding
     sits far from any boundary (same margin argument bm25_topk pins
     in its unit test)."""
-    d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("ws")).persist()
-    stats = toks.agg(
-        F.count("*").cast("double").alias("n"),
-        F.avg(F.size("ws").cast("double")).alias("avgdl"))
-    tf = (toks.select("doc_id",
-                      F.size("ws").cast("double").alias("dl"),
-                      F.explode("ws").alias("term"))
-          .where(F.col("term").isin(_BM25_TERMS))
-          .groupBy("doc_id", "term")
-          .agg(F.count("*").cast("double").alias("tf"),
-               F.first("dl").alias("dl")))
-    idf = (tf.groupBy("term").agg(F.count("*").alias("df"))
-           .crossJoin(F.broadcast(stats))
-           .select("term", F.log(1 + (F.col("n") - F.col("df") + 0.5)
-                                 / (F.col("df") + 0.5)).alias("idf")))
-    scored = (tf.join(F.broadcast(idf), "term")
-              .crossJoin(F.broadcast(stats))
-              .select(
-                  "term", "doc_id",
-                  (F.col("idf") * F.col("tf") * (_BM25_K1 + 1)
-                   / (F.col("tf") + _BM25_K1
-                      * (1 - _BM25_B + _BM25_B * F.col("dl")
-                         / F.col("avgdl")))).alias("score"),
-                  F.when(F.col("tf") >= 4, 2)
-                  .when(F.col("tf") >= 2, 1).otherwise(0).alias("rel"))
+    scored = (_bm25_term_scores(spark, sf_dir)
+              .select("term", "doc_id", "score",
+                      F.when(F.col("tf") >= 4, 2)
+                      .when(F.col("tf") >= 2, 1).otherwise(0).alias("rel"))
               .persist())  # 2 top-10 cuts consume it; see PERSIST NOTE
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(_IR_SALT))
 
@@ -5950,7 +5937,10 @@ def time_spine_gapfill(spark, sf_dir):
     w_d = Window.partitionBy("user_id", "day").orderBy(
         F.desc("ts"), F.desc("event_id"))
     daily = (ev.withColumn("rn", F.row_number().over(w_d))
-             .where("rn = 1").select("user_id", "day", "value"))
+             .where("rn = 1").select("user_id", "day", "value")
+             .persist())  # 2 consumers (user list + spine join) that
+    # would otherwise each re-run the scan + (user, day) window;
+    # see PERSIST NOTE
     users = daily.select("user_id").distinct()
     spine = users.select(
         "user_id",

@@ -1470,6 +1470,9 @@ def test_ir_eval_ndcg_margins_and_replay(spark):
             ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
             vals = [s for _, s, _ in ranked[:12]]
             gaps = [a - b for a, b in zip(vals, vals[1:]) if a != b]
+            # diagnostic, not ValueError, if the term's postings ever
+            # shrink to a single score at some SF
+            assert gaps, (term, vals)
             assert min(gaps) > 1e-9, (term, gaps)  # cut-boundary margin
             top = ranked[:10]
             ideal = sorted(rows, key=lambda r: (-r[2], r[0]))[:10]
@@ -1477,6 +1480,10 @@ def test_ir_eval_ndcg_margins_and_replay(spark):
                       for i, (_, _, rel) in enumerate(top))
             idcg = sum((2.0 ** rel - 1) / math.log2(i + 2)
                        for i, (_, _, rel) in enumerate(ideal))
+            # idcg == 0 (no doc with tf >= 2) would make the metric
+            # dcg/0 — an unpinned Infinity edge on both engines; fail
+            # with a data-contract message rather than ZeroDivision
+            assert idcg > 0, "term {!r} has no relevant doc".format(term)
             franks = [i + 1 for i, (_, _, rel) in enumerate(top) if rel > 0]
             mrr = 1.0 / franks[0] if franks else 0.0
             p10 = sum(1 for _, _, rel in top if rel > 0) / 10.0
@@ -1522,8 +1529,12 @@ def test_skyline_and_gapfill_replay(spark):
     ev = pd.read_parquet(os.path.join(sf, "events.parquet"))
     jan = ev[(ev["ts"] >= "2024-01-01") & (ev["ts"] < "2024-02-01")].copy()
     jan["day"] = jan["ts"].dt.floor("D")
+    # the LITERAL latest row's value (NaN allowed) — pandas
+    # groupby(...).last() would skip NULLs and silently diverge from
+    # the query's rn=1 semantics if value ever gains NULLs
     close = (jan.sort_values(["ts", "event_id"])
-             .groupby(["user_id", "day"]).last()["value"])
+             .drop_duplicates(subset=["user_id", "day"], keep="last")
+             .set_index(["user_id", "day"])["value"])
     rows = time_spine_gapfill(spark, sf).collect()
     assert len(rows) == jan["user_id"].nunique() * 31
     by_user: dict = {}

@@ -602,22 +602,12 @@ def test_ranking_skyline_spine_plan_shapes(spark):
       the users side (31 rows per key), the daily-close join is a
       hash join, and the only sort feeding the LOCF window keys on
       user_id."""
-    from extractor.queries import QUERIES
-
-    sf = "/root/testdata/sf0.001"
-
-    df = QUERIES["ir_eval_ndcg"](spark, sf)
-    df.collect()
-    final = (df._jdf.queryExecution().executedPlan().toString()
-             .split("== Initial Plan ==")[0])
+    final = _final_plan(spark, "ir_eval_ndcg")
     assert "pmod(xxhash64(doc_id" in final, final
     assert "SortMergeJoin" not in final, final
     assert "CartesianProduct" not in final, final
 
-    df = QUERIES["skyline_pareto_parts"](spark, sf)
-    df.collect()
-    final = (df._jdf.queryExecution().executedPlan().toString()
-             .split("== Initial Plan ==")[0])
+    final = _final_plan(spark, "skyline_pareto_parts")
     assert "LeftSemi" in final, final
     assert "CartesianProduct" not in final, final
     assert "BroadcastNestedLoopJoin" not in final, final
@@ -626,10 +616,11 @@ def test_ranking_skyline_spine_plan_shapes(spark):
     # aggregate's max(p_retailprice)
     assert "partial_max(p_retailprice" in final, final
 
-    df = QUERIES["time_spine_gapfill"](spark, sf)
-    df.collect()
-    final = (df._jdf.queryExecution().executedPlan().toString()
-             .split("== Initial Plan ==")[0])
+    final = _final_plan(spark, "time_spine_gapfill")
+    # the daily-close frame is persisted: its two consumers (user
+    # list + spine join) must not re-scan events (review finding —
+    # one scan materializes the cache, the other branch reads it)
+    assert final.count("events.parquet") == 1, final
     # the sequence() spine is CONSTANT-FOLDED to a literal array at
     # plan time (both endpoints are literals) — the Generate explodes
     # an UnsafeArrayData, not a runtime sequence call
