@@ -5959,6 +5959,80 @@ def time_spine_gapfill(spark, sf_dir):
                     F.col("value").isNotNull().cast("long").alias("has_obs")))
 
 
+_HH_PHI = 0.0345  # heavy-hitter threshold (fraction of total tokens)
+_HH_K = 64        # Misra-Gries slots; superset guarantee needs k+1 > 1/phi
+
+
+def _mg_merge(slots: dict, add: dict, k: int) -> dict:
+    """Merge a counted batch (or another summary) into a Misra-Gries
+    summary of at most k slots (the mergeable-summaries MERGE of
+    Agarwal/Cormode et al. PODS'12): add counts, and if more than k
+    terms survive, subtract the (k+1)-th largest count from all and
+    drop the non-positive — every term with true frequency > n/(k+1)
+    within the merged stream is retained. Vectorized per BATCH
+    (value_counts + dict merge), never per row."""
+    for term, c in add.items():
+        slots[term] = slots.get(term, 0) + c
+    if len(slots) > k:
+        cut = sorted(slots.values(), reverse=True)[k]
+        slots = {t: c - cut for t, c in slots.items() if c > cut}
+    return slots
+
+
+@_q("heavy_hitters_exact", sql="""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+t2 AS (SELECT term FROM toks WHERE term <> ''),
+tot AS (SELECT count(*) AS n FROM t2)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM t2, tot GROUP BY term, tot.n HAVING count(*) > 0.0345 * tot.n
+""")
+def heavy_hitters_exact(spark, sf_dir):
+    """Exact phi-heavy-hitters over the token stream via the two-pass
+    sketch recipe (Misra-Gries '82 candidates + exact verify) — the
+    frequency member of the sketch family (HLL = distinct, GK =
+    quantiles, MG = frequency). A plain groupBy-count finds heavy
+    hitters in one shuffle but its map-side combine state grows with
+    the KEY CARDINALITY — at 10^12 tokens of web-scale vocabulary
+    (UUIDs, URLs, hashes) the combine hash tables spill long before
+    the hot keys surface. The sketch pass bounds per-partition state
+    at k slots, ships k rows per partition, and the exact pass scans
+    again with the <= |candidates| survivors BROADCAST — two scans,
+    fixed memory, exact output.
+
+    Guarantee (why the output is EXACT, partitioning-independent):
+    a term with global frequency > n/(k+1) survives its partition's
+    merged summary (PODS'12 merge bound + averaging over
+    partitions), so with phi >= 1/(k+1) the candidate set is a
+    superset of the true heavy hitters and pass 2 filters it to
+    exactly { term : count > phi*n }. The driver corpus's 31-word
+    vocabulary never even fills k slots; the decrement/merge path is
+    exercised by a 5000-key skewed fixture in the suite.
+
+    Vectorization: per-batch value_counts (C speed) merged
+    summary-wise — no per-row Python."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(F.split("text", " ")).alias("term"))
+            .where(F.col("term") != "").persist())  # 2 consumers
+    # (candidate sketch + exact verify); see PERSIST NOTE
+    k = _HH_K
+
+    def mg(batches):
+        slots: dict = {}
+        for pdf in batches:
+            slots = _mg_merge(slots, pdf["term"].value_counts().to_dict(), k)
+        yield pd.DataFrame({"term": list(slots.keys())})
+
+    cand = toks.mapInPandas(mg, "term string").distinct()
+    total = toks.agg(F.count("*").cast("double").alias("n"))
+    return (toks.join(F.broadcast(cand), "term")
+            .groupBy("term").agg(F.count("*").alias("cnt"))
+            .crossJoin(F.broadcast(total))
+            .where(F.col("cnt") > _HH_PHI * F.col("n"))
+            .select("term", "cnt"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -1549,3 +1549,63 @@ def test_skyline_and_gapfill_replay(spark):
             assert r["has_obs"] == 0
             expf = by_user.get(u)  # None before first obs
             assert r["filled_value"] == expf, (r, expf)
+
+
+def test_heavy_hitters_mg_property(spark, tmp_path):
+    """Misra-Gries two-pass exactness on data that actually exercises
+    the sketch (the driver corpus's 31-word vocabulary never fills
+    the k=64 slots): 5000 singleton keys + 3 hot keys + 1 warm key
+    just under the phi threshold. Asserts (1) the merge bound — every
+    term with frequency > n/(k+1) survives a batched MG merge of a
+    hostile ordering, with at most k slots held; (2) end-to-end: the
+    query's output over an adversarially repartitioned corpus equals
+    the exact heavy-hitter set (hot keys in, warm key and singletons
+    out)."""
+    import numpy as np
+    import pandas as pd
+
+    from extractor.queries import _HH_K, _HH_PHI, _mg_merge, QUERIES
+
+    terms = (["hot_a"] * 400 + ["hot_b"] * 350 + ["hot_c"] * 300
+             + ["warm"] * 150 + ["s{}".format(i) for i in range(5000)])
+    n = len(terms)  # 6200; phi*n = 213.9 -> hot_* in, warm out
+    rng = np.random.RandomState(7)
+    order = rng.permutation(n)
+    stream = [terms[i] for i in order]
+
+    # (1) merge bound on the raw summary
+    slots: dict = {}
+    for lo in range(0, n, 512):  # batch like mapInPandas does
+        batch = pd.Series(stream[lo:lo + 512]).value_counts().to_dict()
+        slots = _mg_merge(slots, batch, _HH_K)
+        assert len(slots) <= _HH_K
+    for term in ("hot_a", "hot_b", "hot_c"):  # freq > n/(k+1) = 95.4
+        assert term in slots, (term, sorted(slots)[:10])
+
+    # (2) end-to-end over a multi-partition parquet corpus
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": stream,
+        "lang": "en", "source": "fixture",
+        "n_chars": [len(s) for s in stream]})
+    sf = str(tmp_path)
+    (spark.createDataFrame(docs).repartition(16, "doc_id")
+     .write.mode("overwrite").parquet(sf + "/documents.parquet"))
+    got = sorted((r["term"], r["cnt"]) for r in
+                 QUERIES["heavy_hitters_exact"](spark, sf).collect())
+    exp = sorted((t, c) for t, c in
+                 pd.Series(stream).value_counts().items()
+                 if c > _HH_PHI * n)
+    assert got == exp, (got, exp)
+    assert [t for t, _ in got] != [], got
+
+    # plan: one sketch stage, broadcast verify join, no corpus-wide
+    # sort-merge or cartesian anywhere
+    df = QUERIES["heavy_hitters_exact"](spark, sf)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert final.count("MapInPandas") == 1, final
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
+    assert "CartesianProduct" not in final, final
