@@ -5752,6 +5752,64 @@ def q22_idle_balance_anti(spark, sf_dir):
     """, c=t(spark, sf_dir, "customer"), o=t(spark, sf_dir, "orders"))
 
 
+@_q("q21_sole_late_supplier", sql="""
+SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE l1.l_shipdate >= '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate >= '1996-01-01')
+GROUP BY s_name, n_name
+""")
+def q21_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the one
+    subquery pattern q4..q22 did not exercise — TWO correlated
+    subqueries against the SAME fact table on the same correlation
+    key, one EXISTS and one NOT EXISTS, each carrying a NON-EQUI
+    residual (l_suppkey <>). Catalyst decorrelates them into a
+    LeftSemi and a LeftAnti hash join on l_orderkey, the inequality
+    riding as each join's extra condition — three passes over
+    lineitem total (probe + two build sides), never a per-row
+    re-execution. "Late" is adapted to this schema's columns
+    (no l_commitdate/l_receiptdate here): a line shipped on/after
+    1996-01-01 in a status-'F' order, self-contained per line so
+    both subqueries stay single-table like the original's
+    l_receiptdate > l_commitdate.
+
+    Scale shape: all three lineitem scans key the shuffle on
+    l_orderkey (the densest, uniform-by-construction key); the anti
+    join's build side is pre-shrunk by the pushed shipdate filter;
+    supplier and nation are broadcast dims; the final agg is
+    supplier-wide (tiny). At 10^12 lineitems: three scans + orderkey
+    shuffles + one small agg — the same shape Spark's own TPC-H Q21
+    runs at cluster scale. Reference analog: multi-detector
+    found/not-found reconciliation (SURVEY §2 J8/A4 family)."""
+    return spark.sql("""
+        SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM {li} l1
+        JOIN {o}  ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        JOIN {s}  ON s_suppkey = l1.l_suppkey
+        JOIN {n}  ON n_nationkey = s_nationkey
+        WHERE l1.l_shipdate >= '1996-01-01'
+          AND EXISTS (SELECT 1 FROM {li} l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM {li} l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate >= '1996-01-01')
+        GROUP BY s_name, n_name
+    """, li=t(spark, sf_dir, "lineitem"), o=t(spark, sf_dir, "orders"),
+         s=t(spark, sf_dir, "supplier"), n=t(spark, sf_dir, "nation"))
+
+
 # ===========================================================================
 # Ranking evaluation, skyline, and time-spine gap fill
 # ===========================================================================

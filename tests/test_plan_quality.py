@@ -551,7 +551,8 @@ def test_subquery_family_plans(spark):
                              both runtime outcomes pinned."""
     for name in ("q4_order_priority_exists", "q17_small_qty_revenue",
                  "q18_large_volume_orders", "q19_disjunctive_revenue",
-                 "q22_idle_balance_anti", "q16_supplier_cnt_not_in"):
+                 "q22_idle_balance_anti", "q16_supplier_cnt_not_in",
+                 "q21_sole_late_supplier"):
         final = _final_plan(spark, name)
         assert "CartesianProduct" not in final, (name, final)
         assert "BroadcastNestedLoopJoin" not in final, (name, final)
@@ -575,6 +576,14 @@ def test_subquery_family_plans(spark):
         elif name == "q16_supplier_cnt_not_in":
             # empty blocklist at sf0.001: AQE eliminates the anti join
             assert "LeftAnti" not in final, final
+        elif name == "q21_sole_late_supplier":
+            # the two correlated subqueries against the same fact
+            # table must decorrelate to ONE semi and ONE anti hash
+            # join on l_orderkey, the suppkey inequality riding as
+            # each join's extra condition (never a re-exec per row)
+            assert "LeftSemi" in final, final
+            assert "LeftAnti" in final, final
+            assert "NOT (l_suppkey" in final or "l_suppkey#" in final, final
 
     # non-empty blocklist (sf0.01): the null-aware anti join itself
     # (trailing `true` = isNullAwareAntiJoin in the operator header)
