@@ -544,6 +544,43 @@ def zorder_write(df: DataFrame, dest: str, col_x: str, col_y: str,
        .write.mode("overwrite").parquet(dest))
 
 
+def hive_partition_write(df: DataFrame, dest: str, key: str) -> None:
+    """Hive-style directory layout on a low-cardinality key
+    (``dest/key=value/part-*.parquet``) — the third 100-TB read-path
+    recipe next to Z-order (two-dimension row-group pruning) and the
+    salted bucket lookup (point reads): a fact table laid out this way
+    gets whole directories skipped at PLANNING time for static
+    predicates and at RUNTIME for join-derived ones (see
+    ``dpp_join_counts``). Layout-only: content is whatever ``df``
+    holds. Reference analog: per-type output directories,
+    LOCDB-V3/fileProcessor.py (type-dispatched result folders)."""
+    df.write.partitionBy(key).mode("overwrite").parquet(dest)
+
+
+def dpp_join_counts(spark: SparkSession, fact_dir: str, dim: DataFrame,
+                    dim_filter, key: str = "event_type") -> DataFrame:
+    """Per-key counts of a key-partitioned fact restricted by a
+    FILTERED dimension — the dynamic-partition-pruning join.
+
+    The fact predicate (which keys survive the dim filter) is not
+    known until runtime, so no static pushdown can skip fact
+    directories. With ``spark.sql.optimizer.dynamicPartitionPruning``
+    (on by default) Catalyst REUSES the dim's broadcast exchange as a
+    subquery inside the fact scan's PartitionFilters
+    (``dynamicpruning#N`` / SubqueryAdaptiveBroadcast in the plan), so
+    the scan lists and reads ONLY the matching ``key=value``
+    directories. At 10^12 rows this is the difference between reading
+    the full fact table and reading the joined fraction — for a
+    100 TB events table with a 1%-selective dim filter, a 99% I/O cut
+    before the first task runs. The pruning is asserted in
+    tests/test_layout.py (plan gate + equality vs the unpartitioned
+    computation)."""
+    fact = spark.read.parquet(fact_dir)
+    return (fact.join(dim.where(dim_filter), key)
+                .groupBy(key)
+                .agg(F.count("*").alias("n")))
+
+
 def found_notfound(requested: DataFrame, produced: DataFrame) -> DataFrame:
     """J8/S7: requested keys not present in the produced table
     (the reference's NotFound list, LOCDB-V3/fileProcessor.py:167-186)."""

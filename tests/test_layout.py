@@ -88,3 +88,50 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     assert z_y <= 0.75 * z_tot, (z_y, z_tot)
     # and its worst case over the two predicate shapes beats linear's
     assert max(z_box, z_y) < max(l_box, l_y)
+
+
+def test_dynamic_partition_pruning_join(spark, tmp_path):
+    """Hive-partitioned fact + filtered dim: the fact scan must carry a
+    runtime ``dynamicpruning`` PartitionFilter fed by the dim's reused
+    broadcast — directories for keys the dim filter kills are never
+    read. Negative control: with the optimizer rule off, the same join
+    plans a plain full-partition scan (so the assert is detecting DPP,
+    not an artifact of the plan printer)."""
+    from extractor.job import dpp_join_counts, hive_partition_write
+
+    fact_dir = str(tmp_path / "events_by_type")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    hive_partition_write(ev, fact_dir, "event_type")
+
+    dim = spark.createDataFrame(
+        [("click", "engage"), ("view", "engage"), ("error", "ops"),
+         ("purchase", "monetize"), ("signup", "acquire")],
+        "event_type string, category string")
+    flt = F.col("category") == "monetize"
+
+    res = dpp_join_counts(spark, fact_dir, dim, flt)
+    got = {(r["event_type"], r["n"]) for r in res.collect()}
+
+    # equality vs the unpartitioned computation
+    want = {(r["event_type"], r["n"])
+            for r in ev.join(dim.where(flt), "event_type")
+                       .groupBy("event_type").count()
+                       .withColumnRenamed("count", "n").collect()}
+    assert got == want and got  # non-trivial
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "dynamicpruning" in plan, plan
+    assert "PartitionFilters" in plan, plan
+
+    # negative control: rule disabled -> no runtime pruning subquery
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+                   "false")
+    try:
+        off = dpp_join_counts(spark, fact_dir, dim, flt)
+        off.collect()
+        plan_off = off._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" not in plan_off, plan_off
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
