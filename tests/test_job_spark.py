@@ -142,51 +142,6 @@ def test_conversation_report(spark, extracted):
     assert hot >= 0.25 * len(got)  # skew fixture present
 
 
-def test_spark_submit_pyfiles_end_to_end(tmp_path):
-    """North-rule launch mode: package the core as extractor.zip and
-    run the job through real spark-submit --py-files, from a cwd where
-    the repo is NOT importable — executors and driver must resolve the
-    package from the zip alone. Output is oracle-checked."""
-    import shutil
-    import subprocess
-    import sys
-
-    from extractor.core.batch import extract_batch
-    from extractor.gen_fixtures import write_transcripts_parquet
-
-    spark_submit = shutil.which("spark-submit")
-    if spark_submit is None:
-        pytest.skip("spark-submit not on PATH")
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zip_path = str(tmp_path / "extractor.zip")
-    job.make_pyfiles_zip(zip_path)
-    inp = str(tmp_path / "t.parquet")
-    write_transcripts_parquet(inp, 300, seed=3)
-    out = str(tmp_path / "out")
-
-    env = dict(os.environ)
-    env.pop("PYTHONPATH", None)  # zip must be the only source of the pkg
-    env["PYSPARK_PYTHON"] = sys.executable
-    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
-    proc = subprocess.run(
-        [spark_submit, "--master", "local[2]",
-         "--conf", "spark.sql.shuffle.partitions=8",
-         "--py-files", zip_path,
-         os.path.join(repo, "extractor", "job.py"),
-         "--input", inp, "--output", out, "--buckets", "8"],
-        cwd=str(tmp_path), env=env, capture_output=True, text=True,
-        timeout=600)
-    assert proc.returncode == 0, proc.stderr[-4000:]
-
-    got = (pd.read_parquet(os.path.join(out, "data"))
-           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
-    oracle = (extract_batch(pd.read_parquet(inp))
-              .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
-    assert len(got) == len(oracle)
-    assert (got["clean_text"].values == oracle["clean_text"].values).all()
-
-
 def test_sigkill_mid_run_then_resume(tmp_path):
     """Hard-crash semantics: SIGKILL a separate driver process midway
     through a many-wave run (no cleanup code runs, JVM dies), then
