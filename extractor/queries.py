@@ -5810,6 +5810,71 @@ def q21_sole_late_supplier(spark, sf_dir):
          s=t(spark, sf_dir, "supplier"), n=t(spark, sf_dir, "nation"))
 
 
+@_q("url_canonical_host_counts", sql="""
+WITH u AS (
+  SELECT doc_id,
+         printf('HTTPS://WWW.%s.Example.COM:443/Docs/%d?utm_source=feed&b=2&a=1#frag',
+                source, doc_id % 7) AS raw_url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+         lower(regexp_replace(regexp_extract(raw_url,
+                '^[A-Za-z]+://([^/:?#]+)', 1), '^(?i)www\\.', '')) AS host,
+         regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(raw_url, '\\?([^#]*)', 1) AS query
+  FROM u
+), canon AS (
+  SELECT doc_id, host,
+         'https://' || host || path ||
+         CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
+  FROM (SELECT doc_id, host, path,
+               array_to_string(list_sort(list_filter(
+                   string_split(query, '&'),
+                   x -> x NOT LIKE 'utm_%')), '&') AS cq
+        FROM parts)
+)
+SELECT host, canon_url, CAST(count(*) AS BIGINT) AS n_docs
+FROM canon GROUP BY host, canon_url
+""")
+def url_canonical_host_counts(spark, sf_dir):
+    """URL canonicalization + per-host/canonical-URL counts — the
+    web-corpus ingestion primitive (RFC 3986 §6 syntax-based
+    normalization; CommonCrawl/CCNet-style host-level grouping before
+    dedup and domain caps). The documents table carries no URL column
+    (BASELINE input_hint), so a deterministic raw URL is synthesized
+    per doc — deliberately dirty: uppercase scheme and host, www.
+    prefix, explicit default port, a utm_ tracking param, unsorted
+    params, a fragment. Canonicalization (all JVM built-ins, no
+    Python): lowercase the host via parse_url (which already strips
+    the port), drop the www. prefix, drop the fragment (parse_url
+    never returns it), split the query, filter(x -> NOT utm_%),
+    array_sort, re-join — scheme pinned to https.
+
+    Scale shape: one zero-Exchange projection per row, then one
+    groupBy (host, canon_url) shuffle with map-side partial counts —
+    at 10^12 docs this is the same one-shuffle profile as dedup_exact,
+    and the canonical URL is exactly what the exact-dedup and
+    domain-cap stages key on upstream of training-data assembly.
+    Reference analog: filename/id surgery before merging detector
+    outputs (SURVEY §2 F12)."""
+    docs = t(spark, sf_dir, "documents")
+    raw = F.format_string(
+        "HTTPS://WWW.%s.Example.COM:443/Docs/%d?utm_source=feed&b=2&a=1#frag",
+        "source", (F.col("doc_id") % 7))
+    host = F.regexp_replace(F.lower(F.parse_url(raw, F.lit("HOST"))),
+                            r"^www\.", "")
+    path = F.parse_url(raw, F.lit("PATH"))
+    cq = F.array_join(
+        F.array_sort(F.filter(F.split(F.parse_url(raw, F.lit("QUERY")), "&"),
+                              lambda x: ~x.like("utm_%"))), "&")
+    canon = F.concat(F.lit("https://"), host, path,
+                     F.when(cq == "", F.lit(""))
+                      .otherwise(F.concat(F.lit("?"), cq)))
+    return (docs.select(host.alias("host"), canon.alias("canon_url"))
+                .groupBy("host", "canon_url")
+                .agg(F.count("*").cast("long").alias("n_docs")))
+
+
 # ===========================================================================
 # Ranking evaluation, skyline, and time-spine gap fill
 # ===========================================================================

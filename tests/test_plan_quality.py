@@ -636,3 +636,24 @@ def test_ranking_skyline_spine_plan_shapes(spark):
     assert "Generate explode(" in final, final
     assert "CartesianProduct" not in final, final
     assert "BroadcastNestedLoopJoin" not in final, final
+
+
+def test_url_canonicalization_single_shuffle_jvm_only(spark):
+    """url_canonical_host_counts must canonicalize entirely JVM-side
+    (parse_url + lambda filter + array_sort are all codegen'd
+    expressions — no Python eval node) and pay exactly one Exchange,
+    the (host, canon_url) groupBy with map-side partial counts."""
+    import re
+
+    from extractor.queries import QUERIES
+
+    df = QUERIES["url_canonical_host_counts"](
+        spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in final, final
+    assert "ArrowEvalPython" not in final, final
+    assert "MapInPandas" not in final, final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1, final
+    assert "partial_count" in final, final
