@@ -5875,6 +5875,40 @@ def url_canonical_host_counts(spark, sf_dir):
                 .agg(F.count("*").cast("long").alias("n_docs")))
 
 
+@_q("variant_props_shred", sql="""
+SELECT event_type,
+       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_distinct_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events WHERE props <> '' GROUP BY event_type
+""")
+def variant_props_shred(spark, sf_dir):
+    """Semi-structured props through Spark 4's VARIANT type: one
+    parse_json per row shreds the JSON into the binary variant
+    encoding, after which every field access (variant_get with a typed
+    path) is a binary probe — NOT a re-parse of the source string the
+    way chained get_json_object/json_extract calls are. At 10^12
+    events with f extracted fields that is 1 parse + f probes instead
+    of f full parses per row; the open Parquet variant spec
+    (Delta/Iceberg v3) makes the same trick span the storage layer.
+    Same one-shuffle profile as props_json_stats (its string-path
+    twin, kept as the compat surface); distinct-count adds the Expand
+    two-phase agg, exercised here on purpose. Oracle: DuckDB
+    json_extract_string (string path — equality of RESULTS across the
+    two extraction strategies is the point). Reference analog:
+    per-type result-JSON field lift (SURVEY §2 X2)."""
+    ev = t(spark, sf_dir, "events").where(F.col("props") != "")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (ev.select("event_type", k.alias("k"))
+              .groupBy("event_type")
+              .agg(F.count_distinct("k").cast("long").alias("n_distinct_k"),
+                   F.min("k").cast("long").alias("min_k"),
+                   F.max("k").cast("long").alias("max_k")))
+
+
 # ===========================================================================
 # Ranking evaluation, skyline, and time-spine gap fill
 # ===========================================================================
