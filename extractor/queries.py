@@ -5810,6 +5810,27 @@ def q21_sole_late_supplier(spark, sf_dir):
          s=t(spark, sf_dir, "supplier"), n=t(spark, sf_dir, "nation"))
 
 
+def _canon_url_parts(raw):
+    """(host, canon_url) column pair for a raw URL column — RFC 3986
+    §6 syntax-based normalization, all JVM expressions. Idempotent by
+    construction (pinned by a fixpoint property test): a canonical
+    URL re-enters with lowercase https/host, no www., no port, no
+    fragment, and utm-free sorted params, and every step maps those
+    to themselves."""
+    host = F.regexp_replace(F.lower(F.parse_url(raw, F.lit("HOST"))),
+                            r"^www\.", "")
+    path = F.parse_url(raw, F.lit("PATH"))
+    q = F.coalesce(F.parse_url(raw, F.lit("QUERY")), F.lit(""))
+    cq = F.array_join(
+        F.array_sort(F.filter(F.split(q, "&"),
+                              lambda x: ~x.like("utm_%") & (x != ""))),
+        "&")
+    canon = F.concat(F.lit("https://"), host, path,
+                     F.when(cq == "", F.lit(""))
+                      .otherwise(F.concat(F.lit("?"), cq)))
+    return host, canon
+
+
 @_q("url_canonical_host_counts", sql="""
 WITH u AS (
   SELECT doc_id,
@@ -5861,15 +5882,7 @@ def url_canonical_host_counts(spark, sf_dir):
     raw = F.format_string(
         "HTTPS://WWW.%s.Example.COM:443/Docs/%d?utm_source=feed&b=2&a=1#frag",
         "source", (F.col("doc_id") % 7))
-    host = F.regexp_replace(F.lower(F.parse_url(raw, F.lit("HOST"))),
-                            r"^www\.", "")
-    path = F.parse_url(raw, F.lit("PATH"))
-    cq = F.array_join(
-        F.array_sort(F.filter(F.split(F.parse_url(raw, F.lit("QUERY")), "&"),
-                              lambda x: ~x.like("utm_%"))), "&")
-    canon = F.concat(F.lit("https://"), host, path,
-                     F.when(cq == "", F.lit(""))
-                      .otherwise(F.concat(F.lit("?"), cq)))
+    host, canon = _canon_url_parts(raw)
     return (docs.select(host.alias("host"), canon.alias("canon_url"))
                 .groupBy("host", "canon_url")
                 .agg(F.count("*").cast("long").alias("n_docs")))

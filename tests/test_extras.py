@@ -1148,3 +1148,40 @@ def test_registry_rotation_unverified_first_and_lossless():
     # every verified name that still exists must stay registered
     # (names may legitimately be superseded between rounds)
     assert verified & set(QUERIES) == {n for n in names[k:]}
+
+
+def test_url_canonicalization_idempotent_fixpoint(spark):
+    """RFC 3986 normalization must be a projection onto canonical
+    space: canon(canon(u)) == canon(u) for every document URL, and
+    for hand adversarial shapes (no query, only-utm query, already-
+    canonical, empty-param fragments). A non-idempotent canonicalizer
+    silently splits one logical URL into several dedup keys."""
+    from extractor.queries import _canon_url_parts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw = F.format_string(
+        "HTTPS://WWW.%s.Example.COM:443/Docs/%d?utm_source=feed&b=2&a=1#frag",
+        "source", (F.col("doc_id") % 7))
+    _, c1 = _canon_url_parts(raw)
+    once = docs.select(c1.alias("u1"))
+    _, c2 = _canon_url_parts(F.col("u1"))
+    twice = once.select("u1", c2.alias("u2"))
+    assert twice.where(F.col("u1") != F.col("u2")).count() == 0
+
+    hand = spark.createDataFrame(
+        [("HTTP://Host.COM/A",),
+         ("https://host.com/a?utm_x=1",),
+         ("https://host.com/a?b=2&a=1#f",),
+         ("https://src0.example.com/Docs/3?a=1&b=2",),
+         ("https://host.com/a?",)],
+        "raw string")
+    _, c1 = _canon_url_parts(F.col("raw"))
+    once = hand.select(c1.alias("u1"))
+    _, c2 = _canon_url_parts(F.col("u1"))
+    rows = once.select("u1", c2.alias("u2")).collect()
+    for r in rows:
+        assert r["u1"] == r["u2"], rows
+    got = {r["u1"] for r in rows}
+    assert "https://host.com/A" in got          # path case preserved
+    assert "https://host.com/a" in got          # utm-only query dropped
+    assert "https://host.com/a?a=1&b=2" in got  # params sorted, frag gone
