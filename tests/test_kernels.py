@@ -640,3 +640,36 @@ def test_howto_list_with_year_in_prose_is_not_references():
          "upgrade path in detail, including compatibility holes and "
          "the rollback story for the previous series.")
     assert segment_text(t) == []
+
+
+def test_html_nonrendered_containers_never_leak():
+    """Content of non-rendered containers — <template> (never drawn by
+    any browser), <noscript> fallbacks, <svg> label text, <iframe>
+    fallback text, and CDATA sections — must not surface in clean_text
+    even when they are long enough to pass the density classifier on
+    their own; the surrounding real prose must survive. (Adversarial
+    probe pinned as a regression: all five held with zero leaks.)"""
+    long_p = "<p>" + " ".join(
+        "Sentence number {} carries real analytical content for the "
+        "reader.".format(i) for i in range(6)) + "</p>"
+    junk = {
+        "noscript": "<noscript>Enable JS banner junk repeated banner "
+                    "junk repeated banner junk repeated</noscript>",
+        "svg": "<svg><text>chart label repeated label repeated label "
+               "repeated label repeated forever</text></svg>",
+        "template": "<template>" + long_p.replace("analytical",
+                                                  "TEMPLATEJUNK")
+                    + "</template>",
+        "iframe": "<iframe src='x'>fallback iframe junk text repeated "
+                  "junk text repeated junk</iframe>",
+        "cdata": "<![CDATA[ raw cdata payload should never surface in "
+                 "clean text output at all ]]>",
+    }
+    for name, block in junk.items():
+        out = html_strip.strip_html(
+            "<html><body>" + long_p + block + long_p
+            + "</body></html>")["clean_text"]
+        assert "analytical content" in out, (name, out)
+        for bad in ("banner junk", "chart label", "TEMPLATEJUNK",
+                    "iframe junk", "cdata payload", "]]>"):
+            assert bad not in out, (name, bad, out)
