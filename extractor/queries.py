@@ -5810,6 +5810,46 @@ def q21_sole_late_supplier(spark, sf_dir):
          s=t(spark, sf_dir, "supplier"), n=t(spark, sf_dir, "nation"))
 
 
+@_q("q20_dominant_part_suppliers", sql="""
+SELECT s_name, CAST(s_suppkey AS BIGINT) AS s_suppkey
+FROM supplier WHERE s_suppkey IN (
+  SELECT li.l_suppkey FROM lineitem li
+  GROUP BY li.l_suppkey, li.l_partkey
+  HAVING 5 * sum(li.l_quantity) > (
+      SELECT sum(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = li.l_partkey))
+""")
+def q20_dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape — NESTED decorrelation, the one depth the
+    subquery family (q4..q22) had not exercised: an IN subquery whose
+    HAVING clause itself contains a CORRELATED scalar aggregate
+    (correlated on the inner query's own group key, l_partkey).
+    Catalyst must decorrelate twice: the scalar becomes a per-partkey
+    Aggregate hash-joined back onto the (suppkey, partkey) Aggregate,
+    and the IN becomes a LeftSemi onto supplier — never a per-group
+    re-scan of lineitem. Semantics: suppliers shipping > 20% of some
+    part's total quantity (the original's "excess stock" adapted to
+    this schema, which has no partsupp). All-integer threshold math
+    (5 * sum > total) so the oracle compare is exact by construction,
+    no float margin to audit.
+
+    Scale shape: two aggregations over the same lineitem scan, both
+    keyed on l_partkey (the second also on l_suppkey) — the shared
+    key means the decorrelation join can reuse the partkey
+    partitioning; the semi join probes the tiny supplier dim. At
+    10^12 lineitems: one scan feeding two partial-agg shuffles + two
+    hash joins, no correlated re-execution anywhere."""
+    return spark.sql("""
+        SELECT s_name, CAST(s_suppkey AS BIGINT) AS s_suppkey
+        FROM {s} WHERE s_suppkey IN (
+          SELECT li.l_suppkey FROM {li} li
+          GROUP BY li.l_suppkey, li.l_partkey
+          HAVING 5 * sum(li.l_quantity) > (
+              SELECT sum(l2.l_quantity) FROM {li} l2
+              WHERE l2.l_partkey = li.l_partkey))
+    """, s=t(spark, sf_dir, "supplier"), li=t(spark, sf_dir, "lineitem"))
+
+
 def _canon_url_parts(raw):
     """(host, canon_url) column pair for a raw URL column — RFC 3986
     §6 syntax-based normalization, all JVM expressions. Idempotent by
