@@ -5810,6 +5810,73 @@ def q21_sole_late_supplier(spark, sf_dir):
          s=t(spark, sf_dir, "supplier"), n=t(spark, sf_dir, "nation"))
 
 
+_LINE_SEG_WORDS = 3   # pseudo-line width (documents carry no newlines)
+_LINE_DF_CAP = 3      # segments seen in >= this many docs are boilerplate
+
+
+@_q("line_dedup_crossdoc", sql="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+segs AS (SELECT doc_id, i - 1 AS pos,
+                array_to_string(ws[((i-1)*{L}+1):((i-1)*{L}+{L})], ' ') AS seg
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1,
+                          CAST(ceil(len(ws)/{L}.0) AS BIGINT))) AS i
+               FROM w)),
+df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+SELECT s.doc_id,
+       CAST(count(*) FILTER (df.df < {K}) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (df.df >= {K}) AS BIGINT) AS n_dropped,
+       md5(coalesce(array_to_string(
+           list(s.seg ORDER BY s.pos) FILTER (df.df < {K}), ' '), ''))
+         AS kept_md5
+FROM segs s JOIN df USING (seg)
+GROUP BY s.doc_id
+""".format(L=_LINE_SEG_WORDS, K=_LINE_DF_CAP))
+def line_dedup_crossdoc(spark, sf_dir):
+    """CCNet-style cross-document line dedup (Wenzek et al. LREC'20
+    §3.1; RefinedWeb/Penedo'23 line-dedup): hash every line, count its
+    document frequency across the corpus, strip lines that repeat in
+    >= K documents (navigation chrome, cookie banners, license
+    footers), and reassemble each document from its surviving lines in
+    position order. The documents fixture carries no newlines, so
+    "lines" are deterministic 3-word segments — the mechanics
+    (segment -> corpus-wide df -> threshold -> ordered reassembly) are
+    exactly the production op. Emits per doc: kept/dropped counts and
+    the md5 of the reassembled text (compact exact content check; ''
+    when everything was boilerplate).
+
+    Scale shape: the df table is vocabulary-sized (distinct segments),
+    built with one map-side-combinable distinct-count shuffle; the
+    df -> segs join is AQE-broadcastable when the segment vocabulary
+    fits, else a plain hash join on the segment key; reassembly rides
+    ONE doc_id shuffle (collect_list of (pos, seg) structs,
+    null-skipping, so kept-filter + reassembly + both counters share
+    the aggregate). No Python anywhere. The df threshold is
+    corpus-relative BY DESIGN (CCNet computes it per shard): at 10x
+    the docs a fixed K drops more — that is the op's semantics, not a
+    scale artifact."""
+    K = _LINE_DF_CAP
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws"))
+    n_seg = F.ceil(F.size("ws") / F.lit(float(_LINE_SEG_WORDS))).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice("ws", i * _LINE_SEG_WORDS + 1, _LINE_SEG_WORDS),
+                " "))).alias("pos", "seg"))
+    df = segs.groupBy("seg").agg(F.count_distinct("doc_id").alias("df"))
+    j = segs.join(df, "seg")
+    kept_struct = F.when(F.col("df") < K, F.struct("pos", "seg"))
+    return (j.groupBy("doc_id").agg(
+        F.sum((F.col("df") < K).cast("long")).alias("n_kept"),
+        F.sum((F.col("df") >= K).cast("long")).alias("n_dropped"),
+        F.md5(F.array_join(F.transform(
+            F.array_sort(F.collect_list(kept_struct)),
+            lambda s: s.getField("seg")), " ")).alias("kept_md5")))
+
+
 @_q("q20_dominant_part_suppliers", sql="""
 SELECT s_name, CAST(s_suppkey AS BIGINT) AS s_suppkey
 FROM supplier WHERE s_suppkey IN (

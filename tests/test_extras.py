@@ -1185,3 +1185,33 @@ def test_url_canonicalization_idempotent_fixpoint(spark):
     assert "https://host.com/A" in got          # path case preserved
     assert "https://host.com/a" in got          # utm-only query dropped
     assert "https://host.com/a?a=1&b=2" in got  # params sorted, frag gone
+
+
+def test_line_dedup_crossdoc_reassembly_invariants(spark, tmp_path):
+    """Two exact invariants of the CCNet-style line dedup: (1) a doc
+    none of whose segments repeat across docs reassembles BYTE-
+    IDENTICALLY (disjoint consecutive 3-word segments joined by ' '
+    reconstruct the original word stream); (2) a segment shared by >=
+    K docs is dropped from every one of them, and an all-boilerplate
+    doc reassembles to the md5 of ''."""
+    import hashlib
+
+    from extractor.queries import _LINE_DF_CAP, line_dedup_crossdoc
+
+    unique = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    boiler = "accept all cookies"
+    rows = [(0, unique, "en", "s", len(unique))]
+    for i in range(_LINE_DF_CAP):
+        rows.append((i + 1, boiler, "en", "s", len(boiler)))
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in
+           line_dedup_crossdoc(spark, str(tmp_path)).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[0]["n_dropped"] == 0
+    assert got[0]["kept_md5"] == md5(unique)          # byte-identical
+    for i in range(1, _LINE_DF_CAP + 1):
+        assert got[i]["n_kept"] == 0, got[i]
+        assert got[i]["kept_md5"] == md5("")          # all boilerplate
