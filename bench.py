@@ -58,6 +58,8 @@ HEADLINE_QUERIES = [
     "minhash_dedup_survivors",
     "bm25_topk",
     "w7_sliding_window_counts",
+    "q21_sole_late_supplier",
+    "line_dedup_crossdoc",
     "extract_documents_clean",
 ]
 
