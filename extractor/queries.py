@@ -5810,6 +5810,45 @@ def q21_sole_late_supplier(spark, sf_dir):
          s=t(spark, sf_dir, "supplier"), n=t(spark, sf_dir, "nation"))
 
 
+@_q("w10_sliding_distinct_users", sql="""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(count(DISTINCT user_id) OVER (
+           PARTITION BY event_type ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS n_users_1h
+FROM events
+""")
+def w10_sliding_distinct_users(spark, sf_dir):
+    """Per-event trailing-1h DISTINCT-user count — the windowed
+    distinct aggregate. Spark does not support count(DISTINCT) as a
+    window function at all (AnalysisException: 'Distinct window
+    functions are not supported'); the canonical rewrite is
+    size(collect_set(user) OVER (RANGE INTERVAL 1 HOUR PRECEDING)) —
+    the set dedups inside the frame, size() reads its cardinality.
+    DuckDB DOES support windowed DISTINCT natively, so the oracle
+    runs the real thing against the rewrite — a cross-engine check of
+    the rewrite's equivalence, including RANGE peer-group semantics
+    (same-instant rows see each other on both engines). The frame is
+    an INTERVAL range directly over the TIMESTAMP_NTZ column, the
+    rolling_count_1h convention (a unix-seconds cast would re-enter
+    session-timezone/DST territory and truncate sub-second data).
+
+    Scale shape: one Exchange on event_type + an in-frame sort; state
+    per task is one set holding the trailing hour's users for the
+    CURRENT frame only (the frame start slides forward
+    monotonically). Memory is bounded by window-hour user cardinality
+    x one frame, not by partition length. For windows whose hourly
+    cardinality itself is huge, the two-level fallback is
+    sketch_event_stats' HLL (fixed buffers); this operator is the
+    EXACT variant the rewrite makes possible."""
+    e = t(spark, sf_dir, "events")
+    return e.selectExpr(
+        "CAST(event_id AS BIGINT) AS event_id",
+        "CAST(size(collect_set(user_id) OVER (PARTITION BY event_type"
+        " ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND"
+        " CURRENT ROW)) AS BIGINT) AS n_users_1h")
+
+
 _LINE_SEG_WORDS = 3   # pseudo-line width (documents carry no newlines)
 _LINE_DF_CAP = 3      # segments seen in >= this many docs are boilerplate
 
