@@ -468,3 +468,40 @@ def test_prefix_join_hot_shingle_stays_out_of_prefixes(spark, tmp_path):
     assert got_c == brute_c
     assert (0, 1) in got_j                      # planted near-dup found
     assert sum(1 for (i, _o) in got_c if i == 48) == 48  # excerpt edges
+
+
+def test_line_dedup_hot_segment_everywhere(spark, tmp_path):
+    """Hot-key drill for line_dedup_crossdoc: ONE segment present in
+    every document (the cookie-banner-on-every-page case — the
+    hottest possible key of the segs->df join). Structural safety: the
+    df side aggregates to ONE row per segment before the join, so the
+    hot key's fan-out is 1:1 with its probe rows (never a pair
+    explosion); this drill pins the exact semantics under that skew —
+    the universal segment is dropped from every doc, per-doc unique
+    segments all survive, and reassembly stays byte-exact."""
+    import hashlib
+
+    from extractor.queries import _LINE_SEG_WORDS, line_dedup_crossdoc
+
+    assert _LINE_SEG_WORDS == 3
+    n = 400
+    boiler = "accept all cookies"  # one exact segment wide
+    rows = []
+    uniq = {}
+    for i in range(n):
+        tail = "tok{}a tok{}b tok{}c".format(i, i, i)
+        text = boiler + " " + tail
+        uniq[i] = tail
+        rows.append((i, text, "en", "s", len(text)))
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in
+           line_dedup_crossdoc(spark, str(tmp_path)).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert len(got) == n
+    for i in range(n):
+        assert got[i]["n_dropped"] == 1, got[i]   # exactly the banner
+        assert got[i]["n_kept"] == 1, got[i]
+        assert got[i]["kept_md5"] == md5(uniq[i]), got[i]
