@@ -5916,6 +5916,52 @@ def line_dedup_crossdoc(spark, sf_dir):
             lambda s: s.getField("seg")), " ")).alias("kept_md5")))
 
 
+@_q("q2_min_qty_supplier", sql="""
+WITH ps AS (SELECT l_partkey, l_suppkey,
+                   CAST(sum(l_quantity) AS BIGINT) AS qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, s.s_name,
+       ps.qty AS min_qty
+FROM part p JOIN ps ON ps.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE ps.qty = (SELECT min(ps2.qty) FROM ps ps2
+                WHERE ps2.l_partkey = p.p_partkey)
+""")
+def q2_min_qty_supplier(spark, sf_dir):
+    """TPC-H Q2 shape — tie-INCLUSIVE argmin over a DERIVED aggregate:
+    the correlated scalar subquery ranges over a CTE (the per
+    (partkey, suppkey) quantity rollup), not a base table, and the
+    equality keeps EVERY supplier tying the per-part minimum (at sf0.01
+    the gate corpus carries 501 genuine tie rows beyond the 2000
+    parts, so the ties semantics is exercised, not incidental).
+    Catalyst decorrelates the min into a per-partkey Aggregate over
+    the SAME derived relation and equi-joins it back — the CTE is
+    evaluated as a plan subtree on both sides, never re-executed per
+    outer row. Integer quantities -> exact equality, no float margin.
+    This completes the subquery family's shapes: q17 (scalar over base
+    table), q20 (scalar inside HAVING inside IN), q2 (scalar over a
+    derived aggregate with tie-preserving equality join-back).
+
+    Scale shape: one (partkey, suppkey) rollup shuffle, one partkey
+    min-agg over it, two broadcastable dim joins (part, supplier) —
+    at 10^12 lineitems the rollup shuffle dominates and everything
+    downstream is vocabulary-sized. The window-function alternative
+    (min OVER partkey) trades the second agg for a sort; the agg form
+    wins when ties are rare and AQE can broadcast the min table."""
+    return spark.sql("""
+        WITH ps AS (SELECT l_partkey, l_suppkey,
+                           CAST(sum(l_quantity) AS BIGINT) AS qty
+                    FROM {li} GROUP BY l_partkey, l_suppkey)
+        SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, s.s_name,
+               ps.qty AS min_qty
+        FROM {p} p JOIN ps ON ps.l_partkey = p.p_partkey
+        JOIN {s} s ON s.s_suppkey = ps.l_suppkey
+        WHERE ps.qty = (SELECT min(ps2.qty) FROM ps ps2
+                        WHERE ps2.l_partkey = p.p_partkey)
+    """, li=t(spark, sf_dir, "lineitem"), p=t(spark, sf_dir, "part"),
+         s=t(spark, sf_dir, "supplier"))
+
+
 @_q("q20_dominant_part_suppliers", sql="""
 SELECT s_name, CAST(s_suppkey AS BIGINT) AS s_suppkey
 FROM supplier WHERE s_suppkey IN (

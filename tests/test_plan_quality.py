@@ -552,7 +552,8 @@ def test_subquery_family_plans(spark):
     for name in ("q4_order_priority_exists", "q17_small_qty_revenue",
                  "q18_large_volume_orders", "q19_disjunctive_revenue",
                  "q22_idle_balance_anti", "q16_supplier_cnt_not_in",
-                 "q21_sole_late_supplier", "q20_dominant_part_suppliers"):
+                 "q21_sole_late_supplier", "q20_dominant_part_suppliers",
+                 "q2_min_qty_supplier"):
         final = _final_plan(spark, name)
         assert "CartesianProduct" not in final, (name, final)
         assert "BroadcastNestedLoopJoin" not in final, (name, final)
@@ -576,6 +577,13 @@ def test_subquery_family_plans(spark):
         elif name == "q16_supplier_cnt_not_in":
             # empty blocklist at sf0.001: AQE eliminates the anti join
             assert "LeftAnti" not in final, final
+        elif name == "q2_min_qty_supplier":
+            # scalar-over-derived-CTE decorrelation: a per-partkey
+            # min Aggregate over the rollup, joined back by equality
+            # (tie-inclusive) — the rollup itself aggregated, never
+            # re-executed per outer row
+            assert "partial_min" in final, final
+            assert final.count("partial_sum(l_quantity") == 2, final
         elif name == "q20_dominant_part_suppliers":
             # nested decorrelation: the correlated scalar inside the
             # HAVING becomes a per-partkey Aggregate joined back onto
