@@ -145,6 +145,72 @@ def _lines_in_column(ts_str, x0, y0, x1, y1) -> list[dict]:
     return lines
 
 
+def _spanning_bands(ts_str, x0, y0, x1, y1, w):
+    """XY-cut rescue for the classic column-detection trap: a
+    full-width element (title, section banner, figure caption)
+    bridges the inter-column gap, so the x-interval merge of
+    ``_columns`` collapses the whole page to one column and the two
+    body columns interleave line-by-line. Cut horizontally instead
+    (Nagy's recursive XY-cut, ICPR'84 lineage): spanning glyphs
+    (wider than half the page) define horizontal bands; each
+    non-spanning band re-runs column detection on its own glyphs and
+    reads left->right, bands top->bottom, spanning lines as their own
+    single-column bands.
+
+    Strictly additive: returns None — caller keeps the single-column
+    path — unless BOTH a spanning glyph exists AND the non-spanning
+    body alone separates into >= 2 columns (so genuinely
+    single-column prose, where every line is wide or the body shows
+    no x-gap, is untouched; the golden fixture corpus has no
+    spanning glyphs and is byte-identical under this extension).
+    Reference analog: crop/region ordering before OCR merge,
+    dev-version/crop_morphology.py (N1/W2)."""
+    wide = (x1 - x0) > 0.5 * w
+    n_body = int((~wide).sum())
+    if not wide.any() or n_body < 4 or n_body < 0.6 * len(x0):
+        return None
+    if len(_columns(x0[~wide], x1[~wide], w)) < 2:
+        return None
+    # merged y-intervals of the spanning glyphs = the horizontal cuts
+    order = np.argsort(y0[wide], kind="stable")
+    wy0, wy1 = y0[wide][order], y1[wide][order]
+    run = np.maximum.accumulate(wy1)
+    brk = np.nonzero(wy0[1:] > run[:-1])[0] + 1
+    starts = np.concatenate(([0], brk))
+    ends = np.concatenate((brk, [len(wy0)]))
+    cuts = [(float(wy0[s]), float(run[e - 1]))
+            for s, e in zip(starts, ends)]
+
+    yc = (y0 + y1) / 2.0
+    xc = (x0 + x1) / 2.0
+    out: list[dict] = []
+
+    def emit(mask):
+        if not mask.any():
+            return
+        sub = _columns(x0[mask], x1[mask], w)
+        if len(sub) == 1:
+            out.extend(_lines_in_column(ts_str[mask], x0[mask], y0[mask],
+                                        x1[mask], y1[mask]))
+            return
+        for lo, hi in sub:
+            mm = mask & (xc >= lo - 1e-9) & (xc <= hi + 1e-9)
+            if mm.any():
+                out.extend(_lines_in_column(ts_str[mm], x0[mm], y0[mm],
+                                            x1[mm], y1[mm]))
+
+    prev_hi = -np.inf
+    for clo, chi in cuts:
+        emit((yc > prev_hi) & (yc < clo))          # column band above
+        band = (yc >= clo) & (yc <= chi)           # the spanning band
+        if band.any():                             # (incl. narrow
+            out.extend(_lines_in_column(            # glyphs inside it)
+                ts_str[band], x0[band], y0[band], x1[band], y1[band]))
+        prev_hi = chi
+    emit(yc > prev_hi)                             # trailing band
+    return out
+
+
 def page_lines(page: dict) -> list[dict]:
     """All lines of one page in reading order (columns left->right,
     lines top->bottom within a column)."""
@@ -174,6 +240,9 @@ def page_lines(page: dict) -> list[dict]:
     out: list[dict] = []
     cols = _columns(x0, x1, w)
     if len(cols) == 1:
+        banded = _spanning_bands(ts_str, x0, y0, x1, y1, w)
+        if banded is not None:
+            return banded
         return _lines_in_column(ts_str, x0, y0, x1, y1)
     xc = (x0 + x1) / 2.0
     for lo, hi in cols:

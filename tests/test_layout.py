@@ -135,3 +135,47 @@ def test_dynamic_partition_pruning_join(spark, tmp_path):
     finally:
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+
+
+def test_spanning_header_xy_band_rescue():
+    """The classic column-detection trap: a full-width title bridges
+    the inter-column gap, so plain x-interval merge sees ONE column
+    and interleaves the two body columns line-by-line. The XY-band
+    rescue must read: spanning line first, then ALL of the left
+    column, then ALL of the right; a mid-page spanning banner must
+    split the page into two independent 2-column bands; genuinely
+    single-column prose (every line wide) must be untouched."""
+    import json
+
+    from extractor.core.batch import extract_one
+
+    def word(x, y, w, txt):
+        return {"t": txt, "x0": x, "y0": y, "x1": x + w, "y1": y + 12}
+
+    def run(glyphs):
+        payload = json.dumps(
+            {"pages": [{"w": 600, "h": 800, "glyphs": glyphs}]})
+        return extract_one(payload, "pdf")[0].split("\n")
+
+    g = [word(50, 20, 500, "FULL WIDTH TITLE")]
+    g += [word(50, 50 + 16 * r, 200, "left%d alpha" % r) for r in range(5)]
+    g += [word(320, 50 + 16 * r, 200, "right%d beta" % r) for r in range(5)]
+    lines = run(g)
+    assert lines[0] == "FULL WIDTH TITLE"
+    assert lines[1:6] == ["left%d alpha" % r for r in range(5)]
+    assert lines[6:] == ["right%d beta" % r for r in range(5)]
+
+    g = [word(50, 40 + 16 * r, 200, "t1l%d aa" % r) for r in range(3)]
+    g += [word(320, 40 + 16 * r, 200, "t1r%d bb" % r) for r in range(3)]
+    g += [word(50, 100, 500, "SECTION BANNER")]
+    g += [word(50, 130 + 16 * r, 200, "t2l%d cc" % r) for r in range(3)]
+    g += [word(320, 130 + 16 * r, 200, "t2r%d dd" % r) for r in range(3)]
+    assert run(g) == (["t1l%d aa" % r for r in range(3)]
+                      + ["t1r%d bb" % r for r in range(3)]
+                      + ["SECTION BANNER"]
+                      + ["t2l%d cc" % r for r in range(3)]
+                      + ["t2r%d dd" % r for r in range(3)])
+
+    g = [word(50, 30 + 16 * r, 500, "prose line %d here" % r)
+         for r in range(6)]
+    assert run(g) == ["prose line %d here" % r for r in range(6)]
