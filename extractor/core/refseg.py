@@ -151,7 +151,22 @@ def segment_lines(
                 cur[2].append(stripped)
             # marker-less lines before the first marker: preamble, skip
         else:
+            # marker-less region: blank lines split paragraphs, and an
+            # author-start line ("Surname, I.") at column 0 whose
+            # PREVIOUS line closed an entry (terminal . or )) starts a
+            # new block — the plain-text twin of N2's hanging-indent
+            # geometry (wrapped continuations are indented and/or the
+            # prior line ends mid-entry, so "..., and\nSmith, J." never
+            # splits a multi-author entry)
+            starts_entry = (
+                cur is not None
+                and not ln[:1].isspace()
+                and AUTHOR_START_RE.match(stripped) is not None
+                and cur[2][-1][-1:] in (".", ")"))
             if cur is None:
+                cur = [idx, idx, [stripped]]
+            elif starts_entry:
+                blocks.append((cur[0], cur[1], cur[2]))
                 cur = [idx, idx, [stripped]]
             else:
                 cur[1] = idx

@@ -673,3 +673,34 @@ def test_html_nonrendered_containers_never_leak():
         for bad in ("banner junk", "chart label", "TEMPLATEJUNK",
                     "iframe junk", "cdata payload", "]]>"):
             assert bad not in out, (name, bad, out)
+
+
+def test_author_year_entries_split_without_markers():
+    """Anchored marker-less author-year bibliographies (APA-style, no
+    [n] markers, hanging-indent wraps) must split at column-0
+    author-start lines whose previous line closed an entry — and must
+    NOT split an entry wrapped mid-author-list (previous line ends
+    without terminal punctuation)."""
+    from extractor.core.batch import extract_one
+
+    text = ("Body sentence long enough to stand as document prose.\n\n"
+            "Bibliography\n"
+            "Anderson, T. (2018). Operating systems principles. "
+            "Recursive Books,\n"
+            "   second edition, chapters 4-9.\n"
+            "Brewer, E. A. (2000). Towards robust distributed systems. "
+            "In PODC, pages 7-10.\n")
+    _, refs = extract_one(text, "")
+    raws = [r["raw"] for r in refs]
+    assert len(raws) == 2, raws
+    assert raws[0].endswith("chapters 4-9.")
+    assert raws[1].startswith("Brewer, E. A.")
+
+    wrapped = ("Intro words for this document body here.\n\n"
+               "References\n"
+               "Aaron, B., Charles, D., and\n"
+               "Edwards, F. (1999). One single entry wrapped mid author "
+               "list. Journal of Tests, 1(1).\n")
+    _, refs2 = extract_one(wrapped, "")
+    assert len(refs2) == 1, [r["raw"] for r in refs2]
+    assert refs2[0]["raw"].startswith("Aaron, B., Charles, D., and Edwards")
