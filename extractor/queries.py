@@ -6002,6 +6002,334 @@ def q20_dominant_part_suppliers(spark, sf_dir):
     """, s=t(spark, sf_dir, "supplier"), li=t(spark, sf_dir, "lineitem"))
 
 
+# ===========================================================================
+# TPC-H join/aggregate family completion (Q7-Q15 shapes)
+# ===========================================================================
+# The remaining distinct TPC-H plan shapes the registry lacked:
+# symmetric two-dimension disjunction (Q7), conditional-aggregate
+# ratio (Q8), negative-margin multi-join profit (Q9), distributed
+# top-k after join-agg (Q10), global-scalar HAVING (Q11), filtered
+# outer-join histogram (Q13), and global tie-inclusive argmax (Q15).
+# All money columns use the repo's exact-integer-cents pin
+# (q1/q3/q5 convention) so cross-engine hashes are float-free; the
+# one emitted ratio (q8 mkt_share) is a round(BIGINT/BIGINT, 6) —
+# both engines divide the same two exact integers, so the double is
+# bit-identical before rounding.
+
+_CENTS = "cast(round(l_extendedprice * (1 - l_discount) * 100, 0) as bigint)"
+
+
+@_q("q7_nation_trade_volume", sql="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume_cents) AS BIGINT) AS revenue_cents
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                  AS BIGINT) AS volume_cents
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_3', 'NATION_15')
+        AND n2.n_name IN ('NATION_3', 'NATION_15')
+        AND n1.n_name <> n2.n_name)
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): cross-border trade between two
+    nations, grouped by direction and ship year. The spec's
+    disjunctive pair predicate ((A,B) OR (B,A)) is algebraically the
+    conjunctive form `both IN {A,B} AND supp <> cust` — which, unlike
+    the OR, pushes each nation filter INTO its broadcast dimension
+    scan (the OR spans two join branches and can't be pushed into
+    either). Same row set (only 4 name pairs exist under the IN
+    filters; <> removes the two same-nation ones), provably equal to
+    the oracle's literal OR.
+
+    Scale shape: nation/supplier broadcast after the pushed name
+    filter prunes suppliers to two nations' worth; the only big
+    shuffle is lineitem-orders; year extraction and the cents cast
+    are JVM expressions inside the scan projection. Nations chosen
+    to be supplier-populated at every test SF (sf0.001 carries 10
+    suppliers in nations {3,8,12,13,15,...})."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = t(spark, sf_dir, "nation")
+    n1 = na.where(F.col("n_name").isin("NATION_3", "NATION_15")) \
+           .select(F.col("n_nationkey").alias("n1_key"),
+                   F.col("n_name").alias("supp_nation"))
+    n2 = na.where(F.col("n_name").isin("NATION_3", "NATION_15")) \
+           .select(F.col("n_nationkey").alias("n2_key"),
+                   F.col("n_name").alias("cust_nation"))
+    return (li
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+            .where(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(F.expr(_CENTS)).cast("long").alias("revenue_cents")))
+
+
+@_q("q8_market_share", sql="""
+SELECT o_year, nation_cents, total_cents,
+       round(CAST(nation_cents AS DOUBLE) / total_cents, 6) AS mkt_share
+FROM (SELECT o_year,
+             CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume_cents
+                           ELSE 0 END) AS BIGINT) AS nation_cents,
+             CAST(sum(volume_cents) AS BIGINT) AS total_cents
+      FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT) AS volume_cents,
+                   n_name AS nation
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+                 JOIN supplier ON s_suppkey = l_suppkey
+                 JOIN orders ON o_orderkey = l_orderkey
+                 JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_type = 'PROMO')
+      GROUP BY o_year)
+""")
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): one nation's share of PROMO
+    part volume per order year — the conditional-aggregate-ratio
+    shape (sum(CASE)/sum over the SAME rows, one pass, no self-join).
+    The p_type filter is pushed into the broadcast part scan so the
+    fact join only sees PROMO lineitems.
+
+    Determinism: numerator and denominator are exact integer cents;
+    the ratio divides the same two BIGINTs in both engines, so the
+    pre-round double is bit-identical (the q1-style sum-order hazard
+    never arises)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where("p_type = 'PROMO'") \
+        .select("p_partkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    na = t(spark, sf_dir, "nation")
+    agg = (li
+           .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+           .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+           .agg(F.sum(F.when(F.col("n_name") == "NATION_3",
+                             F.expr(_CENTS)).otherwise(F.lit(0)))
+                .cast("long").alias("nation_cents"),
+                F.sum(F.expr(_CENTS)).cast("long").alias("total_cents")))
+    return agg.select(
+        "o_year", "nation_cents", "total_cents",
+        F.round(F.col("nation_cents").cast("double") / F.col("total_cents"),
+                6).alias("mkt_share"))
+
+
+@_q("q9_product_profit", sql="""
+SELECT nation, o_year, CAST(sum(amount_cents) AS BIGINT) AS profit_cents
+FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(round((l_extendedprice * (1 - l_discount)
+                         - 0.8 * p_retailprice * l_quantity) * 100, 0)
+                  AS BIGINT) AS amount_cents
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%')
+GROUP BY nation, o_year
+""")
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 (product type profit): per-nation per-year profit on
+    a name-infix part family. The driver schema has no partsupp, so
+    supply cost is the deterministic proxy 0.8 * p_retailprice (the
+    spec's ps_supplycost is itself a function of retail price —
+    TPC-H spec 4.2.3). Profit is NEGATIVE for discounted low-margin
+    rows, exercising signed cents (round() halves away from zero in
+    both engines for negatives; exact .5 doubles are the only
+    divergence class and cents inputs never sit on one).
+
+    Scale shape: the LIKE '%gear%' infix can't prune the parquet scan
+    (no leading anchor) but runs JVM-side inside the broadcast-build
+    part scan — the fact table never sees non-matching parts."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where("p_name LIKE '%gear%'") \
+        .select("p_partkey", "p_retailprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    na = t(spark, sf_dir, "nation")
+    amount = F.expr("cast(round((l_extendedprice * (1 - l_discount)"
+                    " - 0.8 * p_retailprice * l_quantity) * 100, 0)"
+                    " as bigint)")
+    return (li
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.sum(amount).cast("long").alias("profit_cents")))
+
+
+@_q("q10_returned_revenue_topk", sql="""
+SELECT c_custkey, c_name, n_name, revenue_cents
+FROM (SELECT c_custkey, c_name, n_name,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1996-07-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name)
+ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+""")
+def q10_returned_revenue_topk(spark, sf_dir):
+    """TPC-H Q10 (returned item reporting): revenue lost to returns
+    per customer in a two-quarter window, global top-20 — the
+    distributed-top-k-after-join-agg shape. Spark plans orderBy +
+    limit as TakeOrderedAndProject: each task keeps its local top-20,
+    the driver merges 20*tasks rows — never a single-partition global
+    sort. The cut is deterministic because the sort key is exact
+    integer cents with a c_custkey tiebreak (no float ties at the
+    boundary).
+
+    Scale shape: o_orderdate window pushed to the orders scan,
+    l_returnflag to the lineitem scan; nation broadcast; one shuffle
+    for the join, one for the group-agg, then top-k."""
+    c = t(spark, sf_dir, "customer")
+    o = (t(spark, sf_dir, "orders")
+         .where("o_orderdate >= DATE '1996-01-01' "
+                "AND o_orderdate < DATE '1996-07-01'")
+         .select("o_orderkey", "o_custkey"))
+    li = (t(spark, sf_dir, "lineitem").where("l_returnflag = 'R'")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    na = t(spark, sf_dir, "nation")
+    return (li
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(F.expr(_CENTS)).cast("long").alias("revenue_cents"))
+            .orderBy(F.desc("revenue_cents"), "c_custkey")
+            .limit(20))
+
+
+@_q("q11_important_stock", sql="""
+SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS stock_qty
+FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+     JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_8')
+GROUP BY l_partkey
+HAVING sum(l_quantity) > (
+    SELECT 2.0 * sum(l_quantity) / count(DISTINCT l_partkey)
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_8'))
+""")
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 (important stock): parts whose stocked quantity in
+    two nations exceeds a GLOBAL scalar threshold — the
+    uncorrelated-scalar-in-HAVING shape. Spark executes the subquery
+    once as a one-row Subquery broadcast into the post-aggregate
+    filter; the spec's fixed fraction (which silently empties as the
+    corpus grows — it assumes SF-scaled thresholds) is replaced by
+    2x the mean per-part quantity, scale-free by construction.
+
+    Determinism: l_quantity is integer-valued so both sums are exact
+    in double; 2.0 * exact / exact is the same double both engines;
+    the > against an exact integer sum cannot flip."""
+    return spark.sql("""
+        SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS stock_qty
+        FROM {li} JOIN {s} ON s_suppkey = l_suppkey
+             JOIN {n} ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_8')
+        GROUP BY l_partkey
+        HAVING sum(l_quantity) > (
+            SELECT 2.0 * sum(l_quantity) / count(DISTINCT l_partkey)
+            FROM {li} JOIN {s} ON s_suppkey = l_suppkey
+                 JOIN {n} ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_3', 'NATION_8'))
+    """, li=t(spark, sf_dir, "lineitem"), s=t(spark, sf_dir, "supplier"),
+        n=t(spark, sf_dir, "nation"))
+
+
+@_q("q13_order_count_distribution", sql="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+           ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+""")
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): histogram of
+    per-customer order counts — the filtered-OUTER-join plus
+    aggregate-of-aggregate shape. The priority exclusion lives in
+    the JOIN CONDITION, not a WHERE (a WHERE would silently turn the
+    outer join inner and drop zero-order customers from the c_count=0
+    bucket); count(o_orderkey) counts non-NULL matches so unmatched
+    customers land in bucket 0.
+
+    Scale shape: outer join shuffles on custkey; the first aggregate
+    reuses that partitioning (no extra Exchange — groupBy key equals
+    join key); the histogram re-shuffle carries one row per distinct
+    count."""
+    return spark.sql("""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM {c} LEFT OUTER JOIN {o}
+                   ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+    """, c=t(spark, sf_dir, "customer"), o=t(spark, sf_dir, "orders"))
+
+
+@_q("q15_top_supplier", sql="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                  AS BIGINT)) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
+""")
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): supplier(s) with maximum quarterly
+    revenue — GLOBAL tie-inclusive argmax via a scalar subquery over
+    a derived aggregate (q2 is the per-group twin; this is the
+    one-group limit where the scalar broadcasts as a single row).
+    The spec's CREATE VIEW is the CTE; `= max` keeps ALL tied
+    suppliers where a LIMIT 1 would pick arbitrarily.
+
+    Determinism: revenue is exact integer cents, so cross-engine max
+    equality is exact — the float-argmax hazard q2's docstring
+    documents never arises. Spark evaluates the CTE twice (once per
+    reference); both evaluations shuffle on l_suppkey and the second
+    reduces to one row before broadcasting."""
+    return spark.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(sum(cast(round(l_extendedprice * (1 - l_discount)
+                                     * 100, 0) as bigint)) AS BIGINT)
+                 AS total_revenue_cents
+          FROM {li}
+          WHERE l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue_cents
+        FROM {s} JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue_cents = (SELECT max(total_revenue_cents)
+                                     FROM revenue)
+    """, li=t(spark, sf_dir, "lineitem"), s=t(spark, sf_dir, "supplier"))
+
+
 def _canon_url_parts(raw):
     """(host, canon_url) column pair for a raw URL column — RFC 3986
     §6 syntax-based normalization, all JVM expressions. Idempotent by

@@ -553,7 +553,10 @@ def test_subquery_family_plans(spark):
                  "q18_large_volume_orders", "q19_disjunctive_revenue",
                  "q22_idle_balance_anti", "q16_supplier_cnt_not_in",
                  "q21_sole_late_supplier", "q20_dominant_part_suppliers",
-                 "q2_min_qty_supplier"):
+                 "q2_min_qty_supplier", "q7_nation_trade_volume",
+                 "q8_market_share", "q9_product_profit",
+                 "q10_returned_revenue_topk", "q11_important_stock",
+                 "q13_order_count_distribution", "q15_top_supplier"):
         final = _final_plan(spark, name)
         assert "CartesianProduct" not in final, (name, final)
         assert "BroadcastNestedLoopJoin" not in final, (name, final)
@@ -591,6 +594,41 @@ def test_subquery_family_plans(spark):
             # LeftSemi. Two sum aggregates, two joins, zero re-scans.
             assert "LeftSemi" in final, final
             assert final.count("partial_sum(l_quantity") >= 2, final
+        elif name in ("q7_nation_trade_volume", "q8_market_share",
+                      "q9_product_profit"):
+            # star joins: every dimension hop is a broadcast hash
+            # join; the selective part/nation predicates are pushed
+            # into the broadcast-build scans, never applied post-join
+            assert final.count("BroadcastHashJoin") >= 3, final
+            if name == "q8_market_share":
+                assert "PROMO" in final, final
+            if name == "q9_product_profit":
+                assert "gear" in final, final
+            if name == "q7_nation_trade_volume":
+                assert "NATION_3" in final, final
+        elif name == "q10_returned_revenue_topk":
+            # distributed top-k: per-task local top-20 merged at the
+            # driver — never a global single-partition sort
+            assert "TakeOrderedAndProject(limit=20" in final, final
+            assert "partial_sum" in final, final
+        elif name == "q11_important_stock":
+            # global scalar threshold: ONE-row Subquery broadcast
+            # into the post-aggregate filter; dimension broadcast
+            # exchanges reused between outer and subquery plans
+            assert "Subquery" in final, final
+            assert "partial_sum(l_quantity" in final, final
+            assert "ReusedExchange" in final, final
+        elif name == "q13_order_count_distribution":
+            # the priority exclusion must live in the JOIN (LeftOuter
+            # preserved, filter on the build side), not a post-join
+            # WHERE that would fake an inner join
+            assert "LeftOuter" in final, final
+            assert "1-URGENT" in final, final
+        elif name == "q15_top_supplier":
+            # global tie-inclusive argmax: scalar max Subquery +
+            # equality filter over the derived aggregate
+            assert "Subquery" in final, final
+            assert "partial_max" in final, final
         elif name == "q21_sole_late_supplier":
             # the two correlated subqueries against the same fact
             # table must decorrelate to ONE semi and ONE anti hash
