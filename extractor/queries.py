@@ -3422,6 +3422,50 @@ def rolling_count_1h(spark, sf_dir):
         " AS BIGINT) AS n_1h")
 
 
+@_q("table_profile_documents", sql="""
+SELECT 'doc_id'  AS col_name, count(*) AS n_rows, count(doc_id)  AS n_nonnull, count(DISTINCT doc_id)  AS n_distinct FROM documents
+UNION ALL
+SELECT 'text',    count(*), count(text),    count(DISTINCT text)    FROM documents
+UNION ALL
+SELECT 'lang',    count(*), count(lang),    count(DISTINCT lang)    FROM documents
+UNION ALL
+SELECT 'source',  count(*), count(source),  count(DISTINCT source)  FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars) FROM documents
+""")
+def table_profile_documents(spark, sf_dir):
+    """Column-level data profile (the ANALYZE TABLE / dbt-style
+    completeness + cardinality report): one row per column with row
+    count, non-null count, and EXACT distinct count — the standard
+    first query against any newly landed 100 TB table.
+
+    Plan shape: ALL columns profile in ONE aggregation — Spark plans
+    the multi-column count(DISTINCT) set via a single Expand (each
+    input row fans out once per distinct-column group, gid-tagged),
+    one shuffle, then the 1-row result is unpivoted to the long
+    report via stack(). The naive alternative — one pass per column —
+    scans the table k times; the Expand trades that for a k-way row
+    fan-out inside one pass, the right trade when the scan dominates
+    (it does: parquet IO at 100 TB).
+
+    Scale note: exact distinct counts are the oracle-checkable
+    contract here; at 100 TB swap count_distinct for
+    approx_count_distinct (HLL++, fixed 2.5% error, no Expand blowup)
+    — the sketch path already exercised by sketch_event_stats."""
+    d = t(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    one = d.agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col_name, n_nonnull, n_distinct)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nonnull", "n_distinct")
+
+
 @_q("table_fingerprint_xor", sql="""
 SELECT source,
        bit_xor(('0x' || substr(md5(doc_id::VARCHAR || '|'

@@ -710,3 +710,16 @@ def test_url_canonicalization_single_shuffle_jvm_only(spark):
     assert "MapInPandas" not in final, final
     assert len(re.findall(r"Exchange hashpartitioning", final)) == 1, final
     assert "partial_count" in final, final
+
+
+def test_table_profile_single_pass_expand(spark):
+    """table_profile_documents must profile every column in ONE scan:
+    the multi-column count(DISTINCT) set plans as a single Expand
+    (k-way gid-tagged fan-out) feeding one aggregation — never one
+    scan per column (the plan shows exactly one FileScan of
+    documents), and stack() unpivots the 1-row result without any
+    further Exchange."""
+    final = _final_plan(spark, "table_profile_documents")
+    assert "Expand" in final, final
+    assert final.count("FileScan parquet") == 1, final
+    assert "CartesianProduct" not in final, final
