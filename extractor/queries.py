@@ -3466,6 +3466,105 @@ def table_profile_documents(spark, sf_dir):
     ).select("col_name", "n_rows", "n_nonnull", "n_distinct")
 
 
+@_q("dq_expectations", sql="""
+SELECT 'lineitem_orphan_orderkey' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_dup_orderkey', CAST(coalesce(sum(cnt - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey
+      HAVING count(*) > 1)
+UNION ALL
+SELECT 'events_null_user', CAST(count(*) AS BIGINT)
+FROM events WHERE user_id IS NULL
+UNION ALL
+SELECT 'events_negative_value', CAST(count(*) AS BIGINT)
+FROM events WHERE value < 0
+UNION ALL
+SELECT 'orders_priority_not_accepted', CAST(count(*) AS BIGINT)
+FROM orders
+WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+UNION ALL
+SELECT 'orders_status_not_accepted', CAST(count(*) AS BIGINT)
+FROM orders WHERE o_orderstatus NOT IN ('P', 'O', 'F')
+""")
+def dq_expectations(spark, sf_dir):
+    """Data-quality expectation suite (dbt-tests / Great-Expectations
+    class): referential integrity (orphan fact keys), key uniqueness
+    (surplus duplicates), not-null, value range, and accepted-values
+    — one report row per check, violation counts as the contract.
+    The accepted-values checks fire on this corpus (priorities 4/5
+    exist) while FK/uniqueness/null/range are genuinely zero, so the
+    gate exercises both the hit and the clean path.
+
+    Scale shape per check: the FK check is a LeftAnti hash join on
+    the key only (count, never materialize); uniqueness is one
+    groupBy(key) with partial counts; the scalar checks are pushed
+    filters + count. Each check prunes to the columns it reads; the
+    union is of six 1-row frames. At 100 TB you run this before
+    anything else touches the table."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = t(spark, sf_dir, "orders")
+    ev = t(spark, sf_dir, "events")
+
+    def one(name, df):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_violations")) \
+                 .select(F.lit(name).alias("check_name"), "n_violations")
+
+    orphan = one("lineitem_orphan_orderkey",
+                 li.join(o.select("o_orderkey"),
+                         li.l_orderkey == F.col("o_orderkey"), "left_anti"))
+    dup = (o.groupBy("o_orderkey").count().where("count > 1")
+           .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0))
+                .cast("long").alias("n_violations"))
+           .select(F.lit("orders_dup_orderkey").alias("check_name"),
+                   "n_violations"))
+    nulls = one("events_null_user", ev.where("user_id IS NULL"))
+    rng = one("events_negative_value", ev.where("value < 0"))
+    prio = one("orders_priority_not_accepted",
+               o.where("o_orderpriority NOT IN "
+                       "('1-URGENT', '2-HIGH', '3-MEDIUM')"))
+    status = one("orders_status_not_accepted",
+                 o.where("o_orderstatus NOT IN ('P', 'O', 'F')"))
+    return orphan.union(dup).union(nulls).union(rng).union(prio) \
+                 .union(status)
+
+
+@_q("incremental_agg_merge", sql="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+       AS sum_value_cents
+FROM events GROUP BY user_id
+""")
+def incremental_agg_merge(spark, sf_dir):
+    """Incremental aggregate maintenance: merge a STORED aggregate
+    state (events before the cutoff, pre-aggregated) with a NEW
+    partition's rows (events from the cutoff on) — the algebraic
+    mechanism every checkpointed rollup relies on (count and sum are
+    commutative monoids; merge = re-aggregate the partials).
+
+    The oracle is the strongest possible check: a FULL recompute over
+    all rows. The Spark side deliberately takes the other path —
+    aggregate the old half, partial-aggregate the new half, union,
+    merge — so the gate pins merge(state, delta) == recompute(all),
+    the invariant that makes day-N+1 updates O(delta) instead of
+    O(history) at 100 TB. Cents pin makes both paths integer-exact,
+    so the equality is semantic, not luck."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.expr("cast(round(value * 100, 0) as bigint)")
+    cut = "2024-01-16"
+    part = lambda df: df.groupBy("user_id").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents).cast("long").alias("sum_value_cents"))
+    state = part(ev.where(F.col("ts") < cut))       # "stored" rollup
+    delta = part(ev.where(F.col("ts") >= cut))      # new partition
+    return (state.union(delta).groupBy("user_id")
+            .agg(F.sum("n_events").cast("long").alias("n_events"),
+                 F.sum("sum_value_cents").cast("long")
+                 .alias("sum_value_cents")))
+
+
 @_q("table_fingerprint_xor", sql="""
 SELECT source,
        bit_xor(('0x' || substr(md5(doc_id::VARCHAR || '|'

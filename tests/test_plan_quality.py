@@ -723,3 +723,21 @@ def test_table_profile_single_pass_expand(spark):
     assert "Expand" in final, final
     assert final.count("FileScan parquet") == 1, final
     assert "CartesianProduct" not in final, final
+
+
+def test_dq_and_incremental_plan_shapes(spark):
+    """dq_expectations' referential-integrity check must be a hash
+    LeftAnti on the key only (never a nested loop over the fact
+    table); incremental_agg_merge must show BOTH paths' aggregates
+    (state + delta partials, then the merge agg) with the ts cutoff
+    pushed to each events scan."""
+    final = _final_plan(spark, "dq_expectations")
+    assert "LeftAnti" in final, final
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
+
+    final = _final_plan(spark, "incremental_agg_merge")
+    assert final.count("partial_count") >= 2, final
+    assert "Union" in final, final
+    # cutoff reaches the parquet scans as a pushed filter
+    assert "2024-01-16" in final, final
