@@ -1609,3 +1609,50 @@ def test_heavy_hitters_mg_property(spark, tmp_path):
     assert "BroadcastHashJoin" in final, final
     assert "SortMergeJoin" not in final, final
     assert "CartesianProduct" not in final, final
+
+
+def test_dq_expectations_planted_violations(spark, tmp_path):
+    """Negative control: the sf corpora are CLEAN for the FK /
+    uniqueness / null / range checks (their sweep rows pin zero), so
+    plant one violation of each class in a hand corpus and assert the
+    exact counts — proving the checks can fire, not just stay quiet.
+    Planted: 2 orphan lineitems, 1 triple + 1 double orderkey (3
+    surplus dups), 2 null users, 1 negative value, 1 bad priority,
+    1 bad status."""
+    import pandas as pd
+
+    from extractor.queries import QUERIES
+
+    d = str(tmp_path)
+    pd.DataFrame({
+        "o_orderkey": [1, 2, 2, 2, 3, 3],
+        "o_custkey": [10] * 6,
+        "o_orderstatus": ["P", "O", "F", "P", "O", "X"],
+        "o_totalprice": [1.0] * 6,
+        "o_orderdate": pd.to_datetime(["2024-01-01"] * 6)
+        .astype("datetime64[us]"),
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                            "1-URGENT", "5-LOW", "2-HIGH"],
+    }).to_parquet(d + "/orders.parquet")
+    pd.DataFrame({
+        "l_orderkey": pd.array([1, 2, 99, 98], dtype="int64"),
+    }).to_parquet(d + "/lineitem.parquet")
+    pd.DataFrame({
+        "event_id": pd.array([1, 2, 3, 4], dtype="int64"),
+        "ts": pd.to_datetime(["2024-01-01"] * 4).astype("datetime64[us]"),
+        "user_id": ["u1", None, None, "u4"],
+        "event_type": ["view"] * 4,
+        "value": [1.0, 2.0, -3.0, 4.0],
+        "props": [""] * 4,
+    }).to_parquet(d + "/events.parquet")
+
+    got = {r["check_name"]: r["n_violations"]
+           for r in QUERIES["dq_expectations"](spark, d).collect()}
+    assert got == {
+        "lineitem_orphan_orderkey": 2,
+        "orders_dup_orderkey": 3,
+        "events_null_user": 2,
+        "events_negative_value": 1,
+        "orders_priority_not_accepted": 1,
+        "orders_status_not_accepted": 1,
+    }, got
