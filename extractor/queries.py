@@ -3498,37 +3498,45 @@ def dq_expectations(spark, sf_dir):
     exist) while FK/uniqueness/null/range are genuinely zero, so the
     gate exercises both the hit and the clean path.
 
-    Scale shape per check: the FK check is a LeftAnti hash join on
-    the key only (count, never materialize); uniqueness is one
-    groupBy(key) with partial counts; the scalar checks are pushed
-    filters + count. Each check prunes to the columns it reads; the
-    union is of six 1-row frames. At 100 TB you run this before
-    anything else touches the table."""
+    Scale shape: the FK check is a LeftAnti hash join on the key only
+    (count, never materialize); uniqueness is one groupBy(key) with
+    partial counts; and ALL scalar checks on a table fuse into ONE
+    conditional-count pass over one pruned scan (orders: priority +
+    status together; events: null + range together) — four scans
+    total for six checks, each reading only the columns its checks
+    touch, each 1-row result stack()ed into the report. At 100 TB
+    you run this before anything else touches the table."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey")
     o = t(spark, sf_dir, "orders")
     ev = t(spark, sf_dir, "events")
 
-    def one(name, df):
-        return df.agg(F.count(F.lit(1)).cast("long").alias("n_violations")) \
-                 .select(F.lit(name).alias("check_name"), "n_violations")
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
-    orphan = one("lineitem_orphan_orderkey",
-                 li.join(o.select("o_orderkey"),
-                         li.l_orderkey == F.col("o_orderkey"), "left_anti"))
+    orphan = (li.join(o.select("o_orderkey"),
+                      li.l_orderkey == F.col("o_orderkey"), "left_anti")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+              .select(F.lit("lineitem_orphan_orderkey").alias("check_name"),
+                      "n_violations"))
     dup = (o.groupBy("o_orderkey").count().where("count > 1")
            .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0))
                 .cast("long").alias("n_violations"))
            .select(F.lit("orders_dup_orderkey").alias("check_name"),
                    "n_violations"))
-    nulls = one("events_null_user", ev.where("user_id IS NULL"))
-    rng = one("events_negative_value", ev.where("value < 0"))
-    prio = one("orders_priority_not_accepted",
-               o.where("o_orderpriority NOT IN "
-                       "('1-URGENT', '2-HIGH', '3-MEDIUM')"))
-    status = one("orders_status_not_accepted",
-                 o.where("o_orderstatus NOT IN ('P', 'O', 'F')"))
-    return orphan.union(dup).union(nulls).union(rng).union(prio) \
-                 .union(status)
+    o_scalar = (o.agg(
+        cnt(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .alias("prio"),
+        cnt(~F.col("o_orderstatus").isin("P", "O", "F")).alias("status"))
+        .selectExpr("stack(2, 'orders_priority_not_accepted', prio,"
+                    " 'orders_status_not_accepted', status)"
+                    " AS (check_name, n_violations)"))
+    ev_scalar = (ev.agg(
+        cnt(F.col("user_id").isNull()).alias("nulls"),
+        cnt(F.col("value") < 0).alias("rng"))
+        .selectExpr("stack(2, 'events_null_user', nulls,"
+                    " 'events_negative_value', rng)"
+                    " AS (check_name, n_violations)"))
+    return orphan.union(dup).union(ev_scalar).union(o_scalar)
 
 
 @_q("incremental_agg_merge", sql="""
@@ -6190,11 +6198,16 @@ def q7_nation_trade_volume(spark, sf_dir):
     filters; <> removes the two same-nation ones), provably equal to
     the oracle's literal OR.
 
-    Scale shape: nation/supplier broadcast after the pushed name
-    filter prunes suppliers to two nations' worth; the only big
-    shuffle is lineitem-orders; year extraction and the cents cast
-    are JVM expressions inside the scan projection. Nations chosen
-    to be supplier-populated at every test SF (sf0.001 carries 10
+    Scale shape: the nation filters are pre-joined INTO the dimension
+    sides (supplier x n1 as one broadcast, customer x n2 as a
+    pre-shuffle prune), so the VERY FIRST fact join discards ~92% of
+    lineitems (2 of 25 supplier nations survive) before anything
+    shuffles — joining the unfiltered supplier dim first and pruning
+    at the nation hop would carry every lineitem through the
+    broadcast stage. The only big shuffles are lineitem-orders and
+    orders-customer; year extraction and the cents cast are JVM
+    expressions inside the scan projection. Nations chosen to be
+    supplier-populated at every test SF (sf0.001 carries 10
     suppliers in nations {3,8,12,13,15,...})."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -6207,12 +6220,14 @@ def q7_nation_trade_volume(spark, sf_dir):
     n2 = na.where(F.col("n_name").isin("NATION_3", "NATION_15")) \
            .select(F.col("n_nationkey").alias("n2_key"),
                    F.col("n_name").alias("cust_nation"))
+    sn = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")) \
+          .select("s_suppkey", "supp_nation")
+    cn = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")) \
+          .select("c_custkey", "cust_nation")
     return (li
-            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+            .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
             .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(c, F.col("o_custkey") == F.col("c_custkey"))
-            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+            .join(cn, F.col("o_custkey") == F.col("c_custkey"))
             .where(F.col("supp_nation") != F.col("cust_nation"))
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").cast("long").alias("l_year"))
