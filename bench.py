@@ -60,6 +60,8 @@ HEADLINE_QUERIES = [
     "w7_sliding_window_counts",
     "q21_sole_late_supplier",
     "line_dedup_crossdoc",
+    "q7_nation_trade_volume",
+    "table_profile_documents",
     "extract_documents_clean",
 ]
 
