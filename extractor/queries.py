@@ -6488,6 +6488,112 @@ def q15_top_supplier(spark, sf_dir):
     """, li=t(spark, sf_dir, "lineitem"), s=t(spark, sf_dir, "supplier"))
 
 
+@_q("q6_forecast_revenue", sql="""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0)
+         AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the pure scan-side
+    query — no join at all, three conjunctive predicates ALL pushed
+    to the parquet scan (date range, discount band, quantity cap), a
+    single global sum. Deliberately the simplest member of the canon:
+    its entire cost is IO, so at 100 TB it measures nothing but scan
+    bandwidth x filter selectivity — the floor every other query's
+    overhead is judged against. The discount BETWEEN on raw doubles
+    is safe cross-engine: both engines compare the same parquet-read
+    binary64 against the same literals; no arithmetic precedes the
+    comparison."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.where("l_shipdate >= DATE '1996-01-01' "
+                     "AND l_shipdate < DATE '1997-01-01' "
+                     "AND l_discount BETWEEN 0.05 AND 0.07 "
+                     "AND l_quantity < 24")
+            .agg(F.sum(F.expr("cast(round(l_extendedprice * l_discount"
+                              " * 100, 0) as bigint)"))
+                 .cast("long").alias("revenue_cents"),
+                 F.count(F.lit(1)).cast("long").alias("n_rows")))
+
+
+@_q("q12_priority_by_returnflag", sql="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag
+""")
+def q12_priority_by_returnflag(spark, sf_dir):
+    """TPC-H Q12 (shipping modes / order priority): dual CONDITIONAL
+    COUNTS in one grouped pass — high- vs low-priority line counts
+    per return flag (the driver schema's stand-in for shipmode),
+    restricted to late-shipped lines. The CASE pair compiles to two
+    conditional sums inside ONE aggregate, so the canonical mistake —
+    two filtered scans unioned — never happens; the cross-table
+    predicate (l_shipdate > o_orderdate) rides the join as its extra
+    condition.
+
+    Scale shape: date window pushed to the lineitem scan, one
+    fact-fact hash join on orderkey, 3-group aggregate with map-side
+    partials."""
+    li = (t(spark, sf_dir, "lineitem")
+          .where("l_shipdate >= DATE '1996-01-01' "
+                 "AND l_shipdate < DATE '1997-01-01'")
+          .select("l_orderkey", "l_returnflag", "l_shipdate"))
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                          "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, (F.col("l_orderkey") == F.col("o_orderkey"))
+                    & (F.col("l_shipdate") > F.col("o_orderdate")))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).cast("long")
+                 .alias("low_line_count")))
+
+
+@_q("q14_promo_effect", sql="""
+SELECT promo_cents, total_cents,
+       round(100.0 * promo_cents / total_cents, 6) AS promo_pct
+FROM (SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN c ELSE 0 END)
+             AS BIGINT) AS promo_cents,
+             CAST(sum(c) AS BIGINT) AS total_cents
+      FROM (SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                         0) AS BIGINT) AS c, p_type
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= DATE '1996-09-01'
+              AND l_shipdate < DATE '1996-10-01'))
+""")
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): promo share of one month's
+    revenue — q8's conditional-agg-ratio shape reduced to a single
+    global group, completing the canon (with q6/q12 this closes all
+    22 TPC-H query shapes adapted to the driver schema). Unlike q8,
+    the part dim is NOT pre-filtered (the CASE needs both branches),
+    so the broadcast carries all parts and the month window does the
+    pruning on the fact side. Ratio = exact BIGINT cents divided
+    once, rounded at 6dp — bit-identical both engines."""
+    li = (t(spark, sf_dir, "lineitem")
+          .where("l_shipdate >= DATE '1996-09-01' "
+                 "AND l_shipdate < DATE '1996-10-01'"))
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    agg = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+           .agg(F.sum(F.when(F.col("p_type") == "PROMO",
+                             F.expr(_CENTS)).otherwise(F.lit(0)))
+                .cast("long").alias("promo_cents"),
+                F.sum(F.expr(_CENTS)).cast("long").alias("total_cents")))
+    return agg.select(
+        "promo_cents", "total_cents",
+        F.round(F.lit(100.0) * F.col("promo_cents") / F.col("total_cents"),
+                6).alias("promo_pct"))
+
+
 def _canon_url_parts(raw):
     """(host, canon_url) column pair for a raw URL column — RFC 3986
     §6 syntax-based normalization, all JVM expressions. Idempotent by

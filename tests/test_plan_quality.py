@@ -556,7 +556,9 @@ def test_subquery_family_plans(spark):
                  "q2_min_qty_supplier", "q7_nation_trade_volume",
                  "q8_market_share", "q9_product_profit",
                  "q10_returned_revenue_topk", "q11_important_stock",
-                 "q13_order_count_distribution", "q15_top_supplier"):
+                 "q13_order_count_distribution", "q15_top_supplier",
+                 "q6_forecast_revenue", "q12_priority_by_returnflag",
+                 "q14_promo_effect"):
         final = _final_plan(spark, name)
         assert "CartesianProduct" not in final, (name, final)
         assert "BroadcastNestedLoopJoin" not in final, (name, final)
@@ -629,6 +631,26 @@ def test_subquery_family_plans(spark):
             # equality filter over the derived aggregate
             assert "Subquery" in final, final
             assert "partial_max" in final, final
+        elif name == "q6_forecast_revenue":
+            # pure scan query: zero joins, the predicate set pushed
+            # to the parquet scan (toString elides the full
+            # PushedFilters list, so pin the prefix + the quantity
+            # predicate in the Filter operator)
+            assert "Join" not in final, final
+            assert "PushedFilters: [IsNotNull(l_shipdate)" in final, final
+            assert "(l_quantity" in final, final
+        elif name == "q12_priority_by_returnflag":
+            # dual conditional counts in ONE aggregate over ONE join —
+            # never two filtered passes unioned; the cross-table date
+            # predicate rides the join
+            assert "Union" not in final, final
+            assert final.count("FileScan parquet") == 2, final
+            assert "(l_shipdate" in final and "o_orderdate" in final, final
+        elif name == "q14_promo_effect":
+            # single-group conditional ratio: one broadcast join, the
+            # month window pushed to the fact scan, two scans total
+            assert "BroadcastHashJoin" in final, final
+            assert final.count("FileScan parquet") == 2, final
         elif name == "q21_sole_late_supplier":
             # the two correlated subqueries against the same fact
             # table must decorrelate to ONE semi and ONE anti hash
