@@ -15,7 +15,8 @@
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
   query (identical column names/types; exact-integer outputs where
   possible). The rows-only exceptions: ``ann_lsh_bucketed``,
-  ``ann_ivf_topk`` and ``ann_pq_topk`` (probabilistic ANN — in-suite
+  ``ann_ivf_topk``, ``ann_pq_topk`` and ``ann_ivfpq_topk``
+  (probabilistic ANN — in-suite
   recall floors vs ``ann_cosine_topk``'s exact oracle),
   ``extract_synthetic_mix``
   (generator-driven payloads — pytest golden-equality gate),

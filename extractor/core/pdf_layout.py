@@ -8,7 +8,8 @@ reference gets from Detectron + Tesseract hOCR:
 - column detection (N1): the reference's Faster-RCNN column boxes
   (``LOCDB-V3/imgProcessing.py:32-134``) become x-projection gap
   clustering over glyph boxes; columns ordered left->right
-  (``LOCDB-V3/imgProcessing.py:85-90``, W2).
+  (``LOCDB-V3/imgProcessing.py:85-90``, W2) — mirrored right->left on
+  RTL-dominant pages (beyond-reference: the reference corpus is LTR).
 - hOCR line parse (F2, ``LOCDB-V3/imgProcessing.py:457-528``): glyphs
   cluster into lines by y-center, words sort by x, join with " ".
 - de-hyphenation with the digit guard (F1): trailing "-" merges into
@@ -27,6 +28,7 @@ Payload shape (FIXTURES.md §1.1):
 from __future__ import annotations
 
 import json
+import re as _re
 
 import numpy as np
 
@@ -87,7 +89,32 @@ def _columns(xs0: np.ndarray, xs1: np.ndarray, width: float) -> list[tuple[float
     return [(float(a[s]), float(run_max[e - 1])) for s, e in zip(starts, ends)]
 
 
-def _lines_in_column(ts_str, x0, y0, x1, y1) -> list[dict]:
+# RTL-script codepoints (Hebrew, Arabic incl. supplement + both
+# presentation-forms blocks). Used only for the reading-order gate —
+# glyph TEXT is never altered.
+_RTL_CHARS = _re.compile(
+    "[\u0590-\u05FF\u0600-\u06FF\u0750-\u077F"
+    "\uFB1D-\uFDFF\uFE70-\uFEFF]")
+_LETTERS = _re.compile(r"[^\W\d_]", _re.UNICODE)
+
+
+def _rtl_dominant(ts_str: np.ndarray) -> bool:
+    """True when the page's glyph text is majority RTL-script: RTL
+    codepoints outnumber half the letters (sampled at 2000 glyphs —
+    direction is a page property, not a tail property; the cap bounds
+    cost on pathological pages). ASCII fast path: a pure-ASCII page
+    can't be RTL."""
+    sample = " ".join(ts_str[:2000].tolist())
+    if sample.isascii():
+        return False
+    n_rtl = len(_RTL_CHARS.findall(sample))
+    if not n_rtl:
+        return False
+    n_letters = len(_LETTERS.findall(sample))
+    return n_rtl * 2 > n_letters
+
+
+def _lines_in_column(ts_str, x0, y0, x1, y1, rtl: bool = False) -> list[dict]:
     """Cluster one column's glyphs into lines by y-center, emit
     reading-order lines with text and integer bbox envelope.
 
@@ -95,7 +122,11 @@ def _lines_in_column(ts_str, x0, y0, x1, y1) -> list[dict]:
     (primary line, then the fully-specified (x0, y0, token) key so
     coincident glyphs can't reorder under input shuffling); lines are
     then contiguous runs — no per-line boolean masks (which made the
-    old loop O(lines x glyphs))."""
+    old loop O(lines x glyphs)).
+
+    ``rtl`` reverses WORD order within each line (visual right to
+    left becomes logical first to last) — the intra-line half of the
+    RTL reading-order rule; the caller reverses the column order."""
     n = len(x0)
     yc = (y0 + y1) / 2.0
     heights = y1 - y0
@@ -119,7 +150,7 @@ def _lines_in_column(ts_str, x0, y0, x1, y1) -> list[dict]:
     lid = np.empty(n, dtype=np.int64)
     lid[order] = np.cumsum(breaks) - 1
 
-    final = np.lexsort((ts_str, y0, x0, lid))
+    final = np.lexsort((ts_str, y0, -x0 if rtl else x0, lid))
     lidf = lid[final]
     x0f, y0f, x1f, y1f = x0[final], y0[final], x1[final], y1[final]
     tsf = ts_str[final]
@@ -145,7 +176,7 @@ def _lines_in_column(ts_str, x0, y0, x1, y1) -> list[dict]:
     return lines
 
 
-def _spanning_bands(ts_str, x0, y0, x1, y1, w):
+def _spanning_bands(ts_str, x0, y0, x1, y1, w, rtl=False):
     """XY-cut rescue for the classic column-detection trap: a
     full-width element (title, section banner, figure caption)
     bridges the inter-column gap, so the x-interval merge of
@@ -191,13 +222,13 @@ def _spanning_bands(ts_str, x0, y0, x1, y1, w):
         sub = _columns(x0[mask], x1[mask], w)
         if len(sub) == 1:
             out.extend(_lines_in_column(ts_str[mask], x0[mask], y0[mask],
-                                        x1[mask], y1[mask]))
+                                        x1[mask], y1[mask], rtl=rtl))
             return
-        for lo, hi in sub:
+        for lo, hi in (reversed(sub) if rtl else sub):
             mm = mask & (xc >= lo - 1e-9) & (xc <= hi + 1e-9)
             if mm.any():
                 out.extend(_lines_in_column(ts_str[mm], x0[mm], y0[mm],
-                                            x1[mm], y1[mm]))
+                                            x1[mm], y1[mm], rtl=rtl))
 
     prev_hi = -np.inf
     for clo, chi in cuts:
@@ -205,15 +236,20 @@ def _spanning_bands(ts_str, x0, y0, x1, y1, w):
         band = (yc >= clo) & (yc <= chi)           # the spanning band
         if band.any():                             # (incl. narrow
             out.extend(_lines_in_column(            # glyphs inside it)
-                ts_str[band], x0[band], y0[band], x1[band], y1[band]))
+                ts_str[band], x0[band], y0[band], x1[band], y1[band],
+                rtl=rtl))
         prev_hi = chi
     emit(yc > prev_hi)                             # trailing band
     return out
 
 
 def page_lines(page: dict) -> list[dict]:
-    """All lines of one page in reading order (columns left->right,
-    lines top->bottom within a column)."""
+    """All lines of one page in reading order: lines top->bottom
+    within a column; columns left->right — unless the page's glyph
+    text is RTL-dominant (Hebrew/Arabic scripts), in which case
+    columns read right->left and words within a line right->left
+    (logical order). Direction detection is per page, additive, and
+    never fires on ASCII text."""
     glyphs = page.get("glyphs") or []
     if not glyphs:
         return []
@@ -238,19 +274,24 @@ def page_lines(page: dict) -> list[dict]:
     w, h, x0, y0, x1, y1 = _normalize_canvas(w, h, x0, y0, x1, y1)
 
     out: list[dict] = []
+    # RTL reading order (additive: pure-ASCII pages short-circuit to
+    # False, so the entire golden corpus is byte-identical): columns
+    # read right->left and words within a line right->left. Geometry
+    # (columns, lines, bboxes, de-hyphenation) is direction-blind.
+    rtl = _rtl_dominant(ts_str)
     cols = _columns(x0, x1, w)
     if len(cols) == 1:
-        banded = _spanning_bands(ts_str, x0, y0, x1, y1, w)
+        banded = _spanning_bands(ts_str, x0, y0, x1, y1, w, rtl=rtl)
         if banded is not None:
             return banded
-        return _lines_in_column(ts_str, x0, y0, x1, y1)
+        return _lines_in_column(ts_str, x0, y0, x1, y1, rtl=rtl)
     xc = (x0 + x1) / 2.0
-    for lo, hi in cols:
+    for lo, hi in (reversed(cols) if rtl else cols):
         mask = (xc >= lo - 1e-9) & (xc <= hi + 1e-9)
         if not mask.any():
             continue
         out.extend(_lines_in_column(ts_str[mask], x0[mask], y0[mask],
-                                    x1[mask], y1[mask]))
+                                    x1[mask], y1[mask], rtl=rtl))
     return out
 
 

@@ -179,3 +179,43 @@ def test_spanning_header_xy_band_rescue():
     g = [word(50, 30 + 16 * r, 500, "prose line %d here" % r)
          for r in range(6)]
     assert run(g) == ["prose line %d here" % r for r in range(6)]
+
+
+def test_rtl_page_reading_order():
+    """RTL-dominant pages read columns right->left and words within a
+    line right->left (logical order); the geometry-identical Latin
+    twin keeps the canonical left->right order — so the rule is
+    provably direction-gated, not a global flip. A mostly-Latin page
+    with one embedded Arabic word stays LTR (majority gate)."""
+    from extractor.core.pdf_layout import _rtl_dominant, page_lines
+
+    def g(t, x0, y0):
+        return {"t": t, "x0": x0, "y0": y0, "x1": x0 + 50, "y1": y0 + 10}
+
+    ar = ["كتاب", "قلم", "بيت", "شمس", "قمر", "نجم"]
+    en = ["book", "pen", "house", "sun", "moon", "star"]
+
+    def page(words):
+        return {"w": 600, "h": 200, "glyphs": [
+            g(words[0], 540, 10), g(words[1], 480, 10),   # right col L1
+            g(words[2], 540, 30),                          # right col L2
+            g(words[3], 140, 10), g(words[4], 80, 10),     # left col L1
+            g(words[5], 80, 30),                           # left col L2
+        ]}
+
+    rtl_lines = [ln["text"] for ln in page_lines(page(ar))]
+    assert rtl_lines == [
+        "كتاب قلم",    # right column first; rightmost word first
+        "بيت",
+        "شمس قمر",     # then left column, also right-to-left words
+        "نجم",
+    ], rtl_lines
+
+    ltr_lines = [ln["text"] for ln in page_lines(page(en))]
+    assert ltr_lines == ["moon sun", "star", "pen book", "house"], ltr_lines
+
+    # majority gate: one Arabic word in Latin prose does not flip
+    import numpy as np
+    mixed = np.asarray(["the", "quick", "كتاب", "fox", "jumps"], dtype=str)
+    assert not _rtl_dominant(mixed)
+    assert _rtl_dominant(np.asarray(ar, dtype=str))
