@@ -6987,6 +6987,76 @@ def heavy_hitters_exact(spark, sf_dir):
             .select("term", "cnt"))
 
 
+@_q("corr_suffstats_qty_disc", sql="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT)                 AS n,
+       CAST(sum(qty) AS BIGINT)                 AS sum_x,
+       CAST(sum(qty * qty) AS BIGINT)           AS sum_xx,
+       CAST(sum(disc_pct) AS BIGINT)            AS sum_y,
+       CAST(sum(disc_pct * disc_pct) AS BIGINT) AS sum_yy,
+       CAST(sum(qty * disc_pct) AS BIGINT)      AS sum_xy,
+       round(CAST(count(*) * sum(qty * disc_pct)
+                  - sum(qty) * sum(disc_pct) AS DOUBLE)
+             / sqrt(CAST(count(*) * sum(qty * qty)
+                         - sum(qty) * sum(qty) AS DOUBLE)
+                    * CAST(count(*) * sum(disc_pct * disc_pct)
+                           - sum(disc_pct) * sum(disc_pct) AS DOUBLE)),
+             6)                                 AS corr_6dp
+FROM (SELECT l_returnflag,
+             CAST(round(l_quantity, 0) AS BIGINT)       AS qty,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct
+      FROM lineitem)
+GROUP BY l_returnflag
+""")
+def corr_suffstats_qty_disc(spark, sf_dir):
+    """Distributed one-pass Pearson correlation via EXACT sufficient
+    statistics — the mergeable-moments pattern every profiling engine
+    uses (Chan/Golub/LeVeque 1983 pairwise-update lineage): per group
+    emit the six exact integers (n, Σx, Σx², Σy, Σy², Σxy) that any
+    two partial aggregates can combine by plain addition, then derive
+    corr once per group from the merged stats. Spark's own corr()
+    keeps running double moments (ulp-order merge drift under
+    repartitioning); integer moments on quantized columns (qty is
+    integer-valued, discount is exact percent points) make the
+    statistic bit-reproducible under ANY partitioning — the same
+    exactness discipline as the integer-cents TPC-H family.
+
+    Cross-engine float determinism: numerator and both variance terms
+    are computed exactly in integers on BOTH engines, each cast to
+    double ONCE (correctly rounded, so identical bits), then the
+    identical IEEE multiply/sqrt/divide/round-6dp sequence — no
+    engine-ordered float accumulation anywhere.
+
+    Scale shape: one FileScan with 3-column ReadSchema, map-side
+    partial_sum on six longs, ONE Exchange on the 3-value group key,
+    tiny final agg — the cheapest possible profile at 10^12 rows.
+    Overflow envelope: the n·Σx² cross-terms stay in int64 through
+    ~2×10^8 rows PER GROUP (documented swap to decimal(38,0)
+    arithmetic beyond; the emitted Σ columns themselves are safe past
+    10^15 rows). Reference analog: per-file counter aggregation
+    (SURVEY §2 A6) generalized to second moments."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity", 0).cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_pct"))
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("qty").alias("sum_x"),
+        F.sum(F.col("qty") * F.col("qty")).alias("sum_xx"),
+        F.sum("disc_pct").alias("sum_y"),
+        F.sum(F.col("disc_pct") * F.col("disc_pct")).alias("sum_yy"),
+        F.sum(F.col("qty") * F.col("disc_pct")).alias("sum_xy"))
+    num = (F.col("n") * F.col("sum_xy")
+           - F.col("sum_x") * F.col("sum_y")).cast("double")
+    vx = (F.col("n") * F.col("sum_xx")
+          - F.col("sum_x") * F.col("sum_x")).cast("double")
+    vy = (F.col("n") * F.col("sum_yy")
+          - F.col("sum_y") * F.col("sum_y")).cast("double")
+    return s.select(
+        "l_returnflag", "n", "sum_x", "sum_xx", "sum_y", "sum_yy", "sum_xy",
+        F.round(num / F.sqrt(vx * vy), 6).alias("corr_6dp"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -763,3 +763,21 @@ def test_dq_and_incremental_plan_shapes(spark):
     assert "Union" in final, final
     # cutoff reaches the parquet scans as a pushed filter
     assert "2024-01-16" in final, final
+
+
+def test_corr_suffstats_single_scan_jvm_only(spark):
+    """corr_suffstats_qty_disc must be the cheapest possible profile:
+    one FileScan with a 3-column ReadSchema, map-side partial_sum,
+    exactly ONE Exchange (the l_returnflag groupBy), and zero Python
+    eval nodes — the derived corr is a post-agg projection, never a
+    second pass over the fact table."""
+    final = _final_plan(spark, "corr_suffstats_qty_disc")
+    assert final.count("FileScan parquet") == 1, final
+    assert "partial_sum" in final, final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
+    m = re.search(r"ReadSchema: struct<([^>]*)>", final)
+    assert m is not None, final
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_returnflag", "l_quantity", "l_discount"}, cols
