@@ -21,8 +21,10 @@
   ``extract_synthetic_mix``
   (generator-driven payloads — pytest golden-equality gate),
   ``mm_extract_features`` (entropy/sha1 not replayable in DuckDB —
-  pinned by a differential test instead), and ``sketch_event_stats``
-  (HLL++/GK approximations — accuracy pinned vs exact in-suite).
+  pinned by a differential test instead), ``sketch_event_stats``
+  (HLL++/GK approximations — accuracy pinned vs exact in-suite), and
+  ``content_chunk_dedup`` (rolling-hash CDC boundaries aren't SQL —
+  pinned by a from-the-definition pandas differential + kernel tests).
 """
 
 from __future__ import annotations

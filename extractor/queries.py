@@ -7057,6 +7057,70 @@ def corr_suffstats_qty_disc(spark, sf_dir):
         F.round(num / F.sqrt(vx * vy), 6).alias("corr_6dp"))
 
 
+@_q("content_chunk_dedup")  # rows-only: rolling-hash boundaries aren't SQL —
+# pinned instead by an independent from-the-definition pandas pipeline
+# (tests/test_pipeline_ops.py) and the kernel differential in
+# tests/test_kernels.py
+def content_chunk_dedup(spark, sf_dir):
+    """Sub-document dedup via content-defined chunking (LBFS SOSP'01
+    boundary rule, Gear/FastCDC FAST'16 rolling hash — see
+    extractor/core/cdc_chunk.py): split every document at
+    content-derived boundaries, hash each chunk, and report per
+    document how much of it is byte-runs already seen in an earlier
+    occurrence anywhere in the corpus. This catches what document- and
+    line-level dedup both miss: shared RUNS inside otherwise-distinct
+    documents (boilerplate headers, quoted replies, license blocks)
+    at ~32-byte granularity, robust to insertions because a 1-byte
+    edit re-synchronizes boundaries within one hash window instead of
+    shifting every subsequent chunk (the fixed-size-chunking failure
+    mode; resync pinned at >90% shared chunks in the kernel tests).
+
+    Output per doc: n_chunks, n_dup_chunks, bytes_total, bytes_dup,
+    where an occurrence is dup iff the same chunk content appears at
+    a lexicographically earlier (doc_id, chunk_idx) — a deterministic
+    keeper rule, same spirit as dedup_exact's min(doc_id).
+
+    Scale shape: chunking is embarrassingly parallel (one Arrow
+    mapInPandas pass, numpy sliding-window dot inside, zero shuffle);
+    first-occurrence detection is ONE hash Exchange on the chunk hash
+    (min-struct window, no global sort); the per-doc rollup is the
+    second Exchange. At 10^12 docs the chunk table is ~32x rows of
+    ~40 bytes — the h-shuffle is the whole cost, the same class as
+    dedup_exact one granularity down. Reference analog: fuzzy
+    near-dup of detector outputs (SURVEY §2 J4) at sub-document
+    granularity."""
+    import pandas as pd
+
+    from extractor.core.cdc_chunk import chunk_table
+
+    d = (t(spark, sf_dir, "documents").select("doc_id", "text")
+         .where(F.col("text").isNotNull()))
+
+    def chunker(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                rows.extend(chunk_table(int(doc_id), text))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_idx", "start",
+                               "length", "h"])
+
+    chunks = d.mapInPandas(
+        chunker,
+        "doc_id long, chunk_idx int, start int, length int, h string")
+    first = F.min(F.struct("doc_id", "chunk_idx")).over(
+        Window.partitionBy("h"))
+    occ = chunks.withColumn(
+        "is_dup",
+        (F.struct("doc_id", "chunk_idx") != first).cast("long"))
+    return occ.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("is_dup").cast("long").alias("n_dup_chunks"),
+        F.sum("length").cast("long").alias("bytes_total"),
+        F.sum(F.col("length") * F.col("is_dup")).cast("long")
+         .alias("bytes_dup"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

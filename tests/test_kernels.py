@@ -704,3 +704,63 @@ def test_author_year_entries_split_without_markers():
     _, refs2 = extract_one(wrapped, "")
     assert len(refs2) == 1, [r["raw"] for r in refs2]
     assert refs2[0]["raw"].startswith("Aaron, B., Charles, D., and Edwards")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking kernel (extractor/core/cdc_chunk.py)
+# ---------------------------------------------------------------------------
+
+def test_cdc_chunk_differential_and_bounds():
+    """Vectorized sliding-window chunker equals the from-the-definition
+    per-byte loop on random, low-entropy, and boundary-length inputs;
+    spans exactly cover the input; every non-final chunk respects the
+    [MIN, MAX] bounds (the final one may undershoot MIN by design)."""
+    import random
+
+    from extractor.core.cdc_chunk import (MAX_CHUNK, MIN_CHUNK,
+                                          chunk_spans, chunk_spans_naive)
+
+    rng = random.Random(7)
+    sizes = [0, 1, 15, 16, 17, 31, 32, 100, 200, 1000, 3000]
+    words = "key agg row scan slow fast table value part hash".split()
+    cases = [bytes(rng.randrange(256) for _ in range(n)) for n in sizes]
+    cases += [(" ".join(rng.choice(words) for _ in range(k))).encode()
+              for k in (0, 5, 50, 300)]
+    for data in cases:
+        a = chunk_spans(data)
+        assert a == chunk_spans_naive(data), len(data)
+        pos = 0
+        for i, (s, ln) in enumerate(a):
+            assert s == pos and ln > 0
+            pos += ln
+            if i < len(a) - 1:
+                assert MIN_CHUNK <= ln <= MAX_CHUNK, (i, ln)
+            else:
+                assert ln <= MAX_CHUNK
+        assert pos == len(data)
+
+
+def test_cdc_chunk_resync_after_edit():
+    """THE content-defined property: a 1-byte prefix insertion leaves
+    >= 80% of chunk contents identical (boundaries re-synchronize
+    within one hash window). Fixed-size chunking would share ~0% —
+    every boundary shifts. Also: a shared suffix between two
+    different documents yields shared chunk hashes (cross-doc run
+    detection, what the Spark op aggregates)."""
+    import random
+
+    from extractor.core.cdc_chunk import chunk_spans
+
+    rng = random.Random(11)
+    data = bytes(rng.randrange(256) for _ in range(1200))
+    edited = b"X" + data
+    h1 = {data[s:s + l] for s, l in chunk_spans(data)}
+    h2 = {edited[s:s + l] for s, l in chunk_spans(edited)}
+    assert len(h1 & h2) / len(h1) >= 0.8, sorted(len(c) for c in h1)
+
+    shared_run = bytes(rng.randrange(256) for _ in range(400))
+    doc_a = bytes(rng.randrange(256) for _ in range(300)) + shared_run
+    doc_b = bytes(rng.randrange(256) for _ in range(500)) + shared_run
+    ca = {doc_a[s:s + l] for s, l in chunk_spans(doc_a)}
+    cb = {doc_b[s:s + l] for s, l in chunk_spans(doc_b)}
+    assert len(ca & cb) >= 5, (len(ca), len(cb), len(ca & cb))

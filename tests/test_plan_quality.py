@@ -781,3 +781,19 @@ def test_corr_suffstats_single_scan_jvm_only(spark):
     assert m is not None, final
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"l_returnflag", "l_quantity", "l_discount"}, cols
+
+
+def test_content_chunk_dedup_plan(spark):
+    """content_chunk_dedup: chunking is ONE Arrow MapInPandas pass
+    with no shuffle before it; exactly two hash Exchanges follow (the
+    chunk-hash window + the per-doc rollup); no row-at-a-time Python,
+    no nested-loop join."""
+    final = _final_plan(spark, "content_chunk_dedup")
+    assert "MapInPandas" in final, final
+    assert "BatchEvalPython" not in final, final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 2, final
+    assert "CartesianProduct" not in final, final
+    # chunker consumes only (doc_id, text)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", final)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
