@@ -24,7 +24,10 @@
   pinned by a differential test instead), ``sketch_event_stats``
   (HLL++/GK approximations — accuracy pinned vs exact in-suite), and
   ``content_chunk_dedup`` (rolling-hash CDC boundaries aren't SQL —
-  pinned by a from-the-definition pandas differential + kernel tests).
+  pinned by a from-the-definition pandas differential + kernel tests),
+  and ``ann_mmr_topk`` (greedy iterative selection — independent-loop
+  differential on Spark-produced pools + a duplicate-displacement
+  hand fixture).
 """
 
 from __future__ import annotations

@@ -7121,6 +7121,115 @@ def content_chunk_dedup(spark, sf_dir):
          .alias("bytes_dup"))
 
 
+_MMR_LAMBDA_MILLI = 700  # λ = 0.7: relevance weight vs redundancy penalty
+_MMR_C = 40              # candidate pool per query (top-C by relevance)
+_MMR_K = 10              # diversified picks per query
+
+
+def _mmr_candidates(spark, sf_dir):
+    """Stage 1 of ann_mmr_topk, factored so the differential test can
+    pin stage 2 against an independent reimplementation on EXACTLY the
+    candidates Spark produced: brute-force cosine (the oracle-proven
+    ann_cosine_topk machinery — broadcast query side, JVM lambda
+    math), top-_MMR_C per query, candidate + query vectors carried
+    through for the selection stage."""
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v")))
+    q = (e.where("vec_id < 10")
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    pairs = (e.crossJoin(F.broadcast(q)).where("vec_id <> query_id")
+             .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     "v", "qv", F.expr(_COS_EXPR).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _MMR_C)
+            .select("query_id", "neighbor_id", "v", "qv"))
+
+
+def mmr_select(neighbor_ids, V, qv, k=_MMR_K,
+               lam_milli=_MMR_LAMBDA_MILLI):
+    """Greedy Maximal Marginal Relevance over one candidate pool
+    (Carbonell & Goldstein, SIGIR'98): repeatedly pick
+    argmax_i [ λ·rel(i) − (1−λ)·max_{j∈selected} sim(i, j) ].
+    All scores quantized to integer micro-units BEFORE selection, so
+    the argmax and its ties (broken by smallest neighbor_id) are
+    exact-integer decisions — bit-reproducible across partitionings
+    and engines, the same quantization discipline as jac_milli.
+    Returns [(neighbor_id, sel_rank, rel_micro)]."""
+    import numpy as np
+
+    n = len(neighbor_ids)
+    if n == 0:
+        return []
+    norms = np.sqrt((V * V).sum(axis=1))
+    rel = V @ qv / (norms * np.sqrt(qv @ qv))
+    rel_micro = np.rint(rel * 1e6).astype(np.int64)
+    S = V @ V.T / np.outer(norms, norms)
+    sim_micro = np.rint(S * 1e6).astype(np.int64)
+
+    ids = np.asarray(neighbor_ids, dtype=np.int64)
+    picked: list[int] = []
+    max_sim = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+    active = np.ones(n, dtype=bool)
+    out = []
+    for rank in range(1, min(k, n) + 1):
+        if not picked:
+            score = rel_micro.copy()
+        else:
+            score = lam_milli * rel_micro - (1000 - lam_milli) * max_sim
+        score_masked = np.where(active, score, np.iinfo(np.int64).min)
+        best = score_masked.max()
+        cand = np.nonzero(score_masked == best)[0]
+        i = int(cand[np.argmin(ids[cand])])
+        out.append((int(ids[i]), rank, int(rel_micro[i])))
+        picked.append(i)
+        active[i] = False
+        np.maximum(max_sim, sim_micro[:, i], out=max_sim)
+    return out
+
+
+@_q("ann_mmr_topk")  # rows-only: greedy iterative selection isn't SQL —
+# stage 2 pinned by an independent-loop differential on Spark-produced
+# candidates + a hand fixture where an exact duplicate is displaced
+def ann_mmr_topk(spark, sf_dir):
+    """Diversity-aware retrieval: MMR top-k per query (Carbonell &
+    Goldstein SIGIR'98 — the selection step RAG pipelines and
+    training-data curators run after ANN to avoid returning ten
+    paraphrases of one passage). Two stages: (1) the scale path —
+    brute-force/ANN top-_MMR_C relevance pool per query (broadcast
+    queries, JVM lambda cosine, one row_number shuffle; swap in the
+    LSH/IVF candidate stage at 10^12 vectors — pool size stays C);
+    (2) greedy MMR inside each pool via applyInPandas — per-group
+    numpy (C×C similarity matrix, C=40 → 1600 doubles), integer
+    micro-unit argmax so selection is deterministic under any
+    partitioning. Per-group cost is O(C²·d + C·k), independent of
+    corpus size — the pool bound IS the scale guarantee.
+    Reference analog: greedy block selection (SURVEY §2 A5) applied
+    to retrieval pools."""
+    import pandas as pd
+
+    cands = _mmr_candidates(spark, sf_dir)
+
+    def select(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        V = np.stack(pdf["v"].to_numpy())
+        qv = np.asarray(pdf["qv"].iloc[0])
+        rows = mmr_select(pdf["neighbor_id"].to_numpy(), V, qv)
+        return pd.DataFrame(
+            {"query_id": int(pdf["query_id"].iloc[0]),
+             "neighbor_id": [r[0] for r in rows],
+             "sel_rank": [r[1] for r in rows],
+             "rel_micro": [r[2] for r in rows]})
+
+    return (cands.groupBy("query_id").applyInPandas(
+        select,
+        "query_id long, neighbor_id long, sel_rank long, rel_micro long"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -1715,3 +1715,90 @@ def test_content_chunk_dedup_hand_fixture(spark, tmp_path):
     assert got.loc[0, "n_dup_chunks"] > 0  # base repeats internally (*4)
     assert 0 < got.loc[2, "bytes_dup"] < got.loc[2, "bytes_total"]
     assert got.loc[3, "n_dup_chunks"] == 0
+
+
+def test_ann_mmr_topk_differential(spark):
+    """Stage-2 MMR (integer micro-unit greedy argmax) equals an
+    independent plain-Python-loop reimplementation on exactly the
+    candidate pools Spark produced; and MMR genuinely reorders vs
+    pure relevance (the diversity term does work on this corpus)."""
+    import numpy as np
+
+    from extractor.queries import (_MMR_K, _MMR_LAMBDA_MILLI,
+                                   _mmr_candidates, QUERIES)
+
+    sf = "/root/testdata/sf0.001"
+    got = (QUERIES["ann_mmr_topk"](spark, sf).toPandas()
+           .sort_values(["query_id", "sel_rank"]).reset_index(drop=True))
+    assert len(got) == 10 * _MMR_K
+
+    cpd = _mmr_candidates(spark, sf).toPandas()
+    exp_rows = []
+    for qid, g in cpd.groupby("query_id"):
+        g = g.sort_values("neighbor_id").reset_index(drop=True)
+        V = np.stack(g["v"].to_numpy())
+        qv = np.asarray(g["qv"].iloc[0])
+        ids = g["neighbor_id"].tolist()
+        n = len(ids)
+        norms = [float(np.sqrt(np.dot(V[i], V[i]))) for i in range(n)]
+        qn = float(np.sqrt(np.dot(qv, qv)))
+        relm = [int(np.rint(float(np.dot(V[i], qv)) / (norms[i] * qn) * 1e6))
+                for i in range(n)]
+        simm = [[int(np.rint(float(np.dot(V[i], V[j]))
+                             / (norms[i] * norms[j]) * 1e6))
+                 for j in range(n)] for i in range(n)]
+        sel: list = []
+        act = set(range(n))
+        for rank in range(1, min(_MMR_K, n) + 1):
+            best_i, best_sc = None, None
+            for i in sorted(act, key=lambda i: ids[i]):
+                if not sel:
+                    sc = relm[i]
+                else:
+                    sc = (_MMR_LAMBDA_MILLI * relm[i]
+                          - (1000 - _MMR_LAMBDA_MILLI)
+                          * max(simm[i][j] for j in sel))
+                if best_sc is None or sc > best_sc:
+                    best_i, best_sc = i, sc
+            exp_rows.append((qid, ids[best_i], rank, relm[best_i]))
+            sel.append(best_i)
+            act.discard(best_i)
+    exp = (pd.DataFrame(exp_rows, columns=list(got.columns))
+           .sort_values(["query_id", "sel_rank"]).reset_index(drop=True))
+    for c in exp.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    reordered = 0
+    for qid, g in got.groupby("query_id"):
+        by_rel = g.sort_values(["rel_micro", "neighbor_id"],
+                               ascending=[False, True])
+        if by_rel["neighbor_id"].tolist() != \
+                g.sort_values("sel_rank")["neighbor_id"].tolist():
+            reordered += 1
+    assert reordered > 0
+
+
+def test_ann_mmr_displaces_exact_duplicate(spark, tmp_path):
+    """The MMR semantics on a hand-computable fixture: candidates a
+    and b are EXACT duplicates with top relevance, c is diverse at
+    rel 0.6. Pure relevance ranks (a, b, c); MMR at λ=0.7 must rank
+    (a, c, b) — the duplicate's redundancy penalty (sim=1 to the
+    already-picked a) pushes it below the diverse candidate:
+    score(b) = 700·900000 − 300·1000000 = 330.0e6 <
+    score(c) = 700·600000 − 300·191300 ≈ 362.6e6."""
+    import numpy as np
+
+    from extractor.queries import QUERIES
+
+    a = [0.9, np.sqrt(1 - 0.81), 0.0, 0.0]
+    vecs = {0: [1.0, 0.0, 0.0, 0.0],        # the query
+            10: a, 11: list(a),              # exact duplicates
+            12: [0.6, -0.8, 0.0, 0.0]}       # diverse, rel 0.6
+    pd.DataFrame({
+        "vec_id": list(vecs.keys()),
+        "embedding": [np.asarray(v, dtype=np.float32) for v in vecs.values()],
+        "label": [0] * len(vecs),
+    }).to_parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
+    got = (QUERIES["ann_mmr_topk"](spark, str(tmp_path)).toPandas()
+           .sort_values("sel_rank"))
+    assert got["neighbor_id"].tolist() == [10, 12, 11], got

@@ -797,3 +797,19 @@ def test_content_chunk_dedup_plan(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", final)
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"doc_id", "text"}, cols
+
+
+def test_ann_mmr_plan_single_exchange_groups(spark):
+    """ann_mmr_topk: the candidate stage's Window partitioning on
+    query_id must be REUSED by the applyInPandas grouping — exactly
+    one hash Exchange end to end — and WindowGroupLimit must push the
+    top-C cut to the map side (per-partition top-40 before the
+    shuffle, the property that keeps the shuffle at C rows per query
+    regardless of corpus size). The cross join is the broadcast of
+    the bounded query side, never a shuffled all-pairs."""
+    final = _final_plan(spark, "ann_mmr_topk")
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1, final
+    assert "FlatMapGroupsInPandas" in final, final
+    assert final.count("WindowGroupLimit") >= 2, final  # partial + final
+    assert "BatchEvalPython" not in final, final
+    assert "BroadcastExchange" in final, final
