@@ -7230,6 +7230,108 @@ def ann_mmr_topk(spark, sf_dir):
         "query_id long, neighbor_id long, sel_rank long, rel_micro long"))
 
 
+_HNM_Q, _HNM_QTOKS, _HNM_NEGS = 8, 5, 3
+
+
+@_q("hard_negative_mining", sql="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM toks),
+qt AS (SELECT DISTINCT doc_id AS query_id, unnest(ws[1:{qtoks}]) AS term
+       FROM toks WHERE doc_id < {q}),
+tf AS (SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) AS tf,
+              any_value(dl) AS dl
+       FROM (SELECT doc_id, unnest(ws) AS w, CAST(len(ws) AS DOUBLE) AS dl
+             FROM toks)
+       WHERE w IN (SELECT term FROM qt)
+       GROUP BY doc_id, w),
+idf AS (SELECT term, ln(1 + (s.n - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+        FROM tf, stats s GROUP BY term, s.n),
+scored AS (SELECT qt.query_id, tf.doc_id,
+                  sum(idf.idf * tf.tf * (1.2 + 1)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)))
+                  AS score
+           FROM tf JOIN idf USING (term) JOIN qt USING (term), stats s
+           WHERE tf.doc_id <> qt.query_id
+           GROUP BY qt.query_id, tf.doc_id, s.avgdl)
+SELECT query_id, query_id AS pos_doc_id, doc_id AS neg_doc_id,
+       CAST(rn AS BIGINT) AS neg_rank, round(score, 4) AS score_r
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= {negs}
+""".format(q=_HNM_Q, qtoks=_HNM_QTOKS, negs=_HNM_NEGS))
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for retrieval/embedding training (DPR,
+    Karpukhin et al. EMNLP'20 §4.2; RocketQA NAACL'21): for each
+    query, the top-scoring NON-gold documents under a lexical
+    retriever become the training negatives — the examples that are
+    lexically confusable with the positive and therefore carry the
+    gradient signal random negatives don't. Queries are synthesized
+    deterministically from the corpus itself (the first 5 tokens of
+    each doc_id < 8; gold positive = the doc itself), the convention
+    sft/dpo_pair_build established for absent supervision columns.
+
+    Structurally this GENERALIZES bm25_topk from a fixed 3-term IN
+    list to a per-query TERM TABLE: the token explode is semi-joined
+    against the (broadcast, tiny) query-term set, per-(doc, term) tf
+    and per-term df/idf are computed once globally, and the
+    (query, doc) score is the tf⋈qt broadcast join aggregated per
+    pair — so Q queries share ONE pass over the corpus instead of Q
+    scans. Negatives = the top-3 non-gold docs per query via
+    row_number, which plans a WindowGroupLimit map-side cut (the
+    shuffle carries top-{negs} per partition per query, not the full
+    candidate set — the property that holds at 10^12 docs).
+
+    Float discipline identical to bm25_topk: DOUBLE chains of
+    correctly-rounded ops, emitted rounded at 4dp with rank from the
+    UNROUNDED order; exact score ties (identical tf/dl multisets —
+    common in a 31-word vocabulary) are broken by doc_id on both
+    engines, and near-ties are covered by the margin test."""
+    d = t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.split("text", " ").alias("ws"))
+            .persist())  # 3 consumers: stats, query terms, tf
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size("ws").cast("double")).alias("avgdl"))
+    qt = (toks.where(F.col("doc_id") < _HNM_Q)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.explode(F.slice("ws", 1, _HNM_QTOKS)).alias("term"))
+          .distinct()
+          .persist())  # 2 consumers (term-set semi join + scoring join)
+    tf = (toks.select("doc_id",
+                      F.size("ws").cast("double").alias("dl"),
+                      F.explode("ws").alias("term"))
+          .join(F.broadcast(qt.select("term").distinct()), "term",
+                "left_semi")
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").cast("double").alias("tf"),
+               F.first("dl").alias("dl"))
+          .persist())  # 2 consumers (df/idf + scoring) — without this
+    # the corpus-scale (doc_id, term) explode+shuffle runs twice
+    idf = (tf.groupBy("term").agg(F.count("*").alias("df"))
+           .crossJoin(F.broadcast(stats))
+           .select("term", F.log(1 + (F.col("n") - F.col("df") + 0.5)
+                                 / (F.col("df") + 0.5)).alias("idf")))
+    scored = (tf.join(F.broadcast(idf), "term")
+              .join(F.broadcast(qt), "term")
+              .where(F.col("doc_id") != F.col("query_id"))
+              .crossJoin(F.broadcast(stats))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum(F.col("idf") * F.col("tf") * (_BM25_K1 + 1)
+                         / (F.col("tf") + _BM25_K1
+                            * (1 - _BM25_B + _BM25_B * F.col("dl")
+                               / F.col("avgdl")))).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _HNM_NEGS)
+            .select("query_id", F.col("query_id").alias("pos_doc_id"),
+                    F.col("doc_id").alias("neg_doc_id"),
+                    F.col("rn").cast("long").alias("neg_rank"),
+                    F.round("score", 4).alias("score_r")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -1802,3 +1802,62 @@ def test_ann_mmr_displaces_exact_duplicate(spark, tmp_path):
     got = (QUERIES["ann_mmr_topk"](spark, str(tmp_path)).toPandas()
            .sort_values("sel_rank"))
     assert got["neighbor_id"].tolist() == [10, 12, 11], got
+
+
+def test_hard_negative_mining_margins_and_semantics(spark):
+    """hard_negative_mining: (1) a numpy replay of the per-query BM25
+    formula reproduces the Spark rows and shows the rank-3 cut and
+    adjacent DISTINCT scores separated by far more than the <=1-ulp
+    libm divergence (exact ties are legitimate — identical tf/dl
+    multisets in a 31-word vocabulary — and are broken by doc_id on
+    both engines); (2) the gold positive never appears as its own
+    negative; (3) no emitted score sits on a 4-decimal rounding
+    boundary."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from extractor.queries import (_BM25_B, _BM25_K1, _HNM_NEGS, _HNM_Q,
+                                   _HNM_QTOKS, QUERIES)
+
+    sf = "/root/testdata/sf0.01"
+    got = (QUERIES["hard_negative_mining"](spark, sf).toPandas()
+           .sort_values(["query_id", "neg_rank"]).reset_index(drop=True))
+    assert len(got) == _HNM_Q * _HNM_NEGS
+    assert (got["neg_doc_id"] != got["query_id"]).all()
+    assert (got["pos_doc_id"] == got["query_id"]).all()
+
+    docs = pd.read_parquet(os.path.join(sf, "documents.parquet"))
+    toks = {int(d): str(t).split(" ")
+            for d, t in zip(docs["doc_id"], docs["text"])}
+    n = float(len(docs))
+    avgdl = float(np.mean([len(ws) for ws in toks.values()]))
+    qterms = {q: set(toks[q][:_HNM_QTOKS]) for q in range(_HNM_Q)}
+    allq = set().union(*qterms.values())
+    dfreq = {w: sum(1 for ws in toks.values() if w in ws) for w in allq}
+    idf = {w: math.log(1 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+           for w in allq if dfreq[w]}
+    for q in range(_HNM_Q):
+        scores = {}
+        for did, ws in toks.items():
+            if did == q:
+                continue
+            c = collections.Counter(ws)
+            s = sum(idf[w] * c[w] * (_BM25_K1 + 1)
+                    / (c[w] + _BM25_K1 * (1 - _BM25_B
+                                          + _BM25_B * len(ws) / avgdl))
+                    for w in qterms[q] if c[w] and w in idf)
+            if s > 0:
+                scores[did] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect = [d for d, _ in ranked[:_HNM_NEGS]]
+        mine = got[got["query_id"] == q]["neg_doc_id"].tolist()
+        assert mine == expect, (q, mine, expect)
+        vals = sorted({v for _, v in ranked[:_HNM_NEGS + 3]}, reverse=True)
+        gaps = [a - b for a, b in zip(vals, vals[1:])]
+        if gaps:
+            assert min(gaps) > 1e-9, (q, gaps)
+        for _, v in ranked[:_HNM_NEGS]:
+            frac = abs(v * 1e4 - round(v * 1e4))
+            assert 1e-6 < frac or frac == 0.0, (q, v)

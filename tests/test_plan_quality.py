@@ -813,3 +813,27 @@ def test_ann_mmr_plan_single_exchange_groups(spark):
     assert final.count("WindowGroupLimit") >= 2, final  # partial + final
     assert "BatchEvalPython" not in final, final
     assert "BroadcastExchange" in final, final
+
+
+def test_hard_negative_mining_plan(spark):
+    """hard_negative_mining: Q queries must share ONE corpus pass —
+    the token explode is semi-joined against the broadcast query-term
+    set (LeftSemi + BroadcastExchange, never a shuffled join), idf
+    and query-term joins are broadcasts, and the per-query negative
+    cut plans a WindowGroupLimit map-side top-k. No Python eval
+    anywhere — the whole query is JVM expressions."""
+    final = _final_plan(spark, "hard_negative_mining")
+    assert "LeftSemi" in final, final
+    assert "BroadcastExchange" in final, final
+    assert "WindowGroupLimit" in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "CartesianProduct"):
+        assert node not in final, final
+    # exactly ONE corpus-scale shuffle (the (doc_id, term) tf groupBy
+    # — persisted so idf and scoring share it); every other exchange
+    # moves term- or query-level data, which is bounded by |vocab
+    # slice| and Q, not by corpus size
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", final)
+    corpus_scale = [k for k in keys if "doc_id" in k and "term" in k]
+    assert len(corpus_scale) == 1, keys
+    assert len(keys) <= 5, keys
