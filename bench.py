@@ -62,6 +62,9 @@ HEADLINE_QUERIES = [
     "line_dedup_crossdoc",
     "q7_nation_trade_volume",
     "table_profile_documents",
+    "content_chunk_dedup",
+    "hard_negative_mining",
+    "ann_mmr_topk",
     "extract_documents_clean",
 ]
 
