@@ -25,9 +25,10 @@
   (HLL++/GK approximations — accuracy pinned vs exact in-suite), and
   ``content_chunk_dedup`` (rolling-hash CDC boundaries aren't SQL —
   pinned by a from-the-definition pandas differential + kernel tests),
-  and ``ann_mmr_topk`` (greedy iterative selection — independent-loop
+  ``ann_mmr_topk`` (greedy iterative selection — independent-loop
   differential on Spark-produced pools + a duplicate-displacement
-  hand fixture).
+  hand fixture), and ``bpe_train_merges`` (K-round greedy merge
+  training — pinned exactly against the Sennrich reference trainer).
 """
 
 from __future__ import annotations

@@ -7332,6 +7332,81 @@ def hard_negative_mining(spark, sf_dir):
                     F.round("score", 4).alias("score_r")))
 
 
+_BPE_MERGES = 8
+
+
+@_q("bpe_train_merges")  # rows-only: K-round greedy merge selection —
+# pinned exactly by a from-the-definition pure-Python BPE trainer
+# (tests/test_pipeline_ops.py), the Sennrich reference algorithm
+def bpe_train_merges(spark, sf_dir):
+    """Distributed BPE vocabulary training (Sennrich et al. ACL'16):
+    learn the first _BPE_MERGES merge rules from the corpus — the
+    tokenizer-training half that token_count_bpeish (which APPLIES a
+    BPE-ish segmentation) has been missing. Classic two-level shape:
+
+    1. ONE corpus-scale pass: whitespace tokens -> groupBy(word)
+       weighted counts. This is the only 10^12-row shuffle; BPE
+       statistics are a function of the word-TYPE table (Sennrich's
+       vocab dict), which is vocabulary-sized from here on.
+    2. K greedy rounds over the type table: adjacent symbol pairs
+       (split the space-joined symbol string, explode index pairs)
+       -> groupBy(pair) weighted sum -> the argmax merge via
+       orderBy(count desc, left, right).limit(1) — a
+       TakeOrderedAndProject, i.e. a BOUNDED driver collect of ONE
+       row per round (the logreg/kmeans iterative contract) — then
+       the merge applied JVM-side as a left-to-right non-overlapping
+       regexp_replace ((?<!\\S)\\Qa\\E \\Qb\\E(?!\\S) -> ab, exactly
+       re.sub's scan-forward semantics that reference BPE uses).
+       localCheckpoint per round caps lineage growth (the A4
+       iterative discipline).
+
+    Ties broken (count desc, left asc, right asc) on both the Spark
+    and the reference side, so the merge sequence is deterministic.
+    Output: (merge_rank, left, right, pair_count) — the learned
+    merge table in order. At web scale the type table is ~10^8 rows
+    of short strings; each round is one vocab-scale shuffle plus a
+    1-row collect, constant in corpus size.
+    Reference analog: count-based loop control (SURVEY §2 A4)."""
+    d = t(spark, sf_dir, "documents")
+    types = (d.select(F.explode(F.split("text", " ")).alias("w"))
+             .where(F.col("w") != "")
+             .groupBy("w").agg(F.count("*").alias("freq"))
+             # initial symbols: chars + the end-of-word marker,
+             # space-joined ("l o w </w>")
+             .select(F.concat_ws(
+                         " ",
+                         F.concat(F.split(F.col("w"), ""),
+                                  F.array(F.lit("</w>")))).alias("sym"),
+                     "freq")
+             .persist())
+
+    pair_expr = F.expr(
+        "transform(sequence(0, size(syms) - 2),"
+        " i -> struct(syms[i] AS left, syms[i+1] AS right))")
+    merges = []
+    cur = types
+    for rank in range(1, _BPE_MERGES + 1):
+        pairs = (cur.select("freq", F.split("sym", " ").alias("syms"))
+                 .where(F.size("syms") >= 2)
+                 .select("freq", F.explode(pair_expr).alias("p"))
+                 .groupBy("p.left", "p.right")
+                 .agg(F.sum("freq").alias("pair_count")))
+        top = (pairs.orderBy(F.desc("pair_count"), F.asc("left"),
+                             F.asc("right"))
+               .limit(1).collect())  # bounded: ONE row per round
+        if not top:
+            break
+        a, b, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
+        merges.append((rank, a, b, cnt))
+        pat = "(?<!\\S)\\Q{}\\E \\Q{}\\E(?!\\S)".format(a, b)
+        cur = (cur.withColumn(
+                   "sym", F.regexp_replace("sym", pat, a + b))
+               .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        merges, "merge_rank long, left string, right string, "
+                "pair_count long")
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

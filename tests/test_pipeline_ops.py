@@ -1861,3 +1861,77 @@ def test_hard_negative_mining_margins_and_semantics(spark):
         for _, v in ranked[:_HNM_NEGS]:
             frac = abs(v * 1e4 - round(v * 1e4))
             assert 1e-6 < frac or frac == 0.0, (q, v)
+
+
+def _bpe_reference(word_counts, k):
+    """Sennrich ACL'16 reference trainer: dict-of-tuples vocab,
+    Counter pair stats, greedy (count desc, left, right) merges."""
+    import collections
+
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    out = []
+    for rank in range(1, k + 1):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rank, a, b, cnt))
+        nv = {}
+        for syms, c in vocab.items():
+            o, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    o.append(a + b)
+                    i += 2
+                else:
+                    o.append(syms[i])
+                    i += 1
+            nv[tuple(o)] = nv.get(tuple(o), 0) + c
+        vocab = nv
+    return out
+
+
+def test_bpe_train_merges_differential(spark):
+    """bpe_train_merges equals the from-the-definition Sennrich
+    trainer on the sf0.001 corpus — full merge sequence including
+    counts (the regexp_replace merge application must reproduce the
+    left-to-right non-overlapping scan exactly)."""
+    import collections
+
+    from extractor.queries import _BPE_MERGES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = (QUERIES["bpe_train_merges"](spark, sf).toPandas()
+           .sort_values("merge_rank").reset_index(drop=True))
+    wc = collections.Counter()
+    for txt in pd.read_parquet(sf + "/documents.parquet")["text"]:
+        for w in str(txt).split(" "):
+            if w:
+                wc[w] += 1
+    exp = pd.DataFrame(_bpe_reference(wc, _BPE_MERGES),
+                       columns=["merge_rank", "left", "right",
+                                "pair_count"])
+    assert got.astype(str).equals(exp.astype(str)), (got, exp)
+    assert len(got) == _BPE_MERGES  # the corpus supports all K rounds
+
+
+def test_bpe_train_merges_hand_sequence(spark, tmp_path):
+    """The textbook fixture (low x2, lower x1) yields the
+    hand-derivable sequence — including the (l,o)-beats-(o,w)
+    left-asc tie-break at rank 1, overlapping-merge left-to-right
+    semantics, and the early stop when every word is one symbol
+    (6 merges < K=8)."""
+    from extractor.queries import QUERIES
+
+    sf = _docs(tmp_path, ["low low lower"])
+    got = (QUERIES["bpe_train_merges"](spark, sf).toPandas()
+           .sort_values("merge_rank"))
+    seq = list(got[["left", "right", "pair_count"]]
+               .itertuples(index=False, name=None))
+    assert seq == [("l", "o", 3), ("lo", "w", 3), ("low", "</w>", 2),
+                   ("e", "r", 1), ("er", "</w>", 1),
+                   ("low", "er</w>", 1)], seq
