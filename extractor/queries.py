@@ -7407,6 +7407,88 @@ def bpe_train_merges(spark, sf_dir):
                 "pair_count long")
 
 
+_SNM_W = 3        # sorted-neighborhood window (pairs within w ranks)
+_SNM_PARTS = 8    # range partitions (scale knob; offsets collect = K rows)
+
+
+@_q("sorted_neighborhood_pairs", sql="""
+WITH ranked AS (SELECT c_custkey,
+                       row_number() OVER (ORDER BY c_acctbal, c_custkey)
+                       AS rnk
+                FROM customer)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap
+FROM ranked a JOIN ranked b
+  ON b.rnk > a.rnk AND b.rnk <= a.rnk + {w}
+""".format(w=_SNM_W))
+def sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking for entity resolution (Hernández
+    & Stolfo, SIGMOD'95): sort the corpus by a blocking key and emit
+    every pair within a sliding window of w ranks — the candidate
+    generator that turns O(n²) record linkage into O(n·w). Blocking
+    key here: (c_acctbal, c_custkey) — accounts adjacent in balance
+    order are duplicate-account candidates.
+
+    The mechanism worth the entry is the GLOBAL RANK WITHOUT A
+    GLOBAL SORT: a naive row_number() over an un-partitioned window
+    plans Exchange SinglePartition — one task sorts 10^12 rows, the
+    canonical scale-killer. Instead: (1) repartitionByRange on the
+    key (order-preserving range Exchange, every partition sorts
+    locally in parallel); (2) per-partition row index from
+    monotonically_increasing_id's low 33 bits (assigned in the same
+    projection as the sort, so it reflects the sorted order);
+    (3) per-partition counts -> a BOUNDED collect of K=_SNM_PARTS
+    rows -> cumulative offsets broadcast back; global rank = offset
+    + local index. Correct for ANY range bounds (rank = rows in
+    earlier ranges + local rank), so sampling nondeterminism in the
+    range partitioner cannot change the output; the ranked frame is
+    persisted so both sides of the self-join see ONE materialization.
+    (4) window pairs as an EQUI-join: explode rank+1..rank+w against
+    rank — never a band/theta join. Same two-pass shape as the
+    range-partitioned ordered export (job.export_merged).
+    Reference analog: natural sort of documents (SURVEY §2 W3)
+    turned into a candidate generator."""
+    c = (t(spark, sf_dir, "customer")
+         .select("c_custkey", "c_acctbal")
+         .repartitionByRange(_SNM_PARTS, F.asc("c_acctbal"),
+                             F.asc("c_custkey"))
+         .sortWithinPartitions("c_acctbal", "c_custkey")
+         .select("c_custkey",
+                 F.spark_partition_id().alias("pid"),
+                 F.monotonically_increasing_id()
+                 .bitwiseAND(F.lit((1 << 33) - 1)).alias("loc"))
+         .persist())  # counts AND ranks must read the SAME
+    # materialization: the range partitioner samples its bounds, so a
+    # recompute can place rows differently — offsets from run A
+    # applied to run B would collide/skip ranks (observed at sf0.1)
+    counts = {int(r["pid"]): int(r["n"])
+              for r in c.groupBy("pid").agg(F.count("*").alias("n"))
+              .collect()}  # bounded: K rows, constant in n
+    offsets, acc = {}, 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    off_expr = F.element_at(
+        F.array(*[F.lit(offsets.get(p, 0))
+                  for p in range(_SNM_PARTS)]),
+        F.col("pid") + 1)
+    ranked = (c.select("c_custkey",
+                       (off_expr + F.col("loc") + 1).alias("rnk"))
+              .persist())  # ONE materialization for both join sides
+    targets = ranked.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.explode(F.sequence(F.col("rnk") + 1,
+                             F.col("rnk") + _SNM_W)).alias("rnk_b"))
+    return (targets.join(ranked.select(F.col("c_custkey")
+                                       .alias("custkey_b"),
+                                       F.col("rnk").alias("rnk_b")),
+                         "rnk_b")
+            .select("custkey_a", "custkey_b",
+                    (F.col("rnk_b") - F.col("rnk_a")).cast("long")
+                    .alias("rank_gap")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

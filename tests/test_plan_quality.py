@@ -837,3 +837,17 @@ def test_hard_negative_mining_plan(spark):
     corpus_scale = [k for k in keys if "doc_id" in k and "term" in k]
     assert len(corpus_scale) == 1, keys
     assert len(keys) <= 5, keys
+
+
+def test_sorted_neighborhood_no_global_sort(spark):
+    """sorted_neighborhood_pairs exists to prove global ranking
+    WITHOUT the Exchange SinglePartition a naive un-partitioned
+    row_number window plans (one task sorting the corpus): the plan
+    must show the order-preserving range Exchange, no single-partition
+    Exchange anywhere, and the window-pair generation as an equi-join
+    (never a nested-loop band join)."""
+    final = _final_plan(spark, "sorted_neighborhood_pairs")
+    assert "rangepartitioning" in final, final
+    assert "SinglePartition" not in final, final
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
