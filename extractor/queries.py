@@ -7489,6 +7489,93 @@ def sorted_neighborhood_pairs(spark, sf_dir):
                     .alias("rank_gap")))
 
 
+_KN_D = 0.75  # the standard absolute-discount constant
+
+
+@_q("kn_bigram_nll", sql=r"""
+WITH seqs AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                            '[ \t\n\r\f\x0B]+'), x -> x <> '') AS ws
+              FROM documents),
+db AS (SELECT doc_id, w1, w2, count(*) AS m
+       FROM (SELECT doc_id,
+                    unnest(ws[1:len(ws)-1]) AS w1,
+                    unnest(ws[2:len(ws)]) AS w2
+             FROM seqs WHERE len(ws) >= 2)
+       GROUP BY doc_id, w1, w2),
+big AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c FROM db GROUP BY w1, w2),
+lft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS fwd
+        FROM big GROUP BY w1),
+rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS bwd FROM big GROUP BY w2),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS B FROM big),
+sc AS (SELECT db.doc_id, db.m,
+              (greatest(big.c - 0.75, 0) / lft.c1)
+              + (0.75 * lft.fwd / lft.c1) * (rgt.bwd / tot.B) AS p
+       FROM db JOIN big USING (w1, w2) JOIN lft USING (w1)
+               JOIN rgt USING (w2), tot)
+SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_big,
+       round(sum(m * -ln(p)) / sum(m), 4) AS nll_r
+FROM sc GROUP BY doc_id
+""")
+def kn_bigram_nll(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney,
+    ICASSP'95; Chen & Goodman '99 eq. 4.25) — the model class behind
+    the KenLM perplexity filter CCNet/LLaMA-style pipelines bucket
+    crawl data with, one order up from unigram_lm_nll:
+
+        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                   + D·N1+(w1,·)/c(w1 .) · N1+(·,w2)/N1+(··)
+
+    with D = 0.75. The continuation distribution (how many DISTINCT
+    left contexts a word follows — the "Francisco" correction) is
+    what distinguishes KN from naive backoff. Train and score on the
+    corpus itself, so every scored bigram has c >= 1 and no
+    zero-probability path exists; docs with < 2 tokens have no
+    bigrams and are absent by construction.
+
+    Scale shape: token instances reduce to per-doc bigram
+    multiplicities FIRST (one corpus-scale shuffle, map-side
+    combinable — the LM joins then move distinct (doc, bigram) pairs,
+    not token instances); corpus bigram counts, left-context totals
+    (c1, N1+ forward) and continuation counts (N1+ backward) are
+    vocab-scale groupBys derived from the bigram-type table; N1+(··)
+    is a 1-row broadcast. Hot stopword-pair keys ride the drilled
+    AQE skew regime like unigram_lm_nll's LM join.
+
+    Cross-engine FP: each bigram's p is one short identical chain of
+    correctly-rounded ops (bit-identical); only the per-doc sum
+    order differs — emitted at 4 decimals with the rounding-boundary
+    margin pinned in-suite (the unigram/bm25 discipline)."""
+    d = t(spark, sf_dir, "documents")
+    seqs = (d.select("doc_id",
+                     F.filter(F.split(F.lower("text"), _WS_CLASS),
+                              lambda x: x != "").alias("ws"))
+            .where(F.size("ws") >= 2))
+    db = (seqs.select("doc_id", F.explode(F.expr(
+              "transform(sequence(0, size(ws) - 2),"
+              " i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).alias("b"))
+          .select("doc_id", "b.w1", "b.w2")
+          .groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m"))
+          .persist())  # 2 consumers: corpus counts + the scored probe
+    big = (db.groupBy("w1", "w2").agg(F.sum("m").alias("c"))
+           .persist())  # 4 consumers: lft, rgt, tot, the score join
+    lft = big.groupBy("w1").agg(F.sum("c").alias("c1"),
+                                F.count("*").alias("fwd"))
+    rgt = big.groupBy("w2").agg(F.count("*").alias("bwd"))
+    tot = big.agg(F.count("*").cast("double").alias("B"))
+    p = ((F.greatest(F.col("c") - _KN_D, F.lit(0.0)) / F.col("c1"))
+         + (_KN_D * F.col("fwd") / F.col("c1"))
+         * (F.col("bwd") / F.col("B")))
+    sc = (db.join(big, ["w1", "w2"]).join(lft, "w1").join(rgt, "w2")
+          .crossJoin(F.broadcast(tot))
+          .select("doc_id", "m", p.alias("p")))
+    return (sc.groupBy("doc_id")
+            .agg(F.sum("m").cast("long").alias("n_big"),
+                 F.round((F.sum(F.col("m") * -F.log("p"))
+                          / F.sum("m")), 4).alias("nll_r")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -1935,3 +1935,61 @@ def test_bpe_train_merges_hand_sequence(spark, tmp_path):
     assert seq == [("l", "o", 3), ("lo", "w", 3), ("low", "</w>", 2),
                    ("e", "r", 1), ("er", "</w>", 1),
                    ("low", "er</w>", 1)], seq
+
+
+def test_kn_bigram_nll_hand_and_margins(spark, tmp_path):
+    """The KN formula on a hand-computable corpus: docs 'x y x y' and
+    'y z' give bigram counts (x,y)=2, (y,x)=1, (y,z)=1 (B=3), so
+    P(y|x) = (2-.75)/2 + (.75·1/2)(1/3) = 0.75 and
+    P(x|y) = P(z|y) = (1-.75)/2 + (.75·2/2)(1/3) = 0.375 — the
+    continuation term doing real work. Then on sf0.01: every emitted
+    nll_r sits safely off its 4-decimal rounding boundary (the
+    cross-engine sum-order margin discipline)."""
+    import math
+
+    from extractor.queries import QUERIES
+
+    sf = _docs(tmp_path, ["x y x y", "y z"])
+    got = (QUERIES["kn_bigram_nll"](spark, sf).toPandas()
+           .set_index("doc_id").sort_index())
+    nll0 = (2 * -math.log(0.75) + -math.log(0.375)) / 3
+    nll1 = -math.log(0.375)
+    assert got.loc[0, "n_big"] == 3 and got.loc[1, "n_big"] == 1
+    assert abs(got.loc[0, "nll_r"] - round(nll0, 4)) < 1e-12
+    assert abs(got.loc[1, "nll_r"] - round(nll1, 4)) < 1e-12
+
+    # real margin: replay the UNROUNDED per-doc nll in pandas on
+    # sf0.01 and assert every value sits far (>1e-9) from a 4-decimal
+    # rounding boundary — the distance that makes the cross-engine
+    # sum-order noise (~1e-13 rel) unable to flip the rounded digit
+    import collections
+
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+    per_doc = {}
+    big_c = collections.Counter()
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        ws = [w for w in str(txt).lower().split(" ") if w]
+        bgs = collections.Counter(zip(ws, ws[1:]))
+        if bgs:
+            per_doc[int(did)] = bgs
+            big_c.update(bgs)
+    c1 = collections.Counter()
+    fwd = collections.Counter()
+    bwd = collections.Counter()
+    for (w1, w2), c in big_c.items():
+        c1[w1] += c
+        fwd[w1] += 1
+        bwd[w2] += 1
+    B = float(len(big_c))
+    worst = 1.0
+    for did, bgs in per_doc.items():
+        s = sum(m * -math.log(
+            max(big_c[(w1, w2)] - 0.75, 0.0) / c1[w1]
+            + (0.75 * fwd[w1] / c1[w1]) * (bwd[w2] / B))
+            for (w1, w2), m in bgs.items())
+        nll = s / sum(bgs.values())
+        frac = abs(nll * 1e4 - math.floor(nll * 1e4) - 0.5)
+        worst = min(worst, frac)
+    assert worst > 1e-5, worst  # >1e-9 required; measured ~1e-5+
+    big = QUERIES["kn_bigram_nll"](spark, "/root/testdata/sf0.01").toPandas()
+    assert len(big) == len(per_doc) == 500

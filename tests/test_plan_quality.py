@@ -851,3 +851,25 @@ def test_sorted_neighborhood_no_global_sort(spark):
     assert "SinglePartition" not in final, final
     assert "CartesianProduct" not in final, final
     assert "BroadcastNestedLoopJoin" not in final, final
+
+
+def test_kn_bigram_plan(spark):
+    """kn_bigram_nll: token instances must reduce to per-doc bigram
+    multiplicities BEFORE the LM joins (the (doc_id, w1, w2) partial
+    agg appears on the map side), N1+(··) arrives by broadcast, and
+    no nested-loop join or Python eval exists anywhere."""
+    final = _final_plan(spark, "kn_bigram_nll")
+    assert "partial_count" in final or "partial_sum" in final, final
+    # the three LM joins are HASH joins on the bigram/context keys
+    n_hash_joins = (final.count("BroadcastHashJoin")
+                    + final.count("SortMergeJoin")
+                    + final.count("ShuffledHashJoin"))
+    assert n_hash_joins >= 3, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "CartesianProduct"):
+        assert node not in final, final
+    # the only nested-loop join allowed is the Cross against the
+    # 1-row N1+(··) totals frame (bounded build side by construction)
+    assert final.count("BroadcastNestedLoopJoin") <= 1, final
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in final \
+        or "BroadcastNestedLoopJoin" not in final, final
