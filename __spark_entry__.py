@@ -27,8 +27,10 @@
   pinned by a from-the-definition pandas differential + kernel tests),
   ``ann_mmr_topk`` (greedy iterative selection — independent-loop
   differential on Spark-produced pools + a duplicate-displacement
-  hand fixture), and ``bpe_train_merges`` (K-round greedy merge
-  training — pinned exactly against the Sennrich reference trainer).
+  hand fixture), ``bpe_train_merges`` (K-round greedy merge
+  training — pinned exactly against the Sennrich reference trainer),
+  and ``cms_term_counts`` (Count-Min estimates — overestimate + error
+  bound pinned on a colliding fixture, exact on the corpus).
 """
 
 from __future__ import annotations

@@ -7576,6 +7576,64 @@ def kn_bigram_nll(spark, sf_dir):
                           / F.sum("m")), 4).alias("nll_r")))
 
 
+_CMS_D, _CMS_W = 4, 1024  # depth (hash rows) x width (counters/row)
+_CMS_TOP = 20             # terms reported against the sketch
+
+_CMS_COLS_EXPR = (
+    "transform(sequence(0, {d1}), r ->"
+    " struct(r AS r, pmod(xxhash64(r, term), {w}) AS col))"
+    .format(d1=_CMS_D - 1, w=_CMS_W))
+
+
+@_q("cms_term_counts")  # rows-only: sketch estimates are
+# implementation-defined (like sketch_event_stats); the CMS
+# guarantees (est >= true, bounded overestimate) are pinned in-suite
+# on a high-cardinality colliding fixture
+def cms_term_counts(spark, sf_dir):
+    """Count-Min Sketch term frequencies (Cormode & Muthukrishnan,
+    J.Alg'05) — the counting sketch completing the family
+    (HLL++ distinct, GK quantiles, Misra-Gries exact heavy hitters):
+    d=4 hash rows of w=1024 counters; est(x) = min_r counter[r,
+    h_r(x)], which can only OVERestimate (every occurrence of x lands
+    in all d of its cells) by at most the colliding mass.
+
+    Spark shape — the whole sketch is TWO JVM aggregations, no Python
+    and no driver state: (1) build: each token emits its d (row, col)
+    cells (xxhash64 with the row index as seed — deterministic,
+    identical on every executor, no plane table to ship) and
+    groupBy(row, col) counts them; the shuffle carries at most d·w
+    CELLS after map-side combine, CONSTANT in corpus size — that is
+    the entire point vs heavy_hitters_exact's candidate re-scan.
+    (2) probe: the exact top-20 terms (computed here only to have
+    a comparison column; a production pipeline probes whatever terms
+    it cares about) join the <= d·w-row cell table by broadcast and
+    take min over their d cells. Output: (term, true_cnt, est_cnt),
+    est_cnt >= true_cnt always.
+
+    At 10^12 tokens the build is one constant-width shuffle — the
+    sketch never grows; width is the accuracy knob (expected
+    overestimate ~ N·e/w per Cormode's analysis).
+    Reference analog: per-file counters (SURVEY §2 A6) with bounded
+    memory."""
+    d = t(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(F.split("text", " ")).alias("term"))
+            .where(F.col("term") != "").persist())  # build + exact top
+    cells = (toks.select(F.explode(F.expr(_CMS_COLS_EXPR)).alias("rc"))
+             .groupBy(F.col("rc.r").alias("r"),
+                      F.col("rc.col").alias("col"))
+             .agg(F.count("*").alias("cnt")))
+    top = (toks.groupBy("term").agg(F.count("*").alias("true_cnt"))
+           .orderBy(F.desc("true_cnt"), F.asc("term")).limit(_CMS_TOP))
+    probe = top.select("term", "true_cnt",
+                       F.explode(F.expr(_CMS_COLS_EXPR)).alias("rc"))
+    return (probe.join(F.broadcast(cells),
+                       (F.col("rc.r") == F.col("r"))
+                       & (F.col("rc.col") == F.col("col")))
+            .groupBy("term")
+            .agg(F.first("true_cnt").cast("long").alias("true_cnt"),
+                 F.min("cnt").cast("long").alias("est_cnt")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -1993,3 +1993,33 @@ def test_kn_bigram_nll_hand_and_margins(spark, tmp_path):
     assert worst > 1e-5, worst  # >1e-9 required; measured ~1e-5+
     big = QUERIES["kn_bigram_nll"](spark, "/root/testdata/sf0.01").toPandas()
     assert len(big) == len(per_doc) == 500
+
+
+def test_cms_term_counts_guarantees(spark, tmp_path):
+    """CMS hard guarantees on a deliberately colliding fixture (5,000
+    distinct terms over w=1024 columns — every row of the sketch has
+    ~5x column collisions): est >= true for EVERY probed term (each
+    occurrence lands in all d cells — an underestimate is
+    impossible), at least one probed term genuinely overestimates
+    (the min-over-rows path is exercised, not bypassed), and the
+    worst overestimate stays under 3·N/w (the deterministic reading
+    of the eps·N bound for fixed hashes). On the real corpus the
+    sketch is exact for the top-20 (31-word vocabulary cannot collide
+    meaningfully in 1024 columns)."""
+    from extractor.queries import _CMS_W, QUERIES
+
+    hot = " ".join("hot{:02d} ".format(i) * (20 + i) for i in range(20))
+    noise_terms = ["n{:04d}".format(i) for i in range(5000)]
+    texts = [hot] + [" ".join(noise_terms[i::7]) for i in range(7)]
+    sf = _docs(tmp_path, texts)
+    got = QUERIES["cms_term_counts"](spark, sf).toPandas()
+    n_tokens = sum(len(t.split()) for t in texts)
+    assert len(got) == 20
+    assert (got["est_cnt"] >= got["true_cnt"]).all(), got
+    over = got["est_cnt"] - got["true_cnt"]
+    assert (over > 0).any(), "collisions never exercised the min"
+    assert over.max() <= 3 * n_tokens / _CMS_W, (over.max(), n_tokens)
+
+    real = QUERIES["cms_term_counts"](
+        spark, "/root/testdata/sf0.001").toPandas()
+    assert (real["est_cnt"] == real["true_cnt"]).all()
