@@ -22,7 +22,7 @@
   (generator-driven payloads — pytest golden-equality gate),
   ``mm_extract_features`` (entropy/sha1 not replayable in DuckDB —
   pinned by a differential test instead), ``sketch_event_stats``
-  (HLL++/GK approximations — accuracy pinned vs exact in-suite), and
+  (HLL++/GK approximations — accuracy pinned vs exact in-suite),
   ``content_chunk_dedup`` (rolling-hash CDC boundaries aren't SQL —
   pinned by a from-the-definition pandas differential + kernel tests),
   ``ann_mmr_topk`` (greedy iterative selection — independent-loop
