@@ -406,10 +406,67 @@ def extract_pdf(text: str) -> dict | None:
         return None
 
 
+_FURN_BAND = 0.12      # top/bottom page fraction where furniture lives
+_FURN_MIN_PAGES = 3    # never strip on 1-2 page documents
+_FURN_DIGITS = _re.compile(r"\d+")
+
+
+def _strip_running_furniture(page_line_lists, heights):
+    """Running header/footer removal — the classic repetition-at-
+    margin heuristic (Déjean & Meunier, DAS'06; standard
+    pdfminer/GROBID practice): a line whose digit-normalized text
+    ("Page 3" -> "Page #", catching counters) recurs in the top or
+    bottom _FURN_BAND of at least 2/3 of the pages (and at least
+    _FURN_MIN_PAGES) is page furniture, not content — drop those
+    occurrences IN THE BAND only (the same sentence mid-page is
+    content and survives). Strictly additive: documents under
+    _FURN_MIN_PAGES pages, or without margin-repeated lines, are
+    byte-identical — the entire golden corpus (no repeated margin
+    lines) is unaffected, pinned by the green golden gates."""
+    n = len(page_line_lists)
+
+    def in_band(ln, h):
+        if h <= 0:
+            return False
+        y0, y1 = ln["bbox"][1], ln["bbox"][3]
+        return y1 <= h * _FURN_BAND or y0 >= h * (1.0 - _FURN_BAND)
+
+    pages_with_key: dict = {}
+    for pl, h in zip(page_line_lists, heights):
+        seen = set()
+        for ln in pl:
+            if in_band(ln, h):
+                seen.add(_FURN_DIGITS.sub("#", ln["text"]))
+        for k in seen:
+            pages_with_key[k] = pages_with_key.get(k, 0) + 1
+    threshold = max(_FURN_MIN_PAGES, -(-2 * n // 3))  # ceil(2n/3)
+    furniture = {k for k, c in pages_with_key.items() if c >= threshold}
+    if not furniture:
+        return page_line_lists
+    return [
+        [ln for ln in pl
+         if not (in_band(ln, h)
+                 and _FURN_DIGITS.sub("#", ln["text"]) in furniture)]
+        for pl, h in zip(page_line_lists, heights)
+    ]
+
+
 def _extract_parsed(obj: dict) -> dict:
-    raw_lines: list[dict] = []
+    page_line_lists: list[list[dict]] = []
+    heights: list[float] = []
     for page in obj["pages"]:
-        raw_lines.extend(page_lines(page))
+        pl = page_lines(page)
+        page_line_lists.append(pl)
+        try:
+            h = float(page.get("h") or 0.0)
+        except (TypeError, ValueError):
+            h = 0.0
+        if h <= 0.0:
+            h = max((ln["bbox"][3] for ln in pl), default=0.0)
+        heights.append(h)
+    if len(page_line_lists) >= _FURN_MIN_PAGES:
+        page_line_lists = _strip_running_furniture(page_line_lists, heights)
+    raw_lines = [ln for pl in page_line_lists for ln in pl]
     lines = _dehyphenate(raw_lines)
 
     texts = [ln["text"] for ln in lines]

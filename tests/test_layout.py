@@ -219,3 +219,41 @@ def test_rtl_page_reading_order():
     mixed = np.asarray(["the", "quick", "كتاب", "fox", "jumps"], dtype=str)
     assert not _rtl_dominant(mixed)
     assert _rtl_dominant(np.asarray(ar, dtype=str))
+
+
+def test_running_header_footer_removal():
+    """4-page doc: the repeated top-band header and the digit-varying
+    bottom-band footer ('Page N' -> normalized 'Page #') vanish; body
+    lines and a mid-page line that HAPPENS to equal the header text
+    survive. A 2-page doc with the same furniture keeps everything
+    (the >=3-page gate), as does a line repeated on only 1 of 4
+    pages."""
+    import json
+
+    from extractor.core.pdf_layout import extract_pdf
+
+    def word(t, x, y):
+        return {"t": t, "x0": x, "y0": y, "x1": x + 60, "y1": y + 12}
+
+    def page(i, with_midpage_clone=False, odd_header=False):
+        glyphs = [word("ACME" if not odd_header else "ODDITY", 40, 10),
+                  word("Report", 110, 10)]                 # top band
+        glyphs += [word("body%d" % i, 40, 300 + 14 * k, ) for k in range(3)]
+        if with_midpage_clone:
+            glyphs += [word("ACME", 40, 400), word("Report", 110, 400)]
+        glyphs += [word("Page", 40, 780), word(str(i + 1), 110, 780)]
+        return {"w": 600, "h": 800, "glyphs": glyphs}
+
+    doc4 = {"pages": [page(0, with_midpage_clone=True), page(1),
+                      page(2), page(3, odd_header=True)]}
+    out = extract_pdf(json.dumps(doc4))["clean_text"].splitlines()
+    assert "ACME Report" in out          # the mid-page clone survives
+    assert out.count("ACME Report") == 1  # ...but only once (3 headers gone)
+    assert not any(ln.startswith("Page") for ln in out), out
+    assert "ODDITY Report" in out        # 1-of-4 repetition: kept
+    assert sum(ln.startswith("body") for ln in out) == 12
+
+    doc2 = {"pages": [page(0), page(1)]}
+    out2 = extract_pdf(json.dumps(doc2))["clean_text"].splitlines()
+    assert out2.count("ACME Report") == 2  # under the page gate: kept
+    assert sum(ln.startswith("Page") for ln in out2) == 2
