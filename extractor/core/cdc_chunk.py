@@ -129,6 +129,70 @@ def chunk_spans_naive(data: bytes) -> list[tuple[int, int]]:
         if data else []
 
 
+def chunk_spans_batch(datas: list[bytes]) -> list[list[tuple[int, int]]]:
+    """Batch twin of ``chunk_spans`` — one rolling-hash computation
+    over the CONCATENATION of all documents in the batch (W shifted
+    vector adds across the whole buffer — no per-document numpy call
+    overhead, which dominated the per-doc path at ~100us/doc), then
+    per-document candidate extraction by searchsorted on the offset
+    table. A window is attributed to document i only when it lies
+    entirely inside it (start_i + W <= cut <= end_i), so hashes that
+    straddle a document boundary in the concatenated buffer are
+    discarded and the result is EXACTLY per-doc chunking — pinned
+    equal to ``chunk_spans`` in tests."""
+    m = len(datas)
+    lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=m)
+    buf = b"".join(datas)
+    n = len(buf)
+    if n >= W:
+        g = _GEAR[np.frombuffer(buf, dtype=np.uint8)]
+        nh = n - W + 1
+        h = np.zeros(nh, dtype=np.uint64)
+        tmp = np.empty(nh, dtype=np.uint64)  # reused: no per-pass alloc
+        with np.errstate(over="ignore"):
+            for j in range(W):      # oldest slot j=0 gets weight 2^(W-1)
+                np.left_shift(g[j:j + nh], np.uint64(W - 1 - j), out=tmp)
+                h += tmp
+        cand = np.nonzero((h & _MASK) == 0)[0] + W
+    else:
+        cand = np.empty(0, dtype=np.int64)
+    starts = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    lo = np.searchsorted(cand, starts[:-1] + W, side="left")
+    hi = np.searchsorted(cand, starts[1:], side="right")
+    out: list[list[tuple[int, int]]] = []
+    for i in range(m):
+        li = int(lens[i])
+        if li == 0:
+            out.append([])
+            continue
+        local = cand[lo[i]:hi[i]] - starts[i]
+        out.append(_spans_from_candidates(li, local))
+    return out
+
+
+def chunk_frame(doc_ids, texts) -> dict:
+    """Batch chunk table as flat columns (the mapInPandas-facing API):
+    encode, batch-chunk, md5 each chunk. Columns: doc_id, chunk_idx,
+    start, length, h."""
+    datas = [t.encode("utf-8") for t in texts]
+    spans = chunk_spans_batch(datas)
+    col_doc: list[int] = []
+    col_idx: list[int] = []
+    col_start: list[int] = []
+    col_len: list[int] = []
+    col_h: list[str] = []
+    for did, data, sp in zip(doc_ids, datas, spans):
+        for i, (s, ln) in enumerate(sp):
+            col_doc.append(did)
+            col_idx.append(i)
+            col_start.append(s)
+            col_len.append(ln)
+            col_h.append(hashlib.md5(data[s:s + ln]).hexdigest())
+    return {"doc_id": col_doc, "chunk_idx": col_idx,
+            "start": col_start, "length": col_len, "h": col_h}
+
+
 def chunk_table(doc_id: int, text: str) -> list[dict]:
     """One document -> chunk rows [(doc_id, chunk_idx, start, length,
     h)] with h = md5 hex of the chunk bytes (utf-8). The identity

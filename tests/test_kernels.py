@@ -764,3 +764,33 @@ def test_cdc_chunk_resync_after_edit():
     ca = {doc_a[s:s + l] for s, l in chunk_spans(doc_a)}
     cb = {doc_b[s:s + l] for s, l in chunk_spans(doc_b)}
     assert len(ca & cb) >= 5, (len(ca), len(cb), len(ca & cb))
+
+
+def test_cdc_chunk_batch_equals_per_doc():
+    """chunk_spans_batch (one rolling-hash pass over the concatenated
+    Arrow batch) must equal per-doc chunk_spans exactly — including
+    empty docs, docs shorter than the window, and windows that
+    straddle document boundaries in the concatenated buffer (those
+    must be discarded, never attributed to either neighbor)."""
+    import random
+
+    from extractor.core.cdc_chunk import (chunk_frame, chunk_spans,
+                                          chunk_spans_batch, chunk_table)
+
+    rng = random.Random(13)
+    datas = [bytes(rng.randrange(256) for _ in range(n))
+             for n in (0, 1, 7, 15, 16, 17, 31, 64, 200, 500, 1000)] * 3
+    for d, got in zip(datas, chunk_spans_batch(datas)):
+        assert got == chunk_spans(d), len(d)
+
+    texts = ["".join(chr(97 + rng.randrange(26)) for _ in range(ln))
+             for ln in (0, 5, 40, 300, 800)]
+    f = chunk_frame(list(range(len(texts))), texts)
+    rows = []
+    for i, t in enumerate(texts):
+        rows.extend(chunk_table(i, t))
+    assert len(rows) == len(f["h"])
+    for i, r in enumerate(rows):
+        assert (r["doc_id"], r["chunk_idx"], r["start"], r["length"],
+                r["h"]) == (f["doc_id"][i], f["chunk_idx"][i],
+                            f["start"][i], f["length"][i], f["h"][i])
