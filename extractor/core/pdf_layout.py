@@ -89,12 +89,21 @@ def _columns(xs0: np.ndarray, xs1: np.ndarray, width: float) -> list[tuple[float
     return [(float(a[s]), float(run_max[e - 1])) for s, e in zip(starts, ends)]
 
 
-# RTL-script codepoints (Hebrew, Arabic incl. supplement + both
-# presentation-forms blocks). Used only for the reading-order gate —
-# glyph TEXT is never altered.
+# RTL-script LETTERS (Hebrew letters + ligatures; Arabic letter
+# ranges incl. supplement and both presentation-forms blocks).
+# Deliberately EXCLUDES Arabic-Indic digits (U+0660-0669,
+# U+06F0-06F9), Arabic punctuation/format controls (U+0600-061F) and
+# harakat diacritics (U+064B-065F): the majority gate divides by
+# LETTER count, so counting digits as RTL evidence would let a
+# digit-heavy Latin table page flip to right-to-left (code-review r4
+# finding). Used only for the reading-order gate — glyph TEXT is
+# never altered.
 _RTL_CHARS = _re.compile(
-    "[\u0590-\u05FF\u0600-\u06FF\u0750-\u077F"
-    "\uFB1D-\uFDFF\uFE70-\uFEFF]")
+    "[\u05D0-\u05F4"                  # Hebrew letters + ligatures
+    "\u0620-\u064A\u066E-\u066F"    # Arabic letters
+    "\u0671-\u06D3\u06FA-\u06FF"    # Arabic extended letters
+    "\u0750-\u077F"                   # Arabic supplement
+    "\uFB1D-\uFDFF\uFE70-\uFEFF]")  # presentation forms
 _LETTERS = _re.compile(r"[^\W\d_]", _re.UNICODE)
 
 
@@ -457,10 +466,19 @@ def _extract_parsed(obj: dict) -> dict:
     for page in obj["pages"]:
         pl = page_lines(page)
         page_line_lists.append(pl)
+        # band geometry must live in the SAME coordinate system as the
+        # line bboxes page_lines emits — i.e. post _normalize_canvas
+        # (an oversize page is scaled by MAX_CANVAS/max(w,h); comparing
+        # scaled bboxes to the RAW height would classify the whole
+        # page as top band). Re-apply the clamp to the declared h.
         try:
+            w = float(page.get("w") or 0.0)
             h = float(page.get("h") or 0.0)
         except (TypeError, ValueError):
-            h = 0.0
+            w = h = 0.0
+        m = max(w, h)
+        if m > MAX_CANVAS:
+            h *= MAX_CANVAS / m
         if h <= 0.0:
             h = max((ln["bbox"][3] for ln in pl), default=0.0)
         heights.append(h)

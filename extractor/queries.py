@@ -7333,6 +7333,18 @@ def hard_negative_mining(spark, sf_dir):
 
 _BPE_MERGES = 8
 
+_BPE_PUNCT = __import__("re").compile(
+    r"([\x21-\x2F\x3A-\x40\x5B-\x60\x7B-\x7E])")
+
+
+def _bpe_re_lit(s: str) -> str:
+    """Quote a symbol as a Java-regex literal: backslash-escape every
+    ASCII punctuation char (each such escape is the literal char in
+    Java). ASCII word chars and non-ASCII codepoints are left alone —
+    they are never regex metachars, and Java REJECTS a backslash
+    before an alphabetic (incl. Unicode-letter) codepoint."""
+    return _BPE_PUNCT.sub(r"\\\1", s)
+
 
 @_q("bpe_train_merges")  # rows-only: K-round greedy merge selection —
 # pinned exactly by a from-the-definition pure-Python BPE trainer
@@ -7354,8 +7366,10 @@ def bpe_train_merges(spark, sf_dir):
        TakeOrderedAndProject, i.e. a BOUNDED driver collect of ONE
        row per round (the logreg/kmeans iterative contract) — then
        the merge applied JVM-side as a left-to-right non-overlapping
-       regexp_replace ((?<!\\S)\\Qa\\E \\Qb\\E(?!\\S) -> ab, exactly
-       re.sub's scan-forward semantics that reference BPE uses).
+       regexp_replace ((?<!\\S)a b(?!\\S) -> ab, both sides
+       metachar-escaped via _bpe_re_lit and the replacement's $/\\
+       escaped, exactly re.sub's scan-forward semantics that
+       reference BPE uses).
        localCheckpoint per round caps lineage growth (the A4
        iterative discipline).
 
@@ -7397,9 +7411,17 @@ def bpe_train_merges(spark, sf_dir):
             break
         a, b, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
         merges.append((rank, a, b, cnt))
-        pat = "(?<!\\S)\\Q{}\\E \\Q{}\\E(?!\\S)".format(a, b)
+        # Java-regex literal quoting by per-char escape (NOT \Q...\E,
+        # which a token containing a literal "\E" would break out of),
+        # and replacement-side escaping of the two Java replacement
+        # metachars $ and \ (code-review r4: an unescaped "$" in a
+        # merged symbol raises INVALID_REGEXP_REPLACE; "\" is silently
+        # swallowed, corrupting later rounds — same escape as pii_scrub)
+        lit = _bpe_re_lit
+        pat = "(?<!\\S){} {}(?!\\S)".format(lit(a), lit(b))
+        rep = (a + b).replace("\\", "\\\\").replace("$", "\\$")
         cur = (cur.withColumn(
-                   "sym", F.regexp_replace("sym", pat, a + b))
+                   "sym", F.regexp_replace("sym", pat, rep))
                .localCheckpoint(eager=True))
     return spark.createDataFrame(
         merges, "merge_rank long, left string, right string, "

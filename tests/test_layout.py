@@ -257,3 +257,55 @@ def test_running_header_footer_removal():
     out2 = extract_pdf(json.dumps(doc2))["clean_text"].splitlines()
     assert out2.count("ACME Report") == 2  # under the page gate: kept
     assert sum(ln.startswith("Page") for ln in out2) == 2
+
+
+def test_furniture_band_respects_canvas_normalization():
+    """Code-review r4 finding: the furniture band compared normalized
+    line bboxes against the RAW page height, so an oversize page
+    (h > MAX_CANVAS) classified its entire content as 'top band'.
+    Now: a 4-page doc at h=35000 (scaled 10x down by the canvas
+    clamp) must still strip exactly the margin-repeated header/footer
+    and keep every body line — identical classification to the same
+    document authored at h=3500."""
+    import json
+
+    from extractor.core.pdf_layout import extract_pdf
+
+    def doc(h):
+        s = h / 800.0
+
+        def word(t, x, y):
+            return {"t": t, "x0": x * s, "y0": y * s,
+                    "x1": (x + 60) * s, "y1": (y + 12) * s}
+
+        def page(i):
+            g = [word("ACME", 40, 10), word("Report", 110, 10)]
+            g += [word("body%d" % i, 40, 300 + 14 * k) for k in range(3)]
+            g += [word("Page", 40, 780), word(str(i + 1), 110, 780)]
+            return {"w": 600 * s, "h": float(h), "glyphs": g}
+
+        return {"pages": [page(i) for i in range(4)]}
+
+    big = extract_pdf(json.dumps(doc(35000)))["clean_text"].splitlines()
+    small = extract_pdf(json.dumps(doc(3500)))["clean_text"].splitlines()
+    assert big == small
+    assert sum(ln.startswith("body") for ln in big) == 12
+    assert "ACME Report" not in big
+    assert not any(ln.startswith("Page") for ln in big)
+
+
+def test_rtl_gate_ignores_arabic_indic_digits():
+    """Code-review r4 finding: Arabic-Indic digits counted as RTL
+    evidence while the denominator counted letters only, so a Latin
+    table page dense with Eastern-Arabic numerals flipped to RTL.
+    Digits are direction-neutral now: Latin words + many Arabic-Indic
+    numerals stay LTR; genuine Arabic words still trip the gate."""
+    import numpy as np
+
+    from extractor.core.pdf_layout import _rtl_dominant
+
+    numerals = ["٠١٢", "٣٤٥", "٦٧٨", "٩٠١"] * 25   # 100 numeral cells
+    latin = ["quarterly", "revenue", "table", "totals"] * 10
+    assert not _rtl_dominant(np.asarray(latin + numerals, dtype=str))
+    arabic = ["كتاب", "قلم", "بيت", "شمس"] * 10
+    assert _rtl_dominant(np.asarray(arabic + numerals, dtype=str))

@@ -2023,3 +2023,24 @@ def test_cms_term_counts_guarantees(spark, tmp_path):
     real = QUERIES["cms_term_counts"](
         spark, "/root/testdata/sf0.001").toPandas()
     assert (real["est_cnt"] == real["true_cnt"]).all()
+
+
+def test_bpe_train_merges_regex_metachar_symbols(spark, tmp_path):
+    """Symbols containing Java regex/replacement metachars ($, \\, .)
+    must merge correctly: '$' crashes regexp_replace unescaped
+    (INVALID_REGEXP_REPLACE) and '\\' is silently swallowed — both
+    caught by code review, both now escaped. Full sequence pinned
+    against the reference trainer."""
+    import collections
+
+    from extractor.queries import _BPE_MERGES, QUERIES
+
+    texts = ["$5 $5 $5 c\\d c\\d a.b a.b a.b a.b"] * 2
+    sf = _docs(tmp_path, texts)
+    got = (QUERIES["bpe_train_merges"](spark, sf).toPandas()
+           .sort_values("merge_rank").reset_index(drop=True))
+    wc = collections.Counter(w for t in texts for w in t.split(" ") if w)
+    exp = pd.DataFrame(_bpe_reference(wc, _BPE_MERGES),
+                       columns=["merge_rank", "left", "right",
+                                "pair_count"])
+    assert got.astype(str).equals(exp.astype(str)), (got, exp)
