@@ -7655,6 +7655,90 @@ def cms_term_counts(spark, sf_dir):
                  F.min("cnt").cast("long").alias("est_cnt")))
 
 
+# Homoglyph skeleton: a deterministic subset of Unicode TR39
+# confusables (Cyrillic lowercase lookalikes -> Latin) plus
+# zero-width characters (deleted — the "to" string is shorter, the
+# Oracle/Postgres translate deletion rule, identical in Spark and
+# DuckDB, probed live). TR39's full table is data, not code; the
+# subset here is the high-frequency spam alphabet.
+_HG_CYR = "аеорсхуіј"
+_HG_LAT = "aeopcxyij"
+_HG_ZW = "​‌‍﻿"
+
+
+@_q("homoglyph_skeleton_dedup", sql="""
+WITH raw AS (
+  SELECT doc_id, text AS dirty FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, translate(text, '{lat}', '{cyr}')
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, '​' || upper(text[1:1]) || text[2:]
+  FROM documents WHERE doc_id % 3 = 0
+), sk AS (
+  SELECT doc_id,
+         md5(translate(lower(dirty), '{cyr}{zw}', '{lat}')) AS skel_fp,
+         md5(dirty) AS raw_fp
+  FROM raw
+)
+SELECT skel_fp, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT raw_fp) AS BIGINT) AS n_raw_variants,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM sk GROUP BY skel_fp
+""".format(lat=_HG_LAT, cyr=_HG_CYR, zw=_HG_ZW))
+def homoglyph_skeleton_dedup(spark, sf_dir):
+    """Confusable-skeleton dedup (Unicode TR39 skeleton algorithm,
+    reduced to the high-frequency spam alphabet): exact dedup is
+    trivially evaded by swapping Latin letters for visually identical
+    Cyrillic codepoints or salting zero-width characters — the
+    standard trick in crawl spam and SEO-farmed near-duplicates. The
+    skeleton key lowercases, folds the confusable alphabet back to
+    Latin, and DELETES zero-width characters (translate with a short
+    "to" string — the Oracle-lineage deletion rule, bit-identical in
+    Spark and DuckDB), so all evasion variants share one md5 and the
+    ordinary min-keeper group-by catches them.
+
+    The driver corpus is clean ASCII with no exact duplicates, so
+    evasion VARIANTS are synthesized deterministically in-query as
+    extra rows (the url_canonical convention): every even doc gains a
+    Cyrillic-swapped twin, every third doc a zero-width-prefixed,
+    case-tweaked twin. Groups with n_raw_variants > 1 are exactly the
+    duplicate sets dedup_exact cannot see — every variant twin must
+    land in its original's group with the original as keeper (pinned
+    in-suite).
+
+    Scale shape: one zero-Exchange projection (two nested translates,
+    all JVM codegen) + one groupBy(skel_fp) with map-side partial
+    aggs — byte-for-byte the dedup_exact profile; the distinct-count
+    adds the standard Expand two-phase. Reference analog: unicode
+    normalization before comparison (SURVEY §2 F7) hardened into a
+    dedup key."""
+    d = t(spark, sf_dir, "documents")
+    raw = (d.select("doc_id", F.col("text").alias("dirty"))
+           .unionByName(
+               d.where(F.col("doc_id") % 2 == 0)
+               .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                       F.translate("text", _HG_LAT, _HG_CYR)
+                       .alias("dirty")))
+           .unionByName(
+               d.where(F.col("doc_id") % 3 == 0)
+               .select((F.col("doc_id") + 20000000).alias("doc_id"),
+                       F.concat(F.lit("​"),
+                                F.upper(F.substring("text", 1, 1)),
+                                F.expr("substring(text, 2)"))
+                       .alias("dirty"))))
+    sk = raw.select(
+        "doc_id",
+        F.md5(F.translate(F.lower("dirty"), _HG_CYR + _HG_ZW, _HG_LAT))
+        .alias("skel_fp"),
+        F.md5("dirty").alias("raw_fp"))
+    return (sk.groupBy("skel_fp")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("raw_fp").cast("long")
+                 .alias("n_raw_variants"),
+                 F.min("doc_id").cast("long").alias("keeper_doc_id")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

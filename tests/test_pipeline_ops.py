@@ -2044,3 +2044,23 @@ def test_bpe_train_merges_regex_metachar_symbols(spark, tmp_path):
                        columns=["merge_rank", "left", "right",
                                 "pair_count"])
     assert got.astype(str).equals(exp.astype(str)), (got, exp)
+
+
+def test_homoglyph_skeleton_catches_evasion(spark):
+    """Every synthesized evasion twin (Cyrillic swap for even docs,
+    zero-width + case tweak for thirds) must land in its ORIGINAL's
+    skeleton group with the original as keeper — and the raw
+    fingerprints inside those groups must be genuinely distinct
+    (i.e. dedup_exact would NOT have caught them)."""
+    from extractor.queries import QUERIES
+
+    got = QUERIES["homoglyph_skeleton_dedup"](
+        spark, "/root/testdata/sf0.001").toPandas()
+    multi = got[got["n_raw_variants"] > 1]
+    # 250 even docs + 167 thirds, union = 333 docs with >= 1 twin
+    assert len(multi) == 333
+    assert (multi["keeper_doc_id"] < 10000000).all()
+    # docs divisible by 6 have BOTH twins -> 3 distinct raw variants
+    both = multi[multi["n_raw_variants"] == 3]
+    assert len(both) == 84  # ceil(500/6)
+    assert (multi["n_docs"] == multi["n_raw_variants"]).all()

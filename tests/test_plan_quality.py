@@ -873,3 +873,19 @@ def test_kn_bigram_plan(spark):
     assert final.count("BroadcastNestedLoopJoin") <= 1, final
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in final \
         or "BroadcastNestedLoopJoin" not in final, final
+
+
+def test_homoglyph_skeleton_plan(spark):
+    """homoglyph_skeleton_dedup must stay the dedup_exact profile:
+    the skeleton is pure JVM codegen (translate chains — no Python
+    eval), the union feeds ONE skel_fp groupBy (plus the Expand the
+    distinct-count adds), and nothing joins."""
+    final = _final_plan(spark, "homoglyph_skeleton_dedup")
+    # a single distinct agg over the group key needs no Expand: Spark
+    # plans partial_count(distinct) straight through one Exchange
+    assert "partial_count" in final, final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "CartesianProduct", "Join"):
+        assert node not in final, final
+    assert "Union" in final, final
