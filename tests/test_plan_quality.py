@@ -881,10 +881,13 @@ def test_homoglyph_skeleton_plan(spark):
     eval), the union feeds ONE skel_fp groupBy (plus the Expand the
     distinct-count adds), and nothing joins."""
     final = _final_plan(spark, "homoglyph_skeleton_dedup")
-    # a single distinct agg over the group key needs no Expand: Spark
-    # plans partial_count(distinct) straight through one Exchange
+    # the distinct-count plans as the standard two-phase distinct agg
+    # (a (skel_fp, raw_fp) dedup shuffle feeding the skel_fp rollup) —
+    # no Expand; both exchanges must be keyed on skel_fp
     assert "partial_count" in final, final
-    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1, final
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", final)
+    assert 1 <= len(keys) <= 2, keys
+    assert all("skel_fp" in k for k in keys), keys
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "CartesianProduct", "Join"):
         assert node not in final, final
