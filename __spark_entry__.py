@@ -29,8 +29,10 @@
   differential on Spark-produced pools + a duplicate-displacement
   hand fixture), ``bpe_train_merges`` (K-round greedy merge
   training — pinned exactly against the Sennrich reference trainer),
-  and ``cms_term_counts`` (Count-Min estimates — overestimate + error
-  bound pinned on a colliding fixture, exact on the corpus).
+  ``cms_term_counts`` (Count-Min estimates — overestimate + error
+  bound pinned on a colliding fixture, exact on the corpus), and
+  ``compress_ratio_quality`` (zlib sizes aren't SQL — exact replay +
+  planted repetitive/random semantics in-suite).
 """
 
 from __future__ import annotations

@@ -7739,6 +7739,60 @@ def homoglyph_skeleton_dedup(spark, sf_dir):
                  F.min("doc_id").cast("long").alias("keeper_doc_id")))
 
 
+_CR_LEVEL = 6        # zlib level — fixed so output sizes are stable
+_CR_LOW_MILLI = 220  # ratio below this => repetitive/degenerate text
+
+
+@_q("compress_ratio_quality")  # rows-only: zlib sizes aren't SQL —
+# semantics pinned in-suite (planted repetitive/random fixtures) and
+# the ratio column is a direct zlib replay (same library, exact)
+def compress_ratio_quality(spark, sf_dir):
+    """Compression-ratio quality signal: deflate each document
+    (zlib level 6) and emit compressed/raw size in exact integer
+    milli-units — the cheap repetitiveness detector crawl pipelines
+    run alongside Gopher-style heuristics (boilerplate loops, keyword
+    stuffing, and template spam compress far better than natural
+    prose; see e.g. the compression filters in CCNet-descendant
+    cleaning stacks). Complements quality_repetition (explicit n-gram
+    ratios): deflate's LZ77 window catches ANY repeated substring
+    structure, not just the counted n-gram orders.
+
+    Arrow mapInPandas, one call per batch; zlib.compress is C-speed
+    (~GB/s) so the pass is scan-bound, embarrassingly parallel, zero
+    shuffle — the cheapest possible per-doc signal. Output integers
+    only (byte counts and a milli ratio), so the driver check is a
+    stable row count and the in-suite replay is exact equality.
+    Reference analog: per-file size/validity counters (SURVEY §2
+    A6/P4) upgraded to an information-density score."""
+    import pandas as pd
+
+    d = (t(spark, sf_dir, "documents").select("doc_id", "text")
+         .where(F.col("text").isNotNull()))
+
+    def score(batches):
+        import zlib
+
+        for pdf in batches:
+            raws = [s.encode("utf-8") for s in pdf["text"]]
+            raw_b = [len(b) for b in raws]
+            gz_b = [len(zlib.compress(b, _CR_LEVEL)) for b in raws]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "raw_bytes": pd.array(raw_b, dtype="int64"),
+                "gz_bytes": pd.array(gz_b, dtype="int64"),
+                "ratio_milli": pd.array(
+                    [(1000 * g) // r if r else 1000
+                     for g, r in zip(gz_b, raw_b)], dtype="int64"),
+            })
+
+    out = d.mapInPandas(
+        score, "doc_id long, raw_bytes long, gz_bytes long, "
+               "ratio_milli long")
+    return out.withColumn(
+        "low_quality",
+        (F.col("ratio_milli") < _CR_LOW_MILLI).cast("long"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

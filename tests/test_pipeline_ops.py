@@ -2064,3 +2064,34 @@ def test_homoglyph_skeleton_catches_evasion(spark):
     both = multi[multi["n_raw_variants"] == 3]
     assert len(both) == 84  # ceil(500/6)
     assert (multi["n_docs"] == multi["n_raw_variants"]).all()
+
+
+def test_compress_ratio_quality_semantics(spark, tmp_path):
+    """Exact zlib replay on the corpus (same library -> byte-equal
+    sizes), plus planted semantics: a degenerate repeated-phrase doc
+    scores far below a random-hex doc, and only the former trips the
+    low_quality flag at the 220-milli threshold."""
+    import hashlib
+    import zlib
+
+    from extractor.queries import _CR_LEVEL, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = (QUERIES["compress_ratio_quality"](spark, sf).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    docs = pd.read_parquet(sf + "/documents.parquet")
+    docs = docs.dropna(subset=["text"]).sort_values("doc_id")
+    for (_, row), txt in zip(got.iterrows(), docs["text"]):
+        b = txt.encode("utf-8")
+        gz = len(zlib.compress(b, _CR_LEVEL))
+        assert row["raw_bytes"] == len(b) and row["gz_bytes"] == gz
+        assert row["ratio_milli"] == (1000 * gz) // len(b)
+
+    rep = "click here to win amazing prizes " * 60
+    rnd = " ".join(hashlib.sha256(str(i).encode()).hexdigest()
+                   for i in range(30))
+    sf2 = _docs(tmp_path, [rep, rnd])
+    g2 = (QUERIES["compress_ratio_quality"](spark, sf2).toPandas()
+          .set_index("doc_id"))
+    assert g2.loc[0, "ratio_milli"] < 100 < g2.loc[1, "ratio_milli"]
+    assert g2.loc[0, "low_quality"] == 1 and g2.loc[1, "low_quality"] == 0
