@@ -892,3 +892,18 @@ def test_homoglyph_skeleton_plan(spark):
                  "CartesianProduct", "Join"):
         assert node not in final, final
     assert "Union" in final, final
+
+
+def test_entity_resolution_pipeline_plan(spark):
+    """entity_resolution_pipeline = blocking + verify in one plan:
+    same no-global-sort constraints as the blocking stage (range
+    Exchange, no SinglePartition, hash/broadcast pair join only), and
+    the Levenshtein verify is a JVM filter on the joined rows — no
+    Python eval, no second join."""
+    final = _final_plan(spark, "entity_resolution_pipeline")
+    assert "rangepartitioning" in final, final
+    assert "SinglePartition" not in final, final
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
+    assert "levenshtein" in final, final
