@@ -7474,6 +7474,43 @@ def sorted_neighborhood_pairs(spark, sf_dir):
         (F.col("rnk_b") - F.col("rnk_a")).cast("long").alias("rank_gap"))
 
 
+def _global_rank(df, order_cols, n_parts=_SNM_PARTS):
+    """Global dense 1-based rank over ``order_cols`` (must be a TOTAL
+    key) WITHOUT a single-partition sort: order-preserving range
+    Exchange, per-partition local index from
+    monotonically_increasing_id's low 33 bits, per-partition counts
+    as a bounded K-row collect, offsets folded back as a literal
+    array. Correct for any sampled range bounds (rank = rows in
+    earlier ranges + local rank); the indexed frame is PERSISTED
+    before the counts collect so counts and ranks read one
+    materialization (range-bound sampling nondeterminism otherwise
+    collides/skips ranks — observed at sf0.1). Returns df's columns
+    plus ``rnk``, persisted (callers typically self-join or
+    re-aggregate it); total row count available as sum of counts."""
+    asc = [F.asc(c) for c in order_cols]
+    base = (df.repartitionByRange(n_parts, *asc)
+            .sortWithinPartitions(*order_cols)
+            .select(*df.columns,
+                    F.spark_partition_id().alias("pid"),
+                    F.monotonically_increasing_id()
+                    .bitwiseAND(F.lit((1 << 33) - 1)).alias("loc"))
+            .persist())
+    counts = {int(r["pid"]): int(r["n"])
+              for r in base.groupBy("pid").agg(F.count("*").alias("n"))
+              .collect()}  # bounded: K rows, constant in n
+    offsets, acc = {}, 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    off_expr = F.element_at(
+        F.array(*[F.lit(offsets.get(p, 0)) for p in range(n_parts)]),
+        F.col("pid") + 1)
+    ranked = (base.select(*df.columns,
+                          (off_expr + F.col("loc") + 1).alias("rnk"))
+              .persist())
+    return ranked, acc
+
+
 def _snm_candidate_pairs(spark, sf_dir, carry=()):
     """Sorted-neighborhood candidate pairs over customer — the
     global-rank-without-global-sort machinery shared by
@@ -7481,33 +7518,9 @@ def _snm_candidate_pairs(spark, sf_dir, carry=()):
     entity_resolution_pipeline (blocking + verify). ``carry`` columns
     are preserved on both sides with _a/_b suffixes. Returns columns
     custkey_a/custkey_b, rnk_a/rnk_b, and the carried pairs."""
-    c = (t(spark, sf_dir, "customer")
-         .select("c_custkey", "c_acctbal", *carry)
-         .repartitionByRange(_SNM_PARTS, F.asc("c_acctbal"),
-                             F.asc("c_custkey"))
-         .sortWithinPartitions("c_acctbal", "c_custkey")
-         .select("c_custkey", *carry,
-                 F.spark_partition_id().alias("pid"),
-                 F.monotonically_increasing_id()
-                 .bitwiseAND(F.lit((1 << 33) - 1)).alias("loc"))
-         .persist())  # counts AND ranks must read the SAME
-    # materialization: the range partitioner samples its bounds, so a
-    # recompute can place rows differently — offsets from run A
-    # applied to run B would collide/skip ranks (observed at sf0.1)
-    counts = {int(r["pid"]): int(r["n"])
-              for r in c.groupBy("pid").agg(F.count("*").alias("n"))
-              .collect()}  # bounded: K rows, constant in n
-    offsets, acc = {}, 0
-    for pid in range(max(counts) + 1 if counts else 0):
-        offsets[pid] = acc
-        acc += counts.get(pid, 0)
-    off_expr = F.element_at(
-        F.array(*[F.lit(offsets.get(p, 0))
-                  for p in range(_SNM_PARTS)]),
-        F.col("pid") + 1)
-    ranked = (c.select("c_custkey", *carry,
-                       (off_expr + F.col("loc") + 1).alias("rnk"))
-              .persist())  # ONE materialization for both join sides
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal",
+                                            *carry)
+    ranked, _n = _global_rank(c, ["c_acctbal", "c_custkey"])
     a = ranked.select(
         F.col("c_custkey").alias("custkey_a"),
         *[F.col(x).alias(x + "_a") for x in carry],
@@ -7561,7 +7574,7 @@ def entity_resolution_pipeline(spark, sf_dir):
 _KN_D = 0.75  # the standard absolute-discount constant
 
 
-@_q("kn_bigram_nll", sql=r"""
+_KN_SQL = r"""
 WITH seqs AS (SELECT doc_id,
                      list_filter(string_split_regex(lower(text),
                             '[ \t\n\r\f\x0B]+'), x -> x <> '') AS ws
@@ -7586,7 +7599,10 @@ sc AS (SELECT db.doc_id, db.m,
 SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_big,
        round(sum(m * -ln(p)) / sum(m), 4) AS nll_r
 FROM sc GROUP BY doc_id
-""")
+"""
+
+
+@_q("kn_bigram_nll", sql=_KN_SQL)
 def kn_bigram_nll(spark, sf_dir):
     """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney,
     ICASSP'95; Chen & Goodman '99 eq. 4.25) — the model class behind
@@ -7839,6 +7855,45 @@ def compress_ratio_quality(spark, sf_dir):
     return out.withColumn(
         "low_quality",
         (F.col("ratio_milli") < _CR_LOW_MILLI).cast("long"))
+
+
+@_q("perplexity_buckets", sql="""
+WITH kn AS ({kn}),
+ranked AS (SELECT doc_id, nll_r,
+                  row_number() OVER (ORDER BY nll_r, doc_id) AS rnk,
+                  count(*) OVER () AS n
+           FROM kn)
+SELECT CAST((3 * (rnk - 1)) // n AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(nll_r) AS min_nll, max(nll_r) AS max_nll
+FROM ranked GROUP BY 1
+""".format(kn=_KN_SQL))
+def perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail partitioning (Wenzek et al., LREC'20
+    §4.3): rank every document by LM perplexity and split into exact
+    terciles — head = best-scoring third (kept verbatim for
+    pretraining), middle (sampled), tail (dropped or down-weighted).
+    Composes two of this repo's mechanisms end-to-end: the KN bigram
+    LM score (kn_bigram_nll, bit-exact cross-engine) and the
+    global-rank-without-global-sort machinery (_global_rank — range
+    Exchange + bounded offset collect, never an Exchange
+    SinglePartition; the naive ntile()-over-everything window is
+    exactly the one-task sort this helper exists to avoid at 10^12
+    docs). Bucket = (3·(rank−1)) div n, an exact integer on both
+    engines; per-bucket min/max nll are min/max over bit-identical
+    doubles. Output: 3 rows (bucket, n_docs, min_nll, max_nll)."""
+    kn = kn_bigram_nll(spark, sf_dir).select("doc_id", "nll_r")
+    ranked, n = _global_rank(kn, ["nll_r", "doc_id"])
+    if n == 0:
+        raise ValueError("perplexity_buckets: empty corpus")
+    return (ranked.select(
+                F.expr("((rnk - 1) * 3) div {}".format(n))
+                .cast("long").alias("bucket"),
+                "nll_r")
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("nll_r").alias("min_nll"),
+                 F.max("nll_r").alias("max_nll")))
 
 
 # ===========================================================================

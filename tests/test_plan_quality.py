@@ -907,3 +907,16 @@ def test_entity_resolution_pipeline_plan(spark):
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
     assert "levenshtein" in final, final
+
+
+def test_perplexity_buckets_no_global_sort(spark):
+    """perplexity_buckets ranks the whole corpus by perplexity — the
+    classic ntile() trap. The plan must carry NO Exchange
+    SinglePartition (the global rank comes from the range-partition +
+    offset machinery) while still containing the KN LM's hash joins."""
+    final = _final_plan(spark, "perplexity_buckets")
+    assert "SinglePartition" not in final, final
+    assert "rangepartitioning" in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "CartesianProduct"):
+        assert node not in final, final
