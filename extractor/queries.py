@@ -7896,6 +7896,64 @@ def perplexity_buckets(spark, sf_dir):
                  F.max("nll_r").alias("max_nll")))
 
 
+@_q("incremental_join_merge", sql="""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+       AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def incremental_join_merge(spark, sf_dir):
+    """Incremental JOIN-view maintenance — the delta-join identity of
+    self-maintainable materialized views (Blakeley/Larson/Tompa
+    SIGMOD'86; Gupta & Mumick's view-maintenance survey):
+
+        (O_old ∪ ΔO) ⋈ (C_old ∪ ΔC)
+          = O_old⋈C_old  ∪  ΔO⋈C_old  ∪  O_old⋈ΔC  ∪  ΔO⋈ΔC
+
+    so a stored join view advances with three DELTA-sized joins
+    instead of re-joining history — O(Δ·|C|-ish) instead of O(|O|·…)
+    per refresh at 100 TB, the join twin of incremental_agg_merge's
+    monoid merge. Deltas here: new orders = o_orderdate >= 1999-01-01
+    (a date partition), new customers = c_custkey % 10 >= 8 (a
+    late-arriving dimension slice) — BOTH sides move, so all three
+    delta terms are non-empty and the identity is exercised in full,
+    not just the easy one-sided case.
+
+    The oracle is the strongest check: a flat full recompute. The
+    Spark side deliberately computes the four-term union with
+    per-term partial aggregates merged by one final groupBy; the
+    integer-cents pin makes the equality semantic. Each term is an
+    ordinary broadcast/hash equi-join with its cutoff predicates
+    pushed to the scans (plan-gated)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)")
+        .alias("cents"))
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cut = "1999-01-01"
+    o_old, o_new = o.where(F.col("o_orderdate") < cut), \
+        o.where(F.col("o_orderdate") >= cut)
+    c_old, c_new = c.where(F.col("c_custkey") % 10 < 8), \
+        c.where(F.col("c_custkey") % 10 >= 8)
+
+    def term(ordf, custdf):
+        return (ordf.join(custdf,
+                          ordf.o_custkey == custdf.c_custkey)
+                .groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                     F.sum("cents").cast("long").alias("revenue_cents")))
+
+    parts = (term(o_old, c_old)          # the stored view
+             .union(term(o_new, c_old))  # ΔO ⋈ C_old
+             .union(term(o_old, c_new))  # O_old ⋈ ΔC
+             .union(term(o_new, c_new)))  # ΔO ⋈ ΔC
+    return (parts.groupBy("c_mktsegment")
+            .agg(F.sum("n_orders").cast("long").alias("n_orders"),
+                 F.sum("revenue_cents").cast("long")
+                 .alias("revenue_cents")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

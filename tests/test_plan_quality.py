@@ -920,3 +920,20 @@ def test_perplexity_buckets_no_global_sort(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "CartesianProduct"):
         assert node not in final, final
+
+
+def test_incremental_join_merge_plan(spark):
+    """incremental_join_merge: all four delta terms must keep their
+    cutoff predicates at the scans (the date literal and the custkey
+    modulo both appear as pushed/scan-side filters), each term is a
+    hash/broadcast equi-join, and a Union feeds ONE merge aggregate."""
+    final = _final_plan(spark, "incremental_join_merge")
+    assert "Union" in final, final
+    assert "1999-01-01" in final, final
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython", "MapInPandas"):
+        assert node not in final, final
+    n_joins = (final.count("BroadcastHashJoin")
+               + final.count("SortMergeJoin")
+               + final.count("ShuffledHashJoin"))
+    assert n_joins == 4, final
