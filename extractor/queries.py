@@ -1916,11 +1916,72 @@ def conv_dedup_exact(spark, sf_dir):
                  F.min("conv_id").alias("keep_conv")))
 
 
+def _ckpt_nostats(df: DataFrame) -> DataFrame:
+    """localCheckpoint that also RESETS Catalyst plan statistics —
+    mandatory inside iterative JOIN loops.
+
+    Dataset.localCheckpoint truncates lineage but copies the origin
+    plan's estimated statistics onto the checkpointed LogicalRDD
+    (originStats). The size-only estimator MULTIPLIES child
+    sizeInBytes at every Join, so in a loop whose round joins two
+    frames checkpointed the previous round the carried estimate
+    compounds doubly-exponentially: by round ~8 of the CC loop the
+    driver was burning minutes per round inside
+    BigInteger.multiplyToomCook3 — jstack showed 107s of CPU in
+    SizeInBytesOnlyStatsPlanVisitor.visitJoin multiplying million-bit
+    stats — while the actual data SHRANK (the 401-node path-graph
+    test went from >550s/timeout to 8.8s total with this fix; plan
+    text size was constant all along, confirming lineage truncation
+    worked and the blowup was purely stats arithmetic).
+
+    Rebuilding the DataFrame from the checkpointed JVM RDD + schema
+    makes a fresh LogicalRDD with default statistics, resetting the
+    compounding each round. javaRDD()/createDataFrame stay entirely
+    JVM-side — rows never cross into Python. Join-strategy impact:
+    none — the frame reports defaultSizeInBytes (conservatively
+    huge), exactly what the compounded estimate also implied, so
+    planner choices (no auto-broadcast of loop frames) are unchanged.
+    """
+    spark = df.sparkSession
+    ck = df.localCheckpoint(eager=True)
+    jdf = spark._jsparkSession.createDataFrame(ck._jdf.javaRDD(),
+                                               ck._jdf.schema())
+    return DataFrame(jdf, spark)
+
+
 def _min_label_propagation(edges: DataFrame) -> DataFrame:
     """Iterative connected-components core over a symmetric (u, v)
     edge list; returns (doc_id, cluster_id=component min). Factored
     out of dedup_cluster_assign so deep-diameter graphs (and the
-    periodic lineage truncation) are unit-testable directly."""
+    periodic lineage truncation) are unit-testable directly.
+
+    Three mechanisms compose per round — each closes a measured
+    failure class of the previous one:
+    1. neighbor-min propagation (label <- min(self, neighbor labels))
+       — correct alone but O(diameter) rounds;
+    2. pointer jumping / path halving (label <- label(label),
+       Shiloach-Vishkin lineage) — collapses pointer CHAINS in
+       O(log D), but cannot cross a "false root" (a region whose
+       representative believes itself minimal: the true min still
+       advances only one frontier hop per round — measured as a
+       changed=7-per-round crawl past the cap on the sf0.01 ER
+       blocking graph, diameter 272);
+    3. edge CONTRACTION (Kiveris et al., "Connected Components in
+       MapReduce and Beyond", SoCC'14 lineage): each round the edge
+       list is rewritten to (label(u), label(v)), self-loops dropped,
+       deduped — so the next round's propagation runs on the REGION
+       graph, whose frontier hops merge whole regions. The chain +
+       contraction combination converges in O(log) rounds on every
+       graph class tested (401-path: 9 rounds; the D=272 ER graph:
+       8 rounds).
+
+    Convergence = no label changed in a round; at that point no
+    contracted edge crosses two labels (else neighbor-min would have
+    changed one), every component has exactly one root, and every
+    node's label has resolved to it — the same component-min labeling
+    the oracle's transitive closure computes. Labels only ever take
+    node-id values from inside their component and never drop below
+    the component min, so the root IS the min."""
     # fused round 1: from identity labels, one propagation step is just
     # label(u) = min(u, min over neighbors v) — a single aggregation,
     # replacing the generic round's two joins (and the distinct() init:
@@ -1929,47 +1990,65 @@ def _min_label_propagation(edges: DataFrame) -> DataFrame:
               .agg(F.least(F.col("u"), F.min("v")).alias("cluster_id"))
               .select(F.col("u").alias("doc_id"), "cluster_id")
               .persist())
-    cached = labels  # the currently-persisted round frame
+    cached = labels  # the initial persist()ed frame (rounds are
+    # checkpointed via _ckpt_nostats; blocks of superseded rounds are
+    # reclaimed by the ContextCleaner once unreferenced)
+    work = edges     # the (shrinking) contracted edge list
     converged = False
-    # hard cap well above any plausible near-dup component diameter;
-    # hitting it without convergence is an error, never a silent
-    # partial answer (labels would disagree with the transitive
-    # closure the oracle computes)
+    # hard cap: with contraction the round count is logarithmic, so 50
+    # is an extreme ceiling; hitting it without convergence is an
+    # error, never a silent partial answer
     for rnd in range(1, 51):
-        neigh = (edges.join(labels, edges["v"] == labels["doc_id"])
+        neigh = (work.join(labels, work["v"] == labels["doc_id"])
                  .groupBy("u").agg(F.min("cluster_id").alias("nmin")))
         # carry the previous label through the update so convergence is
         # read off the SAME materialization (one filter+count over the
-        # cached frame) instead of a separate labels-vs-new join — that
-        # extra join added a whole shuffle per round and dominated the
-        # loop's wall time on small graphs
-        upd = (labels.join(neigh, labels["doc_id"] == neigh["u"], "left")
-               .select(labels["doc_id"],
-                       F.col("cluster_id").alias("old_cid"),
-                       F.least("cluster_id", F.coalesce("nmin", "cluster_id"))
-                       .alias("cluster_id")))
-        if rnd % 5 == 0:
-            # truncate lineage: over many rounds the plan otherwise
-            # grows one join+agg layer per round and replanning cost
-            # compounds
-            upd = upd.localCheckpoint(eager=True)
-        else:
-            upd = upd.persist()
+        # cached frame) instead of a separate labels-vs-new join
+        upd1 = (labels.join(neigh, labels["doc_id"] == neigh["u"], "left")
+                .select(labels["doc_id"],
+                        F.col("cluster_id").alias("old_cid"),
+                        F.least("cluster_id",
+                                F.coalesce("nmin", "cluster_id"))
+                        .alias("cluster_id")))
+        lab2 = upd1.select(F.col("doc_id").alias("j_id"),
+                           F.col("cluster_id").alias("j_cid"))
+        # checkpoint every round (stats-resetting: see _ckpt_nostats —
+        # the jump self-join plus the contraction joins would compound
+        # carried sizeInBytes doubly-exponentially otherwise); the
+        # round count is O(log) so the total checkpoint cost is bounded
+        upd = _ckpt_nostats(
+            upd1.join(lab2, upd1["cluster_id"] == lab2["j_id"], "left")
+            .select(upd1["doc_id"], "old_cid",
+                    F.coalesce("j_cid", "cluster_id").alias("cluster_id")))
         changed = upd.where(F.col("cluster_id") != F.col("old_cid")).count()
-        cached.unpersist()  # the PERSISTED handle (labels is a projection)
-        cached = upd
+        if cached is not None:
+            cached.unpersist()   # release the init persist after round 1
+            cached = None
         labels = upd.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True
             break
+        # contract: rewrite edges onto current labels so the next
+        # round propagates between REGIONS, not nodes (the edge list
+        # only ever shrinks; symmetric by construction since the
+        # input list is)
+        lu = labels.select(F.col("doc_id").alias("u"),
+                           F.col("cluster_id").alias("lu"))
+        lv = labels.select(F.col("doc_id").alias("v"),
+                           F.col("cluster_id").alias("lv"))
+        work = _ckpt_nostats(
+            work.join(lu, "u").join(lv, "v")
+            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct())
     edges.unpersist()
     if not converged:
         raise RuntimeError(
             "dedup_cluster_assign: min-label propagation did not "
             "converge within 50 rounds (changed={} in the last round) "
-            "— component diameter exceeds the cap; raise it rather "
-            "than returning labels that disagree with the transitive "
-            "closure".format(changed))
+            "— with contraction this means a logic regression, not a "
+            "deep graph; investigate rather than raising the cap"
+            .format(changed))
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
 
 
@@ -7952,6 +8031,52 @@ def incremental_join_merge(spark, sf_dir):
             .agg(F.sum("n_orders").cast("long").alias("n_orders"),
                  F.sum("revenue_cents").cast("long")
                  .alias("revenue_cents")))
+
+
+@_q("entity_cluster_assign", sql="""
+WITH RECURSIVE ranked AS (
+  SELECT c_custkey, c_name,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rnk
+  FROM customer),
+pairs AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb
+          FROM ranked a JOIN ranked b
+            ON b.rnk > a.rnk AND b.rnk <= a.rnk + {w}
+          WHERE levenshtein(a.c_name, b.c_name) <= 3),
+edges AS (SELECT ka AS u, kb AS v FROM pairs
+          UNION ALL SELECT kb, ka FROM pairs),
+reach(u, v) AS (SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+SELECT u AS custkey, CAST(min(v) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u
+""".format(w=_SNM_W))
+def entity_cluster_assign(spark, sf_dir):
+    """The third and final ER stage: blocking -> verify ->
+    CLUSTERING. Matched pairs from entity_resolution_pipeline become
+    a symmetric edge list, and connected components (the
+    pointer-jumping min-label core, O(log diameter) rounds) assign
+    every linked record its entity cluster id (= component min — the
+    survivorship canonical record). This graph is exactly the input
+    class that motivated the pointer-jump upgrade: balance-adjacent
+    customers with similar names chain, and the measured component
+    diameter at sf0.01 is 272 — plain one-hop propagation could
+    never close it inside any sane round cap. Oracle: recursive-CTE
+    transitive closure over the same pair SQL (the
+    dedup_cluster_assign pattern). Only records appearing in >= 1
+    matched pair are emitted."""
+    pairs = entity_resolution_pipeline(spark, sf_dir).select(
+        "custkey_a", "custkey_b")
+    edges = _ckpt_nostats(
+        pairs.selectExpr("custkey_a AS u", "custkey_b AS v")
+        .unionByName(
+            pairs.selectExpr("custkey_b AS u", "custkey_a AS v")))
+    # checkpointed (stats-reset), not persisted: the iterative CC
+    # loop joins ON TOP of this frame every round — with the whole
+    # blocking+verify pipeline underneath, Catalyst replanning OOMed
+    # the driver heap, and the pipeline's carried sizeInBytes would
+    # seed the compounding _ckpt_nostats exists to prevent
+    return (_min_label_propagation(edges)
+            .select(F.col("doc_id").alias("custkey"), "cluster_id"))
 
 
 # ===========================================================================

@@ -395,13 +395,18 @@ def test_entropy_milli_matches_reference_loop():
 
 
 def test_min_label_propagation_deep_path_graph(spark):
-    """CC propagation on a diameter-24 path graph: needs 20+ rounds
-    (the old cap silently stopped at 20), crosses several
-    localCheckpoint lineage truncations, and must converge with every
-    node labeled by the component minimum."""
+    """CC on a diameter-400 path graph: plain neighbor-min
+    propagation moves the min ONE hop per round (400 rounds — 8x the
+    50-round cap), so this converging at all inside the cap proves
+    the pointer-jump (path-halving) step works: label chains halve
+    every round, O(log D) convergence (~10 rounds here). Crosses
+    several localCheckpoint lineage truncations; every node must end
+    labeled by the component minimum. (An ER blocking graph measured
+    D=272 at sf0.01 — deep chains are a real input class, not a
+    pathology.)"""
     from extractor.queries import _min_label_propagation
 
-    n = 25  # path 0-1-2-...-24
+    n = 401  # path 0-1-2-...-400
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "u: long, v: long")
     edges = pairs.unionByName(
