@@ -416,6 +416,46 @@ def test_min_label_propagation_deep_path_graph(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_ckpt_nostats_resets_plan_statistics(spark):
+    """_ckpt_nostats must yield a frame whose estimated sizeInBytes is
+    the session default, NOT the origin plan's estimate. Plain
+    localCheckpoint copies originStats onto the LogicalRDD; in an
+    iterative join loop the size-only estimator multiplies child
+    sizes at every Join, so carried estimates compound
+    doubly-exponentially — by round ~8 the CC loop burned minutes per
+    round in BigInteger.multiplyToomCook3 inside
+    SizeInBytesOnlyStatsPlanVisitor (jstack-verified) while the data
+    shrank. This pins the reset: joining two nostats checkpoints and
+    re-checkpointing must not grow the estimate round over round."""
+    from pyspark.sql import functions as F
+
+    from extractor.queries import _ckpt_nostats
+
+    df = spark.range(100).select(
+        F.col("id").alias("u"), (F.col("id") % 10).alias("v"))
+
+    def size_of(frame):
+        return int(str(frame._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+
+    ck = _ckpt_nostats(df)
+    base = size_of(ck)
+    cur = ck
+    sizes = []
+    for _ in range(3):
+        joined = (cur.join(ck.selectExpr("u AS u2", "v"), "v")
+                  .select("u", F.col("u2").alias("v")))
+        cur = _ckpt_nostats(joined)
+        sizes.append(size_of(cur))
+    # every round's checkpointed estimate equals the flat default-
+    # stats base (same schema => same per-row estimate); compounding
+    # would make each round the PRODUCT of the previous two
+    assert all(s == sizes[0] for s in sizes), sizes
+    assert sizes[0] <= base * 200, (sizes[0], base)
+    # and the rebuilt frame still carries the right data
+    assert cur.count() > 0
+
+
 def test_iceberg_branch_dispatch_mocked():
     """The ``iceberg:`` branches in tables.py are environment-blocked
     (no Iceberg jars in the sandbox); exercise them against mocks so
