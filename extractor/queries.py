@@ -8079,6 +8079,120 @@ def entity_cluster_assign(spark, sf_dir):
             .select(F.col("doc_id").alias("custkey"), "cluster_id"))
 
 
+_DSIR_B = 4096  # hashed n-gram feature buckets (Xie'23 uses 10k)
+
+# feature bucket: the shared 60-bit md5 primitive mod B — identical
+# integer in both engines (the SimHash/minhash hashing discipline)
+_DSIR_BKT = "pmod({h}, {b})".format(h=_H60.format(x="term"), b=_DSIR_B)
+
+
+@_q("dsir_select", sql="""
+WITH toks AS (SELECT doc_id, lang,
+                     unnest(list_filter(string_split_regex(lower(text),
+                            '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS term
+              FROM documents),
+feats AS (SELECT doc_id, lang,
+                 {hd} % {b} AS bkt, count(*) AS m
+          FROM toks GROUP BY ALL),
+raw AS (SELECT bkt, CAST(sum(m) AS BIGINT) AS cr FROM feats GROUP BY bkt),
+tgt AS (SELECT bkt, CAST(sum(m) AS BIGINT) AS ct
+        FROM feats WHERE lang = 'en' GROUP BY bkt),
+tots AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
+                (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS tt),
+sc AS (SELECT f.doc_id, CAST(sum(f.m) AS BIGINT) AS n_toks,
+              sum(f.m * ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE)
+                           / (r.cr + 1))) AS part
+       FROM feats f JOIN raw r USING (bkt) LEFT JOIN tgt t USING (bkt)
+       GROUP BY f.doc_id),
+scored AS (SELECT doc_id, n_toks,
+                  round(part + n_toks * ln(CAST(tr + {b} AS DOUBLE)
+                                           / (tt + {b})), 4) AS logw_r
+           FROM sc, tots),
+ranked AS (SELECT *, row_number() OVER (ORDER BY logw_r DESC, doc_id)
+                     AS rnk,
+                  count(*) OVER () AS n
+           FROM scored)
+SELECT doc_id, n_toks, logw_r, CAST(rnk AS BIGINT) AS rnk,
+       CAST(CASE WHEN rnk <= (n + 4) // 5 THEN 1 ELSE 0 END AS INT) AS sel
+FROM ranked
+""".format(hd=_H60_DUCK.format(x="term"), b=_DSIR_B))
+def dsir_select(spark, sf_dir):
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS'23): select raw-corpus documents whose hashed bag-of-
+    n-grams distribution looks like a TARGET domain. Feature space =
+    whitespace unigrams hashed into B=4096 buckets (the paper's
+    hashed-ngram generative model, md5-60-bit primitive so the
+    bucket assignment is integer-identical cross-engine); fit
+    add-1-smoothed multinomials p_tgt (here: lang='en' docs — the
+    'formal text' stand-in) and p_raw (whole corpus); per-doc log
+    importance weight
+
+        log w(x) = sum_f m_f · [ln(ct_f+1) - ln(T_t+B)
+                                - ln(cr_f+1) + ln(T_r+B)]
+                 = sum_f m_f · ln((ct_f+1)/(cr_f+1))
+                   + n_toks · ln((T_r+B)/(T_t+B))
+
+    and keep the top ceil(n/5) docs by weight (the paper resamples
+    with Gumbel noise; the noise column is a trivial add and is
+    pinned OFF here so selection is deterministic and oracle-exact —
+    documented divergence, not an accident).
+
+    Scale shape: token instances reduce to per-(doc,bucket)
+    multiplicities FIRST (ONE corpus-scale shuffle, map-side
+    combinable — identical to kn_bigram_nll's reduction discipline);
+    both model tables are <= B=4096 rows and join by BROADCAST; the
+    two totals are 1-row broadcasts; ranking uses the shared
+    _global_rank range-partition machinery (no single-partition
+    window). At 10^12 tokens nothing but the first reduction moves
+    corpus-scale data.
+
+    Cross-engine FP: each per-(doc,bucket) term is one identical
+    chain of correctly-rounded ops; only per-doc sum order differs —
+    emitted at 4 decimals with the rounding-boundary margin pinned
+    in-suite (the kn_bigram_nll/bm25 discipline); ranking ties on
+    the ROUNDED weight break by doc_id in both engines.
+    Reference analog: confidence-filtered selection of extractor
+    outputs (SURVEY §2 P1) generalized to distribution matching."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                           lambda x: x != "")).alias("term"))
+    feats = (toks.select("doc_id", "lang",
+                         F.expr(_DSIR_BKT).alias("bkt"))
+             .groupBy("doc_id", "lang", "bkt")
+             .agg(F.count("*").alias("m"))
+             .persist())  # 3 consumers: raw model, target model, score
+    raw = feats.groupBy("bkt").agg(F.sum("m").alias("cr"))
+    tgt = (feats.where(F.col("lang") == "en")
+           .groupBy("bkt").agg(F.sum("m").alias("ct")))
+    tr = raw.agg(F.sum("cr").alias("tr"))
+    tt = tgt.agg(F.sum("ct").alias("tt"))
+    term = F.col("m").cast("double") * F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        / (F.col("cr") + 1))
+    sc = (feats.join(F.broadcast(raw), "bkt")
+          .join(F.broadcast(tgt), "bkt", "left")
+          .groupBy("doc_id")
+          .agg(F.sum("m").cast("long").alias("n_toks"),
+               F.sum(term).alias("part")))
+    scored = (sc.crossJoin(F.broadcast(tr)).crossJoin(F.broadcast(tt))
+              .select("doc_id", "n_toks",
+                      F.round(
+                          F.col("part")
+                          + F.col("n_toks").cast("double")
+                          * F.log((F.col("tr") + _DSIR_B).cast("double")
+                                  / (F.col("tt") + _DSIR_B)),
+                          4).alias("logw_r")))
+    ranked, n = _global_rank(scored.withColumn("neg", -F.col("logw_r")),
+                             ["neg", "doc_id"])
+    k = (n + 4) // 5
+    return ranked.select("doc_id", "n_toks", "logw_r",
+                         F.col("rnk").cast("long").alias("rnk"),
+                         F.when(F.col("rnk") <= k, 1).otherwise(0)
+                         .cast("int").alias("sel"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2095,3 +2095,85 @@ def test_compress_ratio_quality_semantics(spark, tmp_path):
           .set_index("doc_id"))
     assert g2.loc[0, "ratio_milli"] < 100 < g2.loc[1, "ratio_milli"]
     assert g2.loc[0, "low_quality"] == 1 and g2.loc[1, "low_quality"] == 0
+
+
+def test_dsir_select_hand_and_margins(spark, tmp_path):
+    """DSIR exactness on a hand-replayable fixture (5 docs, mixed
+    langs, K=(5+4)//5=1 so exactly the top-weight doc is selected),
+    then the cross-engine margin discipline on sf0.01: a pure-Python
+    replay of the UNROUNDED log importance weight must (a) round to
+    exactly the emitted logw_r for every doc and (b) sit far from
+    every 4-decimal rounding boundary, so the engines' per-doc
+    sum-order difference cannot flip a rounded digit."""
+    import collections
+    import math
+
+    from extractor.queries import _DSIR_B, QUERIES
+
+    def replay(docs):
+        """(doc_id -> (n_toks, unrounded logw)) per the Xie'23
+        add-1-smoothed hashed-unigram formula."""
+        feats = {}
+        for did, txt, lang in zip(docs["doc_id"], docs["text"],
+                                  docs["lang"]):
+            c = collections.Counter(
+                int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                % _DSIR_B
+                for w in str(txt).lower().split() if w)
+            if c:
+                feats[int(did)] = (lang, c)
+        raw = collections.Counter()
+        tgt = collections.Counter()
+        for lang, c in feats.values():
+            raw.update(c)
+            if lang == "en":
+                tgt.update(c)
+        tr, tt = sum(raw.values()), sum(tgt.values())
+        out = {}
+        for did, (_, c) in feats.items():
+            n = sum(c.values())
+            part = sum(m * math.log((tgt.get(b, 0) + 1)
+                                    / (raw[b] + 1))
+                       for b, m in c.items())
+            out[did] = (n, part + n * math.log((tr + _DSIR_B)
+                                               / (tt + _DSIR_B)))
+        return out
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the cat sat on the mat with the hat",
+             "der schnelle braune fuchs springt hoch",
+             "le chat est assis sur le tapis rouge",
+             "el perro corre por el parque verde"]
+    sf = _docs(tmp_path, texts, langs=["en", "en", "de", "fr", "es"])
+    got = (QUERIES["dsir_select"](spark, sf).toPandas()
+           .set_index("doc_id").sort_index())
+    exp = replay(pd.read_parquet(sf + "/documents.parquet"))
+    assert len(got) == 5
+    for did, (n, lw) in exp.items():
+        assert got.loc[did, "n_toks"] == n
+        assert abs(got.loc[did, "logw_r"] - round(lw, 4)) < 1e-12
+    # K = 1: exactly the highest-weight doc is selected, and it is
+    # an English doc (the target model was FIT on the en docs)
+    assert int(got["sel"].sum()) == 1
+    winner = got[got["sel"] == 1].index[0]
+    assert exp[winner][1] == max(v[1] for v in exp.values())
+    assert winner in (0, 1)
+    # ranks are the dense 1..5 permutation ordered by (-logw, doc_id)
+    order = sorted(exp, key=lambda d: (-exp[d][1], d))
+    assert [got.loc[d, "rnk"] for d in order] == [1, 2, 3, 4, 5]
+
+    # sf0.01: full-value differential + rounding-boundary margin
+    big = (QUERIES["dsir_select"](spark, "/root/testdata/sf0.01")
+           .toPandas().set_index("doc_id").sort_index())
+    exp2 = replay(pd.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet"))
+    assert len(big) == len(exp2) == 500
+    worst = 1.0
+    for did, (n, lw) in exp2.items():
+        assert big.loc[did, "n_toks"] == n
+        assert abs(big.loc[did, "logw_r"] - round(lw, 4)) < 1e-12
+    for _, lw in exp2.values():
+        frac = abs(lw * 1e4 - math.floor(lw * 1e4) - 0.5)
+        worst = min(worst, frac)
+    assert worst > 1e-6, worst  # >1e-9 required; leaves headroom
+    assert int(big["sel"].sum()) == 100  # ceil(500/5)

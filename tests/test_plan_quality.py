@@ -937,3 +937,23 @@ def test_incremental_join_merge_plan(spark):
                + final.count("SortMergeJoin")
                + final.count("ShuffledHashJoin"))
     assert n_joins == 4, final
+
+
+def test_dsir_select_plan(spark):
+    """dsir_select: token instances must reduce to per-(doc,bucket)
+    multiplicities map-side (partial agg before the shuffle); both
+    <=4096-row model tables join by BROADCAST hash; the only
+    nested-loop joins are the two Cross joins against the 1-row
+    totals; ranking rides the range-partition machinery (never an
+    Exchange SinglePartition); no Python eval anywhere."""
+    final = _final_plan(spark, "dsir_select")
+    assert "partial_count" in final or "partial_sum" in final, final
+    assert final.count("BroadcastHashJoin") >= 2, final
+    assert final.count("BroadcastNestedLoopJoin") <= 2, final
+    assert "BroadcastNestedLoopJoin BuildLeft" not in final \
+        or "Cross" in final, final
+    assert "rangepartitioning" in final, final
+    assert "SinglePartition" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "CartesianProduct"):
+        assert node not in final, final
