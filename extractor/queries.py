@@ -8193,6 +8193,211 @@ def dsir_select(spark, sf_dir):
                          .cast("int").alias("sel"))
 
 
+_BFS_MAX_HOPS = 6  # fixed frontier cap — keeps the oracle's recursive
+# CTE bounded and the Spark loop count deterministic at every SF
+
+
+def _bfs_hops(edges: DataFrame, seeds: DataFrame,
+              max_hops: int = _BFS_MAX_HOPS) -> DataFrame:
+    """Frontier BFS over a symmetric (u, v) edge list from a seed
+    node set; returns (node_id, hops) = minimum hop distance, nodes
+    beyond max_hops excluded. The third iterative-graph core next to
+    _min_label_propagation (monotone min-label fixpoint) and
+    pagerank (fixed-round value iteration): BFS is the monotone
+    FRONTIER shape — per round, expand the newest layer only, then
+    anti-join the visited set, so per-round work is proportional to
+    the frontier, not the graph.
+
+    Scale shape: round h joins the (shrinking-or-bounded) frontier
+    with edges on the edge key — one shuffle keyed on u — then one
+    distinct and one left_anti against visited. The visited set is a
+    union of per-round _ckpt_nostats frames (each a fresh LogicalRDD
+    with default stats — the CC loop's stats-compounding lesson
+    applies to any iterative join loop, this one included); rounds
+    are capped by max_hops so total checkpoint cost is bounded.
+    Early exit on an empty frontier reads the count off the frame
+    that the next round would consume anyway — no extra action."""
+    frontier = seeds.select("node_id").distinct()
+    visited = _ckpt_nostats(frontier.withColumn("hops", F.lit(0)))
+    layers = [visited]
+    for h in range(1, max_hops + 1):
+        nxt = _ckpt_nostats(
+            edges.join(frontier, edges["u"] == frontier["node_id"])
+            .select(F.col("v").alias("node_id")).distinct()
+            .join(visited, "node_id", "left_anti")
+            .withColumn("hops", F.lit(h)))
+        if nxt.isEmpty():
+            break
+        layers.append(nxt)
+        visited = layers[0]
+        for lay in layers[1:]:
+            visited = visited.unionByName(lay)
+        frontier = nxt.select("node_id")
+    return visited.select(F.col("node_id").cast("long").alias("node_id"),
+                          F.col("hops").cast("int").alias("hops"))
+
+
+_ENTITY_ALIASES = [
+    (1, "hash value"), (2, "table part"), (3, "fast merge"),
+    (4, "data column"), (5, "scan query"), (6, "order group"),
+    (7, "sort table window"), (8, "big table"),
+]  # fixed multi-word alias dictionary (2- and 3-word phrases over the
+# corpus vocabulary); ids are the canonical entity keys
+
+
+@_q("dict_entity_tag", sql="""
+WITH al(entity_id, alias, alen) AS (VALUES {vals}),
+d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT d.doc_id, al.entity_id, i AS pos
+      FROM d, al, unnest(generate_series(0, len(w) - al.alen)) AS t(i)
+      WHERE array_to_string(list_slice(w, i + 1, i + al.alen), ' ')
+            = al.alias)
+SELECT doc_id, entity_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(pos) AS INT) AS first_pos
+FROM g GROUP BY doc_id, entity_id
+""".format(vals=", ".join("({}, '{}', {})".format(i, a, len(a.split()))
+                          for i, a in _ENTITY_ALIASES)))
+def dict_entity_tag(spark, sf_dir):
+    """Dictionary-based entity tagging (the weak-supervision /
+    knowledge-base phrase-gazetteer pass of a training-data pipeline):
+    find every occurrence of a fixed multi-word alias dictionary in
+    each document, emitting per-(doc, entity) match count and first
+    word position. Overlapping occurrences all count, identically in
+    both engines (raw n-gram semantics, no longest-match arbitration).
+
+    Scale shape: the declarative form of Aho-Corasick — explode word
+    n-grams ONLY at the alias lengths present in the dictionary
+    (here 2 and 3: ~2x token count rows, never all lengths), then one
+    BROADCAST hash join against the alias table (a gazetteer is
+    always tiny next to the corpus) and one partial-agg shuffle on
+    (doc_id, entity_id). No UDF; the gram build is the same
+    sequence/slice expression dup_ngram_spans uses. At 100 TB the
+    alias broadcast is the textbook small-dim pattern; a
+    million-entry gazetteer would swap the broadcast for a shuffle
+    join on the gram — the plan shape otherwise holds."""
+    lens = sorted({len(a.split()) for _, a in _ENTITY_ALIASES})
+    d = (t(spark, sf_dir, "documents")
+         .selectExpr("doc_id", "split(text, ' ') AS w").persist())
+    grams = None
+    for L in lens:
+        g = (d.where(F.size("w") >= L)
+             .selectExpr(
+                 "doc_id",
+                 "posexplode(transform(sequence(0, size(w) - {L}),"
+                 " i -> concat_ws(' ', slice(w, i + 1, {L}))))"
+                 " AS (pos, gram)".format(L=L)))
+        grams = g if grams is None else grams.unionByName(g)
+    al = spark.createDataFrame(
+        [(i, a) for i, a in _ENTITY_ALIASES], "entity_id int, alias string")
+    return (grams.join(F.broadcast(al), grams["gram"] == al["alias"])
+            .groupBy("doc_id", "entity_id")
+            .agg(F.count("*").alias("n_matches"),
+                 F.min("pos").cast("int").alias("first_pos")))
+
+
+_EWMA_ALPHA = 0.25   # smoothing weight on the newest observation
+_EWMA_WIN = 16       # bounded lookback (rows) — caps per-row state
+
+
+@_q("ewma_user_value", sql="""
+SELECT event_id,
+       list_reduce(
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN {lb} PRECEDING AND CURRENT ROW),
+         (a, x) -> a * CAST({om} AS DOUBLE) + x * CAST({al} AS DOUBLE))
+       AS ewma
+FROM events
+""".format(lb=_EWMA_WIN - 1, al=_EWMA_ALPHA, om=1 - _EWMA_ALPHA))
+def ewma_user_value(spark, sf_dir):
+    """Exponentially weighted moving average of `value` per user over
+    event time, bounded to the last 16 events — the online smoothing
+    signal of a metrics/feature pipeline, formulated so it scales:
+    the textbook EWMA recurrence is inherently sequential per key
+    (unbounded state), so this is the BOUNDED-WINDOW variant — per
+    row, collect the ordered trailing window (<= 16 doubles) and fold
+    it left oldest->newest: s <- s*(1-a) + x*a, seeded at the oldest
+    value. Per-row state is a constant 16 doubles regardless of user
+    history length, so hot users cannot blow window memory (contrast
+    an unbounded RANGE frame).
+
+    Cross-engine exactness: both engines fold the SAME ordered list
+    left-to-right with the same double constants, so every
+    intermediate IEEE op is identical and the raw double is
+    BIT-EQUAL — emitted unrounded, because rounding would LOSE
+    exactness here: 0.25/0.75 are dyadic, so fold results on
+    2-decimal inputs terminate in decimal and land exactly on
+    round-half ties, where the engines' round() disagree (measured:
+    3 rows at sf0.01, e.g. ...8125 -> 23.677812 vs 23.677813).
+    Ordering ties on ts break by event_id in both engines. One
+    shuffle on user_id; window + fold are JVM-side (F.aggregate
+    nested lambda, no Python)."""
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-(_EWMA_WIN - 1), 0))
+    vals = F.collect_list("value").over(w)
+    fold = F.aggregate(
+        F.expr("slice(vals, 2, size(vals) - 1)"),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: acc * F.lit(1 - _EWMA_ALPHA)
+        + x * F.lit(_EWMA_ALPHA))
+    return (t(spark, sf_dir, "events")
+            .select("event_id", vals.alias("vals"))
+            .select("event_id", fold.alias("ewma")))
+
+
+@_q("bfs_hops_supply_graph", sql="""
+WITH RECURSIVE
+e AS (SELECT DISTINCT -l_suppkey AS u, l_partkey AS v FROM lineitem
+      UNION
+      SELECT DISTINCT l_partkey AS u, -l_suppkey AS v FROM lineitem),
+seeds AS (SELECT -s_suppkey AS node_id FROM supplier WHERE s_suppkey <= 3),
+bfs(node_id, hops) AS (
+  SELECT node_id, 0 FROM seeds
+  UNION
+  SELECT e.v, bfs.hops + 1
+  FROM bfs JOIN e ON e.u = bfs.node_id
+  WHERE bfs.hops < {mh})
+SELECT CAST(node_id AS BIGINT) AS node_id,
+       CAST(min(hops) AS INT) AS hops
+FROM bfs GROUP BY node_id
+""".format(mh=_BFS_MAX_HOPS))
+def bfs_hops_supply_graph(spark, sf_dir):
+    """Multi-source BFS shortest hop counts over the undirected
+    supplier<->part procurement graph (suppliers negated into their
+    own id space, as in pagerank_supplier_part), seeded at suppliers
+    1-3 (non-empty at every SF), depth-capped at 6 — "how far is each
+    part /
+    supplier from this nation's supply base", the supply-chain
+    blast-radius query, and the reachability primitive under
+    contamination-propagation analyses (doc -> near-dup -> cluster).
+
+    The oracle is the textbook recursive-CTE BFS: UNION-recursive
+    (node, hops) expansion bounded by hops < 6, min(hops) per node —
+    exactly the frontier loop's fixpoint, so the comparison pins the
+    iterative Spark machinery (frontier expansion, visited anti-join,
+    per-round stats-reset checkpoints) against a from-the-definition
+    engine.
+
+    Scale shape: see _bfs_hops — per-round cost tracks the frontier;
+    the edge list shuffles on u once per round (at 100 TB the edge
+    list would be bucketed on u so every round's join is
+    shuffle-free on the big side). Seeds that supply nothing still
+    appear at hops 0 (both engines read seeds off the supplier dim,
+    not the edge list)."""
+    li = t(spark, sf_dir, "lineitem")
+    fwd = li.select((-F.col("l_suppkey")).alias("u"),
+                    F.col("l_partkey").alias("v")).distinct()
+    edges = (fwd.unionByName(fwd.select(F.col("v").alias("u"),
+                                        F.col("u").alias("v")))
+             .persist())
+    seeds = (t(spark, sf_dir, "supplier")
+             .where(F.col("s_suppkey") <= 3)
+             .select((-F.col("s_suppkey")).alias("node_id")))
+    out = _bfs_hops(edges, seeds)
+    edges.unpersist()
+    return out
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2177,3 +2177,26 @@ def test_dsir_select_hand_and_margins(spark, tmp_path):
         worst = min(worst, frac)
     assert worst > 1e-6, worst  # >1e-9 required; leaves headroom
     assert int(big["sel"].sum()) == 100  # ceil(500/5)
+
+
+def test_bfs_hops_path_cap_multiseed(spark):
+    """_bfs_hops from the definition: on a 0-1-...-10 path seeded at
+    node 0, hop counts are exact, nodes past the 6-hop cap are
+    EXCLUDED (7..10), and a disconnected 100-101 component is never
+    reached. Then multi-source: seeding both ends gives min-over-
+    seeds distances and exercises the empty-frontier early exit
+    (every node is visited by round 5; round 6's expansion anti-joins
+    to empty)."""
+    from extractor.queries import _bfs_hops
+
+    path = [(i, i + 1) for i in range(10)]
+    edges = spark.createDataFrame(
+        path + [(v, u) for u, v in path] + [(100, 101), (101, 100)],
+        "u long, v long")
+    seeds = spark.createDataFrame([(0,)], "node_id long")
+    got = {r.node_id: r.hops for r in _bfs_hops(edges, seeds).collect()}
+    assert got == {i: i for i in range(7)}
+
+    both = spark.createDataFrame([(0,), (10,)], "node_id long")
+    got2 = {r.node_id: r.hops for r in _bfs_hops(edges, both).collect()}
+    assert got2 == {i: min(i, 10 - i) for i in range(11)}

@@ -957,3 +957,25 @@ def test_dsir_select_plan(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "CartesianProduct"):
         assert node not in final, final
+
+
+def test_dict_entity_tag_and_ewma_plans(spark):
+    """dict_entity_tag: the gram explode must join the alias
+    gazetteer by BROADCAST hash join (the small-dim pattern its
+    docstring promises) and reduce with a partial agg; never a
+    nested loop, never Python. ewma_user_value: exactly one Exchange
+    (hashpartitioning on user_id) feeding the window; the bounded
+    fold is a JVM higher-order function, no Python eval."""
+    final = _final_plan(spark, "dict_entity_tag")
+    assert "BroadcastHashJoin" in final, final
+    assert "partial_count" in final or "partial_min" in final, final
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
+
+    final = _final_plan(spark, "ewma_user_value")
+    assert "hashpartitioning(user_id" in final, final
+    assert final.count("Exchange") == 1, final
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
