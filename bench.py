@@ -65,6 +65,7 @@ HEADLINE_QUERIES = [
     "content_chunk_dedup",
     "hard_negative_mining",
     "ann_mmr_topk",
+    "bfs_hops_supply_graph",
     "extract_documents_clean",
 ]
 
