@@ -8296,6 +8296,42 @@ def dict_entity_tag(spark, sf_dir):
                  F.min("pos").cast("int").alias("first_pos")))
 
 
+@_q("dedup_token_sort", sql="""
+WITH f AS (SELECT doc_id,
+                  md5(array_to_string(list_sort(string_split(text, ' ')),
+                                      ' ')) AS ts_fp
+           FROM documents)
+SELECT ts_fp, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM f GROUP BY ts_fp
+""")
+def dedup_token_sort(spark, sf_dir):
+    """Token-sort fingerprint dedup: md5 over the doc's WORDS SORTED
+    (the RapidFuzz token_sort / bag-of-words canonicalization) — two
+    docs that are word-order permutations of each other collapse to
+    one fingerprint. This closes the permutation gap in the dedup
+    family matrix: exact dedup (dedup_exact) misses any reorder,
+    Levenshtein (j4) REJECTS reorders (edit distance ~ 2x the moved
+    span), and MinHash/Jaccard treats them as 1.0-similar but only
+    probabilistically; token-sort is the deterministic exact-match
+    rule for that class. Emits per-fingerprint group size and the
+    min-doc_id survivor, the same keep convention as the other dedup
+    ops.
+
+    Scale shape: one projection (split -> array_sort -> md5, all
+    JVM-side; per-row cost n log n in words) then ONE shuffle on the
+    128-bit fingerprint — identical cost profile to dedup_exact.
+    Sorting WITHIN a row is embarrassingly parallel and bounded by
+    doc length; no cross-row state. At 100 TB this is a map + one
+    partial-agg'd exchange, the cheapest possible dedup plan."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.split("text", " ")), " "))
+    return (d.select("doc_id", fp.alias("ts_fp"))
+            .groupBy("ts_fp")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id")))
+
+
 _EWMA_ALPHA = 0.25   # smoothing weight on the newest observation
 _EWMA_WIN = 16       # bounded lookback (rows) — caps per-row state
 

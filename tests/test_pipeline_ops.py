@@ -2200,3 +2200,29 @@ def test_bfs_hops_path_cap_multiseed(spark):
     both = spark.createDataFrame([(0,), (10,)], "node_id long")
     got2 = {r.node_id: r.hops for r in _bfs_hops(edges, both).collect()}
     assert got2 == {i: min(i, 10 - i) for i in range(11)}
+
+
+def test_dedup_token_sort_catches_permutation(spark, tmp_path):
+    """dedup_token_sort semantics on a planted fixture: a word-order
+    permutation pair collapses to ONE fingerprint (min-id survivor),
+    while a doc differing by a single word keeps its own — exactly the
+    class exact dedup misses and Levenshtein rejects."""
+    import pandas as pd
+
+    from extractor.queries import QUERIES
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["fast scan table join",
+                 "join table fast scan",   # permutation of doc 1
+                 "fast scan table merge",  # one word differs
+                 "fast scan table join extra"],
+        "lang": ["en"] * 4, "source": ["s"] * 4,
+        "n_chars": [20, 20, 21, 26],
+    })
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["dedup_token_sort"](spark, str(tmp_path)).toPandas()
+    assert len(out) == 3
+    grp = out[out.n_docs == 2]
+    assert len(grp) == 1 and int(grp.keep_doc_id.iloc[0]) == 1
+    assert set(out[out.n_docs == 1].keep_doc_id) == {3, 4}
