@@ -30,9 +30,14 @@
   hand fixture), ``bpe_train_merges`` (K-round greedy merge
   training — pinned exactly against the Sennrich reference trainer),
   ``cms_term_counts`` (Count-Min estimates — overestimate + error
-  bound pinned on a colliding fixture, exact on the corpus), and
+  bound pinned on a colliding fixture, exact on the corpus),
   ``compress_ratio_quality`` (zlib sizes aren't SQL — exact replay +
-  planted repetitive/random semantics in-suite).
+  planted repetitive/random semantics in-suite), and
+  ``bpe_encode_texts`` (the merge table is trained FROM the corpus,
+  so no self-contained SQL oracle can replay it, and RE2 lacks the
+  lookbehind the non-overlapping merge scan needs — pinned in-suite
+  by an exact per-doc differential against a from-the-definition
+  Python encoder, including the regex-metachar adversarial corpus).
 """
 
 from __future__ import annotations

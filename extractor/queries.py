@@ -7507,6 +7507,54 @@ def bpe_train_merges(spark, sf_dir):
                 "pair_count long")
 
 
+@_q("bpe_encode_texts")  # rows-only: the merge table is trained from
+# the corpus, so no self-contained SQL oracle can replay it (and RE2
+# lacks the lookbehind the non-overlapping merge application needs);
+# pinned in-suite by an exact differential against a from-the-
+# definition Python encoder (re.sub semantics), including the
+# regex-metachar adversarial corpus.
+def bpe_encode_texts(spark, sf_dir):
+    """Apply the trained BPE merge table to the corpus — the
+    tokenizer-APPLICATION half next to bpe_train_merges (training)
+    and token_count_bpeish (fixed heuristic segmentation). Emits per
+    doc the whitespace word count and the exact BPE piece count under
+    the learned merges — the numbers a packing/cost pipeline needs.
+
+    The scale mechanism is the DICTIONARY-ENCODE trick: merges are
+    a function of the word TYPE, so the K-merge application runs on
+    the DISTINCT-WORD table (vocabulary-sized, ~10^8 at web scale),
+    never the corpus: one distinct() shuffle, then K chained JVM
+    regexp_replace projections (same escaped left-to-right
+    non-overlapping pattern as training, queries.py _bpe_re_lit), a
+    zero-shuffle linear chain over ~|V| short strings. The corpus
+    rejoins the encoded vocabulary on the word key — at test SF a
+    broadcast, at 10^12 tokens a shuffle join on w where the
+    vocab side is ~0.01% of the token side — then one per-doc
+    partial agg. The only corpus-scale costs are the explode, the
+    join, and one groupBy(doc_id). Training's bounded 1-row-per-round
+    collects are inherited from bpe_train_merges; the merge-table
+    collect here is K rows (bounded by _BPE_MERGES)."""
+    merges = bpe_train_merges(spark, sf_dir).collect()  # K rows
+    d = t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+            .where(F.col("w") != ""))
+    enc = (toks.select("w").distinct()
+           .select("w", F.concat_ws(
+               " ", F.concat(F.split(F.col("w"), ""),
+                             F.array(F.lit("</w>")))).alias("sym")))
+    for row in sorted(merges, key=lambda r: r["merge_rank"]):
+        pat = "(?<!\\S){} {}(?!\\S)".format(_bpe_re_lit(row["left"]),
+                                            _bpe_re_lit(row["right"]))
+        rep = (row["left"] + row["right"]).replace("\\", "\\\\") \
+                                          .replace("$", "\\$")
+        enc = enc.withColumn("sym", F.regexp_replace("sym", pat, rep))
+    enc = enc.select("w", F.size(F.split("sym", " ")).alias("np_w"))
+    return (toks.join(F.broadcast(enc), "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("np_w").cast("long").alias("n_pieces")))
+
+
 _SNM_W = 3        # sorted-neighborhood window (pairs within w ranks)
 _SNM_PARTS = 8    # range partitions (scale knob; offsets collect = K rows)
 

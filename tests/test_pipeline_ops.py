@@ -2226,3 +2226,53 @@ def test_dedup_token_sort_catches_permutation(spark, tmp_path):
     grp = out[out.n_docs == 2]
     assert len(grp) == 1 and int(grp.keep_doc_id.iloc[0]) == 1
     assert set(out[out.n_docs == 1].keep_doc_id) == {3, 4}
+
+
+def _bpe_ref_encode(word, merges):
+    """Apply trained merges to one word from the definition: chars +
+    </w>, each merge in rank order as a left-to-right non-overlapping
+    scan (re.sub semantics, same as _bpe_reference's application)."""
+    syms = list(word) + ["</w>"]
+    for _, a, b, _c in merges:
+        o, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                o.append(a + b)
+                i += 2
+            else:
+                o.append(syms[i])
+                i += 1
+        syms = o
+    return syms
+
+
+def test_bpe_encode_texts_differential(spark, tmp_path):
+    """bpe_encode_texts equals the from-the-definition encoder on
+    (a) the sf0.001 corpus under the corpus-trained merge table and
+    (b) the regex-metachar adversarial corpus ($, backslash, dot in
+    symbols) — per-doc word and exact piece counts."""
+    import collections
+
+    from extractor.queries import _BPE_MERGES, QUERIES
+
+    def check(sf):
+        docs = pd.read_parquet(sf + "/documents.parquet")
+        wc = collections.Counter(
+            w for t in docs["text"] for w in str(t).split(" ") if w)
+        merges = _bpe_reference(wc, _BPE_MERGES)
+        enc = {w: len(_bpe_ref_encode(w, merges)) for w in wc}
+        exp = {}
+        for did, txt in zip(docs["doc_id"], docs["text"]):
+            ws = [w for w in str(txt).split(" ") if w]
+            if ws:
+                exp[int(did)] = (len(ws), sum(enc[w] for w in ws))
+        got = (QUERIES["bpe_encode_texts"](spark, sf).toPandas()
+               .set_index("doc_id"))
+        assert len(got) == len(exp)
+        for did, (nw, np_) in exp.items():
+            assert int(got.loc[did, "n_words"]) == nw, did
+            assert int(got.loc[did, "n_pieces"]) == np_, did
+
+    check("/root/testdata/sf0.001")
+    texts = ["$5 $5 $5 c\\d c\\d a.b a.b a.b a.b"] * 2
+    check(_docs(tmp_path, texts))
