@@ -452,3 +452,99 @@ def stream_session_windows(spark: SparkSession, input_dir: str,
             .format("parquet")
             .option("path", os.path.join(output_path, "data"))
             .start())
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: streaming bounded-window EWMA via
+# applyInPandasWithState — numeric state, bit-equal to the batch twin
+# ---------------------------------------------------------------------------
+
+_EWMA_STATE_SCHEMA = "tail ARRAY<DOUBLE>"
+_EWMA_OUT_SCHEMA = "event_id LONG, ewma DOUBLE"
+
+
+def _ewma_group(key, pdf_iter, state):
+    """Per-user bounded-window EWMA with cross-batch state: the state
+    is the trailing <= WIN-1 values (ordered oldest->newest), so an
+    event near a micro-batch boundary sees exactly the same trailing
+    window the batch query's ROWS BETWEEN frame gives it.
+
+    Bit-equality discipline: the batch twin (ewma_user_value) left-
+    folds s <- s*(1-a) + x*a over each event's ordered window, and
+    its oracle hash compares RAW doubles — so this kernel must
+    reproduce the identical IEEE op sequence per event. It does, and
+    still stays vectorized: instead of looping over EVENTS it loops
+    over the <= WIN window POSITIONS, advancing every event's fold
+    state one step per iteration with elementwise numpy ops
+    (s*0.75 + x*0.25 — same two multiplies + add, same order). WIN
+    iterations of O(m) work per micro-batch, no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    from extractor.queries import _EWMA_ALPHA, _EWMA_WIN
+
+    batches = list(pdf_iter)
+    if not batches:
+        return
+    tail = list(state.get[0]) if state.exists else []
+    pdf = pd.concat(batches, ignore_index=True)
+    pdf = pdf.sort_values(["us", "event_id"])
+    vals = pdf["value"].to_numpy(dtype=np.float64)
+    arr = np.concatenate([np.asarray(tail, dtype=np.float64), vals])
+    k = len(tail)
+    m = len(vals)
+    # sliding windows, one row per emitted event: event i (global
+    # index k+i in arr) folds over arr[max(0, k+i-WIN+1) : k+i+1].
+    # Left-pad with NaN so every window is exactly WIN wide; the fold
+    # seeds at each row's first non-NaN column.
+    pad = np.full(_EWMA_WIN - 1, np.nan)
+    pa = np.concatenate([pad, arr])
+    win = np.lib.stride_tricks.sliding_window_view(
+        pa, _EWMA_WIN)[k:]                      # shape (m, WIN)
+    s = np.full(m, np.nan)
+    for j in range(_EWMA_WIN):
+        x = win[:, j]
+        seed = np.isnan(s) & ~np.isnan(x)
+        step = ~np.isnan(s) & ~np.isnan(x)
+        s = np.where(seed, x,
+                     np.where(step,
+                              s * (1 - _EWMA_ALPHA) + x * _EWMA_ALPHA,
+                              s))
+    # plain-float conversion: numpy scalars in the state row break the
+    # JVM-side unpickler (zero-arg ClassDict for numpy.dtype)
+    state.update(([float(v) for v in arr[-(_EWMA_WIN - 1):]],))
+    yield pd.DataFrame({"event_id": pdf["event_id"].to_numpy(),
+                        "ewma": s})
+
+
+def stream_ewma(spark: SparkSession, input_dir: str, output_path: str,
+                events_schema):
+    """Streaming twin of the batch ``ewma_user_value`` query: per-user
+    bounded-window EWMA over a continuously-arriving events feed,
+    trailing-window state carried across micro-batches. Append-mode
+    per-event output through the epoch-idempotent sink; pinned
+    BIT-equal to the batch query on the same input in tests."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(events_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .select("event_id", "user_id", "value",
+                F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"))
+    )
+    updates = src.groupBy("user_id").applyInPandasWithState(
+        _ewma_group,
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _epoch_idempotent_sink(os.path.join(output_path, "data"))
+    return (
+        updates.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(output_path, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1260,3 +1260,46 @@ def test_line_dedup_crossdoc_reassembly_invariants(spark, tmp_path):
     for i in range(1, _LINE_DF_CAP + 1):
         assert got[i]["n_kept"] == 0, got[i]
         assert got[i]["kept_md5"] == md5("")          # all boilerplate
+
+
+def test_streaming_ewma_bit_equal_to_batch(spark, tmp_path):
+    """stream_ewma (applyInPandasWithState, trailing-window numeric
+    state) must be BIT-equal per event to the batch ewma_user_value
+    query when the same events arrive as three ts-ordered
+    micro-batches — events whose 16-value window spans a batch
+    boundary are the hard case, and the fold-order discipline (same
+    IEEE op sequence) is what makes bit-equality possible at all."""
+    import os
+
+    import numpy as np
+
+    from extractor.queries import QUERIES
+    from extractor.streaming import stream_ewma
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(os.path.join(sf, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    ev = ev.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    third = len(ev) // 3
+    for i, lo in enumerate((0, third, 2 * third)):
+        hi = lo + third if i < 2 else len(ev)
+        f = os.path.join(in_dir, "part-{}.parquet".format(i))
+        ev.iloc[lo:hi].to_parquet(f)
+        os.utime(f, (i + 1, i + 1))  # mtime = arrival order
+
+    schema = spark.read.parquet(os.path.join(in_dir, "part-0.parquet")).schema
+    out = str(tmp_path / "out")
+    q = stream_ewma(spark, in_dir, out, schema)
+    q.awaitTermination(180)
+
+    got = (spark.read.parquet(os.path.join(out, "data"))
+           .select("event_id", "ewma").toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = (QUERIES["ewma_user_value"](spark, sf).toPandas()
+            .sort_values("event_id").reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got["event_id"].values == want["event_id"].values).all()
+    assert (got["ewma"].to_numpy().view(np.int64)
+            == want["ewma"].to_numpy().view(np.int64)).all()
