@@ -251,3 +251,35 @@ def as_dataframe(spark, checkpoint_dir: str):
             if rec.get("committed_at") else None,
         ))
     return spark.createDataFrame(rows, CHECKPOINT_SCHEMA)
+
+
+def snapshots(checkpoint_dir: str) -> list[dict]:
+    """The manifest's commit batches in append order — the Iceberg
+    snapshot-log analog over our single-writer manifest. Every
+    ``commit()`` call appends its records under ONE atomic rename and
+    stamps them with one shared ``committed_at``, so consecutive
+    records sharing (run_id, committed_at) ARE one snapshot. Returns
+    one dict per batch: ordinal ``snapshot_id``, the stamping
+    ``run_id``/``committed_at``, the batch's ``partition_ids``, and
+    ``committed_cumulative`` — the committed-partition SET as of that
+    snapshot (last-writer-wins over any earlier batch, matching
+    ``read_committed``)."""
+    snaps: list[dict] = []
+    cur_key = None
+    cum: set[int] = set()
+    for rec in _load_manifest(checkpoint_dir)["records"]:
+        if rec.get("status") != "committed":
+            continue
+        key = (rec.get("run_id"), rec.get("committed_at"))
+        if key != cur_key:
+            cur_key = key
+            snaps.append({"snapshot_id": len(snaps),
+                          "run_id": rec.get("run_id"),
+                          "committed_at": rec.get("committed_at"),
+                          "partition_ids": [],
+                          "committed_cumulative": None})
+        pid = int(rec["partition_id"])
+        snaps[-1]["partition_ids"].append(pid)
+        cum.add(pid)
+        snaps[-1]["committed_cumulative"] = sorted(cum)
+    return snaps

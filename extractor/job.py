@@ -410,6 +410,41 @@ def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
     )
 
 
+def read_extracted_asof(spark: SparkSession, output_path: str,
+                        snapshot_id: int) -> DataFrame:
+    """Time-travel read (Iceberg ``VERSION AS OF`` analog over the
+    manifest's snapshot log, checkpoint.snapshots): the output table
+    restricted to the partition set committed as of snapshot
+    ``snapshot_id``, under the same W3 contract ordering as
+    ``read_extracted``.
+
+    The bucket restriction is an .isin on the PARTITION column, so it
+    constant-folds into PartitionFilters — uncommitted-as-of buckets'
+    directories are never listed, the same pruning mechanism as the
+    point lookup (one directory at 10^12 turns).
+
+    Honesty note on semantics: this reconstructs the committed
+    partition SET as of the snapshot; partition contents are the
+    CURRENT files. Under the job's determinism contract (replays are
+    byte-identical — pinned by the resume/SIGKILL suites) that equals
+    the historical bytes; real Iceberg would keep per-snapshot data
+    files and also survive kernel-version changes between runs, which
+    this single-writer manifest deliberately does not attempt."""
+    snaps = checkpoint.snapshots(os.path.join(output_path, "_checkpoint"))
+    if not 0 <= snapshot_id < len(snaps):
+        raise ValueError(
+            "snapshot_id {} out of range: manifest has {} snapshots"
+            .format(snapshot_id, len(snaps)))
+    committed = snaps[snapshot_id]["committed_cumulative"]
+    return (
+        spark.read.schema(EXTRACTED_BUCKET_SCHEMA)
+        .parquet(os.path.join(output_path, "data"))
+        .where(F.col("bucket").isin([int(b) for b in committed]))
+        .drop("bucket")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 def _ordered_export_frame(spark: SparkSession, output_path: str,
                           n_files: int) -> DataFrame:
     """Shared publish recipe: the extracted table range-partitioned on

@@ -773,3 +773,42 @@ def test_gen_uri_rejects_unknown_option(spark):
 
     with _pytest.raises(ValueError, match="n_turn"):
         job.read_transcripts(spark, "gen:n_turn=1000,seed=7")
+
+
+def test_read_extracted_asof_time_travel(spark, tmp_path):
+    """Snapshot-log time travel (Iceberg VERSION AS OF analog): after
+    a 2-wave partial run + a resume to completion, reading as of the
+    partial run's last snapshot must equal BYTE-wise what
+    read_extracted returned at that moment, and reading as of the
+    final snapshot must equal the full table. The bucket restriction
+    must reach PartitionFilters (directories of not-yet-committed
+    buckets are never listed)."""
+    out = str(tmp_path / "tt")
+    job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=12,
+                    wave_buckets=3, max_waves=2)
+    at_partial = job.read_extracted(spark, out).toPandas()
+    snaps = checkpoint.snapshots(os.path.join(out, "_checkpoint"))
+    assert len(snaps) == 2
+    assert len(snaps[1]["committed_cumulative"]) == 6
+    job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=12)
+    snaps2 = checkpoint.snapshots(os.path.join(out, "_checkpoint"))
+    assert len(snaps2) > 2
+    # as-of the partial run's snapshot == what the table read then
+    asof = job.read_extracted_asof(spark, out, 1)
+    got = asof.toPandas()
+    assert (got["conv_id"].values == at_partial["conv_id"].values).all()
+    assert (got["clean_text"].values
+            == at_partial["clean_text"].values).all()
+    # partition pruning: the bucket .isin folds into PartitionFilters
+    plan = asof._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan, plan
+    # as-of the latest snapshot == the full current table
+    full = job.read_extracted(spark, out).toPandas()
+    last = job.read_extracted_asof(spark, out,
+                                   snaps2[-1]["snapshot_id"]).toPandas()
+    assert (last["conv_id"].values == full["conv_id"].values).all()
+    assert (last["clean_text"].values == full["clean_text"].values).all()
+    # out-of-range snapshot ids hard-fail
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        job.read_extracted_asof(spark, out, len(snaps2))
