@@ -42,9 +42,11 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-EXEC_CORES = 2
-EXEC_MEM_MB = 4096
-LEVELS = (1, 4)  # executors: N and 4N
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
+EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "4096"))
+# executors: N and 4N (override e.g. SPARK_GRAFT_CLUSTER_LEVELS=2,8)
+LEVELS = tuple(int(x) for x in os.environ.get(
+    "SPARK_GRAFT_CLUSTER_LEVELS", "1,4").split(","))
 
 
 def app() -> None:

@@ -283,3 +283,46 @@ def snapshots(checkpoint_dir: str) -> list[dict]:
         cum.add(pid)
         snaps[-1]["committed_cumulative"] = sorted(cum)
     return snaps
+
+
+def rollback(checkpoint_dir: str, snapshot_id: int) -> list[int]:
+    """Roll the manifest back to snapshot ``snapshot_id`` (Iceberg
+    rollback analog): atomically rewrite the manifest keeping the
+    header (config pin) and only the commit batches up to and
+    including the target snapshot. Returns the partition ids whose
+    commits were dropped — a subsequent ``run_extract`` on the same
+    output re-processes exactly those (its anti-join no longer sees
+    them), and the dynamic partition overwrite makes the replay
+    idempotent, so no data files need deleting here. Single-writer
+    discipline applies (call it where you would call run_extract,
+    never concurrently with one)."""
+    snaps = snapshots(checkpoint_dir)
+    if not 0 <= snapshot_id < len(snaps):
+        raise ValueError(
+            "snapshot_id {} out of range: manifest has {} snapshots"
+            .format(snapshot_id, len(snaps)))
+    manifest = _load_manifest(checkpoint_dir)
+    keep_batches = snapshot_id + 1
+    kept: list[dict] = []
+    seen_batches = 0
+    cur_key = None
+    dropped: set[int] = set()
+    for rec in manifest["records"]:
+        if rec.get("status") != "committed":
+            # non-commit records (none are written today) are kept
+            # conservatively — they carry no partition lineage
+            kept.append(rec)
+            continue
+        key = (rec.get("run_id"), rec.get("committed_at"))
+        if key != cur_key:
+            cur_key = key
+            seen_batches += 1
+        if seen_batches <= keep_batches:
+            kept.append(rec)
+        else:
+            dropped.add(int(rec["partition_id"]))
+    _write_manifest(checkpoint_dir,
+                    {"header": manifest["header"], "records": kept})
+    still = {int(r["partition_id"]) for r in kept
+             if r.get("status") == "committed"}
+    return sorted(dropped - still)

@@ -812,3 +812,29 @@ def test_read_extracted_asof_time_travel(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         job.read_extracted_asof(spark, out, len(snaps2))
+
+
+def test_rollback_then_resume_reprocesses_dropped_buckets(spark, tmp_path):
+    """checkpoint.rollback truncates the snapshot log; a resumed run
+    must re-process exactly the rolled-back buckets (idempotent
+    overwrite) and converge to the same table as an untouched full
+    run — the Iceberg-rollback contract over the manifest."""
+    out = str(tmp_path / "rb")
+    job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=12,
+                    wave_buckets=3)
+    full = job.read_extracted(spark, out).toPandas()
+    ck = os.path.join(out, "_checkpoint")
+    assert len(checkpoint.snapshots(ck)) == 4
+    dropped = checkpoint.rollback(ck, 1)
+    assert len(dropped) == 6
+    assert len(checkpoint.read_committed(ck)) == 6
+    # as-of reads still work after rollback and match the kept set
+    part = job.read_extracted_asof(spark, out, 1).toPandas()
+    assert len(part) < len(full)
+    s = job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=12)
+    assert s["skipped_committed"] == 6
+    again = job.read_extracted(spark, out).toPandas()
+    assert (again["conv_id"].values == full["conv_id"].values).all()
+    assert (again["clean_text"].values == full["clean_text"].values).all()
+    with pytest.raises(ValueError):
+        checkpoint.rollback(ck, 99)
