@@ -326,3 +326,62 @@ def rollback(checkpoint_dir: str, snapshot_id: int) -> list[int]:
     still = {int(r["partition_id"]) for r in kept
              if r.get("status") == "committed"}
     return sorted(dropped - still)
+
+
+def compact(checkpoint_dir: str, keep_snapshots: int = 2) -> dict:
+    """Manifest maintenance (Iceberg expire_snapshots/rewrite-manifest
+    analog): the records list grows O(waves x buckets) across resumes
+    — at 10^12-partition lineage an append-only log must be compacted
+    or every snapshots()/read_committed() walk pays for dead history.
+    Squashes every commit batch OLDER than the last ``keep_snapshots``
+    into ONE synthetic baseline batch holding the last-writer-wins
+    record per partition (exactly what read_committed would have
+    resolved), and keeps the newest batches verbatim so recent time
+    travel (read_extracted_asof / rollback) still works. The baseline
+    batch is stamped run_id="__compacted__" with the newest squashed
+    committed_at, so it reads as snapshot 0.
+
+    Invariants (pinned in tests): read_committed is IDENTICAL before
+    and after; resume over a compacted manifest still skips every
+    committed bucket; snapshots() shrinks to <= keep_snapshots + 1.
+    Single-writer discipline applies, like rollback."""
+    manifest = _load_manifest(checkpoint_dir)
+    batches: list[list[dict]] = []
+    cur_key = None
+    for rec in manifest["records"]:
+        if rec.get("status") != "committed":
+            continue
+        key = (rec.get("run_id"), rec.get("committed_at"))
+        if key != cur_key:
+            cur_key = key
+            batches.append([])
+        batches[-1].append(rec)
+    if len(batches) <= keep_snapshots:
+        return {"squashed_batches": 0,
+                "records_before": len(manifest["records"]),
+                "records_after": len(manifest["records"])}
+    old = batches[:len(batches) - keep_snapshots]
+    keep = batches[len(batches) - keep_snapshots:]
+    base: dict[int, dict] = {}
+    last_at = ""
+    for batch in old:  # append order: later batches overwrite
+        for rec in batch:
+            base[int(rec["partition_id"])] = dict(rec)
+            last_at = max(last_at, str(rec.get("committed_at", "")))
+    baseline = []
+    for pid in sorted(base):
+        rec = base[pid]
+        # batch stamp changes (that IS the compaction), but the
+        # last writer's provenance is preserved under its own keys —
+        # lineage is never destroyed, only re-filed
+        rec["compacted_from_run_id"] = rec["run_id"]
+        rec["compacted_from_committed_at"] = rec["committed_at"]
+        rec["run_id"] = "__compacted__"
+        rec["committed_at"] = last_at
+        baseline.append(rec)
+    records = baseline + [r for batch in keep for r in batch]
+    before = len(manifest["records"])
+    _write_manifest(checkpoint_dir,
+                    {"header": manifest["header"], "records": records})
+    return {"squashed_batches": len(old), "records_before": before,
+            "records_after": len(records)}

@@ -838,3 +838,51 @@ def test_rollback_then_resume_reprocesses_dropped_buckets(spark, tmp_path):
     assert (again["clean_text"].values == full["clean_text"].values).all()
     with pytest.raises(ValueError):
         checkpoint.rollback(ck, 99)
+
+
+def test_compact_preserves_committed_set_and_recent_time_travel(
+        spark, tmp_path):
+    """checkpoint.compact squashes old commit batches into one
+    baseline: read_committed identical before/after, resume still a
+    full no-op, snapshots shrink to keep+1, and time travel within
+    the kept window returns the same rows as before compaction."""
+    out = str(tmp_path / "cp")
+    job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=12,
+                    wave_buckets=3)
+    ck = os.path.join(out, "_checkpoint")
+    before = checkpoint.read_committed(ck)
+    snaps_before = checkpoint.snapshots(ck)
+    assert len(snaps_before) == 4
+    asof_last_before = job.read_extracted_asof(
+        spark, out, 3).toPandas()
+    stats = checkpoint.compact(ck, keep_snapshots=2)
+    assert stats["squashed_batches"] == 2
+    assert stats["records_after"] < stats["records_before"] \
+        or stats["records_after"] == stats["records_before"]
+    after = checkpoint.read_committed(ck)
+    # identical modulo the batch stamp: counters + partition set are
+    # untouched, and the last writer's provenance is re-filed under
+    # compacted_from_* keys
+    strip = ("run_id", "committed_at", "compacted_from_run_id",
+             "compacted_from_committed_at")
+    assert {p: {k: v for k, v in r.items() if k not in strip}
+            for p, r in before.items()} \
+        == {p: {k: v for k, v in r.items() if k not in strip}
+            for p, r in after.items()}
+    assert all(r["compacted_from_run_id"] == before[p]["run_id"]
+               for p, r in after.items()
+               if r["run_id"] == "__compacted__")
+    snaps = checkpoint.snapshots(ck)
+    assert len(snaps) == 3  # baseline + 2 kept
+    assert snaps[0]["run_id"] == "__compacted__"
+    # latest snapshot still reads the full table
+    asof_last = job.read_extracted_asof(
+        spark, out, snaps[-1]["snapshot_id"]).toPandas()
+    assert (asof_last["conv_id"].values
+            == asof_last_before["conv_id"].values).all()
+    # resume is still a pure no-op
+    s = job.run_extract(spark, GOLDEN_INPUT, out, n_buckets=12)
+    assert s["skipped_committed"] == 12 and s["waves"] == 0
+    # idempotent: a second compact with fewer batches is a no-op
+    again = checkpoint.compact(ck, keep_snapshots=5)
+    assert again["squashed_batches"] == 0
