@@ -8285,6 +8285,70 @@ def _bfs_hops(edges: DataFrame, seeds: DataFrame,
                           F.col("hops").cast("int").alias("hops"))
 
 
+@_q("prorate_largest_remainder", sql="""
+WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS wc
+            FROM lineitem),
+o AS (SELECT o_orderkey AS ok,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tc
+      FROM orders),
+j AS (SELECT li.ok, ln, wc, tc,
+             sum(wc) OVER (PARTITION BY li.ok) AS tw
+      FROM li JOIN o USING (ok)),
+b AS (SELECT ok, ln, tc, (tc * wc) // tw AS base, (tc * wc) % tw AS rem
+      FROM j),
+r AS (SELECT *, sum(base) OVER (PARTITION BY ok) AS sb,
+             row_number() OVER (PARTITION BY ok
+                                ORDER BY rem DESC, ln) AS rk
+      FROM b)
+SELECT ok AS orderkey, ln AS linenumber,
+       CAST(base + CASE WHEN rk <= tc - sb THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_cents
+FROM r
+""")
+def prorate_largest_remainder(spark, sf_dir):
+    """Exact integer proration (Hamilton / largest-remainder method):
+    distribute each order's total (integer cents) across its
+    lineitems proportionally to extended price, so that the per-order
+    allocations SUM EXACTLY to the total — the invariant every
+    billing/cost-attribution pipeline needs and naive `round(share)`
+    violates (off-by-cents that compound over 10^9 orders). Base
+    share is floor(tc*wc/tw) in pure BIGINT arithmetic (`div`/`%` —
+    never a double division, whose 53-bit mantissa misrounds
+    near-integer ratios at ~1e16 products); the tc - sum(base)
+    leftover cents (provably in [0, n_lines-1]) go one each to the
+    largest remainders, ties broken by line number — deterministic in
+    both engines.
+
+    Scale shape: ONE shuffle — both windows (total weight, remainder
+    rank) and the base sum share the orderkey partition key, and the
+    orders side joins broadcast-or-shuffle on the same key. Per-group
+    state is bounded by lines-per-order (TPC-H <= 7). Invariant
+    sum(alloc)==total pinned per order in tests plus a hand fixture
+    with a known tie."""
+    c = lambda col: F.round(F.col(col) * 100, 0).cast("long")  # noqa: E731
+    li = (t(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_linenumber").alias("ln"),
+                  c("l_extendedprice").alias("wc")))
+    o = (t(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").alias("ok"),
+                 c("o_totalprice").alias("tc")))
+    wk = Window.partitionBy("ok")
+    j = (li.join(o, "ok")
+         .withColumn("tw", F.sum("wc").over(wk))
+         .withColumn("base", F.expr("(tc * wc) div tw"))
+         .withColumn("rem", F.expr("(tc * wc) % tw"))
+         .withColumn("sb", F.sum("base").over(wk))
+         .withColumn("rk", F.row_number().over(
+             wk.orderBy(F.desc("rem"), F.asc("ln")))))
+    return j.select(
+        F.col("ok").alias("orderkey"), F.col("ln").alias("linenumber"),
+        (F.col("base")
+         + F.when(F.col("rk") <= F.col("tc") - F.col("sb"), 1)
+         .otherwise(0)).cast("long").alias("alloc_cents"))
+
+
 _ENTITY_ALIASES = [
     (1, "hash value"), (2, "table part"), (3, "fast merge"),
     (4, "data column"), (5, "scan query"), (6, "order group"),

@@ -2276,3 +2276,30 @@ def test_bpe_encode_texts_differential(spark, tmp_path):
     check("/root/testdata/sf0.001")
     texts = ["$5 $5 $5 c\\d c\\d a.b a.b a.b a.b"] * 2
     check(_docs(tmp_path, texts))
+
+
+def test_prorate_largest_remainder_invariant_and_hand(spark, tmp_path):
+    """Proration invariant on sf0.01: per-order allocations sum
+    EXACTLY to the order total in integer cents, every order. Hand
+    fixture: total 100 cents over three equal weights — remainders
+    tie, line 1 takes the leftover cent -> [34, 33, 33]."""
+    from extractor.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    got = QUERIES["prorate_largest_remainder"](spark, sf).toPandas()
+    orders = pd.read_parquet(sf + "/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    tc = {int(k): round(v * 100)
+          for k, v in zip(orders.o_orderkey, orders.o_totalprice)}
+    sums = got.groupby("orderkey")["alloc_cents"].sum()
+    assert all(int(sums[k]) == tc[k] for k in sums.index)
+
+    li = pd.DataFrame({"l_orderkey": [7, 7, 7],
+                       "l_linenumber": [1, 2, 3],
+                       "l_extendedprice": [10.00, 10.00, 10.00]})
+    od = pd.DataFrame({"o_orderkey": [7], "o_totalprice": [1.00]})
+    li.to_parquet(str(tmp_path / "lineitem.parquet"))
+    od.to_parquet(str(tmp_path / "orders.parquet"))
+    out = (QUERIES["prorate_largest_remainder"](spark, str(tmp_path))
+           .toPandas().sort_values("linenumber"))
+    assert out.alloc_cents.tolist() == [34, 33, 33]
