@@ -8356,20 +8356,26 @@ _ENTITY_ALIASES = [
 ]  # fixed multi-word alias dictionary (2- and 3-word phrases over the
 # corpus vocabulary); ids are the canonical entity keys
 
-
-@_q("dict_entity_tag", sql="""
-WITH al(entity_id, alias, alen) AS (VALUES {vals}),
+# shared oracle CTE: per-(doc, entity) gram matches over the alias
+# dictionary — used by dict_entity_tag and entity_cooccurrence
+_ENTITY_G_CTE = """
+al(entity_id, alias, alen) AS (VALUES {vals}),
 d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 g AS (SELECT d.doc_id, al.entity_id, i AS pos
       FROM d, al, unnest(generate_series(0, len(w) - al.alen)) AS t(i)
       WHERE array_to_string(list_slice(w, i + 1, i + al.alen), ' ')
             = al.alias)
+""".format(vals=", ".join("({}, '{}', {})".format(i, a, len(a.split()))
+                          for i, a in _ENTITY_ALIASES))
+
+
+@_q("dict_entity_tag", sql="""
+WITH {cte}
 SELECT doc_id, entity_id,
        CAST(count(*) AS BIGINT) AS n_matches,
        CAST(min(pos) AS INT) AS first_pos
 FROM g GROUP BY doc_id, entity_id
-""".format(vals=", ".join("({}, '{}', {})".format(i, a, len(a.split()))
-                          for i, a in _ENTITY_ALIASES)))
+""".format(cte=_ENTITY_G_CTE))
 def dict_entity_tag(spark, sf_dir):
     """Dictionary-based entity tagging (the weak-supervision /
     knowledge-base phrase-gazetteer pass of a training-data pipeline):
@@ -8442,6 +8448,105 @@ def dedup_token_sort(spark, sf_dir):
             .groupBy("ts_fp")
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").alias("keep_doc_id")))
+
+
+@_q("entity_cooccurrence", sql="""
+WITH {cte},
+de AS (SELECT DISTINCT doc_id, entity_id FROM g),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM de),
+cnt AS (SELECT entity_id, count(*) AS c FROM de GROUP BY entity_id),
+p AS (SELECT a.entity_id AS ent_a, b.entity_id AS ent_b,
+             count(*) AS cab
+      FROM de a JOIN de b
+        ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+      GROUP BY 1, 2)
+SELECT ent_a, ent_b, CAST(cab AS BIGINT) AS n_docs,
+       (CAST(cab AS DOUBLE) * nd) / (ca.c * cb.c) AS lift
+FROM p
+JOIN cnt ca ON ca.entity_id = ent_a
+JOIN cnt cb ON cb.entity_id = ent_b
+CROSS JOIN n
+""".format(cte=_ENTITY_G_CTE))
+def entity_cooccurrence(spark, sf_dir):
+    """Knowledge-graph edge mining over the gazetteer tags: for every
+    entity pair, the number of documents mentioning BOTH, plus lift
+    (observed co-occurrence over the independence expectation) — the
+    step that turns dictionary tagging into graph edges for entity
+    linking / topic structure.
+
+    Scale shape: the pair generation is a SELF-EQUI-JOIN on doc_id
+    over the per-doc DISTINCT entity set — per-doc pair count is
+    bounded by the dictionary size squared (|dict| entities max per
+    doc), never by doc length, so the join output is at most
+    |docs| * C(|dict|,2); entity marginals and the 1-row doc count
+    broadcast. Lift stays bit-equal across engines because both
+    compute double(cab)*nd first and divide by the exact BIGINT
+    product ca*cb (all values < 2^53, one multiply + one divide in
+    the same order)."""
+    de = (dict_entity_tag(spark, sf_dir)
+          .select("doc_id", "entity_id").distinct().persist())
+    nd = de.agg(F.countDistinct("doc_id").alias("nd"))
+    cnt = de.groupBy("entity_id").agg(F.count("*").alias("c"))
+    a = de.select("doc_id", F.col("entity_id").alias("ent_a"))
+    b = de.select("doc_id", F.col("entity_id").alias("ent_b"))
+    pairs = (a.join(b, "doc_id")
+             .where(F.col("ent_a") < F.col("ent_b"))
+             .groupBy("ent_a", "ent_b")
+             .agg(F.count("*").alias("cab")))
+    ca = cnt.select(F.col("entity_id").alias("ent_a"),
+                    F.col("c").alias("c_a"))
+    cb = cnt.select(F.col("entity_id").alias("ent_b"),
+                    F.col("c").alias("c_b"))
+    return (pairs.join(F.broadcast(ca), "ent_a")
+            .join(F.broadcast(cb), "ent_b")
+            .crossJoin(F.broadcast(nd))
+            .select("ent_a", "ent_b",
+                    F.col("cab").cast("long").alias("n_docs"),
+                    ((F.col("cab").cast("double") * F.col("nd"))
+                     / (F.col("c_a") * F.col("c_b"))).alias("lift")))
+
+
+@_q("drift_chi2_cells", sql="""
+WITH cells AS (SELECT lang, source, count(*) AS n
+               FROM documents GROUP BY lang, source),
+r AS (SELECT lang, sum(n) AS rn FROM cells GROUP BY lang),
+c AS (SELECT source, sum(n) AS cn FROM cells GROUP BY source),
+tot AS (SELECT sum(n) AS nt FROM cells)
+SELECT cells.lang, cells.source, CAST(n AS BIGINT) AS n,
+       CAST(rn * cn AS DOUBLE) / nt AS expected,
+       (n - CAST(rn * cn AS DOUBLE) / nt)
+         * (n - CAST(rn * cn AS DOUBLE) / nt)
+         / (CAST(rn * cn AS DOUBLE) / nt) AS chi2_term
+FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN tot
+""")
+def drift_chi2_cells(spark, sf_dir):
+    """Distribution-drift contingency analysis (chi-square cells) over
+    lang x source: per cell, observed count, independence expectation
+    rn*cn/N, and the cell's chi-square term — the slice-imbalance
+    signal a corpus monitor alarms on (which language collapsed in
+    which source). Emitted PER CELL, not summed: per-cell doubles are
+    bit-equal across engines (exact BIGINT rn*cn < 2^53 cast once,
+    one divide, one subtract, one multiply, same order), while a
+    grand total would depend on each engine's summation order — the
+    caller sums the terms (or filters |residual| outliers) as needed.
+
+    Scale shape: one groupBy(lang, source) partial-agg shuffle over
+    the corpus; marginals reduce the CELL table (tiny), broadcast
+    back. No window, no self-join."""
+    cells = (t(spark, sf_dir, "documents")
+             .groupBy("lang", "source").agg(F.count("*").alias("n"))
+             .persist())
+    r = cells.groupBy("lang").agg(F.sum("n").alias("rn"))
+    c = cells.groupBy("source").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(F.sum("n").alias("nt"))
+    exp_ = (F.col("rn") * F.col("cn")).cast("double") / F.col("nt")
+    return (cells.join(F.broadcast(r), "lang")
+            .join(F.broadcast(c), "source")
+            .crossJoin(F.broadcast(tot))
+            .select("lang", "source", F.col("n").cast("long").alias("n"),
+                    exp_.alias("expected"),
+                    ((F.col("n") - exp_) * (F.col("n") - exp_) / exp_)
+                    .alias("chi2_term")))
 
 
 _EWMA_ALPHA = 0.25   # smoothing weight on the newest observation

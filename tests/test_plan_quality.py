@@ -979,3 +979,24 @@ def test_dict_entity_tag_and_ewma_plans(spark):
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_entity_cooccurrence_and_drift_plans(spark):
+    """entity_cooccurrence: the pair stage is an EQUI-join on doc_id
+    (never an all-pairs nested loop); marginals + the 1-row doc count
+    join broadcast (the only nested-loop is that 1-row cross). drift:
+    exactly one corpus-scale Exchange (the lang x source partial agg)
+    — marginals reduce the cell table and come back broadcast."""
+    final = _final_plan(spark, "entity_cooccurrence")
+    assert "CartesianProduct" not in final, final
+    assert final.count("BroadcastNestedLoopJoin") <= 1, final  # 1-row nd
+    assert "BroadcastHashJoin" in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
+
+    final = _final_plan(spark, "drift_chi2_cells")
+    assert "partial_count" in final, final
+    assert final.count("BroadcastNestedLoopJoin") <= 1, final  # 1-row tot
+    assert "CartesianProduct" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
