@@ -8598,6 +8598,80 @@ def ewma_user_value(spark, sf_dir):
             .select("event_id", fold.alias("ewma")))
 
 
+_SSSP_ROUNDS = 6  # Bellman-Ford relaxation rounds (= max path edges);
+# fixed so the oracle unrolls exactly like pagerank's CTE levels
+
+_SSSP_LEVEL = """
+d{k} AS (SELECT id, min(c) AS c FROM (
+  SELECT id, c FROM d{p}
+  UNION ALL
+  SELECT e.v AS id, d{p}.c + e.w AS c FROM d{p} JOIN e ON e.u = d{p}.id
+) GROUP BY id)"""
+
+
+@_q("sssp_bounded_bellman", sql="""
+WITH e AS (
+  SELECT -l_suppkey AS u, l_partkey AS v,
+         min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+  UNION ALL
+  SELECT l_partkey AS u, -l_suppkey AS v,
+         min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2),
+d0 AS (SELECT -s_suppkey AS id, CAST(0 AS BIGINT) AS c
+       FROM supplier WHERE s_suppkey <= 3),
+{levels}
+SELECT id AS node_id, CAST(c AS BIGINT) AS min_cost
+FROM d{r}
+""".format(levels=",".join(_SSSP_LEVEL.format(k=k, p=k - 1)
+                           for k in range(1, _SSSP_ROUNDS + 1)),
+           r=_SSSP_ROUNDS))
+def sssp_bounded_bellman(spark, sf_dir):
+    """Bounded single-source(-set) shortest path by Bellman-Ford
+    relaxation over the weighted supplier<->part graph (edge weight =
+    cheapest lineitem in integer cents for that supplier-part lane),
+    seeds = suppliers 1-3 at cost 0, exactly 6 relaxation rounds =
+    cheapest route using at most 6 lanes. Completes the graph-semiring
+    trio: CC is min-label over (min, =), BFS is min-hops over
+    (min, +1), this is true MIN-PLUS — costs, not hops, so the
+    cheapest path may be longer than the hop-shortest one.
+
+    The oracle unrolls the 6 rounds as CTE levels (the pagerank
+    discipline — each level is the previous distance map unioned with
+    one relaxation step, min per node), so the Spark loop's fixpoint
+    arithmetic is pinned exactly: BIGINT cents end to end, no
+    floating point anywhere.
+
+    Scale shape: per round, ONE equi-join of the current distance
+    map against the edge list on u plus a min partial-agg — the
+    Pregel cost model; every round passes _ckpt_nostats (the
+    iterative-join stats-compounding discipline). Distance maps are
+    bounded by the reachable node set, never path counts (the naive
+    recursive-CTE path enumeration is combinatorial — WHY the oracle
+    unrolls levels instead)."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    fwd = (li.select((-F.col("l_suppkey")).alias("u"),
+                     F.col("l_partkey").alias("v"), cents.alias("wc"))
+           .groupBy("u", "v").agg(F.min("wc").alias("w")))
+    edges = (fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .persist())
+    dist = (t(spark, sf_dir, "supplier")
+            .where(F.col("s_suppkey") <= 3)
+            .select((-F.col("s_suppkey")).alias("id"),
+                    F.lit(0).cast("long").alias("c")))
+    for _ in range(_SSSP_ROUNDS):
+        relax = (edges.join(dist, edges["u"] == dist["id"])
+                 .select(F.col("v").alias("id"),
+                         (F.col("c") + F.col("w")).alias("c")))
+        dist = _ckpt_nostats(dist.unionByName(relax)
+                             .groupBy("id").agg(F.min("c").alias("c")))
+    edges.unpersist()
+    return dist.select(F.col("id").cast("long").alias("node_id"),
+                       F.col("c").cast("long").alias("min_cost"))
+
+
 @_q("bfs_hops_supply_graph", sql="""
 WITH RECURSIVE
 e AS (SELECT DISTINCT -l_suppkey AS u, l_partkey AS v FROM lineitem

