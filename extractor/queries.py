@@ -8598,6 +8598,55 @@ def ewma_user_value(spark, sf_dir):
             .select("event_id", fold.alias("ewma")))
 
 
+@_q("dedup_survivors_best_quality", sql=_CC_PAIRS_SQL + """
+, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+cl AS (SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY u),
+q AS (SELECT cl.cluster_id, cl.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt
+      FROM cl JOIN documents d USING (doc_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY nt DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY cluster_id) AS nm
+      FROM q)
+SELECT cluster_id, doc_id AS keep_doc_id,
+       CAST(nm AS BIGINT) AS n_members, nt AS kept_n_tokens
+FROM r WHERE rk = 1
+""")
+def dedup_survivors_best_quality(spark, sf_dir):
+    """Quality-ranked canonical selection per near-dup cluster: where
+    dedup_survivors_scaled keeps the MIN-ID member (arbitrary but
+    deterministic), a production dedup keeps the BEST member — here
+    the longest (token count), ties by doc_id, the "most complete
+    duplicate" policy (a truncated scrape loses to its full twin).
+    One row per cluster: survivor id, member count, survivor length.
+
+    Composition: the Jaccard pair graph -> CC clusters
+    (_min_label_propagation, the contraction+jump core) -> join
+    member token counts -> per-cluster tie-broken argmax. Scale
+    shape: the argmax is a WindowGroupLimit-class top-1 per cluster
+    (one shuffle on cluster_id, map-side partial limit); the token
+    counts join is doc-keyed. Oracle replays the whole composition
+    (recursive-CTE closure + window argmax)."""
+    clusters = dedup_cluster_assign(spark, sf_dir)
+    nt = (t(spark, sf_dir, "documents")
+          .select("doc_id",
+                  F.size(F.split("text", " ")).cast("long").alias("nt")))
+    q = clusters.join(nt, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    ranked = (q.withColumn("rk", F.row_number().over(
+        w.orderBy(F.desc("nt"), F.asc("doc_id"))))
+        .withColumn("nm", F.count("*").over(w)))
+    return (ranked.where("rk = 1")
+            .select("cluster_id", F.col("doc_id").alias("keep_doc_id"),
+                    F.col("nm").cast("long").alias("n_members"),
+                    F.col("nt").alias("kept_n_tokens")))
+
+
 _SSSP_ROUNDS = 6  # Bellman-Ford relaxation rounds (= max path edges);
 # fixed so the oracle unrolls exactly like pagerank's CTE levels
 
