@@ -8318,7 +8318,13 @@ def prorate_largest_remainder(spark, sf_dir):
     near-integer ratios at ~1e16 products); the tc - sum(base)
     leftover cents (provably in [0, n_lines-1]) go one each to the
     largest remainders, ties broken by line number — deterministic in
-    both engines.
+    both engines. The synthetic lineitem carries DUPLICATE
+    (orderkey, linenumber) keys; ties between identical duplicate
+    rows are assigned arbitrarily by row_number, but any swap
+    produces the same OUTPUT MULTISET (identical rows), so the
+    order-insensitive contract hash stays deterministic — pinned by
+    the independent pandas replay in tests comparing per-key
+    multisets.
 
     Scale shape: ONE shuffle — both windows (total weight, remainder
     rank) and the base sum share the orderkey partition key, and the

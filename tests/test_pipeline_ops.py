@@ -2293,6 +2293,32 @@ def test_prorate_largest_remainder_invariant_and_hand(spark, tmp_path):
           for k, v in zip(orders.o_orderkey, orders.o_totalprice)}
     sums = got.groupby("orderkey")["alloc_cents"].sum()
     assert all(int(sums[k]) == tc[k] for k in sums.index)
+    # independent pandas replay (Hamilton from the definition) — the
+    # synthetic lineitem has DUPLICATE (orderkey, linenumber) keys
+    # (60k rows, 45.8k distinct at sf0.01), so the comparison is a
+    # per-key MULTISET of allocations (tie swaps between identical
+    # rows are invisible there, and the quota property is per row):
+    li = pd.read_parquet(
+        sf + "/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    li["wc"] = (li.l_extendedprice * 100).round().astype("int64")
+    li["tc"] = li.l_orderkey.map(tc).astype("int64")
+    li["tw"] = li.groupby("l_orderkey")["wc"].transform("sum")
+    li["base"] = (li.tc * li.wc) // li.tw
+    li["rem"] = (li.tc * li.wc) % li.tw
+    li["rk"] = (li.sort_values(["rem", "l_linenumber"],
+                               ascending=[False, True])
+                .groupby("l_orderkey").cumcount() + 1)
+    left = li.tc - li.groupby("l_orderkey")["base"].transform("sum")
+    li["alloc"] = li.base + (li.rk <= left).astype("int64")
+    # quota (exact integers): alloc is within one cent of the exact
+    # share -> -tw < alloc*tw - tc*wc <= tw
+    diff = li.alloc * li.tw - li.tc * li.wc
+    assert (diff > -li.tw).all() and (diff <= li.tw).all()
+    # replay multiset == query multiset per (orderkey, linenumber)
+    rep = li.groupby(["l_orderkey", "l_linenumber"])["alloc"]             .apply(sorted).to_dict()
+    out = got.groupby(["orderkey", "linenumber"])["alloc_cents"]              .apply(sorted).to_dict()
+    assert rep == out
 
     li = pd.DataFrame({"l_orderkey": [7, 7, 7],
                        "l_linenumber": [1, 2, 3],

@@ -271,3 +271,68 @@ def test_semdedup_salted_equals_plain_on_random_corpora(spark, tmp_path):
         assert plain == salted, (seed, len(plain), len(salted),
                                  sorted(plain ^ salted)[:5])
         assert len(plain) < n  # the planted pairs pruned something
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _ewma_group directly."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+        self.exists = True
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False,
+                          width=64),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=60, deadline=None)
+def test_stream_ewma_kernel_split_invariant(values, n_splits):
+    """_ewma_group property: chaining the kernel over ANY micro-batch
+    split of a value sequence is BIT-equal per event to a from-the-
+    definition per-event loop over the whole sequence (seed at the
+    window's oldest value, s <- s*0.75 + x*0.25 left fold) — the
+    batch-boundary state carry loses nothing, regardless of where
+    the boundaries fall."""
+    import numpy as np
+    import pandas as pd
+
+    from extractor.queries import _EWMA_ALPHA, _EWMA_WIN
+    from extractor.streaming import _ewma_group
+
+    # reference: per-event fold over the trailing window
+    ref = []
+    for i in range(len(values)):
+        win = values[max(0, i - _EWMA_WIN + 1): i + 1]
+        s = win[0]
+        for x in win[1:]:
+            s = s * (1 - _EWMA_ALPHA) + x * _EWMA_ALPHA
+        ref.append(s)
+
+    # kernel: split into n_splits contiguous micro-batches
+    state = _FakeState()
+    got = {}
+    bounds = sorted({round(len(values) * k / n_splits)
+                     for k in range(n_splits + 1)})
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo == hi:
+            continue
+        pdf = pd.DataFrame({
+            "event_id": np.arange(lo, hi, dtype=np.int64),
+            "us": np.arange(lo, hi, dtype=np.int64),
+            "value": np.asarray(values[lo:hi], dtype=np.float64)})
+        for out in _ewma_group(("u",), iter([pdf]), state):
+            for eid, v in zip(out["event_id"], out["ewma"]):
+                got[int(eid)] = float(v)
+    assert len(got) == len(values)
+    ref_a = np.asarray(ref)
+    got_a = np.asarray([got[i] for i in range(len(values))])
+    assert (ref_a.view(np.int64) == got_a.view(np.int64)).all()
