@@ -8779,6 +8779,257 @@ def bfs_hops_supply_graph(spark, sf_dir):
     edges.unpersist()
     return out
 
+_SEQ_PAT = "S[VC]*P"  # signup -> any views/clicks -> purchase
+
+
+@_q("event_seq_match", sql="""
+WITH m AS (SELECT user_id,
+                  string_agg(CASE event_type WHEN 'signup' THEN 'S'
+                                             WHEN 'view' THEN 'V'
+                                             WHEN 'click' THEN 'C'
+                                             WHEN 'purchase' THEN 'P'
+                                             ELSE 'E' END,
+                             '' ORDER BY ts, event_id) AS seq
+           FROM events GROUP BY user_id)
+SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, '{p}')) AS BIGINT) AS n_matches,
+       CASE WHEN len(regexp_extract_all(seq, '{p}')) = 0 THEN 0
+            ELSE CAST(strpos(seq, regexp_extract(seq, '{p}')) AS BIGINT)
+       END AS first_pos
+FROM m
+""".format(p=_SEQ_PAT))
+def event_seq_match(spark, sf_dir):
+    """Complex-event-processing / MATCH_RECOGNIZE-class operator
+    (SQL:2016 row pattern matching; Flink CEP's capability): per
+    user, order events by (ts, event_id), encode each event type as
+    one character, and run a regex over the resulting sequence string
+    — here the funnel pattern S[VC]*P (signup, any number of
+    views/clicks, purchase). Emits non-overlapping match count and
+    the 1-based position of the first match. Unlike
+    funnel_conversion (stage reachability), this matches ORDERED
+    CONTIGUOUS patterns with Kleene closure — the class funnels
+    cannot express (e.g. "no intervening error": E is simply absent
+    from the closure class).
+
+    Cross-engine determinism: the char classes in the pattern are
+    disjoint from the terminator (P not in [VC]), so greedy
+    backtracking (java.util.regex) and leftmost-first automaton
+    matching (DuckDB's RE2) produce identical non-overlapping match
+    sets. First-match position via instr/strpos of the extracted
+    match is exact: any earlier occurrence of that substring would
+    itself be a leftmost match, a contradiction.
+
+    Scale shape: ONE shuffle on user_id (partial-agg'd collect_list),
+    then per-user sort + regex, both bounded by the user's own event
+    count. A hot user's sequence is O(their events) — at 100 TB,
+    sequence matching would sit behind sessionization (session_window
+    analog) so the per-group string is gap-bounded, not
+    lifetime-bounded; the operator shape is unchanged."""
+    ev = t(spark, sf_dir, "events")
+    ch = (F.when(F.col("event_type") == "signup", "S")
+          .when(F.col("event_type") == "view", "V")
+          .when(F.col("event_type") == "click", "C")
+          .when(F.col("event_type") == "purchase", "P")
+          .otherwise("E"))
+    seq = (ev.select("user_id",
+                     F.struct(F.col("ts").alias("ts"),
+                              F.col("event_id").alias("event_id"),
+                              ch.alias("ch")).alias("s"))
+           .groupBy("user_id")
+           .agg(F.array_join(
+               F.transform(F.array_sort(F.collect_list("s")),
+                           lambda x: x["ch"]), "").alias("seq")))
+    n = F.regexp_count(F.col("seq"), F.lit(_SEQ_PAT))
+    first = F.regexp_extract(F.col("seq"), _SEQ_PAT, 0)
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        n.cast("long").alias("n_matches"),
+        F.when(n == 0, F.lit(0).cast("long"))
+         .otherwise(F.expr("instr(seq, {})".format(
+             "regexp_extract(seq, '" + _SEQ_PAT + "', 0)"))
+             .cast("long")).alias("first_pos"))
+
+
+# --- explicit distributed Bloom filter: incremental-ingest exact dedup -----
+_BLOOM_M = 1 << 20          # bits (32 Ki words at 32 bits/word)
+_BLOOM_K = 5                # probes per key
+_BLOOM_SPLIT = 10           # doc_id % SPLIT == 0 -> incoming batch
+
+
+def _bloom_probe_sql(fp_expr: str, i: str) -> str:
+    """DuckDB 60-bit probe hash i for fingerprint column fp_expr."""
+    return ("(('0x' || substr(md5({fp} || ':' || CAST({i} AS VARCHAR)),"
+            " 1, 15))::BIGINT % {m})".format(fp=fp_expr, i=i, m=_BLOOM_M))
+
+
+@_q("bloom_incremental_dedup", sql="""
+WITH corpus AS (SELECT md5(text) AS fp FROM documents
+                WHERE doc_id % {split} <> 0),
+batch AS (SELECT doc_id, md5(text) AS fp FROM documents
+          WHERE doc_id % {split} = 0),
+cpos AS (SELECT {probe} AS pos
+         FROM corpus CROSS JOIN generate_series(0, {kmax}) AS g(i)),
+bloom AS (SELECT pos // 32 AS word_idx,
+                 bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+          FROM cpos GROUP BY 1),
+bprobe AS (SELECT doc_id, fp, {probe} AS pos
+           FROM batch CROSS JOIN generate_series(0, {kmax}) AS g(i)),
+hits AS (SELECT b.doc_id,
+                count(*) FILTER (WHERE bl.bits IS NOT NULL
+                  AND (bl.bits & (1::BIGINT << CAST(b.pos % 32 AS INT)))
+                      <> 0) AS k_hit
+         FROM bprobe b LEFT JOIN bloom bl ON bl.word_idx = b.pos // 32
+         GROUP BY b.doc_id)
+SELECT b.doc_id,
+       CAST(CASE WHEN h.k_hit = {k} THEN 1 ELSE 0 END AS INT)
+         AS bloom_pass,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+                 THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM batch b JOIN hits h ON h.doc_id = b.doc_id
+""".format(split=_BLOOM_SPLIT, probe=_bloom_probe_sql("fp", "i"),
+           kmax=_BLOOM_K - 1, k=_BLOOM_K))
+def bloom_incremental_dedup(spark, sf_dir):
+    """Explicit distributed Bloom filter as a DATAFRAME ARTIFACT, and
+    the incremental-ingest exact-dedup pattern built on it (Bloom
+    1970; the Kraken/web-crawl "seen-set" recipe): the corpus's
+    fingerprint set is folded into an m-bit / k-probe Bloom filter
+    represented as a (word_idx, bits) table — built with one
+    explode + bit_or aggregation, no driver-side state — and an
+    incoming batch is checked against it (join on word_idx, AND-mask
+    test) before the exact verify semi-join. Differs from the
+    round-3 runtime bloom GATE (Catalyst-injected, per-query,
+    transient): this bloom is a first-class, persistable, MERGEABLE
+    artifact (bit_or of two blooms is the union bloom) — the thing
+    an ingest pipeline stores between runs so tomorrow's batch never
+    rescans yesterday's corpus.
+
+    Emits per batch doc: bloom_pass (did all k probe bits hit) and
+    is_dup (exact fingerprint existence). The oracle replicates the
+    BLOOM ITSELF bit-for-bit (shared md5-60-bit probe hashes, same
+    word/bit split), so the cross-engine hash pins both the
+    no-false-negative guarantee (is_dup=1 -> bloom_pass=1) and the
+    exact bit layout, not just the end answer.
+
+    Scale shape: the bloom build is one linear pass + a shuffle of
+    k*|corpus| (word, mask) pairs partial-agg'd down to m/32 = 32Ki
+    rows (128 KiB of payload at any corpus size; 32-bit masks keep
+    the shift signed-safe in BOTH engines — DuckDB raises on
+    1::BIGINT << 63); membership is a BROADCAST join of that
+    32Ki-row table. Sizing at 100 TB: m grows
+    with the corpus (10^10 fps at 10 bits/key = 12.5 GB) — past
+    broadcast range the SAME plan shards the filter by fingerprint
+    prefix into per-shard word tables joined on (shard, word_idx);
+    nothing in the DataFrame formulation assumes the filter fits on
+    one node. False positives only cost verify-join traffic; the
+    final is_dup is exact regardless."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = (docs.where(F.col("doc_id") % _BLOOM_SPLIT != 0)
+              .select(F.md5("text").alias("fp")))
+    batch = (docs.where(F.col("doc_id") % _BLOOM_SPLIT == 0)
+             .select("doc_id", F.md5("text").alias("fp")))
+    probe = "({h}) % {m}".format(
+        h=_H60.format(x="concat(fp, ':', i)"), m=_BLOOM_M)
+    ks = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i")
+    bloom = (corpus.select("fp", ks)
+             .selectExpr("{} AS pos".format(probe))
+             .selectExpr("CAST(pos DIV 32 AS BIGINT) AS word_idx",
+                         "shiftleft(1L, CAST(pos % 32 AS INT)) AS mask")
+             .groupBy("word_idx")
+             .agg(F.expr("bit_or(mask)").alias("bits")))
+    probes = (batch.select("doc_id", "fp", ks)
+              .selectExpr("doc_id", "fp", "{} AS pos".format(probe))
+              .selectExpr("doc_id", "fp",
+                          "CAST(pos DIV 32 AS BIGINT) AS word_idx",
+                          "shiftleft(1L, CAST(pos % 32 AS INT)) AS mask"))
+    hits = (probes.join(F.broadcast(bloom), "word_idx", "left")
+            .groupBy("doc_id", "fp")
+            .agg(F.sum(F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask"))
+                   == F.col("mask")), 1).otherwise(0)).alias("k_hit")))
+    dup = (hits.join(corpus.distinct().withColumn("d", F.lit(1)),
+                     "fp", "left"))
+    return dup.select(
+        "doc_id",
+        F.when(F.col("k_hit") == _BLOOM_K, 1).otherwise(0)
+         .cast("int").alias("bloom_pass"),
+        F.when(F.col("d").isNotNull(), 1).otherwise(0)
+         .cast("int").alias("is_dup"))
+
+
+@_q("mix_temperature_alloc", sql="""
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+w AS (SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w_micro
+      FROM c),
+tot AS (SELECT sum(w_micro) AS wt, CAST(sum(n_docs) // 2 AS BIGINT) AS budget
+        FROM w),
+q AS (SELECT source, n_docs, w_micro,
+             (budget * w_micro) // wt AS base,
+             (budget * w_micro) % wt AS rem,
+             budget, wt
+      FROM w CROSS JOIN tot),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+             budget - sum(base) OVER () AS leftover
+      FROM q)
+SELECT source, n_docs, w_micro,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r
+""")
+def mix_temperature_alloc(spark, sf_dir):
+    """Temperature-scaled source mixing for pretraining-corpus
+    composition (the T5 / XLM-R alpha-sampling rule, Raffel'20 §3.4.3
+    / Conneau'19 §3.1, at alpha = 0.5): per-source sampling weights
+    proportional to n_docs^alpha — upweighting low-resource sources
+    relative to proportional sampling — then an INTEGER allocation of
+    a document budget (here total/2) across sources by Hamilton
+    largest-remainder, the same exact-arithmetic machinery as
+    prorate_largest_remainder, so per-source quotas sum to the budget
+    exactly and each is within 1 of its real-valued quota.
+
+    Exactness across engines: alpha = 0.5 makes the weight sqrt(n) —
+    IEEE-754 sqrt is correctly rounded in both JVMs and DuckDB, and
+    floor(sqrt(n) * 1e6) is the same two correctly-rounded double
+    ops on both sides, so w_micro is bit-deterministic; everything
+    after is pure BIGINT div/mod (a double division here misrounds
+    near-integer quotas, the prorate lesson). General alpha would
+    need pow(), whose libm rounding is NOT pinned cross-engine — the
+    dyadic alphas (0.5, 0.25) stay exact via sqrt chains.
+
+    Scale shape: sources are a bounded dimension (O(100) at any
+    corpus size), so the per-source count is ONE partial-agg'd
+    shuffle over the corpus and the Hamilton step runs on a
+    dimension-sized table (the row_number window over <=|sources|
+    rows is deliberate, same justification as prorate's per-order
+    windows: the windowed set is small BY SCHEMA, not by luck)."""
+    c = (t(spark, sf_dir, "documents")
+         .groupBy("source")
+         .agg(F.count("*").cast("long").alias("n_docs")))
+    w = c.withColumn(
+        "w_micro",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000)
+        .cast("long"))
+    tot = w.agg(F.sum("w_micro").alias("wt"),
+                F.expr("sum(n_docs) DIV 2").alias("budget"))
+    q = (w.crossJoin(F.broadcast(tot))
+         .withColumn("base", F.expr("budget * w_micro DIV wt"))
+         .withColumn("rem", (F.col("budget") * F.col("w_micro"))
+                     % F.col("wt")))
+    win = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    r = (q.withColumn("rk", F.row_number().over(win))
+         .withColumn("leftover",
+                     F.col("budget")
+                     - F.sum("base").over(
+                         Window.partitionBy(F.lit(1)))))
+    return r.select(
+        "source", "n_docs", "w_micro",
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1)
+         .otherwise(0)).cast("long").alias("alloc"))
+
 
 # ===========================================================================
 # Registry ordering for the external driver

@@ -2358,3 +2358,103 @@ def test_sssp_cheaper_long_path_and_cap(spark, tmp_path):
     # -1 seed 0; p10 via lane 1000c; s4 via p10 (1000+1000);
     # p20 min(direct 10000, via s4 3000) = 3000
     assert got == {-1: 0, 10: 1000, -4: 2000, 20: 3000}
+
+
+def test_event_seq_match_hand_semantics(spark, tmp_path):
+    """CEP semantics from the definition on a hand corpus: greedy
+    non-overlapping S[VC]*P matching, 'E' breaks the closure, users
+    with no signup never match, first_pos is 1-based leftmost.
+    user 1: S V C P V S P -> 'SVCPVSP' = 2 matches, first at 1
+    user 2: V C P        -> no S, 0 matches
+    user 3: S E P        -> error inside the run blocks the match
+    user 4: S V P P      -> ONE match (second P not re-matched)"""
+    from extractor.queries import QUERIES
+
+    seqs = {1: "SVCPVSP", 2: "VCP", 3: "SEP", 4: "SVPP"}
+    ch2ty = {"S": "signup", "V": "view", "C": "click",
+             "P": "purchase", "E": "error"}
+    rows, eid = [], 0
+    for uid, s in seqs.items():
+        for i, c in enumerate(s):
+            rows.append((eid, pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(minutes=i), uid,
+                         ch2ty[c], 1.0, "{}"))
+            eid += 1
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(str(tmp_path / "events.parquet"))
+    got = {r["user_id"]: r for r in
+           QUERIES["event_seq_match"](spark, str(tmp_path)).collect()}
+    assert (got[1]["n_matches"], got[1]["first_pos"]) == (2, 1)
+    assert (got[2]["n_matches"], got[2]["first_pos"]) == (0, 0)
+    assert (got[3]["n_matches"], got[3]["first_pos"]) == (0, 0)
+    assert (got[4]["n_matches"], got[4]["first_pos"]) == (1, 1)
+    assert got[1]["seq_len"] == 7
+
+
+def test_bloom_incremental_dedup_planted_and_fp_bound(spark, tmp_path):
+    """Planted cross-split duplicate: a batch doc (doc_id % 10 == 0)
+    with text identical to a corpus doc must come back is_dup=1 AND
+    bloom_pass=1 (the no-false-negative guarantee); a unique batch
+    doc is_dup=0. Corpus-wide at sf0.1: is_dup=1 implies bloom_pass=1
+    for every row, and the false-positive count obeys the sizing
+    bound (n=4.5k keys in m=2^20 bits, k=5 -> p_fp ~ 4e-9; assert a
+    lax <= 2 of 500)."""
+    from extractor.queries import QUERIES
+
+    rows = [(10, "the shared duplicate payload", "en", "s", 28),
+            (11, "the shared duplicate payload", "en", "s", 28),
+            (20, "a one-of-a-kind batch document", "en", "s", 30),
+            (21, "corpus filler one", "en", "s", 17),
+            (33, "corpus filler two", "en", "s", 17)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in
+           QUERIES["bloom_incremental_dedup"](
+               spark, str(tmp_path)).collect()}
+    assert set(got) == {10, 20}
+    assert got[10]["is_dup"] == 1 and got[10]["bloom_pass"] == 1
+    assert got[20]["is_dup"] == 0
+
+    big = QUERIES["bloom_incremental_dedup"](
+        spark, "/root/testdata/sf0.1").toPandas()
+    assert len(big) == 500
+    assert ((big.is_dup == 1) <= (big.bloom_pass == 1)).all()
+    fp = int(((big.bloom_pass == 1) & (big.is_dup == 0)).sum())
+    assert fp <= 2, fp
+
+
+def test_mix_temperature_alloc_invariants_and_hand(spark, tmp_path):
+    """Hamilton invariants on sf0.1: allocations sum EXACTLY to the
+    budget (total DIV 2) and each is within one unit of its real
+    quota (-wt < alloc*wt - budget*w <= wt in exact integers); the
+    sqrt flattening upweights the smallest source relative to
+    proportional sampling. Hand fixture: counts 16/4/1, budget 10 ->
+    sqrt weights 4:2:1 -> quotas 40/7, 20/7, 10/7 -> base 5,2,1,
+    remainders 5e6,6e6,3e6 -> leftover 2 goes to B then A -> 6,3,1."""
+    from extractor.queries import QUERIES
+
+    got = QUERIES["mix_temperature_alloc"](
+        spark, "/root/testdata/sf0.1").toPandas()
+    total = int(got.n_docs.sum())
+    budget = total // 2
+    assert int(got.alloc.sum()) == budget
+    wt = int(got.w_micro.sum())
+    diff = got.alloc.astype("int64") * wt - budget * got.w_micro
+    assert (diff > -wt).all() and (diff <= wt).all()
+    small = got.loc[got.n_docs.idxmin()]
+    assert small.alloc / budget >= small.n_docs / total - 1e-12
+
+    rows = []
+    for src, n in (("A", 16), ("B", 4), ("C", 1)):
+        for i in range(n):
+            rows.append((len(rows), "t", "en", src, 1))
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r["alloc"] for r in
+           QUERIES["mix_temperature_alloc"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": 6, "B": 3, "C": 1}

@@ -1000,3 +1000,34 @@ def test_entity_cooccurrence_and_drift_plans(spark):
     assert "CartesianProduct" not in final, final
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_event_seq_bloom_mix_plans(spark):
+    """event_seq_match: ONE Exchange (hashpartitioning on user_id
+    feeding the collect_list agg), regex entirely JVM-side, no joins,
+    no Python. bloom_incremental_dedup: the 32Ki-word filter table
+    joins BROADCAST; no nested loop, no Python — the bloom is pure
+    relational algebra. mix_temperature_alloc: only the 1-row totals
+    broadcast is a nested-loop cross; the corpus reduces through a
+    partial-agg'd count before any window."""
+    final = _final_plan(spark, "event_seq_match")
+    assert "hashpartitioning(user_id" in final, final
+    assert final.count("Exchange") == 1, final
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "SortMergeJoin", "BroadcastHashJoin"):
+        assert node not in final, final
+
+    final = _final_plan(spark, "bloom_incremental_dedup")
+    assert "BroadcastHashJoin" in final, final
+    assert "partial_" in final, final
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
+
+    final = _final_plan(spark, "mix_temperature_alloc")
+    assert "partial_count" in final, final
+    assert final.count("BroadcastNestedLoopJoin") <= 1, final  # 1-row tot
+    assert "CartesianProduct" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
