@@ -1303,3 +1303,63 @@ def test_streaming_ewma_bit_equal_to_batch(spark, tmp_path):
     assert (got["event_id"].values == want["event_id"].values).all()
     assert (got["ewma"].to_numpy().view(np.int64)
             == want["ewma"].to_numpy().view(np.int64)).all()
+
+
+def test_tws_profile_gate_or_batch_equal(spark, tmp_path):
+    """transformWithStateInPandas surface: where the protobuf runtime
+    exists, the streaming per-user profile's LAST update row per user
+    must equal the batch groupBy aggregate on the same input (same
+    3-micro-batch split as the ewma pin); in this sandbox (no
+    protobuf — the TWS state server can't start) the public entry
+    must raise the documented RuntimeError BEFORE starting a query,
+    not die inside the stream."""
+    import os
+
+    import pytest
+
+    from extractor.streaming import _has_tws_runtime, stream_user_profile_tws
+
+    if not _has_tws_runtime():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stream_user_profile_tws(spark, str(tmp_path), str(tmp_path), None)
+        return
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(os.path.join(sf, "events.parquet"))
+    ev = ev.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    third = len(ev) // 3
+    for i, lo in enumerate((0, third, 2 * third)):
+        hi = lo + third if i < 2 else len(ev)
+        f = os.path.join(in_dir, "part-{}.parquet".format(i))
+        ev.iloc[lo:hi].to_parquet(f)
+        os.utime(f, (i + 1, i + 1))
+    schema = spark.read.parquet(os.path.join(in_dir, "part-0.parquet")).schema
+    out = str(tmp_path / "out")
+    q = stream_user_profile_tws(spark, in_dir, out, schema)
+    q.awaitTermination(180)
+    got = (spark.read.parquet(os.path.join(out, "data")).toPandas()
+           .sort_values(["user_id", "n"]).groupby("user_id").last())
+    import pyspark.sql.functions as F
+    want = (spark.read.parquet(os.path.join(sf, "events.parquet"))
+            .select("user_id", "event_id", "value", "event_type",
+                    F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                    .alias("us"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("event_type").alias("n_types"),
+                 F.min("value").alias("vmin"), F.max("value").alias("vmax"),
+                 F.max("us").alias("last_us"),
+                 F.reverse(F.slice(F.reverse(F.array_sort(
+                     F.collect_list(F.struct("us", "event_id")))), 1, 3))
+                 .alias("recent_pairs"))
+            .toPandas().set_index("user_id").sort_index())
+    assert (got["n"] == want["n"]).all()
+    assert (got["n_types"] == want["n_types"]).all()
+    assert (got["vmin"] == want["vmin"]).all()
+    assert (got["vmax"] == want["vmax"]).all()
+    assert (got["last_us"] == want["last_us"]).all()
+    for u in want.index:
+        assert list(got.loc[u, "recent"]) == [
+            p["event_id"] for p in want.loc[u, "recent_pairs"]]
