@@ -9031,6 +9031,107 @@ def mix_temperature_alloc(spark, sf_dir):
          .otherwise(0)).cast("long").alias("alloc"))
 
 
+# --- MOSS winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03) -----
+_WIN_K = 4                    # words per k-gram
+_WIN_W = 4                    # winnowing window (gram positions)
+_WIN_HMOD = 1 << 40           # fingerprint hash width
+_WIN_PBITS = 20               # rightmost-pos packing (2^20 grams/doc cap)
+
+
+@_q("winnow_contamination", sql="""
+WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= {k}),
+g AS (SELECT doc_id, pos, len(w) - {k} + 1 AS ng,
+             (('0x' || substr(md5(array_to_string(
+                 w[pos:pos + {k} - 1], ' ')), 1, 15))::BIGINT
+              % {hmod}) AS h40
+      FROM wd, UNNEST(generate_series(1, len(w) - {k} + 1)) AS t(pos)),
+mk AS (SELECT doc_id, pos, ng,
+              min(h40 * {pmul} + ({pmax} - pos)) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND {wm1} FOLLOWING) AS mkey
+       FROM g),
+fp AS (SELECT DISTINCT doc_id, mkey // {pmul} AS mh,
+              {pmax} - (mkey % {pmul}) AS fpos
+       FROM mk WHERE pos <= ng - {w} + 1),
+bench AS (SELECT DISTINCT mh FROM fp WHERE doc_id < 5)
+SELECT f.doc_id,
+       CAST(count(DISTINCT f.mh) AS BIGINT) AS n_fp,
+       CAST(count(DISTINCT CASE WHEN b.mh IS NOT NULL THEN f.mh END)
+            AS BIGINT) AS n_shared_fp
+FROM fp f LEFT JOIN bench b ON b.mh = f.mh
+WHERE f.doc_id >= 5
+GROUP BY f.doc_id
+HAVING count(DISTINCT CASE WHEN b.mh IS NOT NULL THEN f.mh END) > 0
+""".format(k=_WIN_K, w=_WIN_W, wm1=_WIN_W - 1, hmod=_WIN_HMOD,
+           pmul=1 << _WIN_PBITS, pmax=(1 << _WIN_PBITS) - 1))
+def winnow_contamination(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS plagiarism-detector algorithm) applied to
+    benchmark decontamination: hash every k-gram of words, slide a
+    w-gram window, keep each window's MINIMUM hash (rightmost on
+    ties — the robust-winnowing convention), and dedupe the selected
+    (hash, pos) set. GUARANTEE (Thm. of §3): any word run of length
+    >= w + k - 1 = 7 shared between two documents shares at least
+    one selected fingerprint — the same detection floor as the
+    every-shingle contamination_flag but with ~2/(w+1) of its
+    fingerprint volume, which is the point at 100 TB: the shuffle
+    and the benchmark index shrink ~3-4x while the contamination
+    guarantee stays sharp, trading only granularity BELOW the
+    threshold.
+
+    Engine trick: the per-window argmin with rightmost tie-break is
+    ONE windowed MIN, no self-join and no w-way explode — pack
+    (hash, rightmost-pos) into a single BIGINT as
+    h40 * 2^20 + (2^20 - 1 - pos); minimizing the packed key
+    minimizes h40 and, among equal hashes, maximizes pos. 40-bit
+    hashes + 20-bit positions stay inside signed-64 (docs are
+    capped at 2^20 grams; longer docs need a wider pack — a
+    parameter, not a plan change).
+
+    Scale shape: one projection + posexplode (O(total words) rows),
+    ONE shuffle on doc_id for the window, a distinct on the ~1/w-
+    selected fingerprints, then a BROADCAST join against the
+    benchmark fingerprint set (bounded: benchmarks are a fixed
+    suite). Emits corpus docs (doc_id >= 5, mirroring
+    contamination_flag's split) with any benchmark overlap:
+    n_fp (its own distinct fingerprint hashes) and n_shared_fp."""
+    k, w = _WIN_K, _WIN_W
+    pmul, pmax = 1 << _WIN_PBITS, (1 << _WIN_PBITS) - 1
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", F.split("text", " ").alias("wd"))
+         .where(F.size("wd") >= k))
+    g = d.select(
+        "doc_id", (F.size("wd") - k + 1).alias("ng"),
+        F.posexplode(F.expr(
+            "transform(sequence(1, size(wd) - {k} + 1),"
+            " i -> concat_ws(' ', slice(wd, i, {k})))".format(k=k))
+        ).alias("p0", "gram"))
+    g = g.select(
+        "doc_id", "ng", (F.col("p0") + 1).alias("pos"),
+        (F.expr(_H60.format(x="gram")) % _WIN_HMOD).alias("h40"))
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(0, w - 1))
+    mk = g.select(
+        "doc_id", "pos", "ng",
+        F.min(F.col("h40") * pmul + (pmax - F.col("pos")))
+        .over(win).alias("mkey"))
+    fp = (mk.where(F.col("pos") <= F.col("ng") - w + 1)
+          .select("doc_id",
+                  F.expr("mkey DIV {}".format(pmul)).alias("mh"),
+                  (pmax - (F.col("mkey") % pmul)).alias("fpos"))
+          .distinct())
+    bench = (fp.where(F.col("doc_id") < 5)
+             .select("mh").distinct().withColumn("b", F.lit(1)))
+    return (fp.where(F.col("doc_id") >= 5)
+            .join(F.broadcast(bench), "mh", "left")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("mh").alias("n_fp"),
+                 F.countDistinct(F.when(F.col("b").isNotNull(),
+                                        F.col("mh"))).alias("n_shared_fp"))
+            .where(F.col("n_shared_fp") > 0))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

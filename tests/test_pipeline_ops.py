@@ -2458,3 +2458,70 @@ def test_mix_temperature_alloc_invariants_and_hand(spark, tmp_path):
            QUERIES["mix_temperature_alloc"](
                spark, str(tmp_path)).collect()}
     assert out == {"A": 6, "B": 3, "C": 1}
+
+
+def _ref_winnow(text, k=4, w=4):
+    """From-the-definition robust winnowing (Schleimer'03): k-gram
+    hashes, per-window min with rightmost tie-break, dedup the
+    selected (hash, 1-based pos) set."""
+    import hashlib
+
+    words = text.split(" ")
+    if len(words) < k:
+        return set()
+    grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % (1 << 40)
+          for g in grams]
+    sel = set()
+    for s in range(len(hs) - w + 1):
+        win = hs[s:s + w]
+        mh = min(win)
+        pos = s + max(i for i, v in enumerate(win) if v == mh)
+        sel.add((mh, pos + 1))
+    return sel
+
+
+def test_winnow_contamination_differential_and_guarantee(spark, tmp_path):
+    """(1) Differential on sf0.001: per-doc n_fp / n_shared_fp must
+    equal an independent single-threaded winnower's, including the
+    only-contaminated-docs output filter. (2) Guarantee fixture: a
+    corpus doc sharing a run of EXACTLY w + k - 1 = 7 words with a
+    bench doc MUST surface (the SIGMOD'03 theorem is deterministic,
+    not probabilistic); a fully-disjoint doc must not."""
+    from extractor.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(sf + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    fps = {int(r.doc_id): _ref_winnow(r.text) for r in docs.itertuples()}
+    bench = set()
+    for did, s in fps.items():
+        if did < 5:
+            bench |= {h for h, _ in s}
+    want = {}
+    for did, s in fps.items():
+        if did < 5:
+            continue
+        hashes = {h for h, _ in s}
+        shared = hashes & bench
+        if shared:
+            want[did] = (len(hashes), len(shared))
+    got = {int(r["doc_id"]): (int(r["n_fp"]), int(r["n_shared_fp"]))
+           for r in QUERIES["winnow_contamination"](spark, sf).collect()}
+    assert got == want
+
+    uniq = ["u{}{}".format(i, j) for i in range(40) for j in ("a", "b")]
+    run7 = "alpha bravo charlie delta echo foxtrot golf".split()
+    bench_doc = " ".join(uniq[0:10] + run7 + uniq[10:20])
+    hit_doc = " ".join(uniq[20:30] + run7 + uniq[30:40])
+    miss_doc = " ".join(uniq[40:70])
+    rows = [(0, bench_doc, "en", "s", len(bench_doc)),
+            (10, hit_doc, "en", "s", len(hit_doc)),
+            (11, miss_doc, "en", "s", len(miss_doc))]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in QUERIES["winnow_contamination"](
+        spark, str(tmp_path)).collect()}
+    assert 10 in out and out[10]["n_shared_fp"] >= 1
+    assert 11 not in out

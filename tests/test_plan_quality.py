@@ -1031,3 +1031,16 @@ def test_event_seq_bloom_mix_plans(spark):
     assert "CartesianProduct" not in final, final
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_winnow_contamination_plan(spark):
+    """Winnowing: gram hashing + the packed-key windowed MIN stay
+    JVM-side (no Python eval), the window costs one doc_id exchange,
+    and the benchmark fingerprint set joins BROADCAST; never a
+    nested loop."""
+    final = _final_plan(spark, "winnow_contamination")
+    assert "hashpartitioning(doc_id" in final, final
+    assert "BroadcastHashJoin" in final, final
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
