@@ -2525,3 +2525,20 @@ def test_winnow_contamination_differential_and_guarantee(spark, tmp_path):
         spark, str(tmp_path)).collect()}
     assert 10 in out and out[10]["n_shared_fp"] >= 1
     assert 11 not in out
+
+
+def test_hits_hand_fixture(spark, tmp_path):
+    """Kleinberg HITS from the definition on a 2-supplier/2-part
+    graph, hand-unrolled: edges s1-{p10,p20}, s2-{p20} ->
+    a1=(1,2), h1=(3,2), a2=(3,5), h2=(8,5), a3=(8,13), h3=(21,13).
+    Exact integers, no normalization."""
+    from extractor.queries import QUERIES
+
+    li = pd.DataFrame({"l_suppkey": [1, 1, 2, 2],
+                       "l_partkey": [10, 20, 20, 20]})  # dup edge deduped
+    li.to_parquet(str(tmp_path / "lineitem.parquet"))
+    got = {(r["role"], r["node_id"]): r["score"]
+           for r in QUERIES["hits_hub_authority"](
+               spark, str(tmp_path)).collect()}
+    assert got == {("authority", 10): 8, ("authority", 20): 13,
+                   ("hub", -1): 21, ("hub", -2): 13}

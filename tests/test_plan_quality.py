@@ -1044,3 +1044,16 @@ def test_winnow_contamination_plan(spark):
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_hits_plan(spark):
+    """HITS: every half-round is an equi-join + partial-agg'd sum —
+    no nested loop anywhere, no Python eval, and the edge list is
+    scanned through the persisted distinct (InMemoryTableScan), not
+    re-read per round."""
+    final = _final_plan(spark, "hits_hub_authority")
+    assert "partial_sum" in final, final
+    assert "InMemoryTableScan" in final, final
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
