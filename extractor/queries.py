@@ -9194,6 +9194,40 @@ def hits_hub_authority(spark, sf_dir):
     return out
 
 
+@_q("k_anonymity_audit", sql="""
+SELECT lang, source, CAST(n_chars // 500 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS INT) AS at_risk,
+       CAST(1000000 // count(*) AS BIGINT) AS reid_risk_micro
+FROM documents GROUP BY lang, source, n_chars // 500
+""")
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit (Sweeney, IJUFKS'02) — the release-gate
+    check a data-governance pass runs before publishing a corpus
+    slice: group by the quasi-identifier tuple (lang, source,
+    length bucket), flag equivalence classes smaller than k = 5
+    (records there are re-identifiable by linking on the
+    quasi-identifiers alone), and emit the prosecutor/journalist
+    re-identification risk 1/n in exact integer micro-units
+    (1e6 DIV n — no cross-engine float division). Complements
+    pii_scrub (content-level redaction) with the STRUCTURAL privacy
+    check: scrubbed text in a size-1 (lang, source, length) cell is
+    still linkable.
+
+    Scale shape: ONE partial-agg'd shuffle on the quasi-identifier
+    key — the cheapest possible audit; the at-risk rows (small by
+    definition) are the only ones a downstream suppression join
+    touches."""
+    d = t(spark, sf_dir, "documents")
+    n = F.count("*")
+    return (d.groupBy("lang", "source",
+                      F.expr("n_chars DIV 500").alias("len_bucket"))
+            .agg(n.cast("long").alias("n"),
+                 F.when(n < 5, 1).otherwise(0).cast("int")
+                 .alias("at_risk"),
+                 F.expr("1000000 DIV count(*)").alias("reid_risk_micro")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2542,3 +2542,22 @@ def test_hits_hand_fixture(spark, tmp_path):
                spark, str(tmp_path)).collect()}
     assert got == {("authority", 10): 8, ("authority", 20): 13,
                    ("hub", -1): 21, ("hub", -2): 13}
+
+
+def test_k_anonymity_hand(spark, tmp_path):
+    """Size-4 quasi-identifier cell flags at_risk (k=5) with
+    prosecutor risk 250000 micro; size-5 cell passes at 200000.
+    Buckets split on n_chars DIV 500 boundaries."""
+    from extractor.queries import QUERIES
+
+    rows = [(i, "t", "en", "a", 100) for i in range(4)]          # 4 @ b0
+    rows += [(10 + i, "t", "en", "a", 700) for i in range(5)]    # 5 @ b1
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        str(tmp_path / "documents.parquet"))
+    got = {int(r["len_bucket"]): r for r in
+           QUERIES["k_anonymity_audit"](spark, str(tmp_path)).collect()}
+    assert (got[0]["n"], got[0]["at_risk"], got[0]["reid_risk_micro"]) \
+        == (4, 1, 250000)
+    assert (got[1]["n"], got[1]["at_risk"], got[1]["reid_risk_micro"]) \
+        == (5, 0, 200000)
