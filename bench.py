@@ -66,6 +66,9 @@ HEADLINE_QUERIES = [
     "hard_negative_mining",
     "ann_mmr_topk",
     "bfs_hops_supply_graph",
+    "winnow_contamination",
+    "hits_hub_authority",
+    "event_seq_match",
     "extract_documents_clean",
 ]
 

@@ -9116,11 +9116,15 @@ def winnow_contamination(spark, sf_dir):
         "doc_id", "pos", "ng",
         F.min(F.col("h40") * pmul + (pmax - F.col("pos")))
         .over(win).alias("mkey"))
+    # persisted: the fingerprint table feeds BOTH the benchmark-set
+    # branch and the probe side — without the persist the gram-hash +
+    # window pipeline executes twice (measured 1.1-1.2x end-to-end at
+    # 10x sf0.1; see the module PERSIST NOTE for the lifecycle rule)
     fp = (mk.where(F.col("pos") <= F.col("ng") - w + 1)
           .select("doc_id",
                   F.expr("mkey DIV {}".format(pmul)).alias("mh"),
                   (pmax - (F.col("mkey") % pmul)).alias("fpos"))
-          .distinct())
+          .distinct().persist())
     bench = (fp.where(F.col("doc_id") < 5)
              .select("mh").distinct().withColumn("b", F.lit(1)))
     return (fp.where(F.col("doc_id") >= 5)
