@@ -9232,6 +9232,90 @@ def k_anonymity_audit(spark, sf_dir):
                  F.expr("1000000 DIV count(*)").alias("reid_risk_micro")))
 
 
+_SG_C = 3             # skip-gram window (context offsets 1..C)
+_SG_T_MICRO = 1000    # subsample threshold t = 1e-3 (in 1e-6 units)
+_SG_MIN_COUNT = 5     # emit pairs seen at least this often
+
+
+@_q("skipgram_pairs", sql="""
+WITH tok AS (SELECT doc_id, pos, w[pos] AS word
+             FROM (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+                  UNNEST(generate_series(1, len(w))) AS t(pos)),
+freq AS (SELECT word, count(*) AS f FROM tok GROUP BY word),
+tot AS (SELECT sum(f) AS n FROM freq),
+keep AS (SELECT word,
+                CAST(floor(sqrt(0.001 * n / f) * 1000000) AS BIGINT)
+                  AS p_micro
+         FROM freq CROSS JOIN tot),
+surv AS (SELECT doc_id, pos, word,
+                row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS rnk
+         FROM tok JOIN keep USING (word)
+         WHERE (('0x' || substr(md5(doc_id || ':' || pos), 1, 15))::BIGINT
+                % 1000000) < p_micro),
+pairs AS (SELECT a.word AS center, b.word AS context
+          FROM surv a JOIN surv b
+            ON a.doc_id = b.doc_id
+           AND b.rnk BETWEEN a.rnk - {c} AND a.rnk + {c}
+           AND b.rnk <> a.rnk)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY center, context
+HAVING count(*) >= {mc}
+""".format(c=_SG_C, mc=_SG_MIN_COUNT))
+def skipgram_pairs(spark, sf_dir):
+    """Skip-gram training-pair extraction (word2vec, Mikolov'13) —
+    the corpus-scale step that turns raw text into (center, context)
+    co-occurrence counts for embedding training: tokenize, SUBSAMPLE
+    frequent words (keep probability sqrt(t / f_rel), t = 1e-3 —
+    made deterministic by comparing a per-OCCURRENCE md5 hash in
+    micro-units against floor(sqrt(t*N/f)*1e6), so both engines drop
+    exactly the same occurrences; sqrt/mul/floor are correctly
+    rounded identically everywhere, the mix_temperature_alloc
+    lesson), re-rank survivors per document (windows span the
+    COMPACTED stream, as in word2vec), pair every survivor with
+    contexts within +-3 ranks, and keep pairs with count >= 5
+    (min_count).
+
+    Scale shape: tokenize is a posexplode (O(tokens) rows); the
+    frequency table is one partial-agg shuffle; the keep-probability
+    join is a BROADCAST against the vocabulary; the re-rank is one
+    doc_id-shuffled window; and context pairing EXPANDS each survivor
+    into its <= 2C offset slots and EQUI-joins on (doc_id, rank) —
+    never a per-doc range self-join (which is quadratic in document
+    length for long docs). Output is vocabulary-bounded after the
+    min-count filter."""
+    c = _SG_C
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"))
+    tok = d.select(
+        "doc_id",
+        F.posexplode("w").alias("p0", "word")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "word")
+    freq = tok.groupBy("word").agg(F.count("*").alias("f"))
+    tot = freq.agg(F.sum("f").alias("n"))
+    keep = (freq.crossJoin(F.broadcast(tot))
+            .select("word",
+                    F.floor(F.sqrt(F.lit(0.001) * F.col("n") / F.col("f"))
+                            * 1000000).cast("long").alias("p_micro")))
+    h = _H60.format(x="concat(doc_id, ':', pos)")
+    surv = (tok.join(F.broadcast(keep), "word")
+            .where(F.expr("({}) % 1000000".format(h)) < F.col("p_micro"))
+            .select("doc_id", "pos", "word")
+            .withColumn("rnk", F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos"))))
+    ctx = surv.select(
+        "doc_id", F.col("word").alias("context"),
+        F.explode(F.expr(
+            "filter(sequence(rnk - {c}, rnk + {c}), x -> x != rnk)"
+            .format(c=c))).alias("rnk"))
+    pairs = (surv.select("doc_id", "rnk", F.col("word").alias("center"))
+             .join(ctx, ["doc_id", "rnk"]))
+    return (pairs.groupBy("center", "context")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= _SG_MIN_COUNT))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2561,3 +2561,43 @@ def test_k_anonymity_hand(spark, tmp_path):
         == (4, 1, 250000)
     assert (got[1]["n"], got[1]["at_risk"], got[1]["reid_risk_micro"]) \
         == (5, 0, 200000)
+
+
+def test_skipgram_pairs_differential(spark):
+    """Independent single-threaded word2vec pair extraction on
+    sf0.001 (tokenize -> deterministic sqrt(t/f) subsample by
+    occurrence hash -> compacted re-rank -> +-3-rank pairs ->
+    min_count 5) must reproduce the query's (center, context, n)
+    multiset exactly — including which OCCURRENCES the subsampler
+    drops."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from extractor.queries import _SG_C, _SG_MIN_COUNT, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(sf + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = [(int(r.doc_id), i + 1, w)
+            for r in docs.itertuples()
+            for i, w in enumerate(r.text.split(" "))]
+    freq = Counter(w for _, _, w in toks)
+    n = sum(freq.values())
+    p_micro = {w: math.floor(math.sqrt(0.001 * n / f) * 1000000)
+               for w, f in freq.items()}
+    h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    surv = {}
+    for doc, pos, w in toks:                       # toks is pos-ordered
+        if h60("{}:{}".format(doc, pos)) % 1000000 < p_micro[w]:
+            surv.setdefault(doc, []).append(w)
+    want = Counter()
+    for words in surv.values():
+        for i, cw in enumerate(words):
+            for j in range(max(0, i - _SG_C), min(len(words), i + _SG_C + 1)):
+                if j != i:
+                    want[(cw, words[j])] += 1
+    want = {k: v for k, v in want.items() if v >= _SG_MIN_COUNT}
+    got = {(r["center"], r["context"]): int(r["n"])
+           for r in QUERIES["skipgram_pairs"](spark, sf).collect()}
+    assert got == want

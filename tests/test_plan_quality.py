@@ -1057,3 +1057,16 @@ def test_hits_plan(spark):
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_skipgram_pairs_plan(spark):
+    """skipgram: vocabulary keep-probabilities join BROADCAST; the
+    context pairing is an EQUI-join on (doc_id, rank) via offset
+    expansion — never a per-doc range self-join; the only nested
+    loop is the 1-row token-total broadcast; no Python eval."""
+    final = _final_plan(spark, "skipgram_pairs")
+    assert "BroadcastHashJoin" in final, final
+    assert final.count("BroadcastNestedLoopJoin") <= 1, final  # 1-row tot
+    assert "CartesianProduct" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
