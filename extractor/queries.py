@@ -9316,6 +9316,61 @@ def skipgram_pairs(spark, sf_dir):
             .where(F.col("n") >= _SG_MIN_COUNT))
 
 
+@_q("bitmap_entity_intersect", sql="""
+WITH {cte},
+de AS (SELECT DISTINCT doc_id, entity_id FROM g)
+SELECT a.entity_id AS ent_a, b.entity_id AS ent_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM de a JOIN de b
+  ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+GROUP BY 1, 2
+""".format(cte=_ENTITY_G_CTE))
+def bitmap_entity_intersect(spark, sf_dir):
+    """Bitmap-index set intersection (O'Neil'87 model-204 bitmap
+    indices; the word-aligned representation behind Roaring/Judy):
+    fold each entity's document set into 32-bit bitmap words
+    (word_idx = doc_id DIV 32, bit_or of masks — the same
+    construction as bloom_incremental_dedup's filter, but EXACT:
+    position IS the doc id), then compute every entity pair's
+    co-document count as sum(bit_count(a AND b)) over shared words —
+    set intersection as bitwise arithmetic, no row-level pair
+    explosion.
+
+    The oracle is deliberately the NAIVE pair join (the same shape
+    entity_cooccurrence uses), so the driver hash-compare pins
+    CROSS-ALGORITHM equality: two structurally different plans — a
+    doc-level equi-join versus bitmap popcount — must produce the
+    identical pair->count table. That is the strongest kind of
+    correctness signal this harness can express.
+
+    Scale shape: the bitmap build is one partial-agg'd shuffle to
+    |entities| * |docs|/32 words; the pair stage joins the bitmap
+    table to itself on word_idx — output bounded by
+    |dict|^2 * |docs|/32 words, and each 64-bit AND+popcount covers
+    32 documents at once (the compression is why bitmap indices win
+    at 100 TB for low-cardinality dimensions: the doc axis shrinks
+    32x before any pair work happens). Entities are
+    gazetteer-bounded, so the self-join fan-out is a constant times
+    the word table."""
+    de = (dict_entity_tag(spark, sf_dir)
+          .select("doc_id", "entity_id").distinct())
+    bm = (de.selectExpr("entity_id",
+                        "CAST(doc_id DIV 32 AS BIGINT) AS word_idx",
+                        "shiftleft(1L, CAST(doc_id % 32 AS INT)) AS mask")
+          .groupBy("entity_id", "word_idx")
+          .agg(F.expr("bit_or(mask)").alias("bits")))
+    a = bm.select(F.col("entity_id").alias("ent_a"), "word_idx",
+                  F.col("bits").alias("ba"))
+    b = bm.select(F.col("entity_id").alias("ent_b"), "word_idx",
+                  F.col("bits").alias("bb"))
+    return (a.join(b, "word_idx")
+            .where(F.col("ent_a") < F.col("ent_b"))
+            .groupBy("ent_a", "ent_b")
+            .agg(F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+                 .alias("n_docs"))
+            .where(F.col("n_docs") > 0))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2601,3 +2601,18 @@ def test_skipgram_pairs_differential(spark):
     got = {(r["center"], r["context"]): int(r["n"])
            for r in QUERIES["skipgram_pairs"](spark, sf).collect()}
     assert got == want
+
+
+def test_bitmap_intersect_equals_cooccurrence(spark):
+    """Cross-query pin: the bitmap popcount path must produce the
+    SAME pair->n_docs table as entity_cooccurrence's doc-level join
+    path at sf0.01 (two structurally different algorithms, one
+    answer)."""
+    from extractor.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    bm = {(r["ent_a"], r["ent_b"]): int(r["n_docs"])
+          for r in QUERIES["bitmap_entity_intersect"](spark, sf).collect()}
+    co = {(r["ent_a"], r["ent_b"]): int(r["n_docs"])
+          for r in QUERIES["entity_cooccurrence"](spark, sf).collect()}
+    assert bm == co

@@ -1070,3 +1070,14 @@ def test_skipgram_pairs_plan(spark):
     assert "CartesianProduct" not in final, final
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_bitmap_entity_intersect_plan(spark):
+    """Bitmap intersect: bitmap build reduces through a partial
+    bit_or; the pair stage is an EQUI-join on word_idx (never a
+    nested loop over entity pairs); AND+popcount stay JVM-side."""
+    final = _final_plan(spark, "bitmap_entity_intersect")
+    assert "partial_bit_or" in final or "partial_" in final, final
+    assert "CartesianProduct" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
