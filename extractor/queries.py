@@ -9371,6 +9371,56 @@ def bitmap_entity_intersect(spark, sf_dir):
             .where(F.col("n_docs") > 0))
 
 
+@_q("calibration_bins", sql="""
+WITH w AS (SELECT list_transform(range(0, 64),
+                                 j -> ((j * 37 % 19) - 9) / 10.0) AS wv),
+s AS (SELECT vec_id,
+             round(1 / (1 + exp(-(list_dot_product(embedding::DOUBLE[], wv)
+                                  + (-0.2)))), 6) AS score_r
+      FROM embeddings, w)
+SELECT CAST(least(floor(score_r * 10), 9) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos,
+       CAST(sum(CAST(round(score_r * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_score_micro
+FROM s GROUP BY 1
+""")
+def calibration_bins(spark, sf_dir):
+    """Model-calibration reliability table (DeGroot-Fienberg;
+    Guo'17's ECE is one division away): bucket the logreg scores
+    from embedding_logreg_inference into 10 probability bins and
+    emit per bin the count, the positive-label count (deterministic
+    synthetic label vec_id % 2 — the operator under test is the
+    binning/aggregation shape, not the model), and the score mass in
+    exact integer micro-units — confidence-vs-accuracy per bin, the
+    standard post-training audit for any learned quality/toxicity
+    filter before its threshold is trusted at corpus scale.
+
+    Exactness: bins cut on the 6-decimal ROUNDED score (score_r), so
+    both engines bin the identical double; the score mass sums
+    round(score_r * 1e6) — integers, since score_r has 6 decimals —
+    rather than raw doubles (engine summation order). The underlying
+    ulp margins to the rounding boundary are pinned by the logreg
+    op's own margin test.
+
+    Scale shape: the scoring pass is the zero-shuffle broadcast
+    matmul of embedding_logreg_inference; calibration adds ONE
+    10-row partial-agg'd shuffle. Composes by calling the registered
+    query (same frame, no re-derivation)."""
+    s = embedding_logreg_inference(spark, sf_dir)
+    return (s.select(
+        "score_r",
+        F.least(F.floor(F.col("score_r") * 10), F.lit(9))
+        .cast("long").alias("bin"),
+        (F.col("vec_id") % 2 == 1).cast("int").alias("y"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"),
+             F.sum("y").cast("long").alias("n_pos"),
+             F.sum(F.round(F.col("score_r") * 1000000).cast("long"))
+             .alias("sum_score_micro")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2616,3 +2616,24 @@ def test_bitmap_intersect_equals_cooccurrence(spark):
     co = {(r["ent_a"], r["ent_b"]): int(r["n_docs"])
           for r in QUERIES["entity_cooccurrence"](spark, sf).collect()}
     assert bm == co
+
+
+def test_calibration_bins_invariants(spark):
+    """Reliability-table invariants at sf0.1: bin totals sum to the
+    embedding count; per-bin mean score (mass/n) lies inside the
+    bin's probability interval [bin/10, (bin+1)/10); n_pos <= n
+    everywhere; bins come out of [0, 9]."""
+    from extractor.queries import QUERIES
+
+    got = QUERIES["calibration_bins"](
+        spark, "/root/testdata/sf0.1").toPandas()
+    n_emb = len(pd.read_parquet("/root/testdata/sf0.1/embeddings.parquet",
+                                columns=["vec_id"]))
+    assert int(got.n.sum()) == n_emb
+    assert got.bin.between(0, 9).all()
+    assert (got.n_pos <= got.n).all()
+    mean = got.sum_score_micro / (got.n * 1000000.0)
+    lo, hi = got.bin / 10.0, (got.bin + 1) / 10.0
+    # score_r = 1.0 would land in bin 9 with mean == hi; synthetic
+    # scores never saturate, so strict upper bound holds
+    assert ((mean >= lo - 1e-9) & (mean < hi)).all()
