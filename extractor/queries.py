@@ -9421,6 +9421,76 @@ def calibration_bins(spark, sf_dir):
              .alias("sum_score_micro")))
 
 
+@_q("event_seq_sessionized", sql="""
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts, event_type,
+         1 + sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g),
+m AS (SELECT user_id, sess,
+             string_agg(CASE event_type WHEN 'signup' THEN 'S'
+                                        WHEN 'view' THEN 'V'
+                                        WHEN 'click' THEN 'C'
+                                        WHEN 'purchase' THEN 'P'
+                                        ELSE 'E' END,
+                        '' ORDER BY ts, event_id) AS seq
+      FROM s GROUP BY user_id, sess)
+SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+       CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, '{p}')) AS BIGINT) AS n_matches
+FROM m
+WHERE len(regexp_extract_all(seq, '{p}')) > 0
+""".format(p=_SEQ_PAT))
+def event_seq_sessionized(spark, sf_dir):
+    """CEP row-pattern matching SCOPED TO SESSIONS — the composition
+    event_seq_match's docstring promises for 100 TB: sessionize first
+    (lag + 30-min gap, the sessionization query's exact-microsecond
+    rule), then run the funnel regex per (user, session) instead of
+    per user lifetime. Semantically this is the funnel-within-a-visit
+    question (a signup->purchase run that spans a week is not one
+    intent); mechanically it bounds the per-group sequence string by
+    the session gap rather than the user's history — the property
+    that keeps the operator viable when one user has 10^8 lifetime
+    events. Emits only sessions containing a match.
+
+    Scale shape: one user_id shuffle shared by BOTH windows (lag and
+    the running session counter sort identically), then the group-by
+    re-uses the same partitioning; per-group work is bounded by
+    session length. Same disjoint-class regex determinism argument
+    as event_seq_match."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    is_new = F.when(us - F.lag(us).over(w) > 1_800_000_000, 1).otherwise(0)
+    sess = (F.lit(1) + F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))).alias("sess")
+    ch = (F.when(F.col("event_type") == "signup", "S")
+          .when(F.col("event_type") == "view", "V")
+          .when(F.col("event_type") == "click", "C")
+          .when(F.col("event_type") == "purchase", "P")
+          .otherwise("E"))
+    base = ev.select("user_id", sess,
+                     F.struct(F.col("ts"), F.col("event_id"),
+                              ch.alias("ch")).alias("s"))
+    seq = (base.groupBy("user_id", "sess")
+           .agg(F.array_join(
+               F.transform(F.array_sort(F.collect_list("s")),
+                           lambda x: x["ch"]), "").alias("seq")))
+    n = F.regexp_count(F.col("seq"), F.lit(_SEQ_PAT))
+    return (seq.select("user_id",
+                       F.col("sess").cast("long").alias("session_id"),
+                       F.length("seq").cast("long").alias("seq_len"),
+                       n.cast("long").alias("n_matches"))
+            .where(F.col("n_matches") > 0))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

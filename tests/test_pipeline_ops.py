@@ -2637,3 +2637,41 @@ def test_calibration_bins_invariants(spark):
     # score_r = 1.0 would land in bin 9 with mean == hi; synthetic
     # scores never saturate, so strict upper bound holds
     assert ((mean >= lo - 1e-9) & (mean < hi)).all()
+
+
+def test_event_seq_sessionized_gap_semantics(spark, tmp_path):
+    """A funnel spanning a 30-min session gap must NOT match within
+    either session (while the lifetime op would match it); a funnel
+    inside one session matches and carries the correct 1-based
+    session ordinal (user 2's match sits in their SECOND session)."""
+    from extractor.queries import QUERIES
+
+    t0 = pd.Timestamp("2024-01-01")
+    mins = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: S V ... 2h gap ... V P  -> no per-session match
+        (0, t0, 1, "signup", 1.0, "{}"),
+        (1, t0 + mins, 1, "view", 1.0, "{}"),
+        (2, t0 + pd.Timedelta(hours=2), 1, "view", 1.0, "{}"),
+        (3, t0 + pd.Timedelta(hours=2) + mins, 1, "purchase", 1.0, "{}"),
+        # user 2: [P] ... gap ... [S V P] -> match in session 2
+        (4, t0, 2, "purchase", 1.0, "{}"),
+        (5, t0 + pd.Timedelta(hours=3), 2, "signup", 1.0, "{}"),
+        (6, t0 + pd.Timedelta(hours=3) + mins, 2, "view", 1.0, "{}"),
+        (7, t0 + pd.Timedelta(hours=3) + 2 * mins, 2, "purchase", 1.0,
+         "{}"),
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(str(tmp_path / "events.parquet"))
+
+    got = QUERIES["event_seq_sessionized"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["user_id"], r["session_id"], r["seq_len"],
+            r["n_matches"]) == (2, 2, 3, 1)
+    # the lifetime op DOES match user 1's cross-gap funnel
+    life = {x["user_id"]: x["n_matches"] for x in
+            QUERIES["event_seq_match"](spark, str(tmp_path)).collect()}
+    assert life[1] == 1

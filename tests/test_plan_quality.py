@@ -1081,3 +1081,16 @@ def test_bitmap_entity_intersect_plan(spark):
     assert "CartesianProduct" not in final, final
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_event_seq_sessionized_plan(spark):
+    """Sessionized CEP: the lag window, the running session counter,
+    AND the (user_id, sess) aggregation all reuse ONE user_id
+    exchange (HashPartitioning(user_id) satisfies the clustered
+    distribution of the superset group key); regex stays JVM-side."""
+    final = _final_plan(spark, "event_seq_sessionized")
+    assert final.count("Exchange") == 1, final
+    assert "hashpartitioning(user_id" in final, final
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
