@@ -579,6 +579,65 @@ def zorder_write(df: DataFrame, dest: str, col_x: str, col_y: str,
        .write.mode("overwrite").parquet(dest))
 
 
+def hilbert_expr(col_x: str, col_y: str, bits: int = 16):
+    """Hilbert-curve index of two non-negative int columns (the
+    classic xy2d quadrant-rotation algorithm, cf. Hamilton &
+    Rau-Chaplin's compact Hilbert indices and Wikipedia's reference
+    loop) as ONE JVM fold: aggregate() over the bit levels
+    high->low carrying named_struct(x, y, d) — per level, add
+    s^2 * ((3*rx) XOR ry) to d and rotate/flip the quadrant frame.
+    Pure integer CASE/shift arithmetic inside whole-stage codegen,
+    no Python, one projection at write time — same cost class as
+    zorder_expr.
+
+    Why offer both: the Hilbert curve is CONTINUOUS (every
+    consecutive pair of d values is a Manhattan-distance-1 grid
+    step, pinned in tests), so it has no Z-curve "seams" — clusters
+    split across Z's 2^k-aligned jumps stay contiguous on Hilbert,
+    which is why Delta Lake's liquid clustering moved from Z-order
+    to Hilbert. Same caller contract: values pre-scaled to
+    [0, 2**bits)."""
+    n = 1 << bits
+    rx = "((a.x >> i) & 1)"
+    ry = "((a.y >> i) & 1)"
+    e = """
+    aggregate(
+      sequence({bm1}, 0, -1),
+      named_struct('x', cast({x} as bigint), 'y', cast({y} as bigint),
+                   'd', cast(0 as bigint)),
+      (a, i) -> named_struct(
+        'x', CASE WHEN {ry} = 0
+                  THEN CASE WHEN {rx} = 1 THEN {n} - 1 - a.y ELSE a.y END
+                  ELSE a.x END,
+        'y', CASE WHEN {ry} = 0
+                  THEN CASE WHEN {rx} = 1 THEN {n} - 1 - a.x ELSE a.x END
+                  ELSE a.y END,
+        'd', a.d + shiftleft(1L, 2 * i) *
+             (CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0
+                   WHEN {rx} = 0 AND {ry} = 1 THEN 1
+                   WHEN {rx} = 1 AND {ry} = 1 THEN 2
+                   ELSE 3 END)),
+      a -> a.d)
+    """.format(bm1=bits - 1, x=col_x, y=col_y, n=n, rx=rx, ry=ry)
+    return F.expr(e)
+
+
+def hilbert_write(df: DataFrame, dest: str, col_x: str, col_y: str,
+                  n_files: int = 32, bits: int = 16) -> None:
+    """Write ``df`` as parquet laid out along the Hilbert curve of
+    (col_x, col_y) — range-partition on the index (sampled range
+    bounds), sort within partitions, drop the key. Same contract and
+    pruning rationale as zorder_write; Hilbert's unbroken locality
+    additionally keeps range scans on either dimension inside fewer
+    row groups at the 2^k seam boundaries."""
+    h = hilbert_expr(col_x, col_y, bits).alias("_h")
+    (df.select("*", h)
+       .repartitionByRange(n_files, "_h")
+       .sortWithinPartitions("_h")
+       .drop("_h")
+       .write.mode("overwrite").parquet(dest))
+
+
 def hive_partition_write(df: DataFrame, dest: str, key: str) -> None:
     """Hive-style directory layout on a low-cardinality key
     (``dest/key=value/part-*.parquet``) — the third 100-TB read-path

@@ -309,3 +309,78 @@ def test_rtl_gate_ignores_arabic_indic_digits():
     assert not _rtl_dominant(np.asarray(latin + numerals, dtype=str))
     arabic = ["كتاب", "قلم", "بيت", "شمس"] * 10
     assert _rtl_dominant(np.asarray(arabic + numerals, dtype=str))
+
+
+def _ref_xy2d(n, x, y):
+    """Reference Hilbert xy2d (the classic quadrant-rotation loop)."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_expr_matches_reference_and_is_continuous(spark):
+    """The JVM aggregate() fold must equal the reference xy2d on the
+    FULL 32x32 grid (bits=5), be a bijection onto [0, 1024), and
+    satisfy the defining Hilbert property: consecutive indices are
+    Manhattan-distance-1 grid neighbors (the continuity Z-order lacks
+    — and the reason liquid-clustering layouts use Hilbert)."""
+    from extractor.job import hilbert_expr
+
+    bits, n = 5, 32
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {(r["x"], r["y"]): r["d"] for r in
+           df.select("x", "y",
+                     hilbert_expr("x", "y", bits).alias("d")).collect()}
+    assert got == {(x, y): _ref_xy2d(n, x, y) for x, y in pts}
+    assert sorted(got.values()) == list(range(n * n))
+    inv = {d: xy for xy, d in got.items()}
+    assert all(abs(inv[d][0] - inv[d + 1][0])
+               + abs(inv[d][1] - inv[d + 1][1]) == 1
+               for d in range(n * n - 1))
+    # Z-order on the same grid is NOT continuous (seam jumps exist)
+    def morton(x, y):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+    zinv = {morton(x, y): (x, y) for x, y in pts}
+    zsteps = [abs(zinv[d][0] - zinv[d + 1][0])
+              + abs(zinv[d][1] - zinv[d + 1][1])
+              for d in range(n * n - 1)]
+    assert max(zsteps) > 1
+
+
+def test_hilbert_write_prunes_both_dimensions(spark, tmp_path):
+    """Same harness as the Z-order pruning test: Hilbert layout must
+    prune the y-only predicate a linear-by-x layout cannot touch, and
+    beat linear's worst case over both predicate shapes; content is
+    layout-invariant."""
+    from extractor.job import hilbert_write
+
+    df = _corpus(spark)
+    hdir, ldir = str(tmp_path / "hilbert"), str(tmp_path / "linear")
+    hilbert_write(df, hdir, "x", "y", n_files=FILES)
+    (df.repartitionByRange(FILES, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(ldir))
+    assert (spark.read.parquet(hdir).agg(F.sum("payload")).first()[0]
+            == spark.read.parquet(ldir).agg(F.sum("payload")).first()[0])
+    box = (1000, 3000, 2000, 4000)
+    ysl = (0, DOM - 1, 2000, 4000)
+    h_box, h_tot = _overlapping_row_groups(hdir, *box)
+    l_box, l_tot = _overlapping_row_groups(ldir, *box)
+    h_y, _ = _overlapping_row_groups(hdir, *ysl)
+    l_y, _ = _overlapping_row_groups(ldir, *ysl)
+    print("row groups touched (of {} / {}): box h={} lin={}; "
+          "y-only h={} lin={}".format(h_tot, l_tot, h_box, l_box, h_y, l_y))
+    assert l_y == l_tot
+    assert h_y <= 0.75 * h_tot, (h_y, h_tot)
+    assert max(h_box, h_y) < max(l_box, l_y)
