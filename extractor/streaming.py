@@ -667,3 +667,103 @@ def stream_user_profile_tws(spark: SparkSession, input_dir: str,
             .option("checkpointLocation", os.path.join(output_path, "_ckpt"))
             .trigger(availableNow=True)
             .start())
+
+
+# ---------------------------------------------------------------------------
+# Streaming CEP: event_seq_match's funnel regex with O(1) cross-batch
+# state per user (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_CEP_STATE_SCHEMA = ("in_run INT, run_start LONG, n_matches LONG, "
+                     "first_pos LONG, seq_len LONG")
+_CEP_OUT_SCHEMA = ("user_id LONG, seq_len LONG, n_matches LONG, "
+                   "first_pos LONG")
+_CEP_CH = {"signup": "S", "view": "V", "click": "C", "purchase": "P"}
+
+
+def _cep_group(key, pdf_iter, state):
+    """Per-user streaming evaluation of the S[VC]*P funnel with O(1)
+    state — NOT the event sequence itself. The regex's DFA needs only:
+    is a candidate run alive at the batch boundary (state 1 = an S
+    was seen and nothing since killed the run), and where that run's
+    S sits globally. A live run is re-materialized as a single
+    virtual 'S' prefixed to the next batch's character string, which
+    is sound because the run's interior is [VC]* BY INVARIANT — its
+    content cannot affect any future transition. One re.finditer per
+    (user, micro-batch), never per event; counters (n_matches,
+    first_pos, seq_len) carry the rest. End-of-batch run detection is
+    the RIGHTMOST 'S' whose suffix is all [VC] (an S at state 1
+    restarts the run — regex scanning resumes after a dead attempt —
+    and any earlier S's suffix would contain that S, so rightmost is
+    the only candidate)."""
+    import re
+
+    import pandas as pd
+
+    batches = list(pdf_iter)
+    if not batches:
+        return
+    pdf = pd.concat(batches, ignore_index=True)
+    pdf = pdf.sort_values(["us", "event_id"])
+    chars = "".join(_CEP_CH.get(t, "E") for t in pdf["event_type"])
+    if state.exists:
+        in_run, run_start, n_matches, first_pos, seq_len = state.get
+    else:
+        in_run, run_start, n_matches, first_pos, seq_len = 0, 0, 0, 0, 0
+    prefix = "S" if in_run else ""
+    s = prefix + chars
+    last_end = 0
+    for m in re.finditer("S[VC]*P", s):
+        if n_matches == 0 and first_pos == 0:
+            if in_run and m.start() == 0:
+                first_pos = run_start
+            else:
+                first_pos = seq_len + (m.start() - len(prefix)) + 1
+        n_matches += 1
+        last_end = m.end()
+    rem = s[last_end:]
+    j = rem.rfind("S")
+    if j >= 0 and all(c in "VC" for c in rem[j + 1:]):
+        abs_i = last_end + j
+        if not (in_run and abs_i == 0):
+            run_start = seq_len + (abs_i - len(prefix)) + 1
+        in_run = 1
+    else:
+        in_run, run_start = 0, 0
+    seq_len += len(chars)
+    state.update((int(in_run), int(run_start), int(n_matches),
+                  int(first_pos), int(seq_len)))
+    yield pd.DataFrame({"user_id": [key[0]], "seq_len": [seq_len],
+                        "n_matches": [n_matches],
+                        "first_pos": [first_pos]})
+
+
+def stream_event_seq(spark: SparkSession, input_dir: str,
+                     output_path: str, events_schema):
+    """Streaming twin of the batch ``event_seq_match`` CEP query:
+    funnel-pattern matching over a continuously-arriving event feed
+    with constant per-user state (see _cep_group) — the Flink-CEP
+    capability on Structured Streaming. Emits an updated
+    (user, seq_len, n_matches, first_pos) row per micro-batch; the
+    latest row per user is pinned EQUAL to the batch query in tests,
+    including runs that straddle micro-batch boundaries."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = (spark.readStream.schema(events_schema)
+           .option("maxFilesPerTrigger", 1).parquet(input_dir)
+           .select("event_id", "user_id", "event_type",
+                   F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                   .alias("us")))
+    updates = src.groupBy("user_id").applyInPandasWithState(
+        _cep_group,
+        outputStructType=_CEP_OUT_SCHEMA,
+        stateStructType=_CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _epoch_idempotent_sink(os.path.join(output_path, "data"))
+    return (updates.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(output_path, "_ckpt"))
+            .trigger(availableNow=True)
+            .start())

@@ -1363,3 +1363,77 @@ def test_tws_profile_gate_or_batch_equal(spark, tmp_path):
     for u in want.index:
         assert list(got.loc[u, "recent"]) == [
             p["event_id"] for p in want.loc[u, "recent_pairs"]]
+
+
+def test_stream_event_seq_equals_batch(spark, tmp_path):
+    """Streaming CEP (O(1) DFA state per user) must equal the batch
+    event_seq_match exactly — n_matches, first_pos, seq_len — when
+    the same events arrive as three ts-ordered micro-batches. Runs
+    straddling batch boundaries are the hard case; sf0.001 has users
+    whose funnels span the split points."""
+    import os
+
+    from extractor.queries import QUERIES
+    from extractor.streaming import stream_event_seq
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(os.path.join(sf, "events.parquet"))
+    ev = ev.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    third = len(ev) // 3
+    for i, lo in enumerate((0, third, 2 * third)):
+        hi = lo + third if i < 2 else len(ev)
+        f = os.path.join(in_dir, "part-{}.parquet".format(i))
+        ev.iloc[lo:hi].to_parquet(f)
+        os.utime(f, (i + 1, i + 1))
+    schema = spark.read.parquet(os.path.join(in_dir, "part-0.parquet")).schema
+    out = str(tmp_path / "out")
+    q = stream_event_seq(spark, in_dir, out, schema)
+    q.awaitTermination(180)
+    got = (spark.read.parquet(os.path.join(out, "data")).toPandas()
+           .sort_values(["user_id", "seq_len"])
+           .groupby("user_id").last())
+    want = (QUERIES["event_seq_match"](spark, sf).toPandas()
+            .set_index("user_id").sort_index())
+    assert (got.index == want.index).all()
+    for c in ("seq_len", "n_matches", "first_pos"):
+        assert (got[c].astype("int64") == want[c].astype("int64")).all(), c
+
+
+def test_stream_event_seq_boundary_straddle(spark, tmp_path):
+    """Adversarial split: one user's 'SVCPVSP' delivered as
+    SVC | PVS | P — the first match completes across batch 1->2 and
+    the second run's S arrives in batch 2 with its P in batch 3.
+    Expect n_matches=2, first_pos=1, seq_len=7 (equal to the batch
+    op on the same events)."""
+    import os
+
+    from extractor.queries import QUERIES
+    from extractor.streaming import stream_event_seq
+
+    ch2ty = {"S": "signup", "V": "view", "C": "click", "P": "purchase"}
+    seq = "SVCPVSP"
+    rows = [(i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+             1, ch2ty[c], 1.0, "{}") for i, c in enumerate(seq)]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    # laid out as <sf_dir>/events.parquet/part-*.parquet so the SAME
+    # directory serves the stream source and the batch query's t()
+    in_dir = str(tmp_path / "in" / "events.parquet")
+    os.makedirs(in_dir)
+    for i, (lo, hi) in enumerate(((0, 3), (3, 6), (6, 7))):
+        f = os.path.join(in_dir, "part-{}.parquet".format(i))
+        ev.iloc[lo:hi].to_parquet(f)
+        os.utime(f, (i + 1, i + 1))
+    schema = spark.read.parquet(os.path.join(in_dir, "part-0.parquet")).schema
+    out = str(tmp_path / "out")
+    q = stream_event_seq(spark, in_dir, out, schema)
+    q.awaitTermination(180)
+    last = (spark.read.parquet(os.path.join(out, "data")).toPandas()
+            .sort_values("seq_len").iloc[-1])
+    assert (int(last.seq_len), int(last.n_matches),
+            int(last.first_pos)) == (7, 2, 1)
+    b = QUERIES["event_seq_match"](spark, str(tmp_path / "in")).collect()[0]
+    assert (b["seq_len"], b["n_matches"], b["first_pos"]) == (7, 2, 1)
