@@ -9491,6 +9491,62 @@ def event_seq_sessionized(spark, sf_dir):
             .where(F.col("n_matches") > 0))
 
 
+_MERKLE_BUCKETS = 64
+
+
+@_q("merkle_table_commit", sql="""
+WITH leaf AS (SELECT doc_id % {b} AS bucket,
+                     md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)) AS rh
+              FROM documents),
+lvl0 AS (SELECT bucket, md5(string_agg(rh, '' ORDER BY rh)) AS h
+         FROM leaf GROUP BY bucket),
+root AS (SELECT md5(string_agg(h, '' ORDER BY bucket)) AS h FROM lvl0)
+SELECT CAST(0 AS INT) AS level, CAST(bucket AS BIGINT) AS node_id, h
+FROM lvl0
+UNION ALL
+SELECT CAST(1 AS INT) AS level, CAST(0 AS BIGINT) AS node_id, h
+FROM root
+""".format(b=_MERKLE_BUCKETS))
+def merkle_table_commit(spark, sf_dir):
+    """Merkle commitment over the documents table (Merkle CRYPTO'87;
+    the integrity structure behind verified lakehouse audits and
+    transparency logs): row hash -> 64 bucket nodes (md5 over the
+    bucket's SORTED row hashes — sorting makes the node canonical
+    under any partitioning/arrival order) -> one root. Against
+    table_fingerprint_xor (one XOR commitment) this buys LOCALIZED
+    verification: a consumer holding the 65-row commitment can check
+    one bucket's worth of rows against its node and the node against
+    the root without rescanning the table, and a mismatch names the
+    bucket. XOR also cancels under doubled rows; md5-over-sorted
+    does not.
+
+    Scale shape: one partial-agg'd shuffle to 64 bucket groups (the
+    collect_list per bucket is the table's rows / 64 — at 100 TB the
+    bucket count is a parameter; raise it until a node's rows fit an
+    executor, and add intermediate levels the same group-by way),
+    then a 64-row reduction to the root. Output is the 65-row
+    commitment, exact across engines because every concat is over an
+    explicitly sorted order."""
+    d = t(spark, sf_dir, "documents")
+    leaf = d.select(
+        (F.col("doc_id") % _MERKLE_BUCKETS).alias("bucket"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                       F.md5("text"))).alias("rh"))
+    lvl0 = (leaf.groupBy("bucket")
+            .agg(F.md5(F.array_join(
+                F.array_sort(F.collect_list("rh")), "")).alias("h")))
+    root = (lvl0.agg(F.md5(F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "h"))),
+            lambda x: x["h"]), "")).alias("h")))
+    return (lvl0.select(F.lit(0).cast("int").alias("level"),
+                        F.col("bucket").cast("long").alias("node_id"),
+                        "h")
+            .unionByName(root.select(
+                F.lit(1).cast("int").alias("level"),
+                F.lit(0).cast("long").alias("node_id"), "h")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

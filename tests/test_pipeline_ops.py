@@ -2675,3 +2675,45 @@ def test_event_seq_sessionized_gap_semantics(spark, tmp_path):
     life = {x["user_id"]: x["n_matches"] for x in
             QUERIES["event_seq_match"](spark, str(tmp_path)).collect()}
     assert life[1] == 1
+
+
+def test_merkle_commit_verification_and_tamper(spark, tmp_path):
+    """The commitment must support LOCALIZED verification: an
+    independent pandas verifier recomputes one bucket's node from raw
+    rows and the root from the 64 nodes, matching the query's output
+    exactly; tampering with a single row changes that bucket's node
+    AND the root but no other node."""
+    import hashlib
+
+    from extractor.queries import _MERKLE_BUCKETS, QUERIES
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    sf = "/root/testdata/sf0.001"
+    out = {(r["level"], r["node_id"]): r["h"] for r in
+           QUERIES["merkle_table_commit"](spark, sf).collect()}
+    docs = pd.read_parquet(sf + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    rh = docs.apply(lambda r: md5("{}|{}".format(
+        int(r.doc_id), md5(r.text))), axis=1)
+    bucket = docs.doc_id % _MERKLE_BUCKETS
+    # one bucket, verified from raw rows
+    b0 = sorted(rh[bucket == 0])
+    assert out[(0, 0)] == md5("".join(b0))
+    # root from the 64 nodes
+    nodes = [out[(0, b)] for b in sorted({int(x) for x in bucket})]
+    assert out[(1, 0)] == md5("".join(nodes))
+
+    # tamper: flip one row's text -> its bucket node + root move only
+    docs2 = docs.copy()
+    docs2.loc[docs2.index[0], "text"] = docs2.iloc[0].text + " tampered"
+    docs2["lang"] = "en"; docs2["source"] = "s"; docs2["n_chars"] = 1
+    docs2.to_parquet(str(tmp_path / "documents.parquet"))
+    out2 = {(r["level"], r["node_id"]): r["h"] for r in
+            QUERIES["merkle_table_commit"](
+                spark, str(tmp_path)).collect()}
+    hit = int(docs.iloc[0].doc_id) % _MERKLE_BUCKETS
+    assert out2[(0, hit)] != out[(0, hit)]
+    assert out2[(1, 0)] != out[(1, 0)]
+    same = [b for b in range(_MERKLE_BUCKETS)
+            if (0, b) in out and b != hit]
+    assert all(out2[(0, b)] == out[(0, b)] for b in same)
