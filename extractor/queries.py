@@ -9547,6 +9547,75 @@ def merkle_table_commit(spark, sf_dir):
                 F.lit(0).cast("long").alias("node_id"), "h")))
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 6  # fixed unroll; fixpoint reached by round 3 at all
+# test SFs (measured peel depths 1/3/3) — the round-6==round-5 test
+# witnesses it, the same fixed-iteration discipline as pagerank/HITS
+
+
+def _kcore_sql() -> str:
+    lines = ["""
+WITH e0 AS (SELECT DISTINCT -l_suppkey AS u, l_partkey AS v
+            FROM lineitem WHERE l_quantity <= 2
+            UNION
+            SELECT DISTINCT l_partkey AS u, -l_suppkey AS v
+            FROM lineitem WHERE l_quantity <= 2)"""]
+    for i in range(_KCORE_ROUNDS):
+        lines.append(""",
+d{i} AS (SELECT u, count(*) AS c FROM e{i} GROUP BY u),
+e{j} AS (SELECT e.u, e.v FROM e{i} e
+         JOIN d{i} a ON a.u = e.u JOIN d{i} b ON b.u = e.v
+         WHERE a.c >= {k} AND b.c >= {k})""".format(
+            i=i, j=i + 1, k=_KCORE_K))
+    lines.append("""
+SELECT CAST(u AS BIGINT) AS node_id, CAST(count(*) AS BIGINT) AS deg
+FROM e{r} GROUP BY u
+""".format(r=_KCORE_ROUNDS))
+    return "".join(lines)
+
+
+@_q("k_core_peel", sql=_kcore_sql())
+def k_core_peel(spark, sf_dir):
+    """k-core decomposition by iterative peeling (Seidman'83; the
+    Batagelj-Zaversnik target) at k = 3 over the SPARSE procurement
+    graph (lanes with quantity <= 2 — the dense full graph has min
+    degree >= 8 everywhere, so its 3-core is trivially everything):
+    repeatedly delete nodes of degree < k with their edges until the
+    fixpoint; what survives is the maximal subgraph of minimum
+    degree >= k — the density skeleton used for community seeding
+    and, in dedup-graph form, for telling tight duplicate clusters
+    from stringy chains. Completes the graph-operator family (CC
+    min-label, BFS frontier, SSSP min-plus, PageRank value rounds,
+    HITS mutual reinforcement, triangles).
+
+    Fixed 6 peel rounds on BOTH engines (fixpoint by round 3 at all
+    test SFs, measured; the suite witnesses round 6 == round 5), so
+    the oracle unrolls the identical function — a convergence-driven
+    variant would hard-raise at the cap like the CC loop.
+
+    Scale shape: each round is one degree partial-agg + two
+    broadcast-or-shuffle equi-joins of the degree table back onto
+    the edges, with per-round _ckpt_nostats (the CC loop's
+    stats-compounding lesson); per-round cost tracks the SURVIVING
+    edge set, which only shrinks."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 2)
+    fwd = li.select((-F.col("l_suppkey")).alias("u"),
+                    F.col("l_partkey").alias("v")).distinct()
+    e = _ckpt_nostats(fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    for _ in range(_KCORE_ROUNDS):
+        d = (e.groupBy("u").agg(F.count("*").alias("c"))
+             .where(F.col("c") >= _KCORE_K))
+        keep = d.select("u")
+        e = _ckpt_nostats(
+            e.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v"))
+    return (e.groupBy("u").agg(F.count("*").alias("deg"))
+            .select(F.col("u").cast("long").alias("node_id"),
+                    F.col("deg").cast("long").alias("deg")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2717,3 +2717,42 @@ def test_merkle_commit_verification_and_tamper(spark, tmp_path):
     same = [b for b in range(_MERKLE_BUCKETS)
             if (0, b) in out and b != hit]
     assert all(out2[(0, b)] == out[(0, b)] for b in same)
+
+
+def test_k_core_peel_fixpoint_and_hand(spark, tmp_path):
+    """(1) The fixed-6-round query must equal an independent pandas
+    peel run TO CONVERGENCE on sf0.01 — which simultaneously
+    witnesses that 6 rounds reach the fixpoint. (2) Hand fixture:
+    K_{3,3} (every node degree 3) survives k=3 intact; a degree-2
+    part and a pendant supplier peel away."""
+    import collections
+
+    from extractor.queries import _KCORE_K, QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    li = pd.read_parquet(sf + "/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey", "l_quantity"])
+    li = li[li.l_quantity <= 2]
+    edges = set()
+    for s, p in zip(li.l_suppkey, li.l_partkey):
+        edges.add((-int(s), int(p))); edges.add((int(p), -int(s)))
+    while True:
+        deg = collections.Counter(u for u, _ in edges)
+        bad = {u for u, c in deg.items() if c < _KCORE_K}
+        if not bad:
+            break
+        edges = {(u, v) for u, v in edges
+                 if u not in bad and v not in bad}
+    want = collections.Counter(u for u, _ in edges)
+    got = {int(r["node_id"]): int(r["deg"]) for r in
+           QUERIES["k_core_peel"](spark, sf).collect()}
+    assert got == dict(want)
+
+    rows = [(s, p, 1.0) for s in (1, 2, 3) for p in (10, 20, 30)]
+    rows += [(1, 40, 1.0), (2, 40, 1.0)]   # part 40: degree 2 -> peels
+    rows += [(4, 50, 1.0)]                 # pendant supplier + part
+    pd.DataFrame(rows, columns=["l_suppkey", "l_partkey", "l_quantity"]
+                 ).to_parquet(str(tmp_path / "lineitem.parquet"))
+    out = {int(r["node_id"]): int(r["deg"]) for r in
+           QUERIES["k_core_peel"](spark, str(tmp_path)).collect()}
+    assert out == {-1: 3, -2: 3, -3: 3, 10: 3, 20: 3, 30: 3}
