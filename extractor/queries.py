@@ -9616,6 +9616,117 @@ def k_core_peel(spark, sf_dir):
                     F.col("deg").cast("long").alias("deg")))
 
 
+_NEG_CAND = 12   # hash candidates drawn per supplier
+_NEG_KEEP = 4    # negatives kept per supplier
+
+
+@_q("graph_negative_samples", sql="""
+WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+mx AS (SELECT max(l_partkey) AS mp FROM lineitem),
+cand AS (SELECT s.s, j,
+                1 + (('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':'
+                      || CAST(j AS VARCHAR)), 1, 15))::BIGINT % mp)
+                  AS cp
+         FROM (SELECT DISTINCT s FROM e) s
+         CROSS JOIN mx
+         CROSS JOIN generate_series(0, {nc}) AS g(j)),
+neg AS (SELECT c.s, c.cp, c.j
+        FROM cand c LEFT JOIN e ON e.s = c.s AND e.p = c.cp
+        WHERE e.s IS NULL),
+rk AS (SELECT s, cp, row_number() OVER (PARTITION BY s
+                                        ORDER BY j, cp) AS slot
+       FROM neg)
+SELECT CAST(s AS BIGINT) AS suppkey, CAST(cp AS BIGINT) AS neg_partkey,
+       CAST(slot AS BIGINT) AS slot
+FROM rk WHERE slot <= {nk}
+""".format(nc=_NEG_CAND - 1, nk=_NEG_KEEP))
+def graph_negative_samples(spark, sf_dir):
+    """Negative sampling for knowledge-graph / link-prediction
+    training (the corrupted-pair recipe of TransE, Bordes NeurIPS'13;
+    word2vec's negative sampling is the same move on the word graph):
+    for every supplier, draw candidate parts by a DETERMINISTIC hash
+    of (supplier, draw-index) over [1, max_partkey], remove candidates
+    that are TRUE edges with an anti-join, and keep the first 4
+    surviving draws — (positive graph, negatives) is exactly the
+    training pair set an embedding trainer consumes. Deterministic
+    end-to-end: no RNG, the draw index is part of the hash, ties in
+    the keep-rank broken by (j, candidate).
+
+    Scale shape: candidates are |suppliers| x 12 rows (generated by
+    sequence-explode, no driver loop); the validity check is ONE
+    anti-join against the edge list on the (s, p) key — the join the
+    trainer needs anyway — and the keep-rank windows over <= 12 rows
+    per supplier. At 100 TB the anti-join shuffles on the composite
+    key; candidate count per node stays the constant knob. Collisions
+    with true edges just shrink a node's negative set, never its
+    determinism — at the near-complete sf0.001 toy graph (suppliers
+    touch almost every part) negatives all but vanish, at sf0.1
+    (degree/|parts| ~ 3%) every supplier fills its 4 slots; both
+    behaviors are pinned."""
+    li = t(spark, sf_dir, "lineitem")
+    e = li.select(F.col("l_suppkey").alias("s"),
+                  F.col("l_partkey").alias("p")).distinct().persist()
+    mx = li.agg(F.max("l_partkey").alias("mp"))
+    h = _H60.format(x="concat(cast(s as string), ':', cast(j as string))")
+    cand = (e.select("s").distinct()
+            .crossJoin(F.broadcast(mx))
+            .select("s", "mp", F.explode(F.sequence(
+                F.lit(0), F.lit(_NEG_CAND - 1))).alias("j"))
+            .selectExpr("s", "j",
+                        "1 + (({h}) % mp) AS cp".format(h=h)))
+    neg = cand.join(e.select("s", F.col("p").alias("cp")),
+                    ["s", "cp"], "left_anti")
+    w = Window.partitionBy("s").orderBy("j", "cp")
+    return (neg.withColumn("slot", F.row_number().over(w))
+            .where(F.col("slot") <= _NEG_KEEP)
+            .select(F.col("s").cast("long").alias("suppkey"),
+                    F.col("cp").cast("long").alias("neg_partkey"),
+                    F.col("slot").cast("long").alias("slot")))
+
+
+@_q("quantile_normalize_source", sql="""
+WITH r AS (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS rk,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM documents)
+SELECT doc_id, source,
+       CAST(CASE WHEN n = 1 THEN 500000
+                 ELSE ((rk - 1) * 1000000) // (n - 1) END AS BIGINT)
+         AS pct_micro
+FROM r
+""")
+def quantile_normalize_source(spark, sf_dir):
+    """Within-source percentile normalization (rank transform /
+    quantile equating): map each document's quality proxy (n_chars)
+    to its percentile WITHIN its source, in exact integer micro-units
+    ((rk-1)*1e6 DIV (n-1); a singleton source pins to the median).
+    This is the step that makes per-source quality scores COMPARABLE
+    before cross-source selection — a length-800 doc may be p95 in a
+    tweets source and p10 in a books source, and selecting on the raw
+    score silently reweights sources (the CCNet/Gopher pipelines
+    rank within language/source slices for exactly this reason).
+    Deterministic total order: ties in the score broken by doc_id.
+
+    Scale shape: ONE shuffle on source feeding both window functions
+    (rank and group count share the partitioning); no joins. Skew
+    note: a source IS a natural hot partition — at 100 TB this
+    window would run per (source, range-bucket) with the range
+    offsets merged, the same two-phase trick as the shared
+    _global_rank helper; the within-source semantics are unchanged."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    return (d.select("doc_id", "source",
+                     F.row_number().over(w).alias("rk"),
+                     F.count("*").over(wn).alias("n"))
+            .select("doc_id", "source",
+                    F.when(F.col("n") == 1, F.lit(500000))
+                    .otherwise(F.expr(
+                        "((rk - 1) * 1000000) DIV (n - 1)"))
+                    .cast("long").alias("pct_micro")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

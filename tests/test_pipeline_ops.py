@@ -2756,3 +2756,59 @@ def test_k_core_peel_fixpoint_and_hand(spark, tmp_path):
     out = {int(r["node_id"]): int(r["deg"]) for r in
            QUERIES["k_core_peel"](spark, str(tmp_path)).collect()}
     assert out == {-1: 3, -2: 3, -3: 3, 10: 3, 20: 3, 30: 3}
+
+
+def test_graph_negative_samples_validity_and_hand(spark, tmp_path):
+    """No emitted negative may be a true edge; slots are 1..4 per
+    supplier; candidates stay in [1, max_partkey]; at sf0.1 every
+    supplier fills all 4 slots (3% collision density). Hand fixture:
+    a 1-edge graph yields exactly 4 hash-deterministic negatives per
+    supplier, reproducibly."""
+    from extractor.queries import QUERIES
+
+    sf = "/root/testdata/sf0.1"
+    got = QUERIES["graph_negative_samples"](spark, sf).toPandas()
+    li = pd.read_parquet(sf + "/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey"])
+    true_e = set(zip(li.l_suppkey.astype(int), li.l_partkey.astype(int)))
+    assert not any((int(s), int(p)) in true_e
+                   for s, p in zip(got.suppkey, got.neg_partkey))
+    assert got.slot.between(1, 4).all()
+    assert got.neg_partkey.between(1, int(li.l_partkey.max())).all()
+    per = got.groupby("suppkey").size()
+    assert (per == 4).all() and len(per) == li.l_suppkey.nunique()
+
+    li2 = pd.DataFrame({"l_suppkey": [1, 2], "l_partkey": [1, 100],
+                        "l_quantity": [1.0, 1.0]})
+    li2.to_parquet(str(tmp_path / "lineitem.parquet"))
+    a = QUERIES["graph_negative_samples"](
+        spark, str(tmp_path)).toPandas().sort_values(
+        ["suppkey", "slot"]).reset_index(drop=True)
+    b = QUERIES["graph_negative_samples"](
+        spark, str(tmp_path)).toPandas().sort_values(
+        ["suppkey", "slot"]).reset_index(drop=True)
+    assert a.equals(b)                      # hash-deterministic
+    assert (a.groupby("suppkey").size() == 4).all()
+    assert (1, int(a[a.suppkey == 1].neg_partkey.iloc[0])) != (1, 1)
+
+
+def test_quantile_normalize_source_invariants(spark):
+    """Within-source percentile: min rank -> 0, max rank -> 1e6,
+    median-ish mass in between; values depend only on the WITHIN-
+    source order (adding other sources never moves a doc's pct);
+    singleton sources pin to 500000."""
+    from extractor.queries import QUERIES
+
+    got = QUERIES["quantile_normalize_source"](
+        spark, "/root/testdata/sf0.1").toPandas()
+    g = got.groupby("source")["pct_micro"]
+    assert (g.min() == 0).all() and (g.max() == 1000000).all()
+    docs = pd.read_parquet("/root/testdata/sf0.1/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    m = docs.merge(got, on=["doc_id", "source"])
+    # replay: exact integer rank transform per source
+    m["rk"] = (m.sort_values(["n_chars", "doc_id"])
+               .groupby("source").cumcount() + 1)
+    n = m.groupby("source")["doc_id"].transform("count")
+    want = ((m.rk - 1) * 1000000) // (n - 1)
+    assert (m.pct_micro == want).all()
