@@ -9727,6 +9727,60 @@ def quantile_normalize_source(spark, sf_dir):
                     .cast("long").alias("pct_micro")))
 
 
+_AMS_SEEDS = 16
+
+
+@_q("ams_f2_sketch", sql="""
+WITH c AS (SELECT w[i] AS word, count(*) AS cnt
+           FROM (SELECT string_split(text, ' ') AS w FROM documents),
+                UNNEST(generate_series(1, len(w))) AS t(i)
+           GROUP BY 1),
+s AS (SELECT seed,
+             sum(cnt * (1 - 2 * ((('0x' || substr(md5(word || ':'
+                  || CAST(seed AS VARCHAR)), 1, 15))::BIGINT) % 2)))
+               AS sv
+      FROM c CROSS JOIN generate_series(0, {sm1}) AS g(seed)
+      GROUP BY seed)
+SELECT CAST(seed AS BIGINT) AS seed, CAST(sv AS BIGINT) AS s_val,
+       CAST(sv * sv AS BIGINT) AS f2_est
+FROM s
+""".format(sm1=_AMS_SEEDS - 1))
+def ams_f2_sketch(spark, sf_dir):
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy
+    STOC'96): per seed, fold every term count through a +-1 hash sign
+    and square the sum — E[S^2] = F2 = sum(count^2), the
+    self-join-size / skew statistic a planner wants BEFORE running a
+    join (F2 of the join key IS the join's output-size upper bound
+    for self-joins, and the repetitiveness signal for a corpus).
+    Sixteen DETERMINISTIC estimators (sign = parity of the md5 of
+    word:seed — both engines derive identical signs), so unlike a
+    sampled sketch the whole output is exact-oracle-checkable; the
+    median-of-means accuracy guarantee is pinned separately against
+    the exactly-computed F2.
+
+    Scale shape: one word-count shuffle (partial-agg'd), then the
+    16-way seed explode reduces to 16 rows through another partial
+    agg — the sketch SIZE is 16 BIGINTs regardless of corpus, which
+    is the point: at 100 TB the planner reads 128 bytes instead of
+    the join it is trying to size. Overflow note: |S| <= total
+    tokens N, so S^2 needs N < 3e9 in signed-64; past that the fold
+    emits S only and the square happens downstream in wider
+    arithmetic."""
+    d = t(spark, sf_dir, "documents")
+    c = (d.select(F.explode(F.split("text", " ")).alias("word"))
+         .groupBy("word").agg(F.count("*").alias("cnt")))
+    h = _H60.format(x="concat(word, ':', cast(seed as string))")
+    s = (c.select("word", "cnt", F.explode(F.sequence(
+            F.lit(0), F.lit(_AMS_SEEDS - 1))).alias("seed"))
+         .selectExpr("seed",
+                     "cnt * (1 - 2 * (({h}) % 2)) AS term".format(h=h))
+         .groupBy("seed").agg(F.sum("term").alias("sv")))
+    return s.select(F.col("seed").cast("long").alias("seed"),
+                    F.col("sv").cast("long").alias("s_val"),
+                    (F.col("sv") * F.col("sv")).cast("long")
+                    .alias("f2_est"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2812,3 +2812,34 @@ def test_quantile_normalize_source_invariants(spark):
     n = m.groupby("source")["doc_id"].transform("count")
     want = ((m.rk - 1) * 1000000) // (n - 1)
     assert (m.pct_micro == want).all()
+
+
+def test_ams_f2_accuracy_and_replay(spark):
+    """AMS guarantee on sf0.01: each estimator is S^2 with
+    E[S^2] = F2; the median of 4 means-of-4 must land within 3x of
+    the EXACT F2 (loose bound — 16 deterministic estimators, the
+    theorem's eps needs more; what must hold tightly is the
+    construction itself, replayed independently per seed)."""
+    import hashlib
+    from collections import Counter
+    from statistics import median
+
+    from extractor.queries import _AMS_SEEDS, QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    docs = pd.read_parquet(sf + "/documents.parquet", columns=["text"])
+    cnt = Counter(w for t in docs.text for w in t.split(" "))
+    f2 = sum(v * v for v in cnt.values())
+    h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    want = {}
+    for seed in range(_AMS_SEEDS):
+        sv = sum(c * (1 - 2 * (h60("{}:{}".format(w, seed)) % 2))
+                 for w, c in cnt.items())
+        want[seed] = (sv, sv * sv)
+    got = {int(r["seed"]): (int(r["s_val"]), int(r["f2_est"]))
+           for r in QUERIES["ams_f2_sketch"](spark, sf).collect()}
+    assert got == want
+    ests = [got[s][1] for s in range(_AMS_SEEDS)]
+    means = [sum(ests[i:i + 4]) / 4 for i in range(0, 16, 4)]
+    mom = median(means)
+    assert f2 / 3 <= mom <= 3 * f2, (mom, f2)
