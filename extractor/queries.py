@@ -9781,6 +9781,126 @@ def ams_f2_sketch(spark, sf_dir):
                     .alias("f2_est"))
 
 
+_RRF_K = 60
+
+
+def _rrf_sql() -> str:
+    return """
+WITH a AS (SELECT doc_id, rank FROM ({bm25}) bm),
+tfc AS (SELECT doc_id,
+               sum(CASE WHEN w IN ('join', 'vector', 'hash')
+                        THEN 1 ELSE 0 END) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id),
+b AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rank
+      FROM tfc WHERE c > 0),
+bb AS (SELECT doc_id, rank FROM b WHERE rank <= 10),
+f AS (SELECT coalesce(a.doc_id, bb.doc_id) AS doc_id,
+             (CASE WHEN a.rank IS NULL THEN 0.0
+                   ELSE 1.0 / ({k} + a.rank) END
+              + CASE WHEN bb.rank IS NULL THEN 0.0
+                     ELSE 1.0 / ({k} + bb.rank) END) AS s
+      FROM a FULL OUTER JOIN bb ON a.doc_id = bb.doc_id)
+SELECT doc_id, CAST(floor(s * 1000000) AS BIGINT) AS rrf_micro,
+       CAST(row_number() OVER (
+         ORDER BY floor(s * 1000000) DESC, doc_id) AS BIGINT) AS fused_rank
+FROM f
+""".format(bm25=ORACLES["bm25_topk"].strip(), k=_RRF_K)
+
+
+@_q("rrf_fuse", sql=_rrf_sql())
+def rrf_fuse(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09 —
+    the standard zero-training combiner for hybrid retrieval): fuse
+    the BM25 top-10 (the registered bm25_topk query, reused as-is)
+    with a second ranker over the same query terms (raw term-
+    frequency top-10 — the stand-in for the dense leg of a hybrid
+    stack) via score = sum over lists of 1/(k + rank), k = 60,
+    absent-from-list contributing 0. Emits every fused candidate
+    with its RRF score in floor-micro units and the fused rank.
+
+    Determinism: each leg's rank is an exact integer; the RRF score
+    is ONE division per leg plus ONE addition in a fixed order —
+    identical IEEE ops both engines, so floor(s * 1e6) is
+    bit-deterministic (the logreg-margin discipline without needing
+    margins). Fused ties broken by doc_id.
+
+    Scale shape: both legs end in bounded top-k lists, so the fusion
+    is a FULL OUTER join of two <= k-row frames plus a k-row window
+    — free at any corpus size; the cost is the legs themselves,
+    already accounted (bm25's one doc-term shuffle, tf's one
+    partial-agg)."""
+    a = (bm25_topk(spark, sf_dir)
+         .select("doc_id", F.col("rank").alias("rank_a")))
+    terms = ("join", "vector", "hash")
+    tfc = (t(spark, sf_dir, "documents")
+           .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+           .where(F.col("w").isin(*terms))
+           .groupBy("doc_id").agg(F.count("*").alias("c")))
+    wb = Window.orderBy(F.col("c").desc(), F.col("doc_id"))
+    b = (tfc.withColumn("rank_b", F.row_number().over(wb))
+         .where(F.col("rank_b") <= 10).select("doc_id", "rank_b"))
+    f = (a.join(b, "doc_id", "full_outer")
+         .select("doc_id",
+                 (F.when(F.col("rank_a").isNull(), 0.0)
+                  .otherwise(1.0 / (_RRF_K + F.col("rank_a")))
+                  + F.when(F.col("rank_b").isNull(), 0.0)
+                  .otherwise(1.0 / (_RRF_K + F.col("rank_b"))))
+                 .alias("s")))
+    wf = Window.orderBy(F.floor(F.col("s") * 1000000).desc(),
+                        F.col("doc_id"))
+    return f.select("doc_id",
+                    F.floor(F.col("s") * 1000000).cast("long")
+                    .alias("rrf_micro"),
+                    F.row_number().over(wf).cast("long")
+                    .alias("fused_rank"))
+
+
+_CARD_MOD = 16   # key-sampling rate 1/16
+
+
+@_q("join_card_estimate", sql="""
+WITH c AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS true_f2 FROM c),
+s AS (SELECT CAST({m} * sum(c * c) AS BIGINT) AS est,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM c
+      WHERE (('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT
+             % {m}) = 0)
+SELECT s.est, s.n_keys, ex.true_f2 FROM s CROSS JOIN ex
+""".format(m=_CARD_MOD))
+def join_card_estimate(spark, sf_dir):
+    """Join-cardinality estimation by CORRELATED key sampling (the
+    end-biased/distinct-key sampling planners use, cf. Vengerov
+    VLDB'15 and the classic AGMS alternative ams_f2_sketch already
+    provides): the self-join size of lineitem on l_partkey is
+    sum(c_k^2); sample KEYS (not rows — row sampling biases join
+    estimates) by md5(key) % 16 == 0, scale the sampled sum by 16.
+    Emits the estimate, sampled-key count, and the exact F2 beside
+    it — the pair a planner compares before choosing broadcast vs
+    shuffle vs skew-salting. Deterministic: the sample IS the hash.
+
+    Scale shape: one partial-agg'd count shuffle, then the sampled
+    branch touches 1/16 of the KEY table (at 100 TB the count table
+    itself is the expensive part — a real planner samples keys
+    BEFORE counting, which this plan also expresses: the hash filter
+    pushes below the agg when applied to the raw scan; here both
+    sums ride one count table so the exact F2 is available for the
+    accuracy pin)."""
+    li = t(spark, sf_dir, "lineitem")
+    c = (li.groupBy(F.col("l_partkey").alias("k"))
+         .agg(F.count("*").alias("c")).persist())
+    ex = c.agg(F.sum(F.col("c") * F.col("c")).cast("long")
+               .alias("true_f2"))
+    h = _H60.format(x="cast(k as string)")
+    s = (c.where(F.expr("({}) % {} = 0".format(h, _CARD_MOD)))
+         .agg((F.lit(_CARD_MOD) * F.sum(F.col("c") * F.col("c")))
+              .cast("long").alias("est"),
+              F.count("*").cast("long").alias("n_keys")))
+    return s.crossJoin(F.broadcast(ex))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2843,3 +2843,55 @@ def test_ams_f2_accuracy_and_replay(spark):
     means = [sum(ests[i:i + 4]) / 4 for i in range(0, 16, 4)]
     mom = median(means)
     assert f2 / 3 <= mom <= 3 * f2, (mom, f2)
+
+
+def test_rrf_fuse_replay_and_invariants(spark):
+    """Independent fusion replay at sf0.01: recompute both legs
+    (BM25 top-10 from the registered query; TF top-10 from raw
+    counts) and the 1/(60+r) fusion in pandas — scores and fused
+    ranks must match exactly. fused_rank is a contiguous 1..n
+    permutation."""
+    from collections import Counter
+
+    from extractor.queries import _RRF_K, QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    got = (QUERIES["rrf_fuse"](spark, sf).toPandas()
+           .sort_values("fused_rank").reset_index(drop=True))
+    assert got.fused_rank.tolist() == list(range(1, len(got) + 1))
+
+    a = {int(r["doc_id"]): int(r["rank"])
+         for r in QUERIES["bm25_topk"](spark, sf).collect()}
+    docs = pd.read_parquet(sf + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    terms = {"join", "vector", "hash"}
+    tfc = {int(r.doc_id): sum(1 for w in r.text.split(" ") if w in terms)
+           for r in docs.itertuples()}
+    ranked = sorted(((c, d) for d, c in tfc.items() if c > 0),
+                    key=lambda x: (-x[0], x[1]))[:10]
+    b = {d: i + 1 for i, (_, d) in enumerate(ranked)}
+    import math
+    want = {}
+    for d in set(a) | set(b):
+        s = (1.0 / (_RRF_K + a[d]) if d in a else 0.0) \
+            + (1.0 / (_RRF_K + b[d]) if d in b else 0.0)
+        want[d] = math.floor(s * 1000000)
+    assert {int(r.doc_id): int(r.rrf_micro)
+            for r in got.itertuples()} == want
+
+
+def test_join_card_estimate_accuracy(spark):
+    """Correlated key sampling must track the exact self-join size:
+    within 2x at sf0.01/sf0.1 (116 / 1266 sampled keys; measured
+    0.90x / 1.009x), and the estimate tightens as keys grow."""
+    from extractor.queries import QUERIES
+
+    rows = {}
+    for sf in ("sf0.01", "sf0.1"):
+        r = QUERIES["join_card_estimate"](
+            spark, "/root/testdata/" + sf).collect()[0]
+        rows[sf] = r
+        assert 0.5 * r["true_f2"] <= r["est"] <= 2.0 * r["true_f2"], (sf, r)
+    e1 = abs(rows["sf0.01"]["est"] / rows["sf0.01"]["true_f2"] - 1)
+    e2 = abs(rows["sf0.1"]["est"] / rows["sf0.1"]["true_f2"] - 1)
+    assert e2 < e1
