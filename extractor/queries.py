@@ -9901,6 +9901,74 @@ def join_card_estimate(spark, sf_dir):
     return s.crossJoin(F.broadcast(ex))
 
 
+_JL_IN, _JL_OUT = 64, 16
+
+
+def _jl_sign_sql(j: str, k: str) -> str:
+    return ("(1 - 2 * ((('0x' || substr(md5(CAST({j} AS VARCHAR) || ':'"
+            " || CAST({k} AS VARCHAR)), 1, 15))::BIGINT) % 2))"
+            .format(j=j, k=k))
+
+
+@_q("jl_project", sql="""
+SELECT vec_id, k AS dim,
+       round(list_dot_product(
+         embedding::DOUBLE[],
+         list_transform(range(0, {din}),
+                        j -> CAST({sgn} AS DOUBLE))), 6) AS proj_r
+FROM embeddings CROSS JOIN generate_series(0, {kout}) AS g(k)
+""".format(din=_JL_IN, kout=_JL_OUT - 1, sgn=_jl_sign_sql("j", "k")))
+def jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    DETERMINISTIC +-1 matrix (Achlioptas JCSS'03: Rademacher entries
+    satisfy JL; entry (j, k) is the md5 parity of "j:k", so both
+    engines and any rerun generate the identical matrix — no RNG) —
+    the dimensionality-reduction pre-pass in front of ANN indexing
+    and dedup-embedding pipelines when the raw dimension makes
+    distance computation the bottleneck. Emits (vec_id, dim, proj)
+    long-form at 6 decimals.
+
+    Cross-engine FP: same argument as embedding_logreg_inference —
+    numpy's pairwise-summed matmul vs DuckDB's sequential
+    list_dot_product differ by <= ~dim ulps (~1e-14 here) and the
+    margin test pins every projection's distance to its rounding
+    boundary far above that.
+
+    Scale shape: ZERO shuffles — the 64x16 matrix broadcasts, each
+    Arrow batch is one numpy matmul; identical serving shape to the
+    logreg scorer, and the JL contract (pairwise distances preserved
+    within the concentration bound, pinned in-suite) is what lets
+    the downstream ANN run 4x cheaper per distance."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    R = np.empty((_JL_IN, _JL_OUT), dtype=np.float64)
+    for j in range(_JL_IN):
+        for k in range(_JL_OUT):
+            par = int(hashlib.md5("{}:{}".format(j, k).encode())
+                      .hexdigest()[:15], 16) % 2
+            R[j, k] = 1.0 - 2.0 * par
+    b_r = spark.sparkContext.broadcast(R)
+
+    def _proj_fn(vs):
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(list(m @ b_r.value))
+
+    _proj_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    proj = pandas_udf(_proj_fn, "array<double>")
+
+    e = t(spark, sf_dir, "embeddings")
+    return (e.select("vec_id",
+                     proj(F.col("embedding").cast("array<double>"))
+                     .alias("p"))
+            .select("vec_id", F.posexplode("p").alias("dim", "v"))
+            .select("vec_id", F.col("dim").cast("long").alias("dim"),
+                    F.round("v", 6).alias("proj_r")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================
