@@ -9938,7 +9938,16 @@ def jl_project(spark, sf_dir):
     Arrow batch is one numpy matmul; identical serving shape to the
     logreg scorer, and the JL contract (pairwise distances preserved
     within the concentration bound, pinned in-suite) is what lets
-    the downstream ANN run 4x cheaper per distance."""
+    distance ESTIMATION run 4x cheaper.
+
+    Measured negative result (why there is no ann_jl_topk): on the
+    synthetic embeddings the true top-5 neighbors sit at cos ~0.33
+    with ~0.03 gaps to the bulk, below the k=16 distortion
+    (~1/sqrt(k) = 0.25), so projected brute-force recall@5 is ~0.1
+    at every SF — JL at this k preserves DISTANCES in aggregate
+    (median-pinned) but not fine neighbor RANKING on a gap-free
+    spectrum; top-k compression on this corpus is PQ/IVF's job
+    (ann_pq_topk, ann_ivfpq_topk). Honest scope, measured."""
     import hashlib
 
     import numpy as np
@@ -9967,6 +9976,48 @@ def jl_project(spark, sf_dir):
             .select("vec_id", F.posexplode("p").alias("dim", "v"))
             .select("vec_id", F.col("dim").cast("long").alias("dim"),
                     F.round("v", 6).alias("proj_r")))
+
+
+@_q("a1_envelope_arrow", sql="""
+SELECT user_id, min(value) AS v_min, max(value) AS v_max,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id
+""")
+def a1_envelope_arrow(spark, sf_dir):
+    """a1_value_envelope_per_user recomputed through
+    ``groupBy().applyInArrow`` — the grouped-map ARROW-native surface
+    (pyarrow.Table in, pyarrow.Table out; no pandas conversion on
+    either side), completing the Python-execution matrix next to
+    pandas_udf / applyInPandas / mapInPandas / mapInArrow /
+    applyInPandasWithState / UDTF. Same oracle as a1, so the driver
+    pins the new surface against plain SQL semantics exactly
+    (min/max/count are order-free — safe across Arrow batch
+    concatenation).
+
+    Scale shape: one shuffle on user_id, then per-group compute is a
+    pyarrow kernel (C++), not Python row loops — grouped-map is the
+    escape hatch for group-shaped logic Spark lacks, and this entry
+    keeps its cost honest: identical exchange to the relational a1,
+    plus the Arrow serialization boundary (which the relational
+    twin's bench time quantifies by difference)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def env(tbl: "pa.Table") -> "pa.Table":
+        v = tbl.column("value")
+        return pa.table({
+            "user_id": pa.array([tbl.column("user_id")[0].as_py()],
+                                type=pa.int64()),
+            "v_min": pa.array([pc.min(v).as_py()], type=pa.float64()),
+            "v_max": pa.array([pc.max(v).as_py()], type=pa.float64()),
+            "n": pa.array([tbl.num_rows], type=pa.int64()),
+        })
+
+    return (t(spark, sf_dir, "events")
+            .select("user_id", "value")
+            .groupBy("user_id")
+            .applyInArrow(env, "user_id long, v_min double, "
+                               "v_max double, n long"))
 
 
 # ===========================================================================
