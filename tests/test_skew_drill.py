@@ -538,3 +538,60 @@ def test_bfs_hot_hub_exact_and_bounded(spark):
         if i <= 6:
             exp[n] = i
     assert got == exp
+
+
+def test_event_seq_hot_user_exact_and_session_bound(spark, tmp_path):
+    """CEP hot-key drill: one user owns 20k of 22k events (the
+    lifetime sequence string is ~20k chars in ONE group). (a) both
+    CEP ops stay exactly correct on the hot user — n_matches equals
+    an independent regex replay of the full ordered sequence; (b) the
+    sessionized variant BOUNDS the hot group: with events 1 minute
+    apart and a 30-min gap rule the hot user's lifetime is one
+    session, but hot users in practice span sessions — here we plant
+    a gap every 1000 events and assert no per-(user, session) group
+    exceeds 1000 rows' worth of sequence (the viability property the
+    docstring promises), while the lifetime op still sees all 20k."""
+    import re
+
+    import numpy as np
+
+    from extractor.queries import QUERIES
+
+    rng = np.random.RandomState(7)
+    types = np.array(["signup", "view", "click", "purchase", "error"])
+    n_hot, n_cold_users = 20000, 200
+    hot_types = types[rng.randint(0, 5, n_hot)]
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for i in range(n_hot):
+        # a >30-min hole every 1000 events splits sessions
+        ts = t0 + pd.Timedelta(minutes=i) \
+            + pd.Timedelta(hours=int(i // 1000))
+        rows.append((i, ts, 1, hot_types[i], 1.0, "{}"))
+    eid = n_hot
+    for u in range(2, 2 + n_cold_users):
+        for j in range(10):
+            rows.append((eid, t0 + pd.Timedelta(minutes=j), u,
+                         types[(u + j) % 5], 1.0, "{}"))
+            eid += 1
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(str(tmp_path / "events.parquet"))
+
+    ch = {"signup": "S", "view": "V", "click": "C", "purchase": "P",
+          "error": "E"}
+    seq = "".join(ch[t] for t in hot_types)
+    want_n = len(re.findall("S[VC]*P", seq))
+    life = {r["user_id"]: r for r in
+            QUERIES["event_seq_match"](spark, str(tmp_path)).collect()}
+    assert life[1]["seq_len"] == n_hot
+    assert life[1]["n_matches"] == want_n
+
+    sess = QUERIES["event_seq_sessionized"](
+        spark, str(tmp_path)).toPandas()
+    hot = sess[sess.user_id == 1]
+    assert hot.seq_len.max() <= 1000          # bounded per session
+    assert hot.n_matches.sum() <= want_n      # straddling runs may split
+    # per-session matches are a lower bound within 1 per boundary
+    assert hot.n_matches.sum() >= want_n - (n_hot // 1000)
