@@ -10020,6 +10020,116 @@ def a1_envelope_arrow(spark, sf_dir):
                                "v_max double, n long"))
 
 
+@_q("dedup_yield_report", sql="""
+WITH m AS (
+  SELECT 'exact' AS method, count(*) AS survivors,
+         CAST(sum(c) - count(*) AS BIGINT) AS removed,
+         CAST(sum(b) AS BIGINT) AS bytes_in
+  FROM (SELECT md5(text) AS fp, count(*) AS c, sum(n_chars) AS b
+        FROM documents GROUP BY 1)
+  UNION ALL
+  SELECT 'token_sort', count(*), CAST(sum(c) - count(*) AS BIGINT),
+         CAST(sum(b) AS BIGINT)
+  FROM (SELECT md5(array_to_string(list_sort(string_split(text, ' ')),
+                                   ' ')) AS fp,
+               count(*) AS c, sum(n_chars) AS b
+        FROM documents GROUP BY 1)
+  UNION ALL
+  SELECT 'homoglyph_case', count(*), CAST(sum(c) - count(*) AS BIGINT),
+         CAST(sum(b) AS BIGINT)
+  FROM (SELECT md5(lower(text)) AS fp, count(*) AS c, sum(n_chars) AS b
+        FROM documents GROUP BY 1))
+SELECT method, CAST(survivors AS BIGINT) AS survivors, removed, bytes_in
+FROM m
+""")
+def dedup_yield_report(spark, sf_dir):
+    """Pipeline observability: one row per dedup POLICY with its
+    yield on this corpus — survivors, rows removed, and the byte mass
+    the policy read — the report a data-curation run publishes so the
+    mix owner can see what each rule costs before enabling it
+    (dedup policies compose monotonically: exact <= case-folded <=
+    token-sort survivors is NOT guaranteed in general, which is
+    exactly why the report exists). Methods covered: exact text
+    fingerprint, token-sort (word-permutation class), and a
+    case-fold canonicalization (the cheap homoglyph/case evasion
+    class; the full TR39 skeleton lives in homoglyph_skeleton_dedup).
+
+    Scale shape: three independent one-shuffle fingerprint
+    aggregations over the same scan (Catalyst shares the scan via
+    exchange reuse where plans align); output is 3 rows. At 100 TB
+    the per-policy survivor tables this summarizes are the ones the
+    dedicated ops already produce — the report is their cost-side
+    ledger, not a second implementation."""
+    d = t(spark, sf_dir, "documents")
+
+    def leg(method: str, fp):
+        g = (d.select(fp.alias("fp"), "n_chars")
+             .groupBy("fp")
+             .agg(F.count("*").alias("c"), F.sum("n_chars").alias("b")))
+        return g.agg(
+            F.lit(method).alias("method"),
+            F.count("*").cast("long").alias("survivors"),
+            (F.sum("c") - F.count("*")).cast("long").alias("removed"),
+            F.sum("b").cast("long").alias("bytes_in"))
+
+    return (leg("exact", F.md5("text"))
+            .unionByName(leg("token_sort", F.md5(
+                F.array_join(F.array_sort(F.split("text", " ")), " "))))
+            .unionByName(leg("homoglyph_case", F.md5(F.lower("text")))))
+
+
+@_q("oversample_minority", sql="""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mx AS (SELECT max(n) AS target FROM c),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM documents),
+p AS (SELECT r.doc_id, r.lang,
+             (target // n) + CASE WHEN rk <= target % n THEN 1 ELSE 0 END
+               AS copies
+      FROM r JOIN c USING (lang) CROSS JOIN mx)
+SELECT doc_id, lang, CAST(ci AS BIGINT) AS copy_idx
+FROM p, UNNEST(generate_series(1, copies)) AS g(ci)
+""")
+def oversample_minority(spark, sf_dir):
+    """Class-balanced oversampling (the imbalanced-training
+    counterpart of domain_cap_sample's downsampling): replicate each
+    language's documents so every class reaches EXACTLY the majority
+    count — full copies = target DIV n, and the remainder goes to
+    the first (target MOD n) docs in a deterministic md5 order (no
+    RNG; reruns and engines agree on WHICH docs get the extra copy).
+    Emits (doc_id, lang, copy_idx) — the exploded training manifest.
+
+    Exactness: pure integer div/mod on counts (the Hamilton
+    discipline); per-class output cardinality == target is pinned
+    corpus-wide.
+
+    Scale shape: one count shuffle, one per-class rank window (same
+    skew note as quantile_normalize_source — range-bucketed two-phase
+    at 100 TB), then a sequence-explode whose fan-out IS the
+    requested oversampling factor; no joins beyond the broadcast
+    count/target."""
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    mx = c.agg(F.max("n").alias("target"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    r = d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+    p = (r.join(F.broadcast(c), "lang")
+         .crossJoin(F.broadcast(mx))
+         .withColumn("copies",
+                     F.expr("target DIV n")
+                     + F.when(F.col("rk") <= F.col("target") % F.col("n"),
+                              1).otherwise(0)))
+    return (p.select("doc_id", "lang",
+                     F.explode(F.sequence(F.lit(1), F.col("copies")))
+                     .alias("copy_idx"))
+            .select("doc_id", "lang",
+                    F.col("copy_idx").cast("long").alias("copy_idx")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2944,3 +2944,44 @@ def test_jl_project_margins_and_distance_preservation(spark):
     assert ratios.min() > 0.25 and ratios.max() < 3.0, (
         ratios.min(), ratios.max())
     assert 0.8 < np.median(ratios) < 1.25, np.median(ratios)
+
+
+def test_oversample_minority_balances_exactly(spark):
+    """Per-class output cardinality must equal the majority count
+    EXACTLY; copy indices are dense 1..copies per doc; every doc of
+    every class appears at least once (floor >= 1)."""
+    from extractor.queries import QUERIES
+
+    got = QUERIES["oversample_minority"](
+        spark, "/root/testdata/sf0.1").toPandas()
+    docs = pd.read_parquet("/root/testdata/sf0.1/documents.parquet",
+                           columns=["doc_id", "lang"])
+    target = docs.lang.value_counts().max()
+    per = got.groupby("lang").size()
+    assert (per == target).all()
+    assert set(got.doc_id) == set(docs.doc_id)
+    g = got.groupby("doc_id")["copy_idx"]
+    assert (g.min() == 1).all()
+    assert (g.max() == g.size()).all()       # dense 1..copies
+
+
+def test_dedup_yield_report_cross_pins(spark):
+    """The report's legs must agree with the dedicated operators:
+    exact survivors == dedup_exact's group count, token_sort
+    survivors == dedup_token_sort's; removed = rows - survivors;
+    bytes_in identical across methods (each reads the whole
+    corpus)."""
+    from extractor.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rep = {r["method"]: r for r in
+           QUERIES["dedup_yield_report"](spark, sf).collect()}
+    n_rows = len(pd.read_parquet(sf + "/documents.parquet",
+                                 columns=["doc_id"]))
+    assert rep["exact"]["survivors"] == \
+        QUERIES["dedup_exact"](spark, sf).count()
+    assert rep["token_sort"]["survivors"] == \
+        QUERIES["dedup_token_sort"](spark, sf).count()
+    for m, r in rep.items():
+        assert r["removed"] == n_rows - r["survivors"], m
+    assert len({r["bytes_in"] for r in rep.values()}) == 1
