@@ -336,3 +336,54 @@ def test_stream_ewma_kernel_split_invariant(values, n_splits):
     ref_a = np.asarray(ref)
     got_a = np.asarray([got[i] for i in range(len(values))])
     assert (ref_a.view(np.int64) == got_a.view(np.int64)).all()
+
+
+@given(st.text(alphabet="SVCPE", min_size=1, max_size=80),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=120, deadline=None)
+def test_stream_cep_kernel_split_invariant(seq, n_splits):
+    """_cep_group property: chaining the O(1)-state CEP kernel over
+    ANY contiguous micro-batch split of an event sequence must equal
+    one re.finditer over the WHOLE sequence — n_matches, first_pos
+    (1-based start of the leftmost match), and seq_len. This pins the
+    virtual-'S' run re-materialization and the rightmost-S end-state
+    rule against the regex semantics they claim to implement."""
+    import re
+
+    import pandas as pd
+
+    from extractor.streaming import _cep_group
+
+    ty = {"S": "signup", "V": "view", "C": "click", "P": "purchase",
+          "E": "error"}
+    ms = list(re.finditer("S[VC]*P", seq))
+    want = (len(seq), len(ms), ms[0].start() + 1 if ms else 0)
+
+    class _St:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    state = _St()
+    bounds = sorted({round(len(seq) * k / n_splits)
+                     for k in range(n_splits + 1)})
+    last = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo == hi:
+            continue
+        pdf = pd.DataFrame({
+            "event_id": list(range(lo, hi)),
+            "us": list(range(lo, hi)),
+            "event_type": [ty[c] for c in seq[lo:hi]]})
+        for out in _cep_group((1,), iter([pdf]), state):
+            last = out.iloc[0]
+    got = (int(last.seq_len), int(last.n_matches), int(last.first_pos))
+    assert got == want, (seq, n_splits, got, want)
