@@ -10130,6 +10130,72 @@ def oversample_minority(spark, sf_dir):
                     F.col("copy_idx").cast("long").alias("copy_idx")))
 
 
+_BOOT_B = 32
+# Poisson(1) CDF thresholds in micro-units: P(X<=k) for k = 0..4;
+# draws above the last threshold clamp to weight 5 (P ~ 4e-4)
+_BOOT_CDF = (367879, 735759, 919699, 981012, 996340)
+
+
+@_q("poisson_bootstrap", sql="""
+WITH w AS (SELECT b,
+                  CASE WHEN u < {c0} THEN 0 WHEN u < {c1} THEN 1
+                       WHEN u < {c2} THEN 2 WHEN u < {c3} THEN 3
+                       WHEN u < {c4} THEN 4 ELSE 5 END AS wt,
+                  cents
+           FROM (SELECT b,
+                        (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                          || ':' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                         % 1000000) AS u,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders
+                 CROSS JOIN generate_series(0, {bm1}) AS g(b)))
+SELECT CAST(b AS BIGINT) AS replica,
+       CAST(sum(wt) AS BIGINT) AS n_eff,
+       CAST(sum(wt * cents) AS BIGINT) AS sum_cents
+FROM w GROUP BY b
+""".format(bm1=_BOOT_B - 1, c0=_BOOT_CDF[0], c1=_BOOT_CDF[1],
+           c2=_BOOT_CDF[2], c3=_BOOT_CDF[3], c4=_BOOT_CDF[4]))
+def poisson_bootstrap(spark, sf_dir):
+    """Poisson bootstrap (Chamandy et al., Google 2012 — 'Estimating
+    uncertainty for massive data streams'): the bootstrap that works
+    distributed, because resampling-with-replacement is replaced by
+    an independent per-row Poisson(1) weight per replica — no global
+    sample of size n, no coordination, ONE pass. Weights are
+    DETERMINISTIC: the md5 micro-hash of (orderkey, replica) inverted
+    through the exact integer Poisson(1) CDF thresholds (0..4, then
+    clamp at 5 — P ~ 4e-4), so engines and reruns agree on every
+    draw. Emits per replica the effective count and the weighted
+    cents sum — 32 integer pairs from which the caller derives the
+    bootstrap CI of the mean (done in the suite; division stays out
+    of the cross-engine contract).
+
+    Scale shape: the replica explode is x32 on a projected 2-column
+    frame, partial-agg'd down to 32 rows — at 100 TB this is the
+    textbook one-pass uncertainty estimate (the naive bootstrap
+    needs 32 shuffled resamples of size n; this needs zero extra
+    shuffles beyond the 32-row agg)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    h = _H60.format(
+        x="concat(cast(o_orderkey as string), ':', cast(b as string))")
+    u = "(({h}) % 1000000)".format(h=h)
+    wt = ("CASE WHEN {u} < {c0} THEN 0 WHEN {u} < {c1} THEN 1"
+          " WHEN {u} < {c2} THEN 2 WHEN {u} < {c3} THEN 3"
+          " WHEN {u} < {c4} THEN 4 ELSE 5 END").format(
+        u=u, c0=_BOOT_CDF[0], c1=_BOOT_CDF[1], c2=_BOOT_CDF[2],
+        c3=_BOOT_CDF[3], c4=_BOOT_CDF[4])
+    return (o.select("o_orderkey", "cents", F.explode(F.sequence(
+                F.lit(0), F.lit(_BOOT_B - 1))).alias("b"))
+            .selectExpr("b", "cents", "{} AS wt".format(wt))
+            .groupBy("b")
+            .agg(F.sum("wt").cast("long").alias("n_eff"),
+                 F.sum(F.col("wt") * F.col("cents")).cast("long")
+                 .alias("sum_cents"))
+            .select(F.col("b").cast("long").alias("replica"),
+                    "n_eff", "sum_cents"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

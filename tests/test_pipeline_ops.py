@@ -2985,3 +2985,40 @@ def test_dedup_yield_report_cross_pins(spark):
     for m, r in rep.items():
         assert r["removed"] == n_rows - r["survivors"], m
     assert len({r["bytes_in"] for r in rep.values()}) == 1
+
+
+def test_poisson_bootstrap_ci_and_replay(spark):
+    """(1) Exact replay: per-replica (n_eff, sum_cents) must equal an
+    independent pandas derivation of the hash-CDF weights. (2) The
+    statistics work: replica means bracket the true mean, their
+    spread matches the CLT scale (sd/sqrt(n) within 3x both ways),
+    and n_eff concentrates near n (Poisson(1) sums)."""
+    import hashlib
+
+    import numpy as np
+
+    from extractor.queries import _BOOT_B, _BOOT_CDF, QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    orders = pd.read_parquet(sf + "/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    cents = (orders.o_totalprice * 100).round().astype("int64").to_numpy()
+    keys = orders.o_orderkey.astype(int).to_numpy()
+    h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    want = {}
+    for b in range(_BOOT_B):
+        us = np.array([h60("{}:{}".format(k, b)) % 1000000 for k in keys])
+        wt = np.searchsorted(np.array(_BOOT_CDF), us, side="right")
+        want[b] = (int(wt.sum()), int((wt * cents).sum()))
+    got = {int(r["replica"]): (int(r["n_eff"]), int(r["sum_cents"]))
+           for r in QUERIES["poisson_bootstrap"](spark, sf).collect()}
+    assert got == want
+
+    n = len(cents)
+    true_mean = cents.mean()
+    means = np.array([s / ne for ne, s in got.values()])
+    assert means.min() <= true_mean <= means.max()
+    se = cents.std() / np.sqrt(n)
+    assert se / 3 < means.std() < 3 * se, (means.std(), se)
+    neffs = np.array([ne for ne, _ in got.values()])
+    assert np.abs(neffs - n).max() < 5 * np.sqrt(n)
