@@ -10196,6 +10196,55 @@ def poisson_bootstrap(spark, sf_dir):
                     "n_eff", "sum_cents"))
 
 
+_HLL_M = 64          # registers (SE ~ 1.04/sqrt(m) ~ 13%)
+_HLL_VBITS = 54      # value bits: 60-bit md5 hash minus log2(m) = 6
+# bucket bits — rho must be measured against the TRUE value width or
+# every register is off by the difference (a 4-bit error is a 16x
+# cardinality error; caught by the accuracy pin)
+
+
+@_q("hll_register_table", sql="""
+WITH h AS (SELECT source,
+                  (('0x' || substr(md5(md5(text)), 1, 15))::BIGINT)
+                    AS hv
+           FROM documents),
+s AS (SELECT source, hv % {m} AS bucket, hv // {m} AS v FROM h)
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       CAST(max(CASE WHEN v = 0 THEN {vb} + 1
+                     ELSE {vb} - length(bin(v)) + 1 END) AS INT) AS reg
+FROM s GROUP BY source, bucket
+""".format(m=_HLL_M, vb=_HLL_VBITS))
+def hll_register_table(spark, sf_dir):
+    """HyperLogLog as a first-class MERGEABLE REGISTER TABLE
+    (Flajolet'07), per source over distinct document texts — the
+    cardinality sibling of bloom_incremental_dedup's membership
+    artifact: (source, bucket, max-rho) rows a pipeline persists so
+    tomorrow's batch merges by MAX instead of rescanning yesterday
+    (Spark's approx_count_distinct keeps its registers internal;
+    this surfaces them as data). rho = leading-zero count of the
+    50-bit value part + 1, computed EXACTLY in both engines via
+    length(bin(v)) — integer registers, no estimator float anywhere
+    in the contract (the suite derives estimates and checks accuracy
+    + the exact merge law: registers of a union == bucketwise MAX of
+    register tables, which is what makes the artifact incremental).
+
+    Scale shape: one projection + one partial-agg'd MAX shuffle down
+    to <= |sources| * 64 rows; merge of two artifacts is a 64-row
+    MAX — constant, like the bloom's bit_or."""
+    d = t(spark, sf_dir, "documents")
+    h = d.select("source",
+                 F.expr(_H60.format(x="md5(text)")).alias("hv"))
+    s = h.select("source",
+                 (F.col("hv") % _HLL_M).alias("bucket"),
+                 F.expr("hv DIV {}".format(_HLL_M)).alias("v"))
+    rho = (F.when(F.col("v") == 0, _HLL_VBITS + 1)
+           .otherwise(_HLL_VBITS - F.length(F.bin("v")) + 1))
+    return (s.groupBy("source", "bucket")
+            .agg(F.max(rho).cast("int").alias("reg"))
+            .select("source", F.col("bucket").cast("long").alias("bucket"),
+                    "reg"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -3022,3 +3022,34 @@ def test_poisson_bootstrap_ci_and_replay(spark):
     assert se / 3 < means.std() < 3 * se, (means.std(), se)
     neffs = np.array([ne for ne, _ in got.values()])
     assert np.abs(neffs - n).max() < 5 * np.sqrt(n)
+
+
+def test_hll_register_merge_law_and_accuracy(spark, tmp_path):
+    """(1) Merge law, EXACT: the register table of the union corpus
+    equals the bucketwise MAX of per-source register tables (computed
+    by relabeling all sources to one and re-running the query). (2)
+    Estimator accuracy at sf0.1: the standard HLL estimate derived
+    from the corpus-wide registers lands within 3 standard errors
+    (SE = 1.04/sqrt(64) ~ 13%) of the exact distinct-text count."""
+    import numpy as np
+
+    from extractor.queries import _HLL_M, QUERIES
+
+    sf = "/root/testdata/sf0.1"
+    per = QUERIES["hll_register_table"](spark, sf).toPandas()
+    merged = per.groupby("bucket")["reg"].max()
+
+    docs = pd.read_parquet(sf + "/documents.parquet")
+    one = docs.copy()
+    one["source"] = "all"
+    one.to_parquet(str(tmp_path / "documents.parquet"))
+    union = (QUERIES["hll_register_table"](spark, str(tmp_path))
+             .toPandas().set_index("bucket")["reg"].sort_index())
+    assert merged.sort_index().equals(union)
+
+    regs = np.zeros(_HLL_M)
+    regs[union.index.to_numpy()] = union.to_numpy()
+    alpha = 0.709                       # alpha_64
+    est = alpha * _HLL_M ** 2 / np.sum(2.0 ** -regs)
+    true = docs.text.nunique()
+    assert abs(est - true) / true < 3 * 1.04 / np.sqrt(_HLL_M), (est, true)
