@@ -10245,6 +10245,49 @@ def hll_register_table(spark, sf_dir):
                     "reg"))
 
 
+_KMV_K = 128
+
+
+@_q("kmv_sketch", sql="""
+WITH h AS (SELECT DISTINCT source,
+                  (('0x' || substr(md5('kmv:' || md5(text)), 1, 15))
+                   ::BIGINT) AS hv
+           FROM documents),
+r AS (SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+      FROM h)
+SELECT source, CAST(rk AS BIGINT) AS rk, hv
+FROM r WHERE rk <= {k}
+""".format(k=_KMV_K))
+def kmv_sketch(spark, sf_dir):
+    """KMV / bottom-k sketch (Bar-Yossef'02; the theta-sketch core):
+    per source, the k = 128 SMALLEST 60-bit hashes of its distinct
+    document texts — the third mergeable sketch artifact beside the
+    Bloom table (membership) and the HLL register table
+    (cardinality), and the one that buys SET-OPERATION estimates:
+    Jaccard(A, B) ~ |KMV(A) ∩ KMV(B) restricted to the union's
+    bottom-k| / k, cardinality ~ (k-1) * 2^60 / kth_min, and the
+    merge law is exact (bottom-k of a union == bottom-k of the
+    concatenated bottom-k's — pinned in the suite, like bloom's
+    bit_or and HLL's bucketwise MAX). Entirely integer: the sketch
+    IS k ordered hashes, no estimator float in the contract.
+
+    Scale shape: one distinct + one per-source bottom-k — Spark
+    plans the rank filter as WindowGroupLimit, so every partition
+    keeps only k candidates BEFORE the shuffle (map-side top-k);
+    merge of two sketches is a 2k-row sort. Same hot-source caveat
+    and range-bucket remedy as quantile_normalize_source."""
+    d = t(spark, sf_dir, "documents")
+    h = (d.select("source",
+                  F.expr(_H60.format(x="concat('kmv:', md5(text))"))
+                  .alias("hv"))
+         .distinct())
+    w = Window.partitionBy("source").orderBy("hv")
+    return (h.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _KMV_K)
+            .select("source", F.col("rk").cast("long").alias("rk"), "hv"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -3053,3 +3053,43 @@ def test_hll_register_merge_law_and_accuracy(spark, tmp_path):
     est = alpha * _HLL_M ** 2 / np.sum(2.0 ** -regs)
     true = docs.text.nunique()
     assert abs(est - true) / true < 3 * 1.04 / np.sqrt(_HLL_M), (est, true)
+
+
+def test_kmv_merge_law_and_estimates(spark, tmp_path):
+    """(1) EXACT merge law: bottom-k of the union corpus equals the
+    bottom-k of the concatenated per-source sketches. (2) Cardinality
+    estimate (k-1)*2^60/kth_min within 3/sqrt(k) of the exact
+    distinct count at sf0.1. (3) Jaccard estimate between the two
+    largest sources tracks the exact text-set Jaccard within 0.15
+    absolute (k = 128)."""
+    import numpy as np
+
+    from extractor.queries import _KMV_K, QUERIES
+
+    sf = "/root/testdata/sf0.1"
+    per = QUERIES["kmv_sketch"](spark, sf).toPandas()
+    docs = pd.read_parquet(sf + "/documents.parquet",
+                           columns=["source", "text"])
+    one = docs.copy()
+    one["doc_id"] = range(len(one))
+    one["source"] = "all"
+    one["lang"] = "en"; one["n_chars"] = 1
+    one.to_parquet(str(tmp_path / "documents.parquet"))
+    union = (QUERIES["kmv_sketch"](spark, str(tmp_path))
+             .toPandas().sort_values("rk"))
+    merged = np.sort(per.hv.unique())[:_KMV_K]
+    assert (union.hv.to_numpy() == merged).all()
+
+    true_n = docs.text.nunique()
+    kth = union.hv.to_numpy()[_KMV_K - 1]
+    est = (_KMV_K - 1) * (1 << 60) / kth
+    assert abs(est - true_n) / true_n < 3 / np.sqrt(_KMV_K), (est, true_n)
+
+    top2 = docs.source.value_counts().index[:2]
+    a, b = (set(docs[docs.source == s].text) for s in top2)
+    true_j = len(a & b) / len(a | b)
+    sa = set(per[per.source == top2[0]].hv)
+    sb = set(per[per.source == top2[1]].hv)
+    theta = sorted(sa | sb)[:_KMV_K]
+    est_j = sum(1 for v in theta if v in sa and v in sb) / _KMV_K
+    assert abs(est_j - true_j) <= 0.15, (est_j, true_j)
