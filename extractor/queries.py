@@ -10288,6 +10288,77 @@ def kmv_sketch(spark, sf_dir):
             .select("source", F.col("rk").cast("long").alias("rk"), "hv"))
 
 
+@_q("theta_kmv_intersect", sql="""
+WITH h AS (SELECT DISTINCT source,
+                  (('0x' || substr(md5('kmv:' || md5(text)), 1, 15))
+                   ::BIGINT) AS hv
+           FROM documents),
+r AS (SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+      FROM h),
+sk AS (SELECT source, hv FROM r WHERE rk <= {k}),
+u AS (SELECT a.source AS src_a, b.source AS src_b, a.hv
+      FROM sk a JOIN sk b
+        ON a.hv = b.hv AND a.source < b.source),
+th AS (SELECT p.src_a, p.src_b, p.hv,
+              row_number() OVER (PARTITION BY p.src_a, p.src_b
+                                 ORDER BY p.hv) AS urk
+       FROM (SELECT x.src_a, x.src_b, y.hv
+             FROM (SELECT DISTINCT a.source AS src_a, b.source AS src_b
+                   FROM sk a JOIN sk b ON a.source < b.source) x
+             JOIN sk y ON y.source IN (x.src_a, x.src_b)
+             GROUP BY 1, 2, 3) p)
+SELECT t.src_a, t.src_b,
+       CAST(count(u.hv) AS BIGINT) AS k_common,
+       CAST(count(*) AS BIGINT) AS k_union
+FROM th t LEFT JOIN u
+  ON u.src_a = t.src_a AND u.src_b = t.src_b AND u.hv = t.hv
+WHERE t.urk <= {k}
+GROUP BY t.src_a, t.src_b
+""".format(k=_KMV_K))
+def theta_kmv_intersect(spark, sf_dir):
+    """Theta-sketch set operations over the KMV sketches (the
+    Apache DataSketches pattern): for every source PAIR, restrict
+    attention to the union's bottom-k hashes (the theta region) and
+    count how many fall in BOTH sketches — k_common / k_union
+    estimates the pair's Jaccard, and scaling by the union
+    cardinality estimate gives the intersection size, all WITHOUT
+    touching raw data again: this query consumes only sketch-sized
+    inputs, which is the entire point at 100 TB (pairwise source
+    overlap from |sources| * k rows instead of |sources| corpus
+    passes). Pure integer outputs; the estimate division happens
+    downstream (the suite checks it against exact pair Jaccard).
+
+    Scale shape: sketches are per-source bottom-k (WindowGroupLimit,
+    as kmv_sketch); the pair stage joins sketch-sized tables only —
+    an equi-join on hv for the common part and a pairs x k expansion
+    for the theta ranks, both bounded by |sources|^2 * k."""
+    sk = (kmv_sketch(spark, sf_dir)
+          .select("source", "hv").persist())
+    a = sk.select(F.col("source").alias("src_a"), "hv")
+    b = sk.select(F.col("source").alias("src_b"), "hv")
+    common = (a.join(b, "hv")
+              .where(F.col("src_a") < F.col("src_b"))
+              .withColumn("in_both", F.lit(1)))
+    pairs = (sk.select(F.col("source").alias("src_a")).distinct()
+             .crossJoin(sk.select(F.col("source").alias("src_b"))
+                        .distinct())
+             .where(F.col("src_a") < F.col("src_b")))
+    members = (pairs.join(sk.select("source", "hv"),
+                          (F.col("source") == F.col("src_a"))
+                          | (F.col("source") == F.col("src_b")))
+               .select("src_a", "src_b", "hv").distinct())
+    w = Window.partitionBy("src_a", "src_b").orderBy("hv")
+    th = (members.withColumn("urk", F.row_number().over(w))
+          .where(F.col("urk") <= _KMV_K))
+    return (th.join(common.select("src_a", "src_b", "hv", "in_both"),
+                    ["src_a", "src_b", "hv"], "left")
+            .groupBy("src_a", "src_b")
+            .agg(F.sum(F.coalesce(F.col("in_both"), F.lit(0)))
+                 .cast("long").alias("k_common"),
+                 F.count("*").cast("long").alias("k_union")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

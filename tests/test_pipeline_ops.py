@@ -3093,3 +3093,29 @@ def test_kmv_merge_law_and_estimates(spark, tmp_path):
     theta = sorted(sa | sb)[:_KMV_K]
     est_j = sum(1 for v in theta if v in sa and v in sb) / _KMV_K
     assert abs(est_j - true_j) <= 0.15, (est_j, true_j)
+
+
+def test_theta_kmv_intersect_replay(spark):
+    """Exact replay from the kmv_sketch artifact alone at sf0.01:
+    for every source pair, k_union = |bottom-k of merged sketches|
+    and k_common = how many of those sit in both — recomputed in
+    pandas from the registered sketch query; the composition must
+    match row for row (sketch-only inputs, no raw-data access)."""
+    from extractor.queries import _KMV_K, QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    sk = QUERIES["kmv_sketch"](spark, sf).toPandas()
+    by_src = {s: set(g.hv) for s, g in sk.groupby("source")}
+    want = {}
+    srcs = sorted(by_src)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            theta = sorted(by_src[sa] | by_src[sb])[:_KMV_K]
+            want[(sa, sb)] = (
+                sum(1 for v in theta
+                    if v in by_src[sa] and v in by_src[sb]),
+                len(theta))
+    got = {(r["src_a"], r["src_b"]): (int(r["k_common"]),
+                                      int(r["k_union"]))
+           for r in QUERIES["theta_kmv_intersect"](spark, sf).collect()}
+    assert got == want
