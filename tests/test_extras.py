@@ -1437,3 +1437,84 @@ def test_stream_event_seq_boundary_straddle(spark, tmp_path):
             int(last.first_pos)) == (7, 2, 1)
     b = QUERIES["event_seq_match"](spark, str(tmp_path / "in")).collect()[0]
     assert (b["seq_len"], b["n_matches"], b["first_pos"]) == (7, 2, 1)
+
+
+def _cdc_reference_apply(changes: "pd.DataFrame") -> "pd.DataFrame":
+    """One-shot LWW apply of a whole changeset from the definition:
+    highest (version, op) per key wins; delete drops the key."""
+    top = (changes.sort_values(["version", "op"],
+                               ascending=[False, True])
+           .groupby("doc_id").first().reset_index())
+    keep = top[top.op != "delete"]
+    return (keep[["doc_id", "text", "source", "version"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_stream_cdc_apply_equals_batch_and_replays(spark, tmp_path):
+    """3-micro-batch CDC stream into the bucket-partitioned table
+    must equal the one-shot grouped LWW apply of ALL changes —
+    including a key inserted then deleted, a delete of an absent key
+    (no-op), out-of-order versions (stale update after a newer one
+    must lose), and a key updated in every batch. Then REPLAY the
+    final batch through the sink by hand: the table must be
+    unchanged (idempotence under epoch replay)."""
+    import os
+
+    from extractor.streaming import CDC_SCHEMA, stream_cdc_apply
+
+    batches = [
+        # b0: initial inserts
+        [(1, "upsert", "one v1", "s", 1), (2, "upsert", "two v1", "s", 1),
+         (3, "upsert", "three v1", "s", 1)],
+        # b1: update 1, delete 2, insert 4, delete absent 99
+        [(1, "upsert", "one v2", "s", 2), (2, "delete", None, "s", 2),
+         (4, "upsert", "four v1", "s", 2), (99, "delete", None, "s", 2)],
+        # b2: STALE update of 1 (version 1 after version 2 -> loses),
+        # update 3, insert-then-delete 5 within one batch
+        [(1, "upsert", "one STALE", "s", 1), (3, "upsert", "three v3", "s", 3),
+         (5, "upsert", "five v1", "s", 3), (5, "delete", None, "s", 4)],
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    all_rows = []
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "op", "text",
+                                          "source", "version"])
+        f = os.path.join(in_dir, "part-{}.parquet".format(i))
+        pdf.to_parquet(f)
+        os.utime(f, (i + 1, i + 1))
+        all_rows.append(pdf)
+
+    table = str(tmp_path / "table")
+    q = stream_cdc_apply(spark, in_dir, table,
+                         str(tmp_path / "_ckpt"), n_buckets=4)
+    q.awaitTermination(180)
+    got = (spark.read.parquet(table)
+           .select("doc_id", "text", "source", "version").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = _cdc_reference_apply(pd.concat(all_rows, ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "version": "int64"}), want)
+    assert got.loc[got.doc_id == 1, "text"].iloc[0] == "one v2"
+
+    # hand-replay the LAST batch through a fresh sink body: idempotent
+    from extractor.streaming import _cdc_merge
+    import pyspark.sql.functions as SF
+    b = (spark.createDataFrame(all_rows[-1], CDC_SCHEMA)
+         .withColumn("bucket", SF.pmod(SF.xxhash64("doc_id"), SF.lit(4))))
+    cur = spark.read.schema(
+        "doc_id LONG, text STRING, source STRING, version LONG, "
+        "bucket LONG").parquet(table)
+    touched = [r["bucket"] for r in b.select("bucket").distinct().collect()]
+    merged = (_cdc_merge(cur.where(SF.col("bucket").isin(touched)),
+                         b.drop("bucket"))
+              .withColumn("bucket", SF.pmod(SF.xxhash64("doc_id"),
+                                            SF.lit(4))))
+    merged.write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("bucket").parquet(table)
+    again = (spark.read.parquet(table)
+             .select("doc_id", "text", "source", "version").toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        again.astype({"doc_id": "int64", "version": "int64"}), want)
