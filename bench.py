@@ -69,6 +69,10 @@ HEADLINE_QUERIES = [
     "winnow_contamination",
     "hits_hub_authority",
     "event_seq_match",
+    "skipgram_pairs",
+    "k_core_peel",
+    "kmv_sketch",
+    "poisson_bootstrap",
     "extract_documents_clean",
 ]
 
