@@ -10359,6 +10359,102 @@ def theta_kmv_intersect(spark, sf_dir):
                  F.count("*").cast("long").alias("k_union")))
 
 
+_SWEEP_PARTS = 8
+
+
+@_q("concurrency_sweep", sql="""
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+s AS (SELECT user_id,
+             1 + sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess,
+             us
+      FROM g),
+iv AS (SELECT min(us) AS a, max(us) + 1 AS b
+       FROM s GROUP BY user_id, sess),
+sw AS (SELECT a AS us, 1 AS delta FROM iv
+       UNION ALL SELECT b, -1 FROM iv),
+c AS (SELECT us, delta,
+             sum(delta) OVER (ORDER BY us, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM sw),
+mx AS (SELECT max(conc) AS m FROM c)
+SELECT CAST(m AS BIGINT) AS max_concurrency,
+       CAST((SELECT min(us) FROM c WHERE conc = m) AS BIGINT) AS peak_us
+FROM mx
+""")
+def concurrency_sweep(spark, sf_dir):
+    """Sweep-line maximum concurrency (the classic interval-overlap
+    algorithm): sessionize each user (30-min gap, the shared rule),
+    turn every session into half-open [first_us, last_us + 1) sweep
+    events (+1 at start, -1 at end, ends ordered before starts at
+    equal timestamps), and find the peak number of simultaneously
+    open sessions and the first instant it is reached — the
+    capacity-planning question (peak concurrent conversations =
+    executor sizing) that windowed COUNTS approximate but the sweep
+    answers exactly.
+
+    The Spark side computes the running sum with an EXPLICIT
+    distributed two-phase prefix scan — range-partition the sweep
+    events on (us, delta), cumsum within each partition, then add
+    per-partition offsets (a bounded P-row collect, the textbook
+    parallel-scan carry step) — instead of a window over ORDER BY
+    with no partitioning, which plans Exchange SinglePartition and
+    serializes the whole timeline through one task (the
+    sorted_neighborhood/_global_rank lesson, applied to prefix SUMS).
+    Equal (us, delta) rows are interchangeable under the cumsum
+    multiset, and peak_us = min us at the max, so the output is
+    partition- and range-sampling-invariant (the final 1-row answer
+    is pinned by the oracle's single-window cumsum).
+
+    Scale shape: one user_id shuffle (sessionize), one range
+    exchange on the sweep key, one bounded P-row carry collect, one
+    1-row agg."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    is_new = F.when(us - F.lag(us).over(w) > 1_800_000_000, 1).otherwise(0)
+    s = ev.select("user_id", us.alias("us"), is_new.alias("is_new"))
+    s = s.withColumn("sess", F.lit(1) + F.sum("is_new").over(
+        Window.partitionBy("user_id").orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    iv = (s.groupBy("user_id", "sess")
+          .agg(F.min("us").alias("a"), (F.max("us") + 1).alias("b")))
+    sw = (iv.select(F.col("a").alias("us"), F.lit(1).alias("delta"))
+          .unionByName(iv.select(F.col("b").alias("us"),
+                                 F.lit(-1).alias("delta"))))
+    part = (sw.repartitionByRange(_SWEEP_PARTS, "us", "delta")
+            .withColumn("pid", F.spark_partition_id())
+            .withColumn("local_cum", F.sum("delta").over(
+                Window.partitionBy("pid").orderBy("us", "delta")
+                .rowsBetween(Window.unboundedPreceding, 0)))
+            .persist())
+    # carry step: bounded P-row collect of per-partition totals
+    totals = {r["pid"]: r["t"] for r in
+              part.groupBy("pid").agg(F.sum("delta").alias("t"))
+              .collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    conc = part.select(
+        "us", (F.col("local_cum") + off[F.col("pid")]).alias("conc"))
+    mx = conc.agg(F.max("conc").alias("m"))
+    # NOTE: part stays persisted (module PERSIST NOTE) — unpersisting
+    # here would let the caller's collect RECOMPUTE the range
+    # partitioning under fresh (nondeterministic) range sampling
+    # against offsets computed from the first materialization
+    return (conc.join(F.broadcast(mx), F.col("conc") == F.col("m"))
+            .agg(F.max("m").cast("long").alias("max_concurrency"),
+                 F.min("us").cast("long").alias("peak_us")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

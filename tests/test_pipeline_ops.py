@@ -3119,3 +3119,29 @@ def test_theta_kmv_intersect_replay(spark):
                                       int(r["k_union"]))
            for r in QUERIES["theta_kmv_intersect"](spark, sf).collect()}
     assert got == want
+
+
+def test_concurrency_sweep_hand_and_plan(spark, tmp_path):
+    """Hand fixture: u1's session spans [00:00, 00:10]; u2 and u3
+    each have a point session at 00:05 -> peak concurrency 3, first
+    reached at 00:05's microsecond timestamp. The plan must carry
+    the cumsum through a RANGE partitioning (the two-phase scan),
+    never an Exchange SinglePartition window over the raw sweep."""
+    from extractor.queries import QUERIES
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [(0, t0, 1, "view", 1.0, "{}"),
+            (1, t0 + 10 * m, 1, "view", 1.0, "{}"),
+            (2, t0 + 5 * m, 2, "view", 1.0, "{}"),
+            (3, t0 + 5 * m, 3, "view", 1.0, "{}")]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(str(tmp_path / "events.parquet"))
+    df = QUERIES["concurrency_sweep"](spark, str(tmp_path))
+    r = df.collect()[0]
+    want_us = int((t0 + 5 * m).value // 1000)
+    assert (r["max_concurrency"], r["peak_us"]) == (3, want_us)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, plan
