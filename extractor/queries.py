@@ -10455,6 +10455,84 @@ def concurrency_sweep(spark, sf_dir):
                  F.min("us").cast("long").alias("peak_us")))
 
 
+_DBSCAN_EPS = 15       # grid cell edge == eps, so eps-balls fit in 3x3 cells
+_DBSCAN_MINPTS = 4     # classic default for 2-D (Ester et al. KDD'96)
+
+
+@_q("dbscan_core_points", sql="""
+WITH pts AS (
+  SELECT p_partkey AS id,
+         (p_partkey * 37) % 499 AS x,
+         (p_partkey * 91) % 503 AS y
+  FROM part),
+cells AS (
+  SELECT id, x, y,
+         CAST(floor(x / 15) AS BIGINT) AS cx,
+         CAST(floor(y / 15) AS BIGINT) AS cy
+  FROM pts),
+probe AS (
+  SELECT c.id, c.x, c.y, c.cx + dx.d AS cx, c.cy + dy.d AS cy
+  FROM cells c, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)),
+nb AS (
+  SELECT p.id, count(*) AS n_neighbors
+  FROM probe p JOIN cells b ON p.cx = b.cx AND p.cy = b.cy
+  WHERE (p.x - b.x) * (p.x - b.x) + (p.y - b.y) * (p.y - b.y) <= 225
+  GROUP BY p.id)
+SELECT id,
+       CAST(n_neighbors AS BIGINT) AS n_neighbors,
+       CAST(n_neighbors >= 4 AS INT) AS is_core
+FROM nb
+""")
+def dbscan_core_points(spark, sf_dir):
+    """DBSCAN core-point detection (Ester et al. KDD'96) with the
+    standard grid-blocking trick: cell edge == eps, so every
+    eps-neighbor of a point lies in the 3x3 block of cells around it,
+    and the quadratic eps-neighborhood count becomes an equi-join on
+    cell keys — the same blocked-join shape as j1's IoU grid join,
+    for density instead of overlap. Points are a deterministic lattice
+    scatter of ``part`` (x = 37*k mod 499, y = 91*k mod 503 — coprime
+    prime periods sized so the sf0.01 gate sees a genuine core/noise
+    mix around the minPts threshold).
+    A point is core iff |N_eps(p)| >= minPts, self included; squared
+    integer distance keeps both engines bit-exact.
+
+    Scale shape: 9x probe fan-out (constant), one hash equi-join on
+    (cx, cy), one groupBy(id) count — no all-pairs anywhere; density
+    skew (a packed cell) lands on one join key and is AQE-splittable
+    like any hot equi-join key. The full DBSCAN labeling would chain
+    this with the connected-components machinery of
+    ``dedup_cluster_assign`` over core-core eps-edges; the core/noise
+    classification is the distance-heavy step.
+
+    Reference parity: nearest-neighbour-density reasoning mirrors the
+    reference's block-density heuristics (text-density classification,
+    LOCDB-V3 extraction path) applied to geometry.
+    """
+    eps, minpts = _DBSCAN_EPS, _DBSCAN_MINPTS
+    pts = (t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        ((F.col("p_partkey") * 37) % 499).alias("x"),
+        ((F.col("p_partkey") * 91) % 503).alias("y")))
+    cells = (pts
+             .withColumn("cx", F.floor(F.col("x") / eps))
+             .withColumn("cy", F.floor(F.col("y") / eps)))
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    probe = (cells.withColumn("dx", off).withColumn("dy", off)
+             .select("id", "x", "y",
+                     (F.col("cx") + F.col("dx")).alias("cx"),
+                     (F.col("cy") + F.col("dy")).alias("cy")))
+    b = cells.select(F.col("x").alias("bx"), F.col("y").alias("by"),
+                     "cx", "cy")
+    d2 = ((F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+          + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by")))
+    return (probe.join(b, ["cx", "cy"])
+            .where(d2 <= eps * eps)
+            .groupBy("id").agg(F.count(F.lit(1)).alias("n_neighbors"))
+            .select("id", "n_neighbors",
+                    (F.col("n_neighbors") >= minpts).cast("int")
+                    .alias("is_core")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

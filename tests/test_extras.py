@@ -1518,3 +1518,25 @@ def test_stream_cdc_apply_equals_batch_and_replays(spark, tmp_path):
              .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         again.astype({"doc_id": "int64", "version": "int64"}), want)
+
+
+def test_dbscan_grid_blocking_matches_brute_force(spark):
+    """The 3x3 grid-blocked eps-neighborhood count must equal the
+    brute-force all-pairs count — completeness (cell edge == eps means
+    no eps-neighbor can sit outside the 3x3 block) and exactness
+    (squared-integer distance, self included) at sf0.001."""
+    from extractor.queries import QUERIES, _DBSCAN_EPS, _DBSCAN_MINPTS
+
+    got = {r["id"]: (r["n_neighbors"], r["is_core"])
+           for r in QUERIES["dbscan_core_points"](
+               spark, "/root/testdata/sf0.001").collect()}
+    pts = {r["p_partkey"]: ((r["p_partkey"] * 37) % 499,
+                            (r["p_partkey"] * 91) % 503)
+           for r in spark.read.parquet(
+               "/root/testdata/sf0.001/part.parquet")
+           .select("p_partkey").collect()}
+    e2 = _DBSCAN_EPS * _DBSCAN_EPS
+    for i, (xi, yi) in pts.items():
+        n = sum(1 for (xj, yj) in pts.values()
+                if (xi - xj) ** 2 + (yi - yj) ** 2 <= e2)
+        assert got[i] == (n, int(n >= _DBSCAN_MINPTS)), (i, got[i], n)

@@ -1099,3 +1099,15 @@ def test_event_seq_sessionized_plan(spark):
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_dbscan_core_points_plan(spark):
+    """DBSCAN core detection: the eps-neighborhood count is a hash
+    EQUI-join on grid-cell keys (9x constant probe fan-out) — never a
+    distance nested loop over point pairs; squared-integer distance
+    and the count stay JVM-side."""
+    final = _final_plan(spark, "dbscan_core_points")
+    assert "HashJoin" in final or "SortMergeJoin" in final, final
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
