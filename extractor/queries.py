@@ -10533,6 +10533,115 @@ def dbscan_core_points(spark, sf_dir):
                     .alias("is_core")))
 
 
+_DBSCAN_LBL_PTS_SQL = """
+pts AS (
+  SELECT p_partkey AS id,
+         100 + (p_partkey % 4) * 300 + (p_partkey * 37) % 61 - 30 AS x,
+         100 + CASE WHEN p_partkey % 8 < 4 THEN 0 ELSE 300 END
+             + (p_partkey * 91) % 67 - 30 AS y
+  FROM part WHERE p_partkey < 4000)"""
+
+
+@_q("dbscan_labels", sql="WITH RECURSIVE " + _DBSCAN_LBL_PTS_SQL + """,
+pairs AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM pts a JOIN pts b
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 225),
+cnt AS (SELECT ia AS id, count(*) AS n FROM pairs GROUP BY ia),
+core AS (SELECT id FROM cnt WHERE n >= 4),
+ce AS (SELECT p.ia AS u, p.ib AS v FROM pairs p
+       JOIN core c1 ON p.ia = c1.id JOIN core c2 ON p.ib = c2.id
+       WHERE p.ia <> p.ib),
+reach(u, v) AS (SELECT DISTINCT u, u FROM ce
+                UNION
+                SELECT e.u, r.v FROM ce e JOIN reach r ON e.v = r.u),
+cl AS (SELECT u AS id, min(v) AS cid FROM reach GROUP BY u),
+corec AS (SELECT c.id, coalesce(cl.cid, c.id) AS cid
+          FROM core c LEFT JOIN cl ON c.id = cl.id),
+border AS (SELECT p.ia AS id, min(k.cid) AS cid
+           FROM pairs p JOIN corec k ON p.ib = k.id
+           WHERE p.ia <> p.ib
+             AND p.ia NOT IN (SELECT id FROM core)
+           GROUP BY p.ia)
+SELECT id, CAST(cid AS BIGINT) AS cluster_id, 'core' AS role FROM corec
+UNION ALL
+SELECT id, CAST(cid AS BIGINT) AS cluster_id, 'border' AS role FROM border
+UNION ALL
+SELECT id, CAST(-1 AS BIGINT) AS cluster_id, 'noise' AS role FROM pts
+WHERE id NOT IN (SELECT id FROM corec)
+  AND id NOT IN (SELECT id FROM border)
+""")
+def dbscan_labels(spark, sf_dir):
+    """FULL DBSCAN labeling (Ester et al. KDD'96): core points =
+    |N_eps| >= minPts (self included); clusters = connected components
+    of the core-core eps-graph, labeled by component-min core id via
+    the same contraction CC as ``dedup_cluster_assign``; border points
+    (non-core with >= 1 core eps-neighbor) attach to the MIN
+    cluster_id among their core neighbors — classic DBSCAN leaves
+    border assignment scan-order-dependent, so the min rule pins one
+    deterministic answer in both engines; everything else is noise
+    (cluster_id = -1).
+
+    Points are a deterministic 8-blob fixture (4x2 centers 300 apart,
+    +-30 coprime-prime lattice offsets, capped at 4000 ids so the
+    oracle's transitive closure stays bounded at every SF): blob gap
+    240 >> eps = 15 guarantees clusters never bridge, while sf0.001's
+    25-points-per-blob density sits at the minPts threshold so all
+    three roles appear.
+
+    Scale shape: ONE grid-blocked eps-pair join (cell edge == eps, 9x
+    constant probe fan-out — reused persisted for the count, the
+    core-core edges, and the border attach), then O(log D) contraction
+    CC rounds on the core subgraph; no all-pairs, no driver-side row
+    data (the CC loop reads a scalar convergence count).
+    """
+    eps, minpts = _DBSCAN_EPS, _DBSCAN_MINPTS
+    pk = F.col("p_partkey")
+    pts = (t(spark, sf_dir, "part").where(pk < 4000).select(
+        pk.alias("id"),
+        (F.lit(100) + (pk % 4) * 300 + (pk * 37) % 61 - 30).alias("x"),
+        (F.lit(100) + F.when(pk % 8 < 4, 0).otherwise(300)
+         + (pk * 91) % 67 - 30).alias("y")))
+    cells = (pts.withColumn("cx", F.floor(F.col("x") / eps))
+             .withColumn("cy", F.floor(F.col("y") / eps)))
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    probe = (cells.withColumn("dx", off).withColumn("dy", off)
+             .select(F.col("id").alias("ia"), "x", "y",
+                     (F.col("cx") + F.col("dx")).alias("cx"),
+                     (F.col("cy") + F.col("dy")).alias("cy")))
+    b = cells.select(F.col("id").alias("ib"), F.col("x").alias("bx"),
+                     F.col("y").alias("by"), "cx", "cy")
+    d2 = ((F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+          + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by")))
+    pairs = (probe.join(b, ["cx", "cy"]).where(d2 <= eps * eps)
+             .select("ia", "ib").persist())
+    core = (pairs.groupBy("ia").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= minpts).select(F.col("ia").alias("id")))
+    ce = (pairs.where(F.col("ia") != F.col("ib"))
+          .join(core.select(F.col("id").alias("ia")), "ia", "left_semi")
+          .join(core.select(F.col("id").alias("ib")), "ib", "left_semi")
+          .select(F.col("ia").alias("u"), F.col("ib").alias("v"))
+          .persist())
+    cc = _min_label_propagation(ce)
+    corec = (core.join(cc, core.id == cc.doc_id, "left")
+             .select("id", F.coalesce("cluster_id", "id").alias("cid")))
+    border = (pairs.where(F.col("ia") != F.col("ib"))
+              .join(core.select(F.col("id").alias("ia")), "ia", "left_anti")
+              .join(corec.select(F.col("id").alias("ib"),
+                                 F.col("cid")), "ib")
+              .groupBy("ia").agg(F.min("cid").alias("cid"))
+              .select(F.col("ia").alias("id"), "cid"))
+    labeled = corec.select("id", "cid", F.lit("core").alias("role")) \
+        .unionByName(border.select("id", "cid", F.lit("border").alias("role")))
+    noise = (pts.select("id")
+             .join(labeled.select("id"), "id", "left_anti")
+             .select("id", F.lit(-1).alias("cid"),
+                     F.lit("noise").alias("role")))
+    return (labeled.unionByName(noise)
+            .select("id", F.col("cid").cast("long").alias("cluster_id"),
+                    "role"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

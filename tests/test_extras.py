@@ -1540,3 +1540,52 @@ def test_dbscan_grid_blocking_matches_brute_force(spark):
         n = sum(1 for (xj, yj) in pts.values()
                 if (xi - xj) ** 2 + (yi - yj) ** 2 <= e2)
         assert got[i] == (n, int(n >= _DBSCAN_MINPTS)), (i, got[i], n)
+
+
+def test_dbscan_labels_match_brute_force(spark):
+    """Full DBSCAN labeling vs an independent brute-force union-find
+    (all-pairs neighbors, component-min core labels, min-rule border
+    attachment) at sf0.001 — the SF where all three roles appear
+    (192 core / 3 border / 5 noise, 14 clusters)."""
+    from extractor.queries import QUERIES, _DBSCAN_EPS, _DBSCAN_MINPTS
+
+    got = {r["id"]: (r["cluster_id"], r["role"])
+           for r in QUERIES["dbscan_labels"](
+               spark, "/root/testdata/sf0.001").collect()}
+    ids = [r["p_partkey"] for r in spark.read.parquet(
+        "/root/testdata/sf0.001/part.parquet")
+        .select("p_partkey").collect() if r["p_partkey"] < 4000]
+    pts = {k: (100 + (k % 4) * 300 + (k * 37) % 61 - 30,
+               100 + (0 if k % 8 < 4 else 300) + (k * 91) % 67 - 30)
+           for k in ids}
+    e2 = _DBSCAN_EPS * _DBSCAN_EPS
+    nbr = {i: [j for j, (xj, yj) in pts.items()
+               if (pts[i][0] - xj) ** 2 + (pts[i][1] - yj) ** 2 <= e2]
+           for i in pts}
+    core = {i for i, ns in nbr.items() if len(ns) >= _DBSCAN_MINPTS}
+    parent = {i: i for i in core}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in core:
+        for j in nbr[i]:
+            if j in core and j != i:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    cid = {i: min(j for j in core if find(j) == find(i)) for i in core}
+    want = {}
+    roles = {"core": 0, "border": 0, "noise": 0}
+    for i in pts:
+        if i in core:
+            want[i] = (cid[i], "core")
+        else:
+            cn = [cid[j] for j in nbr[i] if j in core and j != i]
+            want[i] = (min(cn), "border") if cn else (-1, "noise")
+        roles[want[i][1]] += 1
+    assert got == want
+    assert min(roles.values()) > 0, roles  # all three roles exercised

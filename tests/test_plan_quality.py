@@ -1111,3 +1111,15 @@ def test_dbscan_core_points_plan(spark):
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_dbscan_labels_plan(spark):
+    """Full DBSCAN: the eps-pair join is grid-blocked (hash equi-join
+    on cell keys, persisted and reused for count/core-edges/border);
+    the CC loop contracts JVM-side — no nested loops, no Python eval
+    anywhere."""
+    final = _final_plan(spark, "dbscan_labels")
+    assert "HashJoin" in final or "SortMergeJoin" in final, final
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
