@@ -10642,6 +10642,75 @@ def dbscan_labels(spark, sf_dir):
                     "role"))
 
 
+_ASSOC_MINSUP = 3
+
+
+@_q("assoc_rule_pairs", sql="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sup1 AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY l_partkey),
+freq1 AS (SELECT l_partkey FROM sup1 WHERE s >= 3),
+itemsf AS (SELECT i.l_orderkey, i.l_partkey
+           FROM items i JOIN freq1 f ON i.l_partkey = f.l_partkey),
+sup AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+        FROM itemsf a JOIN itemsf b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb HAVING count(*) >= 3),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM items)
+SELECT sup.pa AS part_a, sup.pb AS part_b, CAST(c AS BIGINT) AS support,
+       round(c / sa.s, 6) AS conf_ab,
+       round(c / sb.s, 6) AS conf_ba,
+       round(c * nb.n / (sa.s * sb.s), 6) AS lift
+FROM sup
+JOIN sup1 sa ON sup.pa = sa.l_partkey
+JOIN sup1 sb ON sup.pb = sb.l_partkey, nb
+""")
+def assoc_rule_pairs(spark, sf_dir):
+    """Frequent-2-itemset association rules (Agrawal & Srikant
+    VLDB'94 A-Priori) over order baskets: parts co-purchased in >=
+    minsup orders, with support, both-direction confidence, and lift.
+    The A-Priori monotonicity prune is structural: items below minsup
+    are semi-joined OUT before pairing, so at 100 TB the pair
+    generation runs on the frequent-item subset only (the SON/Spark
+    formulation of candidate pruning — at this SF every part is
+    frequent, so the prune is a no-op by data, not by shape).
+
+    Scale shape: basket self-join is an equi-join on l_orderkey with
+    i<j inside the basket — TPC-H baskets are <= 7 items, so the
+    fan-out is bounded (~ basket^2/2 per order, never quadratic in
+    parts); one groupBy on the pair key; support lookups are two hash
+    joins against the item-support table; the basket total is a 1-row
+    broadcast cross (bounded by construction, skipgram's pattern).
+    """
+    minsup = _ASSOC_MINSUP
+    items = (t(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_partkey").distinct())
+    sup1 = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    freq1 = sup1.where(F.col("s") >= minsup).select("l_partkey")
+    itemsf = items.join(freq1, "l_partkey", "left_semi")
+    a = itemsf.select(F.col("l_orderkey").alias("k"),
+                      F.col("l_partkey").alias("pa"))
+    bb = itemsf.select(F.col("l_orderkey").alias("k"),
+                       F.col("l_partkey").alias("pb"))
+    sup = (a.join(bb, "k").where(F.col("pa") < F.col("pb"))
+           .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") >= minsup))
+    nb = items.agg(F.count_distinct(F.col("l_orderkey")).alias("n"))
+    sa = sup1.select(F.col("l_partkey").alias("pa"),
+                     F.col("s").alias("sa"))
+    sb = sup1.select(F.col("l_partkey").alias("pb"),
+                     F.col("s").alias("sb"))
+    return (sup.join(sa, "pa").join(sb, "pb")
+            .crossJoin(F.broadcast(nb))
+            .select(F.col("pa").alias("part_a"),
+                    F.col("pb").alias("part_b"),
+                    F.col("c").cast("long").alias("support"),
+                    F.round(F.col("c") / F.col("sa"), 6).alias("conf_ab"),
+                    F.round(F.col("c") / F.col("sb"), 6).alias("conf_ba"),
+                    F.round((F.col("c") * F.col("n"))
+                            / (F.col("sa") * F.col("sb")), 6)
+                    .alias("lift")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

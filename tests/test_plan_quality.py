@@ -1123,3 +1123,17 @@ def test_dbscan_labels_plan(spark):
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_assoc_rule_pairs_plan(spark):
+    """A-Priori 2-itemsets: basket pairing is an EQUI-join on
+    l_orderkey (bounded basket fan-out), support lookups are hash
+    joins; the only nested loop is the bounded 1-row basket-total
+    broadcast cross (skipgram's pattern, same CacheManager-duplication
+    allowance); no Python eval."""
+    final = _final_plan(spark, "assoc_rule_pairs")
+    assert "HashJoin" in final or "SortMergeJoin" in final, final
+    assert final.count("BroadcastNestedLoopJoin") <= 2, final
+    assert "CartesianProduct" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
