@@ -10711,6 +10711,87 @@ def assoc_rule_pairs(spark, sf_dir):
                     .alias("lift")))
 
 
+_WALK_STEPS = 3
+
+
+def _walk_hash_sql(t):
+    return ("('0x' || substr(md5(walk_id || '|{t}|' || node_id), 1, 15))"
+            "::BIGINT".format(t=t))
+
+
+@_q("graph_random_walks", sql="""
+WITH e AS (SELECT DISTINCT -l_suppkey AS u, l_partkey AS v FROM lineitem
+           UNION
+           SELECT DISTINCT l_partkey AS u, -l_suppkey AS v FROM lineitem),
+deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+nbr AS (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS r
+        FROM e),
+w0 AS (SELECT s_suppkey AS walk_id, -s_suppkey AS node_id FROM supplier),
+w1 AS (SELECT w.walk_id, n.v AS node_id FROM w0 w
+       JOIN deg dg ON dg.u = w.node_id
+       JOIN nbr n ON n.u = w.node_id AND n.r = {h1} % dg.d),
+w2 AS (SELECT w.walk_id, n.v AS node_id FROM w1 w
+       JOIN deg dg ON dg.u = w.node_id
+       JOIN nbr n ON n.u = w.node_id AND n.r = {h2} % dg.d),
+w3 AS (SELECT w.walk_id, n.v AS node_id FROM w2 w
+       JOIN deg dg ON dg.u = w.node_id
+       JOIN nbr n ON n.u = w.node_id AND n.r = {h3} % dg.d)
+SELECT CAST(walk_id AS BIGINT) AS walk_id, 0 AS step,
+       CAST(node_id AS BIGINT) AS node_id FROM w0
+UNION ALL SELECT walk_id, 1, node_id FROM w1
+UNION ALL SELECT walk_id, 2, node_id FROM w2
+UNION ALL SELECT walk_id, 3, node_id FROM w3
+""".format(h1=_walk_hash_sql(1), h2=_walk_hash_sql(2),
+           h3=_walk_hash_sql(3)))
+def graph_random_walks(spark, sf_dir):
+    """Deterministic uniform random walks over the supplier-part
+    bipartite graph (node2vec with p = q = 1, Grover & Leskovec
+    KDD'16 — the corpus-generation step for graph embeddings): one
+    walk per supplier, ``_WALK_STEPS`` hops; at each hop the neighbor
+    is chosen by rank = md5(walk_id|step|node) mod degree over the
+    id-ordered adjacency — a HASH-SEEDED choice, so both engines (and
+    any re-run, resume, or partitioning) reproduce the identical walk
+    corpus without any driver-side RNG state. Walks at a dead end
+    truncate (inner join), identically in both engines.
+
+    Scale shape: each hop is two hash equi-joins (degree lookup +
+    (node, rank) adjacency probe) — never a per-walk loop or UDF; the
+    unrolled hop count is a static plan of 2L joins; adjacency and
+    degree tables are built once with one shuffle each. Hot nodes
+    (high-degree hubs) are join-key skew on u, AQE-splittable like any
+    equi-join. Emits (walk_id, step, node_id) rows — the exact input
+    shape a skipgram stage (``skipgram_pairs``) consumes.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    fwd = li.select((-F.col("l_suppkey")).alias("u"),
+                    F.col("l_partkey").alias("v"))
+    rev = li.select(F.col("l_partkey").alias("u"),
+                    (-F.col("l_suppkey")).alias("v"))
+    e = fwd.unionByName(rev).distinct().persist()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nbr = e.select("u", "v", (F.row_number().over(
+        Window.partitionBy("u").orderBy("v")) - 1).alias("r"))
+    cur = (t(spark, sf_dir, "supplier")
+           .select(F.col("s_suppkey").alias("walk_id"),
+                   (-F.col("s_suppkey")).alias("node_id")))
+    out = cur.select("walk_id", F.lit(0).alias("step"),
+                     F.col("node_id").cast("long"))
+    for step in range(1, _WALK_STEPS + 1):
+        h = F.conv(F.substring(F.md5(F.concat(
+            F.col("walk_id").cast("string"),
+            F.lit("|{}|".format(step)),
+            F.col("node_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        cur = (cur.join(deg, cur.node_id == deg.u)
+               .withColumn("r", h % F.col("d"))
+               .join(nbr, ["u", "r"])
+               .select("walk_id", F.col("v").alias("node_id")))
+        out = out.unionByName(cur.select(
+            "walk_id", F.lit(step).alias("step"),
+            F.col("node_id").cast("long")))
+    return out.select(F.col("walk_id").cast("long").alias("walk_id"),
+                      F.col("step").cast("int").alias("step"), "node_id")
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

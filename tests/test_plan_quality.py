@@ -1137,3 +1137,15 @@ def test_assoc_rule_pairs_plan(spark):
     assert "CartesianProduct" not in final, final
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_graph_random_walks_plan(spark):
+    """Hash-seeded walks: every hop is a pair of hash equi-joins
+    (degree lookup + (node, rank) adjacency probe) — a static 2L-join
+    plan, no per-walk loop, no nested loop, no Python eval; the md5
+    step choice stays JVM-side."""
+    final = _final_plan(spark, "graph_random_walks")
+    assert "HashJoin" in final or "SortMergeJoin" in final, final
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
