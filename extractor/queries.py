@@ -10792,6 +10792,95 @@ def graph_random_walks(spark, sf_dir):
                       F.col("step").cast("int").alias("step"), "node_id")
 
 
+_MST_MAX_ROUNDS = 30
+
+
+@_q("mst_boruvka")
+def mst_boruvka(spark, sf_dir):
+    """Borůvka minimum spanning forest (Borůvka 1926; the standard
+    distributed MST — Kiveris et al. SoCC'14 use the same
+    component-contraction skeleton as their CC): every round each
+    component selects its minimum outgoing edge under the TOTAL order
+    (w, u, v) — distinct per edge, so the selected set is provably
+    acyclic and the result is THE unique MSF of the distinctified
+    weights (the same forest Kruskal produces under the same order,
+    which is what the brute-force differential checks) — then
+    components merge via the shared contraction-CC machinery and the
+    edge list is contracted to inter-component edges only.
+
+    Graph: supplier(-key) <-> part bipartite from lineitem, weight =
+    min(l_extendedprice) per pair (data-derived, no RNG). MST is not
+    SQL-expressible (greedy, not closure), so this is a rows-only
+    driver entry; exactness is pinned by the in-suite union-find
+    Kruskal differential at two SFs.
+
+    Scale shape per round: two hash joins to label endpoints, one
+    symmetric struct-min aggregation per component (map-side partial
+    min — the per-component state is ONE 40-byte struct over the
+    shuffle), a component-graph CC (runs on the COMPONENT graph,
+    which halves every round), and an edge contraction that only
+    shrinks the list; O(log V) rounds, driver reads scalar counts
+    only; every round frame is stats-reset localCheckpointed
+    (_ckpt_nostats) against the compounding-estimate loop pathology.
+    """
+    from functools import reduce
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = _ckpt_nostats(
+        li.groupBy((-F.col("l_suppkey")).alias("u"),
+                   F.col("l_partkey").alias("v"))
+        .agg(F.min("l_extendedprice").alias("w")))
+    lab = _ckpt_nostats(
+        edges.select("u").unionByName(edges.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("comp")))
+    mst_parts = []
+    converged = False
+    for _rnd in range(1, _MST_MAX_ROUNDS + 1):
+        lu = lab.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+        lv = lab.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        e2 = (edges.join(lu, "u").join(lv, "v")
+              .where(F.col("cu") != F.col("cv")))
+        ed = F.struct("w", "u", "v", "cu", "cv").alias("ed")
+        sym = (e2.select(F.col("cu").alias("c"), ed)
+               .unionByName(e2.select(F.col("cv").alias("c"), ed)))
+        chosen = _ckpt_nostats(
+            sym.groupBy("c").agg(F.min("ed").alias("ed"))
+            .select("ed.*").distinct())
+        if chosen.isEmpty():
+            converged = True
+            break
+        mst_parts.append(chosen.select("u", "v", "w"))
+        ce = (chosen.select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+              .unionByName(chosen.select(F.col("cv").alias("u"),
+                                         F.col("cu").alias("v")))
+              .persist())
+        cc = _min_label_propagation(ce)
+        lab = _ckpt_nostats(
+            lab.join(cc, lab["comp"] == cc["doc_id"], "left")
+            .select("node",
+                    F.coalesce("cluster_id", "comp").alias("comp")))
+        ce.unpersist()
+        lu2 = lab.select(F.col("node").alias("u"), F.col("comp").alias("c2u"))
+        lv2 = lab.select(F.col("node").alias("v"), F.col("comp").alias("c2v"))
+        edges = _ckpt_nostats(
+            edges.join(lu2, "u").join(lv2, "v")
+            .where(F.col("c2u") != F.col("c2v"))
+            .select("u", "v", "w"))
+    if not converged:
+        raise RuntimeError(
+            "mst_boruvka: did not converge within {} rounds — components "
+            "halve per round, so this is a logic regression, not a big "
+            "graph; investigate rather than raising the cap"
+            .format(_MST_MAX_ROUNDS))
+    if not mst_parts:
+        return edges.select(F.col("u").cast("long"),
+                            F.col("v").cast("long"), "w").limit(0)
+    return (reduce(DataFrame.unionByName, mst_parts)
+            .select(F.col("u").cast("long").alias("u"),
+                    F.col("v").cast("long").alias("v"), "w"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

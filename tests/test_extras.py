@@ -4,6 +4,7 @@ multimodal plumbing."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from extractor import job
@@ -1589,3 +1590,48 @@ def test_dbscan_labels_match_brute_force(spark):
         roles[want[i][1]] += 1
     assert got == want
     assert min(roles.values()) > 0, roles  # all three roles exercised
+
+
+def _kruskal(edges):
+    """Reference MSF: Kruskal under the total order (w, u, v) — with
+    distinct composite keys the forest is unique, so Borůvka under the
+    same order must produce the identical edge set.  Returns
+    (forest_edge_set, n_components)."""
+    parent = {}
+
+    def find(a):
+        parent.setdefault(a, a)
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    out = set()
+    for w, u, v in sorted(edges):
+        ra, rb = find(u), find(v)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            out.add((u, v, w))
+    roots = {find(a) for a in parent}
+    return out, len(roots)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01"])
+def test_mst_boruvka_matches_kruskal(spark, sf):
+    from extractor.queries import QUERIES
+
+    got = {(r["u"], r["v"], r["w"])
+           for r in QUERIES["mst_boruvka"](spark, sf).collect()}
+    li = pd.read_parquet(sf + "/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey",
+                                  "l_extendedprice"])
+    ew = (li.assign(u=-li.l_suppkey, v=li.l_partkey)
+          .groupby(["u", "v"], as_index=False)["l_extendedprice"].min())
+    want, n_comp = _kruskal([(w, u, v) for u, v, w in
+                             ew[["u", "v", "l_extendedprice"]].itertuples(
+                                 index=False)])
+    assert got == want
+    # spanning property: |MSF| = |V| - #components
+    nodes = set(ew.u) | set(ew.v)
+    assert len(got) == len(nodes) - n_comp
