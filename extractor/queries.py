@@ -10881,6 +10881,139 @@ def mst_boruvka(spark, sf_dir):
                     F.col("v").cast("long").alias("v"), "w"))
 
 
+_CUSUM_PARTS = 8        # range partitions for the two-phase prefix scan
+_CUSUM_H_MULT = 6       # alarm threshold h = 6 x per-type integer MAD
+_CUSUM_INF = 1 << 62    # +inf sentinel for the min-prefix carry
+
+
+@_q("cusum_changepoint", sql="""
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+k AS (SELECT event_type,
+             CAST(sum(cents) // count(*) AS BIGINT) AS k_cents,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM e GROUP BY event_type),
+d AS (SELECT e.event_type, e.event_id, e.us, e.cents - k.k_cents AS d
+      FROM e JOIN k USING (event_type)),
+hh AS (SELECT event_type,
+              CAST(6 * (sum(abs(d)) // count(*)) AS BIGINT) AS h_cents
+       FROM d GROUP BY event_type),
+p AS (SELECT event_type, event_id, us,
+             sum(d) OVER (PARTITION BY event_type ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY us, event_id) AS rn
+      FROM d),
+s AS (SELECT event_type, event_id, us, rn,
+             pf - least(0, min(pf) OVER (PARTITION BY event_type
+                                         ORDER BY rn)) AS cu
+      FROM p),
+al AS (SELECT s.event_type, s.event_id, s.us, s.rn, s.cu
+       FROM s JOIN hh USING (event_type) WHERE s.cu > hh.h_cents),
+ag AS (SELECT event_type, count(*) AS n_alarms,
+              min(rn) AS first_rn, max(cu) AS mx,
+              arg_min(event_id, rn) AS first_eid,
+              arg_min(us, rn) AS first_us
+       FROM al GROUP BY event_type)
+SELECT k.event_type, k.n_events, k.k_cents, hh.h_cents,
+       CAST(coalesce(ag.n_alarms, 0) AS BIGINT) AS n_alarms,
+       CAST(ag.first_rn AS BIGINT) AS first_alarm_rn,
+       CAST(ag.first_eid AS BIGINT) AS first_alarm_event_id,
+       CAST(ag.first_us AS BIGINT) AS first_alarm_us,
+       CAST(ag.mx AS BIGINT) AS max_cusum
+FROM k JOIN hh USING (event_type) LEFT JOIN ag USING (event_type)
+""")
+def cusum_changepoint(spark, sf_dir):
+    """One-sided CUSUM change-point detection (Page, Biometrika 1954)
+    per event_type over the value stream in exact integer cents:
+    s_i = max(0, s_{i-1} + (x_i - k)) with reference k = the per-type
+    integer mean and alarm threshold h = 6 x the per-type integer mean
+    absolute deviation — the sequential drift monitor behind SPC /
+    data-drift alerting, here over the whole history (no restart after
+    alarm), reporting per type: first crossing (rank, event_id,
+    microsecond ts), alarm count, and the max statistic.
+
+    The sequential recurrence is NOT computed sequentially: by the
+    running-min identity s_i = P_i - min(0, min_{j<=i} P_j) (P = prefix
+    sums of x - k), CUSUM reduces to a prefix SUM and a prefix MIN —
+    both computed with the explicit two-phase distributed scan from
+    concurrency_sweep, generalized to carry (segment total, segment
+    min-prefix, segment row count) per (partition, type) so sum, min
+    and row_number all come out of ONE range exchange. A plain window
+    PARTITION BY event_type would hash the whole corpus onto
+    #event_types tasks (5 here) — the serial-per-key trap this op
+    exists to avoid; the carry collect is bounded at P x #types rows.
+
+    Scale shape: one broadcast of the 5-row per-type stats, one range
+    exchange on (type, us, event_id), one bounded carry collect, one
+    5-row final agg. Everything BIGINT; both engines agree bitwise.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("cents"))
+    st = (ev.groupBy("event_type")
+          .agg(F.sum("cents").alias("sc"), F.count("*").alias("n_events"))
+          .select("event_type", "n_events",
+                  F.expr("sc DIV n_events").alias("k_cents")))
+    d = (ev.join(F.broadcast(st), "event_type")
+         .select("event_type", "event_id", "us",
+                 (F.col("cents") - F.col("k_cents")).alias("d")))
+    hh = (d.groupBy("event_type")
+          .agg(F.expr("cast({} * (sum(abs(d)) DIV count(*)) as bigint)"
+                      .format(_CUSUM_H_MULT)).alias("h_cents")))
+    wloc = (Window.partitionBy("pid", "event_type")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    part = (d.repartitionByRange(_CUSUM_PARTS, "event_type", "us",
+                                 "event_id")
+            .withColumn("pid", F.spark_partition_id())
+            .withColumn("lc", F.sum("d").over(wloc))
+            .withColumn("lrn", F.count("*").over(wloc)))
+    part = (part.withColumn("lmp", F.min("lc").over(wloc))
+            .persist())
+    # carry step: bounded (P x #types)-row collect of segment stats
+    segs = (part.groupBy("pid", "event_type")
+            .agg(F.sum("d").alias("tot"), F.min("lc").alias("mp"),
+                 F.count("*").alias("cnt")).collect())
+    off_sum, off_min, off_cnt = {}, {}, {}
+    acc = {}
+    for r in sorted(segs, key=lambda r: (r["event_type"], r["pid"])):
+        key = "{}|{}".format(r["pid"], r["event_type"])
+        s_, m_, c_ = acc.get(r["event_type"], (0, _CUSUM_INF, 0))
+        off_sum[key], off_min[key], off_cnt[key] = s_, m_, c_
+        acc[r["event_type"]] = (s_ + r["tot"],
+                                min(m_, s_ + r["mp"]), c_ + r["cnt"])
+    def _m(dd):
+        return F.create_map(*[F.lit(x) for kv in dd.items() for x in kv])
+    key = F.concat_ws("|", F.col("pid"), F.col("event_type"))
+    # NOTE: part stays persisted (module PERSIST NOTE) — the offsets
+    # were computed from its first materialization; recomputing would
+    # re-sample the range bounds under different partition ids.
+    s = part.select(
+        "event_type", "event_id", "us",
+        (_m(off_cnt)[key] + F.col("lrn")).alias("rn"),
+        ((_m(off_sum)[key] + F.col("lc"))
+         - F.least(F.lit(0),
+                   F.least(_m(off_min)[key],
+                           _m(off_sum)[key] + F.col("lmp")))).alias("cu"))
+    al = s.join(F.broadcast(hh), "event_type").where(F.col("cu") > F.col("h_cents"))
+    ag = (al.groupBy("event_type")
+          .agg(F.count("*").alias("n_alarms"),
+               F.min("rn").alias("first_alarm_rn"),
+               F.expr("min_by(event_id, rn)").alias("first_alarm_event_id"),
+               F.expr("min_by(us, rn)").alias("first_alarm_us"),
+               F.max("cu").alias("max_cusum")))
+    return (st.join(hh, "event_type").join(ag, "event_type", "left")
+            .select("event_type", "n_events", "k_cents", "h_cents",
+                    F.coalesce("n_alarms", F.lit(0)).alias("n_alarms"),
+                    F.col("first_alarm_rn").cast("long").alias("first_alarm_rn"),
+                    "first_alarm_event_id", "first_alarm_us",
+                    "max_cusum"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

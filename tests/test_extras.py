@@ -1635,3 +1635,44 @@ def test_mst_boruvka_matches_kruskal(spark, sf):
     # spanning property: |MSF| = |V| - #components
     nodes = set(ew.u) | set(ew.v)
     assert len(got) == len(nodes) - n_comp
+
+
+def test_cusum_changepoint_hand_and_plan(spark, tmp_path):
+    """Hand fixture with a designed level shift: 'step' is 20 events
+    at 10.00 then 20 events at 20.00 (k = 15.00, MAD = 5.00, h = 6*500
+    = 3000 cents) — the prefix walk bottoms at -10000 after the first
+    half, then s grows by 500 per post-shift event, first exceeding h
+    at the 7th post-shift row (rn 27), 14 alarms, max s = 10000.
+    'flat' is constant (d = 0 everywhere, h = 0, s = 0 > 0 never) and
+    pins the no-alarm NULL branch. The plan must carry the scan
+    through a RANGE partitioning, never an Exchange SinglePartition
+    window keyed only by event_type."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = []
+    for i in range(40):
+        rows.append((i, t0 + i * m, 1, "step",
+                     10.0 if i < 20 else 20.0, "{}"))
+    for i in range(10):
+        rows.append((100 + i, t0 + i * m, 2, "flat", 5.0, "{}"))
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    df = QUERIES["cusum_changepoint"](spark, str(tmp_path))
+    got = {r["event_type"]: r.asDict() for r in df.collect()}
+    st = got["step"]
+    assert (st["n_events"], st["k_cents"], st["h_cents"]) == (40, 1500, 3000)
+    assert (st["n_alarms"], st["first_alarm_rn"], st["max_cusum"]) == (
+        14, 27, 10000)
+    assert st["first_alarm_event_id"] == 26  # rn 27 == event_id 26 (0-based)
+    assert st["first_alarm_us"] == int((t0 + 26 * m).value // 1000)
+    fl = got["flat"]
+    assert (fl["n_events"], fl["h_cents"], fl["n_alarms"]) == (10, 0, 0)
+    assert fl["first_alarm_rn"] is None and fl["max_cusum"] is None
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, plan
