@@ -11014,6 +11014,77 @@ def cusum_changepoint(spark, sf_dir):
                     "max_cusum"))
 
 
+@_q("interval_islands_coverage", sql="""
+WITH iv AS (
+  SELECT l_suppkey AS k,
+         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+              + CAST(l_quantity AS BIGINT) AS BIGINT) AS e
+  FROM lineitem),
+m AS (
+  SELECT k, s, e,
+         max(e) OVER (PARTITION BY k ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv),
+g AS (
+  SELECT k, s, e,
+         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY k ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM m),
+il AS (SELECT k, isl, min(s) AS a, max(e) AS b FROM g GROUP BY k, isl)
+SELECT k AS suppkey,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(b - a + 1) AS BIGINT) AS covered_days,
+       CAST(max(b - a + 1) AS BIGINT) AS max_island_days
+FROM il GROUP BY k
+""")
+def interval_islands_coverage(spark, sf_dir):
+    """Gaps-and-islands over INTERVALS (the interval-union / merge-
+    overlapping-intervals idiom — the warehouse classic behind
+    machine-uptime, coverage and SLA math): each lineitem is an
+    in-transit interval [ship_day, ship_day + quantity days] (the end
+    is data-derived — no synthetic RNG), per supplier overlapping or
+    touching intervals merge into maximal islands, and the answer per
+    supplier is island count, total covered days and the longest
+    island.
+
+    The merge is the running-max trick: an interval starts a new
+    island iff its start exceeds the max end among all earlier
+    intervals in (start, end) order — a prefix MAX, not a sequential
+    sweep, so it is one window over PARTITION BY suppkey (keys grow
+    with the data — thousands of partitions at scale, no serial-key
+    trap; contrast cusum_changepoint's 5-type two-phase scan) plus
+    two partial-agg shuffles. Rows tied on (start, end) are
+    interchangeable under prefix max, so the result is partitioning-
+    invariant. Everything integer epoch-days; bitwise cross-engine.
+
+    Reference anchor: the sweep/merge mirrors the reference's
+    line-box merging in pdf_layout (overlapping glyph boxes -> line
+    islands), lifted to the time axis.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    day = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01"))
+    iv = li.select(F.col("l_suppkey").alias("k"),
+                   day.cast("long").alias("s"),
+                   (day + F.col("l_quantity").cast("long"))
+                   .cast("long").alias("e"))
+    w = Window.partitionBy("k").orderBy("s", "e")
+    pme = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    g = iv.withColumn(
+        "isl", F.sum(F.when(pme.isNull() | (F.col("s") > pme), 1)
+                     .otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    il = g.groupBy("k", "isl").agg(F.min("s").alias("a"),
+                                   F.max("e").alias("b"))
+    return (il.groupBy("k")
+            .agg(F.count("*").alias("n_islands"),
+                 F.sum(F.col("b") - F.col("a") + 1).alias("covered_days"),
+                 F.max(F.col("b") - F.col("a") + 1).alias("max_island_days"))
+            .select(F.col("k").alias("suppkey"), "n_islands",
+                    "covered_days", "max_island_days"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -1676,3 +1676,54 @@ def test_cusum_changepoint_hand_and_plan(spark, tmp_path):
     assert fl["first_alarm_rn"] is None and fl["max_cusum"] is None
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan, plan
+
+
+def test_interval_islands_hand_and_differential(spark, tmp_path):
+    """Hand fixture: supplier 1 has [0,5],[3,8],[8,10] (chained
+    overlap + touching end==start -> ONE island [0,10]) and [20,22]
+    -> 2 islands, 11+3 covered days, max 11; supplier 2 a lone [5,6].
+    Then a cross-algorithm differential at sf0.001: an independent
+    sequential sweep (sort, extend-or-emit) must agree with the
+    window formulation on every supplier."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    epoch = pd.Timestamp("1970-01-01")
+    d = pd.Timedelta(days=1)
+    rows = [(1, epoch + 0 * d, 5.0), (1, epoch + 3 * d, 5.0),
+            (1, epoch + 8 * d, 2.0), (1, epoch + 20 * d, 2.0),
+            (2, epoch + 5 * d, 1.0)]
+    li = pd.DataFrame(rows, columns=["l_suppkey", "l_shipdate",
+                                     "l_quantity"])
+    li["l_shipdate"] = li["l_shipdate"].astype("datetime64[us]")
+    li.to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = {r["suppkey"]: (r["n_islands"], r["covered_days"],
+                          r["max_island_days"])
+           for r in QUERIES["interval_islands_coverage"](
+               spark, str(tmp_path)).collect()}
+    assert got == {1: (2, 14, 11), 2: (1, 2, 2)}
+
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(os.path.join(sf, "lineitem.parquet"),
+                         columns=["l_suppkey", "l_shipdate",
+                                  "l_quantity"])
+    li["s"] = (li.l_shipdate - epoch).dt.days
+    li["e"] = li.s + li.l_quantity.astype(int)
+    want = {}
+    for k, g in li.groupby("l_suppkey"):
+        isl, cs, ce = [], None, None
+        for s, e in sorted(zip(g.s, g.e)):
+            if cs is None or s > ce:
+                if cs is not None:
+                    isl.append(ce - cs + 1)
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        isl.append(ce - cs + 1)
+        want[k] = (len(isl), sum(isl), max(isl))
+    got = {r["suppkey"]: (r["n_islands"], r["covered_days"],
+                          r["max_island_days"])
+           for r in QUERIES["interval_islands_coverage"](
+               spark, sf).collect()}
+    assert got == want
