@@ -11085,6 +11085,72 @@ def interval_islands_coverage(spark, sf_dir):
                     "covered_days", "max_island_days"))
 
 
+@_q("cohens_kappa", sql="""
+WITH r AS (
+  SELECT CASE WHEN len(regexp_extract_all(lower(text), '{p}')) * 20
+                   >= len(string_split(text, ' ')) THEN 1 ELSE 0 END AS pe,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS te
+  FROM documents),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pe = te THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+             CAST(sum(pe) AS BIGINT) AS n_pred_en,
+             CAST(sum(te) AS BIGINT) AS n_true_en
+      FROM r),
+k AS (SELECT n, n_agree, n_pred_en, n_true_en,
+             n_agree * n - (n_pred_en * n_true_en
+                            + (n - n_pred_en) * (n - n_true_en)) AS num,
+             n * n - (n_pred_en * n_true_en
+                      + (n - n_pred_en) * (n - n_true_en)) AS den
+      FROM c)
+SELECT n, n_agree, n_pred_en, n_true_en,
+       CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 // den)
+                 ELSE (num * 1000000) // den END AS BIGINT) AS kappa_micro
+FROM k
+""".format(p=_STOP_RE))
+def cohens_kappa(spark, sf_dir):
+    """Cohen's kappa (Cohen 1960) — chance-corrected inter-rater
+    agreement between the registered lang_id_heuristic's binary
+    en/unk prediction and the binarized gold ``lang`` label: the
+    annotator-agreement metric every labeling pipeline reports before
+    trusting a heuristic or a weak labeler at corpus scale.
+
+    kappa = (po - pe) / (1 - pe) carried entirely in BIGINT:
+    numerator = n_agree*n - sum of chance-products, denominator =
+    n^2 - the same, and the final micro-unit ratio divides through a
+    SIGN-SAFE integer division (-((-num)*1e6 DIV den) for negative
+    numerators) because near-chance raters make the numerator's sign
+    data-dependent and Spark's DIV truncates toward zero while
+    negative floor-division conventions differ across engines.
+
+    Scale shape: one full-corpus projection (the same stopword regex
+    the lang_id op ships to both engines) folding to a SINGLE 4-counter
+    partial-agg row — no shuffle wider than one row, no Python.
+    """
+    d = t(spark, sf_dir, "documents")
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_STOP_RE), 0))
+    pe = F.when(n_stop * 20 >= F.size(F.split("text", " ")), 1).otherwise(0)
+    te = F.when(F.col("lang") == "en", 1).otherwise(0)
+    c = (d.select(pe.alias("pe"), te.alias("te"))
+         .agg(F.count("*").alias("n"),
+              F.sum(F.when(F.col("pe") == F.col("te"), 1).otherwise(0))
+              .alias("n_agree"),
+              F.sum("pe").alias("n_pred_en"),
+              F.sum("te").alias("n_true_en")))
+    chance = (F.col("n_pred_en") * F.col("n_true_en")
+              + (F.col("n") - F.col("n_pred_en"))
+              * (F.col("n") - F.col("n_true_en")))
+    k = c.select("n", "n_agree", "n_pred_en", "n_true_en",
+                 (F.col("n_agree") * F.col("n") - chance).alias("num"),
+                 (F.col("n") * F.col("n") - chance).alias("den"))
+    return k.select(
+        "n", "n_agree", "n_pred_en", "n_true_en",
+        F.expr("cast(case when num < 0 then -((-num) * 1000000 DIV den) "
+               "else (num * 1000000) DIV den end as bigint)")
+        .alias("kappa_micro"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

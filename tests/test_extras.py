@@ -1727,3 +1727,29 @@ def test_interval_islands_hand_and_differential(spark, tmp_path):
            for r in QUERIES["interval_islands_coverage"](
                spark, sf).collect()}
     assert got == want
+
+
+def test_cohens_kappa_sign_branches(spark, tmp_path):
+    """Anti-correlated raters pin the negative-numerator sign-safe
+    division (kappa exactly -1), then perfect agreement pins +1."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    stop = "the and is of to " * 4     # pred 'en' (all stopwords)
+    free = "xyzzy qwerty plugh foo"    # pred 'unk' (no stopwords)
+    anti = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [stop, stop, free, free],
+        "lang": ["de", "zh", "en", "en"],
+    })
+    os.makedirs(str(tmp_path / "a"))
+    anti.to_parquet(str(tmp_path / "a" / "documents.parquet"))
+    r = QUERIES["cohens_kappa"](spark, str(tmp_path / "a")).collect()[0]
+    assert (r["n"], r["n_agree"], r["kappa_micro"]) == (4, 0, -1000000)
+
+    perf = anti.assign(lang=["en", "en", "de", "zh"])
+    os.makedirs(str(tmp_path / "b"))
+    perf.to_parquet(str(tmp_path / "b" / "documents.parquet"))
+    r = QUERIES["cohens_kappa"](spark, str(tmp_path / "b")).collect()[0]
+    assert (r["n_agree"], r["kappa_micro"]) == (4, 1000000)
