@@ -11151,6 +11151,143 @@ def cohens_kappa(spark, sf_dir):
         .alias("kappa_micro"))
 
 
+_SA_DOC_MOD = 211      # corpus subset: doc_id % 211 == 0 (grows with SF)
+_SA_MAX_ROUNDS = 40    # 2^40 chars — far beyond any test corpus; hard raise
+
+
+def _suffix_array(spark, sf_dir):
+    """Distributed suffix array by prefix doubling (Manber & Myers,
+    SIAM J. Comput. 1993) over the concatenation (chr(1)-terminated,
+    doc_id order) of the deterministic document subset doc_id %
+    _SA_DOC_MOD == 0 — the index structure behind exact substring
+    dedup (Lee et al., ACL 2022, "Deduplicating Training Data Makes
+    Language Models Better", which builds suffix arrays over the
+    training corpus for this exact purpose).
+
+    Round k: rank[i+k] arrives by a pos-shift EQUI-join (never a
+    range/theta join), the composite (r, r2) is renormalized to a
+    dense rank with the shared _global_rank machinery (order-
+    preserving range Exchange + bounded carry collect — NO
+    single-partition sort anywhere), and ranks double their reach;
+    the loop exits as soon as the distinct-key count from the rank
+    carry equals n (no extra agg — _global_rank already returns it),
+    after ceil(log2(d)) rounds where d is the longest repeated
+    prefix, with a hard raise at _SA_MAX_ROUNDS. Per-round frames are
+    stats-reset localCheckpointed (_ckpt_nostats) against the
+    compounding-estimate loop pathology.
+
+    The per-doc global offsets come from a window over the BOUNDED
+    doc manifest (one row per selected doc — hundreds), not the char
+    rows; the char table itself is built by a distributed
+    sequence-explode + substr projection.
+
+    Returns (sa frame: pos, doc_id, off, sa_index; n)."""
+    docs = (t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % _SA_DOC_MOD == 0)
+            .select("doc_id",
+                    F.concat(F.col("text"), F.lit("\x01")).alias("s")))
+    man = (docs.select("doc_id", F.length("s").alias("ln"))
+           .withColumn("off0", F.coalesce(
+               F.sum("ln").over(Window.orderBy("doc_id")
+                                .rowsBetween(Window.unboundedPreceding, -1)),
+               F.lit(0))))
+    chars = _ckpt_nostats(
+        docs.join(man.select("doc_id", "off0"), "doc_id")
+        .select("doc_id", "off0", "s",
+                F.explode(F.sequence(F.lit(0), F.length("s") - 1)).alias("i"))
+        .select("doc_id",
+                (F.col("off0") + F.col("i")).cast("long").alias("pos"),
+                F.col("i").cast("long").alias("off"),
+                F.ascii(F.expr("substr(s, i + 1, 1)")).alias("r")))
+    n = chars.count()
+    R = chars.select("pos", F.col("r").cast("long").alias("r"))
+    k = 1
+    for _rnd in range(_SA_MAX_ROUNDS):
+        shifted = R.select((F.col("pos") - k).alias("pos"),
+                           F.col("r").alias("r2"))
+        cur = (R.join(shifted, "pos", "left")
+               .select("pos", "r", F.coalesce("r2", F.lit(0)).alias("r2")))
+        pairs = cur.select("r", "r2").distinct()
+        ranked, acc = _global_rank(pairs, ["r", "r2"])
+        R = _ckpt_nostats(cur.join(ranked, ["r", "r2"])
+                          .select("pos", F.col("rnk").alias("r")))
+        ranked.unpersist()
+        if acc == n:
+            break
+        k *= 2
+    else:
+        raise RuntimeError(
+            "_suffix_array: ranks not distinct after {} doublings — the "
+            "reach is 2^{} chars, so this is a logic regression, not a "
+            "big corpus".format(_SA_MAX_ROUNDS, _SA_MAX_ROUNDS))
+    sa = (chars.select("pos", "doc_id", "off")
+          .join(R.select("pos", F.col("r").alias("sa_index")), "pos"))
+    return sa, n
+
+
+@_q("suffix_array_build")  # rows-only: O(log n) iterative ranking isn't SQL;
+# exactness pinned by the in-suite full-corpus python differential
+def suffix_array_build(spark, sf_dir):
+    """The suffix array itself: one row per corpus position with its
+    1-based lexicographic rank among all suffixes (see _suffix_array
+    for the algorithm and scale shape). Reference anchor: the
+    reference's substring find (SURVEY F8, html_strip span offsets)
+    is the O(n)-per-query cousin; the SA is the build-once index that
+    answers every substring/duplication query afterwards."""
+    sa, _n = _suffix_array(spark, sf_dir)
+    return sa.select("sa_index", "pos", "doc_id", "off")
+
+
+@_q("longest_repeated_substring")  # rows-only: consumes the SA build
+def longest_repeated_substring(spark, sf_dir):
+    """Longest repeated substring via the suffix array: the maximum
+    doc-truncated LCP over SA-ADJACENT suffix pairs (the classic SA
+    theorem — the max LCP over all pairs is attained at an adjacent
+    pair; truncation at each suffix's own doc end keeps the repeat a
+    real within-doc substring and never lets it span the chr(1)
+    sentinel). This is the exact-substring-dedup primitive: any
+    substring of length > threshold occurring twice in the corpus
+    shows up here.
+
+    LCP is one JVM aggregate() fold over the shorter suffix (bounded
+    by doc length — no Python, no UDF); adjacency is an equi-join on
+    sa_index+1; doc texts arrive by joining the bounded selected-doc
+    subset. Emits ONE row: (lrs_len, pos_a, pos_b, lrs) with the
+    lexicographically-first tie broken by min sa_index — fully
+    deterministic."""
+    sa, _n = _suffix_array(spark, sf_dir)
+    docs = (t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % _SA_DOC_MOD == 0)
+            .select("doc_id", "text"))
+    suf = (sa.join(F.broadcast(docs), "doc_id")
+           .select("sa_index", "pos",
+                   F.expr("substr(text, off + 1)").alias("sfx")))
+    b = suf.select((F.col("sa_index") - 1).alias("sa_index"),
+                   F.col("pos").alias("pos_b"),
+                   F.col("sfx").alias("sfx_b"))
+    pairs = suf.join(b, "sa_index")
+    # guard: sequence(1, 0) is DESCENDING in Spark, not empty — the
+    # sentinel-position suffixes are empty strings, so pin their LCP to 0
+    lcp = F.expr("""
+        case when least(length(sfx), length(sfx_b)) < 1 then 0
+        else aggregate(
+          sequence(1, int(least(length(sfx), length(sfx_b)))),
+          struct(cast(0 as int) as n, true as ok),
+          (acc, i) -> if(acc.ok and substr(sfx, i, 1) = substr(sfx_b, i, 1),
+                         struct(cast(acc.n + 1 as int) as n, true as ok),
+                         struct(acc.n as n, false as ok)),
+          acc -> acc.n) end""")
+    scored = pairs.select("sa_index", "pos", "pos_b",
+                          lcp.cast("long").alias("lcp"), "sfx")
+    mx = scored.agg(F.max("lcp").alias("m"))
+    return (scored.join(F.broadcast(mx), F.col("lcp") == F.col("m"))
+            .agg(F.max("m").alias("lrs_len"),
+                 F.expr("min_by(pos, sa_index)").alias("pos_a"),
+                 F.expr("min_by(pos_b, sa_index)").alias("pos_b"),
+                 F.expr("substr(min_by(sfx, sa_index), 1, "
+                        "int(max(m)))").alias("lrs")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -1753,3 +1753,71 @@ def test_cohens_kappa_sign_branches(spark, tmp_path):
     perf.to_parquet(str(tmp_path / "b" / "documents.parquet"))
     r = QUERIES["cohens_kappa"](spark, str(tmp_path / "b")).collect()[0]
     assert (r["n_agree"], r["kappa_micro"]) == (4, 1000000)
+
+
+def _py_suffix_array(sf):
+    import os
+
+    d = pd.read_parquet(os.path.join(sf, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    d = d[d.doc_id % 211 == 0].sort_values("doc_id")
+    S = "".join(txt + "\x01" for txt in d.text)
+    return S, sorted(range(len(S)), key=lambda i: S[i:])
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01"])
+def test_suffix_array_matches_python(spark, sf):
+    """Full-corpus differential: the distributed prefix-doubling SA
+    must equal python's direct suffix sort position-for-position."""
+    from extractor.queries import QUERIES
+
+    got = {r["pos"]: r["sa_index"]
+           for r in QUERIES["suffix_array_build"](spark, sf).collect()}
+    S, sa = _py_suffix_array(sf)
+    want = {p: i + 1 for i, p in enumerate(sa)}
+    assert len(got) == len(S)
+    assert got == want
+
+
+def test_longest_repeated_substring_planted_and_differential(spark,
+                                                             tmp_path):
+    """Planted repeat: two docs share a unique 37-char needle that
+    appears nowhere else; LRS must recover exactly it. Then the
+    sf0.001 differential: python replays the same contract (max
+    doc-truncated LCP over SA-adjacent pairs, min-sa_index tie) and
+    must agree on length and substring."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    needle = "zebra quokka axolotl wombat pangolin"  # 36 chars
+    assert len(needle) == 36
+    rows = [(0, "alpha beta " + needle + " gamma delta"),
+            (211, "omicron " + needle + " upsilon"),
+            (422, "unrelated filler words only here")]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    r = QUERIES["longest_repeated_substring"](
+        spark, str(tmp_path)).collect()[0]
+    # the shared run extends one char left/right of the needle
+    # wherever the neighbors agree — here ' ' on both sides
+    assert needle in r["lrs"]
+    assert r["lrs_len"] == len(r["lrs"]) >= len(needle)
+
+    sf = "/root/testdata/sf0.001"
+    S, sa = _py_suffix_array(sf)
+    # doc-truncated suffixes: cut each suffix at its doc's sentinel
+    def trunc(p):
+        e = S.index("\x01", p)
+        return S[p:e]
+    best = (0, None)
+    for i in range(len(sa) - 1):
+        a, b = trunc(sa[i]), trunc(sa[i + 1])
+        l = 0
+        while l < min(len(a), len(b)) and a[l] == b[l]:
+            l += 1
+        if l > best[0]:
+            best = (l, a[:l])
+    r = QUERIES["longest_repeated_substring"](spark, sf).collect()[0]
+    assert (r["lrs_len"], r["lrs"]) == best
