@@ -10863,10 +10863,19 @@ def mst_boruvka(spark, sf_dir):
         ce.unpersist()
         lu2 = lab.select(F.col("node").alias("u"), F.col("comp").alias("c2u"))
         lv2 = lab.select(F.col("node").alias("v"), F.col("comp").alias("c2v"))
+        # textbook Borůvka contraction: keep only the MIN edge (under
+        # the same (w, u, v) total order) per unordered component
+        # pair — heavier parallel edges can never be selected (cycle
+        # property), and without this dedup the edge list stays
+        # node-level-sized while the component count collapses
+        # (measured 225k live edges serving 5 components at sf0.1)
         edges = _ckpt_nostats(
             edges.join(lu2, "u").join(lv2, "v")
             .where(F.col("c2u") != F.col("c2v"))
-            .select("u", "v", "w"))
+            .groupBy(F.least("c2u", "c2v").alias("ca"),
+                     F.greatest("c2u", "c2v").alias("cb"))
+            .agg(F.min(F.struct("w", "u", "v")).alias("ed"))
+            .select("ed.u", "ed.v", "ed.w"))
     if not converged:
         raise RuntimeError(
             "mst_boruvka: did not converge within {} rounds — components "
