@@ -73,6 +73,8 @@ HEADLINE_QUERIES = [
     "k_core_peel",
     "kmv_sketch",
     "poisson_bootstrap",
+    "cusum_changepoint",
+    "suffix_array_build",
     "extract_documents_clean",
 ]
 
