@@ -11297,6 +11297,212 @@ def longest_repeated_substring(spark, sf_dir):
                         "int(max(m)))").alias("lrs")))
 
 
+_COMPACT_TARGET = 16384   # target output size (bytes) per compacted file
+
+
+@_q("compaction_plan", sql="""
+WITH f AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes,
+         sum(n_chars) OVER (PARTITION BY source
+           ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents),
+b AS (SELECT source, doc_id, bytes,
+             CAST((cum - 1) // 16384 AS BIGINT) AS bin_id
+      FROM f)
+SELECT source, bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+       CAST(sum(bytes) * 1000000 // 16384 AS BIGINT) AS fill_micro
+FROM b GROUP BY source, bin_id
+""")
+def compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (the OPTIMIZE bin-packing step
+    every lakehouse table service runs — Delta OPTIMIZE / Iceberg
+    rewrite_data_files): treat each document as a data file of
+    ``n_chars`` bytes in table partition ``source``, order files
+    largest-first (FFD flavor, doc_id tie-break), and roll them into
+    output bins of target 16 KiB with the running-sum rule
+    bin = (cumsum - 1) DIV target — the deterministic next-fit-
+    decreasing plan, emitted as (partition, bin, n_files, bytes,
+    fill ratio in micro-units).
+
+    The per-source window is honest here: compaction planning runs on
+    the file MANIFEST (one row per file — metadata-scale, ~10^6x
+    smaller than the data it describes), and real table services plan
+    per table-partition exactly like this; the partition key count is
+    the table's, not the corpus row count. One window + one partial
+    agg; everything BIGINT.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source")
+         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    f = d.select("source", "doc_id",
+                 F.col("n_chars").cast("long").alias("bytes"),
+                 F.sum("n_chars").over(w).alias("cum"))
+    b = f.withColumn(
+        "bin_id", F.expr("cast((cum - 1) DIV {t} as bigint)"
+                         .format(t=_COMPACT_TARGET)))
+    return (b.groupBy("source", "bin_id")
+            .agg(F.count("*").alias("n_files"),
+                 F.sum("bytes").alias("bin_bytes"),
+                 F.expr("cast(sum(bytes) * 1000000 DIV {t} as bigint)"
+                        .format(t=_COMPACT_TARGET)).alias("fill_micro")))
+
+
+_LP_DEG_CAP = 16   # drop hub parts: deg > 16 contributes noise, deg^2 rows
+_LP_TOPK = 10
+
+
+@_q("graph_link_prediction", sql="""
+WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+deg AS (SELECT p, count(*) AS d FROM e GROUP BY p),
+ok AS (SELECT p, d FROM deg WHERE d BETWEEN 2 AND 16),
+pr AS (SELECT a.s AS s_a, b.s AS s_b, ok.d AS d
+       FROM e a JOIN ok ON a.p = ok.p
+                JOIN e b ON a.p = b.p AND a.s <> b.s),
+ag AS (SELECT s_a, s_b,
+              CAST(count(*) AS BIGINT) AS cn,
+              CAST(sum(1000000 // (length(bin(d)) - 1)) AS BIGINT)
+                AS aa_micro
+       FROM pr GROUP BY s_a, s_b),
+rk AS (SELECT s_a, s_b, cn, aa_micro,
+              row_number() OVER (PARTITION BY s_a
+                ORDER BY aa_micro DESC, cn DESC, s_b) AS rk
+       FROM ag)
+SELECT s_a, s_b, cn, aa_micro, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= 10
+""")
+def graph_link_prediction(spark, sf_dir):
+    """Adamic–Adar link prediction (Adamic & Adar, Social Networks
+    2003) over the supplier–part bipartite graph: score a supplier
+    pair by their common parts, each weighted 1/log2(part degree) —
+    rare shared parts say more than ubiquitous ones — and emit each
+    supplier's top-10 predicted neighbors. The weight stays EXACT:
+    floor-log2 via length(bin(d)) - 1 (the hll_register_table integer
+    idiom; base only rescales, floor is pinned identically in both
+    engines) and micro-unit integer division, so scores are BIGINT
+    and bitwise cross-engine.
+
+    Scale shape: hub parts (degree > 16) are dropped BEFORE pairing —
+    the standard link-prediction move, and the quadratic guard (a
+    degree-d part emits d^2 pair rows; the cap bounds per-key
+    fan-out at 256 while dropping only super-hubs that carry ~zero
+    AA weight anyway). One distinct, one degree agg, one equi-join
+    pair expansion, one partial-agg groupBy, one per-supplier top-k
+    window (keys grow with the graph — no serial-key trap).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    e = li.select(F.col("l_suppkey").alias("s"),
+                  F.col("l_partkey").alias("p")).distinct()
+    deg = (e.groupBy("p").agg(F.count("*").alias("d"))
+           .where(F.col("d").between(2, _LP_DEG_CAP)))
+    a = e.join(deg, "p")
+    b = e.select(F.col("s").alias("s_b"), "p")
+    pr = (a.join(b, "p").where(F.col("s") != F.col("s_b"))
+          .select(F.col("s").alias("s_a"), "s_b", "d"))
+    ag = (pr.groupBy("s_a", "s_b")
+          .agg(F.count("*").alias("cn"),
+               F.sum(F.expr("1000000 DIV (length(bin(d)) - 1)"))
+               .alias("aa_micro")))
+    w = Window.partitionBy("s_a").orderBy(
+        F.desc("aa_micro"), F.desc("cn"), F.asc("s_b"))
+    return (ag.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _LP_TOPK)
+            .select("s_a", "s_b", "cn", "aa_micro",
+                    F.col("rk").cast("long").alias("rk")))
+
+
+_CH_SHARDS = 8     # ring A: shards 0..7; ring B adds shard 8
+_CH_VNODES = 64    # virtual nodes per shard (standard ring smoothing)
+
+
+@_q("consistent_hash_rebalance", sql="""
+WITH vn AS (
+  SELECT s.shard, v.v
+  FROM (SELECT unnest(range(0, 9)) AS shard) s,
+       (SELECT unnest(range(0, 64)) AS v) v),
+ring AS (
+  SELECT shard,
+         ('0x' || substr(md5(CAST(shard AS VARCHAR) || '|'
+                             || CAST(v AS VARCHAR)), 1, 15))::BIGINT AS pos
+  FROM vn),
+docs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS dp
+  FROM documents),
+c8 AS (SELECT d.doc_id, min(r.pos) AS sp
+       FROM docs d JOIN ring r ON r.shard < 8 AND r.pos >= d.dp
+       GROUP BY d.doc_id),
+c9 AS (SELECT d.doc_id, min(r.pos) AS sp
+       FROM docs d JOIN ring r ON r.pos >= d.dp
+       GROUP BY d.doc_id),
+m8 AS (SELECT min(pos) AS mp FROM ring WHERE shard < 8),
+m9 AS (SELECT min(pos) AS mp FROM ring),
+s8 AS (SELECT d.doc_id, min(r.shard) AS shard_old
+       FROM docs d LEFT JOIN c8 USING (doc_id)
+            JOIN ring r ON r.shard < 8
+                 AND r.pos = coalesce(c8.sp, (SELECT mp FROM m8))
+       GROUP BY d.doc_id),
+s9 AS (SELECT d.doc_id, min(r.shard) AS shard_new
+       FROM docs d LEFT JOIN c9 USING (doc_id)
+            JOIN ring r ON r.pos = coalesce(c9.sp, (SELECT mp FROM m9))
+       GROUP BY d.doc_id)
+SELECT CAST(shard_old AS BIGINT) AS shard_old,
+       CAST(shard_new AS BIGINT) AS shard_new,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM s8 JOIN s9 USING (doc_id)
+GROUP BY shard_old, shard_new
+""")
+def consistent_hash_rebalance(spark, sf_dir):
+    """Consistent hashing with virtual nodes (Karger et al. STOC'97;
+    the memcached/Dynamo ring): place 64 deterministic md5 vnodes per
+    shard on a 60-bit ring, assign each document to its clockwise
+    successor vnode's shard, and report the movement matrix between
+    an 8-shard and a 9-shard ring — the elasticity property that
+    makes the scheme worth using (documents only ever move TO the new
+    shard, ~1/9 of them; modulo hashing would reshuffle 8/9).
+
+    The Spark side never joins docs against the ring: the BOUNDED
+    ring (576 rows of metadata) folds into ONE sorted array row,
+    broadcast-crossed onto the corpus, and successor lookup is a JVM
+    filter-first on the sorted array (wrap = element 1) — zero
+    per-doc shuffle, one narrow projection. The DuckDB oracle
+    deliberately uses the naive >= theta-join successor instead, so
+    the driver hash pins CROSS-ALGORITHM equality, not a shared
+    formulation. Ties on ring position break to min shard in both.
+    """
+    vn = (spark.range(_CH_SHARDS + 1)
+          .select(F.col("id").alias("shard"),
+                  F.explode(F.sequence(
+                      F.lit(0), F.lit(_CH_VNODES - 1))).alias("v")))
+    ring = vn.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.expr(_H60.format(
+            x="concat(cast(shard as string), '|', cast(v as string))"))
+        .alias("pos"))
+    one = ring.agg(F.expr(
+        "sort_array(collect_list(struct(pos, shard)))").alias("ring"))
+    docs = (t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.expr(_H60.format(x="cast(doc_id as string)"))
+                    .alias("dp")))
+    assigned = (docs.crossJoin(F.broadcast(one))
+                .withColumn("r8", F.expr(
+                    "filter(ring, x -> x.shard < {n})".format(n=_CH_SHARDS)))
+                .select(
+                    "doc_id",
+                    F.expr("coalesce(get(filter(r8, x -> x.pos >= dp)"
+                           ", 0), get(r8, 0)).shard")
+                    .alias("shard_old"),
+                    F.expr("coalesce(get(filter(ring, x -> x.pos >= "
+                           "dp), 0), get(ring, 0)).shard")
+                    .alias("shard_new")))
+    return (assigned.groupBy("shard_old", "shard_new")
+            .agg(F.count("*").alias("n_docs")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

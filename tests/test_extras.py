@@ -1821,3 +1821,80 @@ def test_longest_repeated_substring_planted_and_differential(spark,
             best = (l, a[:l])
     r = QUERIES["longest_repeated_substring"](spark, sf).collect()[0]
     assert (r["lrs_len"], r["lrs"]) == best
+
+
+def test_compaction_plan_boundaries_and_invariants(spark, tmp_path):
+    """Exact-boundary files fill bins to exactly 1.0; a straddling
+    file rolls to the next bin (next-fit), leaving the prior bin
+    short. At sf0.001: per-source byte totals are conserved and bin
+    ids are contiguous from 0."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [("s1", 0, 16384), ("s1", 1, 16384),   # two exact bins
+            ("s2", 2, 10000), ("s2", 3, 10000)]   # straddle -> rolls
+    pd.DataFrame(rows, columns=["source", "doc_id", "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    got = {(r["source"], r["bin_id"]): (r["n_files"], r["bin_bytes"],
+                                        r["fill_micro"])
+           for r in QUERIES["compaction_plan"](
+               spark, str(tmp_path)).collect()}
+    assert got == {("s1", 0): (1, 16384, 1000000),
+                   ("s1", 1): (1, 16384, 1000000),
+                   ("s2", 0): (1, 10000, 610351),
+                   ("s2", 1): (1, 10000, 610351)}
+
+    sf = "/root/testdata/sf0.001"
+    plan = QUERIES["compaction_plan"](spark, sf).toPandas()
+    d = pd.read_parquet(os.path.join(sf, "documents.parquet"),
+                        columns=["source", "n_chars"])
+    want_bytes = d.groupby("source").n_chars.sum().to_dict()
+    got_bytes = plan.groupby("source").bin_bytes.sum().to_dict()
+    assert got_bytes == want_bytes
+    for src, g in plan.groupby("source"):
+        assert sorted(g.bin_id) == list(range(len(g)))
+        assert (g.n_files >= 1).all()
+
+
+def test_graph_link_prediction_hand(spark, tmp_path):
+    """Hand graph: part 1 shared by s1,s2 (deg 2 -> weight 1e6),
+    part 2 by s1..s4 (deg 4 -> floor-log2 = 2 -> 500000), part 3 by
+    17 suppliers (> cap, dropped — s20/s21 share ONLY it and must get
+    no row). AA(s1,s2) = 1.5e6 with cn 2; AA(s1,s3) = 5e5 cn 1."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(1, 1), (2, 1),
+            (1, 2), (2, 2), (3, 2), (4, 2)]
+    rows += [(s, 3) for s in range(20, 37)]  # deg-17 hub incl. s20,s21
+    pd.DataFrame(rows, columns=["l_suppkey", "l_partkey"]).to_parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = QUERIES["graph_link_prediction"](spark, str(tmp_path)).collect()
+    got = {(r["s_a"], r["s_b"]): (r["cn"], r["aa_micro"]) for r in out}
+    assert got[(1, 2)] == (2, 1500000) and got[(2, 1)] == (2, 1500000)
+    assert got[(1, 3)] == (1, 500000) and got[(3, 4)] == (1, 500000)
+    assert not any(sa >= 20 or sb >= 20 for sa, sb in got)
+    # rank 1 for s1 is s2 (higher aa), deterministic
+    rk = {(r["s_a"], r["rk"]): r["s_b"] for r in out}
+    assert rk[(1, 1)] == 2 and rk[(1, 2)] in (3, 4)
+
+
+def test_consistent_hash_elasticity(spark):
+    """The property that justifies the ring: growing 8 -> 9 shards
+    moves documents ONLY to the new shard (off-diagonal entries all
+    have shard_new == 8), and the moved fraction is near 1/9 — modulo
+    hashing would move ~8/9."""
+    from extractor.queries import QUERIES
+
+    rows = QUERIES["consistent_hash_rebalance"](
+        spark, "/root/testdata/sf0.01").collect()
+    total = sum(r["n_docs"] for r in rows)
+    moved = sum(r["n_docs"] for r in rows
+                if r["shard_old"] != r["shard_new"])
+    assert all(r["shard_new"] == 8 for r in rows
+               if r["shard_old"] != r["shard_new"])
+    assert 0.04 * total <= moved <= 0.25 * total, (moved, total)
+    # every old shard appears (64 vnodes smooth the ring enough)
+    assert {r["shard_old"] for r in rows} == set(range(8))
