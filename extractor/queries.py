@@ -11503,6 +11503,99 @@ def consistent_hash_rebalance(spark, sf_dir):
             .agg(F.count("*").alias("n_docs")))
 
 
+@_q("fellegi_sunter_weights", sql="""
+WITH ranked AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                       CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c,
+                       row_number() OVER (ORDER BY c_acctbal, c_custkey)
+                       AS rnk
+                FROM customer),
+pr AS (SELECT CASE WHEN levenshtein(a.c_name, b.c_name) <= 3
+                   THEN 1 ELSE 0 END AS is_match,
+              CASE WHEN a.c_nationkey = b.c_nationkey
+                   THEN 1 ELSE 0 END AS ag_nation,
+              CASE WHEN a.c_mktsegment = b.c_mktsegment
+                   THEN 1 ELSE 0 END AS ag_segment,
+              CASE WHEN abs(a.bal_c - b.bal_c) <= 5000
+                   THEN 1 ELSE 0 END AS ag_balance
+       FROM ranked a JOIN ranked b
+         ON b.rnk > a.rnk AND b.rnk <= a.rnk + {w}),
+lng AS (SELECT 'nation' AS field, is_match, ag_nation AS ag FROM pr
+        UNION ALL
+        SELECT 'segment', is_match, ag_segment FROM pr
+        UNION ALL
+        SELECT 'balance', is_match, ag_balance FROM pr),
+ag AS (SELECT field,
+              CAST(sum(is_match) AS BIGINT) AS n_match,
+              CAST(sum(1 - is_match) AS BIGINT) AS n_unmatch,
+              CAST(sum(ag * is_match) AS BIGINT) AS m_num,
+              CAST(sum(ag * (1 - is_match)) AS BIGINT) AS u_num
+       FROM lng GROUP BY field)
+SELECT field, n_match, n_unmatch, m_num, u_num,
+       CAST(CASE WHEN n_match > 0 AND u_num > 0
+                 THEN (m_num * n_unmatch * 1000000) // (n_match * u_num)
+                 END AS BIGINT) AS lr_micro
+FROM ag
+""".format(w=_SNM_W))
+def fellegi_sunter_weights(spark, sf_dir):
+    """Fellegi–Sunter record-linkage field weights (Fellegi & Sunter,
+    JASA 1969): over the sorted-neighborhood candidate pairs, label
+    each pair match/unmatch with the strong rule (name Levenshtein
+    <= 3 — the entity_resolution_pipeline verify), then for each
+    OTHER field estimate the m-probability (P(field agrees | match))
+    and u-probability (P(agrees | unmatch)) and emit the likelihood
+    ratio m/u — the per-field evidence weight a probabilistic linker
+    sums to score pairs. Fields: nation equality, market-segment
+    equality, balance within 50.00.
+
+    Everything stays integer: raw (m_num, n_match, u_num, n_unmatch)
+    counters plus lr_micro = (m_num * n_unmatch * 1e6) DIV (n_match *
+    u_num), NULL-guarded for the degenerate strata (sf0.001's window
+    pairs are ALL matches — names there never differ by more than 3
+    digits — so the unmatch stratum is empty and lr is NULL; the
+    larger SFs exercise the real ratios). No log: the monotone
+    integer ratio carries the same ranking with zero float risk.
+
+    Scale shape: the _snm_candidate_pairs machinery (range-exchange
+    global rank, equi-join window pairs — O(n*w) candidates), one
+    3x-expand to (field, flag) rows, one 3-row partial agg.
+    """
+    pairs = _snm_candidate_pairs(
+        spark, sf_dir,
+        carry=("c_name", "c_nationkey", "c_mktsegment", "c_acctbal"))
+    bal = "cast(round(c_acctbal_{s} * 100, 0) as bigint)"
+    flg = pairs.select(
+        F.when(F.levenshtein("c_name_a", "c_name_b") <= 3, 1)
+        .otherwise(0).alias("is_match"),
+        F.when(F.col("c_nationkey_a") == F.col("c_nationkey_b"), 1)
+        .otherwise(0).alias("ag_nation"),
+        F.when(F.col("c_mktsegment_a") == F.col("c_mktsegment_b"), 1)
+        .otherwise(0).alias("ag_segment"),
+        F.when(F.expr("abs({a} - {b})".format(
+            a=bal.format(s="a"), b=bal.format(s="b"))) <= 5000, 1)
+        .otherwise(0).alias("ag_balance"))
+    lng = flg.select(
+        "is_match",
+        F.explode(F.array(
+            F.struct(F.lit("nation").alias("field"),
+                     F.col("ag_nation").alias("ag")),
+            F.struct(F.lit("segment").alias("field"),
+                     F.col("ag_segment").alias("ag")),
+            F.struct(F.lit("balance").alias("field"),
+                     F.col("ag_balance").alias("ag")))).alias("fa"))
+    ag = (lng.select("is_match", "fa.field", "fa.ag")
+          .groupBy("field")
+          .agg(F.sum("is_match").alias("n_match"),
+               F.sum(F.lit(1) - F.col("is_match")).alias("n_unmatch"),
+               F.sum(F.col("ag") * F.col("is_match")).alias("m_num"),
+               F.sum(F.col("ag") * (F.lit(1) - F.col("is_match")))
+               .alias("u_num")))
+    return ag.select(
+        "field", "n_match", "n_unmatch", "m_num", "u_num",
+        F.expr("cast(case when n_match > 0 and u_num > 0 then "
+               "(m_num * n_unmatch * 1000000) DIV (n_match * u_num) "
+               "end as bigint)").alias("lr_micro"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

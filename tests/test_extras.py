@@ -1898,3 +1898,34 @@ def test_consistent_hash_elasticity(spark):
     assert 0.04 * total <= moved <= 0.25 * total, (moved, total)
     # every old shard appears (64 vnodes smooth the ring enough)
     assert {r["shard_old"] for r in rows} == set(range(8))
+
+
+def test_fellegi_sunter_hand(spark, tmp_path):
+    """4 customers, window pairs (all 6): matches are (AAAA,AAAB) and
+    (QQQQQQQQ,QQQQQQQA) (lev 1); cross pairs unmatch (lev >= 4).
+    nation: m = 1/2, u = 2/4 -> lr exactly 1.0; segment all-equal ->
+    lr 1.0; balance agrees ONLY inside the first match pair -> u_num
+    = 0 with a NON-empty unmatch stratum, pinning the u-zero NULL
+    guard specifically."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(1, "AAAA", 5, 1.00, "S1"),
+            (2, "AAAB", 5, 2.00, "S1"),
+            (3, "QQQQQQQQ", 5, 100.00, "S1"),
+            (4, "QQQQQQQA", 7, 200.00, "S1")]
+    pd.DataFrame(rows, columns=["c_custkey", "c_name", "c_nationkey",
+                                "c_acctbal", "c_mktsegment"]).to_parquet(
+        os.path.join(str(tmp_path), "customer.parquet"))
+    got = {r["field"]: r.asDict() for r in
+           QUERIES["fellegi_sunter_weights"](
+               spark, str(tmp_path)).collect()}
+    for f in ("nation", "segment", "balance"):
+        assert (got[f]["n_match"], got[f]["n_unmatch"]) == (2, 4)
+    assert (got["nation"]["m_num"], got["nation"]["u_num"]) == (1, 2)
+    assert got["nation"]["lr_micro"] == 1000000
+    assert (got["segment"]["m_num"], got["segment"]["u_num"]) == (2, 4)
+    assert got["segment"]["lr_micro"] == 1000000
+    assert (got["balance"]["m_num"], got["balance"]["u_num"]) == (1, 0)
+    assert got["balance"]["lr_micro"] is None
