@@ -11596,6 +11596,145 @@ def fellegi_sunter_weights(spark, sf_dir):
                "end as bigint)").alias("lr_micro"))
 
 
+@_q("seasonal_naive_mase", sql="""
+WITH dd AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, day),
+j AS (SELECT c.event_type, c.n, s.n AS n7, p.n AS n1
+      FROM dd c
+      JOIN dd s ON s.event_type = c.event_type AND s.day = c.day - 7
+      JOIN dd p ON p.event_type = c.event_type AND p.day = c.day - 1)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(n - n7)) AS BIGINT) AS sae_seasonal,
+       CAST(sum(abs(n - n1)) AS BIGINT) AS sae_naive,
+       CAST(CASE WHEN sum(abs(n - n1)) > 0
+                 THEN sum(abs(n - n7)) * 1000000 // sum(abs(n - n1))
+                 END AS BIGINT) AS mase_micro
+FROM j GROUP BY event_type
+""")
+def seasonal_naive_mase(spark, sf_dir):
+    """MASE forecast-accuracy scaffold (Hyndman & Koehler, IJF 2006):
+    per event_type, score the seasonal-naive forecast (predict day d
+    with day d-7's count) against the naive-1 baseline (day d-1) in
+    Mean-Absolute-Scaled-Error form — the standard scale-free answer
+    to "is weekly seasonality real in this stream", and the eval
+    harness a forecasting pipeline runs before trusting any model.
+    MASE < 1 means the weekly lag beats persistence.
+
+    Lags are DATE-EQUI-JOINS on (type, day - 7) / (type, day - 1),
+    not row-offset window lags — a zero-count day is simply absent
+    from the daily agg, and a row-lag would silently compare across
+    the gap; the join formulation is gap-correct and keeps both
+    engines identical. Evaluation days are those with BOTH lags
+    present, so numerator and denominator share one day set. Integer
+    counts end to end; mase_micro NULL-guarded when the naive error
+    is zero.
+
+    Scale shape: one partial-agg shuffle to the daily grid (rows =
+    types x timeline days — manifest-scale), two self equi-joins on
+    that grid, one per-type agg.
+    """
+    ev = t(spark, sf_dir, "events")
+    dd = (ev.groupBy("event_type",
+                     F.col("ts").cast("date").alias("day"))
+          .agg(F.count("*").alias("n")))
+    s7 = dd.select("event_type", F.date_add("day", 7).alias("day"),
+                   F.col("n").alias("n7"))
+    p1 = dd.select("event_type", F.date_add("day", 1).alias("day"),
+                   F.col("n").alias("n1"))
+    j = dd.join(s7, ["event_type", "day"]).join(p1, ["event_type", "day"])
+    return (j.groupBy("event_type")
+            .agg(F.count("*").alias("n_days"),
+                 F.sum(F.abs(F.col("n") - F.col("n7")))
+                 .alias("sae_seasonal"),
+                 F.sum(F.abs(F.col("n") - F.col("n1"))).alias("sae_naive"))
+            .select("event_type", "n_days", "sae_seasonal", "sae_naive",
+                    F.expr("cast(case when sae_naive > 0 then "
+                           "sae_seasonal * 1000000 DIV sae_naive end "
+                           "as bigint)").alias("mase_micro")))
+
+
+@_q("referential_integrity_audit", sql="""
+SELECT 'lineitem->orders' AS relation,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans,
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS orphan_micro
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders->customer',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT)
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem->part',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT)
+FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+  ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'events->customer_user',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT)
+FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON e.user_id = c.c_custkey
+""")
+def referential_integrity_audit(spark, sf_dir):
+    """Foreign-key orphan audit across the star schema — the
+    data-quality sweep a warehouse runs after every load (and a
+    GDPR-delete propagation check runs in reverse): for each FK
+    relation, how many child rows point at a missing parent. Each
+    relation is ONE left join against the DISTINCT parent keys
+    (orphans = null-parent rows counted in the same agg — a count
+    plus its anti-join in one pass, not two scans), orphan rate in
+    integer micro-units.
+
+    Scale shape: parent key sides are dimension-scale and
+    broadcastable; the child side streams through map-side joins —
+    zero wide shuffles; output is 4 fixed rows. Reference anchor:
+    the found/not-found anti-join (SURVEY §2 J8) generalized into
+    the audit every relation gets.
+    """
+    def rel(name, child, ckey, parent, pkey):
+        p = parent.select(pkey).distinct() \
+                  .select(F.col(pkey).alias("_pk"))
+        j = child.select(F.col(ckey).alias("_ck")) \
+                 .join(F.broadcast(p), F.col("_ck") == F.col("_pk"),
+                       "left")
+        return (j.agg(F.count("*").alias("n_child"),
+                      F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+                      .alias("n_orphans"))
+                .select(F.lit(name).alias("relation"), "n_child",
+                        "n_orphans",
+                        F.expr("cast(n_orphans * 1000000 DIV n_child "
+                               "as bigint)").alias("orphan_micro")))
+
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+    pt = t(spark, sf_dir, "part")
+    ev = t(spark, sf_dir, "events")
+    from functools import reduce
+    parts = [rel("lineitem->orders", li, "l_orderkey", od, "o_orderkey"),
+             rel("orders->customer", od, "o_custkey", cu, "c_custkey"),
+             rel("lineitem->part", li, "l_partkey", pt, "p_partkey"),
+             rel("events->customer_user", ev, "user_id", cu, "c_custkey")]
+    return reduce(DataFrame.unionByName, parts)
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

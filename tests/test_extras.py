@@ -1929,3 +1929,65 @@ def test_fellegi_sunter_hand(spark, tmp_path):
     assert got["segment"]["lr_micro"] == 1000000
     assert (got["balance"]["m_num"], got["balance"]["u_num"]) == (1, 0)
     assert got["balance"]["lr_micro"] is None
+
+
+def test_seasonal_naive_mase_gap_semantics(spark, tmp_path):
+    """Counts n(day d) = d for d = 1..16 with day 9 REMOVED: eval
+    days are exactly {8, 11..15} (9 absent; 10 lacks d-1; 16 lacks
+    d-7) — a row-offset lag would wrongly include 10 and 16 across
+    the gap. |n - n7| = 7 and |n - n1| = 1 on every eval day ->
+    sae 42 / 6, MASE exactly 7.0."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    t0 = pd.Timestamp("2024-01-01")
+    d = pd.Timedelta(days=1)
+    rows = []
+    eid = 0
+    for day in range(1, 17):
+        if day == 9:
+            continue
+        for _ in range(day):
+            rows.append((eid, t0 + (day - 1) * d, 1, "x", 1.0, "{}"))
+            eid += 1
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = QUERIES["seasonal_naive_mase"](spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r["n_days"], r["sae_seasonal"], r["sae_naive"],
+            r["mase_micro"]) == (6, 42, 6, 7000000)
+
+
+def test_referential_integrity_audit_planted_orphans(spark, tmp_path):
+    """Planted orphans in every relation with hand-computed rates."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    p = str(tmp_path)
+    pd.DataFrame({"l_orderkey": [1, 1, 9], "l_partkey": [1, 1, 2]}
+                 ).to_parquet(os.path.join(p, "lineitem.parquet"))
+    pd.DataFrame({"o_orderkey": [1], "o_custkey": [7]}
+                 ).to_parquet(os.path.join(p, "orders.parquet"))
+    pd.DataFrame({"c_custkey": [1]}
+                 ).to_parquet(os.path.join(p, "customer.parquet"))
+    pd.DataFrame({"p_partkey": [1]}
+                 ).to_parquet(os.path.join(p, "part.parquet"))
+    ev = pd.DataFrame({"event_id": [0, 1],
+                       "ts": pd.to_datetime(["2024-01-01"] * 2),
+                       "user_id": [1, 9], "event_type": ["x"] * 2,
+                       "value": [1.0, 1.0], "props": ["{}"] * 2})
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(os.path.join(p, "events.parquet"))
+    got = {r["relation"]: (r["n_child"], r["n_orphans"],
+                           r["orphan_micro"])
+           for r in QUERIES["referential_integrity_audit"](
+               spark, p).collect()}
+    assert got == {"lineitem->orders": (3, 1, 333333),
+                   "orders->customer": (1, 1, 1000000),
+                   "lineitem->part": (3, 1, 333333),
+                   "events->customer_user": (2, 1, 500000)}
