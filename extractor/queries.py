@@ -11735,6 +11735,96 @@ def referential_integrity_audit(spark, sf_dir):
     return reduce(DataFrame.unionByName, parts)
 
 
+_STUMP_GRID = {
+    "n_chars": (128, 192, 256, 320, 384, 448),
+    "n_stop": (1, 2, 3, 4, 5, 6),
+    "n_tok": (24, 40, 56, 72, 88),
+}
+
+
+@_q("decision_stump_train", sql="""
+WITH f AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(lower(text), '{p}')) AS BIGINT)
+           AS n_stop,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+lng AS (SELECT 'n_chars' AS feature, n_chars AS x, y FROM f
+        UNION ALL SELECT 'n_stop', n_stop, y FROM f
+        UNION ALL SELECT 'n_tok', n_tok, y FROM f),
+grid AS (SELECT * FROM (VALUES {grid}) g(feature, thr)),
+ev AS (SELECT g.feature, g.thr,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN (l.x >= g.thr) = (l.y = 1)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ok_ge
+       FROM lng l JOIN grid g ON l.feature = g.feature
+       GROUP BY g.feature, g.thr),
+dirs AS (SELECT feature, thr, 'ge' AS dir,
+                ok_ge * 1000000 // n AS acc_micro FROM ev
+         UNION ALL
+         SELECT feature, thr, 'lt', (n - ok_ge) * 1000000 // n FROM ev)
+SELECT feature, CAST(thr AS BIGINT) AS thr, dir,
+       CAST(acc_micro AS BIGINT) AS acc_micro,
+       CAST(row_number() OVER (ORDER BY acc_micro DESC, feature, thr,
+                               dir) AS BIGINT) AS rk
+FROM dirs
+""".format(p=_STOP_RE, grid=", ".join(
+    "('{f}', {t})".format(f=f, t=t)
+    for f, ts in sorted(_STUMP_GRID.items()) for t in ts)))
+def decision_stump_train(spark, sf_dir):
+    """Decision-stump training (the 1R weak learner — Holte, Machine
+    Learning 1993; the base learner AdaBoost boosts): sweep a fixed
+    literal threshold grid over three document features (chars,
+    stopword hits, tokens), score BOTH decision directions (predict
+    'en' when x >= thr, and when x < thr) against the gold label, and
+    rank all candidate stumps by exact integer accuracy — model
+    selection as ONE relational pass, no driver loop over candidates.
+    rk 1 is the trained stump.
+
+    The synthetic gold lang is featureless by construction, so
+    accuracies sit near 0.5 (like cohens_kappa's near-zero) — the
+    gate pins the MECHANISM: per-candidate exact counts, both
+    directions from one shared scan (acc_lt = (n - ok_ge)/n), and a
+    fully deterministic argmax (acc desc, feature, thr, dir).
+
+    Scale shape: one corpus projection, a 3x feature expand joined to
+    the 17-row literal grid (broadcast), one partial agg to 17 rows,
+    a window on the 34-row CANDIDATE table (metadata-scale — the
+    model-selection frame, not the corpus).
+    """
+    d = t(spark, sf_dir, "documents")
+    f = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_STOP_RE), 0))
+        .cast("long").alias("n_stop"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    lng = f.select("y", F.explode(F.array(*[
+        F.struct(F.lit(name).alias("feature"),
+                 F.col(name).alias("x"))
+        for name in sorted(_STUMP_GRID)])).alias("fx")) \
+        .select("y", "fx.feature", "fx.x")
+    grid = spark.createDataFrame(
+        [(f_, t_) for f_, ts in sorted(_STUMP_GRID.items()) for t_ in ts],
+        "feature string, thr long")
+    ev = (lng.join(F.broadcast(grid), "feature")
+          .groupBy("feature", "thr")
+          .agg(F.count("*").alias("n"),
+               F.sum(F.when((F.col("x") >= F.col("thr"))
+                            == (F.col("y") == 1), 1).otherwise(0))
+               .alias("ok_ge")))
+    dirs = (ev.select("feature", "thr", F.lit("ge").alias("dir"),
+                      F.expr("ok_ge * 1000000 DIV n").alias("acc_micro"))
+            .unionByName(
+                ev.select("feature", "thr", F.lit("lt").alias("dir"),
+                          F.expr("(n - ok_ge) * 1000000 DIV n")
+                          .alias("acc_micro"))))
+    w = Window.orderBy(F.desc("acc_micro"), "feature", "thr", "dir")
+    return dirs.select("feature", "thr", "dir", "acc_micro",
+                       F.row_number().over(w).cast("long").alias("rk"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -1991,3 +1991,27 @@ def test_referential_integrity_audit_planted_orphans(spark, tmp_path):
                    "orders->customer": (1, 1, 1000000),
                    "lineitem->part": (3, 1, 333333),
                    "events->customer_user": (2, 1, 500000)}
+
+
+def test_decision_stump_learns_planted_rule(spark, tmp_path):
+    """Planted rule: lang == 'en' iff n_chars >= 320. The (n_chars,
+    320, ge) stump must train out at rank 1 with accuracy exactly
+    1.0; its mirror direction scores exactly 0; text-derived
+    features stay uninformative at 0.5."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    sizes = [100, 200, 300, 319, 320, 400, 448, 500]
+    rows = [(i, "foo bar", "en" if s >= 320 else "de", "s", s)
+            for i, s in enumerate(sizes)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = QUERIES["decision_stump_train"](spark, str(tmp_path)).collect()
+    got = {(r["feature"], r["thr"], r["dir"]): (r["acc_micro"], r["rk"])
+           for r in out}
+    assert got[("n_chars", 320, "ge")] == (1000000, 1)
+    assert got[("n_chars", 320, "lt")][0] == 0
+    assert got[("n_chars", 384, "ge")][0] == 875000
+    assert got[("n_stop", 1, "ge")][0] == 500000
