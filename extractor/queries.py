@@ -11825,6 +11825,83 @@ def decision_stump_train(spark, sf_dir):
                        F.row_number().over(w).cast("long").alias("rk"))
 
 
+_LPA_ROUNDS = 4
+_LPA_PACK = 1 << 42   # priority = cnt * 2^42 - label: max -> (max cnt, min label)
+
+
+def _lpa_round_sql(k):
+    return """
+c{k} AS (
+  SELECT dst, label, count(*) AS cnt FROM (
+    SELECT e.v AS dst, l.lab AS label FROM ed e JOIN l{p} l ON l.node = e.u
+    UNION ALL
+    SELECT e.u, l.lab FROM ed e JOIN l{p} l ON l.node = e.v
+    UNION ALL
+    SELECT node, lab FROM l{p})
+  GROUP BY dst, label),
+l{k} AS (SELECT dst AS node,
+                arg_max(label, cnt * {pk} - label) AS lab
+         FROM c{k} GROUP BY dst)""".format(k=k, p=k - 1, pk=_LPA_PACK)
+
+
+@_q("lpa_communities", sql="""
+WITH ed AS (
+  SELECT DISTINCT -l_suppkey AS u, l_partkey AS v FROM lineitem),
+l0 AS (SELECT u AS node, u AS lab FROM ed
+       UNION SELECT v, v FROM ed),"""
+    + ",".join(_lpa_round_sql(k) for k in range(1, _LPA_ROUNDS + 1))
+    + """
+SELECT CAST(node AS BIGINT) AS node_id, CAST(lab AS BIGINT) AS community
+FROM l{r}
+""".format(r=_LPA_ROUNDS))
+def lpa_communities(spark, sf_dir):
+    """Label-propagation community detection (Raghavan, Albert &
+    Kumara, Phys. Rev. E 2007) over the supplier–part graph: every
+    node adopts the most frequent label among its neighbors each
+    round — the near-linear-time community algorithm. Determinism is
+    engineered three ways: SYNCHRONOUS rounds (asynchronous LPA is
+    scan-order-dependent by construction), a SELF-VOTE (each node
+    counts its own current label once — the standard damping for the
+    bipartite oscillation synchronous LPA is known for), and ties
+    broken to the MIN label via max_by over struct(cnt, -label) —
+    so a FIXED 4-round run is bitwise reproducible across engines,
+    partitionings and reruns, and the DuckDB twin is the same four
+    rounds unrolled (arg_max over the packed priority cnt*2^42 -
+    label, exact in BIGINT).
+
+    Per-round shape — the reason this is not CC again: the kernel is
+    a per-node MODE (two equi-joins to address messages, one
+    (dst,label) partial-agg count, one max_by agg), not a min
+    reduction; message volume is 2|E| + |V| rows per round, edges
+    stay persisted, labels are stats-reset localCheckpointed.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    ed = (li.select((-F.col("l_suppkey")).alias("u"),
+                    F.col("l_partkey").alias("v"))
+          .distinct().persist())  # joined 2x per round; see PERSIST NOTE
+    lab = _ckpt_nostats(
+        ed.select(F.col("u").alias("node"))
+        .unionByName(ed.select(F.col("v").alias("node")))
+        .distinct().select("node", F.col("node").alias("lab")))
+    for _rnd in range(_LPA_ROUNDS):
+        lu = lab.select(F.col("node").alias("u"), F.col("lab").alias("label"))
+        lv = lab.select(F.col("node").alias("v"), F.col("lab").alias("label"))
+        msgs = (ed.join(lu, "u").select(F.col("v").alias("dst"), "label")
+                .unionByName(
+                    ed.join(lv, "v").select(F.col("u").alias("dst"),
+                                            "label"))
+                .unionByName(
+                    lab.select(F.col("node").alias("dst"),
+                               F.col("lab").alias("label"))))
+        cnt = msgs.groupBy("dst", "label").agg(F.count("*").alias("cnt"))
+        lab = _ckpt_nostats(
+            cnt.groupBy("dst")
+            .agg(F.expr("max_by(label, struct(cnt, -label))").alias("lab"))
+            .select(F.col("dst").alias("node"), "lab"))
+    return lab.select(F.col("node").cast("long").alias("node_id"),
+                      F.col("lab").cast("long").alias("community"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2015,3 +2015,30 @@ def test_decision_stump_learns_planted_rule(spark, tmp_path):
     assert got[("n_chars", 320, "lt")][0] == 0
     assert got[("n_chars", 384, "ge")][0] == 875000
     assert got[("n_stop", 1, "ge")][0] == 500000
+
+
+def test_lpa_communities_two_blocks_with_bridge(spark, tmp_path):
+    """Hand graph: two complete-bipartite blocks A = {s1,s2,s3} x
+    {p1,p2} and B = {s10,s11,s12} x {p20,p21}, plus ONE bridge edge
+    (s10, p2). Synchronous LPA with self-vote and min-label tie-break
+    is a pure function of the graph, so the 4-round trace is checkable
+    by hand: block A converges to label -10 (the bridge pulls B's min
+    supplier label across in round 2's all-tied vote, then A's own
+    mass locks it in), block B to -12; the single bridge edge never
+    merges the blocks. Exactly two communities, sizes 5 and 5."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(s, p) for s in (1, 2, 3) for p in (1, 2)]
+    rows += [(s, p) for s in (10, 11, 12) for p in (20, 21)]
+    rows += [(10, 2)]  # bridge
+    pd.DataFrame(rows, columns=["l_suppkey", "l_partkey"]).to_parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = QUERIES["lpa_communities"](spark, str(tmp_path)).collect()
+    got = {r["node_id"]: r["community"] for r in out}
+    block_a = {-1, -2, -3, 1, 2}
+    block_b = {-10, -11, -12, 20, 21}
+    assert set(got) == block_a | block_b
+    assert {got[n] for n in block_a} == {-10}
+    assert {got[n] for n in block_b} == {-12}
