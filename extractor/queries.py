@@ -11902,6 +11902,95 @@ def lpa_communities(spark, sf_dir):
                       F.col("lab").cast("long").alias("community"))
 
 
+@_q("ks_drift_test", sql="""
+WITH d AS (
+  SELECT n_chars AS v,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 10
+              THEN 1 ELSE 0 END AS s1
+  FROM documents),
+g AS (SELECT v, sum(s1) AS c1, sum(1 - s1) AS c2 FROM d GROUP BY v),
+n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+c AS (SELECT v,
+             sum(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             sum(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+      FROM g),
+x AS (SELECT v, abs(n2 * cum1 - n1 * cum2) AS dn FROM c, n),
+m AS (SELECT max(dn) AS d_num FROM x)
+SELECT CAST(d_num AS BIGINT) AS d_num,
+       CAST((SELECT min(v) FROM x WHERE dn = d_num) AS BIGINT) AS at_value,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(d_num * 1000000 // (n1 * n2) AS BIGINT) AS d_micro
+FROM m, n
+""")
+def ks_drift_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift statistic
+    (Kolmogorov 1933 / Smirnov 1939) between the doc-length
+    distributions of two source cohorts (src0-9 vs src10-19) — the
+    standard continuous-distribution drift test next to the
+    categorical chi-square cells (drift_chi2_cells). D = max_v
+    |F1(v) - F2(v)| is carried as the INTEGER numerator
+    |n2*cum1 - n1*cum2| over the common denominator n1*n2, so the
+    statistic, its argmax location, and the micro-scaled D are all
+    exact and bitwise cross-engine — no ECDF floats anywhere.
+
+    Scale shape: ties are collapsed FIRST (groupBy distinct value —
+    the ECDF only moves at distinct values, and evaluating mid-tie
+    would be wrong anyway), then the two cumulative counts come from
+    ONE two-phase distributed prefix scan with a 2-component carry
+    (range-partition on v, per-partition cumsums, bounded P-row
+    offset collect — concurrency_sweep's machinery generalized from
+    one running sum to two; never an Exchange-SinglePartition
+    window). Sample sizes n1/n2 fall out of the same carry fold as
+    the final offsets — no extra corpus pass. Distinct-v rows are
+    unique keys, so the scan is partitioning- and range-sampling-
+    invariant; argmax pinned to min v at the max."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("n_chars").alias("v"),
+        F.when(F.substring("source", 4, 8).cast("int") < 10, 1)
+        .otherwise(0).alias("s1"))
+    g = d.groupBy("v").agg(F.sum("s1").alias("c1"),
+                           F.sum(1 - F.col("s1")).alias("c2"))
+    part = (g.repartitionByRange(_SWEEP_PARTS, "v")
+            .withColumn("pid", F.spark_partition_id())
+            .withColumn("l1", F.sum("c1").over(
+                Window.partitionBy("pid").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("l2", F.sum("c2").over(
+                Window.partitionBy("pid").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)))
+            .persist())
+    totals = {r["pid"]: (r["t1"], r["t2"]) for r in
+              part.groupBy("pid").agg(F.sum("c1").alias("t1"),
+                                      F.sum("c2").alias("t2"))
+              .collect()}  # bounded: P rows
+    off1, off2, a1, a2 = {}, {}, 0, 0
+    for pid in sorted(totals):
+        off1[pid], off2[pid] = a1, a2
+        a1 += totals[pid][0]
+        a2 += totals[pid][1]
+    n1, n2 = a1, a2  # sample sizes fall out of the carry fold
+    m1 = F.create_map(*[F.lit(x) for kv in off1.items() for x in kv])
+    m2 = F.create_map(*[F.lit(x) for kv in off2.items() for x in kv])
+    x = part.select(
+        "v",
+        F.abs(F.lit(n2) * (F.col("l1") + m1[F.col("pid")])
+              - F.lit(n1) * (F.col("l2") + m2[F.col("pid")])).alias("dn"))
+    mx = x.agg(F.max("dn").alias("d_num"))
+    # part stays persisted (module PERSIST NOTE): unpersisting would
+    # recompute the range partitioning under fresh range sampling
+    # against offsets from the first materialization
+    return (x.join(F.broadcast(mx), F.col("dn") == F.col("d_num"))
+            .agg(F.max("d_num").cast("long").alias("d_num"),
+                 F.min("v").cast("long").alias("at_value"),
+                 F.lit(n1).cast("long").alias("n1"),
+                 F.lit(n2).cast("long").alias("n2"),
+                 F.expr("max(d_num) * 1000000 DIV ({} * {})"
+                        .format(n1, n2)).cast("long").alias("d_micro")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2042,3 +2042,23 @@ def test_lpa_communities_two_blocks_with_bridge(spark, tmp_path):
     assert set(got) == block_a | block_b
     assert {got[n] for n in block_a} == {-10}
     assert {got[n] for n in block_b} == {-12}
+
+
+def test_ks_drift_test_hand(spark, tmp_path):
+    """Hand ECDFs: cohort A (src0) = {1,2,3,4}, cohort B (src10) =
+    {3,4,5,6}, n1 = n2 = 4. Integer numerators |n2*cum1 - n1*cum2|
+    over distinct v are 4,8,8,8,4,0 — max 8 first reached at v=2, so
+    D = 8/16 = 0.5 exactly (d_micro 500000)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = ([(i, "t", "en", "src0", v) for i, v in enumerate([1, 2, 3, 4])]
+            + [(10 + i, "t", "en", "src10", v)
+               for i, v in enumerate([3, 4, 5, 6])])
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    r = QUERIES["ks_drift_test"](spark, str(tmp_path)).collect()[0]
+    assert (r["d_num"], r["at_value"], r["n1"], r["n2"], r["d_micro"]) == \
+        (8, 2, 4, 4, 500000)
