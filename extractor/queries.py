@@ -11902,6 +11902,112 @@ def lpa_communities(spark, sf_dir):
                       F.col("lab").cast("long").alias("community"))
 
 
+@_q("mann_kendall_trend", sql="""
+WITH dd AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+pr AS (
+  SELECT a.event_type,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+              ELSE 0 END AS sg,
+         CASE WHEN b.x - a.x >= 0
+              THEN (b.x - a.x) * 1000000 // (b.d - a.d)
+              ELSE -((a.x - b.x) * 1000000 // (b.d - a.d))
+              END AS slope_micro
+  FROM dd a JOIN dd b ON b.event_type = a.event_type AND b.d > a.d),
+sl AS (SELECT event_type, slope_micro,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY slope_micro) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS np
+       FROM pr),
+med AS (SELECT event_type, slope_micro AS theil_sen_micro
+        FROM sl WHERE rn = (np + 1) // 2),
+st AS (SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat,
+              CAST(count(*) AS BIGINT) AS n_pairs
+       FROM pr GROUP BY 1),
+nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+       FROM dd GROUP BY 1),
+ti AS (SELECT event_type,
+              CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie18
+       FROM (SELECT event_type, x, count(*) AS tg
+             FROM dd GROUP BY 1, 2) GROUP BY 1)
+SELECT s.event_type, n.n_days, s.n_pairs, s.s_stat,
+       CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie18
+            AS BIGINT) AS var18,
+       CAST(m.theil_sen_micro AS BIGINT) AS theil_sen_micro
+FROM st s JOIN nd n USING (event_type) JOIN ti t USING (event_type)
+          JOIN med m USING (event_type)
+""")
+def mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall monotone-trend test (Mann, Econometrica 1945;
+    Kendall 1975) with the Theil-Sen slope estimator (Theil 1950;
+    Sen, JASA 1968) per event_type over the daily count grid — the
+    standard nonparametric "is this stream growing" pair a pipeline
+    runs before alerting on volume drift. Everything exact-integer:
+    S = sum of pairwise sgn(x_j - x_i); the 18-scaled tie-corrected
+    variance var18 = n(n-1)(2n+5) - sum t(t-1)(2t+5) (z-scoring with
+    the sqrt left to the caller — no float crosses the contract);
+    Theil-Sen as the exact LOWER MEDIAN of per-pair integer
+    micro-slopes, with truncation pinned SIGN-SAFE via
+    -((-dx)*1e6 DIV dd) since engines disagree on negative integer
+    division (the cohens_kappa convention). The median value at the
+    fixed rank (np+1) DIV 2 is tie-permutation-invariant, so
+    ORDER BY slope_micro alone is deterministic in VALUE.
+
+    Scale shape: one partial-agg shuffle folds the corpus to the
+    daily grid (types x timeline days — manifest-scale METADATA, the
+    compaction_plan/decision_stump frame argument), after which the
+    O(days^2) pair expansion, the per-type rank window, and the tie
+    table all operate on frames whose size is set by the calendar,
+    not the corpus. Types with a single active day have no pairs and
+    drop (no trend is defined) — identical on both engines by join
+    structure."""
+    ev = t(spark, sf_dir, "events")
+    dd = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+          .agg(F.count("*").alias("x"))
+          .select("event_type",
+                  F.datediff("day", F.lit("1970-01-01")).alias("d"), "x"))
+    a = dd.select("event_type", F.col("d").alias("da"),
+                  F.col("x").alias("xa"))
+    b = dd.select("event_type", F.col("d").alias("db"),
+                  F.col("x").alias("xb"))
+    pr = (a.join(b, "event_type").where(F.col("db") > F.col("da"))
+          .select("event_type",
+                  F.when(F.col("xb") > F.col("xa"), 1)
+                  .when(F.col("xb") < F.col("xa"), -1)
+                  .otherwise(0).alias("sg"),
+                  F.expr("CASE WHEN xb - xa >= 0 "
+                         "THEN (xb - xa) * 1000000 DIV (db - da) "
+                         "ELSE -((xa - xb) * 1000000 DIV (db - da)) END")
+                  .alias("slope_micro"))
+          .persist())  # pairs feed S-agg and median; see PERSIST NOTE
+    wt = Window.partitionBy("event_type")
+    med = (pr.withColumn("rn", F.row_number().over(
+               wt.orderBy("slope_micro")))
+           .withColumn("np", F.count("*").over(wt))
+           .where(F.expr("rn = (np + 1) DIV 2"))
+           .select("event_type",
+                   F.col("slope_micro").alias("theil_sen_micro")))
+    st = pr.groupBy("event_type").agg(
+        F.sum("sg").alias("s_stat"), F.count("*").alias("n_pairs"))
+    nd = dd.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    ti = (dd.groupBy("event_type", "x").agg(F.count("*").alias("tg"))
+          .groupBy("event_type")
+          .agg(F.sum(F.expr("tg * (tg - 1) * (2 * tg + 5)"))
+               .alias("tie18")))
+    return (st.join(nd, "event_type").join(ti, "event_type")
+            .join(med, "event_type")
+            .select("event_type", F.col("n_days").cast("long"),
+                    F.col("n_pairs").cast("long"),
+                    F.col("s_stat").cast("long"),
+                    F.expr("n_days * (n_days - 1) * (2 * n_days + 5) "
+                           "- tie18").cast("long").alias("var18"),
+                    F.col("theil_sen_micro").cast("long")))
+
+
 @_q("ks_drift_test", sql="""
 WITH d AS (
   SELECT n_chars AS v,

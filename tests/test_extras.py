@@ -2062,3 +2062,39 @@ def test_ks_drift_test_hand(spark, tmp_path):
     r = QUERIES["ks_drift_test"](spark, str(tmp_path)).collect()[0]
     assert (r["d_num"], r["at_value"], r["n1"], r["n2"], r["d_micro"]) == \
         (8, 2, 4, 4, 500000)
+
+
+def test_mann_kendall_hand_traces(spark, tmp_path):
+    """Planted series: 'up' = 1,2,3,4,5 over 5 days (all 10 pairs
+    positive -> S=10, no ties -> var18 = 5*4*15 = 300, every pair
+    slope exactly +1e6); 'down' mirrored (S=-10, slope -1e6 through
+    the sign-safe branch); 'tie' = 2,2,1 (S=-2, one tie pair ->
+    tie18 = 2*1*9 = 18, var18 = 66-18 = 48, sorted slopes
+    [-1000000, -500000, 0] -> lower median -500000, pinning the
+    negative-truncation idiom: -((2-1)*1e6 DIV 2) = -500000)."""
+    import datetime
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = []
+    eid = 0
+    series = {"up": [1, 2, 3, 4, 5], "down": [5, 4, 3, 2, 1],
+              "tie": [2, 2, 1]}
+    for etype, xs in series.items():
+        for day, x in enumerate(xs):
+            for _ in range(x):
+                rows.append((eid, datetime.datetime(1970, 1, 1 + day),
+                             1, etype, 0.0, "{}"))
+                eid += 1
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = QUERIES["mann_kendall_trend"](spark, str(tmp_path)).collect()
+    got = {r["event_type"]: (r["n_days"], r["n_pairs"], r["s_stat"],
+                             r["var18"], r["theil_sen_micro"])
+           for r in out}
+    assert got["up"] == (5, 10, 10, 300, 1000000)
+    assert got["down"] == (5, 10, -10, 300, -1000000)
+    assert got["tie"] == (3, 3, -2, 48, -500000)
