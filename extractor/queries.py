@@ -11902,6 +11902,70 @@ def lpa_communities(spark, sf_dir):
                       F.col("lab").cast("long").alias("community"))
 
 
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181,
+                66947, 57992, 51153, 45757)  # log10(1+1/d)*1e6, sums to 1e6
+
+
+@_q("benford_digit_audit", sql="""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem WHERE l_extendedprice > 0),
+o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY 1),
+n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o),
+e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                            (4, 96910), (5, 79181), (6, 66947),
+                            (7, 57992), (8, 51153), (9, 45757))
+      AS t(digit, benford_ppm))
+SELECT CAST(e.digit AS BIGINT) AS digit,
+       CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+       CAST(coalesce(o.n_obs, 0) * 1000000 // n.n AS BIGINT) AS obs_ppm,
+       CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(coalesce(o.n_obs, 0) * 1000000 // n.n - e.benford_ppm
+            AS BIGINT) AS dev_ppm
+FROM e LEFT JOIN o ON o.digit = e.digit CROSS JOIN n
+""")
+def benford_digit_audit(spark, sf_dir):
+    """Benford's-law first-significant-digit audit (Newcomb 1881;
+    Benford 1938; Nigrini's fraud-audit formulation) over lineitem
+    extended prices — the classic data-quality screen for fabricated
+    or truncated numeric columns. The contract is pure-integer: the
+    expected Benford shares are the NINE LITERAL micro-constants
+    log10(1+1/d)*1e6 (they sum to exactly 1,000,000, so no engine
+    ever computes a logarithm), observed shares are ppm via integer
+    division, and the emitted deviation is obs_ppm - benford_ppm per
+    digit. TPC-H prices are near-uniform in their range, so the
+    corpus deviations are large BY CONSTRUCTION — the operator pins
+    the mechanism (exact counts and shares), not conformance; the
+    hand fixture plants an exact-Benford sample where every dev is
+    bounded by integer truncation.
+
+    Scale shape: one projection extracts the leading digit of the
+    exact cent value (first char of the BIGINT's decimal string —
+    no float log10/pow digit math), one 9-group partial agg, the
+    digit table and the 1-row total broadcast back onto it. Digits
+    absent from the corpus still emit their row (LEFT join from the
+    literal digit table) so the audit shape is always 9 rows."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 0)
+    c = li.select(
+        F.substring(F.round(F.col("l_extendedprice") * 100, 0)
+                    .cast("long").cast("string"), 1, 1)
+        .cast("long").alias("digit"))
+    o = c.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    n = o.agg(F.sum("n_obs").alias("n"))
+    e = spark.createDataFrame(
+        [(d + 1, ppm) for d, ppm in enumerate(_BENFORD_PPM)],
+        "digit long, benford_ppm long")
+    return (F.broadcast(e).join(o, "digit", "left")
+            .crossJoin(F.broadcast(n))
+            .select("digit",
+                    F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+                    F.expr("coalesce(n_obs, 0) * 1000000 DIV n")
+                    .alias("obs_ppm"), "benford_ppm",
+                    F.expr("coalesce(n_obs, 0) * 1000000 DIV n "
+                           "- benford_ppm").alias("dev_ppm")))
+
+
 @_q("mann_kendall_trend", sql="""
 WITH dd AS (
   SELECT event_type,

@@ -2098,3 +2098,45 @@ def test_mann_kendall_hand_traces(spark, tmp_path):
     assert got["up"] == (5, 10, 10, 300, 1000000)
     assert got["down"] == (5, 10, -10, 300, -1000000)
     assert got["tie"] == (3, 3, -2, 48, -500000)
+
+
+def test_benford_digit_audit_planted_and_absent(spark, tmp_path):
+    """Planted exact-Benford sample: n=10,000 with counts 3010, 1761,
+    1249, 969, 792, 669, 580, 512, 458 (they sum to 10,000), price =
+    digit dollars so the cent string leads with that digit. Every
+    dev_ppm is the pure truncation residue (|dev| < 50), checked
+    exactly. Second fixture: only digit 7 present — the other eight
+    rows must still emit with n_obs 0 and dev = -benford_ppm."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    counts = [3010, 1761, 1249, 969, 792, 669, 580, 512, 458]
+    rows = [(float(d),) for d, c in zip(range(1, 10), counts)
+            for _ in range(c)]
+    d1 = os.path.join(str(tmp_path), "a")
+    os.makedirs(d1)
+    pd.DataFrame(rows, columns=["l_extendedprice"]).to_parquet(
+        os.path.join(d1, "lineitem.parquet"))
+    out = {r["digit"]: r for r in
+           QUERIES["benford_digit_audit"](spark, d1).collect()}
+    expected_dev = {1: -30, 2: 9, 3: -39, 4: -10, 5: 19,
+                    6: -47, 7: 8, 8: 47, 9: 43}
+    assert len(out) == 9
+    for d, c in zip(range(1, 10), counts):
+        assert out[d]["n_obs"] == c
+        assert out[d]["obs_ppm"] == c * 100
+        assert out[d]["dev_ppm"] == expected_dev[d]
+
+    d2 = os.path.join(str(tmp_path), "b")
+    os.makedirs(d2)
+    pd.DataFrame([(7.77,)] * 5, columns=["l_extendedprice"]).to_parquet(
+        os.path.join(d2, "lineitem.parquet"))
+    out2 = {r["digit"]: r for r in
+            QUERIES["benford_digit_audit"](spark, d2).collect()}
+    assert len(out2) == 9 and out2[7]["n_obs"] == 5
+    assert out2[7]["obs_ppm"] == 1000000
+    for d in range(1, 10):
+        if d != 7:
+            assert out2[d]["n_obs"] == 0
+            assert out2[d]["dev_ppm"] == -out2[d]["benford_ppm"]
