@@ -11902,6 +11902,54 @@ def lpa_communities(spark, sf_dir):
                       F.col("lab").cast("long").alias("community"))
 
 
+@_q("gini_concentration", sql="""
+WITH r AS (
+  SELECT n_chars AS x,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+  FROM documents),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS total,
+             sum(CAST(rnk AS HUGEINT) * x) AS wsum
+      FROM r)
+SELECT n, total,
+       CAST((2 * wsum - (CAST(n AS HUGEINT) + 1) * total) * 1000000
+            // (CAST(n AS HUGEINT) * total) AS BIGINT) AS gini_micro
+FROM s
+""")
+def gini_concentration(spark, sf_dir):
+    """Exact Gini coefficient (Gini 1912; the rank-covariance form
+    G = (2*sum(i*x_(i)) - (n+1)*S) / (n*S)) of the document byte-mass
+    distribution — the corpus-balance inequality audit: G near 0
+    means documents carry similar mass, G near 1 means a few giants
+    dominate (the skew that decides partition sizing at 100 TB).
+    Entirely integer-exact: ranks come from the shared _global_rank
+    range-exchange machinery (total key (n_chars, doc_id) — equal
+    x values permute among adjacent ranks without changing
+    sum(rnk*x), so the statistic is partitioning-invariant), and the
+    weighted sum accumulates in DECIMAL(38,0) because sum(rnk*x)
+    is O(n^2 * x-bar) and leaves BIGINT around n ~ 10^8 docs — the
+    one intermediate that genuinely needs the wide type (DuckDB twin
+    uses HUGEINT); only the micro quotient and two BIGINTs cross the
+    contract.
+
+    Scale shape: one range exchange + bounded P-row carry for the
+    global ranks (never an Exchange-SinglePartition window), one
+    3-column 1-row agg."""
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x"), "doc_id")
+    ranked, n = _global_rank(docs, ["x", "doc_id"])
+    return (ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+        F.sum(F.col("rnk").cast("decimal(38,0)") * F.col("x"))
+        .alias("wsum"))
+        .select("n", "total",
+                F.expr("CAST((2 * wsum - (CAST(n AS DECIMAL(38,0)) + 1) "
+                       "* total) * 1000000 DIV "
+                       "(CAST(n AS DECIMAL(38,0)) * total) AS BIGINT)")
+                .alias("gini_micro")))
+
+
 _BENFORD_PPM = (301030, 176091, 124939, 96910, 79181,
                 66947, 57992, 51153, 45757)  # log10(1+1/d)*1e6, sums to 1e6
 

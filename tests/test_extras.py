@@ -2140,3 +2140,26 @@ def test_benford_digit_audit_planted_and_absent(spark, tmp_path):
         if d != 7:
             assert out2[d]["n_obs"] == 0
             assert out2[d]["dev_ppm"] == -out2[d]["benford_ppm"]
+
+
+def test_gini_concentration_hand(spark, tmp_path):
+    """Hand Gini: equal masses [5,5,5,5] -> exactly 0; [1,2,3,4] ->
+    (2*30 - 5*10)/(4*10) = 0.25 -> 250000; [1,1,1,97] ->
+    (2*394 - 5*100)/400 = 0.72 -> 720000."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    for sub, xs, want in (("a", [5, 5, 5, 5], 0),
+                          ("b", [1, 2, 3, 4], 250000),
+                          ("c", [1, 1, 1, 97], 720000)):
+        d = os.path.join(str(tmp_path), sub)
+        os.makedirs(d)
+        pd.DataFrame([(i, "t", "en", "src0", x)
+                      for i, x in enumerate(xs)],
+                     columns=["doc_id", "text", "lang", "source",
+                              "n_chars"]).to_parquet(
+            os.path.join(d, "documents.parquet"))
+        r = QUERIES["gini_concentration"](spark, d).collect()[0]
+        assert (r["n"], r["total"], r["gini_micro"]) == \
+            (len(xs), sum(xs), want), (sub, r)
