@@ -12209,6 +12209,87 @@ def ks_drift_test(spark, sf_dir):
                         .format(n1, n2)).cast("long").alias("d_micro")))
 
 
+@_q("auc_mann_whitney", sql="""
+WITH d AS (
+  SELECT n_chars AS v,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents),
+g AS (SELECT v, sum(pos) AS p, sum(1 - pos) AS q FROM d GROUP BY v),
+c AS (SELECT p, q,
+             sum(q) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - q AS nb
+      FROM g),
+s AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(q) AS BIGINT) AS n_neg,
+             sum(CAST(p AS HUGEINT) * (2 * nb + q)) AS u2
+      FROM c)
+SELECT n_pos, n_neg,
+       CAST(u2 * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+            AS BIGINT) AS auc_micro
+FROM s
+""")
+def auc_mann_whitney(spark, sf_dir):
+    """Exact ROC AUC via the Mann-Whitney U statistic (Mann &
+    Whitney 1947; the AUC = U/(n_pos*n_neg) identity is Hanley &
+    McNeil 1982) for doc length as a ranking score of the lang='en'
+    label — the classifier-evaluation primitive next to
+    calibration_bins (which pins reliability; this pins ranking
+    power). Pure pair-counting integer form: U2 = 2*U =
+    2*#{(pos,neg): v_pos > v_neg} + #{ties}, accumulated per
+    DISTINCT score value as p_v * (2*negs_strictly_below_v + q_v) —
+    exactly the tie-corrected midrank formulation (U2 =
+    2*sum(midranks of positives) - n_pos*(n_pos+1)) without ever
+    materializing a half-integer midrank, so the statistic is
+    bitwise cross-engine. The accumulator rides in DECIMAL(38,0)
+    (DuckDB twin HUGEINT): U2 is O(n_pos*n_neg), past BIGINT around
+    3e9 rows per side; only micro AUC and the two counts cross the
+    contract.
+
+    Scale shape: ties collapse FIRST (one groupBy on the score
+    value), then negs-strictly-below comes from the shared two-phase
+    distributed prefix scan (range exchange + per-partition cumsum +
+    bounded P-row carry — ks_drift_test's machinery with a
+    1-component carry; never an Exchange-SinglePartition window),
+    then one 1-row agg. Distinct-v rows are unique keys, so the scan
+    is partitioning- and range-sampling-invariant."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"))
+    g = d.groupBy("v").agg(F.sum("pos").alias("p"),
+                           F.sum(1 - F.col("pos")).alias("q"))
+    part = (g.repartitionByRange(_SWEEP_PARTS, "v")
+            .withColumn("pid", F.spark_partition_id())
+            .withColumn("lq", F.sum("q").over(
+                Window.partitionBy("pid").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)))
+            .persist())
+    totals = {r["pid"]: r["tq"] for r in
+              part.groupBy("pid").agg(F.sum("q").alias("tq"))
+              .collect()}  # bounded: P rows
+    off, acc = {}, 0
+    for pid in sorted(totals):
+        off[pid] = acc
+        acc += totals[pid]
+    m = F.create_map(*[F.lit(x) for kv in off.items() for x in kv])
+    # negs strictly below v = carry offset + local cumsum - own q
+    x = part.select(
+        "p", "q",
+        (m[F.col("pid")] + F.col("lq") - F.col("q")).alias("nb"))
+    # part stays persisted (module PERSIST NOTE): unpersisting would
+    # recompute the range partitioning under fresh range sampling
+    # against offsets from the first materialization
+    return (x.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("q").cast("long").alias("n_neg"),
+        F.sum(F.col("p").cast("decimal(38,0)")
+              * (2 * F.col("nb") + F.col("q"))).alias("u2"))
+        .select("n_pos", "n_neg",
+                F.expr("CAST(u2 * 1000000 DIV (2 * CAST(n_pos AS "
+                       "DECIMAL(38,0)) * n_neg) AS BIGINT)")
+                .alias("auc_micro")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

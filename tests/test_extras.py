@@ -2163,3 +2163,31 @@ def test_gini_concentration_hand(spark, tmp_path):
         r = QUERIES["gini_concentration"](spark, d).collect()[0]
         assert (r["n"], r["total"], r["gini_micro"]) == \
             (len(xs), sum(xs), want), (sub, r)
+
+
+def test_auc_mann_whitney_hand(spark, tmp_path):
+    """Hand AUC fixtures (pos = lang 'en', score = n_chars):
+    perfect separation pos {3,4} vs neg {1,2} -> U2 = 2*4 = 8 over
+    2*2*2 = 8 -> exactly 1.0; reversed pos {1,2} vs neg {3,4} ->
+    U2 = 0 -> 0.0; tie-heavy pos {1,2,2} vs neg {2,3}: gt pairs 0,
+    tie pairs 2 -> U2 = 2, denom 2*3*2 = 12 -> 166666 (truncated
+    1/6), pinning the midrank-equivalent tie path and the DIV
+    truncation direction."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    cases = (("a", [3, 4], [1, 2], (2, 2, 1000000)),
+             ("b", [1, 2], [3, 4], (2, 2, 0)),
+             ("c", [1, 2, 2], [2, 3], (3, 2, 166666)))
+    for sub, pos, neg, want in cases:
+        d = os.path.join(str(tmp_path), sub)
+        os.makedirs(d)
+        rows = ([(i, "t", "en", "src0", x) for i, x in enumerate(pos)]
+                + [(100 + i, "t", "de", "src0", x)
+                   for i, x in enumerate(neg)])
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                    "n_chars"]).to_parquet(
+            os.path.join(d, "documents.parquet"))
+        r = QUERIES["auc_mann_whitney"](spark, d).collect()[0]
+        assert (r["n_pos"], r["n_neg"], r["auc_micro"]) == want, (sub, r)
