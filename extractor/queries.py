@@ -11875,6 +11875,15 @@ def lpa_communities(spark, sf_dir):
     reduction; message volume is 2|E| + |V| rows per round, edges
     stay persisted, labels are stats-reset localCheckpointed.
     """
+    ed, lab = _lpa_labels(spark, sf_dir)
+    return lab.select(F.col("node").cast("long").alias("node_id"),
+                      F.col("lab").cast("long").alias("community"))
+
+
+def _lpa_labels(spark, sf_dir):
+    """The synchronous LPA kernel shared by lpa_communities (emits
+    the labels) and modularity_score (evaluates them). Returns the
+    persisted distinct edge frame and the final label frame."""
     li = t(spark, sf_dir, "lineitem")
     ed = (li.select((-F.col("l_suppkey")).alias("u"),
                     F.col("l_partkey").alias("v"))
@@ -11898,8 +11907,7 @@ def lpa_communities(spark, sf_dir):
             cnt.groupBy("dst")
             .agg(F.expr("max_by(label, struct(cnt, -label))").alias("lab"))
             .select(F.col("dst").alias("node"), "lab"))
-    return lab.select(F.col("node").cast("long").alias("node_id"),
-                      F.col("lab").cast("long").alias("community"))
+    return ed, lab
 
 
 @_q("gini_concentration", sql="""
@@ -12288,6 +12296,94 @@ def auc_mann_whitney(spark, sf_dir):
                 F.expr("CAST(u2 * 1000000 DIV (2 * CAST(n_pos AS "
                        "DECIMAL(38,0)) * n_neg) AS BIGINT)")
                 .alias("auc_micro")))
+
+
+@_q("modularity_score", sql="""
+WITH ed AS (
+  SELECT DISTINCT -l_suppkey AS u, l_partkey AS v FROM lineitem),
+l0 AS (SELECT u AS node, u AS lab FROM ed
+       UNION SELECT v, v FROM ed),"""
+    + ",".join(_lpa_round_sql(k) for k in range(1, _LPA_ROUNDS + 1))
+    + """,
+labs AS (SELECT node, lab FROM l{r}),
+deg AS (SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM ed UNION ALL SELECT v FROM ed)
+        GROUP BY node),
+dsum AS (SELECT l.lab AS community, sum(d.deg) AS d_c
+         FROM deg d JOIN labs l ON l.node = d.node GROUP BY 1),
+intra AS (SELECT lu.lab AS community, count(*) AS e_c
+          FROM ed e JOIN labs lu ON lu.node = e.u
+                    JOIN labs lv ON lv.node = e.v
+          WHERE lu.lab = lv.lab GROUP BY 1),
+mm AS (SELECT count(*) AS m FROM ed),
+per AS (SELECT d.community, d.d_c, coalesce(i.e_c, 0) AS e_c
+        FROM dsum d LEFT JOIN intra i USING (community)),
+qq AS (SELECT m, count(*) AS n_communities,
+              sum(4 * CAST(m AS HUGEINT) * e_c
+                  - CAST(d_c AS HUGEINT) * d_c) AS qn
+       FROM per, mm GROUP BY m)
+SELECT CAST(m AS BIGINT) AS m,
+       CAST(n_communities AS BIGINT) AS n_communities,
+       CAST(CASE WHEN qn >= 0
+                 THEN qn * 1000000 // (4 * CAST(m AS HUGEINT) * m)
+                 ELSE -((-qn) * 1000000 // (4 * CAST(m AS HUGEINT) * m))
+            END AS BIGINT) AS q_micro
+FROM qq
+""".format(r=_LPA_ROUNDS))
+def modularity_score(spark, sf_dir):
+    """Newman modularity (Newman & Girvan 2004) of the partition the
+    registered LPA produces over the supplier-part graph — the
+    partition-quality audit composed on the community detector the
+    way dedup_survivors composed pairs->CC->anti-join. Q = sum_c
+    (e_c/m - (d_c/2m)^2) is carried as the EXACT integer identity
+    Q * 4m^2 = sum_c (4m*e_c - d_c^2): intra-community edge counts
+    e_c, community degree mass d_c and edge total m are all BIGINTs,
+    the accumulator rides in DECIMAL(38,0) (d_c^2 passes BIGINT when
+    a community holds ~2^31+ edge endpoints; DuckDB twin HUGEINT),
+    and only micro Q plus two counts cross the contract. Q = 0 for
+    the all-in-one partition and for label-random partitions,
+    positive when communities capture real edge locality — the LPA
+    fixture families land near their hand values exactly.
+
+    Scale shape: the LPA rounds are the registered kernel
+    (_lpa_labels, message volume 2|E|+|V| per round); on top of
+    them, degrees are one union+agg over the edge list, d_c one
+    equi-join + agg, e_c two equi-joins (label lookup per endpoint)
+    + one filter + agg, and the result is a 1-row fold of the
+    community-sized (not corpus-sized) per-c frame. No step is
+    wider than the LPA rounds already are."""
+    ed, lab = _lpa_labels(spark, sf_dir)
+    lu = lab.select(F.col("node").alias("u"), F.col("lab").alias("cu"))
+    lv = lab.select(F.col("node").alias("v"), F.col("lab").alias("cv"))
+    intra = (ed.join(lu, "u").join(lv, "v")
+             .where(F.col("cu") == F.col("cv"))
+             .groupBy(F.col("cu").alias("community"))
+             .agg(F.count("*").alias("e_c")))
+    deg = (ed.select(F.col("u").alias("node"))
+           .unionByName(ed.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    dsum = (deg.join(lab, "node")
+            .groupBy(F.col("lab").alias("community"))
+            .agg(F.sum("deg").alias("d_c")))
+    per = (dsum.join(intra, "community", "left")
+           .na.fill({"e_c": 0}))
+    mrow = ed.agg(F.count("*").alias("m"))
+    return (per.crossJoin(F.broadcast(mrow))
+            .agg(F.max("m").cast("long").alias("m"),
+                 F.count("*").cast("long").alias("n_communities"),
+                 F.sum(F.lit(4).cast("decimal(38,0)") * F.col("m")
+                       * F.col("e_c")
+                       - F.col("d_c").cast("decimal(38,0)")
+                       * F.col("d_c")).alias("qn"))
+            .select("m", "n_communities",
+                    # sign-safe micro truncation (the cohens_kappa
+                    # convention): negative-q division conventions
+                    # differ across engines, so pin toward zero
+                    F.expr("CAST(CASE WHEN qn >= 0 THEN qn * 1000000 DIV "
+                           "(4 * CAST(m AS DECIMAL(38,0)) * m) ELSE "
+                           "-((-qn) * 1000000 DIV (4 * CAST(m AS "
+                           "DECIMAL(38,0)) * m)) END AS BIGINT)")
+                    .alias("q_micro")))
 
 
 # ===========================================================================

@@ -2191,3 +2191,31 @@ def test_auc_mann_whitney_hand(spark, tmp_path):
             os.path.join(d, "documents.parquet"))
         r = QUERIES["auc_mann_whitney"](spark, d).collect()[0]
         assert (r["n_pos"], r["n_neg"], r["auc_micro"]) == want, (sub, r)
+
+
+def test_modularity_score_hand(spark, tmp_path):
+    """Two disjoint stars: supplier 1 x parts {1,2,3} and supplier 5
+    x parts {5,6}. LPA converges in round 1 (every star member's
+    message multiset ties and breaks to the min label = the hub's
+    -suppkey), so the partition is the two stars: m = 5, d = (6, 4),
+    e = (3, 2), Q*4m^2 = (20*3 - 36) + (20*2 - 16) = 48 over 100 ->
+    480000 exactly. Single-edge graph: one community holding the
+    whole graph -> Q = 0 (the classic all-in-one zero)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    d1 = os.path.join(str(tmp_path), "a")
+    os.makedirs(d1)
+    edges = [(1, 1), (1, 2), (1, 3), (5, 5), (5, 6)]
+    pd.DataFrame(edges, columns=["l_suppkey", "l_partkey"]).to_parquet(
+        os.path.join(d1, "lineitem.parquet"))
+    r = QUERIES["modularity_score"](spark, d1).collect()[0]
+    assert (r["m"], r["n_communities"], r["q_micro"]) == (5, 2, 480000), r
+
+    d2 = os.path.join(str(tmp_path), "b")
+    os.makedirs(d2)
+    pd.DataFrame([(1, 1)], columns=["l_suppkey", "l_partkey"]).to_parquet(
+        os.path.join(d2, "lineitem.parquet"))
+    r2 = QUERIES["modularity_score"](spark, d2).collect()[0]
+    assert (r2["m"], r2["n_communities"], r2["q_micro"]) == (1, 1, 0), r2
