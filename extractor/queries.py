@@ -12386,6 +12386,82 @@ def modularity_score(spark, sf_dir):
                     .alias("q_micro")))
 
 
+@_q("good_turing_unseen_mass", sql=r"""
+WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text),
+                     '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS w
+              FROM documents),
+cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+ff AS (SELECT c, CAST(count(*) AS BIGINT) AS n_r FROM cnt GROUP BY c),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM cnt),
+o AS (SELECT coalesce(sum(CASE WHEN c = 1 THEN n_r END), 0) AS n1 FROM ff),
+rt AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) AS t(r))
+SELECT CAST(rt.r AS BIGINT) AS r,
+       CAST(coalesce(f.n_r, 0) AS BIGINT) AS n_r,
+       CAST(coalesce(g.n_r, 0) AS BIGINT) AS n_r_next,
+       CAST(CASE WHEN coalesce(f.n_r, 0) > 0
+                 THEN (rt.r + 1) * CAST(coalesce(g.n_r, 0) AS HUGEINT)
+                      * 1000000 // f.n_r
+                 ELSE -1 END AS BIGINT) AS r_star_micro,
+       CAST(CAST(o.n1 AS HUGEINT) * 1000000 // tot.n_tokens
+            AS BIGINT) AS p0_micro
+FROM rt LEFT JOIN ff f ON f.c = rt.r
+        LEFT JOIN ff g ON g.c = rt.r + 1, tot, o
+""")
+def good_turing_unseen_mass(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies audit (Good, Biometrika
+    1953; the Gale & Sampson 1995 'simple Good-Turing' formulation)
+    over the corpus unigram distribution — the LM-smoothing primitive
+    next to unigram_lm_nll's add-one LM and kn_bigram_nll's Kneser-
+    Ney: N_r = #{words seen exactly r times}, the smoothed count
+    r* = (r+1) * N_{r+1} / N_r for r = 1..8, and the Good-Turing
+    unseen-probability mass p0 = N_1 / T (the leave-one-out estimate
+    of how much probability the corpus has never seen — the number
+    that decides vocabulary-coverage risk before training). The
+    whole contract is integer-exact: r* and p0 are micro-scaled
+    quotients (products ride in DECIMAL(38,0) / HUGEINT — (r+1) *
+    N_{r+1} * 1e6 passes BIGINT near a 10^12 vocabulary), r rows
+    with N_r = 0 emit r_star_micro = -1 (undefined, distinct from a
+    true zero when N_{r+1} = 0), and absent r still emit their row
+    (LEFT join from the literal r table — the benford shape rule).
+
+    Scale shape: tokens fold to (word, count) in ONE map-side-
+    combinable groupBy; the frequency-of-frequencies table is a
+    second groupBy over the VOCABULARY-sized frame onto O(distinct
+    counts) rows — bounded, broadcast everywhere after; (T, N_1)
+    are 1-row folds of bounded frames. Tokenization is the module
+    convention (_WS_CLASS split of lower(text), empties dropped),
+    bit-identical to the LM operators'."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                           lambda x: x != "")).alias("w"))
+    cnt = (toks.groupBy("w").agg(F.count("*").alias("c"))
+           .persist())  # two consumers: freq-of-freqs + totals
+    ff = cnt.groupBy("c").agg(F.count("*").alias("n_r"))
+    tot = cnt.agg(F.sum("c").alias("n_tokens"))
+    o = ff.agg(F.coalesce(
+        F.sum(F.when(F.col("c") == 1, F.col("n_r"))),
+        F.lit(0)).alias("n1"))
+    rt = spark.range(1, 9).select(F.col("id").alias("r"))
+    nxt = ff.select((F.col("c") - 1).alias("r"),
+                    F.col("n_r").alias("n_r_next"))
+    return (rt.join(F.broadcast(ff.withColumnRenamed("c", "r")), "r", "left")
+            .join(F.broadcast(nxt), "r", "left")
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(o))
+            .select(
+                F.col("r").cast("long").alias("r"),
+                F.coalesce("n_r", F.lit(0)).cast("long").alias("n_r"),
+                F.coalesce("n_r_next", F.lit(0)).cast("long")
+                .alias("n_r_next"),
+                F.expr("CAST(CASE WHEN coalesce(n_r, 0) > 0 THEN "
+                       "(r + 1) * CAST(coalesce(n_r_next, 0) AS "
+                       "DECIMAL(38,0)) * 1000000 DIV n_r "
+                       "ELSE -1 END AS BIGINT)").alias("r_star_micro"),
+                F.expr("CAST(CAST(n1 AS DECIMAL(38,0)) * 1000000 DIV "
+                       "n_tokens AS BIGINT)").alias("p0_micro")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2219,3 +2219,44 @@ def test_modularity_score_hand(spark, tmp_path):
         os.path.join(d2, "lineitem.parquet"))
     r2 = QUERIES["modularity_score"](spark, d2).collect()[0]
     assert (r2["m"], r2["n_communities"], r2["q_micro"]) == (1, 1, 0), r2
+
+
+def test_good_turing_hand(spark, tmp_path):
+    """Hand frequency-of-frequencies: corpus 'a b b c c c' -> counts
+    a:1 b:2 c:3, so N1 = N2 = N3 = 1, T = 6: r=1 r* = 2*1e6, r=2
+    r* = 3*1e6, r=3 r* = 0 (N4 = 0, a true zero), r=4..8 r* = -1
+    (undefined, N_r = 0), p0 = 1e6 // 6 = 166666. Second corpus
+    'a b c d d': N1 = 3, N2 = 1, T = 5 -> p0 = 600000 and the r=1
+    smoothed count 2*1*1e6 // 3 = 666666 pins the truncation."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    d1 = os.path.join(str(tmp_path), "a")
+    os.makedirs(d1)
+    pd.DataFrame([(0, "a b b c c c", "en", "src0", 11)],
+                 columns=["doc_id", "text", "lang", "source",
+                          "n_chars"]).to_parquet(
+        os.path.join(d1, "documents.parquet"))
+    out = {r["r"]: r for r in
+           QUERIES["good_turing_unseen_mass"](spark, d1).collect()}
+    assert len(out) == 8
+    assert (out[1]["n_r"], out[1]["n_r_next"],
+            out[1]["r_star_micro"], out[1]["p0_micro"]) == \
+        (1, 1, 2000000, 166666)
+    assert out[2]["r_star_micro"] == 3000000
+    assert (out[3]["n_r_next"], out[3]["r_star_micro"]) == (0, 0)
+    for r in range(4, 9):
+        assert (out[r]["n_r"], out[r]["r_star_micro"]) == (0, -1)
+
+    d2 = os.path.join(str(tmp_path), "b")
+    os.makedirs(d2)
+    pd.DataFrame([(0, "a b c d d", "en", "src0", 9)],
+                 columns=["doc_id", "text", "lang", "source",
+                          "n_chars"]).to_parquet(
+        os.path.join(d2, "documents.parquet"))
+    out2 = {r["r"]: r for r in
+            QUERIES["good_turing_unseen_mass"](spark, d2).collect()}
+    assert out2[1]["p0_micro"] == 600000
+    assert (out2[1]["n_r"], out2[1]["n_r_next"],
+            out2[1]["r_star_micro"]) == (3, 1, 666666)
