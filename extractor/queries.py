@@ -12462,6 +12462,92 @@ def good_turing_unseen_mass(spark, sf_dir):
                        "n_tokens AS BIGINT)").alias("p0_micro")))
 
 
+@_q("welch_t_drift", sql="""
+WITH d AS (
+  SELECT n_chars AS v,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 10
+              THEN 1 ELSE 0 END AS s1
+  FROM documents),
+s AS (SELECT
+  CAST(sum(s1) AS BIGINT) AS n1,
+  CAST(count(*) - sum(s1) AS BIGINT) AS n2,
+  CAST(sum(CASE WHEN s1 = 1 THEN v END) AS BIGINT) AS sum1,
+  CAST(sum(CASE WHEN s1 = 0 THEN v END) AS BIGINT) AS sum2,
+  CAST(sum(CASE WHEN s1 = 1 THEN v * v END) AS BIGINT) AS q1,
+  CAST(sum(CASE WHEN s1 = 0 THEN v * v END) AS BIGINT) AS q2
+ FROM d),
+x AS (SELECT n1, n2,
+  CAST(sum1 AS HUGEINT) * n2 - CAST(sum2 AS HUGEINT) * n1 AS a,
+  (CAST(n1 AS HUGEINT) * q1 - CAST(sum1 AS HUGEINT) * sum1)
+      * n2 * n2 * (n2 - 1)
+  + (CAST(n2 AS HUGEINT) * q2 - CAST(sum2 AS HUGEINT) * sum2)
+      * n1 * n1 * (n1 - 1) AS b
+ FROM s)
+SELECT n1, n2,
+  CAST(CASE WHEN a > 0 THEN 1 WHEN a < 0 THEN -1 ELSE 0 END
+       AS BIGINT) AS sign,
+  CAST(a * a * (n1 - 1) * (n2 - 1) * 1000000 // b AS BIGINT) AS t2_micro
+FROM x
+""")
+def welch_t_drift(spark, sf_dir):
+    """Welch's unequal-variance two-sample t statistic (Welch,
+    Biometrika 1947) between the src0-9 and src10-19 doc-length
+    cohorts — the PARAMETRIC member of the drift-test family
+    (ks_drift_test = distribution-free continuous, drift_chi2_cells
+    = categorical). Carried as the exact rational identity
+    t^2 = A^2 (n1-1)(n2-1) / B with
+    A = S1*n2 - S2*n1  (the cross-scaled mean difference) and
+    B = (n1*Q1 - S1^2) n2^2 (n2-1) + (n2*Q2 - S2^2) n1^2 (n1-1)
+    — the common-denominator form of (m1-m2)^2 / (s1^2/n1 +
+    s2^2/n2), derived so ONLY integers exist until the final micro
+    quotient (t^2 >= 0 and B > 0, so no sign-safety is needed on
+    the division; the mean-difference DIRECTION is emitted as a
+    separate sign column). Accumulators ride DECIMAL(38,0) /
+    HUGEINT: A^2 (n1-1)(n2-1) is O(n^6 xbar^2) and exact through
+    ~10^8 rows per cohort at xbar ~ 10^3 (the gini_concentration
+    wide-type convention — the BIGINT sufficient statistics n/S/Q
+    stay exact at any scale and the quotient recomposes downstream
+    with wider arithmetic when a deployment exceeds that). The
+    Welch-Satterthwaite df composes from the same six sufficient
+    statistics; it is deliberately not part of the contract.
+
+    Scale shape: ONE projection + ONE 6-counter partial-agg fold to
+    a single row — no shuffle wider than one row, no window, no
+    join. The cheapest possible drift test at 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("n_chars").alias("v"),
+        F.when(F.substring("source", 4, 8).cast("int") < 10, 1)
+        .otherwise(0).alias("s1"))
+    s = d.agg(
+        F.sum("s1").cast("long").alias("n1"),
+        (F.count("*") - F.sum("s1")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("s1") == 1, F.col("v"))).cast("long")
+        .alias("sum1"),
+        F.sum(F.when(F.col("s1") == 0, F.col("v"))).cast("long")
+        .alias("sum2"),
+        F.sum(F.when(F.col("s1") == 1, F.col("v") * F.col("v")))
+        .cast("long").alias("q1"),
+        F.sum(F.when(F.col("s1") == 0, F.col("v") * F.col("v")))
+        .cast("long").alias("q2"))
+    x = s.select(
+        "n1", "n2",
+        F.expr("CAST(sum1 AS DECIMAL(38,0)) * n2 "
+               "- CAST(sum2 AS DECIMAL(38,0)) * n1").alias("a"),
+        F.expr("(CAST(n1 AS DECIMAL(38,0)) * q1 "
+               "- CAST(sum1 AS DECIMAL(38,0)) * sum1) "
+               "* n2 * n2 * (n2 - 1) "
+               "+ (CAST(n2 AS DECIMAL(38,0)) * q2 "
+               "- CAST(sum2 AS DECIMAL(38,0)) * sum2) "
+               "* n1 * n1 * (n1 - 1)").alias("b"))
+    return x.select(
+        "n1", "n2",
+        F.expr("CAST(CASE WHEN a > 0 THEN 1 WHEN a < 0 THEN -1 "
+               "ELSE 0 END AS BIGINT)").alias("sign"),
+        F.expr("CAST(a * a * (n1 - 1) * (n2 - 1) * 1000000 DIV b "
+               "AS BIGINT)").alias("t2_micro"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2260,3 +2260,30 @@ def test_good_turing_hand(spark, tmp_path):
     assert out2[1]["p0_micro"] == 600000
     assert (out2[1]["n_r"], out2[1]["n_r_next"],
             out2[1]["r_star_micro"]) == (3, 1, 666666)
+
+
+def test_welch_t_drift_hand(spark, tmp_path):
+    """Hand Welch: cohort 1 (src0) = {1,2,3}, cohort 2 (src10) =
+    {4,6}. m1 = 2, m2 = 5, s1^2 = 1, s2^2 = 2, se^2 = 1/3 + 1 = 4/3,
+    t^2 = 9 / (4/3) = 6.75 exactly. Integer trace: A = 6*2 - 10*3 =
+    -18 (sign -1), A^2 (n1-1)(n2-1) = 324*2 = 648, B = (3*14 - 36)*
+    4*1 + (2*52 - 100)*9*2 = 24 + 72 = 96, 648/96 = 6.75 ->
+    t2_micro 6750000. Mirrored cohorts flip sign to +1 with the
+    same t2."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    for sub, c1, c2, want in (
+            ("a", [1, 2, 3], [4, 6], (3, 2, -1, 6750000)),
+            ("b", [4, 6], [1, 2, 3], (2, 3, 1, 6750000))):
+        d = os.path.join(str(tmp_path), sub)
+        os.makedirs(d)
+        rows = ([(i, "t", "en", "src0", x) for i, x in enumerate(c1)]
+                + [(100 + i, "t", "en", "src10", x)
+                   for i, x in enumerate(c2)])
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                    "n_chars"]).to_parquet(
+            os.path.join(d, "documents.parquet"))
+        r = QUERIES["welch_t_drift"](spark, d).collect()[0]
+        assert (r["n1"], r["n2"], r["sign"], r["t2_micro"]) == want, (sub, r)
