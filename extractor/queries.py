@@ -12548,6 +12548,84 @@ def welch_t_drift(spark, sf_dir):
                "AS BIGINT)").alias("t2_micro"))
 
 
+@_q("blocking_quality_metrics", sql="""
+WITH ranked AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                       row_number() OVER (ORDER BY c_acctbal, c_custkey)
+                       AS rnk
+                FROM customer),
+cp AS (SELECT a.c_nationkey = b.c_nationkey
+              AND a.c_mktsegment = b.c_mktsegment AS istrue
+       FROM ranked a JOIN ranked b
+         ON b.rnk > a.rnk AND b.rnk <= a.rnk + {w}),
+ca AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+              CAST(coalesce(sum(CASE WHEN istrue THEN 1 END), 0)
+                   AS BIGINT) AS cand_true
+       FROM cp),
+g AS (SELECT count(*) AS ng FROM customer
+      GROUP BY c_nationkey, c_mktsegment),
+tt AS (SELECT CAST(coalesce(sum(ng * (ng - 1) // 2), 0) AS BIGINT)
+              AS n_true,
+              CAST(coalesce(sum(ng), 0) AS BIGINT) AS n
+       FROM g)
+SELECT n, n_cand, n_true, cand_true,
+  CAST((CAST(n AS HUGEINT) * (n - 1) // 2 - n_cand) * 1000000
+       // (CAST(n AS HUGEINT) * (n - 1) // 2) AS BIGINT) AS rr_micro,
+  CAST(CAST(cand_true AS HUGEINT) * 1000000 // n_true AS BIGINT)
+       AS pc_micro,
+  CAST(CAST(cand_true AS HUGEINT) * 1000000 // n_cand AS BIGINT)
+       AS pq_micro
+FROM ca, tt
+""".format(w=_SNM_W))
+def blocking_quality_metrics(spark, sf_dir):
+    """Blocking-scheme evaluation (Christen, 'Data Matching' 2012
+    ch. 7; Elfeky, Verykios & Elmagarmid, TAILOR ICDE 2002) of the
+    registered sorted-neighborhood blocker: reduction ratio
+    RR = 1 - |cand| / C(n,2) (how much of the quadratic pair space
+    the blocker skips), pairs completeness PC = |cand AND true| /
+    |true| (the recall the blocker permits any downstream matcher),
+    and pairs quality PQ = |cand AND true| / |cand| (candidate
+    precision). Ground truth is the COMPUTABLE equivalence 'same
+    (c_nationkey, c_mktsegment)': its total pair count is
+    sum_g C(n_g, 2) straight off the group sizes — never an
+    expansion — which is what makes PC evaluable at corpus scale
+    at all (a pseudo-label truth defined only on candidates, like
+    fellegi_sunter's, cannot measure what blocking MISSED). All
+    three ratios are micro-scaled integer quotients; C(n,2) rides
+    DECIMAL(38,0)/HUGEINT (it passes BIGINT at n ~ 4.3e9).
+
+    Scale shape: candidates come from the shared _snm_candidate_
+    pairs machinery (global rank via range exchange + bounded
+    carry, window pairs as an O(n*w) equi-join) with the truth
+    attributes CARRIED through the rank so the intersection needs
+    no join back to the corpus; truth totals are one bounded
+    125-group agg; two 1-row frames cross-joined at the end."""
+    cand = _snm_candidate_pairs(spark, sf_dir,
+                                carry=("c_nationkey", "c_mktsegment"))
+    ca = cand.agg(
+        F.count("*").cast("long").alias("n_cand"),
+        F.coalesce(F.sum(F.when(
+            (F.col("c_nationkey_a") == F.col("c_nationkey_b"))
+            & (F.col("c_mktsegment_a") == F.col("c_mktsegment_b")), 1)),
+            F.lit(0)).cast("long").alias("cand_true"))
+    g = (t(spark, sf_dir, "customer")
+         .groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count("*").alias("ng")))
+    tt = g.agg(
+        F.coalesce(F.sum(F.expr("ng * (ng - 1) DIV 2")), F.lit(0))
+        .cast("long").alias("n_true"),
+        F.coalesce(F.sum("ng"), F.lit(0)).cast("long").alias("n"))
+    return (ca.crossJoin(F.broadcast(tt))
+            .select(
+                "n", "n_cand", "n_true", "cand_true",
+                F.expr("CAST((CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 "
+                       "- n_cand) * 1000000 DIV (CAST(n AS DECIMAL(38,0))"
+                       " * (n - 1) DIV 2) AS BIGINT)").alias("rr_micro"),
+                F.expr("CAST(CAST(cand_true AS DECIMAL(38,0)) * 1000000 "
+                       "DIV n_true AS BIGINT)").alias("pc_micro"),
+                F.expr("CAST(CAST(cand_true AS DECIMAL(38,0)) * 1000000 "
+                       "DIV n_cand AS BIGINT)").alias("pq_micro")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2287,3 +2287,25 @@ def test_welch_t_drift_hand(spark, tmp_path):
             os.path.join(d, "documents.parquet"))
         r = QUERIES["welch_t_drift"](spark, d).collect()[0]
         assert (r["n1"], r["n2"], r["sign"], r["t2_micro"]) == want, (sub, r)
+
+
+def test_blocking_quality_metrics_hand(spark, tmp_path):
+    """Five customers with balance = rank order 1..5 and w = 3:
+    candidates = all pairs except the gap-4 pair (1,5) -> n_cand 9,
+    RR = 1/10 -> 100000. Truth groups: {c1, c5} (nation 0 / seg A,
+    rank gap 4 -> MISSED by blocking) and {c2, c3} (nation 1 /
+    seg B, adjacent -> found): n_true 2, cand_true 1, PC = 500000,
+    PQ = 1e6 // 9 = 111111."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(1, 10.0, 0, "A"), (2, 20.0, 1, "B"), (3, 30.0, 1, "B"),
+            (4, 40.0, 2, "C"), (5, 50.0, 0, "A")]
+    pd.DataFrame(rows, columns=["c_custkey", "c_acctbal", "c_nationkey",
+                                "c_mktsegment"]).to_parquet(
+        os.path.join(str(tmp_path), "customer.parquet"))
+    r = QUERIES["blocking_quality_metrics"](spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["n_cand"], r["n_true"], r["cand_true"],
+            r["rr_micro"], r["pc_micro"], r["pq_micro"]) == \
+        (5, 9, 2, 1, 100000, 500000, 111111), r
