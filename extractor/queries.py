@@ -12626,6 +12626,90 @@ def blocking_quality_metrics(spark, sf_dir):
                        "DIV n_cand AS BIGINT)").alias("pq_micro")))
 
 
+_ZONE_KEYS = 64  # orderkeys per zone (models a row group / data file)
+
+
+@_q("zonemap_prune_audit", sql="""
+WITH li AS (SELECT l_orderkey // {zk} AS zone,
+                   CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS d
+            FROM lineitem),
+z AS (SELECT zone, min(d) AS zmin, max(d) AS zmax, count(*) AS nrows
+      FROM li GROUP BY zone),
+p AS (SELECT * FROM (VALUES
+  ('y1996', DATE '1996-01-01' - DATE '1970-01-01',
+            DATE '1996-12-31' - DATE '1970-01-01'),
+  ('m199806', DATE '1998-06-01' - DATE '1970-01-01',
+              DATE '1998-06-30' - DATE '1970-01-01'),
+  ('d20000101', DATE '2000-01-01' - DATE '1970-01-01',
+                DATE '2000-01-01' - DATE '1970-01-01'),
+  ('all', 0, 30000)) AS t(pred_id, lo, hi))
+SELECT pred_id,
+  CAST(count(*) AS BIGINT) AS n_zones,
+  CAST(sum(CASE WHEN zmax < lo OR zmin > hi THEN 1 ELSE 0 END)
+       AS BIGINT) AS zones_pruned,
+  CAST(sum(nrows) AS BIGINT) AS rows_total,
+  CAST(sum(CASE WHEN zmax < lo OR zmin > hi THEN 0 ELSE nrows END)
+       AS BIGINT) AS rows_scanned,
+  CAST(sum(CASE WHEN zmax < lo OR zmin > hi THEN 1 ELSE 0 END)
+       * 1000000 // count(*) AS BIGINT) AS prune_ppm
+FROM z, p GROUP BY pred_id
+""".format(zk=_ZONE_KEYS))
+def zonemap_prune_audit(spark, sf_dir):
+    """Zone-map (min/max data-skipping) effectiveness audit — the
+    mechanism behind parquet row-group statistics, Iceberg file-
+    level bounds, and Netezza/Snowflake zone maps (Moerkotte,
+    'Small Materialized Aggregates', VLDB 1998): bucket the table
+    into zones of _ZONE_KEYS orderkeys (modeling row groups in WRITE
+    order), record each zone's min/max l_shipdate, and evaluate a
+    literal predicate panel — a zone is PRUNED iff zone_max < lo OR
+    zone_min > hi, the exact interval-disjointness test a reader's
+    planner runs against footer stats. Emits per predicate the zone
+    and row counts a scan would skip, as exact integers. This is
+    the QUANTIFIER for the layout operators: on date-uncorrelated
+    orderkey layout the corpus prune rates are poor BY CONSTRUCTION
+    (TPC-H ship dates are independent of key order) — exactly the
+    number Z-order/Hilbert re-layout (hilbert_write, job Z-order)
+    exists to move, and the audit is how you prove the re-layout
+    paid for itself without re-reading the data.
+
+    Scale shape: zone stats fold in ONE map-side-combinable groupBy
+    to corpus/_ZONE_KEYS rows (in a real lake these come free from the
+    manifest — here computed from raw as the audit); the 4-predicate
+    panel is a broadcast cross over the METADATA-sized zone frame;
+    final shape is one bounded |P|-group agg. Nothing corpus-wide
+    happens after the first fold."""
+    import datetime as _dt
+
+    def _d(y, m, dd):
+        return (_dt.date(y, m, dd) - _dt.date(1970, 1, 1)).days
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.expr("l_orderkey DIV {}".format(_ZONE_KEYS)).alias("zone"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01"))
+        .alias("d"))
+    z = li.groupBy("zone").agg(F.min("d").alias("zmin"),
+                               F.max("d").alias("zmax"),
+                               F.count("*").alias("nrows"))
+    p = spark.createDataFrame(
+        [("y1996", _d(1996, 1, 1), _d(1996, 12, 31)),
+         ("m199806", _d(1998, 6, 1), _d(1998, 6, 30)),
+         ("d20000101", _d(2000, 1, 1), _d(2000, 1, 1)),
+         ("all", 0, 30000)],
+        "pred_id string, lo long, hi long")
+    pruned = F.when((F.col("zmax") < F.col("lo"))
+                    | (F.col("zmin") > F.col("hi")), 1).otherwise(0)
+    return (z.crossJoin(F.broadcast(p))
+            .groupBy("pred_id")
+            .agg(F.count("*").cast("long").alias("n_zones"),
+                 F.sum(pruned).cast("long").alias("zones_pruned"),
+                 F.sum("nrows").cast("long").alias("rows_total"),
+                 F.sum(F.when(pruned == 1, 0).otherwise(F.col("nrows")))
+                 .cast("long").alias("rows_scanned"),
+                 F.expr("CAST(sum(CASE WHEN zmax < lo OR zmin > hi "
+                        "THEN 1 ELSE 0 END) * 1000000 DIV count(*) "
+                        "AS BIGINT)").alias("prune_ppm")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2309,3 +2309,38 @@ def test_blocking_quality_metrics_hand(spark, tmp_path):
     assert (r["n"], r["n_cand"], r["n_true"], r["cand_true"],
             r["rr_micro"], r["pc_micro"], r["pq_micro"]) == \
         (5, 9, 2, 1, 100000, 500000, 111111), r
+
+
+def test_zonemap_prune_audit_hand(spark, tmp_path):
+    """Three zones of 64 orderkeys: zone 0 all 1996-05-05, zone 1
+    all 1998-06-15, zone 2 spans 1995-01-01..2001-01-01 (overlaps
+    every predicate). y1996 prunes zone 1 only; m199806 prunes
+    zone 0 only; d20000101 prunes zones 0 and 1; 'all' prunes
+    nothing. Row counts follow (64 rows/zone)."""
+    import datetime
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = []
+    for k in range(64):
+        rows.append((k, datetime.datetime(1996, 5, 5)))
+    for k in range(64, 128):
+        rows.append((k, datetime.datetime(1998, 6, 15)))
+    for i, k in enumerate(range(128, 192)):
+        rows.append((k, datetime.datetime(1995, 1, 1)
+                     + datetime.timedelta(days=i * 34)))  # ..2000-11
+    rows[-1] = (191, datetime.datetime(2001, 1, 1))
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_shipdate"])
+    df["l_shipdate"] = df["l_shipdate"].astype("datetime64[us]")
+    df.to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = {r["pred_id"]: r for r in
+           QUERIES["zonemap_prune_audit"](spark, str(tmp_path)).collect()}
+    assert len(out) == 4
+    for pid, (zp, rs, ppm) in {
+            "y1996": (1, 128, 333333), "m199806": (1, 128, 333333),
+            "d20000101": (2, 64, 666666), "all": (0, 192, 0)}.items():
+        r = out[pid]
+        assert (r["n_zones"], r["zones_pruned"], r["rows_total"],
+                r["rows_scanned"], r["prune_ppm"]) == \
+            (3, zp, 192, rs, ppm), (pid, r)
