@@ -4317,6 +4317,17 @@ def embedding_logreg_inference(spark, sf_dir):
     sequential list_dot_product differ by <= ~dim ulps; the margin
     test pins every score's distance to the rounding boundary and to
     the 0.5 decision threshold far above that."""
+    return _logreg_scored(spark, sf_dir).select(
+        "vec_id", F.round("s", 6).alias("score_r"),
+        (F.col("s") >= 0.5).cast("long").alias("pred"))
+
+
+def _logreg_scored(spark, sf_dir):
+    """The fixed-weight logreg scoring pass shared by
+    embedding_logreg_inference (emits scores/decisions) and
+    confusion_matrix_eval (scores against the gold label in the SAME
+    single pass — no join-back to the corpus). Returns (vec_id,
+    label, s)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -4333,11 +4344,9 @@ def embedding_logreg_inference(spark, sf_dir):
     score = pandas_udf(_score_fn, "double")
 
     e = t(spark, sf_dir, "embeddings")
-    return (e.select("vec_id",
-                     score(F.col("embedding").cast("array<double>"))
-                     .alias("s"))
-            .select("vec_id", F.round("s", 6).alias("score_r"),
-                    (F.col("s") >= 0.5).cast("long").alias("pred")))
+    return e.select("vec_id", "label",
+                    score(F.col("embedding").cast("array<double>"))
+                    .alias("s"))
 
 
 # ===========================================================================
@@ -12708,6 +12717,87 @@ def zonemap_prune_audit(spark, sf_dir):
                  F.expr("CAST(sum(CASE WHEN zmax < lo OR zmin > hi "
                         "THEN 1 ELSE 0 END) * 1000000 DIV count(*) "
                         "AS BIGINT)").alias("prune_ppm")))
+
+
+@_q("confusion_matrix_eval", sql="""
+WITH w AS (SELECT list_transform(range(0, 64),
+                                 j -> ((j * 37 % 19) - 9) / 10.0) AS wv),
+s AS (SELECT CAST(1 / (1 + exp(-(list_dot_product(embedding::DOUBLE[], wv)
+                                 + (-0.2)))) >= 0.5 AS INT) AS pred,
+             CAST(label % 2 AS INT) AS gold
+      FROM embeddings, w),
+c AS (SELECT
+  CAST(sum(CASE WHEN pred = 1 AND gold = 1 THEN 1 ELSE 0 END)
+       AS BIGINT) AS tp,
+  CAST(sum(CASE WHEN pred = 1 AND gold = 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS fp,
+  CAST(sum(CASE WHEN pred = 0 AND gold = 1 THEN 1 ELSE 0 END)
+       AS BIGINT) AS fn,
+  CAST(sum(CASE WHEN pred = 0 AND gold = 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS tn
+ FROM s)
+SELECT tp, fp, fn, tn,
+  CAST(CASE WHEN tp + fp = 0 THEN -1
+            ELSE tp * 1000000 // (tp + fp) END AS BIGINT)
+       AS precision_micro,
+  CAST(CASE WHEN tp + fn = 0 THEN -1
+            ELSE tp * 1000000 // (tp + fn) END AS BIGINT)
+       AS recall_micro,
+  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN -1
+            ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS BIGINT)
+       AS f1_micro,
+  CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
+       AS accuracy_micro
+FROM c
+""")
+def confusion_matrix_eval(spark, sf_dir):
+    """Confusion matrix + precision / recall / F1 / accuracy of the
+    registered fixed-weight logreg decision against the binarized
+    gold label (label mod 2) — the threshold-metric member of the
+    model-evaluation family (auc_mann_whitney pins ranking power,
+    calibration_bins reliability, cohens_kappa chance-corrected
+    agreement; this pins the operating point). The four cells are
+    exact BIGINT counts from ONE conditional agg; the derived rates
+    are micro-scaled integer quotients with the -1 sentinel for an
+    undefined ratio (all-negative predictions make precision 0/0 —
+    the good_turing convention for undefined-vs-zero). The synthetic
+    gold is independent of the score BY CONSTRUCTION, so corpus
+    metrics sit near chance — mechanism pinned, not model quality
+    (the decision_stump convention); the hand fixture plants a
+    known matrix and checks every cell and rate exactly.
+
+    Scale shape: scoring is the shared _logreg_scored pass
+    (broadcast weights, one Arrow matmul per batch, ZERO shuffles)
+    with the gold label carried through the SAME projection — no
+    join-back to the corpus — then one 4-counter partial-agg fold
+    to a single row. Decision determinism across engines rides on
+    the inference margin test (every corpus score's distance to the
+    0.5 threshold is pinned far above matmul-order FP noise)."""
+    s = _logreg_scored(spark, sf_dir).select(
+        (F.col("s") >= 0.5).cast("int").alias("pred"),
+        (F.col("label") % 2).cast("int").alias("gold"))
+    c = s.agg(
+        F.sum(F.when((F.col("pred") == 1) & (F.col("gold") == 1), 1)
+              .otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("gold") == 0), 1)
+              .otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("gold") == 1), 1)
+              .otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("gold") == 0), 1)
+              .otherwise(0)).cast("long").alias("tn"))
+    return c.select(
+        "tp", "fp", "fn", "tn",
+        F.expr("CAST(CASE WHEN tp + fp = 0 THEN -1 ELSE "
+               "tp * 1000000 DIV (tp + fp) END AS BIGINT)")
+        .alias("precision_micro"),
+        F.expr("CAST(CASE WHEN tp + fn = 0 THEN -1 ELSE "
+               "tp * 1000000 DIV (tp + fn) END AS BIGINT)")
+        .alias("recall_micro"),
+        F.expr("CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN -1 ELSE "
+               "2 * tp * 1000000 DIV (2 * tp + fp + fn) END AS BIGINT)")
+        .alias("f1_micro"),
+        F.expr("CAST((tp + tn) * 1000000 DIV (tp + fp + fn + tn) "
+               "AS BIGINT)").alias("accuracy_micro"))
 
 
 # ===========================================================================

@@ -2344,3 +2344,44 @@ def test_zonemap_prune_audit_hand(spark, tmp_path):
         assert (r["n_zones"], r["zones_pruned"], r["rows_total"],
                 r["rows_scanned"], r["prune_ppm"]) == \
             (3, zp, 192, rs, ppm), (pid, r)
+
+
+def test_confusion_matrix_eval_hand(spark, tmp_path):
+    """Control the decision through dimension 0 (w_0 = -0.9, bias
+    -0.2): x = [-1, 0...] -> z = 0.7 -> pred 1; x = [+1, 0...] ->
+    z = -1.1 -> pred 0. Planted matrix tp=3 fp=1 fn=2 tn=4 ->
+    precision 750000, recall 600000, F1 666666, accuracy 700000.
+    All-positive-x fixture predicts all-negative: tp+fp = 0 pins
+    the -1 undefined-precision sentinel with recall/F1 exactly 0."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    def vec(c):
+        return [float(c)] + [0.0] * 63
+
+    d1 = os.path.join(str(tmp_path), "a")
+    os.makedirs(d1)
+    rows = ([(i, vec(-1), 1) for i in range(3)]           # tp
+            + [(10, vec(-1), 2)]                          # fp
+            + [(20 + i, vec(1), 3) for i in range(2)]     # fn
+            + [(30 + i, vec(1), 4) for i in range(4)])    # tn
+    pd.DataFrame(rows, columns=["vec_id", "embedding",
+                                "label"]).to_parquet(
+        os.path.join(d1, "embeddings.parquet"))
+    r = QUERIES["confusion_matrix_eval"](spark, d1).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 1, 2, 4), r
+    assert (r["precision_micro"], r["recall_micro"], r["f1_micro"],
+            r["accuracy_micro"]) == (750000, 600000, 666666, 700000), r
+
+    d2 = os.path.join(str(tmp_path), "b")
+    os.makedirs(d2)
+    rows2 = [(0, vec(1), 1), (1, vec(1), 1), (2, vec(1), 2)]
+    pd.DataFrame(rows2, columns=["vec_id", "embedding",
+                                 "label"]).to_parquet(
+        os.path.join(d2, "embeddings.parquet"))
+    r2 = QUERIES["confusion_matrix_eval"](spark, d2).collect()[0]
+    assert (r2["tp"], r2["fp"], r2["fn"], r2["tn"]) == (0, 0, 2, 1), r2
+    assert (r2["precision_micro"], r2["recall_micro"],
+            r2["f1_micro"], r2["accuracy_micro"]) == \
+        (-1, 0, 0, 333333), r2
