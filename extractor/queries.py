@@ -12800,6 +12800,72 @@ def confusion_matrix_eval(spark, sf_dir):
                "AS BIGINT)").alias("accuracy_micro"))
 
 
+@_q("source_vocab_jaccard", sql=r"""
+WITH toks AS (SELECT source,
+                     unnest(list_filter(string_split_regex(lower(text),
+                            '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS w
+              FROM documents),
+sv AS (SELECT DISTINCT source, w FROM toks),
+vs AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM sv GROUP BY 1),
+inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT i.source_a, i.source_b, i.inter,
+       va.v AS vocab_a, vb.v AS vocab_b,
+       CAST(i.inter * 1000000 // (va.v + vb.v - i.inter) AS BIGINT)
+            AS jaccard_micro
+FROM inter i JOIN vs va ON va.source = i.source_a
+             JOIN vs vb ON vb.source = i.source_b
+""")
+def source_vocab_jaccard(spark, sf_dir):
+    """Exact pairwise VOCABULARY Jaccard between sources — the
+    corpus-comparison matrix behind source-mixing decisions (which
+    crawls are redundant, which add genuinely new language), and the
+    exact ground truth the KMV sketch pair (theta_kmv_intersect)
+    approximates: J(a,b) = |V_a INTERSECT V_b| / |V_a UNION V_b|
+    over distinct word sets, emitted as exact counts + the micro
+    quotient (union by inclusion-exclusion — never a second join).
+
+    Scale shape: tokens collapse to DISTINCT (source, word) FIRST —
+    the frame is vocabulary-x-presence sized, not token sized — then
+    the intersection is a self-equi-join ON THE WORD whose fan-out
+    is structurally bounded by C(|sources|, 2) = 190 pairs per word
+    (a stopword present in all 20 sources emits 190 rows, bounded,
+    never quadratic in the corpus); per-source vocab sizes are one
+    agg on the same distinct frame, joined back onto the 190-row
+    result. Only pairs with a nonempty intersection emit (inter >
+    0 by join construction) — an absent pair IS the zero row, the
+    sparse convention. At 100 TB the distinct fold is the only
+    corpus-scale stage; everything after is vocabulary-scale."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                           lambda x: x != "")).alias("w"))
+    sv = toks.select("source", "w").distinct().persist()
+    vs = sv.groupBy("source").agg(F.count("*").alias("v"))
+    a = sv.select(F.col("source").alias("source_a"), "w")
+    b = sv.select(F.col("source").alias("source_b"), "w")
+    inter = (a.join(b, "w")
+             .where(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count("*").alias("inter")))
+    va = vs.select(F.col("source").alias("source_a"),
+                   F.col("v").alias("vocab_a"))
+    vb = vs.select(F.col("source").alias("source_b"),
+                   F.col("v").alias("vocab_b"))
+    return (inter.join(F.broadcast(va), "source_a")
+            .join(F.broadcast(vb), "source_b")
+            .select("source_a", "source_b",
+                    F.col("inter").cast("long").alias("inter"),
+                    F.col("vocab_a").cast("long").alias("vocab_a"),
+                    F.col("vocab_b").cast("long").alias("vocab_b"),
+                    F.expr("CAST(inter * 1000000 DIV "
+                           "(vocab_a + vocab_b - inter) AS BIGINT)")
+                    .alias("jaccard_micro")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2385,3 +2385,26 @@ def test_confusion_matrix_eval_hand(spark, tmp_path):
     assert (r2["precision_micro"], r2["recall_micro"],
             r2["f1_micro"], r2["accuracy_micro"]) == \
         (-1, 0, 0, 333333), r2
+
+
+def test_source_vocab_jaccard_hand(spark, tmp_path):
+    """srcA vocab {a,b,c} (case-folded), srcB {b,c,d}, srcC {x}:
+    only (srcA, srcB) emits — inter 2, vocabs 3/3, J = 2/4 ->
+    500000; the zero-overlap pairs are ABSENT rows by the sparse
+    convention."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "a B b c", "en", "srcA", 7),
+            (1, "b c d", "en", "srcB", 5),
+            (2, "x", "en", "srcC", 1)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = QUERIES["source_vocab_jaccard"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"], r["inter"], r["vocab_a"],
+            r["vocab_b"], r["jaccard_micro"]) == \
+        ("srcA", "srcB", 2, 3, 3, 500000), r
