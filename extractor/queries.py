@@ -12866,6 +12866,72 @@ def source_vocab_jaccard(spark, sf_dir):
                     .alias("jaccard_micro")))
 
 
+def _fd_audit_sql(fd_id, table, x, y):
+    return """
+SELECT '{fd}' AS fd_id,
+       CAST(sum(n_x) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n_x - mx) AS BIGINT) AS violations,
+       CAST(sum(n_x - mx) * 1000000 // sum(n_x) AS BIGINT)
+            AS violation_ppm,
+       CAST(CASE WHEN sum(n_x - mx) = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS holds
+FROM (SELECT {x}, sum(nxy) AS n_x, max(nxy) AS mx
+      FROM (SELECT {x}, {y}, count(*) AS nxy FROM {t}
+            GROUP BY {x}, {y})
+      GROUP BY {x})""".format(fd=fd_id, t=table, x=x, y=y)
+
+
+_FD_PANEL = (
+    ("nation_region", "nation", "n_nationkey", "n_regionkey"),
+    ("cust_segment", "customer", "c_nationkey", "c_mktsegment"),
+    ("cust_priority", "orders", "o_custkey", "o_orderpriority"),
+)
+
+
+@_q("fd_violation_audit",
+    sql="\nUNION ALL\n".join(_fd_audit_sql(*fd) for fd in _FD_PANEL))
+def fd_violation_audit(spark, sf_dir):
+    """Functional-dependency violation audit (the g3 error measure of
+    Kivinen & Mannila 1995, the one TANE / FDep-style FD discovery
+    minimizes): for each candidate FD X -> Y in a literal panel,
+    violations = sum_x (n_x - max_y n_xy) — the MINIMUM number of
+    rows whose Y must change for the dependency to hold exactly, the
+    standard repair-distance semantics. Panel: nation_region
+    (n_nationkey -> n_regionkey, holds by schema), cust_segment
+    (c_nationkey -> c_mktsegment, fails broadly — nations span
+    segments), cust_priority (o_custkey -> o_orderpriority, fails —
+    a customer places orders at many priorities). Counts are exact
+    BIGINTs; the violation rate is a micro quotient; holds is the
+    exact zero test. The data-profiling member of the DQ family
+    next to dq_expectations (rule assertions) and
+    referential_integrity_audit (FK orphans).
+
+    Scale shape per FD: ONE (X, Y) partial-agg groupBy (map-side
+    combinable — the only corpus-scale stage), ONE (X) re-agg on the
+    group frame, ONE 1-row fold; the three FDs union three
+    independent 1-row plans, no joins anywhere. g3 is
+    partitioning-invariant by construction (pure aggregation)."""
+    out = None
+    for fd_id, table, x, y in _FD_PANEL:
+        xy = (t(spark, sf_dir, table).groupBy(x, y)
+              .agg(F.count("*").alias("nxy")))
+        gx = xy.groupBy(x).agg(F.sum("nxy").alias("n_x"),
+                               F.max("nxy").alias("mx"))
+        row = gx.agg(
+            F.lit(fd_id).alias("fd_id"),
+            F.sum("n_x").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(F.col("n_x") - F.col("mx")).cast("long")
+            .alias("violations"),
+            F.expr("CAST(sum(n_x - mx) * 1000000 DIV sum(n_x) "
+                   "AS BIGINT)").alias("violation_ppm"),
+            F.expr("CAST(CASE WHEN sum(n_x - mx) = 0 THEN 1 ELSE 0 END "
+                   "AS BIGINT)").alias("holds"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2408,3 +2408,39 @@ def test_source_vocab_jaccard_hand(spark, tmp_path):
     assert (r["source_a"], r["source_b"], r["inter"], r["vocab_a"],
             r["vocab_b"], r["jaccard_micro"]) == \
         ("srcA", "srcB", 2, 3, 3, 500000), r
+
+
+def test_fd_violation_audit_hand(spark, tmp_path):
+    """Hand g3: nation rows (0,0),(0,0),(0,1),(1,2) -> group x=0
+    needs 1 repair (max_y count 2 of 3), x=1 clean: violations 1 of
+    4 rows -> 250000 ppm, holds 0. customer is constructed to HOLD
+    (each nation one segment) -> violations 0, holds 1. orders: one
+    customer with priorities {A,A,B} -> 1 violation of 3."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    d = str(tmp_path)
+    pd.DataFrame([(0, 0), (0, 0), (0, 1), (1, 2)],
+                 columns=["n_nationkey", "n_regionkey"]).to_parquet(
+        os.path.join(d, "nation.parquet"))
+    pd.DataFrame([(1, 0, "A"), (2, 0, "A"), (3, 1, "B")],
+                 columns=["c_custkey", "c_nationkey",
+                          "c_mktsegment"]).to_parquet(
+        os.path.join(d, "customer.parquet"))
+    pd.DataFrame([(1, 7, "A"), (2, 7, "A"), (3, 7, "B")],
+                 columns=["o_orderkey", "o_custkey",
+                          "o_orderpriority"]).to_parquet(
+        os.path.join(d, "orders.parquet"))
+    out = {r["fd_id"]: r for r in
+           QUERIES["fd_violation_audit"](spark, d).collect()}
+    assert len(out) == 3
+    r = out["nation_region"]
+    assert (r["n_rows"], r["n_groups"], r["violations"],
+            r["violation_ppm"], r["holds"]) == (4, 2, 1, 250000, 0), r
+    r = out["cust_segment"]
+    assert (r["n_rows"], r["n_groups"], r["violations"], r["holds"]) == \
+        (3, 2, 0, 1), r
+    r = out["cust_priority"]
+    assert (r["n_rows"], r["n_groups"], r["violations"],
+            r["violation_ppm"], r["holds"]) == (3, 1, 1, 333333, 0), r
