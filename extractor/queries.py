@@ -12932,6 +12932,205 @@ def fd_violation_audit(spark, sf_dir):
     return out
 
 
+@_q("cogroup_asof_enrich", sql="""
+SELECT c.event_id, COALESCE(p.event_id, -1) AS prior_purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""")
+def cogroup_asof_enrich(spark, sf_dir):
+    """AS-OF enrichment via ``groupBy().cogroup().applyInPandas`` —
+    the ONE Python execution surface Spark offers that the repo had
+    not yet pinned (FlatMapCoGroupsInPandas, SPARK-27463; the others
+    — pandas_udf, mapInPandas, applyInPandas, applyInPandasWithState,
+    transformWithStateInPandas, mapInArrow, applyInArrow, UDTF,
+    Python DataSource — are all covered). Semantics are IDENTICAL to
+    j9_asof_join (same oracle SQL, differential-locked in tests):
+    for every click, the same user's latest purchase at or before
+    the click, equal-timestamp purchases pre-collapsed JVM-side to
+    max event_id (removing DuckDB's unconstrained ASOF tie pick),
+    missing prior -> -1. Per cogroup key the kernel is
+    ``pd.merge_asof`` (direction='backward', exact matches allowed)
+    over Arrow-transferred batches — vectorized, no per-row Python.
+
+    j9's union+window formulation stays the production path (pure
+    JVM, one shuffle total); this twin exists because cogroup is the
+    right surface when the per-key kernel genuinely needs BOTH
+    groups as materialized frames (model scoring against a per-key
+    reference series, drift vs a per-key baseline) — the as-of
+    kernel makes it differentially checkable against a native plan.
+
+    Scale shape: ONE shuffle per side on user_id (the cogroup
+    exchange), per-key memory bounded by that user's clicks +
+    collapsed purchases — the same bound as the window formulation;
+    the purchase collapse is a map-side-combinable groupBy. Skew
+    bound: the hottest user's frame, not the corpus (the
+    hot-conversation class the extraction job salts against —
+    acceptable here because per-user event counts are bounded by
+    sessionization upstream)."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events")
+    clicks = (ev.where("event_type = 'click'")
+              .select("user_id", "ts", "event_id"))
+    # p_ts, NOT ts: both sides derive from the SAME scan, so an
+    # unaliased ts shares its exprId across the cogroup and the
+    # planner's attribute dedup can DROP it from the right-side
+    # Arrow batch (observed: right arrives as [user_id, p_id]) —
+    # distinct names on the non-key columns make the transfer
+    # schema unambiguous
+    purch = (ev.where("event_type = 'purchase'")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("p_id"))
+             .select("user_id", F.col("ts").alias("p_ts"), "p_id"))
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "prior_purchase_id":
+                                 pd.Series([], dtype="int64")})
+        l = left.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        if len(right) == 0:
+            return pd.DataFrame({
+                "event_id": l["event_id"].astype("int64"),
+                "prior_purchase_id": pd.Series(-1, index=l.index,
+                                               dtype="int64")})
+        r = (right[["p_ts", "p_id"]].sort_values("p_ts", kind="mergesort")
+             .reset_index(drop=True))
+        m = pd.merge_asof(l, r, left_on="ts", right_on="p_ts",
+                          direction="backward", allow_exact_matches=True)
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "prior_purchase_id": m["p_id"].fillna(-1).astype("int64")})
+
+    return (clicks.groupBy("user_id").cogroup(purch.groupBy("user_id"))
+            .applyInPandas(merge, "event_id long, prior_purchase_id long"))
+
+
+@_q("l_diversity_audit", sql="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS l_distinct,
+       CAST(CASE WHEN count(DISTINCT o_custkey) < 3 THEN 1 ELSE 0 END
+            AS INT) AS at_risk
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus, month(o_orderdate)
+""")
+def l_diversity_audit(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    homogeneity-attack companion to k_anonymity_audit: a quasi-
+    identifier group can pass k-anonymity (n >= k) and still leak if
+    every record shares ONE sensitive value (l = 1 means an attacker
+    who links any group member learns the sensitive attribute with
+    certainty). Per quasi-group (o_orderpriority, o_orderstatus,
+    order month), l = exact distinct count of the sensitive
+    attribute (o_custkey); groups with distinct-l < 3 are flagged.
+    Distinct-l is the paper's first (and only exactly-computable-in-
+    integers) instantiation; entropy-l needs logs and is covered in
+    spirit by the char_entropy/source_kl machinery.
+
+    Scale shape: count(DISTINCT) plans as the standard two-level
+    aggregate — partial-agg'd expand on (quasi, sensitive), then the
+    quasi-key re-agg — two map-side-combinable shuffles, no joins,
+    partitioning-invariant. The at-risk rows are small by definition
+    (that is what the flag means), so the downstream suppression
+    join touches almost nothing."""
+    o = t(spark, sf_dir, "orders")
+    ld = F.countDistinct("o_custkey")
+    return (o.groupBy("o_orderpriority", "o_orderstatus",
+                      F.month("o_orderdate").cast("long")
+                      .alias("order_month"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 ld.cast("long").alias("l_distinct"),
+                 F.when(ld < 3, 1).otherwise(0).cast("int")
+                 .alias("at_risk")))
+
+
+_AP_PARTS = 32  # range partitions for the global rank/prefix scan
+
+
+@_q("average_precision_eval", sql="""
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS k
+  FROM documents),
+c AS (SELECT rel, k,
+             sum(rel) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+      FROM d)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(rel) AS BIGINT) AS n_pos,
+       CAST(CASE WHEN sum(rel) = 0 THEN -1
+                 ELSE sum(rel * ((1000000 * cp) // k)) // sum(rel)
+            END AS BIGINT) AS ap_micro,
+       CAST(1000000 * sum(CASE WHEN k <= 100 THEN rel ELSE 0 END)
+            // least(100, count(*)) AS BIGINT) AS p_at_100_micro
+FROM c
+""")
+def average_precision_eval(spark, sf_dir):
+    """Average precision (the area under the precision-recall curve
+    in its TREC/IR-textbook non-interpolated form — Manning,
+    Raghavan & Schütze, IR 2008 §8.4): rank documents by the integer
+    relevance score n_chars (descending, doc_id tie-break — the same
+    integer-ranker trick auc_mann_whitney uses to keep the ordering
+    float-free), relevance = lang='en', and AP = mean over relevant
+    ranks k of precision@k = cum_pos(k)/k. The PR-side completion of
+    the ranking-eval family: auc_mann_whitney grades the ROC side,
+    ir_eval_ndcg the graded side, this the precision side (the one
+    that matters under class imbalance). Per-term precision is
+    floored to micro BEFORE summing ((1000000*cp) DIV k — identical
+    integer op on both engines, error < 1e-6/term vs real AP);
+    n_pos = 0 emits the -1 undefined sentinel (the good_turing
+    convention). p@100 rides along, least(100, n)-guarded.
+
+    Scale shape: NO single-partition window — global rank k and the
+    running positive count cp come from ONE order-preserving range
+    Exchange on the total key (-n_chars, doc_id) with per-partition
+    row_number/cumsum plus a bounded P-row carry collect (the
+    concurrency_sweep two-phase prefix-scan pattern; the
+    _global_rank lesson applied to BOTH the rank and the prefix
+    sum). One range exchange, one bounded collect, one 1-row agg."""
+    d = (t(spark, sf_dir, "documents")
+         .select(F.when(F.col("lang") == "en", 1).otherwise(0)
+                 .alias("rel"),
+                 (-F.col("n_chars")).alias("sk"), "doc_id"))
+    wloc = (Window.partitionBy("pid").orderBy("sk", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    part = (d.repartitionByRange(_AP_PARTS, "sk", "doc_id")
+            .sortWithinPartitions("sk", "doc_id")
+            .withColumn("pid", F.spark_partition_id())
+            .withColumn("loc_k", F.count("*").over(wloc))
+            .withColumn("loc_cp", F.sum("rel").over(wloc))
+            .persist())
+    # carry step: bounded P-row collect of per-partition totals
+    totals = {int(r["pid"]): (int(r["nk"]), int(r["np"])) for r in
+              part.groupBy("pid").agg(F.count("*").alias("nk"),
+                                      F.sum("rel").alias("np"))
+              .collect()}
+    off_k, off_p, acc_k, acc_p = {}, {}, 0, 0
+    for pid in sorted(totals):
+        off_k[pid], off_p[pid] = acc_k, acc_p
+        acc_k += totals[pid][0]
+        acc_p += totals[pid][1]
+    mk = F.create_map(*[F.lit(x) for kv in off_k.items() for x in kv])
+    mp = F.create_map(*[F.lit(x) for kv in off_p.items() for x in kv])
+    c = part.select(
+        "rel", (mk[F.col("pid")] + F.col("loc_k")).alias("k"),
+        (mp[F.col("pid")] + F.col("loc_cp")).alias("cp"))
+    return c.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rel").cast("long").alias("n_pos"),
+        F.expr("CAST(CASE WHEN sum(rel) = 0 THEN -1 "
+               "ELSE sum(rel * ((1000000 * cp) DIV k)) DIV sum(rel) "
+               "END AS BIGINT)").alias("ap_micro"),
+        F.expr("CAST(1000000 * sum(CASE WHEN k <= 100 THEN rel ELSE 0 "
+               "END) DIV least(100, count(*)) AS BIGINT)")
+        .alias("p_at_100_micro"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2444,3 +2444,108 @@ def test_fd_violation_audit_hand(spark, tmp_path):
     r = out["cust_priority"]
     assert (r["n_rows"], r["n_groups"], r["violations"],
             r["violation_ppm"], r["holds"]) == (3, 1, 1, 333333, 0), r
+
+
+def test_cogroup_asof_enrich_hand_and_differential(spark, tmp_path):
+    """Hand asof semantics through the cogroup surface: user 1 has
+    two equal-ts purchases (collapse to max id 101) and an exact-ts
+    click (inclusive >= picks 101) plus an earlier click (-1);
+    user 2 clicks with no purchases (-1); user 3 purchases only (no
+    output). Plan must be FlatMapCoGroupsInPandas. Differential:
+    byte-identical to j9_asof_join on the sf0.001 tables."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    ts = pd.Timestamp
+    rows = [
+        (100, ts("2024-01-01 00:00:10"), 1, "purchase", 1.0, "{}"),
+        (101, ts("2024-01-01 00:00:10"), 1, "purchase", 1.0, "{}"),
+        (1, ts("2024-01-01 00:00:10"), 1, "click", 0.0, "{}"),
+        (2, ts("2024-01-01 00:00:05"), 1, "click", 0.0, "{}"),
+        (3, ts("2024-01-01 00:00:07"), 2, "click", 0.0, "{}"),
+        (200, ts("2024-01-01 00:00:01"), 3, "purchase", 1.0, "{}"),
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    df = QUERIES["cogroup_asof_enrich"](spark, str(tmp_path))
+    assert "FlatMapCoGroupsInPandas" in df._jdf.queryExecution().toString()
+    got = {r["event_id"]: r["prior_purchase_id"] for r in df.collect()}
+    assert got == {1: 101, 2: -1, 3: -1}, got
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, QUERIES["cogroup_asof_enrich"](spark, sf).collect()))
+    b = sorted(map(tuple, QUERIES["j9_asof_join"](spark, sf).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_l_diversity_audit_hand(spark, tmp_path):
+    """Group (A, O, month 1): 3 orders from 2 customers -> l=2,
+    at_risk; group (B, F, month 2): 3 orders, 3 customers -> l=3,
+    safe. The k-anonymous-but-homogeneous case is the first group:
+    n=3 passes k=3 yet l<3 flags it."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    d = ts = pd.Timestamp
+    rows = [
+        (1, 10, "O", 1.0, d("2024-01-05"), "A"),
+        (2, 10, "O", 1.0, d("2024-01-15"), "A"),
+        (3, 11, "O", 1.0, d("2024-01-25"), "A"),
+        (4, 20, "F", 1.0, d("2024-02-05"), "B"),
+        (5, 21, "F", 1.0, d("2024-02-15"), "B"),
+        (6, 22, "F", 1.0, d("2024-02-25"), "B"),
+    ]
+    od = pd.DataFrame(rows, columns=["o_orderkey", "o_custkey",
+                                     "o_orderstatus", "o_totalprice",
+                                     "o_orderdate", "o_orderpriority"])
+    od["o_orderdate"] = od["o_orderdate"].astype("datetime64[us]")
+    od.to_parquet(os.path.join(str(tmp_path), "orders.parquet"))
+    out = {(r["o_orderpriority"], r["o_orderstatus"], r["order_month"]): r
+           for r in QUERIES["l_diversity_audit"](spark, str(tmp_path))
+           .collect()}
+    assert len(out) == 2
+    r = out[("A", "O", 1)]
+    assert (r["n"], r["l_distinct"], r["at_risk"]) == (3, 2, 1), r
+    r = out[("B", "F", 2)]
+    assert (r["n"], r["l_distinct"], r["at_risk"]) == (3, 3, 0), r
+
+
+def test_average_precision_eval_hand(spark, tmp_path):
+    """Ranking (n_chars desc, doc_id tie-break): docs 0..4 with
+    chars 50,40,40,20,10 and langs en,de,en,de,en -> rel at ranks
+    1,3,5 (docs 1 and 2 tie on 40; doc_id orders doc 1 first).
+    AP terms: 1000000//1 + 2000000//3 + 3000000//5
+    = 1000000+666666+600000 = 2266666; //3 = 755555.
+    p@100 over all 5 rows: 1000000*3//5 = 600000."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "a", "en", "s", 50),
+            (1, "b", "de", "s", 40),
+            (2, "c", "en", "s", 40),
+            (3, "d", "de", "s", 20),
+            (4, "e", "en", "s", 10)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    r = QUERIES["average_precision_eval"](spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["n_pos"], r["ap_micro"], r["p_at_100_micro"]) == \
+        (5, 3, 755555, 600000), r
+
+
+def test_average_precision_eval_no_positives_sentinel(spark, tmp_path):
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "a", "de", "s", 50), (1, "b", "fr", "s", 40)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    r = QUERIES["average_precision_eval"](spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["n_pos"], r["ap_micro"]) == (2, 0, -1), r
