@@ -13131,6 +13131,394 @@ def average_precision_eval(spark, sf_dir):
         .alias("p_at_100_micro"))
 
 
+def _two_phase_prefix(df, order_cols, sum_cols, n_parts=32):
+    """Global 1-based row index (``gidx``) and inclusive running sums
+    (``cum_<c>``) over ``order_cols`` — which must be a TOTAL key —
+    via ONE order-preserving range Exchange, per-partition windows,
+    and a bounded P-row carry collect: the concurrency_sweep /
+    _global_rank / average_precision_eval two-phase parallel-scan
+    pattern, factored for reuse (never Exchange SinglePartition).
+    Returns (frame, totals): frame = df's columns + gidx + cum_*,
+    PERSISTED (module PERSIST NOTE — the offsets were computed from
+    the first materialization's range sampling, so recomputation
+    under fresh sampling would misalign them); totals maps 'n' and
+    each sum col to its grand total (exact Python ints)."""
+    asc = [F.asc(c) for c in order_cols]
+    wloc = (Window.partitionBy("pid").orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    part = (df.repartitionByRange(n_parts, *asc)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("pid", F.spark_partition_id())
+            .withColumn("_loc_n", F.count("*").over(wloc)))
+    for c in sum_cols:
+        part = part.withColumn("_loc_" + c, F.sum(c).over(wloc))
+    part = part.persist()
+    rows = part.groupBy("pid").agg(
+        F.count("*").alias("_n"),
+        *[F.sum(c).alias("_t_" + c) for c in sum_cols]).collect()
+    tot = {int(r["pid"]): r for r in rows}  # bounded: P rows
+    keys = ["_n"] + list(sum_cols)
+    offs = {c: {} for c in keys}
+    acc = {c: 0 for c in keys}
+    for pid in sorted(tot):
+        offs["_n"][pid] = acc["_n"]
+        acc["_n"] += int(tot[pid]["_n"])
+        for c in sum_cols:
+            offs[c][pid] = acc[c]
+            acc[c] += int(tot[pid]["_t_" + c])
+
+    def _m(d):
+        return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
+
+    out = part.withColumn("gidx", _m(offs["_n"])[F.col("pid")]
+                          + F.col("_loc_n"))
+    for c in sum_cols:
+        out = out.withColumn("cum_" + c,
+                             _m(offs[c])[F.col("pid")] + F.col("_loc_" + c))
+    totals = {"n": acc["_n"], **{c: acc[c] for c in sum_cols}}
+    return (out.drop("pid", "_loc_n", *["_loc_" + c for c in sum_cols]),
+            totals)
+
+
+_ACF_MAX_LAG = 6
+
+
+def _acf_oracle_sql():
+    branches = []
+    for k in range(1, _ACF_MAX_LAG + 1):
+        branches.append(
+            "SELECT CAST({k} AS BIGINT) AS lag, "
+            "CAST(greatest(n - {k}, 0) AS BIGINT) AS n_pairs, "
+            "CASE WHEN n <= {k} OR num0 = 0 THEN -2.0 "
+            "ELSE round(CAST(num{k} AS DOUBLE) / CAST(num0 AS DOUBLE), 6) "
+            "END AS acf_6dp FROM a".format(k=k))
+    leads = ", ".join("lead(dev, {k}) OVER w AS d{k}".format(k=k)
+                      for k in range(1, _ACF_MAX_LAG + 1))
+    nums = ", ".join("sum(dev * d{k}) AS num{k}".format(k=k)
+                     for k in range(1, _ACF_MAX_LAG + 1))
+    return r"""
+WITH h AS (SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY date_trunc('hour', ts)),
+b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+sp AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b),
+x AS (SELECT sp.hr, COALESCE(h.c, 0) AS c FROM sp LEFT JOIN h USING (hr)),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(c) AS HUGEINT) AS sc
+      FROM x),
+d AS (SELECT hr, n * c - sc AS dev, n FROM x, s),
+l AS (SELECT n, dev, """ + leads + r"""
+      FROM d WINDOW w AS (ORDER BY hr)),
+a AS (SELECT max(n) AS n, sum(dev * dev) AS num0, """ + nums + r""" FROM l)
+""" + "\nUNION ALL\n".join(branches)
+
+
+@_q("acf_lags", sql=_acf_oracle_sql())
+def acf_lags(spark, sf_dir):
+    """Sample autocorrelation function at lags 1..6 of the hourly
+    event-count series (Box & Jenkins 1970, the standard
+    full-series-mean estimator r_k = sum_t (x_t - xbar)(x_{t+k} -
+    xbar) / sum_t (x_t - xbar)^2) — the seasonality/burstiness
+    fingerprint that decides windowing and forecasting choices,
+    completing the time-series family: cusum detects level shifts,
+    mann_kendall monotone trend, seasonal_naive_mase forecasts; ACF
+    measures the memory they all assume. The series is GAP-FILLED
+    onto a complete hour spine (missing hours are real zeros, not
+    absent observations — the time_spine_gapfill discipline) so the
+    lag pairing is time-true.
+
+    Exactness: deviations carried n-scaled (n*x_t - S, an exact
+    integer in DECIMAL(38,0)/HUGEINT — the welch_t common-
+    denominator trick), so num_k and num0 are exact integers; each
+    is cast to double ONCE and divided/rounded with identical IEEE
+    ops (the corr_suffstats convention). Degenerate cases emit the
+    -2.0 sentinel (outside ACF's [-1,1] range): constant series
+    (num0 = 0) and lags with no pairs (n <= k).
+
+    Scale shape: the ONLY corpus-scale stage is the hour groupBy
+    (map-side combinable); everything after runs on the SERIES-sized
+    frame (hours grow with calendar time, not corpus size — 10^12
+    turns over a year is still ~8.8k hours), where the single-
+    partition window is a deliberate metadata-sized sort, not the
+    _global_rank trap."""
+    ev = t(spark, sf_dir, "events")
+    h = (ev.groupBy(F.date_trunc("hour", "ts").alias("hr"))
+         .agg(F.count("*").cast("long").alias("c")))
+    b = h.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    sp = b.select(F.explode(F.sequence(
+        "mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"))
+    x = sp.join(h, "hr", "left").na.fill({"c": 0})
+    s = x.agg(F.count("*").cast("decimal(38,0)").alias("n"),
+              F.sum("c").cast("decimal(38,0)").alias("sc"))
+    d = (x.crossJoin(F.broadcast(s))
+         .select("hr", "n", (F.col("n") * F.col("c") - F.col("sc"))
+                 .alias("dev")))
+    w = Window.orderBy("hr")  # series-sized frame: deliberate
+    lead_cols = [F.lead("dev", k).over(w).alias("d{}".format(k))
+                 for k in range(1, _ACF_MAX_LAG + 1)]
+    led = d.select("n", "dev", *lead_cols)
+    a = led.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("dev") * F.col("dev")).alias("num0"),
+        *[F.sum(F.col("dev") * F.col("d{}".format(k)))
+          .alias("num{}".format(k)) for k in range(1, _ACF_MAX_LAG + 1)])
+    stack_args = ", ".join(
+        "CAST({k} AS BIGINT), CAST(greatest(n - {k}, 0) AS BIGINT), "
+        "CASE WHEN n <= {k} OR num0 = 0 THEN -2.0D "
+        "ELSE round(CAST(num{k} AS DOUBLE) / CAST(num0 AS DOUBLE), 6) END"
+        .format(k=k) for k in range(1, _ACF_MAX_LAG + 1))
+    return a.select(F.expr(
+        "stack({n}, {args}) AS (lag, n_pairs, acf_6dp)".format(
+            n=_ACF_MAX_LAG, args=stack_args)))
+
+
+@_q("heaps_law_curve", sql=r"""
+WITH toks AS (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                            '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS w
+              FROM documents),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tk FROM toks
+       GROUP BY doc_id),
+fw AS (SELECT w, min(doc_id) AS fd FROM toks GROUP BY w),
+nw AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nw FROM fw
+       GROUP BY fd),
+d AS (SELECT pd.doc_id, tk, COALESCE(nw.nw, 0) AS nw
+      FROM pd LEFT JOIN nw USING (doc_id)),
+c AS (SELECT row_number() OVER (ORDER BY doc_id) AS gidx,
+             sum(tk) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctk,
+             sum(nw) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnw
+      FROM d),
+n AS (SELECT count(*) AS n FROM d),
+p AS (SELECT q, (q * n + 9) // 10 AS pos FROM generate_series(1, 10) g(q), n)
+SELECT CAST(p.q AS BIGINT) AS decile, CAST(p.pos AS BIGINT) AS pos,
+       CAST(c.ctk AS BIGINT) AS cum_tokens, CAST(c.cnw AS BIGINT) AS cum_vocab
+FROM p JOIN c ON c.gidx = p.pos
+""")
+def heaps_law_curve(spark, sf_dir):
+    """Vocabulary-growth curve (Heaps 1978 / Herdan's law, V(n) ~
+    K*n^beta — the empirical law corpus sizing decisions lean on):
+    cumulative distinct-word count vs cumulative token count at ten
+    corpus-position checkpoints in doc_id order. The growth-side
+    companion to corpus_zipf_stats (rank-frequency) and
+    good_turing_unseen_mass (the leave-one-out view of the same
+    tail): a sub-linear beta says new data stops buying vocabulary —
+    the saturation signal behind dedup/mixing decisions.
+    Tokenization is bit-identical to the LM family (_WS_CLASS lower
+    split).
+
+    Cumulative-distinct is rewritten shuffle-friendly: a word is NEW
+    exactly at its min(doc_id) (one vocabulary-sized groupBy), so
+    cum_vocab = running sum of per-doc new-word counts — never a
+    distinct-within-growing-prefix recomputation. Checkpoint
+    positions are ceil(q*N/10) = (q*N + 9) DIV 10, exact in both
+    engines; with fewer than 10 docs adjacent deciles repeat the
+    same position row BY DESIGN (always exactly 10 output rows).
+
+    Scale shape: one token-frame groupBy per side (doc-keyed counts
+    and the vocabulary-sized first-occurrence fold), one doc-sized
+    left join, then the shared _two_phase_prefix range scan (one
+    range Exchange + bounded carry collect) over the DOC-sized
+    frame; the 10-row checkpoint frame joins broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                           lambda x: x != "")).alias("w"))
+    pd_ = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("tk"))
+    fw = toks.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    nw = (fw.groupBy(F.col("fd").alias("doc_id"))
+          .agg(F.count("*").cast("long").alias("nw")))
+    d = pd_.join(nw, "doc_id", "left").na.fill({"nw": 0})
+    pref, totals = _two_phase_prefix(d, ["doc_id"], ["tk", "nw"])
+    n = totals["n"]
+    checkpoints = [(q, (q * n + 9) // 10) for q in range(1, 11)]
+    deciles = spark.createDataFrame(checkpoints, "decile long, pos long")
+    return (pref.where(F.col("gidx").isin(
+                sorted({p for _, p in checkpoints})))
+            .join(F.broadcast(deciles), F.col("gidx") == F.col("pos"))
+            .select("decile", "pos",
+                    F.col("cum_tk").cast("long").alias("cum_tokens"),
+                    F.col("cum_nw").cast("long").alias("cum_vocab")))
+
+
+@_q("ols_chars_per_token", sql=r"""
+WITH d AS (SELECT source,
+                  CAST(len(list_filter(string_split_regex(lower(text),
+                       '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS BIGINT) AS x,
+                  n_chars AS y
+           FROM documents),
+s AS (SELECT source,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM d GROUP BY source),
+k AS (SELECT source, n, sx, sy, sxx, sxy, syy,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS vx,
+             n * syy - sy * sy AS vy,
+             sy * sxx - sx * sxy AS inum
+      FROM s)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 // vx)
+                 ELSE (num * 1000000) // vx END AS BIGINT) AS slope_micro,
+       CAST(CASE WHEN inum < 0 THEN -((-inum) * 1000000 // vx)
+                 ELSE (inum * 1000000) // vx END AS BIGINT)
+         AS intercept_micro,
+       round(CAST(num AS DOUBLE)
+             / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) AS corr_6dp
+FROM k WHERE vx > 0 AND vy > 0
+""")
+def ols_chars_per_token(spark, sf_dir):
+    """Closed-form simple OLS per source — n_chars regressed on the
+    whitespace token count (slope = marginal chars per token, an
+    average-word-length/fertility proxy; intercept = fixed per-doc
+    overhead): the normal-equations one-pass b1 = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2), b0 = (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2) — the
+    regression member of the sufficient-statistics family
+    (corr_suffstats_qty_disc emits the moments; this derives the
+    fit, like SQL's regr_slope/regr_intercept but integer-exact).
+    Slope and intercept are sign-safe micro quotients over EXACT
+    integer moments in DECIMAL(38,0)/HUGEINT (the cohens_kappa
+    truncate-toward-zero convention); r rides along as corr_6dp via
+    the corr_suffstats cast-once/IEEE/round-6dp discipline.
+    Degenerate sources (zero variance on either axis — impossible in
+    the corpus, constructible in fixtures) are ABSENT rows by the
+    sparse convention, not a sentinel, since every emitted column is
+    undefined at once. Tokenization bit-identical to the LM family.
+
+    Scale shape: ONE projection (token count via a JVM split — the
+    only per-payload work) + ONE map-side-combinable six-moment
+    groupBy on source; no window, no join — the cheapest possible
+    fit at 10^12 rows, and the moments merge associatively across
+    any partitioning."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                        lambda v: v != "")).cast("long").alias("x"),
+        F.col("n_chars").alias("y"))
+    dec = "decimal(38,0)"
+    s = d.groupBy("source").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast(dec).alias("syy"))
+    k = s.select(
+        "source", "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("vx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .alias("vy"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+        .alias("inum"))
+    return (k.where("vx > 0 AND vy > 0")
+            .select("source", F.col("n").cast("long").alias("n"),
+                    F.expr("CAST(CASE WHEN num < 0 THEN "
+                           "-((-num) * 1000000 DIV vx) "
+                           "ELSE (num * 1000000) DIV vx END AS BIGINT)")
+                    .alias("slope_micro"),
+                    F.expr("CAST(CASE WHEN inum < 0 THEN "
+                           "-((-inum) * 1000000 DIV vx) "
+                           "ELSE (inum * 1000000) DIV vx END AS BIGINT)")
+                    .alias("intercept_micro"),
+                    F.round(F.col("num").cast("double")
+                            / F.sqrt(F.col("vx").cast("double")
+                                     * F.col("vy").cast("double")), 6)
+                    .alias("corr_6dp")))
+
+
+def _avg2_rank_map(vals):
+    """(value, cnt) frame -> (value, r2) where r2 = 2 * average rank
+    of the value's ties = 2*min_rank + cnt - 1, an exact INTEGER
+    (the midrank doubling trick — auc_mann_whitney's tie handling,
+    materialized as a joinable map). min_rank comes from the shared
+    _two_phase_prefix scan over the VALUE-DISTINCT frame."""
+    pref, _tot = _two_phase_prefix(vals, ["v"], ["cnt"])
+    return pref.select(
+        "v", (2 * (F.col("cum_cnt") - F.col("cnt") + 1)
+              + F.col("cnt") - 1).alias("r2"))
+
+
+@_q("spearman_qty_price", sql="""
+WITH d AS (SELECT CAST(round(l_quantity, 0) AS BIGINT) AS x,
+                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+           FROM lineitem),
+rx AS (SELECT x AS v, 2 * rank() OVER (ORDER BY x) + count(*) OVER
+              (PARTITION BY x) - 1 AS r2
+       FROM d QUALIFY row_number() OVER (PARTITION BY x ORDER BY x) = 1),
+ry AS (SELECT y AS v, 2 * rank() OVER (ORDER BY y) + count(*) OVER
+              (PARTITION BY y) - 1 AS r2
+       FROM d QUALIFY row_number() OVER (PARTITION BY y ORDER BY y) = 1),
+r AS (SELECT rx.r2 AS a, ry.r2 AS b
+      FROM d JOIN rx ON d.x = rx.v JOIN ry ON d.y = ry.v),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(a) AS HUGEINT) AS sa, CAST(sum(b) AS HUGEINT) AS sb,
+             CAST(sum(a * a) AS HUGEINT) AS saa,
+             CAST(sum(b * b) AS HUGEINT) AS sbb,
+             CAST(sum(a * b) AS HUGEINT) AS sab
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CAST(n * sab - sa * sb AS DOUBLE)
+             / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                    * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS rho_6dp
+FROM s
+""")
+def spearman_qty_price(spark, sf_dir):
+    """Spearman rank correlation (Spearman 1904) between quantity
+    and extended price over lineitem, with the tie-corrected
+    average-rank (midrank) treatment — the monotone-association
+    member of the correlation family: corr_suffstats is Pearson
+    (linear), mann_kendall is Kendall-against-time, this is rank vs
+    rank, robust to the price scale being a product of two skewed
+    factors. Midranks are carried DOUBLED (r2 = 2*min_rank + cnt -
+    1, always an exact integer — auc_mann_whitney's half-integer-
+    free tie trick), which cancels in rho; rho then follows the
+    corr_suffstats cast-once/IEEE/round-6dp determinism discipline
+    over exact DECIMAL(38,0)/HUGEINT moments (rank products are
+    O(n^2) per row, past BIGINT sums near 10^6 rows).
+
+    Scale shape: NO global sort of the corpus — each variable folds
+    to its VALUE-DISTINCT frame (one map-side-combinable groupBy),
+    min-ranks come from the shared _two_phase_prefix range scan over
+    that distinct frame (qty: ~50 rows; price: bounded by distinct
+    cents), and the rank maps join back by value (the qty map is
+    broadcast-sized by construction); one six-moment fold ends it.
+    The DuckDB twin uses rank()/QUALIFY over the same doubled-
+    midrank identity."""
+    d = t(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity", 0).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"))
+    xm = _avg2_rank_map(d.groupBy(F.col("x").alias("v"))
+                        .agg(F.count("*").alias("cnt")))
+    ym = _avg2_rank_map(d.groupBy(F.col("y").alias("v"))
+                        .agg(F.count("*").alias("cnt")))
+    r = (d.join(F.broadcast(xm.withColumnRenamed("r2", "a")),
+                d.x == xm.v)
+         .join(ym.withColumnRenamed("r2", "b"), d.y == ym.v)
+         .select("a", "b"))
+    dec = "decimal(38,0)"
+    s = r.agg(F.count("*").cast(dec).alias("n"),
+              F.sum("a").cast(dec).alias("sa"),
+              F.sum("b").cast(dec).alias("sb"),
+              F.sum(F.col("a") * F.col("a")).cast(dec).alias("saa"),
+              F.sum(F.col("b") * F.col("b")).cast(dec).alias("sbb"),
+              F.sum(F.col("a") * F.col("b")).cast(dec).alias("sab"))
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round((F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+                .cast("double")
+                / F.sqrt((F.col("n") * F.col("saa")
+                          - F.col("sa") * F.col("sa")).cast("double")
+                         * (F.col("n") * F.col("sbb")
+                            - F.col("sb") * F.col("sb")).cast("double")),
+                6).alias("rho_6dp"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -2549,3 +2549,118 @@ def test_average_precision_eval_no_positives_sentinel(spark, tmp_path):
         os.path.join(str(tmp_path), "documents.parquet"))
     r = QUERIES["average_precision_eval"](spark, str(tmp_path)).collect()[0]
     assert (r["n"], r["n_pos"], r["ap_micro"]) == (2, 0, -1), r
+
+
+def test_acf_lags_hand(spark, tmp_path):
+    """Hourly counts [2,0,2,0,2] (hours 1 and 3 are gap-filled
+    zeros): devs (n*c - S) = [4,-6,4,-6,4], num0=120; lag1 -96/120 =
+    -0.8, lag2 68/120 = 0.566667, lag3 -48/120 = -0.4, lag4 16/120 =
+    0.133333; lags 5..6 have no pairs -> -2.0 sentinel."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for h in (0, 2, 4):
+        for _ in range(2):
+            rows.append((eid, t0 + pd.Timedelta(hours=h, minutes=eid % 2),
+                         1, "click", 0.0, "{}"))
+            eid += 1
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["lag"]: r for r in
+           QUERIES["acf_lags"](spark, str(tmp_path)).collect()}
+    assert len(out) == 6
+    assert (out[1]["n_pairs"], out[1]["acf_6dp"]) == (4, -0.8)
+    assert (out[2]["n_pairs"], out[2]["acf_6dp"]) == (3, 0.566667)
+    assert (out[3]["n_pairs"], out[3]["acf_6dp"]) == (2, -0.4)
+    assert (out[4]["n_pairs"], out[4]["acf_6dp"]) == (1, 0.133333)
+    assert (out[5]["n_pairs"], out[5]["acf_6dp"]) == (0, -2.0)
+    assert (out[6]["n_pairs"], out[6]["acf_6dp"]) == (0, -2.0)
+
+
+def test_acf_lags_constant_series_sentinel(spark, tmp_path):
+    """Two hours, three events each: devs all zero -> num0 = 0 ->
+    every lag emits the -2.0 sentinel (constant series has no
+    defined autocorrelation)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [(i, t0 + pd.Timedelta(hours=i // 3, minutes=i % 3),
+             1, "click", 0.0, "{}") for i in range(6)]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = QUERIES["acf_lags"](spark, str(tmp_path)).collect()
+    assert len(out) == 6
+    assert all(r["acf_6dp"] == -2.0 for r in out)
+    assert {r["lag"]: r["n_pairs"] for r in out}[1] == 1
+
+
+def test_heaps_law_curve_hand(spark, tmp_path):
+    """Docs 'a b a' (3 tokens, 2 new), 'b c' (2 tokens, 1 new),
+    'a' (1 token, 0 new); N=3 so deciles 1-3 hit pos 1, 4-6 pos 2,
+    7-10 pos 3 — always exactly 10 rows."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "a b a", "en", "s", 5),
+            (1, "b c", "en", "s", 3),
+            (2, "a", "en", "s", 1)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = sorted(map(tuple, QUERIES["heaps_law_curve"](
+        spark, str(tmp_path)).collect()))
+    exp = ([(q, 1, 3, 2) for q in (1, 2, 3)]
+           + [(q, 2, 5, 3) for q in (4, 5, 6)]
+           + [(q, 3, 6, 3) for q in (7, 8, 9, 10)])
+    assert out == sorted(exp), out
+
+
+def test_ols_chars_per_token_hand(spark, tmp_path):
+    """Source s: (x=2 tokens, y=10 chars), (x=4, y=20) -> exact line
+    y = 5x: slope_micro 5000000, intercept_micro 0, corr 1.0.
+    Source z has zero x-variance -> ABSENT by the sparse
+    convention."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "a b", "en", "s", 10),
+            (1, "a b c d", "en", "s", 20),
+            (2, "a b", "en", "z", 7),
+            (3, "c d", "en", "z", 9)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["source"]: r for r in
+           QUERIES["ols_chars_per_token"](spark, str(tmp_path)).collect()}
+    assert list(out) == ["s"]
+    r = out["s"]
+    assert (r["n"], r["slope_micro"], r["intercept_micro"],
+            r["corr_6dp"]) == (2, 5000000, 0, 1.0), r
+
+
+def test_spearman_qty_price_hand(spark, tmp_path):
+    """x=[1,2,2,3], cents y=[10,20,20,5]: doubled midranks
+    a=[2,5,5,8], b=[4,7,7,2]; num = 4*94 - 20*20 = -24, vx = vy =
+    72 -> rho = -1/3 -> -0.333333."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(1.0, 0.10), (2.0, 0.20), (2.0, 0.20), (3.0, 0.05)]
+    pd.DataFrame(rows, columns=["l_quantity",
+                                "l_extendedprice"]).to_parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+    r = QUERIES["spearman_qty_price"](spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["rho_6dp"]) == (4, -0.333333), r
