@@ -13519,6 +13519,175 @@ def spearman_qty_price(spark, sf_dir):
                 6).alias("rho_6dp"))
 
 
+def _rbo_sql() -> str:
+    terms = []
+    for d in range(1, 11):
+        terms.append(
+            "CAST({m9} AS HUGEINT) * COALESCE(sum(CASE WHEN "
+            "greatest(rank_a, rank_b) <= {d} THEN 1 ELSE 0 END), 0) "
+            "// {p10d}".format(d=d, m9=1000000 * 9 ** (d - 1),
+                               p10d=10 ** (d - 1) * d))
+    return """
+WITH a AS (SELECT doc_id, rank AS rank_a FROM ({bm25}) bm),
+tfc AS (SELECT doc_id,
+               sum(CASE WHEN w IN ('join', 'vector', 'hash')
+                        THEN 1 ELSE 0 END) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id),
+b AS (SELECT doc_id, rank_b FROM
+        (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id)
+                AS rank_b
+         FROM tfc WHERE c > 0) r
+      WHERE rank_b <= 10),
+j AS (SELECT a.rank_a, b.rank_b FROM a JOIN b USING (doc_id))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+       CAST(COALESCE(sum(CASE WHEN greatest(rank_a, rank_b) <= 10
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS overlap_10,
+       CAST(({terms}) // 10 AS BIGINT) AS rbo_micro
+FROM j
+""".format(bm25=ORACLES["bm25_topk"].strip(),
+           terms="\n            + ".join(terms))
+
+
+@_q("rbo_rank_agreement", sql=_rbo_sql())
+def rbo_rank_agreement(spark, sf_dir):
+    """Rank-biased overlap at depth 10, p = 0.9 (Webber, Moffat &
+    Zobel, TOIS 2010 — the top-weighted agreement measure for
+    indefinite rankings) between the SAME two rankers rrf_fuse
+    combines (BM25 top-10 and raw term-frequency top-10): RBO@10 =
+    (1-p) * sum_{d=1..10} p^(d-1) * |A_d n B_d| / d. Where rrf_fuse
+    MERGES the two lists, this MEASURES how much they agree — the
+    list-vs-list member of the eval family (spearman compares
+    per-item scores; RBO compares prefix SETS, the right tool when
+    only top-k lists exist).
+
+    Exactness: p^(d-1) = 9^(d-1)/10^(d-1) carried as exact integer
+    numerator/denominator per depth; each depth term is floored to
+    micro independently ((1e6 * 9^(d-1) * X_d) DIV (10^(d-1) * d),
+    HUGEINT/DECIMAL(38,0) since 1e6*9^9 ~ 3.9e14 times X_d), then
+    the (1-p) = 1/10 factor is one final DIV — the per-term-floor
+    convention of average_precision_eval, documented as the defined
+    quantity. X_d needs only the INNER join of the two top-10 lists
+    (a doc outside either list can never be in a prefix
+    intersection).
+
+    Scale shape: both legs end in bounded top-10 lists (their cost
+    is the legs', already accounted at bm25_topk); everything after
+    is a <=10x10 join plus a 1-row fold — free at any corpus
+    size."""
+    a = (bm25_topk(spark, sf_dir)
+         .select("doc_id", F.col("rank").alias("rank_a")))
+    terms = ("join", "vector", "hash")
+    tfc = (t(spark, sf_dir, "documents")
+           .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+           .where(F.col("w").isin(*terms))
+           .groupBy("doc_id").agg(F.count("*").alias("c")))
+    wb = Window.orderBy(F.col("c").desc(), F.col("doc_id"))
+    b = (tfc.withColumn("rank_b", F.row_number().over(wb))
+         .where(F.col("rank_b") <= 10).select("doc_id", "rank_b"))
+    ap = a.persist()
+    bp = b.persist()
+    j = ap.join(bp, "doc_id").select("rank_a", "rank_b")
+    na = ap.agg(F.count("*").cast("long").alias("n_a"))
+    nb = bp.agg(F.count("*").cast("long").alias("n_b"))
+    term_exprs = " + ".join(
+        "CAST({m9} AS DECIMAL(38,0)) * COALESCE(sum(CASE WHEN "
+        "greatest(rank_a, rank_b) <= {d} THEN 1 ELSE 0 END), 0) "
+        "DIV {p10d}".format(d=d, m9=1000000 * 9 ** (d - 1),
+                            p10d=10 ** (d - 1) * d)
+        for d in range(1, 11))
+    agg = j.agg(
+        F.expr("CAST(COALESCE(sum(CASE WHEN greatest(rank_a, rank_b) "
+               "<= 10 THEN 1 ELSE 0 END), 0) AS BIGINT)")
+        .alias("overlap_10"),
+        F.expr("CAST(({}) DIV 10 AS BIGINT)".format(term_exprs))
+        .alias("rbo_micro"))
+    return (na.crossJoin(nb).crossJoin(agg)
+            .na.fill({"overlap_10": 0, "rbo_micro": 0})
+            .select("n_a", "n_b", "overlap_10", "rbo_micro"))
+
+
+_HH_SHARDS = 8   # deterministic shard key: doc_id % 8
+_HH_K = 32       # per-shard summary size
+_HH_TOP = 10     # emitted heavy hitters
+
+
+@_q("sharded_topk_heavy_hitters", sql=r"""
+WITH toks AS (SELECT doc_id % {s} AS shard,
+                     unnest(list_filter(string_split_regex(lower(text),
+                            '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS w
+              FROM documents),
+c AS (SELECT shard, w, CAST(count(*) AS BIGINT) AS cnt FROM toks
+      GROUP BY shard, w),
+r AS (SELECT shard, w, cnt,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY cnt DESC, w) AS rk
+      FROM c),
+kept AS (SELECT shard, w, cnt FROM r WHERE rk <= {k}),
+thr AS (SELECT shard,
+               CASE WHEN count(*) >= {k} THEN min(cnt) ELSE 0 END AS th
+        FROM kept GROUP BY shard),
+tt AS (SELECT sum(th) AS total_th FROM thr),
+est AS (SELECT w, sum(cnt) AS est, sum(th) AS covered_th
+        FROM kept JOIN thr USING (shard) GROUP BY w)
+SELECT w, CAST(est AS BIGINT) AS est,
+       CAST(est + (total_th - covered_th) AS BIGINT) AS upper,
+       CAST(row_number() OVER (ORDER BY est DESC, w) AS BIGINT) AS rank
+FROM est, tt
+QUALIFY rank <= {top}
+""".format(s=_HH_SHARDS, k=_HH_K, top=_HH_TOP))
+def sharded_topk_heavy_hitters(spark, sf_dir):
+    """Mergeable approximate heavy hitters via per-shard top-k
+    summaries with deterministic error bounds — the
+    local-summary-then-merge pattern of Misra-Gries / SpaceSaving
+    sketches in their MERGEABLE form (Misra & Gries 1982; Agarwal et
+    al., Mergeable Summaries, PODS 2012), instantiated as the
+    order-free variant every distributed top-k combiner actually
+    ships: each shard (doc_id MOD 8 — deterministic, not
+    partitioning-dependent) keeps its exact top-k=32 (count, word)
+    summary plus its threshold th_s (the k-th kept count, 0 if the
+    shard holds fewer than k words); merged estimate = sum of kept
+    counts, with the GUARANTEE est <= true <= est + sum of th_s over
+    shards where the word was NOT kept (a word missing from a
+    shard's summary can hide at most th_s occurrences there). Emits
+    the top 10 by estimate with both bound ends — unlike
+    cms_term_counts (probabilistic overestimates) these bounds are
+    deterministic, and unlike heavy_hitters_exact (the ground truth
+    it is audited against in tests) the summary crossing the merge
+    is O(shards * k), not vocabulary-sized.
+
+    Scale shape: ONE (shard, word) map-side-combinable groupBy is
+    the only corpus-scale stage; the per-shard top-k window runs on
+    the shard-vocabulary frame, and everything after the `kept`
+    frame is <= shards*k = 256 rows (thresholds, slack join, final
+    rank) — the summary, not the data, crosses the wire.
+    Tokenization bit-identical to the LM family."""
+    toks = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _HH_SHARDS).alias("shard"),
+        F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                           lambda x: x != "")).alias("w"))
+    c = toks.groupBy("shard", "w").agg(F.count("*").alias("cnt"))
+    wr = Window.partitionBy("shard").orderBy(F.col("cnt").desc(), "w")
+    kept = (c.withColumn("rk", F.row_number().over(wr))
+            .where(F.col("rk") <= _HH_K).drop("rk").persist())
+    thr = kept.groupBy("shard").agg(
+        F.when(F.count("*") >= _HH_K, F.min("cnt")).otherwise(0)
+        .alias("th"))
+    tt = thr.agg(F.sum("th").alias("total_th"))
+    est = (kept.join(F.broadcast(thr), "shard")
+           .groupBy("w").agg(F.sum("cnt").alias("est"),
+                             F.sum("th").alias("covered_th")))
+    wk = Window.orderBy(F.col("est").desc(), "w")
+    return (est.crossJoin(F.broadcast(tt))
+            .select("w", F.col("est").cast("long").alias("est"),
+                    (F.col("est") + F.col("total_th")
+                     - F.col("covered_th")).cast("long").alias("upper"),
+                    F.row_number().over(wk).cast("long").alias("rank"))
+            .where(F.col("rank") <= _HH_TOP))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

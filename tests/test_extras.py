@@ -2664,3 +2664,70 @@ def test_spearman_qty_price_hand(spark, tmp_path):
         os.path.join(str(tmp_path), "lineitem.parquet"))
     r = QUERIES["spearman_qty_price"](spark, str(tmp_path)).collect()[0]
     assert (r["n"], r["rho_6dp"]) == (4, -0.333333), r
+
+
+def test_rbo_rank_agreement_hand(spark, tmp_path):
+    """Single matching doc -> both rankers emit the same 1-item
+    list, X_d = 1 at every depth: rbo_micro = (sum_d (1e6 * 9^(d-1))
+    // (10^(d-1) * d)) // 10 = 235416 exactly (the per-term-floor
+    convention), overlap 1."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "join vector hash", "en", "s", 16),
+            (1, "alpha beta", "en", "s", 10),
+            (2, "gamma delta", "en", "s", 11)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    r = QUERIES["rbo_rank_agreement"](spark, str(tmp_path)).collect()[0]
+    exp = sum((10**6 * 9**(d-1)) // (10**(d-1) * d)
+              for d in range(1, 11)) // 10
+    assert exp == 235416
+    assert (r["n_a"], r["n_b"], r["overlap_10"], r["rbo_micro"]) == \
+        (1, 1, 1, 235416), r
+
+
+def test_sharded_topk_heavy_hitters_hand(spark, tmp_path):
+    """Shard 0 (doc 0): 'hot' x3 + 40 singleton words -> 41 distinct,
+    keeps top-32 (hot + w00..w30), threshold 1; shard 1 (doc 1):
+    'hot' x2 only -> fewer than k, threshold 0. est(hot) = 5 kept in
+    BOTH shards -> slack 0, upper 5; singletons kept only in shard 0
+    -> slack = th_1 = 0 -> upper 1. Top 10: hot then w00..w08."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    singles = " ".join("w{:02d}".format(i) for i in range(40))
+    rows = [(0, "hot hot hot " + singles, "en", "s", 200),
+            (1, "hot hot", "en", "s", 7)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = sorted(QUERIES["sharded_topk_heavy_hitters"](
+        spark, str(tmp_path)).collect(), key=lambda r: r["rank"])
+    assert len(out) == 10
+    assert (out[0]["w"], out[0]["est"], out[0]["upper"]) == ("hot", 5, 5)
+    for i, r in enumerate(out[1:]):
+        assert (r["w"], r["est"], r["upper"]) == \
+            ("w{:02d}".format(i), 1, 1), r
+
+
+def test_sharded_topk_heavy_hitters_bounds_vs_exact(spark):
+    """The mergeable-summary guarantee on real data: for every
+    emitted word, est <= true count <= upper (sf0.001)."""
+    from pyspark.sql import functions as F
+
+    from extractor.queries import _WS_CLASS, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    hh = QUERIES["sharded_topk_heavy_hitters"](spark, sf).collect()
+    true = dict(
+        spark.read.parquet(sf + "/documents.parquet")
+        .select(F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                                   lambda x: x != "")).alias("w"))
+        .groupBy("w").count().collect())
+    assert len(hh) == 10
+    for r in hh:
+        assert r["est"] <= true[r["w"]] <= r["upper"], (r, true[r["w"]])
