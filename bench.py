@@ -75,6 +75,8 @@ HEADLINE_QUERIES = [
     "poisson_bootstrap",
     "cusum_changepoint",
     "suffix_array_build",
+    "cogroup_asof_enrich",
+    "average_precision_eval",
     "extract_documents_clean",
 ]
 
