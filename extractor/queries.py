@@ -13688,6 +13688,124 @@ def sharded_topk_heavy_hitters(spark, sf_dir):
             .where(F.col("rank") <= _HH_TOP))
 
 
+_GRANULE_US = 3_600_000_000  # 1-hour time slices for interval blocking
+
+
+@_q("granule_interval_join", sql="""
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+s AS (SELECT user_id,
+             1 + sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess,
+             us
+      FROM g),
+iv AS (SELECT user_id, min(us) AS a, max(us) AS b
+       FROM s GROUP BY user_id, sess),
+p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, CAST(count(iv.user_id) AS BIGINT) AS n_open
+FROM p LEFT JOIN iv
+  ON iv.a <= p.us AND p.us <= iv.b AND iv.user_id <> p.user_id
+GROUP BY p.event_id
+""")
+def granule_interval_join(spark, sf_dir):
+    """Big-big point-in-interval join via TIME-SLICE (granule)
+    blocking — the standard trick for interval joins with NO shared
+    equi key (the 1-D analog of partition-based spatial-merge,
+    Patel & DeWitt SIGMOD'96; what Flink's interval join and
+    time-bucketed range joins do): for every purchase, how many
+    OTHER users had an open session (the shared 30-min-gap rule) at
+    that instant — the cross-entity concurrency enrichment that
+    j9/j10 cannot express (their joins are keyed per user; this one
+    correlates EVERY purchase against EVERY user's sessions).
+
+    Mechanism: each session interval replicates to the 1-hour
+    granules it covers (explode of a bounded sequence — fan-out =
+    interval length / granule, bounded by session duration, never by
+    corpus size); each purchase maps to its ONE granule; the join is
+    then a plain granule-keyed EQUI join with the interval bounds as
+    residual filters. A session and a point meet in EXACTLY one
+    granule (the point's), so no post-join dedup is needed. The
+    DuckDB oracle runs the same semantics as a native inequality
+    join (IEJoin, Khayyat et al. ICDE 2015) — the engine-native
+    alternative the granule rewrite replaces at scale.
+
+    Scale shape: sessionize = one user_id shuffle (shared machinery
+    with concurrency_sweep); granule explode is linear with bounded
+    fan-out; ONE equi-join shuffle on the granule key. Granule-key
+    skew (a rush hour) is ordinary equi-join skew — AQE territory,
+    unlike the unblocked range join whose worst case is the full
+    cross product."""
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(us - F.lag(us).over(w) > 1_800_000_000, 1).otherwise(0)
+    s = ev.select("user_id", us.alias("us"), is_new.alias("is_new"))
+    s = s.withColumn("sess", F.lit(1) + F.sum("is_new").over(
+        Window.partitionBy("user_id").orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    iv = (s.groupBy("user_id", "sess")
+          .agg(F.min("us").alias("a"), F.max("us").alias("b"))
+          .select(F.col("user_id").alias("s_user"), "a", "b"))
+    giv = iv.select(
+        "s_user", "a", "b",
+        F.explode(F.sequence(F.expr("a DIV {}".format(_GRANULE_US)),
+                             F.expr("b DIV {}".format(_GRANULE_US))))
+        .alias("gr"))
+    p = (ev.where("event_type = 'purchase'")
+         .select("event_id", F.col("user_id").alias("p_user"),
+                 us.alias("pus"))
+         .withColumn("gr", F.expr("pus DIV {}".format(_GRANULE_US))))
+    j = p.join(giv, (p["gr"] == giv["gr"])
+               & (F.col("a") <= F.col("pus"))
+               & (F.col("pus") <= F.col("b"))
+               & (F.col("s_user") != F.col("p_user")), "left")
+    return (j.groupBy("event_id")
+            .agg(F.count("s_user").cast("long").alias("n_open")))
+
+
+@_q("j11_attribution_left_outer", sql="""
+SELECT c.user_id, c.event_id AS click_id,
+       COALESCE(p.event_id, -1) AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""")
+def j11_attribution_left_outer(spark, sf_dir):
+    """J11: LEFT OUTER event-time interval join — j10's attribution
+    with the unconverted clicks KEPT (purchase_id -1), the shape a
+    funnel loss analysis needs (who clicked and did NOT buy within
+    the hour). BUILT FROM THE SAME shared attribution_join plan as
+    j10 and the streaming twins (how='left_outer'), so batch inner,
+    batch outer, streaming inner, and streaming outer all share one
+    join definition and cannot drift. The batch twin of
+    streaming.stream_stream_attribution_outer, whose outer rows can
+    only emit after the watermark passes the join horizon — equality
+    against THIS plan (post-horizon) is that test's oracle.
+
+    Plan: same single user_id-keyed shuffle as j10; outer rows add
+    no join work (unmatched build rows emit directly)."""
+    from extractor.streaming import attribution_join
+
+    ev = t(spark, sf_dir, "events")
+
+    def side(et, idc, tsc, uc="user_id"):
+        return (ev.where(F.col("event_type") == et)
+                .select(F.col("event_id").alias(idc),
+                        F.col("user_id").alias(uc),
+                        F.col("ts").alias(tsc)))
+
+    return attribution_join(
+        side("click", "click_id", "click_ts"),
+        side("purchase", "purchase_id", "purchase_ts", "b_user"),
+        how="left_outer")
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -358,19 +358,25 @@ def stream_dedup_ingest(
     )
 
 
-def attribution_join(clicks: DataFrame, buys: DataFrame) -> DataFrame:
-    """Shared logical plan for click->purchase attribution: inner
-    join on user_id with the purchase inside (click_ts, click_ts +
-    1 hour]. Written once so the streaming and batch twins cannot
-    drift (the test feeds both from the same parquet)."""
-    return (clicks.join(
+def attribution_join(clicks: DataFrame, buys: DataFrame,
+                     how: str = "inner") -> DataFrame:
+    """Shared logical plan for click->purchase attribution: join on
+    user_id with the purchase inside (click_ts, click_ts + 1 hour].
+    Written ONCE so the four twins — batch inner (j10), batch left
+    outer (j11), streaming inner, streaming left outer — cannot
+    drift (the tests feed them from the same parquet).
+    how='left_outer' keeps unconverted clicks with purchase_id -1
+    (COALESCE'd for a null-free cross-engine compare)."""
+    j = clicks.join(
         buys,
         (clicks["user_id"] == buys["b_user"])
         & (buys["purchase_ts"] > clicks["click_ts"])
         & (buys["purchase_ts"]
            <= clicks["click_ts"] + F.expr("INTERVAL 1 HOUR")),
-        "inner")
-        .select("user_id", "click_id", "purchase_id"))
+        how)
+    return j.select("user_id", "click_id",
+                    F.coalesce("purchase_id", F.lit(-1))
+                    .alias("purchase_id"))
 
 
 def stream_stream_attribution(
@@ -411,6 +417,57 @@ def stream_stream_attribution(
     clicks = side("click", "click_id", "click_ts")
     buys = side("purchase", "purchase_id", "purchase_ts", "b_user")
     j = attribution_join(clicks, buys)
+    data_dir = os.path.join(output_path, "data")
+
+    sink = _epoch_idempotent_sink(data_dir)
+
+    return (
+        j.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(output_path, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_stream_attribution_outer(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    events_schema,
+    watermark_delay: str = "2 hours",
+):
+    """LEFT OUTER stream-stream interval join — the attribution join
+    with unconverted clicks KEPT (purchase_id -1), sharing the same
+    attribution_join plan as j10/j11/the inner streaming twin.
+
+    The semantics Spark adds over the inner twin: an inner match
+    emits immediately, but a NULL-padded (unmatched) click can only
+    emit once the engine has PROVEN no purchase can still arrive —
+    i.e. when the right-side watermark passes click_ts + 1h. Two
+    consequences the test pins: (1) outer rows lag the inner rows by
+    the watermark horizon; (2) clicks still inside the horizon when
+    an availableNow run drains hold their state in the CHECKPOINT
+    and emit in a LATER run whose data advances the watermark —
+    stream end is not watermark infinity. Equality oracle: the batch
+    left-outer twin (j11's plan) on the same parquet, compared after
+    a flush record pushes the watermark past every click's horizon.
+
+    State bound: same as the inner twin — both sides watermarked,
+    join range bounds time skew, so the state store holds only the
+    horizon window of each side."""
+    def side(event_type, id_alias, ts_alias, user_alias="user_id"):
+        return (
+            spark.readStream.schema(events_schema)
+            .option("maxFilesPerTrigger", 2).parquet(input_dir)
+            .where(F.col("event_type") == event_type)
+            .select(F.col("event_id").alias(id_alias),
+                    F.col("user_id").alias(user_alias),
+                    F.col("ts").cast("timestamp").alias(ts_alias))
+            .withWatermark(ts_alias, watermark_delay))
+
+    clicks = side("click", "click_id", "click_ts")
+    buys = side("purchase", "purchase_id", "purchase_ts", "b_user")
+    j = attribution_join(clicks, buys, how="left_outer")
     data_dir = os.path.join(output_path, "data")
 
     sink = _epoch_idempotent_sink(data_dir)

@@ -2731,3 +2731,98 @@ def test_sharded_topk_heavy_hitters_bounds_vs_exact(spark):
     assert len(hh) == 10
     for r in hh:
         assert r["est"] <= true[r["w"]] <= r["upper"], (r, true[r["w"]])
+
+
+def test_granule_interval_join_hand(spark, tmp_path):
+    """u1 clicks at 0/20/40/70min (30-min gaps inclusive -> ONE
+    session [0, 70m] spanning granules 0 and 1); purchases: u2@30m
+    (inside u1's session -> 1), u4@65m (granule-1 replica of u1's
+    session catches it -> 1), u3@10h (nothing open -> 0)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        (1, t0 + 0 * m, 1, "click", 0.0, "{}"),
+        (2, t0 + 20 * m, 1, "click", 0.0, "{}"),
+        (3, t0 + 40 * m, 1, "click", 0.0, "{}"),
+        (4, t0 + 70 * m, 1, "click", 0.0, "{}"),
+        (100, t0 + 30 * m, 2, "purchase", 1.0, "{}"),
+        (101, t0 + 65 * m, 4, "purchase", 1.0, "{}"),
+        (102, t0 + 600 * m, 3, "purchase", 1.0, "{}"),
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    got = {r["event_id"]: r["n_open"] for r in
+           QUERIES["granule_interval_join"](spark, str(tmp_path)).collect()}
+    assert got == {100: 1, 101: 1, 102: 0}, got
+
+
+def test_stream_attribution_outer_emits_after_horizon(spark, tmp_path):
+    """LEFT OUTER stream-stream join semantics pinned: run 1 (base
+    events only) emits ONLY the inner match — the unmatched clicks'
+    horizon is still inside the watermark, so their state is held in
+    the checkpoint; run 2 (flush events 10-11h later, split in two
+    files so the advanced watermark gets a batch to evict into)
+    emits the NULL-padded rows. Final output == the batch left-outer
+    twin (the SAME attribution_join plan, j11) over the base events."""
+    import os
+
+    from extractor.streaming import (attribution_join,
+                                     stream_stream_attribution_outer)
+
+    in_dir = str(tmp_path / "ev")
+    out = str(tmp_path / "attr")
+    os.makedirs(in_dir)
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+
+    def write(name, rows):
+        df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                         "event_type", "value", "props"])
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(os.path.join(in_dir, name))
+
+    base = [
+        (1, t0, 1, "click", 0.0, "{}"),
+        (10, t0 + 10 * m, 1, "purchase", 1.0, "{}"),
+        (2, t0, 2, "click", 0.0, "{}"),
+        (3, t0 + 120 * m, 1, "click", 0.0, "{}"),
+    ]
+    write("f1.parquet", base[:2])
+    write("f2.parquet", base[2:])
+    schema = spark.read.parquet(in_dir).schema
+
+    q = stream_stream_attribution_outer(spark, in_dir, out, schema)
+    assert q.awaitTermination(180)
+    run1 = sorted(map(tuple, spark.read.parquet(out + "/data")
+                      .select("user_id", "click_id", "purchase_id")
+                      .collect()))
+    assert run1 == [(1, 1, 10)], run1  # inner only; outer held in state
+
+    write("f3.parquet", [(98, t0 + 600 * m, 98, "click", 0.0, "{}")])
+    write("f4.parquet", [(99, t0 + 660 * m, 99, "purchase", 1.0, "{}")])
+    q2 = stream_stream_attribution_outer(spark, in_dir, out, schema)
+    assert q2.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out + "/data")
+                     .select("user_id", "click_id", "purchase_id")
+                     .collect()))
+
+    def side(et, idc, tsc, uc="user_id"):
+        return (spark.read.parquet(in_dir)
+                .where((F.col("event_type") == et)
+                       & (F.col("user_id") < 90))  # base events only
+                .select(F.col("event_id").alias(idc),
+                        F.col("user_id").alias(uc),
+                        F.col("ts").cast("timestamp").alias(tsc)))
+
+    exp = sorted(map(tuple, attribution_join(
+        side("click", "click_id", "click_ts"),
+        side("purchase", "purchase_id", "purchase_ts", "b_user"),
+        how="left_outer").collect()))
+    assert exp == [(1, 1, 10), (1, 3, -1), (2, 2, -1)]
+    assert got == exp, got
