@@ -385,3 +385,57 @@ def compact(checkpoint_dir: str, keep_snapshots: int = 2) -> dict:
                     {"header": manifest["header"], "records": records})
     return {"squashed_batches": len(old), "records_before": before,
             "records_after": len(records)}
+
+
+def orphan_files(output_path: str) -> list[str]:
+    """Data files under ``data/bucket=N/`` whose bucket has NO
+    committed record in the manifest — the leftovers of a wave that
+    wrote parquet but was killed before its commit (the
+    ``remove_orphan_files`` table-service analog: the MANIFEST is
+    the source of truth, not the filesystem). A resumed run heals
+    them implicitly (uncommitted buckets are reprocessed and
+    dynamic-partition-overwritten), so orphans matter for ABANDONED
+    outputs: a plain directory read (read_extracted scans data/
+    wholesale) would surface uncommitted partial rows. Returns
+    absolute file paths, sorted; _SUCCESS/dotfiles ignored."""
+    committed = set(read_committed(os.path.join(output_path,
+                                                "_checkpoint")))
+    data_dir = os.path.join(output_path, "data")
+    out: list[str] = []
+    if not os.path.isdir(data_dir):
+        return out
+    for name in sorted(os.listdir(data_dir)):
+        if not name.startswith("bucket="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b in committed:
+            continue
+        d = os.path.join(data_dir, name)
+        for fn in sorted(os.listdir(d)):
+            if fn.startswith(("_", ".")):
+                continue
+            out.append(os.path.join(d, fn))
+    return out
+
+
+def vacuum_orphans(output_path: str, dry_run: bool = True) -> dict:
+    """Delete (or just report, dry_run=True — the safe default every
+    table service ships) the orphan files of ``orphan_files``,
+    pruning bucket directories left empty. Returns {"orphans":
+    [paths], "removed": n}. Never touches committed buckets, the
+    manifest, or non-bucket paths."""
+    orphans = orphan_files(output_path)
+    removed = 0
+    if not dry_run:
+        for p in orphans:
+            os.remove(p)
+            removed += 1
+        for p in {os.path.dirname(q) for q in orphans}:
+            try:
+                os.rmdir(p)  # only succeeds if now empty
+            except OSError:
+                pass
+    return {"orphans": orphans, "removed": removed}

@@ -13806,6 +13806,157 @@ def j11_attribution_left_outer(spark, sf_dir):
         how="left_outer")
 
 
+@_q("kendall_tau_b", sql="""
+WITH d AS (SELECT CAST(round(l_quantity, 0) AS BIGINT) AS x,
+                  CAST(round(l_discount * 100, 0) AS BIGINT) AS y
+           FROM lineitem),
+cells AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS c FROM d
+          GROUP BY x, y),
+cd AS (SELECT sum(CASE WHEN a.x < b.x AND a.y < b.y
+                  THEN a.c * b.c ELSE 0 END) AS conc,
+              sum(CASE WHEN a.x < b.x AND a.y > b.y
+                  THEN a.c * b.c ELSE 0 END) AS disc
+       FROM cells a, cells b),
+mx AS (SELECT sum(c * (c - 1) // 2) AS n1 FROM
+         (SELECT sum(c) AS c FROM cells GROUP BY x)),
+my AS (SELECT sum(c * (c - 1) // 2) AS n2 FROM
+         (SELECT sum(c) AS c FROM cells GROUP BY y)),
+nn AS (SELECT sum(c) AS n, sum(c) * (sum(c) - 1) // 2 AS n0 FROM cells)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       round(CAST(conc - disc AS DOUBLE)
+             / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)),
+             6) AS tau_b_6dp
+FROM cd, mx, my, nn
+""")
+def kendall_tau_b(spark, sf_dir):
+    """Kendall's tau-b (Kendall 1945 — the tie-corrected tau) between
+    quantity and discount percent, computed EXACTLY at corpus scale
+    through the contingency-table pair identity (Agresti,
+    Categorical Data Analysis §2): both variables have small integer
+    domains (~50 x ~11), so the corpus folds to a <=550-cell
+    contingency table in ONE map-side-combinable groupBy, and
+    concordant/discordant pair counts are sums of c_a * c_b over
+    CELL pairs (a metadata-sized broadcast cross of the cell frame —
+    each unordered row pair lands in exactly one cell-pair bucket:
+    x<, y< counts it as concordant once; x<, y> as discordant once;
+    any shared coordinate makes it a tie, captured by the marginal
+    C(c,2) sums). This sidesteps the O(n log n) merge-sort inversion
+    count a general Kendall needs — the small-domain trick. Completes
+    the correlation triad: Pearson (corr_suffstats, linear), Spearman
+    (spearman_qty_price, rank-monotone), Kendall (pair-concordance);
+    mann_kendall applies the same statistic against TIME.
+
+    Exactness: all pair counts are exact integers in
+    HUGEINT/DECIMAL(38,0) (C, D are O(n^2) — past BIGINT at ~10^5
+    rows); tau_b = (C - D)/sqrt((n0-n1)(n0-n2)) follows the
+    corr_suffstats cast-once/IEEE/round-6dp convention.
+
+    Scale shape: one corpus groupBy; everything after is on the
+    bounded cell frame (cross, marginals, 1-row fold)."""
+    d = t(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity", 0).cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("y"))
+    dec = "decimal(38,0)"
+    cells = (d.groupBy("x", "y").agg(F.count("*").cast(dec).alias("c"))
+             .persist())
+    a = cells.select(F.col("x").alias("xa"), F.col("y").alias("ya"),
+                     F.col("c").alias("ca"))
+    b = cells.select(F.col("x").alias("xb"), F.col("y").alias("yb"),
+                     F.col("c").alias("cb"))
+    cd = (a.crossJoin(F.broadcast(b))
+          .agg(F.sum(F.when((F.col("xa") < F.col("xb"))
+                            & (F.col("ya") < F.col("yb")),
+                            F.col("ca") * F.col("cb")).otherwise(0))
+               .alias("conc"),
+               F.sum(F.when((F.col("xa") < F.col("xb"))
+                            & (F.col("ya") > F.col("yb")),
+                            F.col("ca") * F.col("cb")).otherwise(0))
+               .alias("disc")))
+    mx = (cells.groupBy("x").agg(F.sum("c").alias("c"))
+          .agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("n1")))
+    my = (cells.groupBy("y").agg(F.sum("c").alias("c"))
+          .agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("n2")))
+    nn = cells.agg(F.sum("c").alias("n"),
+                   F.expr("sum(c) * (sum(c) - 1) DIV 2").alias("n0"))
+    return (cd.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(my))
+            .crossJoin(F.broadcast(nn))
+            .select(F.col("n").cast("long").alias("n"),
+                    F.col("conc").cast("long").alias("concordant"),
+                    F.col("disc").cast("long").alias("discordant"),
+                    F.round((F.col("conc") - F.col("disc")).cast("double")
+                            / F.sqrt((F.col("n0") - F.col("n1"))
+                                     .cast("double")
+                                     * (F.col("n0") - F.col("n2"))
+                                     .cast("double")), 6)
+                    .alias("tau_b_6dp")))
+
+
+@_q("fano_burstiness", sql="""
+WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY event_type, date_trunc('hour', ts)),
+b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+sp AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+       FROM b),
+et AS (SELECT DISTINCT event_type FROM h),
+x AS (SELECT et.event_type, sp.hr, COALESCE(h.c, 0) AS c
+      FROM et CROSS JOIN sp
+      LEFT JOIN h ON h.event_type = et.event_type AND h.hr = sp.hr),
+s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS sc,
+             CAST(sum(c * c) AS HUGEINT) AS scc
+      FROM x GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       CAST(sc AS BIGINT) AS n_events,
+       CAST(CASE WHEN sc = 0 OR n < 2 THEN -1
+                 ELSE (n * scc - sc * sc) * 1000000 // ((n - 1) * sc)
+            END AS BIGINT) AS fano_micro
+FROM s
+""")
+def fano_burstiness(spark, sf_dir):
+    """Fano factor / index of dispersion (Fano 1947; Cox & Lewis
+    1966) of the hourly count series PER EVENT TYPE: F =
+    sample-variance / mean of counts on the gap-filled hour spine —
+    F ~ 1 is Poisson arrivals, F >> 1 is bursty (the
+    capacity-planning number next to acf_lags' memory profile and
+    concurrency_sweep's peak). Identity used: var/mean =
+    (n*sum(c^2) - S^2) / ((n-1) * S), exact integers end to end in
+    DECIMAL(38,0)/HUGEINT with ONE micro quotient (numerator is
+    nonnegative by Cauchy-Schwarz, so no sign-safety CASE is
+    needed); S = 0 (a type absent from the whole window) or n < 2
+    emits the -1 undefined sentinel. The spine is global (min/max
+    over all types) so every type's series has the same length and
+    zeros are real zeros — the acf_lags/time_spine discipline.
+
+    Scale shape: one (type, hour) map-side-combinable groupBy is the
+    only corpus-scale stage; the spine cross-join and moment fold
+    run on the series-sized frame (types x hours — calendar-bounded,
+    not corpus-bounded)."""
+    ev = t(spark, sf_dir, "events")
+    h = (ev.groupBy("event_type",
+                    F.date_trunc("hour", "ts").alias("hr"))
+         .agg(F.count("*").cast("long").alias("c")).persist())
+    b = h.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    sp = b.select(F.explode(F.sequence(
+        "mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"))
+    et = h.select("event_type").distinct()
+    x = (et.crossJoin(sp)
+         .join(h, ["event_type", "hr"], "left").na.fill({"c": 0}))
+    dec = "decimal(38,0)"
+    s = x.groupBy("event_type").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("c").cast(dec).alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast(dec).alias("scc"))
+    return s.select(
+        "event_type", F.col("n").cast("long").alias("n_hours"),
+        F.col("sc").cast("long").alias("n_events"),
+        F.expr("CAST(CASE WHEN sc = 0 OR n < 2 THEN -1 "
+               "ELSE (n * scc - sc * sc) * 1000000 DIV ((n - 1) * sc) "
+               "END AS BIGINT)").alias("fano_micro"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

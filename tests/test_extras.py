@@ -2826,3 +2826,98 @@ def test_stream_attribution_outer_emits_after_horizon(spark, tmp_path):
         how="left_outer").collect()))
     assert exp == [(1, 1, 10), (1, 3, -1), (2, 2, -1)]
     assert got == exp, got
+
+
+def test_kendall_tau_b_hand(spark, tmp_path):
+    """x=[1,1,2], y (pct) = [1,2,2]: one concordant pair
+    ((1,1)-(2,2)), zero discordant, one x-tie and one y-tie ->
+    tau_b = 1/sqrt((3-1)*(3-1)) = 0.5."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(1.0, 0.01), (1.0, 0.02), (2.0, 0.02)]
+    pd.DataFrame(rows, columns=["l_quantity",
+                                "l_discount"]).to_parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+    r = QUERIES["kendall_tau_b"](spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["concordant"], r["discordant"],
+            r["tau_b_6dp"]) == (3, 1, 0, 0.5), r
+
+
+def test_fano_burstiness_hand(spark, tmp_path):
+    """Type A counts [3,0,3] on the 3-hour global spine: mean 2,
+    sample var = (3*18-36)/(3*2) = 3 -> F = 1.5 -> 1500000. Type B
+    = [1,1,1]: var 0 -> 0. Spine is GLOBAL: B has no hour-2 event
+    yet still spans 3 hours."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    t0 = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    m = pd.Timedelta(minutes=1)
+    rows = ([(i, t0 + 0 * h + i * m, 1, "A", 0.0, "{}")
+             for i in range(3)]
+            + [(10 + i, t0 + 2 * h + i * m, 1, "A", 0.0, "{}")
+               for i in range(3)]
+            + [(20, t0 + 0 * h, 2, "B", 0.0, "{}"),
+               (21, t0 + 1 * h, 2, "B", 0.0, "{}"),
+               (22, t0 + 2 * h, 2, "B", 0.0, "{}")])
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["event_type"]: r for r in
+           QUERIES["fano_burstiness"](spark, str(tmp_path)).collect()}
+    assert (out["A"]["n_hours"], out["A"]["n_events"],
+            out["A"]["fano_micro"]) == (3, 6, 1500000), out["A"]
+    assert (out["B"]["n_hours"], out["B"]["n_events"],
+            out["B"]["fano_micro"]) == (3, 3, 0), out["B"]
+
+
+def test_orphan_files_audit_and_vacuum(spark, tmp_path):
+    """Partial run (1 wave of 4/16 buckets committed) + a stray data
+    file planted in an uncommitted bucket dir: orphan_files lists
+    exactly the stray (committed buckets' files are NEVER orphans),
+    dry-run vacuum deletes nothing, real vacuum removes it and
+    prunes the emptied dir, and a subsequent resume + read is
+    byte-equal to an uninterrupted run."""
+    import os
+    import shutil
+
+    from extractor import checkpoint, job
+
+    shutil.copytree(os.path.join(os.path.dirname(__file__), "goldens"),
+                    str(tmp_path / "g"))
+    inp = os.path.join(str(tmp_path / "g"), "t1_input.parquet")
+    out = str(tmp_path / "out")
+    job.run_extract(spark, inp, out, n_buckets=16, wave_buckets=4,
+                    max_waves=1)
+    committed = set(checkpoint.read_committed(
+        os.path.join(out, "_checkpoint")))
+    assert len(committed) == 4
+    # plant a stray file in an uncommitted bucket dir
+    missing = next(b for b in range(16) if b not in committed)
+    stray_dir = os.path.join(out, "data", "bucket={}".format(missing))
+    os.makedirs(stray_dir, exist_ok=True)
+    stray = os.path.join(stray_dir, "part-stray.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"not really parquet")
+    got = checkpoint.orphan_files(out)
+    assert got == [stray], got
+    rep = checkpoint.vacuum_orphans(out, dry_run=True)
+    assert rep["orphans"] == [stray] and rep["removed"] == 0
+    assert os.path.exists(stray)
+    rep = checkpoint.vacuum_orphans(out, dry_run=False)
+    assert rep["removed"] == 1 and not os.path.exists(stray)
+    assert not os.path.exists(stray_dir)  # emptied dir pruned
+    assert checkpoint.orphan_files(out) == []
+    # resume completes; equality vs an uninterrupted run
+    job.run_extract(spark, inp, out, n_buckets=16)
+    out2 = str(tmp_path / "out2")
+    job.run_extract(spark, inp, out2, n_buckets=16)
+    a = job.read_extracted(spark, out).toPandas()
+    b = job.read_extracted(spark, out2).toPandas()
+    assert (a["clean_text"].values == b["clean_text"].values).all()
+    assert checkpoint.orphan_files(out) == []
