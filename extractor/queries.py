@@ -13957,6 +13957,145 @@ def fano_burstiness(spark, sf_dir):
                "END AS BIGINT)").alias("fano_micro"))
 
 
+@_q("merkle_diff_buckets", sql="""
+WITH la AS (SELECT doc_id % {b} AS bucket,
+                   md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)) AS rh
+            FROM documents),
+ha AS (SELECT bucket, md5(string_agg(rh, '' ORDER BY rh)) AS h
+       FROM la GROUP BY bucket),
+lb AS (SELECT doc_id % {b} AS bucket,
+              md5(CAST(doc_id AS VARCHAR) || '|' ||
+                  md5(CASE WHEN doc_id % 997 = 0
+                           THEN text || '!~rev2' ELSE text END)) AS rh
+       FROM documents),
+hb AS (SELECT bucket, md5(string_agg(rh, '' ORDER BY rh)) AS h
+       FROM lb GROUP BY bucket)
+SELECT CAST(ha.bucket AS BIGINT) AS bucket, ha.h AS h_a, hb.h AS h_b
+FROM ha JOIN hb USING (bucket)
+WHERE ha.h <> hb.h
+""".format(b=_MERKLE_BUCKETS))
+def merkle_diff_buckets(spark, sf_dir):
+    """Anti-entropy bucket diff over the Merkle commitment (Merkle
+    1987; the repair mechanism of Dynamo §4.7 / Cassandra
+    anti-entropy): compare the per-bucket level-0 hashes of two
+    table VERSIONS (version B = version A with every doc_id % 997
+    == 0 payload deterministically mutated — the cdc_snapshot_diff
+    convention of synthesizing the second version from the first)
+    and emit ONLY the differing buckets. This is the QUANTIFIER for
+    merkle_table_commit: a sparse mutation touches a handful of the
+    64 buckets, so two replicas exchange 64 hashes (constant
+    metadata) to localize repair to those buckets instead of
+    row-diffing the corpus — cdc_snapshot_diff finds WHICH rows
+    changed at corpus cost; this finds WHERE to look at metadata
+    cost. Bucket hash = md5 over md5-row-hashes concatenated in
+    sorted order, partitioning-invariant by construction (same as
+    merkle_table_commit).
+
+    Scale shape: two leaf projections + two 64-group map-side
+    combinable folds; the diff itself is a 64x64-bounded equi join.
+    In a real lake version A's hashes come FREE from the stored
+    commitment — only the new version is hashed."""
+    base = t(spark, sf_dir, "documents")
+
+    def lvl0(txt_col):
+        leaf = base.select(
+            (F.col("doc_id") % _MERKLE_BUCKETS).alias("bucket"),
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                           F.md5(txt_col))).alias("rh"))
+        return (leaf.groupBy("bucket")
+                .agg(F.md5(F.concat_ws("", F.array_sort(
+                    F.collect_list("rh")))).alias("h")))
+
+    ha = lvl0(F.col("text"))
+    hb = lvl0(F.when(F.col("doc_id") % 997 == 0,
+                     F.concat(F.col("text"), F.lit("!~rev2")))
+              .otherwise(F.col("text")))
+    return (ha.withColumnRenamed("h", "h_a")
+            .join(hb.withColumnRenamed("h", "h_b"), "bucket")
+            .where("h_a <> h_b")
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    "h_a", "h_b"))
+
+
+@_q("tukey_outlier_fences", sql="""
+WITH vc AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY source, n_chars),
+cum AS (SELECT source, v, cnt,
+               sum(cnt) OVER (PARTITION BY source ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+               sum(cnt) OVER (PARTITION BY source) AS n
+        FROM vc),
+q AS (SELECT source, max(n) AS n,
+             min(CASE WHEN cc >= (n + 3) // 4 THEN v END) AS q1,
+             min(CASE WHEN cc >= (3 * n + 3) // 4 THEN v END) AS q3
+      FROM cum GROUP BY source),
+f AS (SELECT source, n, q1, q3, q3 - q1 AS iqr,
+             2 * q1 - 3 * (q3 - q1) AS lo2,
+             2 * q3 + 3 * (q3 - q1) AS hi2
+      FROM q)
+SELECT f.source, CAST(f.n AS BIGINT) AS n,
+       CAST(f.q1 AS BIGINT) AS q1, CAST(f.q3 AS BIGINT) AS q3,
+       CAST(f.lo2 AS BIGINT) AS fence_lo_x2,
+       CAST(f.hi2 AS BIGINT) AS fence_hi_x2,
+       CAST(COALESCE(sum(CASE WHEN 2 * vc.v < f.lo2
+                               OR 2 * vc.v > f.hi2
+                              THEN vc.cnt END), 0) AS BIGINT)
+         AS n_outliers
+FROM f JOIN vc USING (source)
+GROUP BY f.source, f.n, f.q1, f.q3, f.lo2, f.hi2
+""")
+def tukey_outlier_fences(spark, sf_dir):
+    """Tukey 1.5-IQR outlier fences per source (Tukey, EDA 1977) on
+    the doc-length distribution — the robust anomaly gate a corpus
+    QA pass runs before trusting per-source length stats (mean/std
+    are exactly what the outliers corrupt; agg_mad_value is the
+    scale estimator side, this is the flagging side). Quartiles use
+    the DISCRETE type-1 definition (Hyndman & Fan 1996): Q_p =
+    smallest value whose cumulative count >= ceil(p*n), exact in
+    integers via ceil(a/b) = (a + b - 1) DIV b. Fences carried
+    DOUBLED (lo2 = 2*Q1 - 3*IQR, outlier iff 2v < lo2) so the 1.5
+    multiplier never leaves integer arithmetic.
+
+    Scale shape: the corpus folds to the VALUE-DISTINCT frame per
+    source in ONE map-side-combinable groupBy (the kendall_tau_b
+    small-domain discipline — n_chars' domain grows with max doc
+    length, not corpus size), quartiles come from a window over that
+    bounded frame, and the outlier count re-aggregates the SAME
+    value-distinct frame against broadcast fences — the corpus is
+    read once."""
+    vc = (t(spark, sf_dir, "documents")
+          .groupBy("source", F.col("n_chars").alias("v"))
+          .agg(F.count("*").alias("cnt")).persist())
+    wc = (Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (vc.withColumn("cc", F.sum("cnt").over(wc))
+           .withColumn("n", F.sum("cnt").over(
+               Window.partitionBy("source"))))
+    q = (cum.groupBy("source")
+         .agg(F.max("n").alias("n"),
+              F.min(F.when(F.col("cc") >= F.expr("(n + 3) DIV 4"),
+                           F.col("v"))).alias("q1"),
+              F.min(F.when(F.col("cc") >= F.expr("(3 * n + 3) DIV 4"),
+                           F.col("v"))).alias("q3")))
+    f = q.select("source", "n", "q1", "q3",
+                 (F.lit(2) * F.col("q1") - 3 * (F.col("q3") - F.col("q1")))
+                 .alias("lo2"),
+                 (F.lit(2) * F.col("q3") + 3 * (F.col("q3") - F.col("q1")))
+                 .alias("hi2"))
+    return (vc.join(F.broadcast(f), "source")
+            .groupBy("source", "n", "q1", "q3", "lo2", "hi2")
+            .agg(F.coalesce(F.sum(F.when(
+                (2 * F.col("v") < F.col("lo2"))
+                | (2 * F.col("v") > F.col("hi2")), F.col("cnt"))),
+                F.lit(0)).cast("long").alias("n_outliers"))
+            .select("source", F.col("n").cast("long").alias("n"),
+                    F.col("q1").cast("long").alias("q1"),
+                    F.col("q3").cast("long").alias("q3"),
+                    F.col("lo2").cast("long").alias("fence_lo_x2"),
+                    F.col("hi2").cast("long").alias("fence_hi_x2"),
+                    "n_outliers"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

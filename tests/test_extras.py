@@ -2921,3 +2921,44 @@ def test_orphan_files_audit_and_vacuum(spark, tmp_path):
     b = job.read_extracted(spark, out2).toPandas()
     assert (a["clean_text"].values == b["clean_text"].values).all()
     assert checkpoint.orphan_files(out) == []
+
+
+def test_merkle_diff_buckets_hand(spark, tmp_path):
+    """Three docs in buckets 1, 2, 3 (doc_ids 1, 2, 997+...); only
+    doc_id 0 and 997 are mutated (doc_id % 997 == 0). With docs 0,
+    1, 66: 0 -> bucket 0 (mutated), 1 -> bucket 1 (clean), 66 ->
+    bucket 2 (clean): exactly bucket 0 differs, hashes unequal."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "alpha", "en", "s", 5),
+            (1, "beta", "en", "s", 4),
+            (66, "gamma", "en", "s", 5)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = QUERIES["merkle_diff_buckets"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bucket"] == 0 and r["h_a"] != r["h_b"], r
+
+
+def test_tukey_outlier_fences_hand(spark, tmp_path):
+    """Source s: lengths [10,11,12,13,14,15,16,500]; n=8, ceil(n/4)=2
+    -> Q1 = 11 (cum 2), ceil(3n/4)=6 -> Q3 = 15; IQR 4; fences x2:
+    lo2 = 22-12 = 10 (v >= 5 ok), hi2 = 30+12 = 42 (2v > 42 <=> v >
+    21) -> only 500 is an outlier."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    lens = [10, 11, 12, 13, 14, 15, 16, 500]
+    rows = [(i, "x", "en", "s", n) for i, n in enumerate(lens)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    r = QUERIES["tukey_outlier_fences"](spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["q1"], r["q3"], r["fence_lo_x2"],
+            r["fence_hi_x2"], r["n_outliers"]) == \
+        (8, 11, 15, 10, 42, 1), r
