@@ -2962,3 +2962,52 @@ def test_tukey_outlier_fences_hand(spark, tmp_path):
     assert (r["n"], r["q1"], r["q3"], r["fence_lo_x2"],
             r["fence_hi_x2"], r["n_outliers"]) == \
         (8, 11, 15, 10, 42, 1), r
+
+
+def test_positional_phrase_search_hand(spark, tmp_path):
+    """Doc 'table x x scan table scan': postings table@1 scan@4
+    table@5 scan@6 -> (1,4) d=3 NEAR-only, (5,6) d=1 adjacent,
+    (1,6) d=5 out of window, (5,4) negative delta out. Expect ONE
+    phrase row: n_adjacent=1, n_near3=2, doc_freq=1; phrases whose
+    terms never co-occur produce no row."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "table x x scan table scan", "en", "s", 26)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = QUERIES["positional_phrase_search"](spark, str(tmp_path)).collect()
+    assert len(out) == 1, out
+    r = out[0]
+    assert (r["phrase"], r["n_adjacent"], r["n_near3"], r["doc_freq"]) == \
+        ("table scan", 1, 2, 1), r
+
+
+def test_naive_bayes_source_classifier_hand(spark, tmp_path):
+    """Full integer trace of the smoothed decision, including the
+    unseen-in-class Laplace path: train doc0 (sA, 'x x y') and doc2
+    (sB, 'y y z'); V=3, T=3 each, denominators 6. Class log-prob
+    tables: sA x=3/6 y=2/6 z=1/6 (z UNSEEN in sA -> the
+    coalesce(0)+1 path); sB x=1/6 y=3/6 z=2/6. Test doc1 (sA,
+    'x z'): sA ln(1/12) beats sB ln(1/18) -> correct. Test doc3
+    (sB, 'y y'): sB ln(1/4) beats sA ln(1/9) -> correct. Test doc5
+    (sB, 'q') is fully out-of-vocabulary and drops out. Priors are
+    equal (one train doc per class) so they cancel."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "x x y", "en", "sA", 5),
+            (2, "y y z", "en", "sB", 5),
+            (1, "x z", "en", "sA", 3),
+            (3, "y y", "en", "sB", 3),
+            (5, "q", "en", "sB", 1)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = {(r["true_source"], r["pred_source"]): r["n"]
+           for r in QUERIES["naive_bayes_source_classifier"](
+               spark, str(tmp_path)).collect()}
+    assert out == {("sA", "sA"): 1, ("sB", "sB"): 1}, out
