@@ -14266,6 +14266,150 @@ def naive_bayes_source_classifier(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n")))
 
 
+_CRAWL_CAP = 50  # max fetches per host per politeness wave
+
+
+@_q("crawl_frontier_politeness", sql="""
+WITH u AS (SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'big.example.com'
+         ELSE source || '.example.com' END AS host FROM documents),
+r AS (SELECT host,
+             row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1
+               AS rn
+      FROM u),
+w AS (SELECT host, rn // {cap} AS wave FROM r)
+SELECT CAST(wave AS BIGINT) AS wave,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(COALESCE(sum(CASE WHEN host = 'big.example.com'
+                              THEN 1 END), 0) AS BIGINT) AS n_big
+FROM w GROUP BY wave
+""".format(cap=_CRAWL_CAP))
+def crawl_frontier_politeness(spark, sf_dir):
+    """Politeness-wave scheduling of a crawl frontier (Mercator,
+    Heydon & Najork WWW 1999: per-host queues so no host is hit by
+    more than a bounded number of concurrent fetches; the frontier
+    partitioning every web-scale ingestion pipeline runs before its
+    fetch stage). URLs are synthesized deterministically from the
+    corpus (the url_canonical_host_counts convention) with an
+    engineered DOMINATOR host holding ~1/3 of the frontier — the
+    realistic shape: one giant site plus a long tail. Each host's
+    URLs are ranked by priority (doc_id) and sliced into waves of at
+    most _CRAWL_CAP=50 fetches; the dominator spans many waves while
+    tail hosts finish in wave 0 — the output (per-wave URL count,
+    host spread, dominator share) is exactly the fetch schedule.
+
+    Scale shape: one projection -> one per-host row_number window
+    (politeness is INHERENTLY a per-host sequential constraint; the
+    window state is a single counter per sorted run, O(1) memory per
+    row, so a hot host costs sort locality, never executor memory)
+    -> one wave fold. No joins, no driver state; at 10^12 URLs the
+    wave assignment shuffles each URL exactly once on host."""
+    u = (t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.lit("big.example.com"))
+                 .otherwise(F.concat(F.col("source"),
+                                     F.lit(".example.com")))
+                 .alias("host")))
+    rn = (F.row_number().over(
+        Window.partitionBy("host").orderBy("doc_id")) - 1)
+    w = u.select("host",
+                 (rn / _CRAWL_CAP).cast("int").alias("wave"))
+    return (w.groupBy(F.col("wave").cast("long").alias("wave"))
+            .agg(F.count("*").cast("long").alias("n_urls"),
+                 F.countDistinct("host").cast("long").alias("n_hosts"),
+                 F.coalesce(F.sum(F.when(
+                     F.col("host") == "big.example.com", 1)), F.lit(0))
+                 .cast("long").alias("n_big")))
+
+
+_GREEDY_K = 4
+
+
+def _greedy_cover_sql(k: int) -> str:
+    """Unrolled k-round greedy max-coverage oracle (DuckDB)."""
+    parts = ["""
+WITH tok AS (SELECT doc_id, pos, w[pos] AS word
+             FROM (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+                  UNNEST(generate_series(1, len(w))) AS t(pos)),
+bg AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word AS bigram
+       FROM tok a JOIN tok b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+u1 AS (SELECT * FROM bg)"""]
+    for r in range(1, k + 1):
+        parts.append("""
+g{r} AS (SELECT doc_id, count(*) AS gain FROM u{r} GROUP BY doc_id),
+p{r} AS (SELECT {r} AS round, doc_id, gain FROM g{r}
+         ORDER BY gain DESC, doc_id LIMIT 1),
+c{r} AS ({prev}SELECT DISTINCT bigram FROM bg
+         WHERE doc_id IN (SELECT doc_id FROM p{r}))""".format(
+            r=r,
+            prev=("SELECT bigram FROM c{0} UNION ".format(r - 1)
+                  if r > 1 else "")))
+        if r < k:
+            parts.append("""
+u{n} AS (SELECT * FROM bg
+         WHERE bigram NOT IN (SELECT bigram FROM c{r}))""".format(
+                n=r + 1, r=r))
+    sel = "\nUNION ALL ".join(
+        "SELECT CAST(round AS BIGINT) AS round, doc_id, "
+        "CAST(gain AS BIGINT) AS gain, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM c{r}) AS covered_total "
+        "FROM p{r}".format(r=r) for r in range(1, k + 1))
+    return ",".join(parts) + "\n" + sel
+
+
+@_q("greedy_max_coverage_select", sql=_greedy_cover_sql(_GREEDY_K))
+def greedy_max_coverage_select(spark, sf_dir):
+    """Greedy maximum-coverage data-subset selection (Nemhauser,
+    Wolsey & Fisher, Math. Prog. 1978: the greedy algorithm is a
+    (1 - 1/e)-approximation for monotone submodular maximization —
+    the theory behind facility-location / coverage-based training-
+    data selection): pick K=_GREEDY_K=4 documents one at a time, each round
+    choosing the doc covering the most NOT-YET-COVERED bigrams
+    (bigram universe, since every doc covers the full 31-word
+    unigram vocab here; ties break to the smaller doc_id). Emits
+    (round, doc_id, gain, covered_total); an exhausted universe
+    simply stops producing rows.
+
+    Scale shape: the coverage state is a DATAFRAME, never a driver
+    collect — each round is one anti-join of the (doc, bigram) frame
+    against the covered set, one gain fold, a TakeOrdered(1) winner,
+    and a semi-join to extend the covered set (persisted: it is
+    universe-bounded, ~10^3 rows here, vocab^2 at worst). K is a
+    constant, so the whole selection is K bounded rounds over one
+    persisted corpus fold — the standard lazy-greedy trade: corpus
+    passes scale with K, state stays metadata-sized."""
+    tok = (t(spark, sf_dir, "documents")
+           .select("doc_id", F.split("text", " ").alias("a")))
+    bg = (tok.select("doc_id", F.explode(F.expr(
+        "transform(slice(a, 1, size(a) - 1), "
+        "(x, i) -> concat(x, ' ', element_at(a, i + 2)))")).alias("bigram"))
+        .distinct().persist())
+    covered = None
+    rows = None
+    for r in range(1, _GREEDY_K + 1):
+        unc = (bg.join(covered, "bigram", "left_anti")
+               if covered is not None else bg)
+        gains = unc.groupBy("doc_id").agg(F.count("*").alias("gain"))
+        win = (gains.orderBy(F.desc("gain"), F.asc("doc_id"))
+               .limit(1).persist())
+        newcov = (bg.join(win.select("doc_id"), "doc_id", "left_semi")
+                  .select("bigram"))
+        covered = ((covered.union(newcov) if covered is not None
+                    else newcov).distinct().persist())
+        row = (win.crossJoin(
+            covered.agg(F.count("*").cast("long")
+                        .alias("covered_total")))
+            .select(F.lit(r).cast("long").alias("round"), "doc_id",
+                    F.col("gain").cast("long").alias("gain"),
+                    "covered_total"))
+        rows = row if rows is None else rows.union(row)
+    return rows
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

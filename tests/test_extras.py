@@ -3011,3 +3011,47 @@ def test_naive_bayes_source_classifier_hand(spark, tmp_path):
            for r in QUERIES["naive_bayes_source_classifier"](
                spark, str(tmp_path)).collect()}
     assert out == {("sA", "sA"): 1, ("sB", "sB"): 1}, out
+
+
+def test_crawl_frontier_politeness_hand(spark, tmp_path):
+    """120 docs, one source 's': ids %3==0 (40 urls) go to the
+    dominator host, the other 80 to s.example.com. Cap 50 -> big
+    host finishes in wave 0 (40 < 50); the tail host splits 50/30.
+    Wave 0: 90 urls, 2 hosts, 40 dominator; wave 1: 30 urls, 1
+    host, 0 dominator."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(i, "x", "en", "s", 1) for i in range(120)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["wave"]: (r["n_urls"], r["n_hosts"], r["n_big"])
+           for r in QUERIES["crawl_frontier_politeness"](
+               spark, str(tmp_path)).collect()}
+    assert out == {0: (90, 2, 40), 1: (30, 1, 0)}, out
+
+
+def test_greedy_max_coverage_select_hand(spark, tmp_path):
+    """d0 'a b c d' (bigrams ab,bc,cd), d1 'a b x' (ab,bx), d2
+    'c d y z' (cd,dy,yz). Round 1: d0 and d2 tie at gain 3 ->
+    doc_id tie-break picks d0, covered 3. Round 2: d1 has {bx}=1,
+    d2 has {dy,yz}=2 -> d2, covered 5. Round 3: d1 {bx}=1, covered
+    6. Round 4: universe exhausted -> NO row (the early-stop
+    case). Already-selected docs can never be re-picked (zero
+    uncovered bigrams drop them from the gain frame)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "a b c d", "en", "s", 7),
+            (1, "a b x", "en", "s", 5),
+            (2, "c d y z", "en", "s", 7)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = [(r["round"], r["doc_id"], r["gain"], r["covered_total"])
+           for r in QUERIES["greedy_max_coverage_select"](
+               spark, str(tmp_path)).orderBy("round").collect()]
+    assert out == [(1, 0, 3, 3), (2, 2, 2, 5), (3, 1, 1, 6)], out
