@@ -14410,6 +14410,240 @@ def greedy_max_coverage_select(spark, sf_dir):
     return rows
 
 
+# Shared 64-bucket equal-width time synopsis of the events table: the
+# bounded dense frame both synopsis operators (Haar wavelet, V-optimal
+# histogram) decompose. Width = (mx - mn) DIV 64 + 1 so buckets land in
+# [0, 63] by construction; missing buckets gap-fill to 0.
+_SYN_B = 64
+
+_SYN_BASE_SQL = """
+mm AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+       FROM events),
+evb AS (SELECT (epoch_us(ts) - mn) // ((mx - mn) // {B} + 1) AS b
+        FROM events, mm),
+cnt AS (SELECT b, count(*) AS c FROM evb GROUP BY b),
+base AS (SELECT g.b, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c
+         FROM (SELECT unnest(generate_series(0, {B} - 1)) AS b) g
+         LEFT JOIN cnt USING (b))""".format(B=_SYN_B)
+
+
+def _syn_base(spark, sf_dir):
+    """Dense 64-bucket count frame (b: long in [0,64), c: long)."""
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    mm = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx"))
+    cnt = (ev.select(us.alias("u")).crossJoin(F.broadcast(mm))
+           .select(F.expr("(u - mn) DIV ((mx - mn) DIV {B} + 1)"
+                          .format(B=_SYN_B)).alias("b"))
+           .groupBy("b").agg(F.count("*").alias("c")))
+    spine = spark.range(_SYN_B).select(F.col("id").alias("b"))
+    return (spine.join(cnt, "b", "left")
+            .select("b", F.coalesce("c", F.lit(0)).cast("long")
+                    .alias("c")))
+
+
+_HAAR_LEVELS = 6   # log2(_SYN_B)
+_HAAR_TOP = 8
+
+
+def _haar_sql() -> str:
+    parts = ["WITH " + _SYN_BASE_SQL + ",\nl0 AS (SELECT b, c FROM base)"]
+    for l in range(1, _HAAR_LEVELS + 1):
+        parts.append("""
+l{l} AS (SELECT pb AS b, d, c FROM (
+          SELECT b // 2 AS pb,
+                 sum(CASE WHEN b % 2 = 0 THEN c ELSE -c END) AS d,
+                 sum(c) AS c
+          FROM l{p} GROUP BY b // 2))""".format(l=l, p=l - 1))
+    det = "\nUNION ALL ".join(
+        "SELECT {l} AS lvl, b AS idx, d FROM l{l}".format(l=l)
+        for l in range(1, _HAAR_LEVELS + 1))
+    return (",".join(parts)
+            + ",\ndet AS ({det}),\ntop AS (SELECT lvl, idx, d FROM det"
+              " ORDER BY abs(d) DESC, lvl, idx LIMIT {t})\n"
+              "SELECT CAST(lvl AS BIGINT) AS lvl,"
+              " CAST(idx AS BIGINT) AS idx,"
+              " CAST(d AS BIGINT) AS coef FROM top\n"
+              "UNION ALL SELECT CAST({s} AS BIGINT), CAST(0 AS BIGINT),"
+              " CAST(c AS BIGINT) FROM l{n}".format(
+                  det=det, t=_HAAR_TOP, s=_HAAR_LEVELS + 1,
+                  n=_HAAR_LEVELS))
+
+
+@_q("haar_wavelet_synopsis", sql=_haar_sql())
+def haar_wavelet_synopsis(spark, sf_dir):
+    """Haar wavelet synopsis of the event-count timeline (Matias,
+    Vitter & Wang, SIGMOD 1998 — wavelet-based histograms for
+    selectivity estimation: keep the B largest wavelet coefficients
+    of a frequency vector as a constant-size synopsis). The corpus
+    folds ONCE to a dense 64-bucket equal-width count vector; six
+    unnormalized Haar levels follow (pair sum + pair difference —
+    kept in INTEGERS by skipping the 1/2 normalization per level,
+    i.e. coefficient at level l carries an implicit 2^(l-1) scale,
+    the standard integer-exact variant); the synopsis is the top-8
+    detail coefficients by |value| (ties -> lower level, lower
+    index) plus the level-7-labelled total-sum (scaling)
+    coefficient.
+
+    Scale shape: ONE corpus-scale groupBy folds events to <=64
+    rows; everything after operates on a bounded frame (six
+    64-row-or-smaller folds, one TakeOrdered(8)). The synopsis is
+    what a cost-based optimizer or drift monitor ships instead of
+    the timeline: 9 numbers, reconstruction error minimized among
+    all 9-coefficient Haar synopses (Parseval)."""
+    s = _syn_base(spark, sf_dir).persist()
+    det = None
+    for lvl in range(1, _HAAR_LEVELS + 1):
+        nxt = (s.groupBy(F.expr("b DIV 2").alias("pb"))
+               .agg(F.sum(F.when(F.col("b") % 2 == 0, F.col("c"))
+                          .otherwise(-F.col("c"))).alias("d"),
+                    F.sum("c").alias("c"))
+               .withColumnRenamed("pb", "b")
+               .persist())
+        row = nxt.select(F.lit(lvl).cast("long").alias("lvl"),
+                         F.col("b").cast("long").alias("idx"),
+                         F.col("d").cast("long").alias("coef"))
+        det = row if det is None else det.union(row)
+        s = nxt.select("b", "c")
+    top = (det.orderBy(F.abs(F.col("coef")).desc(), "lvl", "idx")
+           .limit(_HAAR_TOP))
+    total = s.select(F.lit(_HAAR_LEVELS + 1).cast("long").alias("lvl"),
+                     F.lit(0).cast("long").alias("idx"),
+                     F.col("c").cast("long").alias("coef"))
+    return top.union(total)
+
+
+@_q("vopt_histogram_dp", sql="WITH " + _SYN_BASE_SQL + """,
+ps AS (SELECT b, CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS s1,
+              CAST(sum(c * c) OVER (ORDER BY b) AS BIGINT) AS s2
+       FROM base),
+e AS (SELECT i.b AS i, j.b AS j,
+             CAST(j.s2 - COALESCE(ip.s2, 0) AS DOUBLE)
+             - CAST((j.s1 - COALESCE(ip.s1, 0))
+                    * (j.s1 - COALESCE(ip.s1, 0)) AS DOUBLE)
+               / (j.b - i.b + 1) AS err,
+             CAST(j.s1 - COALESCE(ip.s1, 0) AS BIGINT) AS n_ev
+      FROM ps i JOIN ps j ON j.b >= i.b
+      LEFT JOIN ps ip ON ip.b = i.b - 1),
+d1 AS (SELECT j, err AS cost FROM e WHERE i = 0),
+d2 AS (SELECT e.j AS j, min(d1.cost + e.err) AS cost
+       FROM d1 JOIN e ON e.i = d1.j + 1 GROUP BY e.j),
+d3 AS (SELECT e.j AS j, min(d2.cost + e.err) AS cost
+       FROM d2 JOIN e ON e.i = d2.j + 1 GROUP BY e.j),
+c3 AS (SELECT i - 1 AS cut FROM (
+         SELECT e.i AS i,
+                row_number() OVER (ORDER BY d3.cost + e.err, e.i) AS rn
+         FROM d3 JOIN e ON e.i = d3.j + 1 WHERE e.j = {M}) WHERE rn = 1),
+c2 AS (SELECT i - 1 AS cut FROM (
+         SELECT e.i AS i,
+                row_number() OVER (ORDER BY d2.cost + e.err, e.i) AS rn
+         FROM d2 JOIN e ON e.i = d2.j + 1, c3 WHERE e.j = c3.cut)
+       WHERE rn = 1),
+c1 AS (SELECT i - 1 AS cut FROM (
+         SELECT e.i AS i,
+                row_number() OVER (ORDER BY d1.cost + e.err, e.i) AS rn
+         FROM d1 JOIN e ON e.i = d1.j + 1, c2 WHERE e.j = c2.cut)
+       WHERE rn = 1),
+segs AS (SELECT 1 AS seg, 0 AS lo, c1.cut AS hi FROM c1
+  UNION ALL SELECT 2, c1.cut + 1, c2.cut FROM c1, c2
+  UNION ALL SELECT 3, c2.cut + 1, c3.cut FROM c2, c3
+  UNION ALL SELECT 4, c3.cut + 1, {M} FROM c3)
+SELECT CAST(seg AS BIGINT) AS seg, CAST(lo AS BIGINT) AS b_lo,
+       CAST(hi AS BIGINT) AS b_hi, e.n_ev AS n_events,
+       round(e.err, 6) AS sse_r
+FROM segs JOIN e ON e.i = segs.lo AND e.j = segs.hi
+""".format(M=_SYN_B - 1))
+def vopt_histogram_dp(spark, sf_dir):
+    """V-optimal histogram by exact dynamic programming (Jagadish,
+    Koudas, Muthukrishnan, Poosala, Sevcik & Suel, VLDB 1998,
+    "Optimal histograms with quality guarantees"): partition the
+    64-bucket event-count timeline into K=4 contiguous segments
+    minimizing total within-segment SSE — the histogram a cost-based
+    optimizer stores for selectivity estimation (the optimal
+    counterpart of the equi-width/equi-depth heuristics;
+    join_card_estimate is a consumer of such histograms). SSE of a
+    segment comes from prefix sums: sse(i,j) = (S2_j - S2_{i-1}) -
+    (S1_j - S1_{i-1})^2 / n. Every arithmetic op in the DP is an
+    IEEE correctly-rounded +,-,*,/ on integers exactly representable
+    in doubles — so unlike ln-based scores the DP table is
+    BIT-IDENTICAL across engines and the argmin backtrack (ties ->
+    smaller cut index) is an exact cross-engine contract, no rounding
+    margin needed. Emits (seg, b_lo, b_hi, n_events, sse_r).
+
+    Scale shape: ONE corpus-scale groupBy folds events to the dense
+    64-bucket frame; the error matrix is a 64x64/2-bounded
+    self-join, the three DP levels are folds over that bounded
+    frame, and the backtrack is three 1-row argmin picks — the
+    classic pattern of exact DP ON A BOUNDED SYNOPSIS, never on the
+    corpus. At 10^12 events only the first fold sees data."""
+    base = _syn_base(spark, sf_dir)
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    ps = (base.select("b", F.sum("c").over(wcum).alias("s1"),
+                      F.sum(F.col("c") * F.col("c")).over(wcum)
+                      .alias("s2")).persist())
+    psi = ps.select(F.col("b").alias("i"))
+    psj = ps.select(F.col("b").alias("j"), F.col("s1").alias("s1j"),
+                    F.col("s2").alias("s2j"))
+    psp = ps.select((F.col("b") + 1).alias("i"),
+                    F.col("s1").alias("s1p"), F.col("s2").alias("s2p"))
+    s1d = F.col("s1j") - F.coalesce(F.col("s1p"), F.lit(0))
+    s2d = F.col("s2j") - F.coalesce(F.col("s2p"), F.lit(0))
+    e = (psi.join(psj, F.col("j") >= F.col("i"))
+         .join(psp, "i", "left")
+         .select("i", "j",
+                 (s2d.cast("double")
+                  - (s1d * s1d).cast("double")
+                  / (F.col("j") - F.col("i") + 1)).alias("err"),
+                 s1d.cast("long").alias("n_ev"))
+         .persist())
+    d1 = (e.where(F.col("i") == 0)
+          .select(F.col("j").alias("pj"), F.col("err").alias("cost")))
+    d2 = (d1.join(e, F.col("i") == F.col("pj") + 1)
+          .groupBy(F.col("j").alias("gj"))
+          .agg(F.min(F.col("cost") + F.col("err")).alias("cost"))
+          .withColumnRenamed("gj", "pj"))
+    d3 = (d2.join(e, F.col("i") == F.col("pj") + 1)
+          .groupBy(F.col("j").alias("gj"))
+          .agg(F.min(F.col("cost") + F.col("err")).alias("cost"))
+          .withColumnRenamed("gj", "pj"))
+    wmin = Window.orderBy(F.col("tot").asc(), F.col("i").asc())
+
+    def _argmin_cut(dk, j_df):
+        cand = (dk.join(e, F.col("i") == F.col("pj") + 1)
+                .crossJoin(F.broadcast(j_df))
+                .where(F.col("j") == F.col("jtgt"))
+                .select("i", (F.col("cost") + F.col("err")).alias("tot")))
+        return (cand.withColumn("rn", F.row_number().over(wmin))
+                .where(F.col("rn") == 1)
+                .select((F.col("i") - 1).alias("cut")))
+
+    jlast = spark.range(1).select(F.lit(_SYN_B - 1).alias("jtgt"))
+    c3 = _argmin_cut(d3, jlast).persist()
+    c2 = _argmin_cut(d2, c3.select(F.col("cut").alias("jtgt"))).persist()
+    c1 = _argmin_cut(d1, c2.select(F.col("cut").alias("jtgt"))).persist()
+
+    def _seg(n, lo_df, hi_df):
+        return (lo_df.crossJoin(hi_df)
+                .select(F.lit(n).cast("long").alias("seg"),
+                        F.col("lo").cast("long").alias("b_lo"),
+                        F.col("hi").cast("long").alias("b_hi")))
+
+    zero = spark.range(1).select(F.lit(0).alias("lo"))
+    last = spark.range(1).select(F.lit(_SYN_B - 1).alias("hi"))
+    segs = (_seg(1, zero, c1.select(F.col("cut").alias("hi")))
+            .union(_seg(2, c1.select((F.col("cut") + 1).alias("lo")),
+                        c2.select(F.col("cut").alias("hi"))))
+            .union(_seg(3, c2.select((F.col("cut") + 1).alias("lo")),
+                        c3.select(F.col("cut").alias("hi"))))
+            .union(_seg(4, c3.select((F.col("cut") + 1).alias("lo")),
+                        last)))
+    return (segs.join(e, (F.col("i") == F.col("b_lo"))
+                      & (F.col("j") == F.col("b_hi")))
+            .select("seg", "b_lo", "b_hi",
+                    F.col("n_ev").alias("n_events"),
+                    F.round("err", 6).alias("sse_r")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -3055,3 +3055,58 @@ def test_greedy_max_coverage_select_hand(spark, tmp_path):
            for r in QUERIES["greedy_max_coverage_select"](
                spark, str(tmp_path)).orderBy("round").collect()]
     assert out == [(1, 0, 3, 3), (2, 2, 2, 5), (3, 1, 1, 6)], out
+
+
+def _syn_events(tmp_path, us_offsets):
+    """events.parquet with one row per microsecond offset (bucket
+    width collapses to 1us when mx-mn < 64)."""
+    import os
+
+    base = pd.Timestamp("2024-01-01")
+    n = len(us_offsets)
+    pd.DataFrame({
+        "event_id": range(n),
+        "ts": pd.Series([base + pd.Timedelta(microseconds=int(o))
+                         for o in us_offsets]).astype("datetime64[us]"),
+        "user_id": [1] * n,
+        "event_type": ["view"] * n,
+        "value": [1.0] * n,
+        "props": ["{}"] * n,
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+
+def test_haar_wavelet_synopsis_hand(spark, tmp_path):
+    """Offsets 0..62 once each plus an extra at 0 -> counts
+    [2,1,...,1,0] (bucket 63 exists only via the gap-fill spine).
+    Full integer trace: lvl-6 coef = 33-31 = 2 tops the list; ten
+    coefficients of 1 follow (pair (0-extra) and the 62|63 edge at
+    every level), tie-broken (lvl, idx); total = 64."""
+    from extractor.queries import QUERIES
+
+    _syn_events(tmp_path, list(range(63)) + [0])
+    out = [(r["lvl"], r["idx"], r["coef"])
+           for r in QUERIES["haar_wavelet_synopsis"](
+               spark, str(tmp_path)).collect()]
+    assert sorted(out) == sorted(
+        [(6, 0, 2), (1, 0, 1), (1, 31, 1), (2, 0, 1), (2, 15, 1),
+         (3, 0, 1), (3, 7, 1), (4, 0, 1), (7, 0, 64)]), out
+
+
+def test_vopt_histogram_dp_hand(spark, tmp_path):
+    """Piecewise-constant counts: 10 events in every bucket of
+    [0,15] and [32,47], zero in [16,31] and [48,63] (the last block
+    purely gap-filled). The UNIQUE zero-SSE 4-way partition cuts
+    exactly at the block boundaries 15/31/47 — any other cut mixes
+    a 10-block with a 0-block and pays positive SSE."""
+    from extractor.queries import QUERIES
+
+    offs = []
+    for b in list(range(16)) + list(range(32, 48)):
+        offs += [b] * 10
+    _syn_events(tmp_path, offs)
+    out = sorted((r["seg"], r["b_lo"], r["b_hi"], r["n_events"],
+                  r["sse_r"])
+                 for r in QUERIES["vopt_histogram_dp"](
+                     spark, str(tmp_path)).collect())
+    assert out == [(1, 0, 15, 160, 0.0), (2, 16, 31, 0, 0.0),
+                   (3, 32, 47, 160, 0.0), (4, 48, 63, 0, 0.0)], out
