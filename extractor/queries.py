@@ -14644,6 +14644,166 @@ def vopt_histogram_dp(spark, sf_dir):
                     F.round("err", 6).alias("sse_r")))
 
 
+def _isotonic_fit(bins):
+    """Isotonic (PAV) fit of pos-rate vs bin over a BOUNDED bin frame
+    (bin, n, n_pos) via the minimax identity fit[k] = max_{i<=k}
+    min_{j>=k} avg(i..j) (Ayer et al., Ann. Math. Stat. 1955;
+    Robertson/Wright/Dykstra 1988 ch.1) — equivalent to
+    pool-adjacent-violators but expressible as two bounded folds
+    instead of a sequential pooling loop. Every avg is ONE correctly
+    rounded division of exact integers, so the double set — and
+    hence min/max — is bit-identical across engines."""
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ps = bins.select("bin", "n", "n_pos",
+                     F.sum("n").over(w).alias("cn"),
+                     F.sum("n_pos").over(w).alias("cp"))
+    i = ps.select(F.col("bin").alias("i"),
+                  (F.col("cn") - F.col("n")).alias("cni"),
+                  (F.col("cp") - F.col("n_pos")).alias("cpi"))
+    j = ps.select(F.col("bin").alias("j"), F.col("cn").alias("cnj"),
+                  F.col("cp").alias("cpj"))
+    pairs = (i.join(j, F.col("j") >= F.col("i"))
+             .select("i", "j",
+                     ((F.col("cpj") - F.col("cpi")).cast("double")
+                      / (F.col("cnj") - F.col("cni"))).alias("avg")))
+    k = bins.select(F.col("bin").alias("k"))
+    tri = (pairs.join(k, (F.col("i") <= F.col("k"))
+                      & (F.col("k") <= F.col("j")))
+           .groupBy("k", "i").agg(F.min("avg").alias("mn"))
+           .groupBy("k").agg(F.max("mn").alias("fit")))
+    return (bins.join(tri, bins.bin == tri.k)
+            .select("bin", "n", "n_pos",
+                    F.round("fit", 6).alias("fit_r")))
+
+
+@_q("isotonic_calibration_fit", sql="""
+WITH cb AS ({cb}),
+ps AS (SELECT bin, n, n_pos,
+              CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+              CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+       FROM cb),
+pairs AS (SELECT i.bin AS i, j.bin AS j,
+                 CAST(j.cp - (i.cp - i.n_pos) AS DOUBLE)
+                   / (j.cn - (i.cn - i.n)) AS avg
+          FROM ps i JOIN ps j ON j.bin >= i.bin),
+tri AS (SELECT k.bin AS k, pairs.i, min(pairs.avg) AS mn
+        FROM pairs JOIN ps k
+          ON pairs.i <= k.bin AND k.bin <= pairs.j
+        GROUP BY k.bin, pairs.i),
+fit AS (SELECT k, max(mn) AS fit FROM tri GROUP BY k)
+SELECT cb.bin, cb.n, cb.n_pos, round(fit.fit, 6) AS fit_r
+FROM cb JOIN fit ON cb.bin = fit.k
+""")
+def isotonic_calibration_fit(spark, sf_dir):
+    """Isotonic regression calibration of the learned classifier's
+    reliability table (Zadrozny & Elkan, KDD 2002 — transforming
+    classifier scores into accurate probability estimates; the
+    standard non-parametric alternative to Platt scaling): take
+    calibration_bins' (bin, n, n_pos) reliability frame — which need
+    NOT be monotone — and fit the best monotone non-decreasing
+    positive-rate curve in least squares via the PAV minimax
+    identity (see _isotonic_fit). The fitted curve is what a
+    threshold-picking pipeline actually consults: it turns raw
+    quality-filter scores into calibrated keep-probabilities.
+
+    Scale shape: all corpus-scale work is inside calibration_bins
+    (zero-shuffle broadcast matmul + one 10-row fold, composed by
+    calling the registered query — no re-derivation); the isotonic
+    fit itself runs on the <=10-row bin frame: one prefix window,
+    one <=55-pair self-join, two bounded folds. Exactness: each
+    candidate average is one correctly-rounded division of exact
+    integer sums, so both engines compare identical doubles and the
+    max-min fit is an exact cross-engine contract (round 6dp for
+    display only)."""
+    return _isotonic_fit(calibration_bins(spark, sf_dir))
+
+
+# Compose the oracle with calibration_bins' SQL (registered above).
+ORACLES["isotonic_calibration_fit"] = \
+    ORACLES["isotonic_calibration_fit"].format(
+        cb=ORACLES["calibration_bins"].strip())
+
+
+@_q("wasserstein1_source_drift", sql="""
+WITH vc AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY source, n_chars),
+spine AS (SELECT DISTINCT v FROM vc),
+srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM vc
+         GROUP BY source),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM vc),
+grid AS (SELECT s.source, s.n_src, sp.v,
+                CAST(COALESCE(vc.c, 0) AS BIGINT) AS c
+         FROM srcs s CROSS JOIN spine sp
+         LEFT JOIN vc ON vc.source = s.source AND vc.v = sp.v),
+cum1 AS (SELECT source, n_src, v,
+                CAST(sum(c) OVER (PARTITION BY source ORDER BY v)
+                     AS BIGINT) AS ca,
+                lead(v) OVER (PARTITION BY source ORDER BY v) AS nv
+         FROM grid),
+cum AS (SELECT source, n_src, v, ca, nv,
+               CAST(sum(ca) OVER (PARTITION BY v) AS BIGINT) AS ct
+        FROM cum1),
+terms AS (SELECT source, n_src,
+                 abs(ca * ((SELECT n_all FROM tot) - n_src)
+                     - (ct - ca) * n_src) * (nv - v) AS term
+          FROM cum WHERE nv IS NOT NULL)
+SELECT source,
+       CAST(sum(term) AS BIGINT) AS w1_scaled,
+       round(CAST(sum(term) AS DOUBLE)
+             / (n_src * ((SELECT n_all FROM tot) - n_src)), 6) AS w1_r
+FROM terms GROUP BY source, n_src
+""")
+def wasserstein1_source_drift(spark, sf_dir):
+    """1-Wasserstein (earth mover's) distance between each source's
+    doc-length distribution and the POOLED REST of the corpus —
+    exact in integers (Villani, Optimal Transport 2009 §2: in 1-D,
+    W1(F,G) = integral |F(x) - G(x)| dx; Ramdas/Garcia/Cuturi 2017
+    on Wasserstein two-sample testing). This is the drift number
+    that ORDERS sources by how far they sit from the corpus mixture
+    in actual length units, where ks_drift_test's sup-norm only
+    flags the single worst gap and source_kl_divergence needs
+    binning. Identity: between consecutive support values with gap
+    g, |F_a - F_rest| * g = |ca*n_rest - c_rest*n_a| * g / (n_a *
+    n_rest) — carried SCALED by n_a*n_rest so the sum never leaves
+    BIGINT; the normalized distance divides once at the end.
+
+    Scale shape: the corpus folds ONCE to the value-distinct (source,
+    v) frame (the tukey/kendall small-domain discipline — the
+    support grows with max doc length, not corpus size); the dense
+    source x support grid, per-source cumulative window, per-value
+    total, and the final fold are all bounded by |support| x
+    |sources|. One corpus-scale shuffle total."""
+    vc = (t(spark, sf_dir, "documents")
+          .groupBy("source", F.col("n_chars").alias("v"))
+          .agg(F.count("*").alias("c")).persist())
+    spine = vc.select("v").distinct()
+    srcs = vc.groupBy("source").agg(F.sum("c").alias("n_src"))
+    tot = vc.agg(F.sum("c").alias("n_all"))
+    grid = (srcs.crossJoin(spine)
+            .join(vc, ["source", "v"], "left")
+            .select("source", "n_src", "v",
+                    F.coalesce("c", F.lit(0)).alias("c")))
+    ws = Window.partitionBy("source").orderBy("v")
+    cum = (grid.withColumn("ca", F.sum("c").over(ws))
+           .withColumn("ct", F.sum(F.col("ca")).over(
+               Window.partitionBy("v")))
+           .withColumn("nv", F.lead("v").over(ws)))
+    terms = (cum.crossJoin(F.broadcast(tot))
+             .where(F.col("nv").isNotNull())
+             .select("source", "n_src", "n_all",
+                     (F.abs(F.col("ca") * (F.col("n_all") - F.col("n_src"))
+                            - (F.col("ct") - F.col("ca")) * F.col("n_src"))
+                      * (F.col("nv") - F.col("v"))).alias("term")))
+    return (terms.groupBy("source", "n_src", "n_all")
+            .agg(F.sum("term").alias("w1_scaled"))
+            .select("source",
+                    F.col("w1_scaled").cast("long").alias("w1_scaled"),
+                    F.round(F.col("w1_scaled").cast("double")
+                            / (F.col("n_src")
+                               * (F.col("n_all") - F.col("n_src"))), 6)
+                    .alias("w1_r")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -3110,3 +3110,37 @@ def test_vopt_histogram_dp_hand(spark, tmp_path):
                      spark, str(tmp_path)).collect())
     assert out == [(1, 0, 15, 160, 0.0), (2, 16, 31, 0, 0.0),
                    (3, 32, 47, 160, 0.0), (4, 48, 63, 0, 0.0)], out
+
+
+def test_isotonic_fit_hand(spark):
+    """PAV trace: rates [.2, .5, .3, .6] with n=10 per bin violate
+    monotonicity at bins 1-2; PAV pools them to (5+3)/20 = .4 ->
+    fit [.2, .4, .4, .6], reproduced by the minimax identity."""
+    from extractor.queries import _isotonic_fit
+
+    bins = spark.createDataFrame(
+        [(0, 10, 2), (1, 10, 5), (2, 10, 3), (3, 10, 6)],
+        "bin long, n long, n_pos long")
+    out = {r["bin"]: r["fit_r"]
+           for r in _isotonic_fit(bins).collect()}
+    assert out == {0: 0.2, 1: 0.4, 2: 0.4, 3: 0.6}, out
+
+
+def test_wasserstein1_source_drift_hand(spark, tmp_path):
+    """Source A = lengths {1, 3}, source B = {2}: W1(A, B) = 1.0
+    exactly (move half of A's mass one unit from each side). Scaled
+    integer: spine 1,2,3; gaps 1,1; |ca*nB - cb*nA| = 1 at both
+    gaps -> w1_scaled = 2 over denominator nA*nB = 2."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "x", "en", "A", 1), (1, "x", "en", "A", 3),
+            (2, "x", "en", "B", 2)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["source"]: (r["w1_scaled"], r["w1_r"])
+           for r in QUERIES["wasserstein1_source_drift"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": (2, 1.0), "B": (2, 1.0)}, out
