@@ -14804,6 +14804,142 @@ def wasserstein1_source_drift(spark, sf_dir):
                     .alias("w1_r")))
 
 
+@_q("token_mi_feature_select", sql="""
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+jc AS (SELECT w, source, CAST(count(*) AS BIGINT) AS n_wc
+       FROM tok GROUP BY w, source),
+mw AS (SELECT w, CAST(sum(n_wc) AS BIGINT) AS n_w FROM jc GROUP BY w),
+mc AS (SELECT source, CAST(sum(n_wc) AS BIGINT) AS n_c FROM jc
+       GROUP BY source),
+nn AS (SELECT CAST(sum(n_wc) AS BIGINT) AS n FROM jc),
+mi AS (SELECT jc.w, mw.n_w,
+              sum((CAST(n_wc AS DOUBLE) / n)
+                  * ln(CAST(n_wc AS DOUBLE) * n
+                       / (CAST(n_w AS DOUBLE) * n_c))) AS mi
+       FROM jc JOIN mw USING (w) JOIN mc USING (source) CROSS JOIN nn
+       GROUP BY jc.w, mw.n_w)
+SELECT w AS word, n_w, round(mi, 6) AS mi_r
+FROM mi ORDER BY round(mi, 6) DESC, w LIMIT 10
+""")
+def token_mi_feature_select(spark, sf_dir):
+    """Mutual-information feature selection for text classification
+    (Yang & Pedersen, ICML 1997, "A comparative study on feature
+    selection in text categorization"): I(W; C) contribution of each
+    token against the source label, MI(w) = sum_c p(w,c) *
+    ln(p(w,c) / (p(w) p(c))), computed from EXACT integer counts;
+    emits the top-10 tokens — the features naive_bayes_source_
+    classifier (or any cheap corpus tagger) should keep when the
+    hashed vocabulary must shrink. Zero cells contribute 0 (absent
+    from the joint fold, the correct 0 ln 0 limit). Ranking is on
+    the 6dp-ROUNDED score with word tie-break — the naive-Bayes
+    exactness convention: the only non-correctly-rounded op is ln
+    (<=1 ulp, ~1e-18 here), six decades below the grid.
+
+    Scale shape: ONE corpus-scale map-side-combinable (word, source)
+    fold (the NB training frame); marginals are folds of THAT frame
+    (vocab- and class-bounded); the MI fold and top-k run on the
+    vocab x class cross. The corpus is read once."""
+    tok = (t(spark, sf_dir, "documents")
+           .select("source", F.explode(F.split("text", " ")).alias("w")))
+    jc = tok.groupBy("w", "source").agg(F.count("*").alias("n_wc"))
+    mw = jc.groupBy("w").agg(F.sum("n_wc").alias("n_w"))
+    mc = jc.groupBy("source").agg(F.sum("n_wc").alias("n_c"))
+    nn = jc.agg(F.sum("n_wc").alias("n"))
+    mi = (jc.join(mw, "w").join(F.broadcast(mc), "source")
+          .crossJoin(F.broadcast(nn))
+          .groupBy("w", "n_w")
+          .agg(F.sum((F.col("n_wc").cast("double") / F.col("n"))
+                     * F.log(F.col("n_wc").cast("double") * F.col("n")
+                             / (F.col("n_w").cast("double")
+                                * F.col("n_c")))).alias("mi")))
+    return (mi.select(F.col("w").alias("word"),
+                      F.col("n_w").cast("long").alias("n_w"),
+                      F.round("mi", 6).alias("mi_r"))
+            .orderBy(F.desc("mi_r"), F.asc("word")).limit(10))
+
+
+# (rule, cost-per-row, DuckDB predicate, Spark predicate builder) for
+# the predicate-ordering audit; costs are fixed synthetic units.
+_PRED_RULES = [
+    ("len_lt_200", 1, "n_chars < 200",
+     lambda: F.col("n_chars") < 200),
+    ("tokens_lt_30", 2, "len(string_split(text, ' ')) < 30",
+     lambda: F.size(F.split("text", " ")) < 30),
+    ("contains_slow", 4, "text LIKE '%slow%'",
+     lambda: F.col("text").contains("slow")),
+    ("src0_only", 8, "source = 'src0'",
+     lambda: F.col("source") == "src0"),
+]
+
+
+@_q("predicate_order_cascade_cost", sql="""
+WITH sel AS (SELECT CAST(count(*) AS BIGINT) AS n,
+{cols}
+             FROM documents),
+rules AS ({rules}),
+r AS (SELECT rule, cost, n_dropped,
+             (n_dropped * 1000000) // sel.n AS sel_micro,
+             (n_dropped * 1000000) // (sel.n * cost) AS rank_micro
+      FROM rules, sel)
+SELECT rule, CAST(cost AS BIGINT) AS cost, n_dropped,
+       CAST(sel_micro AS BIGINT) AS sel_micro,
+       CAST(rank_micro AS BIGINT) AS rank_micro,
+       CAST(row_number() OVER (ORDER BY rank_micro DESC, rule)
+            AS BIGINT) AS opt_pos
+FROM r
+""".format(
+    cols=",\n".join(
+        "  CAST(COALESCE(sum(CASE WHEN {p} THEN 1 END), 0) AS BIGINT)"
+        " AS d{i}".format(p=p, i=i)
+        for i, (_, _, p, _) in enumerate(_PRED_RULES)),
+    rules="\nUNION ALL ".join(
+        "SELECT '{r}' AS rule, {c} AS cost, d{i} AS n_dropped FROM sel"
+        .format(r=r, c=c, i=i)
+        for i, (r, c, _, _) in enumerate(_PRED_RULES))))
+def predicate_order_cascade_cost(spark, sf_dir):
+    """Optimal filter ordering for a drop-cascade (Hellerstein &
+    Stonebraker, SIGMOD 1993, "Predicate migration" — apply
+    predicates in rank order, rank = drop-rate per unit cost; the
+    Selinger-era selectivity-ordering rule every pipeline that chains
+    quality filters re-derives): measure each cascade rule's
+    selectivity on the corpus in ONE pass (conditional partial
+    aggregates — never one scan per rule), then emit the optimal
+    cheapest-drops-first schedule. quality_filter_cascade applies
+    rules in a fixed order; THIS operator is the planner that picks
+    the order: rank_micro = drops * 1e6 DIV (n * cost), exact
+    integer division, position ties break on rule name.
+
+    Scale shape: one corpus-scale 1-row fold computes all four
+    selectivities simultaneously (the multi-aggregate trick: k
+    predicates cost one scan, not k); the ranking runs on a 4-row
+    literal frame. At 10^12 rows the audit costs exactly one read
+    of (n_chars, text, source)."""
+    docs = t(spark, sf_dir, "documents")
+    sel = docs.agg(
+        F.count("*").alias("n"),
+        *[F.coalesce(F.sum(F.when(bld(), 1)), F.lit(0)).alias(f"d{i}")
+          for i, (_, _, _, bld) in enumerate(_PRED_RULES)])
+    rules = None
+    for i, (r, c, _, _) in enumerate(_PRED_RULES):
+        row = sel.select(F.lit(r).alias("rule"),
+                         F.lit(c).cast("long").alias("cost"),
+                         F.col(f"d{i}").cast("long").alias("n_dropped"),
+                         F.col("n"))
+        rules = row if rules is None else rules.union(row)
+    r = rules.select(
+        "rule", "cost", "n_dropped",
+        F.expr("n_dropped * 1000000 DIV n").cast("long")
+        .alias("sel_micro"),
+        F.expr("n_dropped * 1000000 DIV (n * cost)").cast("long")
+        .alias("rank_micro"))
+    return r.withColumn(
+        "opt_pos",
+        F.row_number().over(
+            Window.orderBy(F.desc("rank_micro"), F.asc("rule")))
+        .cast("long"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

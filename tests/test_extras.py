@@ -3144,3 +3144,54 @@ def test_wasserstein1_source_drift_hand(spark, tmp_path):
            for r in QUERIES["wasserstein1_source_drift"](
                spark, str(tmp_path)).collect()}
     assert out == {"A": (2, 1.0), "B": (2, 1.0)}, out
+
+
+def test_token_mi_feature_select_hand(spark, tmp_path):
+    """sA='x x y', sB='y z' (N=5): x concentrates in sA, z in sB, y
+    spreads across both -> MI order x > z > y with exact values
+    .4*ln(5/3), .2*ln(5/2), .2*ln(5/6)+.2*ln(5/4)."""
+    import math
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "x x y", "en", "sA", 5), (1, "y z", "en", "sB", 3)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = [(r["word"], r["n_w"], r["mi_r"])
+           for r in QUERIES["token_mi_feature_select"](
+               spark, str(tmp_path)).collect()]
+    exp = [("x", 2, round(0.4 * math.log(5 / 3), 6)),
+           ("z", 1, round(0.2 * math.log(5 / 2), 6)),
+           ("y", 2, round(0.2 * math.log(5 / 6)
+                          + 0.2 * math.log(5 / 4), 6))]
+    assert out == exp, (out, exp)
+
+
+def test_predicate_order_cascade_cost_hand(spark, tmp_path):
+    """10 docs: every text has 2 tokens (tokens_lt_30 drops all 10),
+    5 short docs, 2 'slow' docs, 1 src0 doc. len_lt_200 (5 drops,
+    cost 1) and tokens_lt_30 (10 drops, cost 2) TIE at rank 500000
+    -> rule-name tie-break puts len_lt_200 first; then
+    contains_slow (50000), src0_only (12500)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(i, "slow x" if i in (0, 5) else "a b", "en",
+             "src0" if i == 0 else "sX",
+             100 if i < 5 else 300) for i in range(10)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = sorted(
+        (r["opt_pos"], r["rule"], r["cost"], r["n_dropped"],
+         r["sel_micro"], r["rank_micro"])
+        for r in QUERIES["predicate_order_cascade_cost"](
+            spark, str(tmp_path)).collect())
+    assert out == [
+        (1, "len_lt_200", 1, 5, 500000, 500000),
+        (2, "tokens_lt_30", 2, 10, 1000000, 500000),
+        (3, "contains_slow", 4, 2, 200000, 50000),
+        (4, "src0_only", 8, 1, 100000, 12500)], out
