@@ -14940,6 +14940,200 @@ def predicate_order_cascade_cost(spark, sf_dir):
         .cast("long"))
 
 
+@_q("cmh_stratified_odds", sql="""
+WITH cells AS (
+  SELECT source,
+         CAST(COALESCE(sum(CASE WHEN n_chars >= 300
+                  AND text LIKE '%slow%' THEN 1 END), 0) AS BIGINT) AS a,
+         CAST(COALESCE(sum(CASE WHEN n_chars >= 300
+                  AND text NOT LIKE '%slow%' THEN 1 END), 0) AS BIGINT) AS b,
+         CAST(COALESCE(sum(CASE WHEN n_chars < 300
+                  AND text LIKE '%slow%' THEN 1 END), 0) AS BIGINT) AS c,
+         CAST(COALESCE(sum(CASE WHEN n_chars < 300
+                  AND text NOT LIKE '%slow%' THEN 1 END), 0) AS BIGINT) AS d
+  FROM documents GROUP BY source),
+mh AS (SELECT CAST(sum((a * d * 1000000) // (a + b + c + d))
+                   AS BIGINT) AS num_micro,
+              CAST(sum((b * c * 1000000) // (a + b + c + d))
+                   AS BIGINT) AS den_micro
+       FROM cells)
+SELECT cells.source, cells.a, cells.b, cells.c, cells.d,
+       CAST(CASE WHEN mh.den_micro = 0 THEN -1
+                 ELSE (mh.num_micro * 1000) // mh.den_micro END
+            AS BIGINT) AS or_milli
+FROM cells, mh
+""")
+def cmh_stratified_odds(spark, sf_dir):
+    """Cochran-Mantel-Haenszel common odds ratio across strata
+    (Mantel & Haenszel, JNCI 1959; Cochran, Biometrics 1954) —
+    THE classic confounding-aware 2x2 association test: exposure =
+    long doc (n_chars >= 300), outcome = contains 'slow', stratified
+    by source so a source that is both longer AND slow-heavier
+    cannot masquerade as a length->slow effect (Simpson's paradox
+    guard; the stratified sibling of drift_chi2_cells' single
+    table). MH estimator = sum_s(a_s d_s / n_s) / sum_s(b_s c_s /
+    n_s), carried in MICRO-FLOOR integers per stratum (a*d*1e6 DIV
+    n — exact, deterministic, no float summation-order dependence;
+    the tukey doubled-fence discipline applied to rationals) and
+    divided once at the end to milli units; degenerate denominator
+    -> -1 sentinel. Emits each stratum's 2x2 plus the common OR.
+
+    Scale shape: ONE corpus-scale map-side-combinable fold computes
+    all four cells of every stratum simultaneously (conditional
+    partial aggregates — the predicate_order trick); the MH fold and
+    the broadcast-back run on the strata-bounded frame."""
+    cells = (t(spark, sf_dir, "documents")
+             .groupBy("source")
+             .agg(*[F.coalesce(F.sum(F.when(cond, 1)), F.lit(0))
+                    .cast("long").alias(nm)
+                    for nm, cond in [
+                        ("a", (F.col("n_chars") >= 300)
+                         & F.col("text").contains("slow")),
+                        ("b", (F.col("n_chars") >= 300)
+                         & ~F.col("text").contains("slow")),
+                        ("c", (F.col("n_chars") < 300)
+                         & F.col("text").contains("slow")),
+                        ("d", (F.col("n_chars") < 300)
+                         & ~F.col("text").contains("slow"))]])
+             .persist())
+    n_s = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    mh = (cells.select(
+        F.expr("a * d * 1000000 DIV (a + b + c + d)").alias("nm"),
+        F.expr("b * c * 1000000 DIV (a + b + c + d)").alias("dm"))
+        .agg(F.sum("nm").cast("long").alias("num_micro"),
+             F.sum("dm").cast("long").alias("den_micro")))
+    return (cells.crossJoin(F.broadcast(mh))
+            .select("source", "a", "b", "c", "d",
+                    F.when(F.col("den_micro") == 0, F.lit(-1))
+                    .otherwise(F.expr("num_micro * 1000 DIV den_micro"))
+                    .cast("long").alias("or_milli")))
+
+
+# Columns audited by the encoding advisor (integral-valued; quantity
+# is an integral float in the data and casts exactly).
+_ENC_COLS = ["l_suppkey", "l_partkey", "l_qty"]
+
+
+@_q("encoding_layout_advisor", sql="""
+WITH o AS (SELECT l_suppkey, l_partkey,
+                  CAST(l_quantity AS BIGINT) AS l_qty,
+                  row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+                    AS rn
+           FROM lineitem),
+lg AS (SELECT *,
+{lags}
+       FROM o),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+{stats}
+       FROM lg),
+m AS ({melt}),
+est AS (SELECT col, n, d, runs,
+               n * 64 AS plain_bits,
+               runs * (vbits + 32) AS rle_bits,
+               n * length(bin(d - 1)) + d * vbits AS dict_bits,
+               64 + (n - 1) * dbits AS delta_bits
+        FROM m)
+SELECT col AS column_name, n, d AS n_distinct, runs,
+       CAST(plain_bits AS BIGINT) AS plain_bits,
+       CAST(rle_bits AS BIGINT) AS rle_bits,
+       CAST(dict_bits AS BIGINT) AS dict_bits,
+       CAST(delta_bits AS BIGINT) AS delta_bits,
+       CASE WHEN delta_bits <= least(plain_bits, rle_bits, dict_bits)
+              THEN 'delta'
+            WHEN dict_bits <= least(plain_bits, rle_bits) THEN 'dict'
+            WHEN rle_bits <= plain_bits THEN 'rle'
+            ELSE 'plain' END AS best_encoding
+FROM est
+""".format(
+    lags="\n".join(
+        "       lag({c}) OVER (ORDER BY rn) AS p_{c},".format(c=c)
+        for c in _ENC_COLS).rstrip(","),
+    stats=",\n".join(
+        "  CAST(count(DISTINCT {c}) AS BIGINT) AS d_{c},\n"
+        "  CAST(1 + COALESCE(sum(CASE WHEN {c} <> p_{c} THEN 1 END), 0)"
+        " AS BIGINT) AS runs_{c},\n"
+        "  length(bin(max({c}))) AS vbits_{c},\n"
+        "  length(bin(max(abs({c} - p_{c})))) AS dbits_{c}".format(c=c)
+        for c in _ENC_COLS),
+    melt="\nUNION ALL ".join(
+        "SELECT '{c}' AS col, n, d_{c} AS d, runs_{c} AS runs,"
+        " vbits_{c} AS vbits, dbits_{c} AS dbits FROM st".format(c=c)
+        for c in _ENC_COLS)))
+def encoding_layout_advisor(spark, sf_dir):
+    """Columnar encoding advisor (Abadi, Madden & Ferreira, SIGMOD
+    2006, "Integrating compression and execution in column-oriented
+    database systems" — pick the encoding from column statistics:
+    run count for RLE, cardinality for dictionary, adjacent deltas
+    for delta/FOR): for each audited lineitem column in storage
+    order (l_orderkey, l_linenumber — the stored sort), compute n,
+    distinct count, run count, value bits, and max-adjacent-delta
+    bits, then cost four encodings in exact integer BITS — plain
+    n*64; RLE runs*(value_bits+32); dict n*bits(d-1) + d*value_bits;
+    delta 64 + (n-1)*delta_bits — and pick the cheapest (ties
+    resolved by the fixed delta > dict > rle > plain preference
+    chain). bit widths via length(bin(x)) — never floor(log2)
+    doubles, whose 2.9999... artifacts misbin exact powers of two.
+    This is the layout decision Z-ordering and zonemap_prune_audit
+    sit downstream of: runs and deltas are what a sort order buys.
+
+    Scale shape: ONE global sort (the same Exchange the stored sort
+    itself costs) produces lag values for ALL columns in one window
+    pass; one fold computes every statistic for every column
+    simultaneously (k columns = one scan, the predicate_order
+    trick); the melt/estimate/argmin run on a 3-row frame. In a real
+    lake the sort is free — files are already in storage order, so
+    the window degenerates to per-file sequential lags."""
+    o = (t(spark, sf_dir, "lineitem")
+         .select("l_suppkey", "l_partkey",
+                 F.col("l_quantity").cast("long").alias("l_qty"),
+                 "l_orderkey", "l_linenumber"))
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    lg = o.select(
+        *_ENC_COLS,
+        *[F.lag(c).over(w).alias("p_" + c) for c in _ENC_COLS])
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in _ENC_COLS:
+        aggs += [
+            F.countDistinct(c).cast("long").alias("d_" + c),
+            (F.lit(1) + F.coalesce(F.sum(F.when(
+                F.col(c) != F.col("p_" + c), 1)), F.lit(0)))
+            .cast("long").alias("runs_" + c),
+            F.length(F.bin(F.max(c))).cast("long").alias("vbits_" + c),
+            F.length(F.bin(F.max(F.abs(F.col(c) - F.col("p_" + c)))))
+            .cast("long").alias("dbits_" + c)]
+    st = lg.agg(*aggs)
+    m = None
+    for c in _ENC_COLS:
+        row = st.select(F.lit(c).alias("col"), "n",
+                        F.col("d_" + c).alias("d"),
+                        F.col("runs_" + c).alias("runs"),
+                        F.col("vbits_" + c).alias("vbits"),
+                        F.col("dbits_" + c).alias("dbits"))
+        m = row if m is None else m.union(row)
+    est = m.select(
+        "col", "n", "d", "runs",
+        (F.col("n") * 64).alias("plain_bits"),
+        (F.col("runs") * (F.col("vbits") + 32)).alias("rle_bits"),
+        (F.col("n") * F.length(F.bin(F.col("d") - 1))
+         + F.col("d") * F.col("vbits")).alias("dict_bits"),
+        (F.lit(64) + (F.col("n") - 1) * F.col("dbits"))
+        .alias("delta_bits"))
+    best = (F.when(F.col("delta_bits") <= F.least(
+                "plain_bits", "rle_bits", "dict_bits"), "delta")
+            .when(F.col("dict_bits") <= F.least("plain_bits",
+                                                "rle_bits"), "dict")
+            .when(F.col("rle_bits") <= F.col("plain_bits"), "rle")
+            .otherwise("plain"))
+    return est.select(
+        F.col("col").alias("column_name"), "n",
+        F.col("d").alias("n_distinct"), "runs",
+        F.col("plain_bits").cast("long").alias("plain_bits"),
+        F.col("rle_bits").cast("long").alias("rle_bits"),
+        F.col("dict_bits").cast("long").alias("dict_bits"),
+        F.col("delta_bits").cast("long").alias("delta_bits"),
+        best.alias("best_encoding"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -3195,3 +3195,54 @@ def test_predicate_order_cascade_cost_hand(spark, tmp_path):
         (2, "tokens_lt_30", 2, 10, 1000000, 500000),
         (3, "contains_slow", 4, 2, 200000, 50000),
         (4, "src0_only", 8, 1, 100000, 12500)], out
+
+
+def test_cmh_stratified_odds_hand(spark, tmp_path):
+    """Stratum s1 balanced (a=b=c=d=1): ad/n = bc/n = 250000 micro.
+    Stratum s2 (a=2,b=1,c=0,d=1): ad contributes 500000, bc 0.
+    MH = 750000/250000 -> or_milli 3000 on every row."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "slow x", "en", "s1", 300), (1, "x", "en", "s1", 300),
+            (2, "slow x", "en", "s1", 100), (3, "x", "en", "s1", 100),
+            (4, "slow", "en", "s2", 300), (5, "slow", "en", "s2", 300),
+            (6, "x", "en", "s2", 300), (7, "x", "en", "s2", 100)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["source"]: (r["a"], r["b"], r["c"], r["d"], r["or_milli"])
+           for r in QUERIES["cmh_stratified_odds"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"s1": (1, 1, 1, 1, 3000),
+                   "s2": (2, 1, 0, 1, 3000)}, out
+
+
+def test_encoding_layout_advisor_hand(spark, tmp_path):
+    """100 rows in storage order: constant l_suppkey=5 -> RLE (1 run,
+    35 bits, beating dict's 103); strictly-increasing l_partkey
+    10000+i -> delta (163 bits vs dict 2100); four 25-long l_qty
+    blocks -> RLE 140 (vs delta 163, dict 212). All bit costs exact
+    integers from length(bin(x))."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    n = 100
+    pd.DataFrame({
+        "l_orderkey": range(n), "l_linenumber": [1] * n,
+        "l_suppkey": [5] * n,
+        "l_partkey": [10000 + i for i in range(n)],
+        "l_quantity": [float(1 + i // 25) for i in range(n)],
+    }).to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = {r["column_name"]: (r["n_distinct"], r["runs"],
+                              r["plain_bits"], r["rle_bits"],
+                              r["dict_bits"], r["delta_bits"],
+                              r["best_encoding"])
+           for r in QUERIES["encoding_layout_advisor"](
+               spark, str(tmp_path)).collect()}
+    assert out == {
+        "l_suppkey": (1, 1, 6400, 35, 103, 163, "rle"),
+        "l_partkey": (100, 100, 6400, 4600, 2100, 163, "delta"),
+        "l_qty": (4, 4, 6400, 140, 212, 163, "rle")}, out
