@@ -15134,6 +15134,142 @@ def encoding_layout_advisor(spark, sf_dir):
         best.alias("best_encoding"))
 
 
+@_q("chao1_source_richness", sql=r"""
+WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(
+                     lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS w
+              FROM documents),
+cnt AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS d_obs,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT) AS f1,
+       CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 END), 0) AS BIGINT) AS f2,
+       CAST(count(*) * 1000
+            + CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS HUGEINT)
+              * (coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) - 1) * 1000
+              // (2 * (coalesce(sum(CASE WHEN c = 2 THEN 1 END), 0) + 1))
+            AS BIGINT) AS chao1_milli,
+       CAST(1000000
+            - CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS HUGEINT)
+              * 1000000 // sum(c) AS BIGINT) AS coverage_ppm
+FROM cnt GROUP BY source
+""")
+def chao1_source_richness(spark, sf_dir):
+    """Chao1 species-richness estimate of each source's TRUE
+    vocabulary size (Chao, Scand. J. Stat. 1984; bias-corrected form
+    Chao 1987 / Chiu et al. 2014: D + f1(f1-1)/(2(f2+1)), defined
+    even at f2 = 0 where the classic f1^2/(2 f2) blows up) plus
+    Good's sample-coverage estimate C = 1 - f1/n (Good, Biometrika
+    1953) — the per-source "how much vocabulary have we NOT crawled
+    yet" number that decides whether to keep ingesting a source,
+    sitting next to good_turing_unseen_mass (corpus-global unseen
+    PROBABILITY mass) and heaps_law_curve (growth trajectory): Chao1
+    estimates the asymptote those two approach. Everything integer-
+    exact: chao1 in milli units with the f1(f1-1) product riding
+    DECIMAL(38,0)/HUGEINT (f1 can be vocabulary-sized, so the
+    square passes BIGINT at ~3e9), coverage in ppm, both floor
+    divisions on nonnegative operands so no sign pinning is needed.
+    Singleton-free sources emit chao1 = d_obs exactly and coverage
+    = 1e6 — the saturated-source signal.
+
+    Scale shape: ONE map-side-combinable groupBy folds the corpus to
+    the (source, word, count) frame — the same fold every LM/richness
+    operator starts from; the per-source richness aggregate is a
+    second fold of that vocabulary-sized frame down to sources-many
+    rows. No joins, no windows, nothing quadratic; at 10^12 turns
+    only the first fold sees data. Tokenization is the module
+    convention (_WS_CLASS split of lower(text), empties dropped),
+    bit-identical to good_turing/unigram_lm/heaps."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                           lambda x: x != "")).alias("w"))
+    cnt = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    f1 = F.coalesce(F.sum(F.when(F.col("c") == 1, 1)), F.lit(0))
+    f2 = F.coalesce(F.sum(F.when(F.col("c") == 2, 1)), F.lit(0))
+    return (cnt.groupBy("source")
+            .agg(F.count("*").cast("long").alias("d_obs"),
+                 F.sum("c").cast("long").alias("n_tokens"),
+                 f1.cast("long").alias("f1"),
+                 f2.cast("long").alias("f2"))
+            .select("source", "d_obs", "n_tokens", "f1", "f2",
+                    F.expr("CAST(d_obs * 1000 + CAST(f1 AS DECIMAL(38,0))"
+                           " * (f1 - 1) * 1000 DIV (2 * (f2 + 1))"
+                           " AS BIGINT)").alias("chao1_milli"),
+                    F.expr("CAST(1000000 - CAST(f1 AS DECIMAL(38,0))"
+                           " * 1000000 DIV n_tokens AS BIGINT)")
+                    .alias("coverage_ppm")))
+
+
+_MAXDIFF_K = 4  # segments (K-1 = 3 boundaries), matching vopt's K
+
+
+@_q("maxdiff_histogram", sql="WITH " + _SYN_BASE_SQL + """,
+df AS (SELECT b, abs(c - lag(c) OVER (ORDER BY b)) AS d FROM base),
+bd AS (SELECT b FROM (SELECT b, row_number() OVER (ORDER BY d DESC, b)
+                        AS rn
+                      FROM df WHERE b >= 1) WHERE rn <= {K1}),
+sa AS (SELECT base.b, base.c, 1 + count(bd.b) AS seg
+       FROM base LEFT JOIN bd ON bd.b <= base.b
+       GROUP BY base.b, base.c)
+SELECT CAST(seg AS BIGINT) AS seg,
+       CAST(min(b) AS BIGINT) AS b_lo,
+       CAST(max(b) AS BIGINT) AS b_hi,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       round(CAST(sum(c * c) AS DOUBLE)
+             - CAST(sum(c) * sum(c) AS DOUBLE) / count(*), 6) AS sse_r
+FROM sa GROUP BY seg
+""".format(K1=_MAXDIFF_K - 1))
+def maxdiff_histogram(spark, sf_dir):
+    """MaxDiff(V,A) histogram (Poosala, Ioannidis, Haas & Shekita,
+    VLDB 1996, "Improved histograms for selectivity estimation") over
+    the shared dense 64-bucket event-timeline fold: place the K-1 = 3
+    segment boundaries at the LARGEST adjacent count differences
+    (ties -> smaller bucket index) — the one-pass greedy the VLDB'96
+    study found near-optimal at a fraction of V-optimal's cost. The
+    deliberate companion to vopt_histogram_dp ON THE SAME FRAME: vopt
+    pays an O(B^2 K) exact DP for the SSE-minimal partition, MaxDiff
+    pays one lag window + one top-(K-1) pick, and emitting the same
+    (seg, b_lo, b_hi, n_events, sse_r) shape makes the quality/cost
+    trade directly measurable (on piecewise-constant data both find
+    the zero-SSE cuts; on sloped data MaxDiff's greedy pays SSE the
+    DP avoids — the hand fixture pins an instance of each). Boundary
+    selection and bucket->segment assignment are exact integer
+    contracts; sse_r follows vopt's convention (IEEE ops on exact
+    integer sums, bit-identical across engines, rounded 6dp only for
+    display).
+
+    Scale shape: ONE corpus-scale groupBy folds events to the dense
+    64-bucket frame (gap-filled by the shared spine); the lag window,
+    the top-3 row_number pick, the 64x3-bounded boundary-count join,
+    and the segment fold all run on synopsis-sized frames — the
+    haar/vopt discipline: exact choices on a bounded synopsis, never
+    on the corpus."""
+    base = _syn_base(spark, sf_dir)
+    d = base.select(
+        "b", F.abs(F.col("c") - F.lag("c").over(Window.orderBy("b")))
+        .alias("d")).where(F.col("b") >= 1)
+    bd = (d.withColumn("rn", F.row_number().over(
+              Window.orderBy(F.desc("d"), F.asc("b"))))
+          .where(F.col("rn") <= _MAXDIFF_K - 1)
+          .select(F.col("b").alias("bd")))
+    sa = (base.join(F.broadcast(bd), F.col("bd") <= F.col("b"), "left")
+          .groupBy("b", "c")
+          .agg((F.lit(1) + F.count("bd")).alias("seg")))
+    return (sa.groupBy("seg")
+            .agg(F.min("b").cast("long").alias("b_lo"),
+                 F.max("b").cast("long").alias("b_hi"),
+                 F.count("*").cast("long").alias("n_buckets"),
+                 F.sum("c").cast("long").alias("n_events"),
+                 F.round(F.sum(F.col("c") * F.col("c")).cast("double")
+                         - (F.sum("c") * F.sum("c")).cast("double")
+                         / F.count("*"), 6).alias("sse_r"))
+            .select(F.col("seg").cast("long").alias("seg"),
+                    "b_lo", "b_hi", "n_buckets", "n_events", "sse_r"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

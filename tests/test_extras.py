@@ -3246,3 +3246,72 @@ def test_encoding_layout_advisor_hand(spark, tmp_path):
         "l_suppkey": (1, 1, 6400, 35, 103, 163, "rle"),
         "l_partkey": (100, 100, 6400, 4600, 2100, 163, "delta"),
         "l_qty": (4, 4, 6400, 140, 212, 163, "rle")}, out
+
+
+def test_chao1_source_richness_hand(spark, tmp_path):
+    """s1 counts a1 b1 c1 d2 e3 (case-folded D->d, E->e): D=5, n=8,
+    f1=3, f2=1 -> chao1 = 5000 + 3*2*1000 DIV 4 = 6500 milli,
+    coverage = 1e6 - 3e6 DIV 8 = 625000 ppm. s2 pins the f2=0 edge
+    the bias-corrected form exists for (classic f1^2/2f2 divides by
+    zero): chao1 = 2000 + 0. s3 pins the singleton-free saturated
+    source: chao1 = d_obs exactly, coverage = 1e6."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "a b c D d e E e", "en", "s1", 16),
+            (1, "x y y y", "en", "s2", 7),
+            (2, "z z", "en", "s3", 3)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["source"]: (r["d_obs"], r["n_tokens"], r["f1"], r["f2"],
+                         r["chao1_milli"], r["coverage_ppm"])
+           for r in QUERIES["chao1_source_richness"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"s1": (5, 8, 3, 1, 6500, 625000),
+                   "s2": (2, 4, 1, 0, 2000, 750000),
+                   "s3": (1, 2, 0, 1, 1000, 1000000)}, out
+
+
+def test_maxdiff_histogram_hand_piecewise(spark, tmp_path):
+    """vopt's piecewise-constant fixture: 10 events per bucket in
+    [0,15] and [32,47], zero elsewhere. The three largest adjacent
+    diffs (all 10) sit exactly at the block edges 16/32/48, so
+    MaxDiff recovers the same zero-SSE partition the DP finds."""
+    from extractor.queries import QUERIES
+
+    offs = []
+    for b in list(range(16)) + list(range(32, 48)):
+        offs += [b] * 10
+    _syn_events(tmp_path, offs)
+    out = sorted((r["seg"], r["b_lo"], r["b_hi"], r["n_buckets"],
+                  r["n_events"], r["sse_r"])
+                 for r in QUERIES["maxdiff_histogram"](
+                     spark, str(tmp_path)).collect())
+    assert out == [(1, 0, 15, 16, 160, 0.0), (2, 16, 31, 16, 0, 0.0),
+                   (3, 32, 47, 16, 160, 0.0),
+                   (4, 48, 63, 16, 0, 0.0)], out
+
+
+def test_maxdiff_histogram_hand_greedy_gap(spark, tmp_path):
+    """Staircase counts 2/6/10/14 over four 8-bucket blocks (zeros
+    gap-filled in [32,63]): diffs are 14 at b=32 and 4 at b=8/16/24.
+    The d-desc/b-asc tie-break keeps b=8 and b=16 and DROPS b=24, so
+    the greedy merges the 10- and 14-blocks and pays SSE 64.0 in
+    segment 3 — the quality gap vs the DP (which would cut at 24),
+    pinned exactly, plus the tie-break itself."""
+    from extractor.queries import QUERIES
+
+    offs = []
+    for blk, c in [(0, 2), (1, 6), (2, 10), (3, 14)]:
+        for b in range(blk * 8, blk * 8 + 8):
+            offs += [b] * c
+    _syn_events(tmp_path, offs)
+    out = sorted((r["seg"], r["b_lo"], r["b_hi"], r["n_buckets"],
+                  r["n_events"], r["sse_r"])
+                 for r in QUERIES["maxdiff_histogram"](
+                     spark, str(tmp_path)).collect())
+    assert out == [(1, 0, 7, 8, 16, 0.0), (2, 8, 15, 8, 48, 0.0),
+                   (3, 16, 31, 16, 192, 64.0),
+                   (4, 32, 63, 32, 0, 0.0)], out
