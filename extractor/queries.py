@@ -15270,6 +15270,198 @@ def maxdiff_histogram(spark, sf_dir):
                     "b_lo", "b_hi", "n_buckets", "n_events", "sse_r"))
 
 
+@_q("pettitt_changepoint", sql="""
+WITH dd AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+rk AS (SELECT event_type, d,
+              2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+                + count(*) OVER (PARTITION BY event_type, x) - 1 AS r2,
+              count(*) OVER (PARTITION BY event_type) AS n,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY d) AS t
+       FROM dd),
+cu AS (SELECT event_type, d, n, t,
+              sum(r2) OVER (PARTITION BY event_type ORDER BY t)
+                - t * (n + 1) AS u
+       FROM rk),
+mx AS (SELECT event_type, d, t, u, n,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY abs(u) DESC, d) AS rn
+       FROM cu WHERE t < n)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(d AS BIGINT) AS cp_day, CAST(t AS BIGINT) AS t_idx,
+       CAST(u AS BIGINT) AS u_stat, CAST(abs(u) AS BIGINT) AS k_stat
+FROM mx WHERE rn = 1
+""")
+def pettitt_changepoint(spark, sf_dir):
+    """Pettitt single-changepoint test (Pettitt, Applied Statistics
+    1979) per event_type over the daily count grid — the
+    nonparametric "WHERE did the level shift" companion to
+    cusum_changepoint (parametric, mean-based) and
+    mann_kendall_trend (monotone trend, same grid): K = max_t |U_t|
+    with U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j), changepoint =
+    the argmax day (ties -> earlier day). The pair double-sum is
+    NEVER materialized: within-prefix sgn pairs cancel by
+    antisymmetry, so U_t = sum_{i<=t} (2 R_i - n - 1) with R_i the
+    midrank of x_i — carried as DOUBLED midranks R2 = 2*rank_min +
+    ties - 1 (the spearman_qty_price convention, integers even at
+    half midranks), giving the exact identity U_t = cumsum(R2) -
+    t(n+1). One rank window + one cumsum replaces the O(days^2)
+    expansion mann_kendall genuinely needs (its S-statistic has no
+    prefix identity; this one does). The significance transform
+    2 exp(-6K^2/(n^3+n^2)) needs exp and is left to the caller —
+    the var18 convention: integers cross the contract, floats don't.
+    Types with one active day have no interior cut and drop.
+
+    Scale shape: one map-side-combinable corpus fold to the daily
+    grid (types x calendar days — metadata-sized); everything after
+    (two rank windows, one cumsum, one argmax row_number) runs on
+    that bounded frame. At 10^12 events only the first fold sees
+    data."""
+    ev = t(spark, sf_dir, "events")
+    dd = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+          .agg(F.count("*").alias("x"))
+          .select("event_type",
+                  F.datediff("day", F.lit("1970-01-01")).alias("d"), "x"))
+    wt = Window.partitionBy("event_type")
+    rk = dd.select(
+        "event_type", "d",
+        (F.lit(2) * F.rank().over(wt.orderBy("x"))
+         + F.count("*").over(Window.partitionBy("event_type", "x"))
+         - 1).alias("r2"),
+        F.count("*").over(wt).alias("n"),
+        F.row_number().over(wt.orderBy("d")).alias("t"))
+    cu = rk.select(
+        "event_type", "d", "n", "t",
+        (F.sum("r2").over(wt.orderBy("t")
+                          .rowsBetween(Window.unboundedPreceding, 0))
+         - F.col("t") * (F.col("n") + 1)).alias("u"))
+    mx = (cu.where(F.col("t") < F.col("n"))
+          .withColumn("rn", F.row_number().over(
+              wt.orderBy(F.abs("u").desc(), F.asc("d"))))
+          .where(F.col("rn") == 1))
+    return mx.select(
+        "event_type", F.col("n").cast("long").alias("n_days"),
+        F.col("d").cast("long").alias("cp_day"),
+        F.col("t").cast("long").alias("t_idx"),
+        F.col("u").cast("long").alias("u_stat"),
+        F.abs("u").cast("long").alias("k_stat"))
+
+
+_TCLOSE_MICRO = 200000  # flag threshold: t = 0.2 in micro units
+
+
+@_q("t_closeness_audit", sql="""
+WITH s AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+                  CAST(month(l_shipdate) AS BIGINT) AS sm,
+                  CAST(l_quantity AS BIGINT) AS q,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1, 2, 3, 4),
+dom AS (SELECT DISTINCT q FROM s),
+dm AS (SELECT CAST(count(*) AS BIGINT) AS m, max(q) AS qmax FROM dom),
+g AS (SELECT rf, ls, sm, CAST(sum(c) AS BIGINT) AS ng
+      FROM s GROUP BY 1, 2, 3),
+tot AS (SELECT q, CAST(sum(c) AS BIGINT) AS ct FROM s GROUP BY q),
+nt AS (SELECT CAST(sum(ct) AS BIGINT) AS ntot FROM tot),
+grid AS (SELECT g.rf, g.ls, g.sm, g.ng, dom.q FROM g, dom),
+cum AS (SELECT grid.rf, grid.ls, grid.sm, grid.ng, grid.q,
+               sum(COALESCE(s.c, 0)) OVER (
+                 PARTITION BY grid.rf, grid.ls, grid.sm
+                 ORDER BY grid.q) AS cg,
+               sum(tot.ct) OVER (
+                 PARTITION BY grid.rf, grid.ls, grid.sm
+                 ORDER BY grid.q) AS ca
+        FROM grid LEFT JOIN s ON s.rf = grid.rf AND s.ls = grid.ls
+                              AND s.sm = grid.sm AND s.q = grid.q
+                  JOIN tot ON tot.q = grid.q),
+emd AS (SELECT rf, ls, sm, ng,
+               sum(abs(CAST(cg AS HUGEINT) * nt.ntot
+                       - CAST(ca AS HUGEINT) * ng)) AS sd,
+               max(nt.ntot) AS ntot
+        FROM cum, nt, dm WHERE cum.q < dm.qmax
+        GROUP BY 1, 2, 3, 4)
+SELECT emd.rf AS l_returnflag, emd.ls AS l_linestatus,
+       emd.sm AS ship_month, CAST(emd.ng AS BIGINT) AS n,
+       CAST(emd.sd * 1000000
+            // (CAST(emd.ng AS HUGEINT) * emd.ntot * (dm.m - 1))
+            AS BIGINT) AS t_micro,
+       CAST(CASE WHEN emd.sd * 1000000
+                      // (CAST(emd.ng AS HUGEINT) * emd.ntot
+                          * (dm.m - 1)) > {thr}
+                 THEN 1 ELSE 0 END AS INT) AS at_risk
+FROM emd, dm
+""".format(thr=_TCLOSE_MICRO))
+def t_closeness_audit(spark, sf_dir):
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    completing the privacy triad with k_anonymity_audit (group too
+    small) and l_diversity_audit (group too homogeneous): a group
+    passes both and still leaks if its SENSITIVE-VALUE DISTRIBUTION
+    sits far from the global one (the skewness attack — an attacker
+    learns the group's sensitive values are atypical). Per
+    quasi-group (l_returnflag, l_linestatus, ship month — the
+    l_diversity_audit month convention), distance =
+    the paper's ordered-attribute EMD over the sensitive domain
+    (l_quantity, value-distinct and bounded): D = (1/(m-1)) *
+    sum_{i<m} |cum_g(i)/n_g - cum_all(i)/n|, exactly the 1-D
+    Wasserstein identity wasserstein1_source_drift uses — and the
+    same integer discipline: each term carried scaled by n_g * n
+    (|cum_g * n - cum_all * n_g| in DECIMAL(38,0)/HUGEINT, the
+    products pass BIGINT at corpus scale), ONE floor division to
+    micro units at the end, groups with t_micro > 200000 (t = 0.2)
+    flagged at_risk. The last domain position is excluded — its
+    cumulative difference is identically zero.
+
+    Scale shape: ONE corpus fold to the (quasi-group, q, count)
+    frame; the domain spine, per-q global counts, the groups x m
+    grid, the per-group cumsum windows, and the EMD fold all run on
+    frames bounded by groups x domain (the value-distinct
+    small-domain discipline — l_quantity's domain is ~50 values
+    regardless of corpus size). No corpus-scale joins or windows."""
+    li = t(spark, sf_dir, "lineitem")
+    s = (li.groupBy(F.col("l_returnflag").alias("rf"),
+                    F.col("l_linestatus").alias("ls"),
+                    F.month("l_shipdate").cast("long").alias("sm"),
+                    F.col("l_quantity").cast("long").alias("q"))
+         .agg(F.count("*").alias("c"))
+         .persist())  # feeds domain, group sizes, globals, grid
+    dom = s.select("q").distinct()
+    dm = dom.agg(F.count("*").alias("m"), F.max("q").alias("qmax"))
+    g = s.groupBy("rf", "ls", "sm").agg(F.sum("c").alias("ng"))
+    tot = s.groupBy("q").agg(F.sum("c").alias("ct"))
+    nt = tot.agg(F.sum("ct").alias("ntot"))
+    grid = g.crossJoin(F.broadcast(dom))
+    wq = (Window.partitionBy("rf", "ls", "sm").orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (grid.join(s, ["rf", "ls", "sm", "q"], "left")
+           .join(F.broadcast(tot), "q")
+           .select("rf", "ls", "sm", "ng", "q",
+                   F.sum(F.coalesce("c", F.lit(0))).over(wq).alias("cg"),
+                   F.sum("ct").over(wq).alias("ca")))
+    emd = (cum.crossJoin(F.broadcast(nt))
+           .crossJoin(F.broadcast(dm))
+           .where(F.col("q") < F.col("qmax"))
+           .groupBy("rf", "ls", "sm", "ng")
+           .agg(F.sum(F.abs(
+                F.col("cg").cast("decimal(38,0)") * F.col("ntot")
+                - F.col("ca").cast("decimal(38,0)") * F.col("ng")))
+                .alias("sd"),
+                F.max("ntot").alias("ntot")))
+    t_micro = F.expr("CAST(sd * 1000000 DIV (CAST(ng AS DECIMAL(38,0))"
+                     " * ntot * (m - 1)) AS BIGINT)")
+    return (emd.crossJoin(F.broadcast(dm))
+            .select(F.col("rf").alias("l_returnflag"),
+                    F.col("ls").alias("l_linestatus"),
+                    F.col("sm").alias("ship_month"),
+                    F.col("ng").cast("long").alias("n"),
+                    t_micro.alias("t_micro"),
+                    (t_micro > _TCLOSE_MICRO).cast("int")
+                    .alias("at_risk")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -3315,3 +3315,68 @@ def test_maxdiff_histogram_hand_greedy_gap(spark, tmp_path):
     assert out == [(1, 0, 7, 8, 16, 0.0), (2, 8, 15, 8, 48, 0.0),
                    (3, 16, 31, 16, 192, 64.0),
                    (4, 32, 63, 32, 0, 0.0)], out
+
+
+def test_pettitt_changepoint_hand(spark, tmp_path):
+    """'view': daily counts [5,5,5,1,1,1] — doubled midranks are 10
+    for the 5s and 4 for the 1s, so U_t = cumsum(R2) - 7t traces
+    [3,6,9,6,3]: K = 9 at t = 3 (the true level shift), cp_day =
+    2024-01-03. 'click': two equal days -> sgn pair sum 0, U_1 = 0,
+    K = 0 pinned at the earlier day (the tie-break)."""
+    import os
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for day, c in enumerate([5, 5, 5, 1, 1, 1]):
+        for i in range(c):
+            rows.append(("view", day, i))
+    for day in range(2):
+        for i in range(2):
+            rows.append(("click", day, i))
+    n = len(rows)
+    pd.DataFrame({
+        "event_id": range(n),
+        "ts": pd.Series([base + pd.Timedelta(days=d, seconds=i)
+                         for _, d, i in rows]).astype("datetime64[us]"),
+        "user_id": [1] * n,
+        "event_type": [et for et, _, _ in rows],
+        "value": [1.0] * n,
+        "props": ["{}"] * n,
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+    from extractor.queries import QUERIES
+    epoch = (base - pd.Timestamp("1970-01-01")).days
+    out = {r["event_type"]: (r["n_days"], r["cp_day"], r["t_idx"],
+                             r["u_stat"], r["k_stat"])
+           for r in QUERIES["pettitt_changepoint"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"view": (6, epoch + 2, 3, 9, 9),
+                   "click": (2, epoch, 1, 0, 0)}, out
+
+
+def test_t_closeness_audit_hand(spark, tmp_path):
+    """Domain {1,2,3} (m=3), global counts 3/2/2 (n=7). Group A is
+    all q=1: terms |2*7-3*2|=8, |2*7-5*2|=4 -> t_micro = 12e6 DIV 28
+    = 428571 (at risk). Group B sits on {2,3}: 6+3=9 -> 321428 (at
+    risk). Group C mirrors the global mix: 2+1=3 -> 3e6 DIV 42 =
+    71428 (clean). Pins the gap-filled cumsum (A has no q=2/3 rows,
+    B no q=1), the last-position exclusion, and the 0.2 flag."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = ([("A", "F", 1, 1)] * 2
+            + [("B", "O", 2, 2), ("B", "O", 2, 3)]
+            + [("C", "F", 3, 1), ("C", "F", 3, 2), ("C", "F", 3, 3)])
+    pd.DataFrame({
+        "l_returnflag": [r[0] for r in rows],
+        "l_linestatus": [r[1] for r in rows],
+        "l_shipdate": [pd.Timestamp(2024, r[2], 15).date()
+                       for r in rows],
+        "l_quantity": [float(r[3]) for r in rows],
+    }).to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = {r["l_returnflag"]: (r["n"], r["t_micro"], r["at_risk"])
+           for r in QUERIES["t_closeness_audit"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": (2, 428571, 1), "B": (2, 321428, 1),
+                   "C": (3, 71428, 0)}, out
