@@ -15462,6 +15462,206 @@ def t_closeness_audit(spark, sf_dir):
                     .alias("at_risk")))
 
 
+_SOUNDEX_MAP = "01230120022455012623010202"  # a..z -> Odell-Russell digit
+
+
+@_q("soundex_blocking_keys", sql="""
+WITH w AS (SELECT DISTINCT p_partkey, regexp_replace(
+                    lower(unnest(string_split(p_name, ' '))),
+                    '[^a-z]', '', 'g') AS w
+           FROM part),
+cd AS (SELECT p_partkey, w, string_split(translate(
+                   w, 'abcdefghijklmnopqrstuvwxyz', '{m}'), '') AS cs
+       FROM w WHERE length(w) > 0),
+sx AS (SELECT p_partkey, w,
+              upper(w[1]) || rpad(coalesce(array_to_string(list_slice(
+                list_filter(cs, (x, i) -> i > 1 AND x <> '0'
+                                AND x <> cs[i - 1]), 1, 3), ''), ''),
+                3, '0') AS code
+       FROM cd)
+SELECT code,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words,
+       min(w) AS word_min, max(w) AS word_max,
+       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_cand_pairs
+FROM sx GROUP BY code HAVING count(DISTINCT w) >= 2
+""".format(m=_SOUNDEX_MAP))
+def soundex_blocking_keys(spark, sf_dir):
+    """Soundex phonetic blocking over part-name words (Odell &
+    Russell, US patents 1918/1922; Knuth TAOCP vol.3 §6; Newcombe et
+    al., Science 1959 — THE original record-linkage blocking key):
+    code = first letter + the first three digit codes of subsequent
+    letters (b f p v->1, c g j k q s x z->2, d t->3, l->4, m n->5,
+    r->6, vowels/h/w/y->0 dropped), adjacent equal codes collapsed,
+    zero-padded to 4. This is the basic Knuth variant WITHOUT the
+    h/w-transparency refinement (two same-code letters separated by
+    h/w also collapse in full Soundex) — the deviation is pinned by
+    the hand fixture (ashcraft -> A226 here vs A261 full) and is the
+    common implemented form. The unit is the DISTINCT (part, word)
+    pair; emitted are only codes binding >= 2 DISTINCT words — the
+    phonetic collisions a blocking pass would verify — with the
+    candidate-pair count the block would generate, sitting next to
+    homoglyph_skeleton_dedup (visual confusables), dedup_token_sort
+    (order confusables), and sorted_neighborhood_pairs (typo
+    locality) in the blocking-scheme family;
+    blocking_quality_metrics is the evaluator all of them feed.
+
+    Scale shape: the code is a pure per-row projection (translate +
+    one indexed array filter — no UDF, whole-stage-codegen
+    friendly) after the explode/distinct fold, then ONE map-side-
+    combinable groupBy on the 26*7^3-bounded code space. Nothing
+    quadratic is materialized: the n_cand_pairs column REPORTS the
+    quadratic a downstream verifier would pay, which is exactly what
+    the operator exists to bound."""
+    p = t(spark, sf_dir, "part")
+    w = (p.select("p_partkey",
+                  F.explode(F.split("p_name", " ")).alias("raw"))
+         .select("p_partkey",
+                 F.regexp_replace(F.lower("raw"), "[^a-z]", "")
+                 .alias("w"))
+         .where(F.length("w") > 0).distinct())
+    cs = F.split(F.translate(
+        F.col("w"), "abcdefghijklmnopqrstuvwxyz", _SOUNDEX_MAP), "")
+    cd = w.select("p_partkey", "w", cs.alias("cs"))
+    digits = F.filter(
+        F.col("cs"),
+        lambda x, i: (i > 0) & (x != "0")
+        & (x != F.element_at(F.col("cs"), i)))
+    sx = cd.select(
+        "p_partkey", "w",
+        F.concat(F.upper(F.substring("w", 1, 1)),
+                 F.rpad(F.coalesce(
+                     F.array_join(F.slice(digits, 1, 3), ""),
+                     F.lit("")), 3, "0")).alias("code"))
+    return (sx.groupBy("code")
+            .agg(F.count("*").cast("long").alias("n_occurrences"),
+                 F.countDistinct("p_partkey").cast("long")
+                 .alias("n_parts"),
+                 F.countDistinct("w").cast("long")
+                 .alias("n_distinct_words"),
+                 F.min("w").alias("word_min"),
+                 F.max("w").alias("word_max"),
+                 F.expr("count(*) * (count(*) - 1) DIV 2")
+                 .cast("long").alias("n_cand_pairs"))
+            .where(F.col("n_distinct_words") >= 2))
+
+
+_US_PER_HOUR = 3600 * 1000 * 1000
+
+
+@_q("survival_km_na", sql="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+g AS (SELECT max(us) AS gmax FROM e),
+lg AS (SELECT user_id, us,
+              lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+       FROM e),
+lt AS (SELECT (us - prev) // {uh} AS t, 0 AS cen
+       FROM lg WHERE prev IS NOT NULL
+       UNION ALL
+       SELECT (g.gmax - l.lastus) // {uh} AS t, 1 AS cen
+       FROM (SELECT max(us) AS lastus FROM e GROUP BY user_id) l, g),
+vt AS (SELECT t, CAST(sum(1 - cen) AS BIGINT) AS d,
+              CAST(sum(cen) AS BIGINT) AS c
+       FROM lt GROUP BY t),
+vr AS (SELECT t, d, c, sum(d + c) OVER (ORDER BY t DESC) AS n_risk
+       FROM vt),
+de AS (SELECT t, d, c, n_risk,
+              sum(d * 1000000 // n_risk) OVER (ORDER BY t) AS na_micro,
+              max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                OVER (ORDER BY t) AS zf,
+              sum(CASE WHEN n_risk > d
+                       THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                       ELSE 0 END) OVER (ORDER BY t) AS ls
+       FROM vr WHERE d > 0)
+SELECT CAST(t AS BIGINT) AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
+       d AS d_events, c AS c_censored,
+       CAST(na_micro AS BIGINT) AS na_micro,
+       CASE WHEN zf = 1 THEN NULL ELSE round(ls, 6) END AS log_surv_r
+FROM de
+""".format(uh=_US_PER_HOUR))
+def survival_km_na(spark, sf_dir):
+    """Kaplan-Meier survival + Nelson-Aalen cumulative hazard
+    (Kaplan & Meier, JASA 1958; Nelson 1972 / Aalen, Ann. Stat.
+    1978) over per-user INTER-EVENT WAITING TIMES in floor-hours —
+    the recurrent-event reliability framing (Cook & Lawless 2007,
+    'time between failures'): every closed gap between a user's
+    consecutive events is an observed death; the OPEN gap from each
+    user's last event to the corpus end is right-censored BY
+    CONSTRUCTION (we know the next event is at least that far away —
+    textbook end-of-study censoring, no arbitrary cutoff parameter).
+    The answer to "how long until this user acts again", next to
+    user_gap_median (a point estimate of the same gaps) and
+    cohort_retention (the fixed-grid matrix). At each death time t:
+    n_risk = gaps >= t (deaths AND censored — censoring at t
+    conventionally follows deaths at t), Nelson-Aalen cumhaz = sum
+    d_i/n_i carried as EXACT micro integers (d*1e6 DIV n per term,
+    floor-then-sum — deterministic, engine-identical), and log-KM =
+    sum ln((n_i - d_i)/n_i) under the 6dp-round ln convention
+    (each factor is ONE correctly-rounded division of exact
+    integers; ln is the only non-correctly-rounded op, ~1e-16
+    relative, six decades under the grid — the naive-Bayes
+    argument). A death that empties the risk set means S(t) = 0:
+    log_surv_r goes NULL from that row on (sentinel via cummax
+    flag, NOT a -inf that a window SUM would silently skip).
+
+    Scale shape: gap extraction is one per-user lag window (the
+    sessionization/user_gap_median precedent — O(1) state per sorted
+    run) plus one per-user max fold for the censored tail; the gap
+    stream folds to the value-distinct (t, deaths, censored) table —
+    bounded by the time span in hours, not the corpus (the
+    tukey/wasserstein small-domain discipline); the reverse-cumsum
+    risk set, both cumulative sums, and the zero flag are
+    single-partition windows over that bounded frame."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                  .alias("us"))
+    g = e.agg(F.max("us").alias("gmax"))
+    lg = e.select(
+        "us", F.lag("us").over(
+            Window.partitionBy("user_id").orderBy("us")).alias("prev"))
+    closed = (lg.where(F.col("prev").isNotNull())
+              .select(F.expr("(us - prev) DIV {u}"
+                             .format(u=_US_PER_HOUR)).alias("t"),
+                      F.lit(0).alias("cen")))
+    tail = (e.groupBy("user_id").agg(F.max("us").alias("lastus"))
+            .crossJoin(F.broadcast(g))
+            .select(F.expr("(gmax - lastus) DIV {u}"
+                           .format(u=_US_PER_HOUR)).alias("t"),
+                    F.lit(1).alias("cen")))
+    lt = closed.union(tail)
+    vt = lt.groupBy("t").agg(
+        F.sum(F.lit(1) - F.col("cen")).alias("d"),
+        F.sum("cen").alias("c"))
+    wdesc = (Window.orderBy(F.desc("t"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    vr = vt.select("t", "d", "c",
+                   F.sum(F.col("d") + F.col("c")).over(wdesc)
+                   .alias("n_risk"))
+    wasc = (Window.orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    de = (vr.where(F.col("d") > 0)
+          .select("t", "d", "c", "n_risk",
+                  F.sum(F.expr("d * 1000000 DIV n_risk")).over(wasc)
+                  .alias("na_micro"),
+                  F.max((F.col("d") == F.col("n_risk")).cast("int"))
+                  .over(wasc).alias("zf"),
+                  F.sum(F.when(
+                      F.col("n_risk") > F.col("d"),
+                      F.log((F.col("n_risk") - F.col("d"))
+                            .cast("double") / F.col("n_risk")))
+                      .otherwise(F.lit(0.0))).over(wasc).alias("ls")))
+    return de.select(
+        F.col("t").cast("long").alias("t_hours"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.col("c").cast("long").alias("c_censored"),
+        F.col("na_micro").cast("long").alias("na_micro"),
+        F.when(F.col("zf") == 1, F.lit(None).cast("double"))
+        .otherwise(F.round("ls", 6)).alias("log_surv_r"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

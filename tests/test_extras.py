@@ -3380,3 +3380,83 @@ def test_t_closeness_audit_hand(spark, tmp_path):
                spark, str(tmp_path)).collect()}
     assert out == {"A": (2, 428571, 1), "B": (2, 321428, 1),
                    "C": (3, 71428, 0)}, out
+
+
+def test_soundex_blocking_keys_hand(spark, tmp_path):
+    """The canonical pairs: robert/rupert -> R163, ashcraft/ashcroft
+    -> A226 (basic Knuth variant WITHOUT h/w transparency — full
+    Soundex would give A261; the deviation is pinned here). rubin
+    (R150) and pfister (P236) stay singletons and are filtered by
+    the >= 2 distinct-words gate, as are the second words of every
+    name (all distinct codes) — the explode and non-letter strip
+    are exercised by the multi-word names."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    names = ["robert lace", "rupert gold", "rubin mist",
+             "ashcraft x", "ashcroft y", "pfister z"]
+    pd.DataFrame({"p_partkey": range(len(names)),
+                  "p_name": names}).to_parquet(
+        os.path.join(str(tmp_path), "part.parquet"))
+    out = {r["code"]: (r["n_occurrences"], r["n_parts"],
+                       r["n_distinct_words"], r["word_min"],
+                       r["word_max"], r["n_cand_pairs"])
+           for r in QUERIES["soundex_blocking_keys"](
+               spark, str(tmp_path)).collect()}
+    assert out == {
+        "R163": (2, 2, 2, "robert", "rupert", 1),
+        "A226": (2, 2, 2, "ashcraft", "ashcroft", 1)}, out
+
+
+def _km_events(tmp_path, user_hours):
+    """events.parquet with one event per (user, hour offset)."""
+    import os
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [(u, h) for u, hs in user_hours.items() for h in hs]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(hours=h)
+                         for _, h in rows]).astype("datetime64[us]"),
+        "user_id": [u for u, _ in rows],
+        "event_type": ["view"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+
+def test_survival_km_na_hand(spark, tmp_path):
+    """u1 events at hours 0/10/25, u2 at 0/5; corpus end = hour 25.
+    Closed gaps (deaths): 10, 15, 5; open censored tails: 0 (u1,
+    ends at the corpus end) and 20 (u2). Death rows: t=5 n=4 d=1
+    (na 250000, ln(3/4) -> -0.287682); t=10 n=3 (583333,
+    -0.693147 = ln(1/2) exactly); t=15 n=2 — the censored-20 gap
+    keeps the risk set alive — (1083333, -1.386294 = ln(1/4))."""
+    from extractor.queries import QUERIES
+
+    _km_events(tmp_path, {1: [0, 10, 25], 2: [0, 5]})
+    out = sorted((r["t_hours"], r["n_risk"], r["d_events"],
+                  r["c_censored"], r["na_micro"], r["log_surv_r"])
+                 for r in QUERIES["survival_km_na"](
+                     spark, str(tmp_path)).collect())
+    assert out == [(5, 4, 1, 0, 250000, -0.287682),
+                   (10, 3, 1, 0, 583333, -0.693147),
+                   (15, 2, 1, 0, 1083333, -1.386294)], out
+
+
+def test_survival_km_na_zero_survival(spark, tmp_path):
+    """u1's 24-hour gap is the longest subject and a DEATH (its
+    censored tail is 0): at t=24 the risk set is exactly itself,
+    n=d=1, S(t)=0 — log_surv_r goes NULL (not -inf, not a skipped
+    window term) while na_micro keeps accumulating (1583333)."""
+    from extractor.queries import QUERIES
+
+    _km_events(tmp_path, {1: [0, 24, 25], 2: [0, 5]})
+    out = sorted((r["t_hours"], r["n_risk"], r["d_events"],
+                  r["na_micro"], r["log_surv_r"])
+                 for r in QUERIES["survival_km_na"](
+                     spark, str(tmp_path)).collect())
+    assert out == [(1, 4, 1, 250000, -0.287682),
+                   (5, 3, 1, 583333, -0.693147),
+                   (24, 1, 1, 1583333, None)], out
