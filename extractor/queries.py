@@ -15662,6 +15662,240 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+_APRIORI3_PCT = 20  # relative minsup: n_baskets DIV 20 = 5%
+
+
+@_q("apriori_triples", sql="""
+WITH it AS (SELECT DISTINCT l.l_orderkey AS k,
+                   string_split(p.p_name, ' ')[1] AS w
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+nb AS (SELECT count(DISTINCT k) // {pct} AS ms FROM it),
+s1 AS (SELECT w, count(*) AS s FROM it GROUP BY w),
+itf AS (SELECT it.k, it.w FROM it JOIN s1 USING (w), nb
+        WHERE s1.s >= nb.ms),
+ab AS (SELECT a.k, a.w AS wa, b.w AS wb
+       FROM itf a JOIN itf b ON a.k = b.k AND a.w < b.w),
+s2 AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS c
+       FROM ab GROUP BY 1, 2),
+f2 AS (SELECT wa, wb, c FROM s2, nb WHERE c >= nb.ms),
+abf AS (SELECT ab.k, ab.wa, ab.wb FROM ab
+        JOIN f2 ON f2.wa = ab.wa AND f2.wb = ab.wb),
+abc AS (SELECT abf.wa, abf.wb, c.w AS wc
+        FROM abf JOIN itf c ON c.k = abf.k AND c.w > abf.wb
+        JOIN f2 x ON x.wa = abf.wa AND x.wb = c.w
+        JOIN f2 y ON y.wa = abf.wb AND y.wb = c.w),
+s3 AS (SELECT wa, wb, wc, CAST(count(*) AS BIGINT) AS c
+       FROM abc GROUP BY 1, 2, 3)
+SELECT s3.wa AS item_a, s3.wb AS item_b, s3.wc AS item_c,
+       s3.c AS support, f2.c AS sup_ab,
+       round(CAST(s3.c AS DOUBLE) / f2.c, 6) AS conf_ab_c
+FROM s3 JOIN f2 ON f2.wa = s3.wa AND f2.wb = s3.wb, nb
+WHERE s3.c >= nb.ms
+""".format(pct=_APRIORI3_PCT))
+def apriori_triples(spark, sf_dir):
+    """Frequent 3-itemsets with the full A-Priori anti-monotone
+    prune (Agrawal & Srikant, VLDB 1994 — candidate generation +
+    subset pruning; the SON/Spark partitioned formulation of the
+    count) over order baskets — the k=3 extension of
+    assoc_rule_pairs: a triple (a,b,c) is counted ONLY after all
+    three of its pairs pass minsup, applied STRUCTURALLY as joins
+    against the frequent-pair table before the count (infrequent
+    items are semi-joined out first, the pairs-op discipline).
+    Item = the part-name HEAD WORD via a broadcast join to the part
+    dimension — the value-distinct small-domain discipline applied
+    to itemsets: raw partkeys thin out as orders grow (at sf0.1 the
+    max partkey-triple support is 1 — measured, zero output at any
+    absolute threshold; the degenerate trap survival_km_na also
+    dodged), while the bounded word domain keeps co-occurrence
+    dense at every scale, so minsup is RELATIVE (5% of baskets =
+    n DIV 20, integer-exact). Emits support plus the rule
+    confidence {a,b} -> c = sup(abc)/sup(ab) rounded 6dp (one
+    correctly-rounded division of exact integers).
+
+    Scale shape: the part dimension broadcasts (items << facts);
+    baskets hold <= ~7 distinct head words, so in-basket pair and
+    triple expansions fan out boundedly per order and never
+    quadratically; every prune is a hash equi-join against the
+    domain-bounded frequent-pair table; two groupBys on pair/triple
+    keys; output <= C(domain,3) rows by construction. The prune
+    joins cut triple-count traffic to candidates whose every pair
+    is frequent — Apriori's entire point at 100 TB, a no-op by DATA
+    here (all 56 triples clear 5%) but load-bearing by SHAPE; the
+    hand fixture makes it bite (delta/echo pairs die at minsup)."""
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part").select(
+        "p_partkey", F.split("p_name", " ").getItem(0).alias("w"))
+    items = (li.select(F.col("l_orderkey").alias("k"),
+                       F.col("l_partkey").alias("p_partkey"))
+             .join(F.broadcast(pt), "p_partkey")
+             .select("k", "w").distinct().persist())
+    nb = items.agg(F.expr("count(DISTINCT k) DIV {pct}"
+                          .format(pct=_APRIORI3_PCT)).alias("ms"))
+    s1 = items.groupBy("w").agg(F.count("*").alias("s"))
+    itf = (items.join(
+        s1.crossJoin(F.broadcast(nb)).where(F.col("s") >= F.col("ms"))
+        .select("w"), "w", "left_semi"))
+    a = itf.select("k", F.col("w").alias("wa"))
+    b = itf.select("k", F.col("w").alias("wb"))
+    ab = a.join(b, "k").where(F.col("wa") < F.col("wb"))
+    s2 = ab.groupBy("wa", "wb").agg(F.count("*").alias("c"))
+    f2 = (s2.crossJoin(F.broadcast(nb))
+          .where(F.col("c") >= F.col("ms")).select("wa", "wb", "c")
+          .persist())  # prune + confidence consumer
+    abf = ab.join(f2.select("wa", "wb"), ["wa", "wb"], "left_semi")
+    cc = itf.select("k", F.col("w").alias("wc"))
+    abc = (abf.join(cc, "k").where(F.col("wc") > F.col("wb"))
+           .join(f2.select(F.col("wa").alias("wa"),
+                           F.col("wb").alias("wc")),
+                 ["wa", "wc"], "left_semi")
+           .join(f2.select(F.col("wa").alias("wb"),
+                           F.col("wb").alias("wc")),
+                 ["wb", "wc"], "left_semi"))
+    s3 = (abc.groupBy("wa", "wb", "wc").agg(F.count("*").alias("c3"))
+          .crossJoin(F.broadcast(nb))
+          .where(F.col("c3") >= F.col("ms")))
+    return (s3.join(f2, ["wa", "wb"])
+            .select(F.col("wa").alias("item_a"),
+                    F.col("wb").alias("item_b"),
+                    F.col("wc").alias("item_c"),
+                    F.col("c3").cast("long").alias("support"),
+                    F.col("c").cast("long").alias("sup_ab"),
+                    F.round(F.col("c3").cast("double") / F.col("c"), 6)
+                    .alias("conf_ab_c")))
+
+
+# --- Hilbert-vs-Z-order layout audit ------------------------------------
+_HIL_N = 16          # grid side (4 bits/axis)
+_HIL_FILE_CELLS = 4  # cells per file -> 64 files
+_HIL_RECT = (2, 5, 6, 11)  # x_lo, x_hi, y_lo, y_hi — straddles quadrants
+
+
+def _hilbert_chain_sql(div: str) -> str:
+    """Chained per-level CTEs computing the Hilbert index hd for the
+    (x, y, rows_n) cell frame, identical text for both engines except
+    the integer-division token (DuckDB '//', Spark 'DIV'). Pure
+    arithmetic transliteration of the classic xy2d loop (see
+    hilbert_layout_audit docstring): rx/ry extracted via ({d} s) % 2
+    instead of bit-and, the (3*rx)^ry quadrant code rewritten as
+    rx*(3-ry) + (1-rx)*ry (identical on {0,1}), rotation kept in
+    [0, n) via the n-1 complement. Verified against the bitwise
+    reference over the full grid (test_hilbert_layout_audit_hand)."""
+    parts = ["h0 AS (SELECT x, y, rows_n, x AS hx, y AS hy,"
+             " 0 AS hd FROM cells)"]
+    k = 0
+    s = _HIL_N // 2
+    while s > 0:
+        k += 1
+        parts.append(
+            "r{k} AS (SELECT x, y, rows_n, hx, hy, hd,"
+            " (hx {d} {s}) % 2 AS rx, (hy {d} {s}) % 2 AS ry"
+            " FROM h{p})".format(k=k, p=k - 1, d=div, s=s))
+        parts.append(
+            "h{k} AS (SELECT x, y, rows_n,"
+            " ry * hx + (1 - ry) * (rx * ({m} - hy) + (1 - rx) * hy)"
+            " AS hx,"
+            " ry * hy + (1 - ry) * (rx * ({m} - hx) + (1 - rx) * hx)"
+            " AS hy,"
+            " hd + {ss} * (rx * (3 - ry) + (1 - rx) * ry) AS hd"
+            " FROM r{k})".format(k=k, m=_HIL_N - 1, ss=s * s))
+        s //= 2
+    return ",\n".join(parts), k
+
+
+def _zorder_expr_sql(div: str) -> str:
+    """Bit-interleave of 4-bit x/y as pure arithmetic."""
+    return " + ".join(
+        "((x {d} {p}) % 2) * {w} + ((y {d} {p}) % 2) * {w2}".format(
+            d=div, p=2 ** i, w=4 ** i, w2=2 * 4 ** i)
+        for i in range(4))
+
+
+def _hilbert_audit_sql(div: str, src: str) -> str:
+    chain, last = _hilbert_chain_sql(div)
+    xlo, xhi, ylo, yhi = _HIL_RECT
+    return """
+WITH cells AS (SELECT l_partkey % {n} AS x, l_suppkey % {n} AS y,
+                      CAST(count(*) AS BIGINT) AS rows_n
+               FROM {src} GROUP BY 1, 2),
+{chain},
+keyed AS (SELECT x, y, rows_n, hd, {z} AS zd FROM h{last}),
+m AS (SELECT *, CASE WHEN x BETWEEN {xlo} AND {xhi}
+                      AND y BETWEEN {ylo} AND {yhi}
+                     THEN 1 ELSE 0 END AS inrect FROM keyed),
+lab AS (SELECT 'hilbert' AS ordering, hd {d} {fc} AS f, rows_n, inrect
+        FROM m
+        UNION ALL
+        SELECT 'zorder', zd {d} {fc}, rows_n, inrect FROM m),
+tf AS (SELECT ordering, f, CAST(sum(rows_n) AS BIGINT) AS frows,
+              CAST(sum(CASE WHEN inrect = 1 THEN rows_n ELSE 0 END)
+                   AS BIGINT) AS mrows
+       FROM lab GROUP BY 1, 2),
+tt AS (SELECT ordering, f, frows, mrows,
+              CASE WHEN lag(f) OVER (PARTITION BY ordering ORDER BY f)
+                        IS NULL
+                     OR f - lag(f) OVER (PARTITION BY ordering
+                                         ORDER BY f) > 1
+                   THEN 1 ELSE 0 END AS newrun
+       FROM tf WHERE mrows > 0)
+SELECT ordering,
+       CAST(count(*) AS BIGINT) AS n_files_touched,
+       CAST(sum(newrun) AS BIGINT) AS n_runs,
+       CAST(max(f) - min(f) + 1 AS BIGINT) AS file_span,
+       CAST(sum(frows) AS BIGINT) AS rows_in_files,
+       CAST(sum(mrows) AS BIGINT) AS rows_matching
+FROM tt GROUP BY ordering
+""".format(n=_HIL_N, src=src, chain=chain, last=last,
+           z=_zorder_expr_sql(div), d=div, fc=_HIL_FILE_CELLS,
+           xlo=xlo, xhi=xhi, ylo=ylo, yhi=yhi)
+
+
+@_q("hilbert_layout_audit", sql=_hilbert_audit_sql("//", "lineitem"))
+def hilbert_layout_audit(spark, sf_dir):
+    """Hilbert-curve vs Z-order data-layout audit (Hilbert 1891;
+    Moon, Jagadish, Faloutsos & Saltz, IEEE TKDE 2001, "Analysis of
+    the clustering properties of the Hilbert space-filling curve" —
+    Hilbert achieves strictly better range-query clustering than
+    Z-order; the xy2d transliteration is the classic iterative
+    quadrant-rotation algorithm, cf. Warren, Hacker's Delight ch.16):
+    map lineitem rows onto a 16x16 key grid (l_partkey % 16,
+    l_suppkey % 16), lay the grid out in 64 four-cell files under
+    BOTH curve orders, and audit a fixed quadrant-straddling
+    rectangle query (x in [2,5], y in [6,11]) the way a zonemap
+    would: files touched, CONTIGUOUS file runs (= seeks a range
+    reader pays — where Hilbert's locality shows: 3 runs vs
+    Z-order's 5 on the uniform grid), file span, and rows read vs
+    rows matching. The quantified justification for the repo's
+    Z-order writer (job.py Z-order layout): same files touched,
+    fewer seeks — and the audit generalizes to any key pair. Both
+    curve indices are PURE INTEGER ARITHMETIC (DIV/%/*/+ only): the
+    per-level rx/ry extraction replaces bit-and, the (3*rx)^ry
+    quadrant code is rewritten rx*(3-ry)+(1-rx)*ry, and the rotation
+    stays in [0,16) via the 15-complement — so the whole chain is an
+    exact cross-engine contract with no bit-op dialect differences;
+    the SQL oracle and the Spark plan are generated from ONE
+    template differing only in the division token.
+
+    Scale shape: ONE map-side-combinable corpus fold to the 256-cell
+    frame; the four Hilbert levels, the Z interleave, the file fold,
+    and the run/span windows all run on <= 256-row (then <= 128-row)
+    bounded frames — the synopsis discipline. At 10^12 rows only the
+    first fold sees data."""
+    li = t(spark, sf_dir, "lineitem")
+    cells = (li.groupBy((F.col("l_partkey") % _HIL_N).alias("x"),
+                        (F.col("l_suppkey") % _HIL_N).alias("y"))
+             .agg(F.count("*").cast("long").alias("rows_n")))
+    cells.createOrReplaceTempView("cells")
+    body = _hilbert_audit_sql("DIV", "lineitem")
+    # strip the corpus CTE — Spark starts from the registered
+    # cells view so the fold above is the only corpus-scale stage
+    body = body.replace(
+        """WITH cells AS (SELECT l_partkey % {n} AS x, l_suppkey % {n} AS y,
+                      CAST(count(*) AS BIGINT) AS rows_n
+               FROM lineitem GROUP BY 1, 2),
+""".format(n=_HIL_N), "WITH ")
+    return spark.sql(body)
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

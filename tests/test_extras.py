@@ -3460,3 +3460,94 @@ def test_survival_km_na_zero_survival(spark, tmp_path):
     assert out == [(1, 4, 1, 250000, -0.287682),
                    (5, 3, 1, 583333, -0.693147),
                    (24, 1, 1, 1583333, None)], out
+
+
+def test_hilbert_layout_audit_hand(spark, tmp_path):
+    """One row per cell of the full 16x16 grid. The rect x[2,5]
+    y[6,11] (24 cells) tiles exactly 6 four-cell files under BOTH
+    orders, but Hilbert reads them in 3 contiguous runs spanning 20
+    files (touched 11,12,17,18,29,30) where Z-order needs 5 runs
+    over a 28-file span (11,14,33,35,36,38) — the Moon et al.
+    clustering separation, pinned from the bitwise reference
+    implementation. Also re-derives the arithmetic chain against
+    the classic bitwise xy2d over the whole grid."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    def xy2d_bitwise(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = n - 1 - x
+                    y = n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def xy2d_arith(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = (x // s) % 2
+            ry = (y // s) % 2
+            d += s * s * (rx * (3 - ry) + (1 - rx) * ry)
+            nx = ry * x + (1 - ry) * (rx * (n - 1 - y) + (1 - rx) * y)
+            ny = ry * y + (1 - ry) * (rx * (n - 1 - x) + (1 - rx) * x)
+            x, y = nx, ny
+            s //= 2
+        return d
+
+    assert all(xy2d_bitwise(16, x, y) == xy2d_arith(16, x, y)
+               for x in range(16) for y in range(16))
+
+    keys = [(x, y) for x in range(16) for y in range(16)]
+    pd.DataFrame({
+        "l_orderkey": range(len(keys)),
+        "l_partkey": [x for x, _ in keys],
+        "l_suppkey": [y for _, y in keys],
+    }).to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = {r["ordering"]: (r["n_files_touched"], r["n_runs"],
+                           r["file_span"], r["rows_in_files"],
+                           r["rows_matching"])
+           for r in QUERIES["hilbert_layout_audit"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"hilbert": (6, 3, 20, 24, 24),
+                   "zorder": (6, 5, 28, 24, 24)}, out
+
+
+def test_apriori_triples_hand(spark, tmp_path):
+    """40 baskets -> relative minsup = 40 DIV 20 = 2. Two baskets of
+    {alpha,beta,gamma} make the only qualifying triple (support 2,
+    conf {a,b}->c = 2/3). The prune BITES on the other baskets:
+    echo (support 1) dies at the item stage, and
+    {alpha,beta,delta} is killed before counting by the infrequent
+    (beta,delta) pair — both paths leave zero trace in the output.
+    36 single-item zulu fillers set the basket total."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    words = ["alpha", "beta", "gamma", "delta", "echo", "zulu"]
+    pd.DataFrame({
+        "p_partkey": range(1, 7),
+        "p_name": [w + " lace" for w in words],
+    }).to_parquet(os.path.join(str(tmp_path), "part.parquet"))
+    baskets = {1: [1, 2, 3], 2: [1, 2, 3], 3: [1, 2, 4], 4: [1, 4, 5]}
+    for o in range(5, 41):
+        baskets[o] = [6]
+    rows = [(o, p) for o, ps in baskets.items() for p in ps]
+    pd.DataFrame({
+        "l_orderkey": [o for o, _ in rows],
+        "l_partkey": [p for _, p in rows],
+    }).to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = [(r["item_a"], r["item_b"], r["item_c"], r["support"],
+            r["sup_ab"], r["conf_ab_c"])
+           for r in QUERIES["apriori_triples"](
+               spark, str(tmp_path)).collect()]
+    assert out == [("alpha", "beta", "gamma", 2, 3, 0.666667)], out
