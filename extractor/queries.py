@@ -15662,6 +15662,151 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+@_q("anova_f_oneway", sql="""
+WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS ng,
+                  CAST(sum(n_chars) AS HUGEINT) AS tg,
+                  CAST(sum(CAST(n_chars AS HUGEINT) * n_chars)
+                       AS HUGEINT) AS sq
+           FROM documents GROUP BY source),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(tg) AS HUGEINT) AS t,
+               CAST(sum(sq) AS HUGEINT) AS sq FROM g),
+sb AS (SELECT CAST(sum(tg * tg * 1000000 // ng) AS HUGEINT) AS sgt
+       FROM g)
+SELECT tot.k, tot.n,
+       CAST(sb.sgt - tot.t * tot.t * 1000000 // tot.n
+            AS BIGINT) AS ssb_micro,
+       CAST(tot.sq * 1000000 - sb.sgt AS BIGINT) AS ssw_micro,
+       CAST(CASE WHEN tot.sq * 1000000 - sb.sgt = 0 THEN -1
+            ELSE (sb.sgt - tot.t * tot.t * 1000000 // tot.n)
+                 * (tot.n - tot.k) * 1000
+                 // ((tot.sq * 1000000 - sb.sgt) * (tot.k - 1))
+            END AS BIGINT) AS f_milli
+FROM tot, sb
+""")
+def anova_f_oneway(spark, sf_dir):
+    """One-way ANOVA F statistic (Fisher, Statistical Methods for
+    Research Workers 1925) for doc length across sources — the
+    k-sample extension of welch_t_drift's two-sample test (equal-
+    variance form; its rank twin kruskal_wallis_h rides alongside):
+    F = (SSB/(k-1)) / (SSW/(n-k)) with the computational identities
+    SSB = sum_g T_g^2/n_g - T^2/n and SSW = sum x^2 - sum_g
+    T_g^2/n_g. Everything integer-exact under the micro-floor
+    convention: each T_g^2/n_g term is floored at micro scale
+    (T_g^2 * 1e6 DIV n_g in HUGEINT/DECIMAL(38,0) — T^2 passes
+    BIGINT at ~3e9 total chars), SSW derives from the SAME floored
+    sum so SSB + SSW == SST_micro exactly by construction, and
+    f_milli is ONE final integer division (-1 sentinel when SSW = 0,
+    the degenerate all-groups-constant case). The decision-grade
+    numbers (ssb, ssw, dfs) cross the contract as integers; the
+    F-distribution p-value needs betainc and stays caller-side (the
+    var18 convention).
+
+    Scale shape: ONE map-side-combinable corpus fold to per-source
+    (n, sum, sum-of-squares) — the corr_suffstats discipline; the
+    k-row total and the F assembly are bounded folds. No joins, no
+    windows, nothing data-dependent after the first shuffle."""
+    d = t(spark, sf_dir, "documents")
+    g = (d.groupBy("source")
+         .agg(F.count("*").cast("long").alias("ng"),
+              F.sum("n_chars").cast("decimal(38,0)").alias("tg"),
+              F.sum(F.col("n_chars").cast("decimal(38,0)")
+                    * F.col("n_chars")).alias("sq")))
+    agg = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("tg").alias("t"),
+        F.sum("sq").alias("sq"),
+        F.sum(F.expr("tg * tg * 1000000 DIV ng")).alias("sgt"))
+    return agg.select(
+        "k", "n",
+        F.expr("CAST(sgt - t * t * 1000000 DIV n AS BIGINT)")
+        .alias("ssb_micro"),
+        F.expr("CAST(sq * 1000000 - sgt AS BIGINT)").alias("ssw_micro"),
+        F.expr("CAST(CASE WHEN sq * 1000000 - sgt = 0 THEN -1 "
+               "ELSE (sgt - t * t * 1000000 DIV n) * (n - k) * 1000 "
+               "DIV ((sq * 1000000 - sgt) * (k - 1)) END AS BIGINT)")
+        .alias("f_milli"))
+
+
+@_q("kruskal_wallis_h", sql="""
+WITH gv AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2),
+vv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt FROM gv GROUP BY v),
+rk AS (SELECT v, 2 * (sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1
+                 AS r2
+       FROM vv),
+gr AS (SELECT gv.source, CAST(sum(gv.c) AS BIGINT) AS ng,
+              CAST(sum(gv.c * rk.r2) AS HUGEINT) AS r2g
+       FROM gv JOIN rk USING (v) GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(r2g * r2g * 1000 // (4 * ng)) AS HUGEINT)
+                 AS hnum
+        FROM gr),
+ti AS (SELECT CAST(coalesce(sum(cnt * cnt * cnt - cnt), 0) AS BIGINT)
+              AS tie_cubed
+       FROM vv WHERE cnt > 1)
+SELECT tot.k, tot.n,
+       CAST(12 * tot.hnum // (tot.n * (tot.n + 1))
+            - 3 * (tot.n + 1) * 1000 AS BIGINT) AS h_milli,
+       ti.tie_cubed
+FROM tot, ti
+""")
+def kruskal_wallis_h(spark, sf_dir):
+    """Kruskal-Wallis H test (Kruskal & Wallis, JASA 1952) for doc
+    length across sources — the RANK twin of anova_f_oneway (and the
+    k-sample extension of auc_mann_whitney's two-sample U), immune
+    to the heavy tails that inflate ANOVA's SSW: H = 12/(n(n+1)) *
+    sum_g R_g^2/n_g - 3(n+1) on midranks. Exactness discipline:
+    DOUBLED midranks R2(v) = 2*(#less) + #equal + 1 keep half-ranks
+    integral (the spearman/pettitt convention), so R_g^2/n_g =
+    R2_g^2/(4 n_g) and h_milli = (12 * sum_g(R2_g^2 * 1000 DIV
+    (4 n_g))) DIV (n(n+1)) - 3000(n+1) — micro/milli-floor per
+    group, one final floor, all in HUGEINT/DECIMAL(38,0) (rank sums
+    square past BIGINT at ~1e5 docs). The tie-correction divisor
+    1 - sum(t^3-t)/(n^3-n) is emitted as the exact integer
+    tie_cubed with n alongside — the caller applies the float (the
+    var18/mann_kendall convention: integers cross the contract).
+
+    Scale shape: ONE corpus fold to the (source, value, count)
+    frame (value-distinct small-domain discipline — n_chars' domain
+    grows with max doc length, not corpus size); the global rank
+    map is a window over the value-bounded frame; per-group rank
+    sums are one bounded join + fold; H assembly is 1-row. The
+    corpus is touched exactly once."""
+    d = t(spark, sf_dir, "documents")
+    gv = (d.groupBy("source", F.col("n_chars").cast("long").alias("v"))
+          .agg(F.count("*").alias("c")).persist())
+    vv = gv.groupBy("v").agg(F.sum("c").alias("cnt"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    rk = vv.select(
+        "v", (F.lit(2) * (F.sum("cnt").over(wv) - F.col("cnt"))
+              + F.col("cnt") + 1).alias("r2"))
+    gr = (gv.join(F.broadcast(rk), "v")
+          .groupBy("source")
+          .agg(F.sum("c").cast("long").alias("ng"),
+               F.sum(F.col("c").cast("decimal(38,0)") * F.col("r2"))
+               .alias("r2g")))
+    tot = gr.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(F.expr("r2g * r2g * 1000 DIV (4 * ng)")).alias("hnum"))
+    ti = vv.agg(F.coalesce(
+        F.sum(F.when(F.col("cnt") > 1,
+                     F.col("cnt") * F.col("cnt") * F.col("cnt")
+                     - F.col("cnt"))), F.lit(0))
+        .cast("long").alias("tie_cubed"))
+    return (tot.crossJoin(F.broadcast(ti))
+            .select("k", "n",
+                    F.expr("CAST(12 * hnum DIV (n * (n + 1)) "
+                           "- 3 * (n + 1) * 1000 AS BIGINT)")
+                    .alias("h_milli"),
+                    "tie_cubed"))
+
+
 _APRIORI3_PCT = 20  # relative minsup: n_baskets DIV 20 = 5%
 
 

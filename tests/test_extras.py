@@ -3551,3 +3551,45 @@ def test_apriori_triples_hand(spark, tmp_path):
            for r in QUERIES["apriori_triples"](
                spark, str(tmp_path)).collect()]
     assert out == [("alpha", "beta", "gamma", 2, 3, 0.666667)], out
+
+
+def test_anova_f_oneway_hand(spark, tmp_path):
+    """A=[1,2,3], B=[4,5,6]: T_A=6, T_B=15, T=21, sum x^2=91.
+    SSB = 36/3 + 225/3 - 441/6 = 13.5 (exact at micro scale since
+    every division lands on the grid), SSW = 91 - 87 = 4,
+    F = (13.5/1)/(4/4) = 13.5 -> f_milli 13500."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(i, "x", "en", s, v) for i, (s, v) in enumerate(
+        [("A", 1), ("A", 2), ("A", 3), ("B", 4), ("B", 5), ("B", 6)])]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = [(r["k"], r["n"], r["ssb_micro"], r["ssw_micro"],
+            r["f_milli"])
+           for r in QUERIES["anova_f_oneway"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(2, 6, 13500000, 4000000, 13500)], out
+
+
+def test_kruskal_wallis_h_hand(spark, tmp_path):
+    """A=[1,2], B=[3,3]: doubled midranks 2, 4, 7, 7 -> R2_A=6,
+    R2_B=14. hnum = 36*1000/8 + 196*1000/8 = 29000; h_milli =
+    12*29000 DIV 20 - 15000 = 2400 (H = 2.4 exactly). The tied
+    value 3 (t=2) emits tie_cubed = 6 for the caller-side
+    correction H / (1 - 6/60)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(i, "x", "en", s, v) for i, (s, v) in enumerate(
+        [("A", 1), ("A", 2), ("B", 3), ("B", 3)])]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = [(r["k"], r["n"], r["h_milli"], r["tie_cubed"])
+           for r in QUERIES["kruskal_wallis_h"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(2, 4, 2400, 6)], out
