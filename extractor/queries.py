@@ -15662,6 +15662,193 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+@_q("wilcoxon_signed_rank", sql="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+g AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+pu AS (SELECT user_id,
+              CAST(sum(CASE WHEN us * 2 <= g.mn + g.mx
+                       THEN 1 ELSE 0 END) AS BIGINT) AS early,
+              CAST(count(*) AS BIGINT) AS tot
+       FROM e, g GROUP BY user_id, g.mn, g.mx),
+dd AS (SELECT tot - 2 * early AS d FROM pu WHERE tot <> 2 * early),
+sv AS (SELECT abs(d) AS v, CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS cpos,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM dd GROUP BY abs(d)),
+rk AS (SELECT v, cpos, cnt,
+              2 * (sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r2
+       FROM sv)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_nonzero,
+       CAST(sum(cpos * r2) AS BIGINT) AS w2_plus,
+       CAST(sum((cnt - cpos) * r2) AS BIGINT) AS w2_minus,
+       CAST(coalesce(sum(CASE WHEN cnt > 1
+                          THEN cnt * cnt * cnt - cnt END), 0)
+            AS BIGINT) AS tie_cubed
+FROM rk
+""")
+def wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test (Wilcoxon, Biometrics Bulletin 1945
+    — the same paper as the rank-sum test auc_mann_whitney grades)
+    for PAIRED location shift: did each user's activity move between
+    the first and second half of the corpus window? Pair = user,
+    d = (late events) - (early events) with the half boundary at the
+    exact midpoint of the global span — classified via us*2 <=
+    mn+mx, an integer compare with NO division rounding to pin.
+    Zero differences drop (the standard convention), |d| gets
+    DOUBLED midranks over its value-distinct fold (the spearman/
+    pettitt/kruskal convention — half-ranks stay integral), and the
+    contract carries w2_plus / w2_minus (doubled rank sums, their
+    total = 2 * m(m+1)/2 — an internal identity the hand fixture
+    checks) plus tie_cubed for the caller-side variance correction
+    (var18 convention; mean m(m+1)/4 and variance need only n and
+    these integers). The within-user pairing removes the between-
+    user activity variance welch/anova pay — the reason the paired
+    test exists.
+
+    Scale shape: ONE corpus fold to per-user (early, total) — the
+    two half-counts come from one conditional aggregate against the
+    broadcast 1-row span, not two scans; nonzero differences fold
+    to the value-distinct (|d|, signs, count) frame bounded by the
+    difference DOMAIN (max events per user), and the rank window +
+    final fold run there. The corpus is touched exactly once."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                  .alias("us"))
+    g = e.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    pu = (e.crossJoin(F.broadcast(g))
+          .groupBy("user_id")
+          .agg(F.sum(F.when(F.col("us") * 2 <= F.col("mn")
+                            + F.col("mx"), 1).otherwise(0))
+               .alias("early"),
+               F.count("*").alias("tot")))
+    dd = (pu.where(F.col("tot") != 2 * F.col("early"))
+          .select((F.col("tot") - 2 * F.col("early")).alias("d")))
+    sv = (dd.groupBy(F.abs("d").alias("v"))
+          .agg(F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+               .alias("cpos"),
+               F.count("*").alias("cnt")))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    rk = sv.select(
+        "v", "cpos", "cnt",
+        (F.lit(2) * (F.sum("cnt").over(wv) - F.col("cnt"))
+         + F.col("cnt") + 1).alias("r2"))
+    return rk.agg(
+        F.sum("cnt").cast("long").alias("n_nonzero"),
+        F.sum(F.col("cpos") * F.col("r2")).cast("long")
+        .alias("w2_plus"),
+        F.sum((F.col("cnt") - F.col("cpos")) * F.col("r2"))
+        .cast("long").alias("w2_minus"),
+        F.coalesce(F.sum(F.when(
+            F.col("cnt") > 1,
+            F.col("cnt") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt"))), F.lit(0)).cast("long")
+        .alias("tie_cubed"))
+
+
+_NEYMAN_BUDGET = 10000  # total sample rows to allocate across sources
+
+
+@_q("neyman_allocation", sql="""
+WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS nh,
+                  CAST(sum(n_chars) AS HUGEINT) AS th,
+                  CAST(sum(CAST(n_chars AS HUGEINT) * n_chars)
+                       AS HUGEINT) AS sq
+           FROM documents GROUP BY source),
+w AS (SELECT source, nh,
+             CASE WHEN nh < 2 OR nh * sq - th * th = 0 THEN 0.0
+                  ELSE CAST(nh AS DOUBLE)
+                       * sqrt(CAST(nh * sq - th * th AS DOUBLE)
+                              / CAST(nh * (nh - 1) AS DOUBLE))
+             END AS wh
+      FROM g),
+c AS (SELECT source, nh, wh,
+             sum(wh) OVER (ORDER BY source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM w),
+tt AS (SELECT source, nh, wh, max(cum) OVER () AS wt FROM c),
+fl AS (SELECT source, nh, wh, wt,
+              CAST(floor({b} * wh / wt) AS BIGINT) AS nfloor,
+              {b} * wh / wt - floor({b} * wh / wt) AS rem
+       FROM tt),
+rk AS (SELECT source, nh, wh, nfloor, rem,
+              CAST({b} - sum(nfloor) OVER () AS BIGINT) AS deficit,
+              row_number() OVER (ORDER BY rem DESC, source) AS rn
+       FROM fl)
+SELECT source, nh AS n_rows, round(wh / nh, 6) AS sd_r,
+       CAST(nfloor + CASE WHEN rn <= deficit THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM rk
+""".format(b=_NEYMAN_BUDGET))
+def neyman_allocation(spark, sf_dir):
+    """Neyman optimal stratified-sampling allocation (Neyman, JRSS
+    1934; Cochran, Sampling Techniques §5.5): split a fixed QA/eval
+    sample budget of 10,000 rows across sources proportionally to
+    N_h * S_h — strata that are bigger OR internALLY noisier get
+    more of the budget, the minimum-variance allocation for a fixed
+    total. The planner in front of stratified_sample_balanced
+    (which draws equal or proportional shares) and the sampling
+    sibling of mix_temperature_alloc. Cross-engine exactness
+    without an integer sqrt: every float is produced by the SAME
+    IEEE correctly-rounded op sequence on exact integers — variance
+    numerator/denominator as DECIMAL/HUGEINT cast once to double,
+    one division, one sqrt (correctly rounded BY THE STANDARD,
+    unlike ln), one multiply by N_h — so the weight doubles are
+    bit-identical on both engines; the weight TOTAL is pinned as
+    the last value of a source-ordered cumulative sum (max of a
+    nonneg cumsum — a plain SUM's addend order is engine-chosen and
+    would not be), floors are exact, and the leftover budget is
+    settled by largest-remainder apportionment (the
+    prorate_largest_remainder convention; remainder-desc,
+    source-asc) so sum(alloc) == budget EXACTLY. Degenerate strata
+    (n < 2 or zero variance) get weight 0 and therefore alloc 0 —
+    a constant stratum needs no sample (pinned).
+
+    Scale shape: ONE corpus fold to per-source sufficient
+    statistics; weights, the ordered cumsum, ranking, and the
+    apportionment all run on the sources-bounded frame. No second
+    corpus pass — the allocation is the PLAN for one."""
+    d = t(spark, sf_dir, "documents")
+    g = (d.groupBy("source")
+         .agg(F.count("*").cast("long").alias("nh"),
+              F.sum("n_chars").cast("decimal(38,0)").alias("th"),
+              F.sum(F.col("n_chars").cast("decimal(38,0)")
+                    * F.col("n_chars")).alias("sq")))
+    w = g.select(
+        "source", "nh",
+        F.expr("CASE WHEN nh < 2 OR nh * sq - th * th = 0 THEN 0.0 "
+               "ELSE CAST(nh AS DOUBLE) "
+               "* sqrt(CAST(nh * sq - th * th AS DOUBLE) "
+               "/ CAST(nh * (nh - 1) AS DOUBLE)) END").alias("wh"))
+    wc = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = w.select("source", "nh", "wh",
+                 F.sum("wh").over(wc).alias("cum"))
+    tt = c.select("source", "nh", "wh",
+                  F.max("cum").over(wall).alias("wt"))
+    b = _NEYMAN_BUDGET
+    fl = tt.select(
+        "source", "nh", "wh",
+        F.expr("CAST(floor({b} * wh / wt) AS BIGINT)".format(b=b))
+        .alias("nfloor"),
+        F.expr("{b} * wh / wt - floor({b} * wh / wt)".format(b=b))
+        .alias("rem"))
+    rk = fl.select(
+        "source", "nh", "wh", "nfloor", "rem",
+        (F.lit(b) - F.sum("nfloor").over(wall)).alias("deficit"),
+        F.row_number().over(
+            Window.orderBy(F.desc("rem"), F.asc("source")))
+        .alias("rn"))
+    return rk.select(
+        "source", F.col("nh").alias("n_rows"),
+        F.round(F.col("wh") / F.col("nh"), 6).alias("sd_r"),
+        (F.col("nfloor")
+         + F.when(F.col("rn") <= F.col("deficit"), 1).otherwise(0))
+        .cast("long").alias("alloc"))
+
+
 @_q("anova_f_oneway", sql="""
 WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS ng,
                   CAST(sum(n_chars) AS HUGEINT) AS tg,

@@ -3593,3 +3593,48 @@ def test_kruskal_wallis_h_hand(spark, tmp_path):
            for r in QUERIES["kruskal_wallis_h"](
                spark, str(tmp_path)).collect()]
     assert out == [(2, 4, 2400, 6)], out
+
+
+def test_wilcoxon_signed_rank_hand(spark, tmp_path):
+    """Per-user (early, late) counts -> d: +1, +2, -3, +3, and one
+    exactly-balanced user dropped. |d| doubled midranks: 1->2, 2->4,
+    3->7 (tied pair). w2_plus = 2+4+7 = 13, w2_minus = 7 — their
+    total 20 = 2 * 4*5/2 (the rank-sum identity), tie_cubed = 6."""
+    from extractor.queries import QUERIES
+
+    spec = {1: (1, 2), 2: (1, 3), 3: (4, 1), 4: (1, 4), 5: (2, 2)}
+    user_hours = {}
+    for u, (ne, nl) in spec.items():
+        user_hours[u] = [24] * ne + [28 * 24] * nl
+    _km_events(tmp_path, user_hours)
+    out = [(r["n_nonzero"], r["w2_plus"], r["w2_minus"],
+            r["tie_cubed"])
+           for r in QUERIES["wilcoxon_signed_rank"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(4, 13, 7, 6)], out
+
+
+def test_neyman_allocation_hand(spark, tmp_path):
+    """A = {1,3} (sd = sqrt(2)), B = {0,4} (sd = sqrt(8) = exactly
+    2*sqrt(2) in IEEE since scaling by 4 is exact) -> weights 1:2,
+    shares 3333.3/6666.7 of the 10000 budget; floors 3333+6666
+    leave deficit 1, largest remainder (B, .667) takes it ->
+    3333/6667, summing to the budget exactly. The singleton source
+    C has undefined variance -> weight 0, alloc 0 (pinned)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "x", "en", "A", 1), (1, "x", "en", "A", 3),
+            (2, "x", "en", "B", 0), (3, "x", "en", "B", 4),
+            (4, "x", "en", "C", 5)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["source"]: (r["n_rows"], r["sd_r"], r["alloc"])
+           for r in QUERIES["neyman_allocation"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": (2, 1.414214, 3333),
+                   "B": (2, 2.828427, 6667),
+                   "C": (1, 0.0, 0)}, out
+    assert sum(v[2] for v in out.values()) == 10000
