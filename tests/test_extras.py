@@ -3638,3 +3638,90 @@ def test_neyman_allocation_hand(spark, tmp_path):
                    "B": (2, 2.828427, 6667),
                    "C": (1, 0.0, 0)}, out
     assert sum(v[2] for v in out.values()) == 10000
+
+
+def test_selinger_join_order_hand(spark, tmp_path):
+    """Tiny chain with hand stats n=(2,4,8,2), d_co=2, d_ol=4,
+    d_lp=2. All 24 orders re-derived by an embedded reference
+    implementation of the Selinger recursion and matched row for
+    row; spot-pins: c>o>l>p costs 4+8+8 = 20 (a best chain order)
+    and the disconnected c>l>o>p pays the 16-row cross product
+    (cost 32, connected 0). Ranks are (cost, order)-deterministic."""
+    import itertools
+    import os
+
+    from extractor.queries import QUERIES
+
+    pd.DataFrame({"c_custkey": [1, 2]}).to_parquet(
+        os.path.join(str(tmp_path), "customer.parquet"))
+    pd.DataFrame({"o_orderkey": [1, 2, 3, 4],
+                  "o_custkey": [1, 1, 2, 2]}).to_parquet(
+        os.path.join(str(tmp_path), "orders.parquet"))
+    pd.DataFrame({"l_orderkey": [1, 1, 2, 2, 3, 3, 4, 4],
+                  "l_partkey": [1, 2] * 4}).to_parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+    pd.DataFrame({"p_partkey": [1, 2]}).to_parquet(
+        os.path.join(str(tmp_path), "part.parquet"))
+
+    N = {"c": 2, "o": 4, "l": 8, "p": 2}
+    D = {("c", "o"): 2, ("o", "l"): 4, ("l", "p"): 2}
+
+    def edge(a, b):
+        return D.get((a, b)) or D.get((b, a))
+
+    expect = {}
+    for perm in itertools.permutations("colp"):
+        est = N[perm[0]]
+        cost = 0
+        connected = 1
+        for k in range(1, 4):
+            act = [edge(perm[k], q) for q in perm[:k]
+                   if edge(perm[k], q)]
+            num = est * N[perm[k]]
+            den = 1
+            for d in act:
+                den *= d
+            if not act:
+                connected = 0
+            est = num // den
+            cost += est
+        expect[">".join(perm)] = (connected, cost)
+    ranked = sorted(expect.items(), key=lambda kv: (kv[1][1], kv[0]))
+    exp_rank = {k: i + 1 for i, (k, _) in enumerate(ranked)}
+
+    out = {r["join_order"]: (r["connected"], r["est_cost"],
+                             r["cost_rank"])
+           for r in QUERIES["selinger_join_order"](
+               spark, str(tmp_path)).collect()}
+    assert len(out) == 24
+    for k, (conn, cost) in expect.items():
+        assert out[k] == (conn, cost, exp_rank[k]), (k, out[k])
+    assert out["c>o>l>p"] == (1, 20, exp_rank["c>o>l>p"])
+    assert out["c>l>o>p"][:2] == (0, 32)
+
+
+def test_rake_keyword_extract_hand(spark, tmp_path):
+    """Doc 1: 'deep learning of neural networks and the deep
+    learning' -> phrases 'deep learning' x2 and 'neural networks';
+    every member word scores deg/freq = 2.0 exactly, so both
+    phrases score 4e6 and the tie breaks alphabetically. Doc 2's
+    stopword-free 'gradient descent method' is ONE 3-word phrase:
+    each word scores 3.0, the phrase 9e6 — degree rewarding long
+    phrases over frequent short ones, RAKE's defining property."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "deep learning of neural networks and the deep"
+                " learning", "en", "s1", 50),
+            (1, "gradient descent method", "en", "s1", 23)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = [(r["rank"], r["phrase"], r["n_occ"], r["score_micro"])
+           for r in QUERIES["rake_keyword_extract"](
+               spark, str(tmp_path)).collect()]
+    assert out == [
+        (1, "gradient descent method", 1, 9000000),
+        (2, "deep learning", 2, 4000000),
+        (3, "neural networks", 1, 4000000)], out
