@@ -15662,6 +15662,138 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+@_q("hill_diversity_profile", sql=r"""
+WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(
+                     lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> ''))
+                     AS w
+              FROM documents),
+cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS hill0,
+       CAST(CAST(sum(c) AS HUGEINT) * sum(c) * 1000000
+            // sum(CAST(c AS HUGEINT) * c) AS BIGINT)
+         AS inv_simpson_micro,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(c * ln(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 6) AS shannon_r
+FROM cnt GROUP BY source
+""")
+def hill_diversity_profile(spark, sf_dir):
+    """Hill diversity numbers of order q = 0, 1, 2 for each
+    source's word distribution (Hill, Ecology 1973; Jost, Oikos
+    2006 — the unified family: q=0 counts species, q=1 weighs them
+    by frequency, q=2 by dominance): hill0 = observed vocabulary
+    (the richness chao1_source_richness extrapolates), inverse
+    Simpson concentration n^2 / sum n_i^2 as an EXACT micro
+    integer (the q=2 number; 1e6 = a single dominating word, and
+    it is gini_concentration's diversity-side dual), and Shannon
+    entropy H = ln n - (sum n_i ln n_i)/n under the 6dp-round ln
+    convention (each ln on an exact integer; hill1 = exp(H) and
+    Pielou evenness H/ln(hill0) stay caller-side — the var18
+    discipline, exp would compound the rounding). One operator,
+    the three numbers every corpus-mix report wants side by side:
+    a source can be rich (hill0) yet dominated (low inv-Simpson) —
+    exactly the long-tail shape a dedup/balance pass must know.
+
+    Scale shape: ONE map-side-combinable corpus fold to
+    (source, word, count), then one fold of that vocabulary-sized
+    frame to sources-many rows. No joins, no windows — the
+    chao1/good_turing fold shape, tokenization bit-identical to
+    the LM operators (_WS_CLASS of lower(text))."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                           lambda x: x != "")).alias("w"))
+    cnt = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    return (cnt.groupBy("source")
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("hill0"),
+                 F.expr("CAST(CAST(sum(c) AS DECIMAL(38,0)) * sum(c)"
+                        " * 1000000 DIV sum(CAST(c AS DECIMAL(38,0))"
+                        " * c) AS BIGINT)").alias("inv_simpson_micro"),
+                 F.round(F.log(F.sum("c").cast("double"))
+                         - F.sum(F.col("c")
+                                 * F.log(F.col("c").cast("double")))
+                         / F.sum("c").cast("double"), 6)
+                 .alias("shannon_r")))
+
+
+_FEISTEL_ROUNDS = 4
+_FEISTEL_HALF = 65536  # 16-bit halves -> a 32-bit permutation
+
+
+def _feistel_duck_chain() -> str:
+    """DuckDB round chain mapping (l, r) through the network; the
+    Spark twin is built inline in feistel_pseudonymize with the
+    same structure (conv/^ instead of ::BIGINT/xor)."""
+    h = _FEISTEL_HALF
+    parts = ["f0 AS (SELECT user_id, user_id // {h} AS l,"
+             " user_id % {h} AS r FROM ids)".format(h=h)]
+    for k in range(1, _FEISTEL_ROUNDS + 1):
+        fexpr = ("('0x' || substr(md5('fp{k}:' || CAST(r AS VARCHAR)),"
+                 " 1, 8))::BIGINT % {h}".format(k=k, h=h))
+        parts.append(
+            "f{k} AS (SELECT user_id, r AS l,"
+            " xor(l, {f}) % {h} AS r FROM f{p})".format(
+                k=k, p=k - 1, f=fexpr, h=h))
+    return ",\n".join(parts)
+
+
+@_q("feistel_pseudonymize", sql="""
+WITH ids AS (SELECT DISTINCT user_id FROM events),
+{chain}
+SELECT user_id, CAST(l * {h} + r AS BIGINT) AS pseudo_id
+FROM f{last}
+""".format(chain=_feistel_duck_chain(), last=_FEISTEL_ROUNDS,
+           h=_FEISTEL_HALF))
+def feistel_pseudonymize(spark, sf_dir):
+    """Format-preserving pseudonymization of user ids through a
+    4-round Feistel network (Luby & Rackoff, SIAM J. Comput. 1988 —
+    >= 4 rounds of a PRF make a strong pseudorandom permutation;
+    Black & Rogaway, CT-RSA 2002, "Ciphers with arbitrary finite
+    domains" — the practical FPE construction): split the id into
+    16-bit halves, four rounds of (l, r) -> (r, (l XOR
+    F_k(r)) % 2^16) with F_k = md5 keyed per round (the
+    graph_random_walks md5-integer convention), re-join to a 32-bit
+    pseudo id. A BIJECTION on the 2^32 domain BY CONSTRUCTION —
+    unlike the md5-truncation pseudonyms used for bucketing, two
+    users can NEVER collide, and the mapping is reversible by
+    running rounds backwards (the hand fixture implements decrypt
+    and round-trips every id) — the reversible complement to
+    pii_scrub (destructive redaction) in the privacy toolset with
+    k-anonymity/l-diversity/t-closeness: auditors keep the key,
+    the released table keeps referential integrity.
+
+    Scale shape: one DISTINCT fold over the corpus id column, then
+    a pure per-row projection (four md5 + mod expressions — no
+    UDF, whole-stage codegen). Deterministic keyed mapping: the
+    same id maps identically in every run and on every engine (md5
+    of an identical string; the oracle and Spark differ only in
+    xor/div spelling)."""
+    ev = t(spark, sf_dir, "events")
+    ids = ev.select("user_id").distinct()
+    ids.createOrReplaceTempView("ids")
+    h = _FEISTEL_HALF
+    parts = ["f0 AS (SELECT user_id, user_id DIV {h} AS l,"
+             " user_id % {h} AS r FROM ids)".format(h=h)]
+    for k in range(1, _FEISTEL_ROUNDS + 1):
+        fexpr = ("CAST(conv(substr(md5(concat('fp{k}:', CAST(r AS"
+                 " STRING))), 1, 8), 16, 10) AS BIGINT) % {h}"
+                 ).format(k=k, h=h)
+        parts.append(
+            "f{k} AS (SELECT user_id, r AS l,"
+            " (l ^ ({f})) % {h} AS r FROM f{p})".format(
+                k=k, p=k - 1, f=fexpr, h=h))
+    return spark.sql("""
+WITH {chain}
+SELECT user_id, CAST(l * {h} + r AS BIGINT) AS pseudo_id
+FROM f{last}
+""".format(chain=",\n".join(parts), last=_FEISTEL_ROUNDS, h=h))
+
+
 _RAKE_STOP = ("the", "a", "an", "of", "to", "in", "and", "or", "is",
               "was", "for", "on", "with", "as", "at", "by", "it",
               "this", "that", "be")

@@ -3725,3 +3725,63 @@ def test_rake_keyword_extract_hand(spark, tmp_path):
         (1, "gradient descent method", 1, 9000000),
         (2, "deep learning", 2, 4000000),
         (3, "neural networks", 1, 4000000)], out
+
+
+def test_hill_diversity_profile_hand(spark, tmp_path):
+    """s1 = {a:2, b:2}: inv-Simpson 16e6/8 = 2e6 (two even species
+    = effective 2), Shannon ln2 -> 0.693147. s2 = {a:1, b:1, c:2}:
+    inv-Simpson 16e6 DIV 6 = 2666666, Shannon ln4 - (2 ln2)/4 ->
+    1.039721 — richer but dominated, the profile separating what a
+    single index cannot."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "a b a b", "en", "s1", 7),
+            (1, "a b c c", "en", "s2", 7)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["source"]: (r["n_tokens"], r["hill0"],
+                         r["inv_simpson_micro"], r["shannon_r"])
+           for r in QUERIES["hill_diversity_profile"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"s1": (4, 2, 2000000, 0.693147),
+                   "s2": (4, 3, 2666666, 1.039721)}, out
+
+
+def test_feistel_pseudonymize_roundtrip(spark, tmp_path):
+    """The 4-round network matches a reference implementation on
+    boundary ids (0, 1, half-1, half, large, 2^32-1), every pseudo
+    id DECRYPTS back to its source (bijectivity by construction,
+    not by luck), and all outputs are distinct."""
+    import hashlib
+
+    from extractor.queries import QUERIES
+
+    H = 65536
+
+    def fk(k, r):
+        s = "fp%d:%d" % (k, r)
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % H
+
+    def enc(i):
+        l, r = i // H, i % H
+        for k in range(1, 5):
+            l, r = r, (l ^ fk(k, r)) % H
+        return l * H + r
+
+    def dec(p):
+        l, r = p // H, p % H
+        for k in range(4, 0, -1):
+            l, r = (r ^ fk(k, l)) % H, l
+        return l * H + r
+
+    ids = [0, 1, 65535, 65536, 123456789, 4294967295]
+    _km_events(tmp_path, {i: [0] for i in ids})
+    out = {r["user_id"]: r["pseudo_id"]
+           for r in QUERIES["feistel_pseudonymize"](
+               spark, str(tmp_path)).collect()}
+    assert out == {i: enc(i) for i in ids}, out
+    assert all(dec(p) == i for i, p in out.items())
+    assert len(set(out.values())) == len(ids)
