@@ -15662,6 +15662,162 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+@_q("luhn_checksum_audit", sql="""
+WITH cand AS (SELECT o_orderpriority,
+                     '4' || lpad(CAST(o_orderkey % 1000000000000000
+                                      AS VARCHAR), 15, '0') AS s
+              FROM orders),
+dig AS (SELECT o_orderpriority,
+               list_sum(list_transform(string_split(s, ''),
+                 (x, i) -> CASE WHEN (16 - i + 1) % 2 = 0
+                   THEN CASE WHEN 2 * CAST(x AS BIGINT) > 9
+                        THEN 2 * CAST(x AS BIGINT) - 9
+                        ELSE 2 * CAST(x AS BIGINT) END
+                   ELSE CAST(x AS BIGINT) END)) AS luhn_sum
+        FROM cand)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(coalesce(sum(CASE WHEN luhn_sum % 10 = 0 THEN 1 END), 0)
+            AS BIGINT) AS n_valid,
+       CAST(coalesce(sum(CASE WHEN luhn_sum % 10 = 0 THEN 1 END), 0)
+            * 1000000 // count(*) AS BIGINT) AS valid_ppm
+FROM dig GROUP BY o_orderpriority
+""")
+def luhn_checksum_audit(spark, sf_dir):
+    """Luhn mod-10 checksum validation (Luhn, US patent 2,950,048,
+    1960; ISO/IEC 7812 — the check digit on every payment card) —
+    the PRECISION upgrade a PII detector needs on top of pii_scrub's
+    regexes: a 16-digit run is only a plausible card number if it
+    passes Luhn, which a random digit string does ~10% of the time,
+    so validating candidates cuts regex false positives ~10x. The
+    corpus carries no digit runs (measured), so candidates are
+    synthesized deterministically from order keys (the
+    url_canonical_host_counts / crawl_frontier synthesis
+    convention): '4' + zero-padded orderkey — real validation
+    machinery over synthetic carriers. The checksum is ONE indexed
+    array transform + sum (double every second digit from the
+    RIGHT, subtract 9 above 9, valid iff total % 10 == 0) — pure
+    integer lambda algebra, no UDF; emitted per order priority:
+    candidates, Luhn-valid count, and the ppm rate that should
+    hover near the theoretical 100000 ppm (it does — the audit's
+    sanity anchor).
+
+    Scale shape: a per-row projection followed by ONE map-side-
+    combinable groupBy on the bounded priority domain. Nothing else
+    touches the corpus."""
+    o = t(spark, sf_dir, "orders")
+    cand = o.select(
+        "o_orderpriority",
+        F.concat(F.lit("4"),
+                 F.lpad(F.expr("CAST(o_orderkey % 1000000000000000"
+                               " AS STRING)"), 15, "0")).alias("s"))
+    luhn = F.aggregate(
+        F.transform(
+            F.split("s", ""),
+            lambda x, i: F.when(
+                (F.lit(16) - i) % 2 == 0,
+                F.when(2 * x.cast("long") > 9,
+                       2 * x.cast("long") - 9)
+                .otherwise(2 * x.cast("long")))
+            .otherwise(x.cast("long"))),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    dig = cand.select("o_orderpriority", luhn.alias("luhn_sum"))
+    nv = F.coalesce(
+        F.sum(F.when(F.col("luhn_sum") % 10 == 0, 1)), F.lit(0))
+    return (dig.groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n_candidates"),
+                 nv.cast("long").alias("n_valid"),
+                 F.expr("CAST(coalesce(sum(CASE WHEN luhn_sum % 10"
+                        " = 0 THEN 1 END), 0) * 1000000 DIV count(*)"
+                        " AS BIGINT)").alias("valid_ppm")))
+
+
+# Allen's 13 interval relations, fixed ordinal for stable output.
+_ALLEN_RELS = ("before", "meets", "overlaps", "finished_by",
+               "contains", "starts", "equals", "started_by",
+               "during", "finishes", "overlapped_by", "met_by",
+               "after")
+
+_ALLEN_CASE = """CASE
+  WHEN sa = sb AND ea = eb THEN 'equals'
+  WHEN sa = sb AND ea < eb THEN 'starts'
+  WHEN sa = sb THEN 'started_by'
+  WHEN ea = eb AND sa < sb THEN 'finished_by'
+  WHEN ea = eb THEN 'finishes'
+  WHEN ea < sb THEN 'before'
+  WHEN ea = sb THEN 'meets'
+  WHEN sa = eb THEN 'met_by'
+  WHEN sa > eb THEN 'after'
+  WHEN sa < sb AND ea > eb THEN 'contains'
+  WHEN sa > sb AND ea < eb THEN 'during'
+  WHEN sa < sb THEN 'overlaps'
+  ELSE 'overlapped_by' END"""
+
+
+@_q("allen_interval_census", sql="""
+WITH sp AS (SELECT user_id, event_type,
+                   min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+            FROM events GROUP BY 1, 2),
+pr AS (SELECT {case} AS rel
+       FROM (SELECT a.user_id, a.s AS sa, a.e AS ea,
+                    b.s AS sb, b.e AS eb
+             FROM sp a JOIN sp b ON a.user_id = b.user_id
+                  AND a.event_type < b.event_type)),
+cn AS (SELECT rel, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY rel),
+rt AS ({rels})
+SELECT rt.ordinal, rt.rel, CAST(coalesce(cn.n, 0) AS BIGINT)
+         AS n_pairs
+FROM rt LEFT JOIN cn ON cn.rel = rt.rel
+""".format(case=_ALLEN_CASE,
+           rels="\nUNION ALL ".join(
+               "SELECT CAST({i} AS BIGINT) AS ordinal, '{r}' AS rel"
+               .format(i=i + 1, r=r)
+               for i, r in enumerate(_ALLEN_RELS))))
+def allen_interval_census(spark, sf_dir):
+    """Census of Allen's 13 interval relations (Allen, CACM 1983,
+    "Maintaining knowledge about temporal intervals" — the complete,
+    mutually-exclusive, jointly-exhaustive algebra of how two
+    intervals can relate) over each user's per-event-type ACTIVITY
+    SPANS [first event, last event]: for every pair of types a user
+    exhibits (lexicographically ordered so each unordered pair is
+    classified once, A = smaller type name), classify the pair and
+    count the corpus-wide census. The temporal-structure profile
+    that tells a pipeline whether behaviors nest (during/contains —
+    e.g. purchases inside browsing spans), chain (meets/before), or
+    interleave (overlaps) — the qualitative companion to
+    j9_asof_join/granule_interval_join's quantitative joins. The
+    classifier is a CANONICAL total CASE: equalities first, then
+    disjoint, then containment, so every (sa, ea, sb, eb) integer
+    tuple — including point intervals from single-event types —
+    lands in exactly one branch; all 13 relations always emit their
+    row (literal relation table, LEFT join — the benford shape
+    rule), zero-filled when absent.
+
+    Scale shape: ONE corpus fold to per-(user, type) spans; the
+    pair join is per-user with <= C(types,2) fan-out — bounded by
+    the TYPE domain (~5), never quadratic in events (the apriori
+    in-basket discipline); one groupBy on the 13-value relation
+    domain; the literal table broadcast-joins the census."""
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    sp = (ev.groupBy("user_id", "event_type")
+          .agg(F.min(us).alias("s"), F.max(us).alias("e")))
+    a = sp.select("user_id", F.col("event_type").alias("ta"),
+                  F.col("s").alias("sa"), F.col("e").alias("ea"))
+    b = sp.select("user_id", F.col("event_type").alias("tb"),
+                  F.col("s").alias("sb"), F.col("e").alias("eb"))
+    pr = (a.join(b, "user_id").where(F.col("ta") < F.col("tb"))
+          .select(F.expr(_ALLEN_CASE).alias("rel")))
+    cn = pr.groupBy("rel").agg(F.count("*").alias("n"))
+    rt = spark.createDataFrame(
+        [(i + 1, r) for i, r in enumerate(_ALLEN_RELS)],
+        "ordinal long, rel string")
+    return (F.broadcast(rt).join(cn, "rel", "left")
+            .select("ordinal", "rel",
+                    F.coalesce("n", F.lit(0)).cast("long")
+                    .alias("n_pairs")))
+
+
 @_q("hill_diversity_profile", sql=r"""
 WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(
                      lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> ''))

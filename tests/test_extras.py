@@ -3785,3 +3785,87 @@ def test_feistel_pseudonymize_roundtrip(spark, tmp_path):
     assert out == {i: enc(i) for i in ids}, out
     assert all(dec(p) == i for i, p in out.items())
     assert len(set(out.values())) == len(ids)
+
+
+def test_luhn_checksum_audit_hand(spark, tmp_path):
+    """Candidates '4' + zfill15(orderkey) for keys 0..9 under one
+    priority and 10..19 under another; expected valid counts
+    re-derived from a reference Luhn implementation (doubling from
+    the right, -9 above 9). Keys where the synthesized string
+    passes are pinned by the reference, not by guess."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    def luhn_ok(s):
+        tot = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if (i + 1) % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10 == 0
+
+    keys = list(range(20))
+    prio = ["1-URGENT" if k < 10 else "2-HIGH" for k in keys]
+    pd.DataFrame({"o_orderkey": keys,
+                  "o_orderpriority": prio}).to_parquet(
+        os.path.join(str(tmp_path), "orders.parquet"))
+    exp = {}
+    for k, p in zip(keys, prio):
+        s = "4" + str(k).zfill(15)
+        n, v = exp.get(p, (0, 0))
+        exp[p] = (n + 1, v + (1 if luhn_ok(s) else 0))
+    out = {r["o_orderpriority"]: (r["n_candidates"], r["n_valid"],
+                                  r["valid_ppm"])
+           for r in QUERIES["luhn_checksum_audit"](
+               spark, str(tmp_path)).collect()}
+    assert out == {p: (n, v, v * 1000000 // n)
+                   for p, (n, v) in exp.items()}, (out, exp)
+    assert sum(v for _, v in exp.values()) > 0
+
+
+def test_allen_interval_census_hand(spark, tmp_path):
+    """Eight users whose per-type activity spans realize each of
+    Allen's 13 relations EXACTLY once (u1 alone contributes meets/
+    contains/equals/after/met_by/during through its four types) —
+    the census returns n_pairs = 1 for every relation, proving the
+    canonical CASE is total and mutually exclusive on real spans
+    including the equality edges."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    spans = {
+        1: {"t1": (0, 10), "t2": (10, 20), "t3": (2, 8),
+            "t4": (0, 10)},
+        2: {"t1": (0, 10), "t2": (5, 15)},
+        3: {"t1": (0, 10), "t2": (0, 15)},
+        4: {"t1": (0, 15), "t2": (5, 15)},
+        5: {"t1": (0, 5), "t2": (10, 20)},
+        6: {"t1": (0, 20), "t2": (0, 10)},
+        7: {"t1": (5, 10), "t2": (0, 10)},
+        8: {"t1": (5, 20), "t2": (0, 10)},
+    }
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for u, tys in spans.items():
+        for ty, (s, e) in tys.items():
+            rows.append((u, ty, s))
+            rows.append((u, ty, e))
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(hours=h)
+                         for _, _, h in rows]).astype("datetime64[us]"),
+        "user_id": [u for u, _, _ in rows],
+        "event_type": [ty for _, ty, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["rel"]: (r["ordinal"], r["n_pairs"])
+           for r in QUERIES["allen_interval_census"](
+               spark, str(tmp_path)).collect()}
+    from extractor.queries import _ALLEN_RELS
+    assert out == {r: (i + 1, 1) for i, r in enumerate(_ALLEN_RELS)}, out
