@@ -15662,6 +15662,171 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+_SAX_SEGS = 16   # PAA segments over the 64-bucket synopsis
+_SAX_BP = "0.6745"  # literal N(0,1) quartile breakpoint (6sf)
+
+
+@_q("sax_paa_series", sql="WITH " + _SYN_BASE_SQL + """,
+mu AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+              CAST(count(*) AS BIGINT) AS nb,
+              sum(CAST(c AS HUGEINT) * c) AS sq
+       FROM base),
+sg AS (SELECT b // 4 AS seg, CAST(sum(c) AS BIGINT) AS s4
+       FROM base GROUP BY b // 4),
+zz AS (SELECT seg, s4, s4 * 1000 // 4 AS paa_milli,
+              CAST(s4 AS DOUBLE) / 4 - CAST(tot AS DOUBLE) / nb
+                AS dev,
+              sqrt(CAST(nb * sq - CAST(tot AS HUGEINT) * tot
+                        AS DOUBLE) / CAST(nb AS DOUBLE)
+                   / CAST(nb AS DOUBLE)) AS sigma
+       FROM sg, mu)
+SELECT CAST(seg AS BIGINT) AS seg,
+       CAST(paa_milli AS BIGINT) AS paa_milli,
+       CASE WHEN sigma = 0 THEN 'c'
+            WHEN dev < -{bp} * sigma THEN 'a'
+            WHEN dev < 0 THEN 'b'
+            WHEN dev < {bp} * sigma THEN 'c'
+            ELSE 'd' END AS letter
+FROM zz
+""".format(bp=_SAX_BP))
+def sax_paa_series(spark, sf_dir):
+    """PAA + SAX symbolic discretization of the event timeline
+    (Lin, Keogh, Lonardi & Chiu, DMKD 2007 "Experiencing SAX"; the
+    KDD'03 workshop original): the 64-bucket count synopsis (the
+    haar/vopt/maxdiff shared fold) averages into 16 PAA segments,
+    each z-normalized against the 64-bucket mean/std and mapped to
+    a 4-letter alphabet at the N(0,1) quartile breakpoints
+    (+-0.6745, literal constants) — the representation under
+    time-series indexing/motif-discovery pipelines, completing the
+    synopsis family: Haar (frequency), V-opt/MaxDiff (histogram),
+    SAX (symbolic). Exactness: paa_milli = segment sum * 1000 DIV 4
+    (exact integers); the letter decision compares dev = s4/4 - T/64
+    against bp * sigma where BOTH sides come from the same IEEE
+    correctly-rounded op chain on exact integers (population sigma
+    via one sqrt — correctly rounded by the standard), so the
+    comparison is deterministic cross-engine; sigma = 0 (flat
+    series) pins letter 'c' explicitly rather than falling through
+    the inequality chain.
+
+    Scale shape: ONE corpus-scale groupBy to the dense 64-bucket
+    frame; moments, the 16-segment fold, and the letter projection
+    are all synopsis-sized. At 10^12 events only the first fold
+    sees data."""
+    base = _syn_base(spark, sf_dir)
+    mu = base.agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("nb"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .alias("sq"))
+    sg = (base.groupBy(F.expr("b DIV 4").alias("seg"))
+          .agg(F.sum("c").cast("long").alias("s4")))
+    zz = sg.crossJoin(F.broadcast(mu)).select(
+        "seg", "s4",
+        F.expr("s4 * 1000 DIV 4").alias("paa_milli"),
+        F.expr("CAST(s4 AS DOUBLE) / 4 - CAST(tot AS DOUBLE) / nb")
+        .alias("dev"),
+        F.expr("sqrt(CAST(nb * sq - CAST(tot AS DECIMAL(38,0)) * tot"
+               " AS DOUBLE) / CAST(nb AS DOUBLE)"
+               " / CAST(nb AS DOUBLE))").alias("sigma"))
+    bp = _SAX_BP
+    return zz.select(
+        F.col("seg").cast("long").alias("seg"),
+        F.col("paa_milli").cast("long").alias("paa_milli"),
+        F.expr("CASE WHEN sigma = 0 THEN 'c'"
+               " WHEN dev < -{bp} * sigma THEN 'a'"
+               " WHEN dev < 0 THEN 'b'"
+               " WHEN dev < {bp} * sigma THEN 'c'"
+               " ELSE 'd' END".format(bp=bp)).alias("letter"))
+
+
+# Dirichlet prior mass (Monroe et al. 2008). Spelled as an explicit
+# DOUBLE cast: a bare 500.0 parses as DECIMAL in DuckDB (double in
+# Spark) and the decimal arithmetic chain would diverge.
+_FW_ALPHA0 = "CAST(500 AS DOUBLE)"
+_FW_TOPK = 3
+
+
+@_q("fightin_words_keyness", sql=r"""
+WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(
+                     lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> ''))
+                     AS w
+              FROM documents),
+sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS y
+       FROM toks GROUP BY 1, 2),
+gw AS (SELECT w, CAST(sum(y) AS BIGINT) AS yg FROM sw GROUP BY w),
+ns AS (SELECT source, CAST(sum(y) AS BIGINT) AS n FROM sw GROUP BY 1),
+nt AS (SELECT CAST(sum(yg) AS BIGINT) AS ntot FROM gw),
+z AS (SELECT sw.source, sw.w, sw.y,
+             ln((sw.y + a.aw) / (ns.n + {a0} - sw.y - a.aw))
+               - ln((gw.yg - sw.y + a.aw)
+                    / (nt.ntot - ns.n + {a0} - (gw.yg - sw.y)
+                       - a.aw)) AS delta,
+             sqrt(1.0 / (sw.y + a.aw)
+                  + 1.0 / (gw.yg - sw.y + a.aw)) AS sd
+      FROM sw JOIN gw USING (w) JOIN ns USING (source), nt,
+           LATERAL (SELECT {a0} * gw.yg / nt.ntot AS aw) a),
+rk AS (SELECT source, w, y, round(delta / sd, 6) AS z_r,
+              row_number() OVER (PARTITION BY source
+                ORDER BY round(delta / sd, 6) DESC, w) AS rn
+       FROM z)
+SELECT source, CAST(rn AS BIGINT) AS rank, w AS word,
+       CAST(y AS BIGINT) AS n_occ, z_r
+FROM rk WHERE rn <= {k}
+""".format(a0=_FW_ALPHA0, k=_FW_TOPK))
+def fightin_words_keyness(spark, sf_dir):
+    """"Fightin' Words" keyness (Monroe, Colaresi & Quinn,
+    Political Analysis 2008): which words does each source OVERUSE
+    relative to everyone else — the log-odds-ratio with an
+    informative Dirichlet prior drawn from the whole corpus
+    (alpha_w = alpha0 * y_w / n, alpha0 = 500), z-scored by the
+    delta's approximate variance 1/(y_s + a) + 1/(y_rest + a). The
+    prior is the paper's point: raw log-odds explode on rare words,
+    TF-IDF ignores the comparison corpus — the Dirichlet shrinkage
+    ranks genuinely distinctive MID-frequency words (the
+    corpus-comparison keyness surface next to token_mi (class-
+    association), tfidf (rarity), rake (phrases)). Top-3 per source
+    on the 6dp-ROUNDED z with word tie-break — the NB argmax
+    convention: ln/sqrt are the only non-correctly-rounded ops
+    (~1e-16 relative), six decades under the rounding grid.
+
+    Scale shape: ONE corpus fold to (source, word, count); global
+    word counts, per-source totals, and the 1-row corpus total are
+    bounded re-aggregations; the z frame is vocab x sources
+    (vocabulary-scale, never corpus-scale) and the top-3 window
+    partitions by source."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                           lambda x: x != "")).alias("w"))
+    sw = (toks.groupBy("source", "w").agg(F.count("*").alias("y"))
+          .persist())
+    gw = sw.groupBy("w").agg(F.sum("y").alias("yg"))
+    ns = sw.groupBy("source").agg(F.sum("y").alias("n"))
+    nt = gw.agg(F.sum("yg").alias("ntot"))
+    a0 = _FW_ALPHA0
+    z = (sw.join(F.broadcast(gw), "w")
+         .join(F.broadcast(ns), "source")
+         .crossJoin(F.broadcast(nt))
+         .withColumn("aw", F.expr(
+             "{a0} * yg / ntot".format(a0=a0)))
+         .select("source", "w", "y",
+                 F.expr("ln((y + aw) / (n + {a0} - y - aw))"
+                        " - ln((yg - y + aw) / (ntot - n + {a0}"
+                        " - (yg - y) - aw))".format(a0=a0))
+                 .alias("delta"),
+                 F.expr("sqrt(1.0 / (y + aw) + 1.0 / (yg - y + aw))")
+                 .alias("sd")))
+    wr = Window.partitionBy("source").orderBy(
+        F.desc(F.round(F.col("delta") / F.col("sd"), 6)), F.asc("w"))
+    return (z.withColumn("z_r", F.round(F.col("delta") / F.col("sd"), 6))
+            .withColumn("rn", F.row_number().over(wr))
+            .where(F.col("rn") <= _FW_TOPK)
+            .select("source", F.col("rn").cast("long").alias("rank"),
+                    F.col("w").alias("word"),
+                    F.col("y").cast("long").alias("n_occ"), "z_r"))
+
+
 @_q("luhn_checksum_audit", sql="""
 WITH cand AS (SELECT o_orderpriority,
                      '4' || lpad(CAST(o_orderkey % 1000000000000000

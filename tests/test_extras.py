@@ -3869,3 +3869,92 @@ def test_allen_interval_census_hand(spark, tmp_path):
                spark, str(tmp_path)).collect()}
     from extractor.queries import _ALLEN_RELS
     assert out == {r: (i + 1, 1) for i, r in enumerate(_ALLEN_RELS)}, out
+
+
+def test_sax_paa_series_hand(spark, tmp_path):
+    """Block counts [30]x16, [10]x16, [20]x16, gap-filled zeros in
+    [48,63]: mean 15, population sigma = sqrt(125), breakpoint
+    0.6745*sigma ~= 7.54. Segment deviations +15/-5/+5/-15 map to
+    d/b/c/a with paa_milli 30000/10000/20000/0 — all four letters
+    and the gap-fill exercised. A flat series (every bucket 1) has
+    sigma = 0 and pins the explicit all-'c' branch."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    offs = []
+    for blk, c in [(0, 30), (1, 10), (2, 20)]:
+        for b in range(blk * 16, blk * 16 + 16):
+            offs += [b] * c
+    _syn_events(tmp_path, offs)
+    out = {r["seg"]: (r["paa_milli"], r["letter"])
+           for r in QUERIES["sax_paa_series"](
+               spark, str(tmp_path)).collect()}
+    exp = {}
+    for seg in range(16):
+        exp[seg] = [(30000, "d"), (10000, "b"),
+                    (20000, "c"), (0, "a")][seg // 4]
+    assert out == exp, out
+
+    flat = os.path.join(str(tmp_path), "flat")
+    os.makedirs(flat)
+    _syn_events(__import__("pathlib").Path(flat), list(range(64)))
+    out2 = {r["seg"]: r["letter"]
+            for r in QUERIES["sax_paa_series"](spark, flat).collect()}
+    assert out2 == {s: "c" for s in range(16)}, out2
+
+
+def test_fightin_words_keyness_hand(spark, tmp_path):
+    """s1 = 'cat cat cat dog', s2 = 'dog dog fish fish': cat is
+    s1-key, fish is s2-key, dog is shared. Ranks and 6dp z-scores
+    are matched against an embedded reference implementing the
+    Monroe et al. formula with the same double op order (alpha_w =
+    500 * y_w / n)."""
+    import math
+    import os
+
+    import pytest
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "cat cat cat dog", "en", "s1", 15),
+            (1, "dog dog fish fish", "en", "s2", 17)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+
+    y = {("s1", "cat"): 3, ("s1", "dog"): 1,
+         ("s2", "dog"): 2, ("s2", "fish"): 2}
+    yg = {"cat": 3, "dog": 3, "fish": 2}
+    n = {"s1": 4, "s2": 4}
+    ntot = 8
+
+    def zref(src, w):
+        a0 = 500.0
+        aw = a0 * yg[w] / ntot
+        ys = y[(src, w)]
+        yr = yg[w] - ys
+        delta = (math.log((ys + aw) / (n[src] + a0 - ys - aw))
+                 - math.log((yr + aw) / (ntot - n[src] + a0 - yr
+                                         - aw)))
+        sd = math.sqrt(1.0 / (ys + aw) + 1.0 / (yr + aw))
+        return delta / sd
+
+    exp = {}
+    for src in ("s1", "s2"):
+        words = [w for (s, w) in y if s == src]
+        ranked = sorted(words,
+                        key=lambda w: (-round(zref(src, w), 6), w))
+        exp[src] = ranked
+    out = {}
+    for r in QUERIES["fightin_words_keyness"](
+            spark, str(tmp_path)).collect():
+        out.setdefault(r["source"], []).append(
+            (r["rank"], r["word"], r["n_occ"], r["z_r"]))
+    for src in ("s1", "s2"):
+        got = sorted(out[src])
+        assert [g[1] for g in got] == exp[src], (src, got, exp)
+        for rank, word, nocc, z_r in got:
+            assert nocc == y[(src, word)]
+            assert z_r == pytest.approx(zref(src, word), abs=2e-6)
+    assert exp["s1"][0] == "cat" and exp["s2"][0] == "fish"
