@@ -3958,3 +3958,49 @@ def test_fightin_words_keyness_hand(spark, tmp_path):
             assert nocc == y[(src, word)]
             assert z_r == pytest.approx(zref(src, word), abs=2e-6)
     assert exp["s1"][0] == "cat" and exp["s2"][0] == "fish"
+
+
+def test_viterbi_activity_segmentation_hand(spark, tmp_path):
+    """Blocks [2]x16, [10]x32, [2]x16 with an isolated spike (one
+    bucket of 10 inside the first low block): Q1 = 2, Q3 = 10,
+    lambda = 8. The optimal path absorbs the spike (switching twice
+    costs 16 > the 8 saved) but switches for the long high block —
+    verified against an embedded SEQUENTIAL Viterbi reference
+    (states and total), which also proves the min-plus doubling
+    scan computes the textbook DP."""
+    from extractor.queries import QUERIES
+
+    counts = [2] * 16 + [10] * 32 + [2] * 16
+    counts[5] = 10
+    offs = []
+    for b, c in enumerate(counts):
+        offs += [b] * c
+    _syn_events(tmp_path, offs)
+
+    def ref(counts, lo, hi, lam):
+        E = [(abs(c - lo), abs(c - hi)) for c in counts]
+        f = [E[0]]
+        for b in range(1, len(counts)):
+            pl, ph = f[-1]
+            f.append((E[b][0] + min(pl, ph + lam),
+                      E[b][1] + min(ph, pl + lam)))
+        total = min(f[-1])
+        g = [(0, 0)]
+        for b in range(len(counts) - 1, 0, -1):
+            nl, nh = g[0]
+            g.insert(0, (min(E[b][0] + nl, E[b][1] + lam + nh),
+                         min(E[b][0] + lam + nl, E[b][1] + nh)))
+        states = ["low" if f[b][0] + g[b][0] <= f[b][1] + g[b][1]
+                  else "high" for b in range(len(counts))]
+        return total, states
+
+    srt = sorted(counts)
+    lo, hi = srt[15], srt[47]
+    total, states = ref(counts, lo, hi, hi - lo)
+    out = {r["b"]: (r["c"], r["state"], r["opt_cost"])
+           for r in QUERIES["viterbi_activity_segmentation"](
+               spark, str(tmp_path)).collect()}
+    assert len(out) == 64
+    for b in range(64):
+        assert out[b] == (counts[b], states[b], total), (b, out[b])
+    assert states[5] == "low" and states[20] == "high"
