@@ -15662,6 +15662,123 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+# --- HRU greedy view selection -------------------------------------------
+# Lattice over dims (source=4, lang=2, dec=1); node bitmask = present
+# dims. Containment pairs (w subset-of v) and names are literal
+# module constants (the _ENC_COLS convention).
+_HRU_CONT = [(w, v) for w in range(8) for v in range(8)
+             if w & v == w]
+_HRU_NAMES = [
+    (0, "total"), (1, "dec"), (2, "lang"), (3, "lang,dec"),
+    (4, "source"), (5, "source,dec"), (6, "source,lang"),
+    (7, "source,lang,dec")]
+_HRU_K = 3
+
+
+def _hru_oracle_sql() -> str:
+    cont = ", ".join("({}, {})".format(w, v) for w, v in _HRU_CONT)
+    nm = ", ".join("({}, '{}')".format(n, s) for n, s in _HRU_NAMES)
+    head = """
+WITH doc AS (SELECT source, lang, least(n_chars // 100, 9) AS dec
+             FROM documents),
+cub AS (SELECT 4 * GROUPING(source) + 2 * GROUPING(lang)
+               + GROUPING(dec) AS gid
+        FROM doc GROUP BY CUBE (source, lang, dec)),
+sz AS (SELECT CAST(7 - gid AS BIGINT) AS node,
+              CAST(count(*) AS BIGINT) AS size
+       FROM cub GROUP BY gid),
+cont(w, v) AS (VALUES {cont}),
+nm(node, name) AS (VALUES {nm})""".format(cont=cont, nm=nm)
+    rounds = []
+    sel = "SELECT node, size FROM sz WHERE node = 7"
+    excl = "c.node <> 7"
+    for r in range(1, _HRU_K + 1):
+        rounds.append("""
+mc{r} AS (SELECT cont.w, min(s.size) AS mc
+         FROM cont JOIN ({sel}) s ON s.node = cont.v
+         GROUP BY cont.w),
+b{r} AS (SELECT c.node, c.size,
+               CAST(sum(greatest(0, mc{r}.mc - c.size)) AS BIGINT)
+                 AS benefit
+        FROM sz c JOIN cont ON cont.v = c.node
+             JOIN mc{r} ON mc{r}.w = cont.w
+        WHERE {excl} GROUP BY c.node, c.size),
+w{r} AS (SELECT node, size, benefit FROM b{r}
+        ORDER BY benefit DESC, node LIMIT 1)""".format(
+            r=r, sel=sel, excl=excl))
+        sel += " UNION ALL SELECT node, size FROM w{r}".format(r=r)
+        excl += " AND c.node NOT IN (SELECT node FROM w{r})".format(
+            r=r)
+    tail = "\nUNION ALL ".join(
+        "SELECT CAST({r} AS BIGINT) AS round, w{r}.node, nm.name"
+        " AS view_name, w{r}.size AS n_groups, w{r}.benefit"
+        " FROM w{r} JOIN nm ON nm.node = w{r}.node".format(r=r)
+        for r in range(1, _HRU_K + 1))
+    return head + "," + ",".join(rounds) + "\n" + tail
+
+
+@_q("hru_view_selection", sql=_hru_oracle_sql())
+def hru_view_selection(spark, sf_dir):
+    """Greedy materialized-view selection on the data-cube lattice
+    (Harinarayan, Rajaraman & Ullman, SIGMOD 1996, "Implementing
+    data cubes efficiently" — the (1 - 1/e)-approximate greedy that
+    founded view-selection research): given the 8-node lattice over
+    (source, lang, length-decile) with node sizes = the EXACT
+    group counts of every cube grouping set (one corpus-scale
+    CUBE + grouping_id fold — a8_cube_doc_counts' machinery turned
+    into its own optimizer), pick K = 3 views to materialize, each
+    round choosing the node whose materialization most reduces the
+    total cost of answering every lattice query from its cheapest
+    materialized ancestor: benefit(v, S) = sum over w subset-of v
+    of max(0, minCost_w(S) - size_v). The fourth member of the
+    planner family (selinger = join order, predicate_order =
+    filter order, encoding_advisor = storage): WHICH aggregates to
+    precompute. Everything exact integers; ties -> smaller node id;
+    the submodular-greedy shape mirrors greedy_max_coverage_select
+    (and shares its unrolled-CTE oracle pattern).
+
+    Scale shape: the CUBE fold is the only corpus-scale stage; the
+    lattice (8 nodes), the 27-pair containment literal, the
+    per-round minCost/benefit joins, and the argmax all run on
+    <= 64-row frames. K bounded rounds over persisted bounded
+    state — zero driver collect."""
+    d = t(spark, sf_dir, "documents")
+    doc = d.select("source", "lang",
+                   F.expr("least(n_chars DIV 100, 9)").alias("dec"))
+    sizes = (doc.cube("source", "lang", "dec")
+             .agg(F.grouping_id().alias("gid"))
+             .groupBy("gid").agg(F.count("*").alias("size"))
+             .select((F.lit(7) - F.col("gid")).alias("node"), "size")
+             .persist())
+    cont = spark.createDataFrame(_HRU_CONT, "w long, v long")
+    nm = spark.createDataFrame(_HRU_NAMES, "node long, name string")
+    sel = sizes.where(F.col("node") == 7).persist()
+    out = None
+    for r in range(1, _HRU_K + 1):
+        mc = (cont.join(sel.select(F.col("node").alias("v"), "size"),
+                        "v")
+              .groupBy("w").agg(F.min("size").alias("mc")))
+        cand = sizes.join(sel.select("node"), "node", "left_anti")
+        ben = (cand.join(cont, cand.node == cont.v)
+               .join(mc, "w")
+               .groupBy("node", "size")
+               .agg(F.sum(F.greatest(
+                   F.lit(0), F.col("mc") - F.col("size")))
+                   .cast("long").alias("benefit")))
+        win = (ben.orderBy(F.desc("benefit"), F.asc("node"))
+               .limit(1).persist())
+        sel = sel.union(win.select("node", "size")).persist()
+        row = (win.join(F.broadcast(nm), "node")
+               .select(F.lit(r).cast("long").alias("round"),
+                       F.col("node").cast("long").alias("node"),
+                       F.col("name").alias("view_name"),
+                       F.col("size").cast("long").alias("n_groups"),
+                       F.col("benefit").cast("long")
+                       .alias("benefit")))
+        out = row if out is None else out.union(row)
+    return out
+
+
 _VIT_INF = 10 ** 15  # identity-matrix off-diagonal sentinel
 
 

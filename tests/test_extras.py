@@ -4004,3 +4004,60 @@ def test_viterbi_activity_segmentation_hand(spark, tmp_path):
     for b in range(64):
         assert out[b] == (counts[b], states[b], total), (b, out[b])
     assert states[5] == "low" and states[20] == "high"
+
+
+def test_hru_view_selection_hand(spark, tmp_path):
+    """All 4x2x3 dimension combos present (24 docs, one per combo)
+    -> lattice sizes {s,l}=8, {s,d}=12, {l,d}=6, singles 4/2/3,
+    apex 1, base 24. Greedy trace worked by hand AND re-derived by
+    an embedded reference: round 1 picks lang,dec (benefit 4x18=72),
+    round 2 source,lang (two uncovered descendants x 16 = 32),
+    round 3 source,dec (only w={s,d} still reads the base: 12)."""
+    import os
+
+    from extractor.queries import QUERIES
+    from extractor.queries import _HRU_CONT
+
+    rows = []
+    i = 0
+    for s in range(4):
+        for lg in ("de", "en"):
+            for dec in range(3):
+                rows.append((i, "x", lg, "s%d" % s, dec * 100))
+                i += 1
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+
+    sizes = {0: 1, 1: 3, 2: 2, 3: 6, 4: 4, 5: 12, 6: 8, 7: 24}
+    sel = {7}
+    expect = []
+    for r in range(1, 4):
+        best = None
+        for v in range(8):
+            if v in sel:
+                continue
+            ben = 0
+            for w, vv in _HRU_CONT:
+                if vv != v:
+                    continue
+                mc = min(sizes[s] for s in sel
+                         if (w & s) == w)
+                ben += max(0, mc - sizes[v])
+            key = (-ben, v)
+            if best is None or key < best[0]:
+                best = (key, v, ben)
+        sel.add(best[1])
+        expect.append((r, best[1], sizes[best[1]], best[2]))
+
+    out = [(r["round"], r["node"], r["view_name"], r["n_groups"],
+            r["benefit"])
+           for r in sorted(QUERIES["hru_view_selection"](
+               spark, str(tmp_path)).collect())]
+    names = dict([(0, "total"), (1, "dec"), (2, "lang"),
+                  (3, "lang,dec"), (4, "source"), (5, "source,dec"),
+                  (6, "source,lang"), (7, "source,lang,dec")])
+    assert out == [(r, n, names[n], s, b)
+                   for r, n, s, b in expect], (out, expect)
+    assert [(e[0], e[1], e[3]) for e in expect] == [
+        (1, 3, 72), (2, 6, 32), (3, 5, 12)]
