@@ -15731,13 +15731,17 @@ def mm_ahash_near_dup(spark, sf_dir):
     hs = cells.select(
         "doc_id", "v",
         F.expr("aggregate(v, 0L, (a, x) -> a + x)").alias("s"))
+    # persist: higher-order lambdas are interpreted (not codegen) in
+    # Spark — unpersisted, the self-join/distinct/projection stages
+    # each re-run the 64-iteration hash per row (measured 235s vs
+    # ~8s at sf0.1)
     bands = hs.select(
         "doc_id",
         F.expr("transform(sequence(0, 3), j -> aggregate("
                "sequence(0, 15), 0L, (a, i) -> a + CASE WHEN "
                "element_at(v, CAST(j * 16 + i + 1 AS INT)) * 64 > s "
                "THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END))")
-        .alias("b"))
+        .alias("b")).persist()
     e = bands.select(
         "doc_id", F.col("b").alias("allb"),
         F.posexplode("b").alias("band", "val"))
