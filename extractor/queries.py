@@ -15662,6 +15662,136 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+@_q("mcnemar_activity_shift", sql="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+g AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+pu AS (SELECT user_id,
+              max(CASE WHEN us * 2 <= g.mn + g.mx THEN 1 ELSE 0 END)
+                AS a,
+              max(CASE WHEN us * 2 > g.mn + g.mx THEN 1 ELSE 0 END)
+                AS b
+       FROM e, g GROUP BY user_id, g.mn, g.mx),
+ct AS (SELECT CAST(sum(a * b) AS BIGINT) AS n11,
+              CAST(sum(a * (1 - b)) AS BIGINT) AS nb,
+              CAST(sum((1 - a) * b) AS BIGINT) AS nc
+       FROM pu)
+SELECT n11, nb AS b_early_only, nc AS c_late_only,
+       CAST(CASE WHEN nb + nc = 0 THEN -1
+                 ELSE (nb - nc) * (nb - nc) * 1000 // (nb + nc)
+            END AS BIGINT) AS chi2_milli,
+       CAST(CASE WHEN nb + nc = 0 THEN -1
+                 WHEN abs(nb - nc) <= 1 THEN 0
+                 ELSE (abs(nb - nc) - 1) * (abs(nb - nc) - 1)
+                      * 1000 // (nb + nc)
+            END AS BIGINT) AS chi2_cc_milli
+FROM ct
+""")
+def mcnemar_activity_shift(spark, sf_dir):
+    """McNemar's test for paired binary outcomes (McNemar,
+    Psychometrika 1947): did users' ACTIVE/INACTIVE status change
+    between the two halves of the corpus window? Pair = user,
+    condition A = active in the first half, B = in the second (the
+    wilcoxon_signed_rank midpoint convention, us*2 <= mn+mx — an
+    integer compare). Only the DISCORDANT cells carry information:
+    b = early-only users, c = late-only, chi2 = (b-c)^2/(b+c) —
+    concordant users cancel, which is the test's entire point and
+    what a naive two-proportion z on the marginals gets wrong. The
+    paired-binary member of the association family (drift_chi2 =
+    unpaired table, cmh = stratified, cochran_q = k treatments).
+    Exact milli integers; the continuity-corrected (|b-c|-1)^2
+    variant rides along (0 when |b-c| <= 1 — the correction cannot
+    go negative); b+c = 0 (nobody switched) -> -1 sentinel. Note
+    n00 = 0 STRUCTURALLY: a user with zero events has no rows, so
+    every subject is active in at least one half.
+
+    Scale shape: ONE corpus fold to per-user (a, b) presence flags
+    via conditional max against the broadcast 1-row span; one
+    4-cell fold after. The corpus is touched exactly once."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                  .alias("us"))
+    g = e.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    pu = (e.crossJoin(F.broadcast(g))
+          .groupBy("user_id")
+          .agg(F.max(F.when(F.col("us") * 2 <= F.col("mn")
+                            + F.col("mx"), 1).otherwise(0)).alias("a"),
+               F.max(F.when(F.col("us") * 2 > F.col("mn")
+                            + F.col("mx"), 1).otherwise(0))
+               .alias("b")))
+    ct = pu.agg(
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("nb"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("nc"))
+    return ct.select(
+        "n11", F.col("nb").alias("b_early_only"),
+        F.col("nc").alias("c_late_only"),
+        F.expr("CAST(CASE WHEN nb + nc = 0 THEN -1 ELSE "
+               "(nb - nc) * (nb - nc) * 1000 DIV (nb + nc) END "
+               "AS BIGINT)").alias("chi2_milli"),
+        F.expr("CAST(CASE WHEN nb + nc = 0 THEN -1 "
+               "WHEN abs(nb - nc) <= 1 THEN 0 ELSE "
+               "(abs(nb - nc) - 1) * (abs(nb - nc) - 1) * 1000 "
+               "DIV (nb + nc) END AS BIGINT)").alias("chi2_cc_milli"))
+
+
+@_q("cochran_q_types", sql="""
+WITH pres AS (SELECT DISTINCT user_id, event_type FROM events),
+k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+      FROM pres),
+cj AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+       FROM pres GROUP BY event_type),
+ri AS (SELECT user_id, CAST(count(*) AS BIGINT) AS r
+       FROM pres GROUP BY user_id),
+agg AS (SELECT (SELECT CAST(sum(c * c) AS BIGINT) FROM cj) AS sc2,
+               (SELECT CAST(sum(c) AS BIGINT) FROM cj) AS n,
+               (SELECT CAST(sum(r * r) AS BIGINT) FROM ri) AS sr2,
+               (SELECT CAST(count(*) AS BIGINT) FROM ri) AS n_users)
+SELECT k.k, agg.n_users, CAST(k.k - 1 AS BIGINT) AS df,
+       CAST(CASE WHEN k.k * agg.n - agg.sr2 = 0 THEN -1
+                 ELSE (k.k - 1) * (k.k * agg.sc2 - agg.n * agg.n)
+                      * 1000 // (k.k * agg.n - agg.sr2)
+            END AS BIGINT) AS q_milli
+FROM k, agg
+""")
+def cochran_q_types(spark, sf_dir):
+    """Cochran's Q test (Cochran, Biometrika 1950) for k related
+    binary treatments: do the event TYPES differ in how many users
+    exhibit them, accounting for users being their own controls —
+    the k-treatment generalization of McNemar (k = 2 reduces to it)
+    and the within-subject counterpart of the unpaired chi2 table.
+    Subject = user, treatment = event type, x_ij = user i ever did
+    type j. Q = (k-1) * (k * sum C_j^2 - N^2) / (k*N - sum R_i^2)
+    from column totals C_j (users per type), row totals R_i (types
+    per user), N = sum — ALL exact integers folded from one
+    presence table, emitted as one milli-floor quotient with a -1
+    sentinel when every user exhibits all k types (denominator 0 —
+    no within-subject variation to test against).
+
+    Scale shape: ONE DISTINCT corpus fold to the (user, type)
+    presence frame; C_j folds on the bounded type domain, R_i on
+    users, the Q assembly is 1-row. Map-side combinable
+    throughout."""
+    ev = t(spark, sf_dir, "events")
+    pres = ev.select("user_id", "event_type").distinct().persist()
+    kk = pres.agg(F.countDistinct("event_type").alias("k"))
+    cj = pres.groupBy("event_type").agg(F.count("*").alias("c"))
+    ri = pres.groupBy("user_id").agg(F.count("*").alias("r"))
+    aggc = cj.agg(F.sum(F.col("c") * F.col("c")).alias("sc2"),
+                  F.sum("c").alias("n"))
+    aggr = ri.agg(F.sum(F.col("r") * F.col("r")).alias("sr2"),
+                  F.count("*").alias("n_users"))
+    return (kk.crossJoin(F.broadcast(aggc))
+            .crossJoin(F.broadcast(aggr))
+            .select(F.col("k").cast("long").alias("k"),
+                    F.col("n_users").cast("long").alias("n_users"),
+                    (F.col("k") - 1).cast("long").alias("df"),
+                    F.expr("CAST(CASE WHEN k * n - sr2 = 0 THEN -1 "
+                           "ELSE (k - 1) * (k * sc2 - n * n) * 1000 "
+                           "DIV (k * n - sr2) END AS BIGINT)")
+                    .alias("q_milli")))
+
+
 @_q("mm_ahash_near_dup", sql="""
 WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
 cells AS (SELECT doc_id,
