@@ -15662,20 +15662,22 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
-@_q("mcnemar_activity_shift", sql="""
-WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-g AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
-pu AS (SELECT user_id,
-              max(CASE WHEN us * 2 <= g.mn + g.mx THEN 1 ELSE 0 END)
-                AS a,
-              max(CASE WHEN us * 2 > g.mn + g.mx THEN 1 ELSE 0 END)
-                AS b
-       FROM e, g GROUP BY user_id, g.mn, g.mx),
+@_q("mcnemar_over_index", sql="""
+WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS tot,
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                       ELSE 0 END) AS BIGINT) AS ck,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END) AS BIGINT) AS pc
+            FROM events GROUP BY user_id),
+f AS (SELECT CASE WHEN ck * 5 > tot THEN 1 ELSE 0 END AS a,
+             CASE WHEN pc * 5 > tot THEN 1 ELSE 0 END AS b
+      FROM pu),
 ct AS (SELECT CAST(sum(a * b) AS BIGINT) AS n11,
               CAST(sum(a * (1 - b)) AS BIGINT) AS nb,
-              CAST(sum((1 - a) * b) AS BIGINT) AS nc
-       FROM pu)
-SELECT n11, nb AS b_early_only, nc AS c_late_only,
+              CAST(sum((1 - a) * b) AS BIGINT) AS nc,
+              CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+       FROM f)
+SELECT n11, nb AS b_click_only, nc AS c_purchase_only, n00,
        CAST(CASE WHEN nb + nc = 0 THEN -1
                  ELSE (nb - nc) * (nb - nc) * 1000 // (nb + nc)
             END AS BIGINT) AS chi2_milli,
@@ -15686,46 +15688,46 @@ SELECT n11, nb AS b_early_only, nc AS c_late_only,
             END AS BIGINT) AS chi2_cc_milli
 FROM ct
 """)
-def mcnemar_activity_shift(spark, sf_dir):
+def mcnemar_over_index(spark, sf_dir):
     """McNemar's test for paired binary outcomes (McNemar,
-    Psychometrika 1947): did users' ACTIVE/INACTIVE status change
-    between the two halves of the corpus window? Pair = user,
-    condition A = active in the first half, B = in the second (the
-    wilcoxon_signed_rank midpoint convention, us*2 <= mn+mx — an
-    integer compare). Only the DISCORDANT cells carry information:
-    b = early-only users, c = late-only, chi2 = (b-c)^2/(b+c) —
-    concordant users cancel, which is the test's entire point and
-    what a naive two-proportion z on the marginals gets wrong. The
-    paired-binary member of the association family (drift_chi2 =
-    unpaired table, cmh = stratified, cochran_q = k treatments).
-    Exact milli integers; the continuity-corrected (|b-c|-1)^2
-    variant rides along (0 when |b-c| <= 1 — the correction cannot
-    go negative); b+c = 0 (nobody switched) -> -1 sentinel. Note
-    n00 = 0 STRUCTURALLY: a user with zero events has no rows, so
-    every subject is active in at least one half.
+    Psychometrika 1947): among the SAME users, is over-indexing on
+    clicks more common than over-indexing on purchases? Pair =
+    user; condition A = the user's click share exceeds the uniform
+    1/5 type share (ck * 5 > tot — integer cross-multiplication,
+    self-normalizing so the condition stays non-degenerate at every
+    SF; a window-based condition proved degenerate — synthetic
+    users are active in every time slice, measured), B = likewise
+    for purchases. Only the DISCORDANT cells carry information:
+    chi2 = (b-c)^2/(b+c) — concordant users cancel, which is the
+    test's entire point and what a naive two-proportion z on the
+    marginals gets wrong. The paired-binary member of the
+    association family (drift_chi2 = unpaired table, cmh =
+    stratified, cochran_q = k treatments). Exact milli integers;
+    the continuity-corrected (|b-c|-1)^2 variant rides along
+    (floored at 0 when |b-c| <= 1); b+c = 0 -> -1 sentinel.
 
-    Scale shape: ONE corpus fold to per-user (a, b) presence flags
-    via conditional max against the broadcast 1-row span; one
-    4-cell fold after. The corpus is touched exactly once."""
+    Scale shape: ONE map-side-combinable corpus fold to per-user
+    (total, click, purchase) counts; one 4-cell fold after. The
+    corpus is touched exactly once."""
     ev = t(spark, sf_dir, "events")
-    e = ev.select("user_id",
-                  F.unix_micros(F.col("ts").cast("timestamp_ltz"))
-                  .alias("us"))
-    g = e.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
-    pu = (e.crossJoin(F.broadcast(g))
-          .groupBy("user_id")
-          .agg(F.max(F.when(F.col("us") * 2 <= F.col("mn")
-                            + F.col("mx"), 1).otherwise(0)).alias("a"),
-               F.max(F.when(F.col("us") * 2 > F.col("mn")
-                            + F.col("mx"), 1).otherwise(0))
-               .alias("b")))
-    ct = pu.agg(
+    pu = (ev.groupBy("user_id")
+          .agg(F.count("*").alias("tot"),
+               F.sum(F.when(F.col("event_type") == "click", 1)
+                     .otherwise(0)).alias("ck"),
+               F.sum(F.when(F.col("event_type") == "purchase", 1)
+                     .otherwise(0)).alias("pc")))
+    f = pu.select(
+        (F.col("ck") * 5 > F.col("tot")).cast("int").alias("a"),
+        (F.col("pc") * 5 > F.col("tot")).cast("int").alias("b"))
+    ct = f.agg(
         F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
         F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("nb"),
-        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("nc"))
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("nc"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long")
+        .alias("n00"))
     return ct.select(
-        "n11", F.col("nb").alias("b_early_only"),
-        F.col("nc").alias("c_late_only"),
+        "n11", F.col("nb").alias("b_click_only"),
+        F.col("nc").alias("c_purchase_only"), "n00",
         F.expr("CAST(CASE WHEN nb + nc = 0 THEN -1 ELSE "
                "(nb - nc) * (nb - nc) * 1000 DIV (nb + nc) END "
                "AS BIGINT)").alias("chi2_milli"),
@@ -15736,17 +15738,23 @@ def mcnemar_activity_shift(spark, sf_dir):
 
 
 @_q("cochran_q_types", sql="""
-WITH pres AS (SELECT DISTINCT user_id, event_type FROM events),
-k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
-      FROM pres),
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+tt AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS tot
+       FROM c GROUP BY 1),
+k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM c),
+pres AS (SELECT c.user_id, c.event_type
+         FROM c JOIN tt USING (user_id), k
+         WHERE c.c * k.k > tt.tot),
 cj AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
        FROM pres GROUP BY event_type),
 ri AS (SELECT user_id, CAST(count(*) AS BIGINT) AS r
        FROM pres GROUP BY user_id),
 agg AS (SELECT (SELECT CAST(sum(c * c) AS BIGINT) FROM cj) AS sc2,
                (SELECT CAST(sum(c) AS BIGINT) FROM cj) AS n,
-               (SELECT CAST(sum(r * r) AS BIGINT) FROM ri) AS sr2,
-               (SELECT CAST(count(*) AS BIGINT) FROM ri) AS n_users)
+               (SELECT CAST(coalesce(sum(r * r), 0) AS BIGINT)
+                FROM ri) AS sr2,
+               (SELECT CAST(count(*) AS BIGINT) FROM tt) AS n_users)
 SELECT k.k, agg.n_users, CAST(k.k - 1 AS BIGINT) AS df,
        CAST(CASE WHEN k.k * agg.n - agg.sr2 = 0 THEN -1
                  ELSE (k.k - 1) * (k.k * agg.sc2 - agg.n * agg.n)
@@ -15756,33 +15764,43 @@ FROM k, agg
 """)
 def cochran_q_types(spark, sf_dir):
     """Cochran's Q test (Cochran, Biometrika 1950) for k related
-    binary treatments: do the event TYPES differ in how many users
-    exhibit them, accounting for users being their own controls —
-    the k-treatment generalization of McNemar (k = 2 reduces to it)
-    and the within-subject counterpart of the unpaired chi2 table.
-    Subject = user, treatment = event type, x_ij = user i ever did
-    type j. Q = (k-1) * (k * sum C_j^2 - N^2) / (k*N - sum R_i^2)
-    from column totals C_j (users per type), row totals R_i (types
-    per user), N = sum — ALL exact integers folded from one
-    presence table, emitted as one milli-floor quotient with a -1
-    sentinel when every user exhibits all k types (denominator 0 —
-    no within-subject variation to test against).
+    binary treatments: do the event TYPES differ in how often users
+    OVER-INDEX on them, with users as their own controls — the
+    k-treatment generalization of McNemar (k = 2 reduces to it) and
+    the within-subject counterpart of the unpaired chi2 table.
+    Subject = user, treatment = type, x_ij = user i's count of type
+    j exceeds their uniform share (c * k > tot — the
+    mcnemar_over_index self-normalizing condition; raw presence
+    proved degenerate, every user exhibits all types at every SF —
+    measured). Q = (k-1)(k sum C_j^2 - N^2) / (k N - sum R_i^2)
+    from the presence table's column/row totals — all exact
+    integers, one milli-floor quotient, -1 sentinel when the
+    denominator is 0. Users over-indexing on nothing contribute
+    zero rows and cancel from both N and sum R^2 exactly as R_i = 0
+    rows would; n_users still counts ALL subjects.
 
-    Scale shape: ONE DISTINCT corpus fold to the (user, type)
-    presence frame; C_j folds on the bounded type domain, R_i on
-    users, the Q assembly is 1-row. Map-side combinable
-    throughout."""
+    Scale shape: ONE map-side-combinable corpus fold to the (user,
+    type, count) frame; the per-user totals, the global k, the
+    presence filter, and both total folds are bounded
+    re-aggregations of it. The corpus is touched exactly once."""
     ev = t(spark, sf_dir, "events")
-    pres = ev.select("user_id", "event_type").distinct().persist()
-    kk = pres.agg(F.countDistinct("event_type").alias("k"))
+    c = (ev.groupBy("user_id", "event_type")
+         .agg(F.count("*").alias("c")).persist())
+    tt = c.groupBy("user_id").agg(F.sum("c").alias("tot"))
+    kk = c.agg(F.countDistinct("event_type").alias("k"))
+    pres = (c.join(tt, "user_id").crossJoin(F.broadcast(kk))
+            .where(F.col("c") * F.col("k") > F.col("tot"))
+            .select("user_id", "event_type"))
     cj = pres.groupBy("event_type").agg(F.count("*").alias("c"))
     ri = pres.groupBy("user_id").agg(F.count("*").alias("r"))
     aggc = cj.agg(F.sum(F.col("c") * F.col("c")).alias("sc2"),
                   F.sum("c").alias("n"))
-    aggr = ri.agg(F.sum(F.col("r") * F.col("r")).alias("sr2"),
-                  F.count("*").alias("n_users"))
+    aggr = ri.agg(F.coalesce(F.sum(F.col("r") * F.col("r")),
+                             F.lit(0)).alias("sr2"))
+    nu = tt.agg(F.count("*").alias("n_users"))
     return (kk.crossJoin(F.broadcast(aggc))
             .crossJoin(F.broadcast(aggr))
+            .crossJoin(F.broadcast(nu))
             .select(F.col("k").cast("long").alias("k"),
                     F.col("n_users").cast("long").alias("n_users"),
                     (F.col("k") - 1).cast("long").alias("df"),

@@ -4090,42 +4090,63 @@ def test_mm_ahash_near_dup_hand(spark, tmp_path):
     assert out == {0: 1, 1: 2}, out
 
 
-def test_mcnemar_activity_shift_hand(spark, tmp_path):
-    """u1 early-only (b), u2/u3 late-only (c=2), u4 both halves
-    (concordant — cancels, the test's point): chi2 = (1-2)^2/3 ->
-    333 milli; the continuity correction (|b-c|-1)^2 hits its
-    floor-at-zero branch exactly (|b-c| = 1 -> 0)."""
-    from extractor.queries import QUERIES
-
-    _km_events(tmp_path, {1: [0], 2: [600], 3: [601],
-                          4: [0, 672]})
-    out = [(r["n11"], r["b_early_only"], r["c_late_only"],
-            r["chi2_milli"], r["chi2_cc_milli"])
-           for r in QUERIES["mcnemar_activity_shift"](
-               spark, str(tmp_path)).collect()]
-    assert out == [(1, 1, 2, 333, 0)], out
-
-
-def test_cochran_q_types_hand(spark, tmp_path):
-    """Presence matrix u1=(1,1,0), u2=(1,0,0), u3=(1,1,1) over 3
-    types: C=(3,2,1), R=(2,1,3), N=6 -> Q = 2*(3*14-36)/(18-14) =
-    3.0 exactly -> 3000 milli, df 2."""
+def test_mcnemar_over_index_hand(spark, tmp_path):
+    """Type profiles: u1 over-indexes clicks only (b), u2 and u6
+    purchases only (c=2), u3 both, u4 neither (all views), u5 hits
+    the STRICT inequality edge (1 purchase of 5 events: 5 > 5
+    false -> not over-indexed). chi2 = (1-2)^2/3 -> 333 milli; the
+    continuity correction floors at zero (|b-c| = 1)."""
     import os
 
     from extractor.queries import QUERIES
 
-    pres = [(1, "t1"), (1, "t2"), (2, "t1"),
-            (3, "t1"), (3, "t2"), (3, "t3")]
+    profiles = {1: ["click"] * 2 + ["view"] * 3,
+                2: ["purchase"] * 2 + ["view"] * 3,
+                3: ["click"] * 2 + ["purchase"] * 2 + ["view"],
+                4: ["view"] * 5,
+                5: ["purchase"] + ["view"] * 4,
+                6: ["purchase"] * 3 + ["view"] * 2}
     base = pd.Timestamp("2024-01-01")
+    rows = [(u, ty) for u, tys in profiles.items() for ty in tys]
     pd.DataFrame({
-        "event_id": range(len(pres)),
-        "ts": pd.Series([base] * len(pres)).astype("datetime64[us]"),
-        "user_id": [u for u, _ in pres],
-        "event_type": [ty for _, ty in pres],
-        "value": [1.0] * len(pres),
-        "props": ["{}"] * len(pres),
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base] * len(rows)).astype("datetime64[us]"),
+        "user_id": [u for u, _ in rows],
+        "event_type": [ty for _, ty in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = [(r["n11"], r["b_click_only"], r["c_purchase_only"],
+            r["n00"], r["chi2_milli"], r["chi2_cc_milli"])
+           for r in QUERIES["mcnemar_over_index"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(1, 1, 2, 2, 333, 0)], out
+
+
+def test_cochran_q_types_hand(spark, tmp_path):
+    """Over-index presence (c*3 > tot): u1 {t1} (2 of 3 events),
+    u2 {} (perfectly uniform — the strict edge), u3 {t2} (3 of 4).
+    C = (1,1,0), N = 2, sum R^2 = 2, k = 3 -> Q = 2*(3*2-4)/(3*2-2)
+    = 1.0 exactly -> 1000 milli; n_users counts ALL subjects
+    including the zero-presence u2."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    profiles = {1: ["t1", "t1", "t2"],
+                2: ["t1", "t2", "t3"],
+                3: ["t2", "t2", "t2", "t3"]}
+    base = pd.Timestamp("2024-01-01")
+    rows = [(u, ty) for u, tys in profiles.items() for ty in tys]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base] * len(rows)).astype("datetime64[us]"),
+        "user_id": [u for u, _ in rows],
+        "event_type": [ty for _, ty in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
     }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
     out = [(r["k"], r["n_users"], r["df"], r["q_milli"])
            for r in QUERIES["cochran_q_types"](
                spark, str(tmp_path)).collect()]
-    assert out == [(3, 3, 2, 3000)], out
+    assert out == [(3, 3, 2, 1000)], out
