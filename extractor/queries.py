@@ -15662,6 +15662,202 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+@_q("cuped_variance_reduction", sql="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+g AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+pu AS (SELECT user_id,
+              CAST(sum(CASE WHEN us * 2 <= g.mn + g.mx
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+              CAST(sum(CASE WHEN us * 2 > g.mn + g.mx
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+       FROM e, g GROUP BY user_id, g.mn, g.mx),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(count(*) * sum(CAST(x AS HUGEINT) * y)
+                   - sum(x) * CAST(sum(y) AS HUGEINT) AS HUGEINT)
+                AS sxy,
+              CAST(count(*) * sum(CAST(x AS HUGEINT) * x)
+                   - sum(x) * CAST(sum(x) AS HUGEINT) AS HUGEINT)
+                AS sxx,
+              CAST(count(*) * sum(CAST(y AS HUGEINT) * y)
+                   - sum(y) * CAST(sum(y) AS HUGEINT) AS HUGEINT)
+                AS syy
+       FROM pu)
+SELECT n, CAST(sxx AS BIGINT) AS sxx_n, CAST(syy AS BIGINT) AS syy_n,
+       CAST(sxy AS BIGINT) AS sxy_n,
+       CAST(CASE WHEN sxx = 0 THEN -1
+                 WHEN sxy >= 0 THEN sxy * 1000000 // sxx
+                 ELSE -((-sxy) * 1000000 // sxx)
+            END AS BIGINT) AS theta_micro,
+       CAST(CASE WHEN sxx = 0 OR syy = 0 THEN -1
+                 ELSE sxy * sxy * 1000000 // (sxx * syy)
+            END AS BIGINT) AS var_reduction_ppm
+FROM st
+""")
+def cuped_variance_reduction(spark, sf_dir):
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    2013, "Improving the sensitivity of online controlled
+    experiments" — the industry-standard pre-period adjustment):
+    with covariate X = each user's first-half event count and
+    metric Y = their second-half count (the wilcoxon midpoint
+    convention), the adjusted metric Y - theta*(X - mean X) with
+    theta = cov(X,Y)/var(X) shrinks metric variance by exactly
+    rho^2 — the number that decides how much smaller an A/B test
+    can be. Everything exact integers from one sufficient-
+    statistics fold: n-scaled Sxy/Sxx/Syy in HUGEINT/DECIMAL(38,0),
+    theta as a SIGN-SAFE micro quotient (covariance can be
+    negative — the cohens_kappa negative-division pinning),
+    variance reduction = Sxy^2 * 1e6 DIV (Sxx*Syy) ppm (<= 1e6 by
+    Cauchy-Schwarz, an internal invariant), -1 sentinels for the
+    zero-variance degenerate cases. The experimentation-platform
+    member of the correlation family (corr_suffstats = Pearson,
+    this = what that correlation BUYS a metrics pipeline).
+
+    Scale shape: ONE corpus fold to per-user (x, y) via conditional
+    sums against the broadcast 1-row span; one 1-row suff-stats
+    fold after. The corpus is touched exactly once."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                  .alias("us"))
+    g = e.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    pu = (e.crossJoin(F.broadcast(g))
+          .groupBy("user_id")
+          .agg(F.sum(F.when(F.col("us") * 2 <= F.col("mn")
+                            + F.col("mx"), 1).otherwise(0)).alias("x"),
+               F.sum(F.when(F.col("us") * 2 > F.col("mn")
+                            + F.col("mx"), 1).otherwise(0))
+               .alias("y")))
+    st = pu.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.count("*") * F.sum(F.col("x").cast("decimal(38,0)")
+                              * F.col("y"))
+         - F.sum("x") * F.sum("y").cast("decimal(38,0)"))
+        .alias("sxy"),
+        (F.count("*") * F.sum(F.col("x").cast("decimal(38,0)")
+                              * F.col("x"))
+         - F.sum("x") * F.sum("x").cast("decimal(38,0)"))
+        .alias("sxx"),
+        (F.count("*") * F.sum(F.col("y").cast("decimal(38,0)")
+                              * F.col("y"))
+         - F.sum("y") * F.sum("y").cast("decimal(38,0)"))
+        .alias("syy"))
+    return st.select(
+        "n", F.col("sxx").cast("long").alias("sxx_n"),
+        F.col("syy").cast("long").alias("syy_n"),
+        F.col("sxy").cast("long").alias("sxy_n"),
+        F.expr("CAST(CASE WHEN sxx = 0 THEN -1 "
+               "WHEN sxy >= 0 THEN sxy * 1000000 DIV sxx "
+               "ELSE -((-sxy) * 1000000 DIV sxx) END AS BIGINT)")
+        .alias("theta_micro"),
+        F.expr("CAST(CASE WHEN sxx = 0 OR syy = 0 THEN -1 "
+               "ELSE sxy * sxy * 1000000 DIV (sxx * syy) END "
+               "AS BIGINT)").alias("var_reduction_ppm"))
+
+
+_SIL_K = 8  # clusters = the kmeans_lloyd_assign seed convention
+
+
+@_q("silhouette_simplified", sql="""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+ct AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {k}),
+dd AS (SELECT e.vec_id, ct.cid,
+              -- element-wise DOUBLE casts BEFORE the subtraction:
+              -- the stored lists are float32 and DuckDB would
+              -- otherwise do float32 arithmetic where Spark (cast
+              -- to array<double> first) does double — measured
+              -- 999-vs-1000 floor straddles without this
+              sqrt(list_reduce(list_transform(range(1, len(e.v) + 1),
+                i -> (CAST(e.v[i] AS DOUBLE) - CAST(ct.cv[i] AS
+                      DOUBLE)) * (CAST(e.v[i] AS DOUBLE)
+                      - CAST(ct.cv[i] AS DOUBLE))),
+                (x, y) -> x + y)) AS dist
+       FROM e, ct),
+rk AS (SELECT vec_id, cid, dist,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn
+       FROM dd),
+ab AS (SELECT a.vec_id, a.cid,
+              a.dist AS da, b.dist AS db
+       FROM rk a JOIN rk b ON b.vec_id = a.vec_id AND b.rn = 2
+       WHERE a.rn = 1),
+s AS (SELECT cid,
+             CASE WHEN greatest(da, db) = 0 THEN 0
+                  ELSE CAST(floor((db - da) * 1000
+                                  / greatest(da, db)) AS BIGINT)
+             END AS sm
+      FROM ab)
+SELECT CAST(cid AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(CASE WHEN sum(sm) >= 0 THEN sum(sm) // count(*)
+                 ELSE -((-sum(sm)) // count(*)) END AS BIGINT)
+         AS mean_s_milli,
+       CAST(min(sm) AS BIGINT) AS min_s_milli,
+       CAST(max(sm) AS BIGINT) AS max_s_milli
+FROM s GROUP BY cid
+""".format(k=_SIL_K))
+def silhouette_simplified(spark, sf_dir):
+    """Simplified (centroid-based) silhouette cluster-quality index
+    (Rousseeuw, J. Comput. Appl. Math. 1987 original; the
+    centroid-distance simplification per Hruschka et al. 2004 that
+    replaces the O(n^2) pairwise mean with O(nk) centroid
+    distances): with the kmeans_lloyd_assign SEED centroids (the
+    first K vectors — fixed, deterministic, the semdedup_pipeline
+    convention), each vector scores s = (b - a) / max(a, b) where
+    a = distance to its own (nearest) centroid and b = to the
+    runner-up; per-cluster n, mean, min, max. The evaluation member
+    of the clustering family (kmeans = fit, semdedup = consume,
+    this = grade). Float discipline: every distance is the SAME
+    sqrt-of-sum chain on both engines (array folds are sequential
+    left-to-right in both), s floors to milli IMMEDIATELY
+    (floor(x) is exact on any double), so all aggregation happens
+    on exact integers — the mean is a sign-safe integer division,
+    never a float sum whose addend order an engine could choose.
+    Zero-distance ties (duplicate centroids) pin s = 0 explicitly.
+
+    Scale shape: the distance frame is n x K (centroids broadcast
+    as a literal-sized side), the per-vector top-2 is a window over
+    K rows per vector, and the cluster fold is bounded by K. At
+    10^12 vectors: one broadcast nested-loop over K rows per
+    vector — linear, the ann_cosine_topk shape."""
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v")))
+    ct = (e.where(F.col("vec_id") < _SIL_K)
+          .select(F.col("vec_id").alias("cid"),
+                  F.col("v").alias("cv")))
+    dd = (e.crossJoin(F.broadcast(ct))
+          .select("vec_id", "cid",
+                  F.sqrt(F.expr(
+                      "aggregate(zip_with(v, cv, (a, b) -> "
+                      "(a - b) * (a - b)), 0D, (acc, s) -> acc + s)"))
+                  .alias("dist")))
+    rk = dd.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("dist", "cid")))
+    a = rk.where(F.col("rn") == 1).select(
+        "vec_id", "cid", F.col("dist").alias("da"))
+    b = rk.where(F.col("rn") == 2).select(
+        "vec_id", F.col("dist").alias("db"))
+    s = (a.join(b, "vec_id")
+         .select("cid",
+                 F.when(F.greatest("da", "db") == 0, F.lit(0))
+                 .otherwise(F.floor((F.col("db") - F.col("da"))
+                                    * 1000
+                                    / F.greatest("da", "db")))
+                 .cast("long").alias("sm")))
+    return (s.groupBy("cid")
+            .agg(F.count("*").cast("long").alias("n_vecs"),
+                 F.expr("CAST(CASE WHEN sum(sm) >= 0 THEN "
+                        "sum(sm) DIV count(*) ELSE "
+                        "-((-sum(sm)) DIV count(*)) END AS BIGINT)")
+                 .alias("mean_s_milli"),
+                 F.min("sm").cast("long").alias("min_s_milli"),
+                 F.max("sm").cast("long").alias("max_s_milli"))
+            .select(F.col("cid").cast("long").alias("cluster"),
+                    "n_vecs", "mean_s_milli", "min_s_milli",
+                    "max_s_milli"))
+
+
 @_q("mcnemar_over_index", sql="""
 WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS tot,
               CAST(sum(CASE WHEN event_type = 'click' THEN 1

@@ -4150,3 +4150,50 @@ def test_cochran_q_types_hand(spark, tmp_path):
            for r in QUERIES["cochran_q_types"](
                spark, str(tmp_path)).collect()]
     assert out == [(3, 3, 2, 1000)], out
+
+
+def test_cuped_variance_reduction_hand(spark, tmp_path):
+    """Per-user (early, late) counts (1,2),(2,4),(3,6),(2,5):
+    n-scaled Sxx=8, Syy=35, Sxy=16 -> theta = 2.0 exactly
+    (2000000 micro), variance reduction = 256e6 DIV 280 = 914285
+    ppm — under the Cauchy-Schwarz ceiling the op treats as an
+    internal invariant."""
+    from extractor.queries import QUERIES
+
+    spec = {1: (1, 2), 2: (2, 4), 3: (3, 6), 4: (2, 5)}
+    user_hours = {u: [0] * x + [672] * y
+                  for u, (x, y) in spec.items()}
+    _km_events(tmp_path, user_hours)
+    out = [(r["n"], r["sxx_n"], r["syy_n"], r["sxy_n"],
+            r["theta_micro"], r["var_reduction_ppm"])
+           for r in QUERIES["cuped_variance_reduction"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(4, 8, 35, 16, 2000000, 914285)], out
+
+
+def test_silhouette_simplified_hand(spark, tmp_path):
+    """Centroids = seed vectors 0..7: c0=(0,0), c1=(10,0), c2..c7
+    far away. v8=(1,0) joins c0 with a=1, b=9 -> s = floor(8000/9)
+    = 888; v9=(4,0) joins c0 (4 < 6) with s = floor(2000/6) = 333;
+    every seed scores exactly 1000 (a=0). Cluster 0 mean =
+    (1000+888+333) DIV 3 = 740."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    vecs = {0: (0.0, 0.0), 1: (10.0, 0.0)}
+    for i in range(2, 8):
+        vecs[i] = (100.0 + i, 100.0)
+    vecs[8] = (1.0, 0.0)
+    vecs[9] = (4.0, 0.0)
+    pd.DataFrame({
+        "vec_id": list(vecs),
+        "embedding": [list(v) for v in vecs.values()],
+    }).to_parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = {r["cluster"]: (r["n_vecs"], r["mean_s_milli"],
+                          r["min_s_milli"], r["max_s_milli"])
+           for r in QUERIES["silhouette_simplified"](
+               spark, str(tmp_path)).collect()}
+    assert out[0] == (3, 740, 333, 1000), out
+    for c in range(1, 8):
+        assert out[c] == (1, 1000, 1000, 1000), (c, out[c])
