@@ -15662,6 +15662,141 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+_HILL_K = 20  # tail order statistics used by the Hill estimator
+
+
+@_q("hill_tail_index", sql="""
+WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY user_id),
+vd AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+       FROM uc GROUP BY x),
+cw AS (SELECT v, c, sum(c) OVER (ORDER BY v DESC) AS cum,
+              CAST((SELECT least({k}, count(*) - 1) FROM uc)
+                   AS BIGINT) AS k
+       FROM vd),
+sl AS (SELECT v, c, cum, k,
+              greatest(0, least(cum, k) - (cum - c)) AS slots
+       FROM cw),
+th AS (SELECT max(v) AS xk1 FROM sl WHERE cum >= k + 1),
+ag AS (SELECT max(sl.k) AS k, th.xk1,
+              sum(sl.slots * ln(CAST(sl.v AS DOUBLE))) AS lnsum
+       FROM sl, th GROUP BY th.xk1)
+SELECT k, CAST(xk1 AS BIGINT) AS xk1,
+       CASE WHEN lnsum - k * ln(CAST(xk1 AS DOUBLE)) <= 0 THEN -1.0
+            ELSE round(k / (lnsum - k * ln(CAST(xk1 AS DOUBLE))), 6)
+       END AS alpha_r
+FROM ag
+""".format(k=_HILL_K))
+def hill_tail_index(spark, sf_dir):
+    """Hill estimator of the power-law tail index (Hill, Annals of
+    Statistics 1975; the standard heavy-tail diagnostic per Clauset,
+    Shalizi & Newman, SIAM Review 2009) for the user-activity
+    distribution: alpha = k / sum_{i<=k} ln(x_(i) / x_(k+1)) over
+    the top-k order statistics of per-user event counts — the
+    number that says whether activity is Pareto-heavy (alpha ~ 1-2:
+    a few users dominate; the quantitative companion to
+    gini_concentration and heavy_hitters). k = min(20, n-1),
+    adaptive so small corpora stay defined. Order statistics come
+    from the VALUE-DISTINCT count distribution (the tukey
+    small-domain discipline): a reverse-cumulative window gives
+    each value its number of top-k slots (ties split by
+    multiplicity, never by user identity — order statistics depend
+    on values only), and x_(k+1) is the largest value with rank
+    > k. The ln sum follows the 6dp-round ln convention
+    (naive-Bayes argument); a degenerate tail (all top-k equal to
+    the threshold) emits the -1.0 sentinel.
+
+    Scale shape: ONE corpus fold to per-user counts, one fold to
+    the value-distinct frame; the window, threshold, and ln fold
+    run on the count-domain-bounded frame. The corpus is touched
+    exactly once."""
+    ev = t(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count("*").alias("x"))
+    nu = uc.agg(F.least(F.lit(_HILL_K), F.count("*") - 1)
+                .cast("long").alias("k"))
+    vd = uc.groupBy(F.col("x").alias("v")).agg(
+        F.count("*").alias("c"))
+    wv = (Window.orderBy(F.desc("v"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cw = (vd.select("v", "c", F.sum("c").over(wv).alias("cum"))
+          .crossJoin(F.broadcast(nu)))
+    sl = cw.select(
+        "v", "c", "cum", "k",
+        F.greatest(F.lit(0), F.least(F.col("cum"), F.col("k"))
+                   - (F.col("cum") - F.col("c"))).alias("slots"))
+    th = (sl.where(F.col("cum") >= F.col("k") + 1)
+          .agg(F.max("v").alias("xk1")))
+    ag = (sl.crossJoin(F.broadcast(th))
+          .agg(F.max("k").alias("k"), F.max("xk1").alias("xk1"),
+               F.sum(F.col("slots")
+                     * F.log(F.col("v").cast("double")))
+               .alias("lnsum")))
+    return ag.select(
+        "k", F.col("xk1").cast("long").alias("xk1"),
+        F.when(F.col("lnsum") - F.col("k")
+               * F.log(F.col("xk1").cast("double")) <= 0, F.lit(-1.0))
+        .otherwise(F.round(
+            F.col("k") / (F.col("lnsum") - F.col("k")
+                          * F.log(F.col("xk1").cast("double"))), 6))
+        .alias("alpha_r"))
+
+
+@_q("record_values_audit", sql="""
+WITH dd AS (SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+rm AS (SELECT event_type, day, x,
+              max(x) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS prevmax,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY day) AS i
+       FROM dd)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN prevmax IS NULL OR x > prevmax
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+       CAST(sum(1000000 // i) AS BIGINT) AS h_n_micro
+FROM rm GROUP BY event_type
+""")
+def record_values_audit(spark, sf_dir):
+    """Record-value count per event type (Rényi's record theorem,
+    1962; Glick, Am. Math. Monthly 1978 survey): how many days set
+    a new all-time daily-count high, versus the exchangeability
+    expectation E[records] = H_n = sum 1/i — under a stationary
+    series records accrue LOGARITHMICALLY, so a record count well
+    above H_n is growth and well below is early-peak decay: the
+    cheapest possible trend diagnostic, reading the same daily grid
+    as mann_kendall/pettitt but through order-statistics glasses.
+    A record is a STRICT left-to-right maximum (ties do not break
+    records — pinned); the first day always counts. H_n is carried
+    as the EXACT floor-sum of 1e6 DIV i over the day index — pure
+    integers, no float harmonic (the caller compares n_records
+    against h_n_micro / 1e6).
+
+    Scale shape: one corpus fold to the daily grid; the running
+    max and day index are per-type windows over the calendar-
+    bounded frame; one bounded fold emits the audit."""
+    ev = t(spark, sf_dir, "events")
+    dd = (ev.groupBy("event_type",
+                     F.col("ts").cast("date").alias("day"))
+          .agg(F.count("*").alias("x")))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    rm = dd.select(
+        "event_type", "x",
+        F.max("x").over(wt.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prevmax"),
+        F.row_number().over(wt).alias("i"))
+    return (rm.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 F.sum(F.when(F.col("prevmax").isNull()
+                              | (F.col("x") > F.col("prevmax")), 1)
+                       .otherwise(0)).cast("long").alias("n_records"),
+                 F.sum(F.expr("1000000 DIV i")).cast("long")
+                 .alias("h_n_micro")))
+
+
 @_q("cuped_variance_reduction", sql="""
 WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
 g AS (SELECT min(us) AS mn, max(us) AS mx FROM e),

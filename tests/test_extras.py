@@ -4197,3 +4197,64 @@ def test_silhouette_simplified_hand(spark, tmp_path):
     assert out[0] == (3, 740, 333, 1000), out
     for c in range(1, 8):
         assert out[c] == (1, 1000, 1000, 1000), (c, out[c])
+
+
+def test_hill_tail_index_hand(spark, tmp_path):
+    """Six users with counts [8,8,4,2,2,1]: k = 5, the top-5 slots
+    split by multiplicity (2x8, 1x4, 2x2), threshold x_(6) = 1 so
+    the ln terms are pure ln(x): alpha = 5/(10 ln 2) -> 0.721348.
+    A uniform corpus (all counts equal) drains the ln sum to zero
+    and pins the -1.0 sentinel."""
+    import os
+    import pathlib
+
+    from extractor.queries import QUERIES
+
+    counts = {1: 8, 2: 8, 3: 4, 4: 2, 5: 2, 6: 1}
+    _km_events(tmp_path, {u: list(range(c))
+                          for u, c in counts.items()})
+    out = [(r["k"], r["xk1"], r["alpha_r"])
+           for r in QUERIES["hill_tail_index"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(5, 1, 0.721348)], out
+
+    flat = os.path.join(str(tmp_path), "flat")
+    os.makedirs(flat)
+    _km_events(pathlib.Path(flat), {1: [0, 1, 2], 2: [0, 1, 2],
+                                    3: [0, 1, 2]})
+    out2 = [(r["k"], r["xk1"], r["alpha_r"])
+            for r in QUERIES["hill_tail_index"](spark, flat).collect()]
+    assert out2 == [(2, 3, -1.0)], out2
+
+
+def test_record_values_audit_hand(spark, tmp_path):
+    """'view' daily counts [1,3,2,5]: records on days 1, 2, 4 -> 3;
+    H_4 floor-sum = 1000000+500000+333333+250000 = 2083333.
+    'click' [2,2]: the tie is NOT a record (strict maximum) -> 1
+    record, H_2 = 1500000."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    spec = {"view": [1, 3, 2, 5], "click": [2, 2]}
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for ty, days in spec.items():
+        for d, c in enumerate(days):
+            for i in range(c):
+                rows.append((ty, d, i))
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(days=d, seconds=i)
+                         for _, d, i in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": [ty for ty, _, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["event_type"]: (r["n_days"], r["n_records"],
+                             r["h_n_micro"])
+           for r in QUERIES["record_values_audit"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"view": (4, 3, 2083333),
+                   "click": (2, 1, 1500000)}, out
