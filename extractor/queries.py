@@ -15662,6 +15662,154 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+# z^2 for the 95% Wilson interval, as an explicit DOUBLE literal
+# (the fightin_words decimal-literal lesson)
+_WILSON_Z2 = "CAST(3.8416 AS DOUBLE)"
+
+
+@_q("wilson_rate_intervals", sql="""
+WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                  CAST(coalesce(sum(CASE WHEN text LIKE '%slow%'
+                           THEN 1 END), 0) AS BIGINT) AS k
+           FROM documents GROUP BY source),
+w AS (SELECT source, n, k,
+             CAST(k AS DOUBLE) / n AS p,
+             {z2} / n AS zn
+      FROM s)
+SELECT source, n, k, round(p, 6) AS rate_r,
+       round((p + zn / 2 - sqrt(zn) * sqrt(p * (1 - p) + zn / 4))
+             / (1 + zn), 6) AS lo_r,
+       round((p + zn / 2 + sqrt(zn) * sqrt(p * (1 - p) + zn / 4))
+             / (1 + zn), 6) AS hi_r
+FROM w
+""".format(z2=_WILSON_Z2))
+def wilson_rate_intervals(spark, sf_dir):
+    """Wilson score confidence interval (Wilson, JASA 1927; the
+    interval Brown, Cai & DasGupta, Statistical Science 2001
+    recommend over the textbook Wald, which collapses at p near 0
+    or 1 — exactly where quality-rate monitoring lives) for each
+    source's 'slow'-document rate: bounds = (p + z^2/2n -+
+    z sqrt(p(1-p)/n + z^2/4n^2)) / (1 + z^2/n), z^2 = 3.8416 (95%)
+    as an explicit DOUBLE literal. The uncertainty companion to the
+    point rates the drift family compares: a source with 3 of 7
+    docs slow and one with 3000 of 7000 have the same rate and
+    utterly different intervals — the difference between paging
+    someone and not. Float discipline: both engines run the
+    IDENTICAL chain (one division, two sqrt — correctly rounded by
+    the standard — and the factored z*sqrt(x) = sqrt(z^2)*sqrt(x)
+    form keeps every operand a shared subexpression), rounded 6dp
+    for emission; k and n cross as exact integers.
+
+    Scale shape: ONE map-side-combinable corpus fold to per-source
+    (n, k); the interval algebra is a projection on the
+    sources-bounded frame."""
+    d = t(spark, sf_dir, "documents")
+    s = (d.groupBy("source")
+         .agg(F.count("*").alias("n"),
+              F.coalesce(F.sum(F.when(
+                  F.col("text").contains("slow"), 1)), F.lit(0))
+              .alias("k")))
+    w = s.select(
+        "source", F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        (F.col("k").cast("double") / F.col("n")).alias("p"),
+        F.expr("{z2} / n".format(z2=_WILSON_Z2)).alias("zn"))
+    lo = F.expr("round((p + zn / 2 - sqrt(zn) * sqrt(p * (1 - p)"
+                " + zn / 4)) / (1 + zn), 6)")
+    hi = F.expr("round((p + zn / 2 + sqrt(zn) * sqrt(p * (1 - p)"
+                " + zn / 4)) / (1 + zn), 6)")
+    return w.select("source", "n", "k",
+                    F.round("p", 6).alias("rate_r"),
+                    lo.alias("lo_r"), hi.alias("hi_r"))
+
+
+@_q("eb_rate_shrinkage", sql="""
+WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                  CAST(coalesce(sum(CASE WHEN text LIKE '%slow%'
+                           THEN 1 END), 0) AS BIGINT) AS k
+           FROM documents GROUP BY source),
+p AS (SELECT source, n, k, CAST(k AS DOUBLE) / n AS p FROM s),
+c AS (SELECT source, n, k, p,
+             sum(p) OVER (ORDER BY source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cp,
+             sum(p * p) OVER (ORDER BY source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cp2,
+             CAST(count(*) OVER () AS BIGINT) AS g
+      FROM p),
+mv AS (SELECT source, n, k, p, g,
+              max(cp) OVER () / g AS m,
+              max(cp2) OVER () / g
+                - (max(cp) OVER () / g) * (max(cp) OVER () / g)
+                AS v
+       FROM c),
+ab AS (SELECT source, n, k, p, m, v,
+              CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+                   THEN m * (1 - m) / v - 1 ELSE 0 END AS kap
+       FROM mv)
+SELECT source, n, k, round(p, 6) AS rate_r,
+       CASE WHEN kap = 0 THEN round(p, 6)
+            ELSE round((k + m * kap) / (n + kap), 6)
+       END AS shrunk_r,
+       round(kap, 6) AS kappa_r
+FROM ab
+""")
+def eb_rate_shrinkage(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-source rates
+    (Robbins, 1956 empirical Bayes; the method-of-moments
+    beta-binomial fit of Griffiths 1973 — the 'batting average'
+    estimator of Efron & Morris, JASA 1975): small sources' noisy
+    'slow'-rates shrink toward the cross-source mean with strength
+    kappa = alpha + beta = m(1-m)/v - 1 fitted from the unweighted
+    rate moments, shrunk = (k + m*kappa) / (n + kappa) — a source
+    with 1 of 2 docs slow reports ~the prior, one with 3000 of 7000
+    reports ~its own rate: the Bayesian dual of
+    wilson_rate_intervals' frequentist uncertainty on the SAME
+    fold. Degenerate moments (zero variance, or v >= m(1-m) making
+    kappa nonpositive) pin kappa = 0 -> no shrinkage, raw rate
+    emitted. Float discipline: the cross-source moment sums are
+    SOURCE-ORDERED cumulative windows (the neyman_allocation
+    lesson — a plain SUM's addend order is engine-chosen), the
+    rest is one shared deterministic chain, 6dp emission.
+
+    Scale shape: ONE corpus fold to per-source (n, k); the moment
+    windows and shrinkage are projections on the sources-bounded
+    frame."""
+    d = t(spark, sf_dir, "documents")
+    s = (d.groupBy("source")
+         .agg(F.count("*").alias("n"),
+              F.coalesce(F.sum(F.when(
+                  F.col("text").contains("slow"), 1)), F.lit(0))
+              .alias("k")))
+    p = s.select("source", F.col("n").cast("long").alias("n"),
+                 F.col("k").cast("long").alias("k"),
+                 (F.col("k").cast("double") / F.col("n")).alias("p"))
+    wc = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = p.select("*", F.sum("p").over(wc).alias("cp"),
+                 F.sum(F.col("p") * F.col("p")).over(wc).alias("cp2"),
+                 F.count("*").over(wall).alias("g"))
+    mv = c.select(
+        "source", "n", "k", "p", "g",
+        (F.max("cp").over(wall) / F.col("g")).alias("m"),
+        (F.max("cp2").over(wall) / F.col("g")
+         - (F.max("cp").over(wall) / F.col("g"))
+         * (F.max("cp").over(wall) / F.col("g"))).alias("v"))
+    ab = mv.select(
+        "source", "n", "k", "p", "m", "v",
+        F.expr("CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0 "
+               "THEN m * (1 - m) / v - 1 ELSE 0 END").alias("kap"))
+    return ab.select(
+        "source", "n", "k", F.round("p", 6).alias("rate_r"),
+        F.when(F.col("kap") == 0, F.round("p", 6))
+        .otherwise(F.round((F.col("k") + F.col("m") * F.col("kap"))
+                           / (F.col("n") + F.col("kap")), 6))
+        .alias("shrunk_r"),
+        F.round("kap", 6).alias("kappa_r"))
+
+
 _HILL_K = 20  # tail order statistics used by the Hill estimator
 
 

@@ -4258,3 +4258,96 @@ def test_record_values_audit_hand(spark, tmp_path):
                spark, str(tmp_path)).collect()}
     assert out == {"view": (4, 3, 2083333),
                    "click": (2, 1, 1500000)}, out
+
+
+def test_wilson_rate_intervals_hand(spark, tmp_path):
+    """A: 1 of 4 slow, B: 0 of 3 (the p=0 edge where Wald collapses
+    to a zero-width interval and Wilson correctly does not) —
+    bounds matched against a Python mirror of the identical
+    formula chain."""
+    import math
+    import os
+
+    import pytest
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "slow x", "en", "A", 6), (1, "x", "en", "A", 1),
+            (2, "y", "en", "A", 1), (3, "z", "en", "A", 1),
+            (4, "x", "en", "B", 1), (5, "y", "en", "B", 1),
+            (6, "z", "en", "B", 1)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+
+    def wilson(k, n):
+        z2 = 3.8416
+        p = k / n
+        zn = z2 / n
+        lo = (p + zn / 2 - math.sqrt(zn)
+              * math.sqrt(p * (1 - p) + zn / 4)) / (1 + zn)
+        hi = (p + zn / 2 + math.sqrt(zn)
+              * math.sqrt(p * (1 - p) + zn / 4)) / (1 + zn)
+        return lo, hi
+
+    out = {r["source"]: (r["n"], r["k"], r["rate_r"], r["lo_r"],
+                         r["hi_r"])
+           for r in QUERIES["wilson_rate_intervals"](
+               spark, str(tmp_path)).collect()}
+    for src, (k, n) in {"A": (1, 4), "B": (0, 3)}.items():
+        lo, hi = wilson(k, n)
+        got = out[src]
+        assert got[0] == n and got[1] == k
+        assert got[3] == pytest.approx(lo, abs=2e-6)
+        assert got[4] == pytest.approx(hi, abs=2e-6)
+    assert out["B"][3] == 0.0 and out["B"][4] > 0.3
+
+
+def test_eb_rate_shrinkage_hand(spark, tmp_path):
+    """Rates .5 (n=2), .1 (n=10), .3 (n=10): MOM gives m=0.3,
+    v=0.0266667, kappa=6.875 — the tiny source shrinks hard
+    (.5 -> .345) while C sits exactly at the prior mean and stays
+    put (.3 -> .3); matched against a Python mirror. A zero-
+    variance corpus pins the kappa=0 no-shrinkage branch."""
+    import os
+    import pathlib
+
+    import pytest
+
+    from extractor.queries import QUERIES
+
+    def docs(path, spec):
+        rows = []
+        i = 0
+        for src, (n, k) in spec.items():
+            for j in range(n):
+                rows.append((i, "slow x" if j < k else "x", "en",
+                             src, 5))
+                i += 1
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                    "source", "n_chars"]).to_parquet(
+            os.path.join(str(path), "documents.parquet"))
+
+    spec = {"A": (2, 1), "B": (10, 1), "C": (10, 3)}
+    docs(tmp_path, spec)
+    ps = [k / n for n, k in spec.values()]
+    m = sum(ps) / 3
+    v = sum(x * x for x in ps) / 3 - m * m
+    kap = m * (1 - m) / v - 1
+    out = {r["source"]: (r["rate_r"], r["shrunk_r"], r["kappa_r"])
+           for r in QUERIES["eb_rate_shrinkage"](
+               spark, str(tmp_path)).collect()}
+    for src, (n, k) in spec.items():
+        assert out[src][1] == pytest.approx(
+            (k + m * kap) / (n + kap), abs=2e-6), (src, out[src])
+        assert out[src][2] == pytest.approx(kap, abs=2e-6)
+    assert abs(out["A"][1] - 0.345070) < 2e-6
+    assert out["C"][1] == pytest.approx(0.3, abs=2e-6)
+
+    flat = os.path.join(str(tmp_path), "flat")
+    os.makedirs(flat)
+    docs(pathlib.Path(flat), {"A": (4, 2), "B": (4, 2)})
+    out2 = {r["source"]: (r["rate_r"], r["shrunk_r"], r["kappa_r"])
+            for r in QUERIES["eb_rate_shrinkage"](
+                spark, flat).collect()}
+    assert out2 == {"A": (0.5, 0.5, 0.0), "B": (0.5, 0.5, 0.0)}, out2
