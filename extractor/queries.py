@@ -15662,6 +15662,152 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+@_q("runs_test_daily", sql="""
+WITH dd AS (SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+df AS (SELECT event_type, day,
+              x - lag(x) OVER (PARTITION BY event_type
+                               ORDER BY day) AS d
+       FROM dd),
+sg AS (SELECT event_type, day,
+              CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+       FROM df WHERE d IS NOT NULL AND d <> 0),
+rr AS (SELECT event_type, s,
+              lag(s) OVER (PARTITION BY event_type ORDER BY day)
+                AS ps
+       FROM sg)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_signs,
+       CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_plus,
+       CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_minus,
+       CAST(sum(CASE WHEN ps IS NULL OR s <> ps THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_runs,
+       CAST(1000000 + 2 * sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+              * sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) * 1000000
+              // count(*) AS BIGINT) AS e_runs_micro,
+       CAST(2 * sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+              * sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+              * (2 * sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                 * sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                 - count(*)) AS BIGINT) AS var_num,
+       CAST(count(*) * count(*) * (count(*) - 1) AS BIGINT)
+         AS var_den
+FROM rr GROUP BY event_type
+""")
+def runs_test_daily(spark, sf_dir):
+    """Wald-Wolfowitz runs test (Wald & Wolfowitz, Ann. Math. Stat.
+    1940) on the SIGNS of day-over-day count changes per event
+    type: too FEW runs of consecutive +/- means momentum
+    (trending), too many means oscillation — the randomness
+    diagnostic completing the serial-dependence family on the
+    mann_kendall/pettitt/records daily grid (records look at
+    maxima, this at the up/down texture). Zero differences are
+    DROPPED (the standard convention; pinned), runs counted as
+    sign changes + 1 via one lag window over the filtered
+    sequence. Everything exact integers: E[runs] = 1 + 2 n+ n- / n
+    as a micro-floor, and the exact variance NUMERATOR
+    2 n+ n- (2 n+ n- - n) and DENOMINATOR n^2 (n-1) cross the
+    contract separately (the var18 convention — the caller does
+    the one float z-score). Types with no nonzero difference emit
+    no row (no randomness to test).
+
+    Scale shape: one corpus fold to the daily grid; two lag
+    windows and one fold on the calendar-bounded frame."""
+    ev = t(spark, sf_dir, "events")
+    dd = (ev.groupBy("event_type",
+                     F.col("ts").cast("date").alias("day"))
+          .agg(F.count("*").alias("x")))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    df_ = dd.select("event_type", "day",
+                    (F.col("x") - F.lag("x").over(wt)).alias("d"))
+    sg = (df_.where(F.col("d").isNotNull() & (F.col("d") != 0))
+          .select("event_type", "day",
+                  F.when(F.col("d") > 0, 1).otherwise(-1).alias("s")))
+    rr = sg.select("event_type", "s",
+                   F.lag("s").over(wt).alias("ps"))
+    np_ = F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+    nm_ = F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+    return (rr.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_signs"),
+                 np_.cast("long").alias("n_plus"),
+                 nm_.cast("long").alias("n_minus"),
+                 F.sum(F.when(F.col("ps").isNull()
+                              | (F.col("s") != F.col("ps")), 1)
+                       .otherwise(0)).cast("long").alias("n_runs"),
+                 F.expr("CAST(1000000 + 2 * sum(CASE WHEN s = 1 "
+                        "THEN 1 ELSE 0 END) * sum(CASE WHEN s = -1 "
+                        "THEN 1 ELSE 0 END) * 1000000 DIV count(*) "
+                        "AS BIGINT)").alias("e_runs_micro"),
+                 F.expr("CAST(2 * sum(CASE WHEN s = 1 THEN 1 ELSE 0 "
+                        "END) * sum(CASE WHEN s = -1 THEN 1 ELSE 0 "
+                        "END) * (2 * sum(CASE WHEN s = 1 THEN 1 "
+                        "ELSE 0 END) * sum(CASE WHEN s = -1 THEN 1 "
+                        "ELSE 0 END) - count(*)) AS BIGINT)")
+                 .alias("var_num"),
+                 F.expr("CAST(count(*) * count(*) * (count(*) - 1) "
+                        "AS BIGINT)").alias("var_den")))
+
+
+@_q("durbin_watson_daily", sql="""
+WITH dd AS (SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+df AS (SELECT event_type, x,
+              x - lag(x) OVER (PARTITION BY event_type
+                               ORDER BY day) AS d
+       FROM dd)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(coalesce(sum(d * d), 0) AS BIGINT) AS num_ss,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+         AS den_nss,
+       CAST(CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) = 0
+                 THEN -1
+                 ELSE count(*) * coalesce(sum(d * d), 0) * 1000
+                      // (count(*) * sum(x * x) - sum(x) * sum(x))
+            END AS BIGINT) AS dw_milli
+FROM df GROUP BY event_type
+""")
+def durbin_watson_daily(spark, sf_dir):
+    """Durbin-Watson first-order autocorrelation statistic (Durbin
+    & Watson, Biometrika 1950) for each event type's daily count
+    series: DW = sum (x_t - x_{t-1})^2 / sum (x_t - mean)^2 — near
+    2 means no serial dependence, near 0 strong positive momentum,
+    near 4 oscillation; the parametric sibling of runs_test_daily
+    (signs) and the single-number summary of what acf_lags spreads
+    over six lags. Fully exact: the numerator needs NO mean (the
+    differences cancel it), the denominator is the n-scaled sum of
+    squares, so dw_milli = n * num * 1000 DIV (n sum x^2 -
+    (sum x)^2) is one integer floor; a constant series (zero
+    variance) emits the -1 sentinel.
+
+    Scale shape: one corpus fold to the daily grid; one lag window
+    and one fold on the calendar-bounded frame."""
+    ev = t(spark, sf_dir, "events")
+    dd = (ev.groupBy("event_type",
+                     F.col("ts").cast("date").alias("day"))
+          .agg(F.count("*").alias("x")))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    df_ = dd.select("event_type", "x",
+                    (F.col("x") - F.lag("x").over(wt)).alias("d"))
+    return (df_.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 F.coalesce(F.sum(F.col("d") * F.col("d")), F.lit(0))
+                 .cast("long").alias("num_ss"),
+                 F.expr("CAST(count(*) * sum(x * x) - sum(x) * "
+                        "sum(x) AS BIGINT)").alias("den_nss"),
+                 F.expr("CAST(CASE WHEN count(*) * sum(x * x) - "
+                        "sum(x) * sum(x) = 0 THEN -1 ELSE count(*) "
+                        "* coalesce(sum(d * d), 0) * 1000 DIV "
+                        "(count(*) * sum(x * x) - sum(x) * sum(x)) "
+                        "END AS BIGINT)").alias("dw_milli")))
+
+
 # z^2 for the 95% Wilson interval, as an explicit DOUBLE literal
 # (the fightin_words decimal-literal lesson)
 _WILSON_Z2 = "CAST(3.8416 AS DOUBLE)"

@@ -4351,3 +4351,59 @@ def test_eb_rate_shrinkage_hand(spark, tmp_path):
             for r in QUERIES["eb_rate_shrinkage"](
                 spark, flat).collect()}
     assert out2 == {"A": (0.5, 0.5, 0.0), "B": (0.5, 0.5, 0.0)}, out2
+
+
+def _daily_counts_events(tmp_path, spec):
+    """events.parquet with given per-(type, day-index) counts."""
+    import os
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for ty, days in spec.items():
+        for d, c in enumerate(days):
+            for i in range(c):
+                rows.append((ty, d, i))
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(days=d, seconds=i)
+                         for _, d, i in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": [ty for ty, _, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+
+def test_runs_test_daily_hand(spark, tmp_path):
+    """'view' counts [1,2,3,2,1,1,2]: diffs ++--0+ with the zero
+    DROPPED -> signs ++--+ (3 runs, n+=3, n-=2); E[runs] = 1 +
+    12/5 = 3.4 -> 3400000 micro; var_num = 2*6*(12-5) = 84,
+    var_den = 25*4 = 100. The constant 'click' series has no
+    nonzero diff and emits NO row."""
+    from extractor.queries import QUERIES
+
+    _daily_counts_events(tmp_path, {"view": [1, 2, 3, 2, 1, 1, 2],
+                                    "click": [3, 3]})
+    out = {r["event_type"]: (r["n_signs"], r["n_plus"], r["n_minus"],
+                             r["n_runs"], r["e_runs_micro"],
+                             r["var_num"], r["var_den"])
+           for r in QUERIES["runs_test_daily"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"view": (5, 3, 2, 3, 3400000, 84, 100)}, out
+
+
+def test_durbin_watson_daily_hand(spark, tmp_path):
+    """'view' [1,2,3,2,1,1,2]: numerator 5 (the mean cancels from
+    the differences), n-scaled denominator 7*24-144 = 24 ->
+    dw_milli = 35000 DIV 24 = 1458 (DW < 2: positive momentum).
+    Constant 'click' pins the zero-variance -1 sentinel."""
+    from extractor.queries import QUERIES
+
+    _daily_counts_events(tmp_path, {"view": [1, 2, 3, 2, 1, 1, 2],
+                                    "click": [3, 3]})
+    out = {r["event_type"]: (r["n_days"], r["num_ss"], r["den_nss"],
+                             r["dw_milli"])
+           for r in QUERIES["durbin_watson_daily"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"view": (7, 5, 24, 1458),
+                   "click": (2, 0, 0, -1)}, out
