@@ -15662,6 +15662,152 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+@_q("theil_index_decomposition", sql="""
+WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x
+           FROM documents WHERE n_chars > 0),
+g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             sum(x * ln(CAST(x AS DOUBLE))) AS sxlx
+      FROM d GROUP BY source),
+tt AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+              CAST(sum(sx) AS BIGINT) AS st FROM g)
+SELECT g.source, g.n, g.sx,
+       CAST(g.sx * 1000000 // tt.st AS BIGINT) AS weight_micro,
+       round(g.sxlx / g.sx - ln(CAST(g.sx AS DOUBLE) / g.n), 6)
+         AS t_within_r,
+       round(ln((CAST(g.sx AS DOUBLE) / tt.st)
+                / (CAST(g.n AS DOUBLE) / tt.nt)), 6)
+         AS between_term_r
+FROM g, tt
+""")
+def theil_index_decomposition(spark, sf_dir):
+    """Theil's T inequality index with its exact between/within
+    decomposition (Theil, Economics and Information Theory 1967;
+    Shorrocks, Econometrica 1980 on decomposability) over doc
+    lengths by source — the property that makes Theil the
+    inequality index for GROUPED data where gini_concentration
+    cannot say WHERE the inequality lives: T_total = sum_g w_g *
+    T_g(within) + sum_g w_g ln(w_g / p_g), with w_g = group's
+    share of total length and p_g = its share of documents. Each
+    source row carries its exact integer share (micro), its
+    within-group Theil T_g = sum x ln x / sum x - ln(mean) and its
+    between-term ln(w_g/p_g) under the 6dp-ln convention — the
+    caller reassembles total/between/within by weighted sum, and
+    the hand fixture verifies the decomposition identity closes to
+    the rounding grid. Zero-length docs are excluded (x ln x has
+    the 0 limit but a zero-length doc carries no share).
+
+    Scale shape: ONE corpus fold to per-source (n, sum, sum x ln x)
+    — the corr_suffstats shape with one ln term; the totals and
+    every emitted expression live on the sources-bounded frame."""
+    d = (t(spark, sf_dir, "documents")
+         .where(F.col("n_chars") > 0)
+         .select("source", F.col("n_chars").cast("long").alias("x")))
+    g = (d.groupBy("source")
+         .agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
+              F.sum(F.col("x")
+                    * F.log(F.col("x").cast("double"))).alias("sxlx")))
+    tt = g.agg(F.sum("n").alias("nt"), F.sum("sx").alias("st"))
+    return (g.crossJoin(F.broadcast(tt))
+            .select("source", F.col("n").cast("long").alias("n"),
+                    F.col("sx").cast("long").alias("sx"),
+                    F.expr("CAST(sx * 1000000 DIV st AS BIGINT)")
+                    .alias("weight_micro"),
+                    F.round(F.col("sxlx") / F.col("sx")
+                            - F.log(F.col("sx").cast("double")
+                                    / F.col("n")), 6)
+                    .alias("t_within_r"),
+                    F.round(F.log((F.col("sx").cast("double")
+                                   / F.col("st"))
+                                  / (F.col("n").cast("double")
+                                     / F.col("nt"))), 6)
+                    .alias("between_term_r")))
+
+
+@_q("lorenz_curve_points", sql="""
+WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY user_id),
+vd AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c,
+              CAST(sum(x) AS BIGINT) AS s
+       FROM uc GROUP BY x),
+cw AS (SELECT v, c, s,
+              sum(c) OVER (ORDER BY v) AS cumu,
+              sum(s) OVER (ORDER BY v) AS cums
+       FROM vd),
+tt AS (SELECT CAST(sum(c) AS BIGINT) AS nu,
+              CAST(sum(s) AS BIGINT) AS ne FROM vd),
+dk AS (SELECT CAST(k AS BIGINT) AS k, tt.nu, tt.ne,
+              tt.nu * k // 10 AS m
+       FROM (SELECT unnest(generate_series(1, 10)) AS k), tt),
+pt AS (SELECT dk.k, dk.m, dk.ne,
+              coalesce((SELECT max(cums) FROM cw
+                        WHERE cw.cumu <= dk.m), 0)
+              + coalesce((SELECT min(v) FROM cw
+                          WHERE cw.cumu > dk.m), 0)
+                * greatest(0, dk.m - coalesce(
+                    (SELECT max(cumu) FROM cw
+                     WHERE cw.cumu <= dk.m), 0)) AS ev
+       FROM dk)
+SELECT k, CAST(m AS BIGINT) AS n_users_bottom,
+       CAST(ev AS BIGINT) AS cum_events,
+       CAST(ev * 1000000 // ne AS BIGINT) AS share_micro
+FROM pt
+""")
+def lorenz_curve_points(spark, sf_dir):
+    """Lorenz curve at the user deciles (Lorenz, ASA Publications
+    1905) for event-count concentration: the bottom k/10 of users
+    (by activity) hold what share of all events — the CURVE behind
+    gini_concentration's single number (gini = 1 - 2 * area under
+    these points) and the artifact an SLA/capacity report actually
+    plots. Exact integers throughout via the value-distinct
+    boundary trick: users fold to the (count-value, users, events)
+    frame; the bottom-m prefix takes all complete value groups
+    under the boundary plus (m - users_below) * boundary_value for
+    the PARTIAL group — exact because every user inside a value
+    group has identical count, so no per-user tie-break can change
+    the sum (the tukey/heavy-hitter small-domain discipline
+    applied to order statistics). Decile sizes floor (m = n*k DIV
+    10); shares in micro.
+
+    Scale shape: ONE corpus fold to per-user counts, one to the
+    value-distinct frame; the cumulative window and the 10 decile
+    probes run on the count-domain-bounded frame."""
+    ev = t(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count("*").alias("x"))
+    vd = (uc.groupBy(F.col("x").alias("v"))
+          .agg(F.count("*").alias("c"), F.sum("x").alias("s")))
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cw = (vd.select("v", "c", "s",
+                    F.sum("c").over(wv).alias("cumu"),
+                    F.sum("s").over(wv).alias("cums"))
+          .persist())  # probed once per decile boundary
+    tt = cw.agg(F.max("cumu").alias("nu"), F.max("cums").alias("ne"))
+    dk = (spark.range(1, 11).select(F.col("id").alias("k"))
+          .crossJoin(F.broadcast(tt))
+          .select("k", "nu", "ne",
+                  F.expr("nu * k DIV 10").alias("m")))
+    below = (dk.join(cw, cw.cumu <= dk.m, "left")
+             .groupBy("k", "m", "ne")
+             .agg(F.coalesce(F.max("cums"), F.lit(0)).alias("evb"),
+                  F.coalesce(F.max("cumu"), F.lit(0)).alias("ub")))
+    bound = (dk.select("k", F.col("m").alias("mb"))
+             .join(cw, cw.cumu > F.col("mb"), "left")
+             .groupBy("k").agg(F.coalesce(F.min("v"), F.lit(0))
+                               .alias("bv")))
+    pt = (below.join(bound, "k")
+          .select("k", "m", "ne",
+                  (F.col("evb") + F.col("bv")
+                   * F.greatest(F.lit(0), F.col("m") - F.col("ub")))
+                  .alias("ev")))
+    return pt.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("m").cast("long").alias("n_users_bottom"),
+        F.col("ev").cast("long").alias("cum_events"),
+        F.expr("CAST(ev * 1000000 DIV ne AS BIGINT)")
+        .alias("share_micro"))
+
+
 @_q("runs_test_daily", sql="""
 WITH dd AS (SELECT event_type,
                    CAST(date_trunc('day', ts) AS DATE) AS day,

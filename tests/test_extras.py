@@ -4407,3 +4407,67 @@ def test_durbin_watson_daily_hand(spark, tmp_path):
                spark, str(tmp_path)).collect()}
     assert out == {"view": (7, 5, 24, 1458),
                    "click": (2, 0, 0, -1)}, out
+
+
+def test_theil_index_decomposition_hand(spark, tmp_path):
+    """A=[2,2] (perfectly equal within, T=0), B=[1,3], C=[6]
+    (singleton, T=0): every emitted value matched against a Python
+    mirror, and the decomposition identity T_total = sum w(T_g +
+    ln(w_g/p_g)) is checked against the DIRECT Theil of the pooled
+    lengths — the property gini does not have."""
+    import math
+    import os
+
+    import pytest
+
+    from extractor.queries import QUERIES
+
+    groups = {"A": [2, 2], "B": [1, 3], "C": [6]}
+    rows = [(i, "x", "en", s, v)
+            for i, (s, v) in enumerate(
+                (s, v) for s, vs in groups.items() for v in vs)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+
+    nt = sum(len(v) for v in groups.values())
+    st = sum(sum(v) for v in groups.values())
+    out = {r["source"]: (r["n"], r["sx"], r["weight_micro"],
+                         r["t_within_r"], r["between_term_r"])
+           for r in QUERIES["theil_index_decomposition"](
+               spark, str(tmp_path)).collect()}
+    total_rebuilt = 0.0
+    for s, xs in groups.items():
+        n, sx = len(xs), sum(xs)
+        tg = sum(x * math.log(x) for x in xs) / sx - math.log(sx / n)
+        bt = math.log((sx / st) / (n / nt))
+        got = out[s]
+        assert got[:3] == (n, sx, sx * 1000000 // st)
+        assert got[3] == pytest.approx(tg, abs=2e-6)
+        assert got[4] == pytest.approx(bt, abs=2e-6)
+        total_rebuilt += (sx / st) * (tg + bt)
+    direct = sum((x / st) * math.log(nt * x / st)
+                 for xs in groups.values() for x in xs)
+    assert total_rebuilt == pytest.approx(direct, abs=1e-12)
+    assert out["A"][3] == 0.0 and out["C"][3] == 0.0
+
+
+def test_lorenz_curve_points_hand(spark, tmp_path):
+    """User counts [1,1,2,4] (8 events): decile sizes floor to
+    0,0,1,1,2,2,2,3,3,4 and the exact curve reads 0, 1/8, 2/8,
+    4/8, 1 at the distinct sizes — the partial-boundary term
+    (m - users_below) * boundary_value exercised at m=1 (half of
+    the two count-1 users)."""
+    from extractor.queries import QUERIES
+
+    _km_events(tmp_path, {1: [0], 2: [1], 3: [2, 3],
+                          4: [4, 5, 6, 7]})
+    out = {r["k"]: (r["n_users_bottom"], r["cum_events"],
+                    r["share_micro"])
+           for r in QUERIES["lorenz_curve_points"](
+               spark, str(tmp_path)).collect()}
+    exp = {1: (0, 0, 0), 2: (0, 0, 0), 3: (1, 1, 125000),
+           4: (1, 1, 125000), 5: (2, 2, 250000), 6: (2, 2, 250000),
+           7: (2, 2, 250000), 8: (3, 4, 500000), 9: (3, 4, 500000),
+           10: (4, 8, 1000000)}
+    assert out == exp, out
