@@ -15662,6 +15662,183 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+_BH_ALPHA_INV = 20  # alpha = 1/20 = 0.05
+
+
+@_q("sign_test_bh", sql="""
+WITH dd AS (SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+df AS (SELECT event_type,
+              x - lag(x) OVER (PARTITION BY event_type
+                               ORDER BY day) AS d
+       FROM dd),
+sg AS (SELECT event_type,
+              CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS np,
+              CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS nm
+       FROM df WHERE d IS NOT NULL AND d <> 0 GROUP BY event_type),
+pv AS (SELECT event_type, np, nm, np + nm AS n,
+              least(np, nm) AS kk,
+              least(2 * list_sum(list_transform(
+                      range(0, least(np, nm) + 1), i ->
+                      list_reduce(list_prepend(CAST(1 AS BIGINT),
+                        range(1, i + 1)),
+                        (acc, j) -> acc * (np + nm - j + 1) // j))),
+                    CAST(1 AS BIGINT) << (np + nm)) AS p_num,
+              CAST(1 AS BIGINT) << (np + nm) AS p_den
+       FROM sg WHERE np + nm > 0),
+mx AS (SELECT max(n) AS nmax, CAST(count(*) AS BIGINT) AS m FROM pv),
+sc AS (SELECT pv.*, mx.m,
+              pv.p_num * (CAST(1 AS BIGINT) << (mx.nmax - pv.n))
+                AS sn,
+              CAST(1 AS BIGINT) << mx.nmax AS sd
+       FROM pv, mx),
+rk AS (SELECT *, row_number() OVER (ORDER BY sn, event_type) AS rnk,
+              CASE WHEN sn * m * {ai} <= row_number() OVER (
+                     ORDER BY sn, event_type) * sd
+                   THEN 1 ELSE 0 END AS sat
+       FROM sc),
+im AS (SELECT coalesce(max(CASE WHEN sat = 1 THEN rnk END), 0)
+              AS imax FROM rk)
+SELECT rk.event_type, rk.n AS n_signs, rk.np AS n_plus,
+       rk.nm AS n_minus,
+       CAST(rk.p_num * 1000000 // rk.p_den AS BIGINT) AS p_micro,
+       CAST(rk.rnk AS BIGINT) AS bh_rank,
+       CAST(CASE WHEN rk.rnk <= im.imax THEN 1 ELSE 0 END AS INT)
+         AS rejected
+FROM rk, im
+""".format(ai=_BH_ALPHA_INV))
+def sign_test_bh(spark, sf_dir):
+    """Exact binomial sign test per event type + Benjamini-Hochberg
+    multiple-testing correction, ENTIRELY in exact integers (the
+    sign test: Arbuthnott 1710 / Dixon & Mood 1946; BH: Benjamini &
+    Hochberg, JRSS-B 1995): is each type's daily series drifting
+    (more up-days than down under H0 p=1/2), with the family-wise
+    decision made by the step-up rule at FDR 0.05. The two-sided
+    p-value is the exact rational 2 * sum_{i<=min(np,nm)} C(n,i) /
+    2^n, capped at 1 — binomial coefficients built by an
+    interleaved multiply-divide fold (acc * (n-j+1) div j stays
+    integral at every step, the classic exactness trick) inside
+    one array lambda; p-values are ORDERED by cross-multiplication
+    on a common 2^nmax denominator and the BH condition p_(i) <=
+    i/(20 m) is the integer comparison scaled_num * 20 m <= i *
+    2^nmax — no float p-value ever exists, so the reject set is an
+    exact cross-engine contract (unlike every float-p BH in
+    existence). Zero-difference days drop (the runs_test
+    convention); all-constant types have no test.
+
+    Scale shape: one corpus fold to the daily grid; the sign fold,
+    the <= 31-term binomial lambdas, the rank window, and the
+    step-up fold all run on the types-bounded frame."""
+    ev = t(spark, sf_dir, "events")
+    dd = (ev.groupBy("event_type",
+                     F.col("ts").cast("date").alias("day"))
+          .agg(F.count("*").alias("x")))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    df_ = dd.select("event_type",
+                    (F.col("x") - F.lag("x").over(wt)).alias("d"))
+    sg = (df_.where(F.col("d").isNotNull() & (F.col("d") != 0))
+          .groupBy("event_type")
+          .agg(F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+               .alias("np"),
+               F.sum(F.when(F.col("d") < 0, 1).otherwise(0))
+               .alias("nm")))
+    pv = (sg.where(F.col("np") + F.col("nm") > 0)
+          .select("event_type", "np", "nm",
+                  (F.col("np") + F.col("nm")).alias("n"))
+          .withColumn("p_num", F.expr(
+              # i = 0 guard: Spark's sequence(1, 0) steps DOWN to
+              # [1, 0] (not empty like DuckDB's range) and the
+              # fold would divide by zero
+              "least(2 * aggregate(transform(sequence(0, "
+              "least(np, nm)), i -> CASE WHEN i = 0 THEN 1L ELSE "
+              "aggregate(sequence(1, i), 1L, "
+              "(acc, j) -> acc * (np + nm - j + 1) div j) END), 0L, "
+              "(a, x) -> a + x), shiftleft(1L, "
+              "CAST(np + nm AS INT)))"))
+          .withColumn("p_den",
+                      F.expr("shiftleft(1L, CAST(np + nm AS INT))")))
+    mx = pv.agg(F.max("n").alias("nmax"),
+                F.count("*").alias("m"))
+    sc = (pv.crossJoin(F.broadcast(mx))
+          .select("*", F.expr("p_num * shiftleft(1L, "
+                              "CAST(nmax - n AS INT))").alias("sn"),
+                  F.expr("shiftleft(1L, CAST(nmax AS INT))")
+                  .alias("sd")))
+    wr = Window.orderBy("sn", "event_type")
+    rk = (sc.withColumn("rnk", F.row_number().over(wr))
+          .withColumn("sat", (F.col("sn") * F.col("m")
+                              * _BH_ALPHA_INV
+                              <= F.col("rnk") * F.col("sd"))
+                      .cast("int")))
+    im = rk.agg(F.coalesce(
+        F.max(F.when(F.col("sat") == 1, F.col("rnk"))),
+        F.lit(0)).alias("imax"))
+    return (rk.crossJoin(F.broadcast(im))
+            .select("event_type",
+                    F.col("n").cast("long").alias("n_signs"),
+                    F.col("np").cast("long").alias("n_plus"),
+                    F.col("nm").cast("long").alias("n_minus"),
+                    F.expr("CAST(p_num * 1000000 DIV p_den "
+                           "AS BIGINT)").alias("p_micro"),
+                    F.col("rnk").cast("long").alias("bh_rank"),
+                    (F.col("rnk") <= F.col("imax")).cast("int")
+                    .alias("rejected")))
+
+
+@_q("yule_k_richness", sql=r"""
+WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(
+                     lower(text), '[ \t\n\r\f\x0B]+'), x -> x <> ''))
+                     AS w
+              FROM documents),
+cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS sum_c2,
+       CAST((sum(CAST(c AS HUGEINT) * c) - sum(c)) * 10000000
+            // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT)
+         AS yule_k_milli
+FROM cnt GROUP BY source
+""")
+def yule_k_richness(spark, sf_dir):
+    """Yule's characteristic K (Yule, The Statistical Study of
+    Literary Vocabulary, 1944): K = 10^4 * (sum c_w^2 - N) / N^2 —
+    the repeat-rate constant of a vocabulary, famously stable under
+    text LENGTH (unlike type-token ratio) because it estimates the
+    second moment of the underlying word distribution; typical
+    prose sits near 100-200, templated/repetitive text far higher.
+    The fourth member of the richness family on the SAME
+    (source, word, count) fold: chao1 extrapolates unseen species,
+    hill profiles diversity, heaps tracks growth, Yule's K pins
+    repetitiveness. Exact integers end-to-end: K in milli units =
+    (sum c^2 - N) * 10^7 DIV N^2 with squares riding
+    HUGEINT/DECIMAL(38,0) (c^2 passes BIGINT at ~3e9 occurrences
+    of one word).
+
+    Scale shape: ONE map-side-combinable corpus fold, one
+    sources-bounded fold. The chao1 shape exactly."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                           lambda x: x != "")).alias("w"))
+    cnt = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    return (cnt.groupBy("source")
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+                 .cast("long").alias("sum_c2"))
+            .select("source", "n_tokens", "sum_c2",
+                    F.expr("CAST((CAST(sum_c2 AS DECIMAL(38,0)) "
+                           "- n_tokens) * 10000000 DIV "
+                           "(CAST(n_tokens AS DECIMAL(38,0)) "
+                           "* n_tokens) AS BIGINT)")
+                    .alias("yule_k_milli")))
+
+
 @_q("theil_index_decomposition", sql="""
 WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x
            FROM documents WHERE n_chars > 0),

@@ -4471,3 +4471,43 @@ def test_lorenz_curve_points_hand(spark, tmp_path):
            7: (2, 2, 250000), 8: (3, 4, 500000), 9: (3, 4, 500000),
            10: (4, 8, 1000000)}
     assert out == exp, out
+
+
+def test_sign_test_bh_hand(spark, tmp_path):
+    """'up' rises 8 straight days: np=7, nm=0, exact p = 2*C(7,0)
+    / 2^7 = 1/64 -> 15625 micro. 'flat' alternates: np=nm=2 ->
+    2*(1+4+6)/16 caps at 1 (1000000). BH at FDR 0.05 with m=2:
+    rank-1 'up' satisfies 2*2*20 <= 1*128 and is rejected; 'flat'
+    is not — the whole decision in cross-multiplied integers."""
+    from extractor.queries import QUERIES
+
+    _daily_counts_events(tmp_path, {
+        "up": [1, 2, 3, 4, 5, 6, 7, 8],
+        "flat": [1, 2, 1, 2, 1]})
+    out = {r["event_type"]: (r["n_signs"], r["n_plus"], r["n_minus"],
+                             r["p_micro"], r["bh_rank"],
+                             r["rejected"])
+           for r in QUERIES["sign_test_bh"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"up": (7, 7, 0, 15625, 1, 1),
+                   "flat": (4, 2, 2, 1000000, 2, 0)}, out
+
+
+def test_yule_k_richness_hand(spark, tmp_path):
+    """s1 = {a:3, b:1}: K = 1e4*(10-4)/16 = 3750 -> 3750000 milli
+    (templated text scores high). s2 = four hapaxes: sum c^2 = N
+    -> K = 0 exactly (the no-repeat floor)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "a a a b", "en", "s1", 7),
+            (1, "w x y z", "en", "s2", 7)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["source"]: (r["n_tokens"], r["sum_c2"],
+                         r["yule_k_milli"])
+           for r in QUERIES["yule_k_richness"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"s1": (4, 10, 3750000), "s2": (4, 4, 0)}, out
