@@ -15662,6 +15662,180 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+@_q("friedman_test", sql="""
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type FROM c),
+us AS (SELECT DISTINCT user_id FROM c),
+fl AS (SELECT us.user_id, ty.event_type,
+              coalesce(c.c, 0) AS x
+       FROM us CROSS JOIN ty
+       LEFT JOIN c ON c.user_id = us.user_id
+                   AND c.event_type = ty.event_type),
+rk AS (SELECT user_id, event_type, x,
+              2 * rank() OVER (PARTITION BY user_id ORDER BY x)
+                + count(*) OVER (PARTITION BY user_id, x) - 1 AS r2
+       FROM fl),
+cs AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2j
+       FROM rk GROUP BY event_type),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(CAST(r2j AS HUGEINT) * r2j) AS HUGEINT)
+                AS sr2 FROM cs),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM us),
+ti AS (SELECT CAST(coalesce(sum(tg * tg * tg - tg), 0) AS BIGINT)
+              AS tie_cubed
+       FROM (SELECT user_id, x, count(*) AS tg FROM fl
+             GROUP BY user_id, x) WHERE tg > 1)
+SELECT kk.k, nn.n AS n_blocks,
+       CAST(3 * kk.sr2 * 1000 // (nn.n * kk.k * (kk.k + 1))
+            - 3 * nn.n * (kk.k + 1) * 1000 AS BIGINT) AS stat_milli,
+       ti.tie_cubed
+FROM kk, nn, ti
+""")
+def friedman_test(spark, sf_dir):
+    """Friedman rank test for k related samples (Friedman, JASA
+    1937): do the event types differ in per-user intensity, with
+    every user as their own block — the ORDINAL member of the
+    within-subject family (cochran_q = binary uptake, this = full
+    count ranks; the k-sample paired analog of wilcoxon as
+    kruskal_wallis is of mann-whitney). Each user's per-type counts
+    are ranked WITHIN the user (missing types zero-FILLED via the
+    bounded user x type cross so every block is complete — absent
+    activity is a rank, not a hole), ties by doubled midranks (the
+    house convention), and chi2_F = 12/(nk(k+1)) sum R_j^2 -
+    3n(k+1) carries as stat_milli = 3 * sum R2_j^2 * 1000 DIV
+    (nk(k+1)) - 3000n(k+1) — exact to the one final floor, squares
+    in HUGEINT/DECIMAL(38,0). The tie-correction mass sum(t^3 - t)
+    crosses as the exact integer tie_cubed (var18 convention).
+
+    Scale shape: ONE corpus fold to (user, type, count); the
+    zero-fill cross is users x k (k ~ 5, bounded fan-out); the
+    rank windows partition by user over k-row groups; column sums
+    fold to k rows. Map-side combinable start to finish."""
+    ev = t(spark, sf_dir, "events")
+    c = (ev.groupBy("user_id", "event_type")
+         .agg(F.count("*").alias("c")).persist())
+    ty = c.select("event_type").distinct()
+    us = c.select("user_id").distinct()
+    fl = (us.crossJoin(F.broadcast(ty))
+          .join(c, ["user_id", "event_type"], "left")
+          .select("user_id", "event_type",
+                  F.coalesce("c", F.lit(0)).alias("x")))
+    wu = Window.partitionBy("user_id")
+    rk = fl.select(
+        "user_id", "event_type", "x",
+        (F.lit(2) * F.rank().over(wu.orderBy("x"))
+         + F.count("*").over(Window.partitionBy("user_id", "x"))
+         - 1).alias("r2"))
+    cs = rk.groupBy("event_type").agg(F.sum("r2").alias("r2j"))
+    kk = cs.agg(F.count("*").alias("k"),
+                F.sum(F.col("r2j").cast("decimal(38,0)")
+                      * F.col("r2j")).alias("sr2"))
+    nn = us.agg(F.count("*").alias("n"))
+    ti = (fl.groupBy("user_id", "x").agg(F.count("*").alias("tg"))
+          .where(F.col("tg") > 1)
+          .agg(F.coalesce(F.sum(F.col("tg") * F.col("tg")
+                                * F.col("tg") - F.col("tg")),
+                          F.lit(0)).alias("tie_cubed")))
+    return (kk.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(ti))
+            .select(F.col("k").cast("long").alias("k"),
+                    F.col("n").cast("long").alias("n_blocks"),
+                    F.expr("CAST(3 * sr2 * 1000 DIV (n * k * (k + 1))"
+                           " - 3 * n * (k + 1) * 1000 AS BIGINT)")
+                    .alias("stat_milli"),
+                    F.col("tie_cubed").cast("long")
+                    .alias("tie_cubed")))
+
+
+def _brier_decomp(bins):
+    """Murphy decomposition over a (bin, n, n_pos, sum_score_micro)
+    reliability frame — exact integer micro components with the
+    REL/RES per-bin terms floor-divided by n_k (the micro-floor
+    discipline); the binned-Brier identity REL - RES + UNC holds by
+    construction of the three integers."""
+    tot = bins.agg(F.sum("n").alias("nt"),
+                   F.sum("n_pos").alias("pt"))
+    terms = (bins.crossJoin(F.broadcast(tot))
+             .agg(F.max("nt").alias("nt"), F.max("pt").alias("pt"),
+                  F.sum(F.expr(
+                      "(CAST(sum_score_micro AS DECIMAL(38,0)) "
+                      "- n_pos * 1000000) * (sum_score_micro "
+                      "- n_pos * 1000000) DIV n")).alias("rel_s"),
+                  F.sum(F.expr(
+                      "(CAST(n_pos AS DECIMAL(38,0)) * nt "
+                      "- pt * n) * (n_pos * nt - pt * n) DIV n"))
+                  .alias("res_s")))
+    return terms.select(
+        F.col("nt").cast("long").alias("n"),
+        F.col("pt").cast("long").alias("n_pos"),
+        F.expr("CAST(rel_s DIV (nt * 1000000) AS BIGINT)")
+        .alias("rel_micro"),
+        F.expr("CAST(res_s * 1000000 DIV (CAST(nt AS DECIMAL(38,0))"
+               " * nt * nt) AS BIGINT)").alias("res_micro"),
+        F.expr("CAST(CAST(pt AS DECIMAL(38,0)) * (nt - pt) "
+               "* 1000000 DIV (CAST(nt AS DECIMAL(38,0)) * nt) "
+               "AS BIGINT)").alias("unc_micro"),
+        F.expr("CAST(rel_s DIV (nt * 1000000) "
+               "- res_s * 1000000 DIV (CAST(nt AS DECIMAL(38,0))"
+               " * nt * nt) "
+               "+ CAST(pt AS DECIMAL(38,0)) * (nt - pt) * 1000000 "
+               "DIV (CAST(nt AS DECIMAL(38,0)) * nt) AS BIGINT)")
+        .alias("brier_binned_micro"))
+
+
+@_q("brier_decomposition", sql="""
+WITH cb AS ({cb}),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(n_pos) AS BIGINT) AS pt FROM cb),
+tm AS (SELECT tot.nt, tot.pt,
+              CAST(sum((CAST(sum_score_micro AS HUGEINT)
+                        - n_pos * 1000000)
+                       * (sum_score_micro - n_pos * 1000000)
+                       // n) AS HUGEINT) AS rel_s,
+              CAST(sum((CAST(n_pos AS HUGEINT) * tot.nt
+                        - tot.pt * n)
+                       * (n_pos * tot.nt - tot.pt * n) // n)
+                   AS HUGEINT) AS res_s
+       FROM cb, tot GROUP BY tot.nt, tot.pt)
+SELECT nt AS n, pt AS n_pos,
+       CAST(rel_s // (nt * 1000000) AS BIGINT) AS rel_micro,
+       CAST(res_s * 1000000 // (CAST(nt AS HUGEINT) * nt * nt)
+            AS BIGINT) AS res_micro,
+       CAST(CAST(pt AS HUGEINT) * (nt - pt) * 1000000
+            // (CAST(nt AS HUGEINT) * nt) AS BIGINT) AS unc_micro,
+       CAST(rel_s // (nt * 1000000)
+            - res_s * 1000000 // (CAST(nt AS HUGEINT) * nt * nt)
+            + CAST(pt AS HUGEINT) * (nt - pt) * 1000000
+              // (CAST(nt AS HUGEINT) * nt) AS BIGINT)
+         AS brier_binned_micro
+FROM tm
+""".format(cb=ORACLES["calibration_bins"].strip()))
+def brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the (binned) Brier score (Brier,
+    Monthly Weather Review 1950; Murphy, J. Applied Meteorology
+    1973): Brier = RELIABILITY - RESOLUTION + UNCERTAINTY over the
+    calibration_bins reliability table — the three numbers that say
+    WHY a probabilistic quality filter is good or bad (REL: do
+    predicted probabilities match observed rates — what isotonic
+    recalibration fixes; RES: does the model separate outcomes at
+    all — what no recalibration can add; UNC: the outcome base-rate
+    floor). Defined on the BINNED forecasts (each bin's mean score
+    stands for its members — the standard decomposition
+    convention), which makes all three EXACT integer micro values:
+    per-bin squared terms floor-divide by n_k (micro-floor
+    discipline), products ride HUGEINT/DECIMAL(38,0), and the
+    identity brier = rel - res + unc holds by construction of the
+    integers. The forecast-verification capstone on the
+    calibration_bins -> isotonic_calibration_fit frame.
+
+    Scale shape: corpus-scale work is calibration_bins' zero-
+    shuffle broadcast matmul + its one 10-row fold; the
+    decomposition is arithmetic on the 10-row frame."""
+    bins = calibration_bins(spark, sf_dir)
+    return _brier_decomp(bins)
+
+
 _BH_ALPHA_INV = 20  # alpha = 1/20 = 0.05
 
 

@@ -4511,3 +4511,51 @@ def test_yule_k_richness_hand(spark, tmp_path):
            for r in QUERIES["yule_k_richness"](
                spark, str(tmp_path)).collect()}
     assert out == {"s1": (4, 10, 3750000), "s2": (4, 4, 0)}, out
+
+
+def test_friedman_test_hand(spark, tmp_path):
+    """Blocks u1 (1,2,3), u2 (2,1,3), u3 (1,1,2) and u4 with ONLY
+    t3 events — the zero-fill makes u4's block (0,0,5) with a tied
+    zero pair. Doubled-midrank column sums R2 = (12,12,24) ->
+    stat = 3*864*1000 DIV 48 - 48000 = 6000 (chi2_F = 6.0 exactly,
+    the classic formula re-derived in the docstring trace);
+    tie_cubed = 6 + 6 from the two tied pairs."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    profiles = {1: {"t1": 1, "t2": 2, "t3": 3},
+                2: {"t1": 2, "t2": 1, "t3": 3},
+                3: {"t1": 1, "t2": 1, "t3": 2},
+                4: {"t3": 5}}
+    base = pd.Timestamp("2024-01-01")
+    rows = [(u, ty) for u, tys in profiles.items()
+            for ty, c in tys.items() for _ in range(c)]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base] * len(rows)).astype("datetime64[us]"),
+        "user_id": [u for u, _ in rows],
+        "event_type": [ty for _, ty in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = [(r["k"], r["n_blocks"], r["stat_milli"], r["tie_cubed"])
+           for r in QUERIES["friedman_test"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(3, 4, 6000, 12)], out
+
+
+def test_brier_decomp_helper_hand(spark):
+    """Two bins of 10: (mean score .15, rate .2) and (.85, .8):
+    REL = 2500 micro (0.0025), RES = 90000 (0.09), UNC = 250000
+    (0.25), binned Brier = 162500 — matching the direct
+    computation and the Murphy identity by construction."""
+    from extractor.queries import _brier_decomp
+
+    bins = spark.createDataFrame(
+        [(0, 10, 2, 1500000), (1, 10, 8, 8500000)],
+        "bin long, n long, n_pos long, sum_score_micro long")
+    out = [(r["n"], r["n_pos"], r["rel_micro"], r["res_micro"],
+            r["unc_micro"], r["brier_binned_micro"])
+           for r in _brier_decomp(bins).collect()]
+    assert out == [(20, 10, 2500, 90000, 250000, 162500)], out
