@@ -15662,6 +15662,193 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+@_q("mood_median_test", sql="""
+WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x
+           FROM documents),
+vd AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+       FROM d GROUP BY x),
+md AS (SELECT min(v) AS med FROM (
+         SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                (SELECT sum(c) FROM vd) AS n
+         FROM vd) WHERE 2 * cum >= n),
+ab AS (SELECT d.source,
+              CAST(sum(CASE WHEN d.x > md.med THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a,
+              CAST(sum(CASE WHEN d.x <= md.med THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b
+       FROM d, md GROUP BY d.source),
+tt AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+              CAST(sum(a + b) AS BIGINT) AS n FROM ab)
+SELECT ab.source, ab.a AS n_above, ab.b AS n_at_or_below,
+       CAST((SELECT med FROM md) AS BIGINT) AS grand_median,
+       CAST(CASE WHEN tt.ta = 0 OR tt.ta = tt.n THEN -1 ELSE
+            (ab.a * tt.n - tt.ta * (ab.a + ab.b))
+            * (ab.a * tt.n - tt.ta * (ab.a + ab.b)) * 1000
+            // ((ab.a + ab.b) * tt.ta * (tt.n - tt.ta))
+            END AS BIGINT) AS chi2_term_milli
+FROM ab, tt
+""")
+def mood_median_test(spark, sf_dir):
+    """Mood's median test (Mood, Introduction to the Theory of
+    Statistics 1950; Brown & Mood 1951) for doc length across
+    sources — the bluntest, most outlier-proof member of the
+    k-sample family (anova = means, kruskal-wallis = full ranks,
+    this = one bit per doc: above the grand median or not): each
+    source's 2x1 cell contributes chi2_term = (a - E)^2 * n /
+    (m (ta)(n - ta)) with E = m*ta/n, summed by the caller over
+    sources (k-1 df). Grand median = type-1 lower median on the
+    value-distinct frame (smallest v with 2*cum >= n — the tukey
+    integer-quantile convention, <= keeps the median row in the
+    'below' cell as the test prescribes); every term is one exact
+    milli-floor of integer products; a degenerate corpus (nothing
+    above or everything above) emits the -1 sentinel per row.
+
+    Scale shape: one corpus fold to the value-distinct frame, the
+    median from its bounded cumulative window; ONE more corpus
+    scan folds the 2xk table with the broadcast median; the chi2
+    terms are arithmetic on the sources-bounded frame."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x"))
+    vd = d.groupBy(F.col("x").alias("v")).agg(
+        F.count("*").alias("c"))
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0)
+    nn = vd.agg(F.sum("c").alias("n"))
+    md = (vd.select("v", F.sum("c").over(wv).alias("cum"))
+          .crossJoin(F.broadcast(nn))
+          .where(2 * F.col("cum") >= F.col("n"))
+          .agg(F.min("v").alias("med")))
+    ab = (d.crossJoin(F.broadcast(md))
+          .groupBy("source")
+          .agg(F.sum(F.when(F.col("x") > F.col("med"), 1)
+                     .otherwise(0)).alias("a"),
+               F.sum(F.when(F.col("x") <= F.col("med"), 1)
+                     .otherwise(0)).alias("b"),
+               F.max("med").alias("med")))
+    tt = ab.agg(F.sum("a").alias("ta"),
+                F.sum(F.col("a") + F.col("b")).alias("n"))
+    return (ab.crossJoin(F.broadcast(tt))
+            .select("source",
+                    F.col("a").cast("long").alias("n_above"),
+                    F.col("b").cast("long").alias("n_at_or_below"),
+                    F.col("med").cast("long").alias("grand_median"),
+                    F.expr("CAST(CASE WHEN ta = 0 OR ta = n THEN -1 "
+                           "ELSE (a * n - ta * (a + b)) "
+                           "* (a * n - ta * (a + b)) * 1000 "
+                           "DIV ((a + b) * ta * (n - ta)) END "
+                           "AS BIGINT)").alias("chi2_term_milli")))
+
+
+@_q("logrank_gap_survival", sql="""
+WITH e AS (SELECT user_id, user_id % 2 AS arm, epoch_us(ts) AS us
+           FROM events),
+g AS (SELECT max(us) AS gmax FROM e),
+lg AS (SELECT user_id, arm, us,
+              lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                AS prev
+       FROM e),
+lt AS (SELECT arm, (us - prev) // {uh} AS t, 0 AS cen
+       FROM lg WHERE prev IS NOT NULL
+       UNION ALL
+       SELECT arm, (g.gmax - l.lastus) // {uh} AS t, 1 AS cen
+       FROM (SELECT user_id, max(arm) AS arm, max(us) AS lastus
+             FROM e GROUP BY user_id) l, g),
+vt AS (SELECT t,
+              CAST(sum(1 - cen) AS BIGINT) AS d,
+              CAST(sum(CASE WHEN cen = 0 AND arm = 0 THEN 1
+                       ELSE 0 END) AS BIGINT) AS da,
+              CAST(count(*) AS BIGINT) AS subj,
+              CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS subja
+       FROM lt GROUP BY t),
+vr AS (SELECT t, d, da,
+              sum(subj) OVER (ORDER BY t DESC) AS n,
+              sum(subja) OVER (ORDER BY t DESC) AS na
+       FROM vt),
+de AS (SELECT * FROM vr WHERE d > 0 AND n > 1)
+SELECT CAST(count(*) AS BIGINT) AS n_death_times,
+       CAST(sum(d) AS BIGINT) AS n_deaths,
+       CAST(sum(CASE WHEN da * n - d * na >= 0
+                THEN (da * n - d * na) * 1000000 // n
+                ELSE -((d * na - da * n) * 1000000 // n) END)
+            AS BIGINT) AS u_micro,
+       CAST(sum(CAST(d AS HUGEINT) * na * (n - na) * (n - d)
+                * 1000000 // (CAST(n AS HUGEINT) * n * (n - 1)))
+            AS BIGINT) AS v_micro
+FROM de
+""".format(uh=_US_PER_HOUR))
+def logrank_gap_survival(spark, sf_dir):
+    """Log-rank (Mantel-Cox) test (Mantel, Cancer Chemotherapy
+    Reports 1966; Peto & Peto, JRSS-A 1972) comparing the
+    inter-event-gap survival curves of the two deterministic user
+    arms (user_id % 2 — the vec_id % 2 synthetic-label
+    convention): at every death time the observed arm-0 deaths are
+    compared with the hypergeometric expectation d * nA/n given
+    the shared risk set, U = sum(dA - d nA/n), V = sum of the
+    hypergeometric variances — the test that compares WHOLE
+    survival curves where a t-test on mean gaps throws away the
+    censoring survival_km_na carefully preserved (same gap/censor
+    construction, same risk-set convention). Exact integer micro:
+    each U term is a SIGN-SAFE floor of (dA n - d nA)*1e6/n (the
+    cohens_kappa pinning), each V term floors
+    d nA (n-nA)(n-d) * 1e6 / (n^2 (n-1)) in HUGEINT; death times
+    with a single subject at risk drop (V undefined). The caller
+    z-scores U/sqrt(V).
+
+    Scale shape: the survival_km_na shape with an arm column —
+    one per-user lag window + one tail fold, then the
+    value-distinct (t, d, dA, n, nA) frame and two bounded
+    reverse-cumulative windows; one 1-row fold emits the test."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("user_id", (F.col("user_id") % 2).alias("arm"),
+                  F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                  .alias("us"))
+    g = e.agg(F.max("us").alias("gmax"))
+    lg = e.select(
+        "arm", "us",
+        F.lag("us").over(
+            Window.partitionBy("user_id").orderBy("us")).alias("prev"))
+    closed = (lg.where(F.col("prev").isNotNull())
+              .select("arm",
+                      F.expr("(us - prev) DIV {u}"
+                             .format(u=_US_PER_HOUR)).alias("t"),
+                      F.lit(0).alias("cen")))
+    tail = (e.groupBy("user_id")
+            .agg(F.max("arm").alias("arm"),
+                 F.max("us").alias("lastus"))
+            .crossJoin(F.broadcast(g))
+            .select("arm",
+                    F.expr("(gmax - lastus) DIV {u}"
+                           .format(u=_US_PER_HOUR)).alias("t"),
+                    F.lit(1).alias("cen")))
+    lt = closed.union(tail)
+    vt = lt.groupBy("t").agg(
+        F.sum(F.lit(1) - F.col("cen")).alias("d"),
+        F.sum(F.when((F.col("cen") == 0) & (F.col("arm") == 0), 1)
+              .otherwise(0)).alias("da"),
+        F.count("*").alias("subj"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .alias("subja"))
+    wdesc = (Window.orderBy(F.desc("t"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    vr = vt.select("t", "d", "da",
+                   F.sum("subj").over(wdesc).alias("n"),
+                   F.sum("subja").over(wdesc).alias("na"))
+    de = vr.where((F.col("d") > 0) & (F.col("n") > 1))
+    return de.agg(
+        F.count("*").cast("long").alias("n_death_times"),
+        F.sum("d").cast("long").alias("n_deaths"),
+        F.sum(F.expr(
+            "CASE WHEN da * n - d * na >= 0 "
+            "THEN (da * n - d * na) * 1000000 DIV n "
+            "ELSE -((d * na - da * n) * 1000000 DIV n) END"))
+        .cast("long").alias("u_micro"),
+        F.sum(F.expr(
+            "CAST(d AS DECIMAL(38,0)) * na * (n - na) * (n - d) "
+            "* 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"))
+        .cast("long").alias("v_micro"))
+
+
 @_q("friedman_test", sql="""
 WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
            FROM events GROUP BY 1, 2),

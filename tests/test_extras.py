@@ -4559,3 +4559,41 @@ def test_brier_decomp_helper_hand(spark):
             r["unc_micro"], r["brier_binned_micro"])
            for r in _brier_decomp(bins).collect()]
     assert out == [(20, 10, 2500, 90000, 250000, 162500)], out
+
+
+def test_mood_median_test_hand(spark, tmp_path):
+    """A=[1,2], B=[3,4]: grand median (type-1, 2*cum >= n) = 2 with
+    the median row in the at-or-below cell; perfect separation
+    gives symmetric chi2 terms of 2000 milli each (summed chi2 =
+    4.0 at 1 df — the k-sample blunt instrument at full blast)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [(0, "x", "en", "A", 1), (1, "x", "en", "A", 2),
+            (2, "x", "en", "B", 3), (3, "x", "en", "B", 4)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["source"]: (r["n_above"], r["n_at_or_below"],
+                         r["grand_median"], r["chi2_term_milli"])
+           for r in QUERIES["mood_median_test"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": (0, 2, 2, 2000), "B": (2, 0, 2, 2000)}, out
+
+
+def test_logrank_gap_survival_hand(spark, tmp_path):
+    """Arm 0 = even users (u2: gap 10 + tail; u4: tail only), arm 1
+    = odd (u1: gap 5; u3: gap 20 defining the corpus end). Worked
+    risk sets give U = -0.5 + 0.4 - 0.5 = -0.6 (arm 0 dies LESS
+    than expected — longer gaps) and V = 0.74, every term a
+    sign-safe exact floor."""
+    from extractor.queries import QUERIES
+
+    _km_events(tmp_path, {2: [0, 10], 1: [0, 5],
+                          3: [0, 20], 4: [0]})
+    out = [(r["n_death_times"], r["n_deaths"], r["u_micro"],
+            r["v_micro"])
+           for r in QUERIES["logrank_gap_survival"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(3, 3, -600000, 740000)], out
