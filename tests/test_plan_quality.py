@@ -1149,3 +1149,49 @@ def test_graph_random_walks_plan(spark):
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_apriori_triples_plan(spark):
+    """A-Priori 3-itemsets: basket pair/triple expansion and every
+    frequent-item/pair prune must be equi-joins (hash or
+    sort-merge); the only nested loops allowed are the bounded
+    1-row relative-minsup broadcast crosses; no Python eval, no
+    cartesian product."""
+    final = _final_plan(spark, "apriori_triples")
+    assert "HashJoin" in final or "SortMergeJoin" in final, final
+    assert "CartesianProduct" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
+
+
+def test_allen_interval_census_plan(spark):
+    """Allen census: the per-user span pair join must be an
+    EQUI-join on user_id (type-domain-bounded fan-out, the apriori
+    in-basket discipline), never a cartesian; the 13-row literal
+    relation table broadcast-joins the census."""
+    final = _final_plan(spark, "allen_interval_census")
+    assert "HashJoin" in final or "SortMergeJoin" in final, final
+    assert "CartesianProduct" not in final, final
+
+
+def test_mm_ahash_near_dup_plan(spark):
+    """aHash banding: candidates must come from the band-keyed
+    EQUI-join (the scaled-SimHash recipe) — an all-pairs plan here
+    is exactly the quadratic the bands exist to avoid; hashing is
+    array-lambda projection, no Python eval."""
+    final = _final_plan(spark, "mm_ahash_near_dup")
+    assert "HashJoin" in final or "SortMergeJoin" in final, final
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
+
+
+def test_logrank_gap_survival_plan(spark):
+    """Log-rank: gap extraction is the per-user lag window; the
+    only joins are the broadcast 1-row span/total crosses — no
+    corpus-scale join of any kind."""
+    final = _final_plan(spark, "logrank_gap_survival")
+    assert "CartesianProduct" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
