@@ -15662,6 +15662,158 @@ def survival_km_na(spark, sf_dir):
         .otherwise(F.round("ls", 6)).alias("log_surv_r"))
 
 
+@_q("jarque_bera_normality", sql="""
+WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT)
+                    AS s1,
+                  CAST(sum(CAST(n_chars AS HUGEINT) * n_chars)
+                       AS HUGEINT) AS s2,
+                  CAST(sum(CAST(n_chars AS HUGEINT) * n_chars
+                           * n_chars) AS HUGEINT) AS s3,
+                  CAST(sum(CAST(n_chars AS HUGEINT) * n_chars
+                           * n_chars * n_chars) AS HUGEINT) AS s4
+           FROM documents GROUP BY source),
+m AS (SELECT source, n,
+             CAST(n * s2 - s1 * s1 AS DOUBLE) AS m2,
+             CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+                  AS DOUBLE) AS m3,
+             CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+                  + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+                  AS DOUBLE) AS m4
+      FROM g)
+SELECT source, n,
+       CASE WHEN m2 = 0 THEN NULL
+            ELSE round(m3 / (m2 * sqrt(m2)), 6) END AS skew_r,
+       CASE WHEN m2 = 0 THEN NULL
+            ELSE round(m4 / (m2 * m2) - 3, 6) END AS ex_kurt_r,
+       CASE WHEN m2 = 0 THEN NULL
+            ELSE round(n / 6.0 * (m3 * m3 / (m2 * m2 * m2)
+                 + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3)
+                   / 4), 6) END AS jb_r
+FROM m
+""")
+def jarque_bera_normality(spark, sf_dir):
+    """Jarque-Bera normality test (Jarque & Bera, Economics Letters
+    1980) per source on doc lengths: JB = n/6 (S^2 + K^2/4) from
+    moment skewness and excess kurtosis — the econometrics-standard
+    'is this distribution even close to Gaussian' gate a pipeline
+    runs before trusting any z-score-based monitor (welch_t, the
+    sigma-based SAX breakpoints). Exactness: the n-scaled central
+    sums M2/M3/M4 expand from raw power sums in HUGEINT/
+    DECIMAL(38,0) (exact: the scalings cancel so S^2 = M3^2/M2^3
+    and K = M4/M2^2 need no n powers), then ONE cast to double per
+    sum (M3^2 would pass DECIMAL(38) at corpus scale — measured
+    bound, so the chain is cast-then-multiply, each step correctly
+    rounded and engine-identical) and the 6dp-rounded float chain
+    (the vopt/sax convention). Zero-variance sources emit NULLs.
+
+    Scale shape: ONE map-side-combinable corpus fold to the four
+    power sums; everything else on the sources-bounded frame."""
+    d = t(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("decimal(38,0)")
+    g = (d.groupBy("source")
+         .agg(F.count("*").alias("n"), F.sum(x).alias("s1"),
+              F.sum(x * F.col("n_chars")).alias("s2"),
+              F.sum(x * F.col("n_chars") * F.col("n_chars"))
+              .alias("s3"),
+              F.sum(x * F.col("n_chars") * F.col("n_chars")
+                    * F.col("n_chars")).alias("s4")))
+    m = g.select(
+        "source", F.col("n").cast("long").alias("n"),
+        F.expr("CAST(n * s2 - s1 * s1 AS DOUBLE)").alias("m2"),
+        F.expr("CAST(n * n * s3 - 3 * n * s1 * s2 "
+               "+ 2 * s1 * s1 * s1 AS DOUBLE)").alias("m3"),
+        F.expr("CAST(n * n * n * s4 - 4 * n * n * s1 * s3 "
+               "+ 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 "
+               "AS DOUBLE)").alias("m4"))
+    return m.select(
+        "source", "n",
+        F.when(F.col("m2") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("m3")
+                           / (F.col("m2") * F.sqrt("m2")), 6))
+        .alias("skew_r"),
+        F.when(F.col("m2") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("m4") / (F.col("m2") * F.col("m2"))
+                           - 3, 6)).alias("ex_kurt_r"),
+        F.when(F.col("m2") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(
+            F.col("n") / 6.0
+            * (F.col("m3") * F.col("m3")
+               / (F.col("m2") * F.col("m2") * F.col("m2"))
+               + (F.col("m4") / (F.col("m2") * F.col("m2")) - 3)
+               * (F.col("m4") / (F.col("m2") * F.col("m2")) - 3)
+               / 4), 6)).alias("jb_r"))
+
+
+@_q("bowley_skewness", sql="""
+WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x
+           FROM documents),
+vd AS (SELECT source, x AS v, CAST(count(*) AS BIGINT) AS c
+       FROM d GROUP BY 1, 2),
+cw AS (SELECT source, v, c,
+              sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+              sum(c) OVER (PARTITION BY source) AS n
+       FROM vd),
+q AS (SELECT source, max(n) AS n,
+             min(CASE WHEN 4 * cum >= n THEN v END) AS q1,
+             min(CASE WHEN 2 * cum >= n THEN v END) AS q2,
+             min(CASE WHEN 4 * cum >= 3 * n THEN v END) AS q3
+      FROM cw GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2,
+       CAST(q3 AS BIGINT) AS q3,
+       CAST(CASE WHEN q3 = q1 THEN 0
+                 WHEN q3 + q1 - 2 * q2 >= 0
+                 THEN (q3 + q1 - 2 * q2) * 1000000 // (q3 - q1)
+                 ELSE -((2 * q2 - q3 - q1) * 1000000 // (q3 - q1))
+            END AS BIGINT) AS bowley_micro
+FROM q
+""")
+def bowley_skewness(spark, sf_dir):
+    """Bowley's quartile skewness (Bowley, Elements of Statistics
+    1920): (Q3 + Q1 - 2 Q2) / (Q3 - Q1) per source on doc lengths —
+    the ORDER-STATISTICS twin of jarque_bera_normality's moment
+    skewness, bounded in [-1, 1] and immune to the tails that let a
+    single giant doc dominate m3 (run both: when they disagree, the
+    tail is the story). Pure integers end-to-end: type-1 quartiles
+    via the smallest-v-with-4*cum >= p*n integer rule on the
+    value-distinct frame (the tukey convention, no floats even in
+    the cut), the ratio one SIGN-SAFE micro floor (cohens_kappa
+    pinning), and the degenerate Q1 = Q3 case pinned to 0.
+
+    Scale shape: ONE corpus fold to the per-source value-distinct
+    frame; quartiles from its bounded cumulative window; the ratio
+    is arithmetic on the sources frame."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x"))
+    vd = d.groupBy("source", F.col("x").alias("v")).agg(
+        F.count("*").alias("c"))
+    ws = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wsa = Window.partitionBy("source")
+    cw = vd.select("source", "v", "c",
+                   F.sum("c").over(ws).alias("cum"),
+                   F.sum("c").over(wsa).alias("n"))
+    q = (cw.groupBy("source")
+         .agg(F.max("n").alias("n"),
+              F.min(F.when(4 * F.col("cum") >= F.col("n"),
+                           F.col("v"))).alias("q1"),
+              F.min(F.when(2 * F.col("cum") >= F.col("n"),
+                           F.col("v"))).alias("q2"),
+              F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"),
+                           F.col("v"))).alias("q3")))
+    return q.select(
+        "source", F.col("n").cast("long").alias("n"),
+        F.col("q1").cast("long").alias("q1"),
+        F.col("q2").cast("long").alias("q2"),
+        F.col("q3").cast("long").alias("q3"),
+        F.expr("CAST(CASE WHEN q3 = q1 THEN 0 "
+               "WHEN q3 + q1 - 2 * q2 >= 0 "
+               "THEN (q3 + q1 - 2 * q2) * 1000000 DIV (q3 - q1) "
+               "ELSE -((2 * q2 - q3 - q1) * 1000000 DIV (q3 - q1)) "
+               "END AS BIGINT)").alias("bowley_micro"))
+
+
 @_q("mood_median_test", sql="""
 WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x
            FROM documents),

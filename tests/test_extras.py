@@ -4597,3 +4597,53 @@ def test_logrank_gap_survival_hand(spark, tmp_path):
            for r in QUERIES["logrank_gap_survival"](
                spark, str(tmp_path)).collect()]
     assert out == [(3, 3, -600000, 740000)], out
+
+
+def test_jarque_bera_normality_hand(spark, tmp_path):
+    """A=[1,2,3]: M3=0 (symmetric), K = 54/36-3 = -1.5, JB =
+    0.5*(2.25/4) = 0.28125 exactly on the rounding grid. B=[1,1,4]:
+    skew = 54/(18*sqrt(18)) = 1/sqrt(2) -> 0.707107, JB = 0.53125.
+    Constant C pins the zero-variance NULLs."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    groups = {"A": [1, 2, 3], "B": [1, 1, 4], "C": [5, 5]}
+    rows = [(i, "x", "en", s, v) for i, (s, v) in enumerate(
+        (s, v) for s, vs in groups.items() for v in vs)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["source"]: (r["n"], r["skew_r"], r["ex_kurt_r"],
+                         r["jb_r"])
+           for r in QUERIES["jarque_bera_normality"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": (3, 0.0, -1.5, 0.28125),
+                   "B": (3, 0.707107, -1.5, 0.53125),
+                   "C": (2, None, None, None)}, out
+
+
+def test_bowley_skewness_hand(spark, tmp_path):
+    """A=[1,2,6,7]: type-1 quartiles 1/2/6 -> (6+1-4)/5 = +0.6;
+    B=[1,5,6,7]: 1/5/6 -> -0.6 through the sign-safe branch;
+    C=[1,1,1,10]: all three quartiles collapse onto the tied value
+    1 -> the Q1=Q3 edge pins 0 (and shows the robustness to the
+    outlier that would explode the moment skew)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    groups = {"A": [1, 2, 6, 7], "B": [1, 5, 6, 7],
+              "C": [1, 1, 1, 10]}
+    rows = [(i, "x", "en", s, v) for i, (s, v) in enumerate(
+        (s, v) for s, vs in groups.items() for v in vs)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["source"]: (r["n"], r["q1"], r["q2"], r["q3"],
+                         r["bowley_micro"])
+           for r in QUERIES["bowley_skewness"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": (4, 1, 2, 6, 600000),
+                   "B": (4, 1, 5, 6, -600000),
+                   "C": (4, 1, 1, 1, 0)}, out
