@@ -18918,6 +18918,214 @@ def hilbert_layout_audit(spark, sf_dir):
     return spark.sql(body)
 
 
+@_q("levene_brown_forsythe", sql="""
+WITH gv AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2),
+cw AS (SELECT source, v, c,
+              sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+              sum(c) OVER (PARTITION BY source) AS ng
+       FROM gv),
+md AS (SELECT source, min(CASE WHEN 2 * cum >= ng THEN v END) AS med
+       FROM cw GROUP BY source),
+g AS (SELECT gv.source, CAST(sum(gv.c) AS BIGINT) AS ng,
+             CAST(sum(CAST(gv.c AS HUGEINT)
+                      * abs(gv.v - md.med)) AS HUGEINT) AS tg,
+             CAST(sum(CAST(gv.c AS HUGEINT) * (gv.v - md.med)
+                      * (gv.v - md.med)) AS HUGEINT) AS sq
+      FROM gv JOIN md USING (source) GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(tg) AS HUGEINT) AS t,
+               CAST(sum(sq) AS HUGEINT) AS sq,
+               CAST(sum(tg * tg * 1000000 // ng) AS HUGEINT) AS sgt
+        FROM g)
+SELECT k, n,
+       CAST(greatest(sgt - t * t * 1000000 // n, 0) AS BIGINT)
+         AS ssb_micro,
+       CAST(sq * 1000000 - sgt AS BIGINT) AS ssw_micro,
+       CAST(CASE WHEN sq * 1000000 - sgt = 0 THEN -1
+            ELSE greatest(sgt - t * t * 1000000 // n, 0)
+                 * (n - k) * 1000
+                 // ((sq * 1000000 - sgt) * (k - 1))
+            END AS BIGINT) AS w_milli
+FROM tot
+""")
+def levene_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test (Brown & Forsythe,
+    JASA 1974 — Levene's 1960 test with the robust MEDIAN center)
+    for doc length across sources: the gate a pipeline runs BEFORE
+    trusting anova_f_oneway's equal-variance F (when W rejects,
+    welch_t_drift's unequal-variance form is the valid pairwise
+    fallback). W = ((n-k)/(k-1)) * SSB(z)/SSW(z) where z_ij =
+    |x_ij - med_j| — i.e. EXACTLY the one-way ANOVA identity
+    applied to absolute deviations from the per-group type-1
+    median. Exactness: the group median is the integer lower
+    median on the value-distinct frame (min v with 2*cum >= n,
+    the mood_median_test rule — no floats even in the cut), so
+    every z is an exact integer and the per-group suff stats
+    (n, sum z, sum z^2) fold in HUGEINT/DECIMAL(38,0); SSB/SSW
+    then follow anova_f_oneway's micro-floor chain verbatim
+    (T_g^2*1e6 DIV n_g per group, SSB clamped at 0 — the floors
+    can push a mathematically-zero SSB one ulp negative, and a
+    negative numerator would split the engines on DIV semantics),
+    one final milli floor for W, -1 sentinel when SSW = 0 (all
+    groups constant about their medians).
+
+    Scale shape: ONE corpus fold to the (source, value, count)
+    frame (the kruskal_wallis_h small-domain discipline); the
+    median window, the broadcast median join-back, and the ANOVA
+    assembly all run on the value-bounded frame. The corpus is
+    touched exactly once, map-side-combinable."""
+    d = t(spark, sf_dir, "documents")
+    gv = (d.groupBy("source",
+                    F.col("n_chars").cast("long").alias("v"))
+          .agg(F.count("*").alias("c")).persist())
+    ws = Window.partitionBy("source")
+    cw = (gv.withColumn("cum", F.sum("c").over(ws.orderBy("v")))
+          .withColumn("ng", F.sum("c").over(ws)))
+    md = (cw.groupBy("source")
+          .agg(F.min(F.when(2 * F.col("cum") >= F.col("ng"),
+                            F.col("v"))).alias("med")))
+    g = (gv.join(F.broadcast(md), "source")
+         .groupBy("source")
+         .agg(F.sum("c").cast("long").alias("ng"),
+              F.sum(F.col("c").cast("decimal(38,0)")
+                    * F.abs(F.col("v") - F.col("med"))).alias("tg"),
+              F.sum(F.col("c").cast("decimal(38,0)")
+                    * (F.col("v") - F.col("med"))
+                    * (F.col("v") - F.col("med"))).alias("sq")))
+    tot = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("tg").alias("t"),
+        F.sum("sq").alias("sq"),
+        F.sum(F.expr("tg * tg * 1000000 DIV ng")).alias("sgt"))
+    return tot.select(
+        "k", "n",
+        F.expr("CAST(greatest(sgt - t * t * 1000000 DIV n, 0) "
+               "AS BIGINT)").alias("ssb_micro"),
+        F.expr("CAST(sq * 1000000 - sgt AS BIGINT)")
+        .alias("ssw_micro"),
+        F.expr("CAST(CASE WHEN sq * 1000000 - sgt = 0 THEN -1 "
+               "ELSE greatest(sgt - t * t * 1000000 DIV n, 0) "
+               "* (n - k) * 1000 "
+               "DIV ((sq * 1000000 - sgt) * (k - 1)) END AS BIGINT)")
+        .alias("w_milli"))
+
+
+@_q("jonckheere_terpstra", sql="""
+WITH gv AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2),
+vv AS (SELECT DISTINCT v FROM gv),
+src AS (SELECT source, CAST(sum(c) AS BIGINT) AS ng
+        FROM gv GROUP BY 1),
+grid AS (SELECT s.source, s.ng, vv.v, CAST(COALESCE(gv.c, 0)
+                AS BIGINT) AS c0
+         FROM src s CROSS JOIN vv
+         LEFT JOIN gv ON gv.source = s.source AND gv.v = vv.v),
+wgt AS (SELECT source, v, c0,
+               2 * ng - 2 * sum(c0) OVER (PARTITION BY source
+                                          ORDER BY v) + c0 AS w
+        FROM grid),
+sfx AS (SELECT source, v, c0,
+               COALESCE(sum(w) OVER (PARTITION BY v ORDER BY source
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                 0) AS s
+        FROM wgt),
+jj AS (SELECT CAST(sum(CAST(c0 AS HUGEINT) * s) AS HUGEINT) AS j2
+       FROM sfx),
+mo AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(ng) AS BIGINT) AS n,
+              CAST(sum(CAST(ng AS HUGEINT) * ng) AS HUGEINT) AS sn2,
+              CAST(sum(CAST(ng AS HUGEINT) * ng * (2 * ng + 3))
+                   AS HUGEINT) AS sn23
+       FROM src),
+ti AS (SELECT CAST(COALESCE(sum(cnt * cnt * cnt - cnt), 0)
+              AS BIGINT) AS tie_cubed
+       FROM (SELECT v, CAST(sum(c) AS BIGINT) AS cnt
+             FROM gv GROUP BY v)
+       WHERE cnt > 1)
+SELECT mo.k, mo.n, CAST(jj.j2 AS BIGINT) AS j2,
+       CAST(CAST(mo.n AS HUGEINT) * mo.n - mo.sn2 AS BIGINT) AS e4,
+       CAST(CAST(mo.n AS HUGEINT) * mo.n * (2 * mo.n + 3) - mo.sn23
+            AS BIGINT) AS var72,
+       ti.tie_cubed
+FROM jj, mo, ti
+""")
+def jonckheere_terpstra(spark, sf_dir):
+    """Jonckheere-Terpstra ordered-alternative k-sample test
+    (Terpstra, Indag. Math. 1952; Jonckheere, Biometrika 1954) for
+    doc length across sources taken in source-name order — the
+    member of the k-sample family kruskal_wallis_h cannot replace
+    when the hypothesis is DIRECTIONAL ("each successive source
+    shifts longer"), where J-T concentrates its power: J = sum over
+    ordered group pairs i<j of the Mann-Whitney count #{x_i < y_j}
+    + half-ties. Exactness: the DOUBLED statistic j2 = sum 2*#less
+    + #equal is a pure integer (the auc_mann_whitney convention);
+    it folds WITHOUT the pairwise group-join by the cumulative
+    identity — on the global value grid each (group i, value v)
+    cell contributes c_i(v) * sum_{j>i} (2*gt_j(v) + eq_j(v)),
+    where the inner sum is ONE suffix window over source order per
+    value. Null moments ship as exact integers: e4 = n^2 - sum
+    n_g^2 (4-scaled mean), var72 = n^2(2n+3) - sum n_g^2(2n_g+3)
+    (72-scaled no-tie variance), with the global tie_cubed mass
+    alongside so the caller can apply the tie-corrected variance
+    (the var18/mann_kendall convention: integers cross the
+    contract, the z-score's sqrt stays caller-side).
+
+    Scale shape: ONE corpus fold to the (source, value, count)
+    frame; the k x V grid (sources x distinct lengths — bounded by
+    the value DOMAIN, not the corpus), two windows over it, and
+    1-row assembly. No corpus-scale join anywhere."""
+    d = t(spark, sf_dir, "documents")
+    gv = (d.groupBy("source",
+                    F.col("n_chars").cast("long").alias("v"))
+          .agg(F.count("*").alias("c")).persist())
+    vv = gv.select("v").distinct()
+    src = gv.groupBy("source").agg(F.sum("c").cast("long")
+                                   .alias("ng"))
+    grid = (src.crossJoin(vv)
+            .join(gv, ["source", "v"], "left")
+            .select("source", "ng", "v",
+                    F.coalesce(F.col("c"), F.lit(0)).cast("long")
+                    .alias("c0")))
+    wcum = Window.partitionBy("source").orderBy("v")
+    wgt = grid.select(
+        "source", "v", "c0",
+        (2 * F.col("ng") - 2 * F.sum("c0").over(wcum)
+         + F.col("c0")).alias("w"))
+    wsfx = (Window.partitionBy("v").orderBy("source")
+            .rowsBetween(1, Window.unboundedFollowing))
+    sfx = wgt.select(
+        "source", "v", "c0",
+        F.coalesce(F.sum("w").over(wsfx), F.lit(0)).alias("s"))
+    jj = sfx.agg(F.sum(F.col("c0").cast("decimal(38,0)")
+                       * F.col("s")).alias("j2"))
+    mo = src.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(F.col("ng").cast("decimal(38,0)") * F.col("ng"))
+        .alias("sn2"),
+        F.sum(F.col("ng").cast("decimal(38,0)") * F.col("ng")
+              * (2 * F.col("ng") + 3)).alias("sn23"))
+    ti = (gv.groupBy("v").agg(F.sum("c").alias("cnt"))
+          .where(F.col("cnt") > 1)
+          .agg(F.coalesce(F.sum(F.col("cnt") * F.col("cnt")
+                                * F.col("cnt") - F.col("cnt")),
+                          F.lit(0)).cast("long").alias("tie_cubed")))
+    return (jj.crossJoin(F.broadcast(mo)).crossJoin(F.broadcast(ti))
+            .select("k", "n",
+                    F.col("j2").cast("long").alias("j2"),
+                    F.expr("CAST(CAST(n AS DECIMAL(38,0)) * n - sn2 "
+                           "AS BIGINT)").alias("e4"),
+                    F.expr("CAST(CAST(n AS DECIMAL(38,0)) * n "
+                           "* (2 * n + 3) - sn23 AS BIGINT)")
+                    .alias("var72"),
+                    "tie_cubed"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

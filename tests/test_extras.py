@@ -4647,3 +4647,70 @@ def test_bowley_skewness_hand(spark, tmp_path):
     assert out == {"A": (4, 1, 2, 6, 600000),
                    "B": (4, 1, 5, 6, -600000),
                    "C": (4, 1, 1, 1, 0)}, out
+
+
+def _docs_groups(path, groups):
+    import os
+
+    rows = [(i, "x", "en", s, v) for i, (s, v) in enumerate(
+        (s, v) for s, vs in groups.items() for v in vs)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(
+        os.path.join(str(path), "documents.parquet"))
+
+
+def test_levene_brown_forsythe_hand(spark, tmp_path):
+    """A=[1,2,3,10] (type-1 median 2, z=[1,0,1,8]) vs B=[5,5,5,5]
+    (z all 0): SSB = 100e6/4 - 100e6/8 = 12.5e6, SSW = 66e6 - 25e6
+    = 41e6, W = 12.5e6*6*1000 DIV 41e6 = 1829 — the heavy group-A
+    tail is exactly what the median center keeps from leaking into
+    group B's spread estimate."""
+    from extractor.queries import QUERIES
+
+    _docs_groups(tmp_path, {"A": [1, 2, 3, 10], "B": [5, 5, 5, 5]})
+    out = [(r["k"], r["n"], r["ssb_micro"], r["ssw_micro"],
+            r["w_milli"])
+           for r in QUERIES["levene_brown_forsythe"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(2, 8, 12500000, 41000000, 1829)], out
+
+
+def test_levene_brown_forsythe_constant_sentinel(spark, tmp_path):
+    """Both groups constant about their medians -> SSW = 0 -> the
+    -1 sentinel (and the clamped SSB stays 0, not a floor-induced
+    negative that would split the engines on DIV)."""
+    from extractor.queries import QUERIES
+
+    _docs_groups(tmp_path, {"A": [3, 3], "B": [7, 7]})
+    out = [(r["ssb_micro"], r["ssw_micro"], r["w_milli"])
+           for r in QUERIES["levene_brown_forsythe"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(0, 0, -1)], out
+
+
+def test_jonckheere_terpstra_hand(spark, tmp_path):
+    """A=[1,2], B=[2,3], C=[4,5] in source order: U2_AB = 2*3+1 = 7
+    (the 2-vs-2 tie carries the +1), U2_AC = U2_BC = 8, j2 = 23;
+    e4 = 36-12 = 24, var72 = 540-84 = 456, tie_cubed = 6 (the
+    value 2 appearing in both A and B)."""
+    from extractor.queries import QUERIES
+
+    _docs_groups(tmp_path, {"A": [1, 2], "B": [2, 3], "C": [4, 5]})
+    out = [(r["k"], r["n"], r["j2"], r["e4"], r["var72"],
+            r["tie_cubed"])
+           for r in QUERIES["jonckheere_terpstra"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(3, 6, 23, 24, 456, 6)], out
+
+
+def test_jonckheere_terpstra_perfect_order(spark, tmp_path):
+    """Fully separated increasing groups: j2 hits its maximum
+    2 * (n^2 - sum ng^2)/2 = e4 = 24 exactly (every cross-group
+    pair is a strict win for the later source), no ties."""
+    from extractor.queries import QUERIES
+
+    _docs_groups(tmp_path, {"A": [1, 2], "B": [3, 4], "C": [5, 6]})
+    out = [(r["j2"], r["e4"], r["tie_cubed"])
+           for r in QUERIES["jonckheere_terpstra"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(24, 24, 0)], out
