@@ -19126,6 +19126,159 @@ def jonckheere_terpstra(spark, sf_dir):
                     "tie_cubed"))
 
 
+@_q("readability_scores", sql=r"""
+WITH pd AS (SELECT source,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                        AS BIGINT) AS lt,
+                   CAST(len(list_filter(string_split_regex(text,
+                        '[ \t\n\r\f\x0B]+'), x -> x <> ''))
+                        AS BIGINT) AS wd,
+                   greatest(CAST(1 AS BIGINT),
+                            CAST(len(regexp_extract_all(text,
+                                 '[.!?]+')) AS BIGINT)) AS st
+            FROM documents),
+g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(lt) AS BIGINT) AS letters,
+             CAST(sum(wd) AS BIGINT) AS words,
+             CAST(sum(st) AS BIGINT) AS sentences
+      FROM pd GROUP BY source)
+SELECT source, n_docs, letters, words, sentences,
+       CASE WHEN words = 0 THEN NULL
+            ELSE CAST(471 * letters * 1000000 // (100 * words)
+                      + words * 1000000 // (2 * sentences)
+                      - 21430000 AS BIGINT) END AS ari_micro,
+       CASE WHEN words = 0 THEN NULL
+            ELSE CAST(147 * letters * 1000000 // (25 * words)
+                      - 148 * sentences * 1000000 // (5 * words)
+                      - 15800000 AS BIGINT) END AS cli_micro
+FROM g
+""")
+def readability_scores(spark, sf_dir):
+    """Automated Readability Index (Senter & Smith, AMRL-TR-6620,
+    1967) and Coleman-Liau index (Coleman & Liau, J. Applied
+    Psychology 1975) per source over pooled counts — the two
+    classic grade-level formulas built ONLY from letter/word/
+    sentence counts (no syllable dictionary), which is exactly why
+    a training-data pipeline uses them as the cheap fluency gate
+    next to gopher_quality_filter's ratio rules. Conventions
+    pinned cross-engine: letters = [A-Za-z] matches; words =
+    nonempty whitespace tokens (the _WS_CLASS split used by
+    doc_fingerprint/source_vocab_jaccard); sentences = runs of
+    [.!?]+ with a per-doc floor of 1 (a fragment with no terminal
+    punctuation reads as one sentence — the standard fallback).
+    Exactness: ARI = 4.71 L/W + 0.5 W/S - 21.43 and CLI = 5.88 L/W
+    - 29.6 S/W - 15.8 ship as exact micro integers, each rational
+    term floored ONCE with a nonnegative numerator (471 L 1e6 DIV
+    100 W etc. — sign-safety by construction; the final value may
+    go negative only through exact integer SUBTRACTION, which both
+    engines agree on); NULL scores for a wordless source.
+
+    Scale shape: the per-doc counts are a pure projection (three
+    regex passes, zero shuffle, whole-stage codegen); ONE
+    map-side-combinable fold to per-source sums; the formula
+    assembly runs on the k-row frame. The corpus is touched
+    exactly once."""
+    d = t(spark, sf_dir, "documents")
+    pd_ = d.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]"), 0))
+        .cast("long").alias("lt"),
+        F.size(F.filter(F.split("text", _WS_CLASS),
+                        lambda x: x != "")).cast("long").alias("wd"),
+        F.greatest(F.lit(1).cast("long"),
+                   F.size(F.regexp_extract_all(
+                       "text", F.lit("[.!?]+"), 0)).cast("long"))
+        .alias("st"))
+    g = (pd_.groupBy("source")
+         .agg(F.count("*").cast("long").alias("n_docs"),
+              F.sum("lt").cast("long").alias("letters"),
+              F.sum("wd").cast("long").alias("words"),
+              F.sum("st").cast("long").alias("sentences")))
+    return g.select(
+        "source", "n_docs", "letters", "words", "sentences",
+        F.expr("CASE WHEN words = 0 THEN NULL "
+               "ELSE CAST(471 * letters * 1000000 DIV (100 * words) "
+               "+ words * 1000000 DIV (2 * sentences) "
+               "- 21430000 AS BIGINT) END").alias("ari_micro"),
+        F.expr("CASE WHEN words = 0 THEN NULL "
+               "ELSE CAST(147 * letters * 1000000 DIV (25 * words) "
+               "- 148 * sentences * 1000000 DIV (5 * words) "
+               "- 15800000 AS BIGINT) END").alias("cli_micro"))
+
+
+@_q("bray_curtis_source_dissim", sql=r"""
+WITH toks AS (SELECT source,
+                     unnest(list_filter(string_split_regex(
+                            lower(text), '[ \t\n\r\f\x0B]+'),
+                            x -> x <> '')) AS w
+              FROM documents),
+tc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2),
+ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+       FROM tc GROUP BY 1),
+sh AS (SELECT a.source AS source_a, b.source AS source_b,
+              CAST(sum(least(a.c, b.c)) AS BIGINT) AS shared
+       FROM tc a JOIN tc b ON a.w = b.w AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT sh.source_a, sh.source_b,
+       na.n AS tokens_a, nb.n AS tokens_b, sh.shared,
+       CAST(1000000 - 2 * sh.shared * 1000000 // (na.n + nb.n)
+            AS BIGINT) AS bc_micro
+FROM sh JOIN ns na ON na.source = sh.source_a
+        JOIN ns nb ON nb.source = sh.source_b
+""")
+def bray_curtis_source_dissim(spark, sf_dir):
+    """Bray-Curtis dissimilarity (Bray & Curtis, Ecol. Monographs
+    1957) between source pairs over lowercased word-token COUNTS:
+    BC = 1 - 2 sum_w min(c_aw, c_bw) / (N_a + N_b) — the
+    abundance-weighted member of the corpus-comparison family
+    (source_vocab_jaccard ignores counts, source_kl_divergence
+    needs smoothing for absent terms; Bray-Curtis handles absence
+    natively since min(c, 0) = 0 and is bounded in [0,1]). Exact:
+    shared mass and token totals are integers, bc_micro = 1e6 -
+    2*shared*1e6 DIV (N_a + N_b) is ONE floor with a nonnegative
+    numerator (2*shared <= N_a + N_b always, so the value lands in
+    [0, 1e6] — no sign branch needed). Pairs sharing no term at
+    all do not emit (BC = 1 exactly; the absent row IS the
+    maximal-dissimilarity answer — the source_vocab_jaccard sparse
+    convention).
+
+    Scale shape: ONE corpus fold to the (source, term, count)
+    frame (vocabulary x presence sized); the word-keyed self-join
+    fans out at most C(k,2) rows per term (bounded by the source
+    count, never quadratic in the corpus — the jaccard argument);
+    totals join back broadcast onto the k^2-bounded pair frame."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                           lambda x: x != "")).alias("w"))
+    tc = (toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+          .persist())
+    ns = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    a = tc.select(F.col("source").alias("source_a"), "w",
+                  F.col("c").alias("ca"))
+    b = tc.select(F.col("source").alias("source_b"), "w",
+                  F.col("c").alias("cb"))
+    sh = (a.join(b, "w")
+          .where(F.col("source_a") < F.col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(F.sum(F.least("ca", "cb")).alias("shared")))
+    na = ns.select(F.col("source").alias("source_a"),
+                   F.col("n").alias("tokens_a"))
+    nb = ns.select(F.col("source").alias("source_b"),
+                   F.col("n").alias("tokens_b"))
+    return (sh.join(F.broadcast(na), "source_a")
+            .join(F.broadcast(nb), "source_b")
+            .select("source_a", "source_b",
+                    F.col("tokens_a").cast("long").alias("tokens_a"),
+                    F.col("tokens_b").cast("long").alias("tokens_b"),
+                    F.col("shared").cast("long").alias("shared"),
+                    F.expr("CAST(1000000 - 2 * shared * 1000000 DIV "
+                           "(tokens_a + tokens_b) AS BIGINT)")
+                    .alias("bc_micro")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -4714,3 +4714,51 @@ def test_jonckheere_terpstra_perfect_order(spark, tmp_path):
            for r in QUERIES["jonckheere_terpstra"](
                spark, str(tmp_path)).collect()]
     assert out == [(24, 24, 0)], out
+
+
+def _docs_texts(path, rows):
+    import os
+
+    pd.DataFrame(
+        [(i, txt, "en", src, len(txt)) for i, (src, txt)
+         in enumerate(rows)],
+        columns=["doc_id", "text", "lang", "source",
+                 "n_chars"]).to_parquet(
+        os.path.join(str(path), "documents.parquet"))
+
+
+def test_readability_scores_hand(spark, tmp_path):
+    """A: 'Hi there. Bye!' -> letters 10, words 3, sentences 2:
+    ari = 15,700,000 + 750,000 - 21,430,000 = -4,980,000; cli =
+    19,600,000 - 19,733,333 - 15,800,000 = -15,933,333 (the
+    second term exercises a non-exact floor). B: 'abc def' has no
+    terminal punctuation -> the 1-sentence fallback. C: empty text
+    -> words 0 -> NULL scores."""
+    from extractor.queries import QUERIES
+
+    _docs_texts(tmp_path, [("A", "Hi there. Bye!"),
+                           ("B", "abc def"), ("C", "")])
+    out = {r["source"]: (r["letters"], r["words"], r["sentences"],
+                         r["ari_micro"], r["cli_micro"])
+           for r in QUERIES["readability_scores"](
+               spark, str(tmp_path)).collect()}
+    assert out == {
+        "A": (10, 3, 2, -4980000, -15933333),
+        "B": (6, 2, 1, -6300000, -12960000),
+        "C": (0, 0, 1, None, None)}, out
+
+
+def test_bray_curtis_hand(spark, tmp_path):
+    """A='a a b' (N=3), B='a b b c' (N=4): shared = min(2,1) +
+    min(1,2) = 2, BC = 1 - 4/7 -> 1e6 - floor(4e6/7) = 428572.
+    C='zz' shares nothing -> the (A,C)/(B,C) rows do NOT emit
+    (sparse convention: absence IS BC = 1)."""
+    from extractor.queries import QUERIES
+
+    _docs_texts(tmp_path, [("A", "a a b"), ("B", "a b b c"),
+                           ("C", "zz")])
+    out = {(r["source_a"], r["source_b"]):
+           (r["tokens_a"], r["tokens_b"], r["shared"], r["bc_micro"])
+           for r in QUERIES["bray_curtis_source_dissim"](
+               spark, str(tmp_path)).collect()}
+    assert out == {("A", "B"): (3, 4, 2, 428572)}, out
