@@ -19279,6 +19279,213 @@ def bray_curtis_source_dissim(spark, sf_dir):
                     .alias("bc_micro")))
 
 
+@_q("page_trend_test", sql="""
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type FROM c),
+tj AS (SELECT event_type,
+              CAST(row_number() OVER (ORDER BY event_type)
+                   AS BIGINT) AS j
+       FROM ty),
+us AS (SELECT DISTINCT user_id FROM c),
+fl AS (SELECT us.user_id, ty.event_type,
+              coalesce(c.c, 0) AS x
+       FROM us CROSS JOIN ty
+       LEFT JOIN c ON c.user_id = us.user_id
+                   AND c.event_type = ty.event_type),
+rk AS (SELECT user_id, event_type, x,
+              2 * rank() OVER (PARTITION BY user_id ORDER BY x)
+                + count(*) OVER (PARTITION BY user_id, x) - 1 AS r2
+       FROM fl),
+ll AS (SELECT CAST(sum(CAST(rk.r2 AS HUGEINT) * tj.j) AS HUGEINT)
+              AS l2
+       FROM rk JOIN tj USING (event_type)),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM us),
+ti AS (SELECT CAST(coalesce(sum(tg * tg * tg - tg), 0) AS BIGINT)
+              AS tie_cubed
+       FROM (SELECT user_id, x, count(*) AS tg FROM fl
+             GROUP BY user_id, x) WHERE tg > 1)
+SELECT kk.k, nn.n AS n_blocks, CAST(ll.l2 AS BIGINT) AS l2,
+       CAST(nn.n * kk.k * (kk.k + 1) * (kk.k + 1) // 2 AS BIGINT)
+         AS el2,
+       CAST(nn.n * kk.k * kk.k * (kk.k + 1)
+            * (kk.k * kk.k - 1) AS BIGINT) AS var144,
+       ti.tie_cubed
+FROM kk, nn, ll, ti
+""")
+def page_trend_test(spark, sf_dir):
+    """Page's trend test for ordered alternatives in k related
+    samples (Page, JASA 1963): L = sum_j j * R_j over the
+    friedman_test block-rank frame with treatments (event types)
+    taken in NAME ORDER — the within-subject twin of
+    jonckheere_terpstra (Friedman answers "do the types differ at
+    all"; Page concentrates the power on "do they shift
+    MONOTONICALLY along the type order", per user as their own
+    block). Reuses friedman's machinery verbatim: per-user type
+    counts zero-FILLED via the bounded user x type cross, doubled
+    midranks r2, so l2 = sum_j j * R2_j is the exact doubled L.
+    Null moments ship exact: el2 = n k (k+1)^2 / 2 (always
+    integral — (k+1)^2 is a multiple of 4 for odd k, and n*k even
+    covers even k... the DIV is exact either way) and the no-tie
+    var144 = n k^2 (k+1)(k^2-1) (144-scaled), with tie_cubed
+    alongside (the var18 convention: integers cross the contract,
+    the z-score stays caller-side).
+
+    Scale shape: identical to friedman_test — ONE corpus fold to
+    (user, type, count), bounded zero-fill cross, per-user k-row
+    rank windows, and the j-weighted column fold against the
+    broadcast k-row type-index table."""
+    ev = t(spark, sf_dir, "events")
+    c = (ev.groupBy("user_id", "event_type")
+         .agg(F.count("*").alias("c")).persist())
+    ty = c.select("event_type").distinct()
+    tj = ty.select(
+        "event_type",
+        F.row_number().over(Window.orderBy("event_type"))
+        .cast("long").alias("j"))
+    us = c.select("user_id").distinct()
+    fl = (us.crossJoin(F.broadcast(ty))
+          .join(c, ["user_id", "event_type"], "left")
+          .select("user_id", "event_type",
+                  F.coalesce("c", F.lit(0)).alias("x")))
+    wu = Window.partitionBy("user_id")
+    rk = fl.select(
+        "user_id", "event_type", "x",
+        (F.lit(2) * F.rank().over(wu.orderBy("x"))
+         + F.count("*").over(Window.partitionBy("user_id", "x"))
+         - 1).alias("r2"))
+    ll = (rk.join(F.broadcast(tj), "event_type")
+          .agg(F.sum(F.col("r2").cast("decimal(38,0)")
+                     * F.col("j")).alias("l2")))
+    kk = ty.agg(F.count("*").alias("k"))
+    nn = us.agg(F.count("*").alias("n"))
+    ti = (fl.groupBy("user_id", "x").agg(F.count("*").alias("tg"))
+          .where(F.col("tg") > 1)
+          .agg(F.coalesce(F.sum(F.col("tg") * F.col("tg")
+                                * F.col("tg") - F.col("tg")),
+                          F.lit(0)).alias("tie_cubed")))
+    return (ll.crossJoin(F.broadcast(kk)).crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(ti))
+            .select(F.col("k").cast("long").alias("k"),
+                    F.col("n").cast("long").alias("n_blocks"),
+                    F.col("l2").cast("long").alias("l2"),
+                    F.expr("CAST(n * k * (k + 1) * (k + 1) DIV 2 "
+                           "AS BIGINT)").alias("el2"),
+                    F.expr("CAST(n * k * k * (k + 1) "
+                           "* (k * k - 1) AS BIGINT)")
+                    .alias("var144"),
+                    F.col("tie_cubed").cast("long")
+                    .alias("tie_cubed")))
+
+
+_BD_TOP = 30  # Burrows' Delta marker-word count (top-frequency)
+
+
+@_q("burrows_delta", sql=r"""
+WITH toks AS (SELECT source,
+                     unnest(list_filter(string_split_regex(
+                            lower(text), '[ \t\n\r\f\x0B]+'),
+                            x -> x <> '')) AS w
+              FROM documents),
+tc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2),
+ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+       FROM tc GROUP BY 1),
+gw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cg FROM tc GROUP BY w),
+topw AS (SELECT w FROM (SELECT w, row_number()
+                               OVER (ORDER BY cg DESC, w) AS rn
+                        FROM gw) WHERE rn <= {top}),
+ff AS (SELECT ns.source, topw.w,
+              CAST(coalesce(tc.c, 0) * 1000000 // ns.n AS BIGINT)
+                AS f
+       FROM ns CROSS JOIN topw
+       LEFT JOIN tc ON tc.source = ns.source AND tc.w = topw.w),
+sv AS (SELECT w, CAST(count(*) AS BIGINT) AS k,
+              CAST(count(*) * sum(CAST(f AS HUGEINT) * f)
+                   - sum(CAST(f AS HUGEINT))
+                     * sum(CAST(f AS HUGEINT)) AS HUGEINT)
+                AS varnum
+       FROM ff GROUP BY w),
+tm AS (SELECT a.source AS source_a, b.source AS source_b,
+              CAST(floor(abs(a.f - b.f) * sv.k * 1000
+                   / sqrt(CAST(sv.varnum AS DOUBLE))) AS BIGINT)
+                AS term
+       FROM ff a JOIN ff b ON a.w = b.w AND a.source < b.source
+       JOIN sv ON sv.w = a.w
+       WHERE sv.varnum > 0)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(term) // count(*) AS BIGINT) AS delta_milli
+FROM tm GROUP BY 1, 2
+""".format(top=_BD_TOP))
+def burrows_delta(spark, sf_dir):
+    """Burrows' Delta authorship/register distance (Burrows,
+    Literary & Linguistic Computing 2002; Argamon's probabilistic
+    reading, LLC 2008) between source pairs: mean |z_a - z_b| over
+    the corpus's top-{top} most frequent words, each word's
+    relative frequency z-scored ACROSS sources — THE standard
+    stylometric attribution measure, and for a training pipeline
+    the register-drift check that survives topic shift (marker
+    words are function words, not content words). Exactness: the
+    per-source relative frequency is pinned as the exact floored
+    micro integer f = c * 1e6 DIV N (zero-filled on the bounded
+    source x marker-word grid); the cross-source variance
+    numerator k*sum f^2 - (sum f)^2 is an exact integer, and the
+    mean cancels in the z DIFFERENCE so each pair term is
+    |f_a - f_b| * k / sqrt(varnum) — ONE float chain per (pair,
+    word) with an exact-integer numerator below 2^53, IEEE sqrt/
+    div correctly rounded hence engine-identical, floored to
+    milli BEFORE the order-free integer sum (the mood_median
+    per-term-floor discipline). Zero-variance markers drop; the
+    mean divides by the surviving count.
+
+    Scale shape: ONE corpus fold to (source, word, count); the
+    global top-{top} marker selection is a bounded top-k (Spark:
+    TakeOrderedAndProject, never a full sort to the driver); all
+    later frames are (k sources x 30 words) and C(k,2) pairs —
+    metadata-scale."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.filter(F.split(F.lower("text"), _WS_CLASS),
+                           lambda x: x != "")).alias("w"))
+    tc = (toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+          .persist())
+    ns = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    topw = (tc.groupBy("w").agg(F.sum("c").alias("cg"))
+            .orderBy(F.desc("cg"), "w").limit(_BD_TOP)
+            .select("w"))
+    ff = (ns.crossJoin(F.broadcast(topw))
+          .join(tc, ["source", "w"], "left")
+          .select("source", "w",
+                  F.expr("CAST(coalesce(c, 0) * 1000000 DIV n "
+                         "AS BIGINT)").alias("f")))
+    sv = (ff.groupBy("w")
+          .agg(F.count("*").cast("long").alias("k"),
+               (F.count("*")
+                * F.sum(F.col("f").cast("decimal(38,0)")
+                        * F.col("f"))
+                - F.sum(F.col("f").cast("decimal(38,0)"))
+                * F.sum(F.col("f").cast("decimal(38,0)")))
+               .alias("varnum")))
+    a = ff.select(F.col("source").alias("source_a"), "w",
+                  F.col("f").alias("fa"))
+    b = ff.select(F.col("source").alias("source_b"), "w",
+                  F.col("f").alias("fb"))
+    tm = (a.join(b, "w")
+          .where(F.col("source_a") < F.col("source_b"))
+          .join(F.broadcast(sv.where(F.col("varnum") > 0)), "w")
+          .select("source_a", "source_b",
+                  F.floor(F.abs(F.col("fa") - F.col("fb"))
+                          * F.col("k") * 1000
+                          / F.sqrt(F.col("varnum").cast("double")))
+                  .cast("long").alias("term")))
+    return (tm.groupBy("source_a", "source_b")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.expr("CAST(sum(term) DIV count(*) AS BIGINT)")
+                 .alias("delta_milli")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -4762,3 +4762,53 @@ def test_bray_curtis_hand(spark, tmp_path):
            for r in QUERIES["bray_curtis_source_dissim"](
                spark, str(tmp_path)).collect()}
     assert out == {("A", "B"): (3, 4, 2, 428572)}, out
+
+
+def test_page_trend_test_hand(spark, tmp_path):
+    """u1 (0,1,2 via zero-fill), u2 (1,2,3) both perfectly ordered
+    -> r2 = (2,4,6); u3 has t1=t2=2, t3 absent -> (2,2,0) ranks to
+    r2 = (5,5,2) through the doubled midrank and contributes the
+    tie. R2 = (9,13,14), l2 = 9 + 26 + 42 = 77; el2 = 3*3*16/2 =
+    72, var144 = 3*9*4*8 = 864, tie_cubed = 6."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    profiles = {1: {"t2": 1, "t3": 2},
+                2: {"t1": 1, "t2": 2, "t3": 3},
+                3: {"t1": 2, "t2": 2}}
+    base = pd.Timestamp("2024-01-01")
+    rows = [(u, ty) for u, tys in profiles.items()
+            for ty, c in tys.items() for _ in range(c)]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base] * len(rows)).astype("datetime64[us]"),
+        "user_id": [u for u, _ in rows],
+        "event_type": [ty for _, ty in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = [(r["k"], r["n_blocks"], r["l2"], r["el2"], r["var144"],
+            r["tie_cubed"])
+           for r in QUERIES["page_trend_test"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(3, 3, 77, 72, 864, 6)], out
+
+
+def test_burrows_delta_hand(spark, tmp_path):
+    """A='x y', B='x z', C='x y' (C a stylistic clone of A): the
+    universal marker x has zero cross-source variance and DROPS;
+    y has f = (5e5, 0, 5e5) -> varnum 5e11, |dz| = 5e5*3/sqrt(5e11)
+    = 2.1213 -> 2121 milli; z mirrors it. delta(A,B) = delta(B,C)
+    = 2121, delta(A,C) = 0 exactly (the clone), each over the 2
+    surviving markers."""
+    from extractor.queries import QUERIES
+
+    _docs_texts(tmp_path, [("A", "x y"), ("B", "x z"),
+                           ("C", "x y")])
+    out = {(r["source_a"], r["source_b"]):
+           (r["n_words"], r["delta_milli"])
+           for r in QUERIES["burrows_delta"](
+               spark, str(tmp_path)).collect()}
+    assert out == {("A", "B"): (2, 2121), ("A", "C"): (2, 0),
+                   ("B", "C"): (2, 2121)}, out
