@@ -19486,6 +19486,177 @@ def burrows_delta(spark, sf_dir):
                  .alias("delta_milli")))
 
 
+@_q("hampel_outlier_daily", sql="""
+WITH dd AS (SELECT event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE))
+                     AS d,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+wn AS (SELECT event_type, d, x,
+              list_sort(list(x) OVER (PARTITION BY event_type
+                   ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+                AS arr
+       FROM dd),
+md AS (SELECT event_type, d, x, arr,
+              arr[(len(arr) + 1) // 2] AS med
+       FROM wn),
+mm AS (SELECT event_type, d, x, med,
+              list_sort(list_transform(arr,
+                        v -> abs(v - med)))[(len(arr) + 1) // 2]
+                AS mad
+       FROM md)
+SELECT event_type, CAST(d AS BIGINT) AS day_num, x, med, mad,
+       CAST(CASE WHEN abs(x - med) > 3 * mad THEN 1 ELSE 0 END
+            AS BIGINT) AS is_outlier
+FROM mm
+""")
+def hampel_outlier_daily(spark, sf_dir):
+    """Hampel identifier (Hampel, JASA 1974; Davies & Gather, JASA
+    1993) over the per-type daily count grid: flag day i when
+    |x_i - med_i| > 3 * MAD_i, with med/MAD taken over the
+    CENTERED +/-3-row neighborhood — the rolling-robust
+    spike detector that, unlike the global tukey_outlier_fences,
+    survives level shifts (a step change re-centers the window
+    within 3 days) and, unlike ewma/cusum, is immune to the
+    outlier polluting its own threshold (median breakdown 50%).
+    Fully EXACT-INTEGER: the window's sorted array gives the
+    type-1 lower median at index (n+1) DIV 2, MAD is the lower
+    median of |x_j - med| over the SAME array, and the flag is the
+    integer comparison |x - med| > 3*MAD — no float anywhere, both
+    engines agree bit-for-bit. MAD = 0 (a majority-constant
+    window) flags ANY deviation — the documented knife-edge of the
+    Hampel filter on count data. Boundary rows see their truncated
+    4..6-element windows (rows-based over ACTIVE days, the daily-
+    grid convention shared with runs_test/durbin_watson).
+
+    Scale shape: ONE corpus fold to the daily grid; the rolling
+    window carries a bounded 7-element list per row on the
+    types x timeline frame (manifest-scale metadata). Nothing
+    downstream of the first shuffle touches the corpus."""
+    ev = t(spark, sf_dir, "events")
+    dd = (ev.groupBy("event_type",
+                     F.col("ts").cast("date").alias("day"))
+          .agg(F.count("*").alias("x"))
+          .select("event_type",
+                  F.datediff("day", F.lit("1970-01-01")).alias("d"),
+                  F.col("x").cast("long").alias("x")))
+    w7 = (Window.partitionBy("event_type").orderBy("d")
+          .rowsBetween(-3, 3))
+    out = (dd.withColumn("arr", F.array_sort(
+               F.collect_list("x").over(w7)))
+           .withColumn("med", F.expr(
+               "element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT))"))
+           .withColumn("mad", F.expr(
+               "element_at(array_sort(transform(arr, "
+               "v -> abs(v - med))), "
+               "CAST((size(arr) + 1) DIV 2 AS INT))")))
+    return out.select(
+        "event_type", F.col("d").cast("long").alias("day_num"),
+        "x", F.col("med").cast("long").alias("med"),
+        F.col("mad").cast("long").alias("mad"),
+        F.expr("CAST(CASE WHEN abs(x - med) > 3 * mad THEN 1 "
+               "ELSE 0 END AS BIGINT)").alias("is_outlier"))
+
+
+_CF_CAP = 100  # max distinct parts per customer basket (see doc)
+
+
+@_q("item_item_cf", sql="""
+WITH bk0 AS (SELECT DISTINCT o.o_custkey AS cust,
+                    l.l_partkey AS part
+             FROM lineitem l
+             JOIN orders o ON o.o_orderkey = l.l_orderkey),
+bs AS (SELECT cust, CAST(count(*) AS BIGINT) AS bsz
+       FROM bk0 GROUP BY cust),
+bk AS (SELECT bk0.cust, bk0.part FROM bk0
+       JOIN bs USING (cust) WHERE bs.bsz <= {cap}),
+cp AS (SELECT part, CAST(count(*) AS BIGINT) AS np
+       FROM bk GROUP BY part),
+pr AS (SELECT a.part AS pa, b.part AS pb,
+              CAST(count(*) AS BIGINT) AS cab
+       FROM bk a JOIN bk b ON a.cust = b.cust AND a.part < b.part
+       GROUP BY 1, 2),
+sym AS (SELECT pa AS p, pb AS q, cab FROM pr
+        UNION ALL SELECT pb, pa, cab FROM pr),
+sc AS (SELECT sym.p, sym.q, sym.cab,
+              CAST(floor(sym.cab * 1000000
+                   / sqrt(CAST(ca.np * cb.np AS DOUBLE)))
+                   AS BIGINT) AS cos_micro
+       FROM sym JOIN cp ca ON ca.part = sym.p
+                JOIN cp cb ON cb.part = sym.q),
+rk AS (SELECT p, q, cab, cos_micro,
+              row_number() OVER (PARTITION BY p
+                  ORDER BY cos_micro DESC, q) AS rn
+       FROM sc)
+SELECT CAST(p AS BIGINT) AS part_id, CAST(rn AS BIGINT) AS nbr_rank,
+       CAST(q AS BIGINT) AS neighbor_id, cab AS n_common, cos_micro
+FROM rk WHERE rn <= 3
+""".format(cap=_CF_CAP))
+def item_item_cf(spark, sf_dir):
+    """Item-to-item collaborative filtering (Linden, Smith & York,
+    IEEE Internet Computing 2003 — the Amazon recommender) over
+    customer x part baskets: cosine similarity on binary
+    co-purchase vectors, cos(p,q) = |U_p INTERSECT U_q| /
+    sqrt(|U_p| |U_q|), top-3 neighbors per part. The
+    co-occurrence self-join on the customer key is the classic
+    quadratic-in-basket-size hazard, so baskets larger than 100
+    distinct parts are EXCLUDED before pairing (the standard
+    power-user cap — cf. the sampling bound DIMSUM (Zadeh & Goel,
+    KDD 2013) derives for the same join): per-customer fan-out is
+    then <= C(100,2), keeping the pair stage LINEAR in customers.
+    Popularity counts are taken on the capped universe so the
+    cosine is internally consistent. Exact: all counts integer;
+    cos_micro = floor(c_pq * 1e6 / sqrt(c_p * c_q)) is one IEEE
+    sqrt/div chain per pair with exact-integer inputs below 2^53
+    (engine-identical, the burrows_delta discipline); ranking ties
+    break on the neighbor key, so the top-3 is fully
+    deterministic.
+
+    Scale shape: basket build = one distinct fold (orders join is
+    key-to-key); the cap filter is a broadcast-joinable per-cust
+    count; the pair fold shuffles on the customer key with bounded
+    fan-out; the popularity join-back is vocabulary-scale; top-3
+    is a per-part window on the pair frame. No all-pairs stage
+    anywhere."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    bk0 = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .select(F.col("o_custkey").alias("cust"),
+                   F.col("l_partkey").alias("part"))
+           .distinct())
+    bs = bk0.groupBy("cust").agg(F.count("*").alias("bsz"))
+    bk = (bk0.join(bs.where(F.col("bsz") <= _CF_CAP), "cust")
+          .select("cust", "part").persist())
+    cp = bk.groupBy("part").agg(F.count("*").alias("np"))
+    a = bk.select("cust", F.col("part").alias("pa"))
+    b = bk.select("cust", F.col("part").alias("pb"))
+    pr = (a.join(b, "cust")
+          .where(F.col("pa") < F.col("pb"))
+          .groupBy("pa", "pb").agg(F.count("*").alias("cab")))
+    sym = (pr.select(F.col("pa").alias("p"), F.col("pb").alias("q"),
+                     "cab")
+           .unionAll(pr.select(F.col("pb").alias("p"),
+                               F.col("pa").alias("q"), "cab")))
+    ca = cp.select(F.col("part").alias("p"), F.col("np").alias("na"))
+    cb = cp.select(F.col("part").alias("q"), F.col("np").alias("nb"))
+    sc = (sym.join(ca, "p").join(cb, "q")
+          .select("p", "q", "cab",
+                  F.floor(F.col("cab") * 1000000
+                          / F.sqrt((F.col("na") * F.col("nb"))
+                                   .cast("double")))
+                  .cast("long").alias("cos_micro")))
+    wp = Window.partitionBy("p").orderBy(F.desc("cos_micro"), "q")
+    return (sc.withColumn("rn", F.row_number().over(wp))
+            .where(F.col("rn") <= 3)
+            .select(F.col("p").cast("long").alias("part_id"),
+                    F.col("rn").cast("long").alias("nbr_rank"),
+                    F.col("q").cast("long").alias("neighbor_id"),
+                    F.col("cab").cast("long").alias("n_common"),
+                    "cos_micro"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

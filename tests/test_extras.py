@@ -4812,3 +4812,65 @@ def test_burrows_delta_hand(spark, tmp_path):
                spark, str(tmp_path)).collect()}
     assert out == {("A", "B"): (2, 2121), ("A", "C"): (2, 0),
                    ("B", "C"): (2, 2121)}, out
+
+
+def test_hampel_outlier_daily_hand(spark, tmp_path):
+    """Daily counts (1,3,2,9,2,4,1): every centered window's lower
+    median is 2 and every MAD is 1 (worked per-day in the test
+    design, including the truncated 4..6-element boundary
+    windows), so ONLY day 4 (|9-2| = 7 > 3) flags."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    counts = [1, 3, 2, 9, 2, 4, 1]
+    base = pd.Timestamp("2024-03-01")
+    rows = [(d, i) for d, c in enumerate(counts) for i in range(c)]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(days=d)
+                         for d, _ in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": ["t"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = sorted((r["day_num"], r["x"], r["med"], r["mad"],
+                  r["is_outlier"])
+                 for r in QUERIES["hampel_outlier_daily"](
+                     spark, str(tmp_path)).collect())
+    d0 = out[0][0]
+    assert [(d - d0, x, m, s, o) for d, x, m, s, o in out] == [
+        (0, 1, 2, 1, 0), (1, 3, 2, 1, 0), (2, 2, 2, 1, 0),
+        (3, 9, 2, 1, 1), (4, 2, 2, 1, 0), (5, 4, 2, 1, 0),
+        (6, 1, 2, 1, 0)], out
+
+
+def test_item_item_cf_hand(spark, tmp_path):
+    """Baskets c1={1,2}, c2={1,2}, c3={1,3}, c4={2}; c5 holds 101
+    parts and is CAPPED OUT, leaving popularity (3,3,1) untouched
+    and parts 4..101 without a single surviving co-occurrence.
+    cos(1,2) = 2/sqrt(9) -> 666666, cos(1,3) = 1/sqrt(3) ->
+    577350; part 1 ranks p2 over p3, parts 2 and 3 each see only
+    part 1."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    baskets = {1: [1, 2], 2: [1, 2], 3: [1, 3], 4: [2],
+               5: list(range(1, 102))}
+    pd.DataFrame({
+        "o_orderkey": list(baskets),
+        "o_custkey": list(baskets),
+    }).to_parquet(os.path.join(str(tmp_path), "orders.parquet"))
+    rows = [(o, p) for o, ps in baskets.items() for p in ps]
+    pd.DataFrame({
+        "l_orderkey": [o for o, _ in rows],
+        "l_partkey": [p for _, p in rows],
+    }).to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = sorted((r["part_id"], r["nbr_rank"], r["neighbor_id"],
+                  r["n_common"], r["cos_micro"])
+                 for r in QUERIES["item_item_cf"](
+                     spark, str(tmp_path)).collect())
+    assert out == [(1, 1, 2, 2, 666666), (1, 2, 3, 1, 577350),
+                   (2, 1, 1, 2, 666666), (3, 1, 1, 1, 577350)], out
