@@ -1195,3 +1195,60 @@ def test_logrank_gap_survival_plan(spark):
     assert "CartesianProduct" not in final, final
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_item_item_cf_plan(spark):
+    """Item-item CF: basket pairing must be the customer-keyed
+    EQUI-join (fan-out bounded by the basket cap) and the
+    popularity/top-k assembly hash joins — an all-pairs plan here
+    is the exact quadratic the cap exists to bound; no Python
+    eval anywhere."""
+    final = _final_plan(spark, "item_item_cf")
+    assert "HashJoin" in final or "SortMergeJoin" in final, final
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
+
+
+def test_burrows_delta_plan(spark):
+    """Burrows' Delta: the only corpus-scale stage is the
+    (source, word, count) fold; marker selection must be a bounded
+    TakeOrderedAndProject (never a global sort), and the pair
+    terms come from word-keyed equi-joins on the 30-row marker
+    frame. The persisted tc fold nests an AdaptiveSparkPlan whose
+    own '== Initial Plan ==' marker truncates _final_plan's split
+    BEFORE the marker-selection subtree, so the positive assert
+    reads the FULL executed-plan string."""
+    from extractor.queries import QUERIES
+
+    df = QUERIES["burrows_delta"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    whole = df._jdf.queryExecution().executedPlan().toString()
+    final = whole.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in whole, whole
+    assert "HashJoin" in final or "SortMergeJoin" in final, final
+    assert "CartesianProduct" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in whole, whole
+
+
+def test_bray_curtis_plan(spark):
+    """Bray-Curtis: the word-keyed self-join (<= C(k,2) fan-out
+    per term) must be an equi-join with the k-row totals broadcast
+    back — no cartesian, no nested loop."""
+    final = _final_plan(spark, "bray_curtis_source_dissim")
+    assert "HashJoin" in final or "SortMergeJoin" in final, final
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
+
+
+def test_jonckheere_terpstra_plan(spark):
+    """Jonckheere-Terpstra: the cumulative identity must keep the
+    plan free of any pairwise GROUP join — only the bounded
+    grid build (k-row source frame crossed with the value domain)
+    and windows; no Python eval."""
+    final = _final_plan(spark, "jonckheere_terpstra")
+    assert "CartesianProduct" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
