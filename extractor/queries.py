@@ -19657,6 +19657,182 @@ def item_item_cf(spark, sf_dir):
                     "cos_micro"))
 
 
+_QLM_MU = 2000.0  # Dirichlet prior mass (Zhai-Lafferty default)
+
+
+@_q("dirichlet_qlm_topk", sql="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+col AS (SELECT CAST(sum(len(ws)) AS DOUBLE) AS ctot FROM toks),
+tf AS (SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) AS tf
+       FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+       WHERE w IN ('join', 'vector', 'hash')
+       GROUP BY doc_id, w),
+cf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf
+       FROM tf GROUP BY term),
+s1 AS (SELECT tf.doc_id,
+              sum(ln(1 + tf.tf * col.ctot / (2000.0 * cf.cf)))
+                AS s1
+       FROM tf JOIN cf USING (term), col GROUP BY tf.doc_id),
+dls AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM toks),
+sc AS (SELECT dls.doc_id,
+              coalesce(s1.s1, 0)
+                + 3 * ln(2000.0 / (dls.dl + 2000.0)) AS score
+       FROM dls LEFT JOIN s1 USING (doc_id))
+SELECT doc_id, round(score, 4) AS score_r,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+            AS BIGINT) AS rank
+FROM sc ORDER BY rank LIMIT 10
+""")
+def dirichlet_qlm_topk(spark, sf_dir):
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR 2001; mu = 2000, their recommended prior) for
+    the same fixed 3-term query as bm25_topk — the LANGUAGE-MODEL
+    twin of BM25 (the two standard probabilistic retrieval
+    families; where they disagree on a corpus slice, the length
+    prior is usually the story): score(d) = sum_t log((tf + mu
+    P(t|C)) / (dl + mu)), computed by the standard decomposition
+    sum_t log(1 + tf / (mu P(t|C))) + |Q| log(mu / (dl + mu)) so
+    the corpus-scale part splits into a MATCHED-TERMS-ONLY sum
+    (sparse, like bm25's) plus a pure length projection every doc
+    gets — which is also how docs matching NO query term still
+    score (by length alone, as the model prescribes). A query term
+    absent from the whole corpus would contribute only the length
+    part (OOV-drop convention, pinned identically cross-engine;
+    all three fixed terms do occur). Tokenizer, double-chain
+    rounding (4dp, rank from the UNROUNDED order, doc_id
+    tie-break), and the TakeOrderedAndProject top-10 all follow
+    bm25_topk verbatim.
+
+    Scale shape: tokens explode once, filtered to the 3-term IN
+    list BEFORE any shuffle; collection stats are 1-row and 3-row
+    broadcasts; the length part is a zero-shuffle projection; the
+    top-10 is a per-partition heap, never a global sort."""
+    d = t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.split("text", " ").alias("ws"))
+            .persist())
+    col = toks.agg(F.sum(F.size("ws")).cast("double").alias("ctot"))
+    tf = (toks.select("doc_id", F.explode("ws").alias("term"))
+          .where(F.col("term").isin(list(_BM25_TERMS)))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").cast("double").alias("tf")))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    s1 = (tf.join(F.broadcast(cf), "term")
+          .crossJoin(F.broadcast(col))
+          .groupBy("doc_id")
+          .agg(F.sum(F.log(1 + F.col("tf") * F.col("ctot")
+                           / (F.lit(_QLM_MU) * F.col("cf"))))
+               .alias("s1")))
+    dls = toks.select("doc_id", F.size("ws").cast("double")
+                      .alias("dl"))
+    sc = (dls.join(s1, "doc_id", "left")
+          .select("doc_id",
+                  (F.coalesce(F.col("s1"), F.lit(0.0))
+                   + 3 * F.log(F.lit(_QLM_MU)
+                               / (F.col("dl") + _QLM_MU)))
+                  .alias("score")))
+    top = sc.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select("doc_id", F.round("score", 4).alias("score_r"),
+                      F.row_number().over(w).cast("long")
+                      .alias("rank"))
+
+
+_TR_TOP = 20  # TextRank keywords returned
+
+
+def _textrank_round_sql(prev: str, cur: str) -> str:
+    return """
+{cur} AS (SELECT n.id,
+              0.15 + 0.85 * coalesce(sum({prev}.r / deg.d), 0) AS r
+       FROM nodes n LEFT JOIN e ON e.dst = n.id
+       LEFT JOIN deg ON deg.src = e.src
+       LEFT JOIN {prev} ON {prev}.id = e.src GROUP BY n.id)""".format(
+        prev=prev, cur=cur)
+
+
+@_q("textrank_keywords", sql="""
+WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+pr0 AS (SELECT unnest(list_transform(range(1, len(ws)),
+               i -> {'x': ws[i], 'y': ws[i + 1]})) AS p
+        FROM toks WHERE len(ws) >= 2),
+eu AS (SELECT DISTINCT least(p.x, p.y) AS a, greatest(p.x, p.y) AS b
+       FROM pr0 WHERE p.x <> p.y AND p.x <> '' AND p.y <> ''),
+e AS (SELECT a AS src, b AS dst FROM eu UNION ALL SELECT b, a FROM eu),
+nodes AS (SELECT DISTINCT src AS id FROM e),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0 AS r FROM nodes),""" + ",".join(
+    _textrank_round_sql("r%d" % i, "r%d" % (i + 1)).lstrip(",\n")
+    for i in range(3)) + """
+SELECT id AS word, round(r, 6) AS score_r,
+       CAST(row_number() OVER (ORDER BY round(r, 6) DESC, id)
+            AS BIGINT) AS rank
+FROM r3 ORDER BY rank LIMIT 20
+""")
+def textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    PageRank (damping 0.85, 3 fixed rounds — the
+    pagerank_supplier_part loop) over the UNDIRECTED word
+    co-occurrence graph with window 2 (adjacent-token pairs,
+    deduplicated), top-20 words — the graph-centrality member of
+    the keyword family next to rake_keyword_extract (degree
+    heuristic) and tfidf_top_terms (frequency contrast): TextRank
+    promotes words that BRIDGE contexts, not merely frequent ones.
+    Edges build from each doc's token array by index-pair
+    projection (no corpus self-join); undirected = each canonical
+    a<b pair expanded to both directions; empty tokens and
+    self-loops dropped. Exactness: the rank recursion is the
+    pagerank double chain, round(6) absorbing summation-order
+    noise; the top-20 ranks on the ROUNDED
+    score with word tie-break — NOT bm25's unrounded order,
+    because a near-regular word graph produces exact score TIES in
+    droves (measured at sf0.001) and only the rounded value is a
+    cross-engine-stable sort key; a margin test pins every
+    unrounded score's distance to its 6dp rounding boundary above
+    float noise at the tested SFs.
+
+    Scale shape: ONE corpus fold to the distinct edge set
+    (vocabulary-pair-scale, not corpus-scale); degrees and ranks
+    are vocabulary-keyed; each round is the canonical
+    Pregel-on-DataFrames join-agg pair; top-20 is a bounded
+    TakeOrderedAndProject."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("ws"))
+    prs = (toks.where(F.size("ws") >= 2)
+           .select(F.explode(F.expr(
+               "transform(sequence(1, size(ws) - 1), "
+               "i -> struct(ws[i - 1] AS x, ws[i] AS y))"))
+               .alias("p")))
+    eu = (prs.where((F.col("p.x") != F.col("p.y"))
+                    & (F.col("p.x") != "") & (F.col("p.y") != ""))
+          .select(F.least("p.x", "p.y").alias("a"),
+                  F.greatest("p.x", "p.y").alias("b"))
+          .distinct())
+    e = (eu.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+         .unionAll(eu.select(F.col("b").alias("src"),
+                             F.col("a").alias("dst"))).persist())
+    nodes = e.select(F.col("src").alias("id")).distinct().persist()
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    ranks = nodes.select("id", F.lit(1.0).alias("r"))
+    for _ in range(3):
+        contrib = (e.join(deg, "src")
+                   .join(ranks.withColumnRenamed("id", "rid"),
+                         F.col("src") == F.col("rid"))
+                   .select(F.col("dst").alias("id"),
+                           (F.col("r") / F.col("d")).alias("c")))
+        sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(sums, "id", "left")
+                 .select("id", (F.lit(0.15) + F.lit(0.85)
+                                * F.coalesce(F.col("s"), F.lit(0.0)))
+                         .alias("r")))
+    top = (ranks.withColumn("score_r", F.round("r", 6))
+           .orderBy(F.desc("score_r"), F.asc("id")).limit(_TR_TOP))
+    w = Window.orderBy(F.desc("score_r"), F.asc("id"))
+    return top.select(F.col("id").alias("word"), "score_r",
+                      F.row_number().over(w).cast("long")
+                      .alias("rank"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -4874,3 +4874,37 @@ def test_item_item_cf_hand(spark, tmp_path):
                      spark, str(tmp_path)).collect())
     assert out == [(1, 1, 2, 2, 666666), (1, 2, 3, 1, 577350),
                    (2, 1, 1, 2, 666666), (3, 1, 1, 1, 577350)], out
+
+
+def test_textrank_keywords_hand(spark, tmp_path):
+    """Path graph a-b-c-d from one doc: three worked rounds give
+    r3(b) = r3(c) = 1.321140625 -> 1.321141 and r3(a) = r3(d) =
+    0.678859375 -> 0.678859; the EXACT tie between b/c (and a/d)
+    is broken by word order — the reason the contract ranks on the
+    ROUNDED score (a near-regular graph ties constantly; only the
+    rounded value is a cross-engine-stable sort key)."""
+    from extractor.queries import QUERIES
+
+    _docs_texts(tmp_path, [("A", "a b c d")])
+    out = [(r["word"], r["score_r"], r["rank"])
+           for r in QUERIES["textrank_keywords"](
+               spark, str(tmp_path)).collect()]
+    assert out == [("b", 1.321141, 1), ("c", 1.321141, 2),
+                   ("a", 0.678859, 3), ("d", 0.678859, 4)], out
+
+
+def test_dirichlet_qlm_hand(spark, tmp_path):
+    """d1='join x' scores ln(1 + 7/2000) + 3 ln(2000/2002) ->
+    0.0005; d3='vector vector x' has tf/cf = 2/2 so the SAME
+    matched-term value but the longer length prior drags it to
+    -0.0010; d2='x y' matches nothing and scores by length alone
+    (-0.0030) — the pure-length path through the left join."""
+    from extractor.queries import QUERIES
+
+    _docs_texts(tmp_path, [("A", "join x"), ("A", "x y"),
+                           ("A", "vector vector x")])
+    out = [(r["doc_id"], r["score_r"], r["rank"])
+           for r in QUERIES["dirichlet_qlm_topk"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(0, 0.0005, 1), (2, -0.001, 2),
+                   (1, -0.003, 3)], out

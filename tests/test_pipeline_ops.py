@@ -3145,3 +3145,82 @@ def test_concurrency_sweep_hand_and_plan(spark, tmp_path):
     assert (r["max_concurrency"], r["peak_us"]) == (3, want_us)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan, plan
+
+
+def test_textrank_margins_and_replay(spark):
+    """textrank's cross-engine exactness rests on no node's
+    UNROUNDED 3-round score sitting near a 6-decimal rounding
+    boundary (the contract orders by the ROUNDED score, so
+    boundary distance — not adjacent-score gaps — is the only FP
+    margin that matters). Numpy replay of the same recursion, all
+    nodes checked; the Spark top-20 must equal the replay's
+    rounded-order ranking."""
+    import collections
+
+    import pandas as pd
+
+    from extractor.queries import textrank_keywords
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = pd.read_parquet(os.path.join(sf, "documents.parquet"))
+        edges = set()
+        for txt in docs["text"]:
+            ws = str(txt).split(" ")
+            for x, y in zip(ws, ws[1:]):
+                if x != y and x and y:
+                    edges.add((min(x, y), max(x, y)))
+        adj = collections.defaultdict(list)
+        for a, b in edges:
+            adj[a].append(b)
+            adj[b].append(a)
+        r = {n: 1.0 for n in adj}
+        for _ in range(3):
+            r = {n: 0.15 + 0.85 * sum(r[m] / len(adj[m])
+                                      for m in adj[n])
+                 for n in adj}
+        for v in r.values():  # 6dp rounding-boundary margin
+            frac = abs(v * 1e6 - round(v * 1e6))
+            assert abs(frac - 0.5) > 1e-6, v
+        exp = sorted(((n, round(v, 6)) for n, v in r.items()),
+                     key=lambda kv: (-kv[1], kv[0]))[:20]
+        got = [(row["word"], row["score_r"], row["rank"])
+               for row in textrank_keywords(spark, sf).collect()]
+        assert got == [(n, v, i + 1)
+                       for i, (n, v) in enumerate(exp)], (got, exp)
+
+
+def test_dirichlet_qlm_margins(spark):
+    """qlm's cross-engine exactness: adjacent UNROUNDED scores
+    around the top-10 cut separated far above libm noise, and no
+    emitted score on a 4-decimal rounding boundary — the bm25
+    margin methodology on the Dirichlet formula."""
+    import collections
+    import math
+
+    import pandas as pd
+
+    from extractor.queries import _BM25_TERMS, _QLM_MU
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = pd.read_parquet(os.path.join(sf, "documents.parquet"))
+        toks = [str(t).split(" ") for t in docs["text"]]
+        ctot = float(sum(len(ws) for ws in toks))
+        cf = collections.Counter()
+        for ws in toks:
+            for w in ws:
+                if w in _BM25_TERMS:
+                    cf[w] += 1
+        scores = {}
+        for did, ws in zip(docs["doc_id"], toks):
+            c = collections.Counter(ws)
+            s1 = sum(math.log(1 + c[q] * ctot / (_QLM_MU * cf[q]))
+                     for q in cf if c[q])
+            scores[int(did)] = s1 + 3 * math.log(
+                _QLM_MU / (len(ws) + _QLM_MU))
+        ordered = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        vals = [v for _, v in ordered[:12]]
+        gaps = [a - b for a, b in zip(vals, vals[1:]) if a != b]
+        assert min(gaps) > 1e-9, gaps
+        for v in vals:
+            frac = abs(v * 10000 - round(v * 10000))
+            assert abs(frac - 0.5) > 1e-6, v
