@@ -19833,6 +19833,156 @@ def textrank_keywords(spark, sf_dir):
                       .alias("rank"))
 
 
+_PREFIX_KS = (8, 16, 32)  # prefix-cache probe lengths (tokens)
+
+
+@_q("prefix_cache_hit_estimate", sql=r"""
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(text,
+                          '[ \t\n\r\f\x0B]+'), x -> x <> '') AS ws
+              FROM documents),
+ctot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n FROM toks),
+pk AS (SELECT t.doc_id, k.k,
+              md5(array_to_string(t.ws[1:k.k], ' ')) AS pfx
+       FROM toks t CROSS JOIN (SELECT unnest([8, 16, 32]) AS k) k
+       WHERE len(t.ws) >= k.k),
+gr AS (SELECT k, pfx, CAST(count(*) AS BIGINT) AS n
+       FROM pk GROUP BY 1, 2),
+ag AS (SELECT k, CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(n) AS BIGINT) AS n_docs,
+              CAST(sum((n - 1) * k) AS BIGINT) AS tokens_saved
+       FROM gr GROUP BY k)
+SELECT CAST(ag.k AS BIGINT) AS k, ag.n_groups, ag.n_docs,
+       ag.tokens_saved,
+       CAST(ag.tokens_saved * 1000000 // ctot.n AS BIGINT)
+         AS savings_ppm
+FROM ag, ctot
+""")
+def prefix_cache_hit_estimate(spark, sf_dir):
+    """Shared-prefix KV-cache savings estimate — the measurement
+    behind automatic prefix caching in LLM serving (Kwon et al.,
+    PagedAttention/vLLM, SOSP 2023; RadixAttention/SGLang 2024):
+    for probe lengths K in (8, 16, 32) tokens, group docs by their
+    exact K-token prefix and count the tokens a radix/prefix cache
+    would not recompute — (n-1)*K per group of n. A corpus whose
+    savings_ppm is high at K=32 is one where batching order and
+    cache eviction policy matter; the per-K curve is the decision
+    input. Conventions: _WS_CLASS nonempty tokens; docs shorter
+    than K simply don't participate at that K (n_docs counts
+    participants); prefix identity via md5 of the
+    space-rejoined K tokens (exact, engine-identical — the
+    doc_fingerprint convention); savings_ppm is ONE nonneg micro
+    floor against the total corpus token count. A K with zero
+    participating docs emits no row (sparse convention).
+
+    Scale shape: ONE corpus projection explodes each doc into at
+    most 3 (K, prefix-hash) rows; one map-side-combinable fold per
+    (K, prefix) then a 3-row assembly against the broadcast 1-row
+    corpus total. The full token arrays never cross a shuffle —
+    only 32-token hashes do."""
+    d = t(spark, sf_dir, "documents")
+    toks = (d.select(
+        "doc_id",
+        F.filter(F.split("text", _WS_CLASS),
+                 lambda x: x != "").alias("ws")).persist())
+    ctot = toks.agg(F.sum(F.size("ws")).cast("long").alias("n"))
+    ks = F.array(*[F.lit(k) for k in _PREFIX_KS])
+    pk = (toks.select("doc_id", F.explode(ks).alias("k"), "ws")
+          .where(F.size("ws") >= F.col("k"))
+          .select("doc_id", "k",
+                  F.md5(F.concat_ws(
+                      " ", F.slice("ws", 1, F.col("k"))))
+                  .alias("pfx")))
+    gr = pk.groupBy("k", "pfx").agg(F.count("*").alias("n"))
+    ag = (gr.groupBy("k")
+          .agg(F.count("*").cast("long").alias("n_groups"),
+               F.sum("n").cast("long").alias("n_docs"),
+               F.sum((F.col("n") - 1) * F.col("k")).cast("long")
+               .alias("tokens_saved")))
+    return (ag.crossJoin(F.broadcast(ctot))
+            .select(F.col("k").cast("long").alias("k"),
+                    "n_groups", "n_docs", "tokens_saved",
+                    F.expr("CAST(tokens_saved * 1000000 DIV n "
+                           "AS BIGINT)").alias("savings_ppm")))
+
+
+@_q("speculative_ngram_acceptance", sql=r"""
+WITH toks AS (SELECT source,
+                     list_filter(string_split_regex(text,
+                          '[ \t\n\r\f\x0B]+'), x -> x <> '') AS ws
+              FROM documents),
+bg AS (SELECT source, ws[i] AS w, ws[i + 1] AS nxt,
+              CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT source, ws, unnest(range(1, len(ws))) AS i
+             FROM toks WHERE len(ws) >= 2)
+       GROUP BY 1, 2, 3),
+gl AS (SELECT w, nxt, CAST(sum(c) AS BIGINT) AS cg
+       FROM bg GROUP BY 1, 2),
+am AS (SELECT w, nxt AS draft FROM (
+         SELECT w, nxt, row_number() OVER (PARTITION BY w
+                ORDER BY cg DESC, nxt) AS rn FROM gl)
+       WHERE rn = 1),
+sc AS (SELECT bg.source,
+              CAST(sum(bg.c) AS BIGINT) AS n_positions,
+              CAST(sum(CASE WHEN bg.nxt = am.draft THEN bg.c
+                       ELSE 0 END) AS BIGINT) AS n_accepted
+       FROM bg JOIN am ON am.w = bg.w GROUP BY bg.source)
+SELECT source, n_positions, n_accepted,
+       CAST(n_accepted * 1000000 // n_positions AS BIGINT)
+         AS acceptance_ppm
+FROM sc
+""")
+def speculative_ngram_acceptance(spark, sf_dir):
+    """Speculative-decoding draft acceptance rate for the simplest
+    possible draft model — the corpus bigram argmax (Leviathan et
+    al., ICML 2023 speculative sampling; the n-gram/prompt-lookup
+    drafting variant shipped in vLLM): at every adjacent token
+    position, the draft proposes the globally most frequent
+    successor of the current token (tie broken by successor
+    order), and we measure the fraction of positions where the
+    corpus agrees, per source. In-sample by construction (the
+    draft table is trained on the same corpus — documented; the
+    number is an UPPER bound of held-out acceptance, which is how
+    serving teams use it to decide if n-gram drafting is worth
+    enabling for a workload). Fully exact-integer: per-(source,
+    bigram) counts fold once; the argmax is a deterministic
+    row_number window (count desc, successor asc); acceptance
+    weights each bigram row by its count — the corpus is NEVER
+    re-scanned per position; acceptance_ppm is one nonneg floor.
+
+    Scale shape: ONE corpus fold to the (source, w, next, count)
+    frame (source x bigram-vocabulary scale); the global table and
+    argmax are vocabulary-keyed folds/windows; the accept join is
+    bigram-vocab x 1 on the first-token key. No corpus-scale
+    join, no window over the corpus."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("source", F.filter(
+        F.split("text", _WS_CLASS), lambda x: x != "").alias("ws"))
+    prs = (toks.where(F.size("ws") >= 2)
+           .select("source", F.explode(F.expr(
+               "transform(sequence(1, size(ws) - 1), "
+               "i -> struct(ws[i - 1] AS w, ws[i] AS nxt))"))
+               .alias("p")))
+    bg = (prs.groupBy("source", F.col("p.w").alias("w"),
+                      F.col("p.nxt").alias("nxt"))
+          .agg(F.count("*").alias("c")).persist())
+    gl = bg.groupBy("w", "nxt").agg(F.sum("c").alias("cg"))
+    wa = Window.partitionBy("w").orderBy(F.desc("cg"), "nxt")
+    am = (gl.withColumn("rn", F.row_number().over(wa))
+          .where(F.col("rn") == 1)
+          .select("w", F.col("nxt").alias("draft")))
+    sc = (bg.join(am, "w")
+          .groupBy("source")
+          .agg(F.sum("c").cast("long").alias("n_positions"),
+               F.sum(F.when(F.col("nxt") == F.col("draft"),
+                            F.col("c")).otherwise(0)).cast("long")
+               .alias("n_accepted")))
+    return sc.select(
+        "source", "n_positions", "n_accepted",
+        F.expr("CAST(n_accepted * 1000000 DIV n_positions "
+               "AS BIGINT)").alias("acceptance_ppm"))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

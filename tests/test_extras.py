@@ -4908,3 +4908,38 @@ def test_dirichlet_qlm_hand(spark, tmp_path):
                spark, str(tmp_path)).collect()]
     assert out == [(0, 0.0005, 1), (2, -0.001, 2),
                    (1, -0.003, 3)], out
+
+
+def test_prefix_cache_hit_estimate_hand(spark, tmp_path):
+    """d1/d2 share an 8-token prefix (saved = 8), d3 diverges at
+    token 5 (its own group, saves nothing), d4 is too short to
+    participate at any K; no doc reaches 16 tokens so K=16/32 emit
+    NO row (sparse convention). ppm = 8e6 DIV 29 = 275862."""
+    from extractor.queries import QUERIES
+
+    base = "t1 t2 t3 t4 t5 t6 t7 t8"
+    _docs_texts(tmp_path, [
+        ("A", base + " x1 x2"), ("A", base + " y1"),
+        ("A", "t1 t2 t3 t4 q5 q6 q7 q8"), ("A", "s1 s2")])
+    out = [(r["k"], r["n_groups"], r["n_docs"], r["tokens_saved"],
+            r["savings_ppm"])
+           for r in QUERIES["prefix_cache_hit_estimate"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(8, 2, 3, 8, 275862)], out
+
+
+def test_speculative_ngram_acceptance_hand(spark, tmp_path):
+    """Global bigram table: a->b (3), a->c (1), b->a (2), b->b
+    (2): the draft for 'b' is decided by the successor-order
+    TIE-BREAK (a over b at count 2). A = 'a b a b a c' accepts
+    4/5 positions (the a->c miss) -> 800000; B = 'a b b b'
+    accepts only its a->b position (b->b loses to the draft
+    'a') -> 333333."""
+    from extractor.queries import QUERIES
+
+    _docs_texts(tmp_path, [("A", "a b a b a c"), ("B", "a b b b")])
+    out = {r["source"]: (r["n_positions"], r["n_accepted"],
+                         r["acceptance_ppm"])
+           for r in QUERIES["speculative_ngram_acceptance"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": (5, 4, 800000), "B": (3, 1, 333333)}, out
