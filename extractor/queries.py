@@ -19983,6 +19983,159 @@ def speculative_ngram_acceptance(spark, sf_dir):
                "AS BIGINT)").alias("acceptance_ppm"))
 
 
+@_q("knn_classifier_eval", sql="""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id % 50 = 0),
+nb AS (SELECT q.vec_id AS qid, q.label AS qlabel,
+              c.label AS nlabel,
+              row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(
+                      c.embedding::DOUBLE[],
+                      q.embedding::DOUBLE[]) DESC,
+                  c.vec_id) AS rn
+       FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+vote AS (SELECT qid, qlabel, nlabel, count(*) AS c
+         FROM nb WHERE rn <= 5 GROUP BY 1, 2, 3),
+pred AS (SELECT qid, qlabel, nlabel AS plabel FROM (
+           SELECT qid, qlabel, nlabel,
+                  row_number() OVER (PARTITION BY qid
+                      ORDER BY c DESC, nlabel) AS vr
+           FROM vote) WHERE vr = 1)
+SELECT CAST(qlabel AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
+FROM pred GROUP BY 1
+""")
+def knn_classifier_eval(spark, sf_dir):
+    """Leave-one-out k-NN classification accuracy (Fix & Hodges
+    1951; Cover & Hart, IEEE IT 1967) over the embeddings table —
+    the standard EMBEDDING-QUALITY eval a pipeline runs on a new
+    encoder before trusting it for semdedup/ANN retrieval (if
+    labels aren't k-NN-recoverable from the vectors, cosine
+    neighborhoods are noise): every 50th vector is a query, its
+    top-5 cosine neighbors (itself excluded) vote, majority wins
+    with ties broken toward the SMALLEST label, and per-label
+    accuracy is exact-integer ppm. Composes ann_cosine_topk's
+    brute-force scoring conventions verbatim (JVM zip_with/
+    aggregate cosine, rank ordered by cos desc with neighbor-id
+    tie-break — the float only ever ORDERS, never crosses the
+    contract; the synthetic embeddings' neighbor margins are the
+    measured ~5e-5, far above cross-engine noise); the vote layer
+    on top is pure integer counting.
+
+    Scale shape: the deterministic 1-in-50 query side broadcasts
+    against the corpus scan (the ann_cosine discipline — at 100 TB
+    the scale path swaps in ann_lsh/ann_ivf candidates, same vote
+    layer); per-query top-5 is a window on the pair frame; vote
+    and accuracy are bounded folds on 5-row groups."""
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id",
+                 F.col("embedding").cast("array<double>").alias("v"),
+                 "label"))
+    q = (e.where("vec_id % 50 = 0")
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("v").alias("qv"),
+                 F.col("label").alias("qlabel")))
+    pairs = (e.crossJoin(F.broadcast(q)).where("vec_id <> qid")
+             .select("qid", "qlabel", F.col("label").alias("nlabel"),
+                     F.col("vec_id").alias("neighbor_id"),
+                     F.expr(_COS_EXPR).alias("cos")))
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos"),
+                                           F.asc("neighbor_id"))
+    vote = (pairs.withColumn("rn", F.row_number().over(wq))
+            .where("rn <= 5")
+            .groupBy("qid", "qlabel", "nlabel")
+            .agg(F.count("*").alias("c")))
+    wv = Window.partitionBy("qid").orderBy(F.desc("c"), "nlabel")
+    pred = (vote.withColumn("vr", F.row_number().over(wv))
+            .where("vr = 1")
+            .select("qid", "qlabel",
+                    F.col("nlabel").alias("plabel")))
+    return (pred.groupBy(F.col("qlabel").cast("long").alias("label"))
+            .agg(F.count("*").cast("long").alias("n_queries"),
+                 F.sum(F.when(F.col("plabel") == F.col("qlabel"), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("n_correct"))
+            .select("label", "n_queries", "n_correct",
+                    F.expr("CAST(n_correct * 1000000 DIV n_queries "
+                           "AS BIGINT)").alias("accuracy_ppm")))
+
+
+@_q("theil_u_uncertainty", sql="""
+WITH cl AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY lang),
+cs AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+       FROM documents GROUP BY source),
+csl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cl),
+h1 AS (SELECT CAST(sum(CAST(floor(
+              cl.c * ln(CAST(nn.n AS DOUBLE) / cl.c)
+              * 1000000 / nn.n) AS BIGINT)) AS BIGINT) AS h
+       FROM cl, nn),
+h2 AS (SELECT CAST(coalesce(sum(CAST(floor(
+              csl.c * ln(CAST(cs.c AS DOUBLE) / csl.c)
+              * 1000000 / nn.n) AS BIGINT)), 0) AS BIGINT) AS h
+       FROM csl JOIN cs USING (source), nn)
+SELECT nn.n, h1.h AS h_lang_micro, h2.h AS h_cond_micro,
+       CASE WHEN h1.h = 0 THEN NULL
+            ELSE CAST(greatest(h1.h - h2.h, 0) * 1000000 // h1.h
+                      AS BIGINT) END AS u_ppm
+FROM nn, h1, h2
+""")
+def theil_u_uncertainty(spark, sf_dir):
+    """Theil's uncertainty coefficient U(lang | source) (Theil,
+    Statistical Decomposition Analysis 1970) — the ASYMMETRIC,
+    entropy-based association between source and language: the
+    fraction of language entropy explained by knowing the source,
+    U = (H(lang) - H(lang|source)) / H(lang). The directional
+    member of the association family (chi-square/drift_chi2_cells
+    is symmetric and unnormalized; U answers "does source PREDICT
+    language" — the per-crawl routing question). Exactness: each
+    entropy TERM c*ln(total/c)*1e6/n is ONE float chain on exact
+    integers (IEEE ln/div, engine-identical — the burrows per-term
+    discipline), floored to micro BEFORE the order-free integer
+    sum; zero cells never appear (0 ln 0 = 0 is the absent row);
+    H1 - H2 >= 0 mathematically but the floors can cross by a few
+    micro near independence, so the numerator clamps at 0 (the
+    levene greatest() guard); single-language corpora emit NULL
+    (H(lang) = 0, U undefined).
+
+    Scale shape: THREE map-side-combinable corpus folds (lang,
+    source, cell — all bounded-domain); the entropy assembly runs
+    on the k x l cell frame. Nothing after the folds touches the
+    corpus."""
+    d = t(spark, sf_dir, "documents")
+    cl = d.groupBy("lang").agg(F.count("*").alias("c"))
+    cs = d.groupBy("source").agg(F.count("*").alias("c"))
+    csl = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    nn = cl.agg(F.sum("c").cast("long").alias("n"))
+    h1 = (cl.crossJoin(F.broadcast(nn))
+          .agg(F.sum(F.floor(
+              F.col("c") * F.log(F.col("n").cast("double")
+                                 / F.col("c"))
+              * 1000000 / F.col("n")).cast("long"))
+              .cast("long").alias("h")))
+    h2 = (csl.join(F.broadcast(cs.withColumnRenamed("c", "cs")),
+                   "source")
+          .crossJoin(F.broadcast(nn))
+          .agg(F.coalesce(F.sum(F.floor(
+              F.col("c") * F.log(F.col("cs").cast("double")
+                                 / F.col("c"))
+              * 1000000 / F.col("n")).cast("long")), F.lit(0))
+              .cast("long").alias("h")))
+    return (nn.crossJoin(F.broadcast(h1.withColumnRenamed("h", "h1")))
+            .crossJoin(F.broadcast(h2.withColumnRenamed("h", "h2")))
+            .select("n", F.col("h1").alias("h_lang_micro"),
+                    F.col("h2").alias("h_cond_micro"),
+                    F.expr("CASE WHEN h1 = 0 THEN NULL "
+                           "ELSE CAST(greatest(h1 - h2, 0) * 1000000 "
+                           "DIV h1 AS BIGINT) END").alias("u_ppm")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

@@ -4943,3 +4943,67 @@ def test_speculative_ngram_acceptance_hand(spark, tmp_path):
            for r in QUERIES["speculative_ngram_acceptance"](
                spark, str(tmp_path)).collect()}
     assert out == {"A": (5, 4, 800000), "B": (3, 1, 333333)}, out
+
+
+def test_theil_u_uncertainty_hand(spark, tmp_path):
+    """Three regimes: (a) source perfectly predicts lang -> U =
+    1000000 exactly (H_cond = 0); (b) independence -> the floors
+    leave u_ppm = 2 (documented floor noise, NOT zero — H1 =
+    2*346573, H2 = 4*173286); (c) a single-language corpus ->
+    H(lang) = 0 -> NULL."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    def write(sub, rows):
+        p = tmp_path / sub
+        p.mkdir()
+        pd.DataFrame(
+            [(i, "x", lg, s, 1) for i, (s, lg) in enumerate(rows)],
+            columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ).to_parquet(os.path.join(str(p), "documents.parquet"))
+        return str(p)
+
+    pa = write("a", [("A", "en"), ("A", "en"), ("B", "fr"),
+                     ("B", "fr")])
+    pb = write("b", [("A", "en"), ("A", "fr"), ("B", "en"),
+                     ("B", "fr")])
+    pc = write("c", [("A", "en"), ("B", "en")])
+    q = QUERIES["theil_u_uncertainty"]
+    ra = q(spark, pa).collect()[0]
+    assert (ra["h_lang_micro"], ra["h_cond_micro"],
+            ra["u_ppm"]) == (693146, 0, 1000000), ra
+    rb = q(spark, pb).collect()[0]
+    assert (rb["h_lang_micro"], rb["h_cond_micro"],
+            rb["u_ppm"]) == (693146, 693144, 2), rb
+    rc = q(spark, pc).collect()[0]
+    assert (rc["h_lang_micro"], rc["u_ppm"]) == (0, None), rc
+
+
+def test_knn_classifier_eval_hand(spark, tmp_path):
+    """Query v0 (label 1) has top-5 cosine neighbors with labels
+    (1,1,2,2,3) — the far-off v6 is cut at rank 6 — so the vote
+    TIES 2-2 between labels 1 and 2 and the smallest-label rule
+    predicts 1: correct. Output pins the tie-break path end to
+    end."""
+    import os
+
+    import numpy as np
+
+    from extractor.queries import QUERIES
+
+    vecs = [(0, [1.0, 0.0], 1), (1, [0.99, 0.01], 1),
+            (2, [0.98, 0.02], 1), (3, [0.9, 0.1], 2),
+            (4, [0.85, 0.15], 2), (5, [0.8, 0.2], 3),
+            (6, [0.0, 1.0], 2)]
+    pd.DataFrame({
+        "vec_id": [v[0] for v in vecs],
+        "embedding": [np.array(v[1], dtype=np.float32)
+                      for v in vecs],
+        "label": np.array([v[2] for v in vecs], dtype=np.int32),
+    }).to_parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = [(r["label"], r["n_queries"], r["n_correct"],
+            r["accuracy_ppm"])
+           for r in QUERIES["knn_classifier_eval"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(1, 1, 1, 1000000)], out
