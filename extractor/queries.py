@@ -20136,6 +20136,208 @@ def theil_u_uncertainty(spark, sf_dir):
                            "DIV h1 AS BIGINT) END").alias("u_ppm")))
 
 
+@_q("grubbs_max_deviation", sql="""
+WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS HUGEINT) AS s,
+                   CAST(sum(CAST(n_chars AS HUGEINT) * n_chars)
+                        AS HUGEINT) AS q
+            FROM documents GROUP BY source),
+dv AS (SELECT d.source, d.doc_id, CAST(d.n_chars AS BIGINT) AS x,
+              CAST(abs(st.n * d.n_chars - st.s) AS HUGEINT) AS dev,
+              st.n, st.s, st.q,
+              row_number() OVER (PARTITION BY d.source
+                  ORDER BY abs(st.n * d.n_chars - st.s) DESC,
+                           d.doc_id) AS rn
+       FROM documents d JOIN st USING (source))
+SELECT source, n, doc_id AS argmax_doc_id, x AS x_extreme,
+       CASE WHEN n * q - s * s = 0 OR n < 2 THEN NULL
+            ELSE CAST(floor(1000 * CAST(dev AS DOUBLE)
+                 / sqrt(CAST(n * (n * q - s * s) AS DOUBLE)
+                        / (n - 1))) AS BIGINT) END AS g_milli
+FROM dv WHERE rn = 1
+""")
+def grubbs_max_deviation(spark, sf_dir):
+    """Grubbs' extreme studentized deviate (Grubbs, Annals of
+    Math. Stat. 1950; the single-outlier ESD) per source on doc
+    lengths: G = max |x - mean| / s with the sample std — the
+    EXTREME-VALUE member of the outlier family (tukey fences =
+    global quantile, hampel = rolling median; Grubbs asks "is the
+    single worst document explainable", the question a pipeline
+    answers before deciding whether one giant doc is corruption or
+    a legitimate tail), emitted with the ARGMAX document so the
+    finding is actionable. Exactness: the deviation |n x - S| and
+    the variance numerator n(nQ - S^2) are exact integers in
+    HUGEINT/DECIMAL(38,0); g_milli is ONE float chain (two casts
+    of exact integers, IEEE sqrt/div, one floor — the burrows
+    discipline; the >2^53 cast rounds identically on both engines
+    because the integer it rounds FROM is identical); argmax ties
+    break toward the smallest doc_id; zero-variance or
+    single-doc sources emit NULL G with their argmax row intact.
+
+    Scale shape: ONE suff-stats fold, then the corpus is touched
+    once more by the per-source argmax window (the w4
+    latest-per-key shape — at 100 TB this is a map-side
+    max-struct fold in disguise and shuffles only the k winners).
+    Assembly is k-row."""
+    d = t(spark, sf_dir, "documents")
+    st = (d.groupBy("source")
+          .agg(F.count("*").cast("long").alias("n"),
+               F.sum("n_chars").cast("decimal(38,0)").alias("s"),
+               F.sum(F.col("n_chars").cast("decimal(38,0)")
+                     * F.col("n_chars")).alias("q")))
+    dv = (d.join(F.broadcast(st), "source")
+          .select("source", "doc_id",
+                  F.col("n_chars").cast("long").alias("x"),
+                  F.abs(F.col("n") * F.col("n_chars") - F.col("s"))
+                  .alias("dev"), "n", "s", "q"))
+    w = Window.partitionBy("source").orderBy(F.desc("dev"),
+                                             "doc_id")
+    return (dv.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("source", "n",
+                    F.col("doc_id").alias("argmax_doc_id"),
+                    F.col("x").alias("x_extreme"),
+                    F.expr("CASE WHEN n * q - s * s = 0 OR n < 2 "
+                           "THEN NULL ELSE CAST(floor(1000 "
+                           "* CAST(dev AS DOUBLE) "
+                           "/ sqrt(CAST(n * (n * q - s * s) "
+                           "AS DOUBLE) / (n - 1))) AS BIGINT) END")
+                    .alias("g_milli")))
+
+
+@_q("hurst_rs_exponent", sql="""
+WITH dd AS (SELECT event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE))
+                     AS d,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+di AS (SELECT event_type, x,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY d) AS rn
+       FROM dd),
+ex AS (SELECT di.event_type, di.rn, di.x, m.m,
+              (di.rn - 1) // m.m AS bid,
+              (di.rn - 1) % m.m + 1 AS k
+       FROM di CROSS JOIN (SELECT unnest([8, 16]) AS m) m),
+cz AS (SELECT event_type, m, bid, k, x,
+              sum(x) OVER (PARTITION BY event_type, m, bid
+                           ORDER BY k) AS cum
+       FROM ex),
+blk AS (SELECT event_type, m, bid,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(x) AS BIGINT) AS t,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+        FROM cz GROUP BY 1, 2, 3),
+zb AS (SELECT cz.event_type, cz.m, cz.bid,
+              CAST(max(cz.m * cz.cum - cz.k * blk.t) AS BIGINT)
+                AS zmax,
+              CAST(min(cz.m * cz.cum - cz.k * blk.t) AS BIGINT)
+                AS zmin,
+              max(blk.t) AS t, max(blk.q) AS q, max(blk.cnt) AS cnt
+       FROM cz JOIN blk USING (event_type, m, bid)
+       GROUP BY 1, 2, 3),
+rs AS (SELECT event_type, m,
+              CAST(count(*) AS BIGINT) AS n_blocks,
+              CAST(sum(CAST(floor((zmax - zmin) * 1000000
+                   / sqrt(CAST(m * q - t * t AS DOUBLE)))
+                   AS BIGINT)) // count(*) AS BIGINT) AS rs_micro
+       FROM zb WHERE cnt = m AND m * q - t * t > 0
+       GROUP BY 1, 2),
+nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+       FROM di GROUP BY 1)
+SELECT a.event_type, nd.n_days,
+       a.n_blocks AS blocks8, a.rs_micro AS rs8_micro,
+       b.n_blocks AS blocks16, b.rs_micro AS rs16_micro,
+       CASE WHEN b.rs_micro IS NULL OR a.rs_micro = 0 THEN NULL
+            ELSE CAST(floor(1000 * ln(CAST(b.rs_micro AS DOUBLE)
+                 / a.rs_micro) / ln(2)) AS BIGINT) END AS h_milli
+FROM rs a LEFT JOIN rs b ON b.event_type = a.event_type
+                        AND b.m = 16
+JOIN nd ON nd.event_type = a.event_type
+WHERE a.m = 8
+""")
+def hurst_rs_exponent(spark, sf_dir):
+    """Hurst exponent by rescaled-range analysis (Hurst, Trans.
+    ASCE 1951; Mandelbrot & Wallis, Water Resources Res. 1969)
+    per event_type over the daily count grid: R/S at block sizes
+    8 and 16 active days, H = log2(RS_16 / RS_8) — the LONG-MEMORY
+    member of the temporal family (fano_burstiness is
+    variance-at-one-scale, acf is fixed-lag; H ~ 0.5 means
+    aggregating windows won't smooth the load, H -> 1 means bursts
+    persist across scales — the capacity-planning number).
+    Exactness: within a block of m days, m*Z_k = m*cum_k - k*T is
+    an EXACT integer (the mean never divides), the range R*m =
+    max - min likewise, and m^2*S^2 = m*Q - T^2, so RS = Rm /
+    sqrt(mQ - T^2) is ONE float chain per block on exact integers,
+    floored to micro BEFORE the order-free integer mean (sum DIV
+    count — the per-term-floor discipline); h_milli is one ln
+    chain on the two integer means. Constant blocks (S = 0) are
+    skipped, incomplete trailing blocks dropped (cnt = m), types
+    without a complete 16-day block emit NULL on the 16 side and
+    NULL H.
+
+    Scale shape: ONE corpus fold to the daily grid; everything
+    after (the x2 size explode, block windows, folds) lives on the
+    types x timeline frame — manifest-scale metadata."""
+    ev = t(spark, sf_dir, "events")
+    dd = (ev.groupBy("event_type",
+                     F.col("ts").cast("date").alias("day"))
+          .agg(F.count("*").alias("x"))
+          .select("event_type",
+                  F.datediff("day", F.lit("1970-01-01")).alias("d"),
+                  F.col("x").cast("long").alias("x")))
+    di = dd.select(
+        "event_type", "x",
+        F.row_number().over(Window.partitionBy("event_type")
+                            .orderBy("d")).alias("rn")).persist()
+    ms = spark.createDataFrame([(8,), (16,)], "m int")
+    ex = (di.crossJoin(F.broadcast(ms))
+          .select("event_type", "rn", "x", "m",
+                  F.expr("(rn - 1) DIV m").alias("bid"),
+                  F.expr("(rn - 1) % m + 1").alias("k")))
+    wb = (Window.partitionBy("event_type", "m", "bid").orderBy("k"))
+    cz = ex.withColumn("cum", F.sum("x").over(wb))
+    blk = (cz.groupBy("event_type", "m", "bid")
+           .agg(F.count("*").cast("long").alias("cnt"),
+                F.sum("x").cast("long").alias("t"),
+                F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+                .alias("q")))
+    zb = (cz.join(blk, ["event_type", "m", "bid"])
+          .groupBy("event_type", "m", "bid")
+          .agg(F.max(F.col("m") * F.col("cum")
+                     - F.col("k") * F.col("t")).alias("zmax"),
+               F.min(F.col("m") * F.col("cum")
+                     - F.col("k") * F.col("t")).alias("zmin"),
+               F.max("t").alias("t"), F.max("q").alias("q"),
+               F.max("cnt").alias("cnt")))
+    rs = (zb.where("cnt = m AND m * q - t * t > 0")
+          .groupBy("event_type", "m")
+          .agg(F.count("*").cast("long").alias("n_blocks"),
+               F.expr("CAST(sum(CAST(floor((zmax - zmin) * 1000000 "
+                      "/ sqrt(CAST(m * q - t * t AS DOUBLE))) "
+                      "AS BIGINT)) DIV count(*) AS BIGINT)")
+               .alias("rs_micro")))
+    nd = di.groupBy("event_type").agg(F.count("*").cast("long")
+                                      .alias("n_days"))
+    a = (rs.where("m = 8")
+         .select("event_type", F.col("n_blocks").alias("blocks8"),
+                 F.col("rs_micro").alias("rs8_micro")))
+    b = (rs.where("m = 16")
+         .select("event_type", F.col("n_blocks").alias("blocks16"),
+                 F.col("rs_micro").alias("rs16_micro")))
+    return (a.join(b, "event_type", "left")
+            .join(F.broadcast(nd), "event_type")
+            .select("event_type", "n_days", "blocks8", "rs8_micro",
+                    "blocks16", "rs16_micro",
+                    F.expr("CASE WHEN rs16_micro IS NULL "
+                           "OR rs8_micro = 0 THEN NULL "
+                           "ELSE CAST(floor(1000 "
+                           "* ln(CAST(rs16_micro AS DOUBLE) "
+                           "/ rs8_micro) / ln(2)) AS BIGINT) END")
+                    .alias("h_milli")))
+
+
 # ===========================================================================
 # Registry ordering for the external driver
 # ===========================================================================

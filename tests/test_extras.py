@@ -5007,3 +5007,61 @@ def test_knn_classifier_eval_hand(spark, tmp_path):
            for r in QUERIES["knn_classifier_eval"](
                spark, str(tmp_path)).collect()]
     assert out == [(1, 1, 1, 1000000)], out
+
+
+def test_grubbs_max_deviation_hand(spark, tmp_path):
+    """A=[1,2,3,10]: S=16, Q=114, dev = |4*10-16| = 24 at the
+    value-10 doc, G = 24/sqrt(4*200/3) -> 1469 milli. B=[5,5]:
+    zero variance -> NULL G but the argmax row (smallest doc_id)
+    still lands."""
+    from extractor.queries import QUERIES
+
+    _docs_groups(tmp_path, {"A": [1, 2, 3, 10], "B": [5, 5]})
+    out = {r["source"]: (r["n"], r["x_extreme"], r["g_milli"])
+           for r in QUERIES["grubbs_max_deviation"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": (4, 10, 1469), "B": (2, 5, None)}, out
+    # argmax doc id: A's value-10 doc, B's FIRST doc by id
+    rows = {r["source"]: r["argmax_doc_id"]
+            for r in QUERIES["grubbs_max_deviation"](
+                spark, str(tmp_path)).collect()}
+    assert rows == {"A": 3, "B": 4}, rows
+
+
+def test_hurst_rs_exponent_hand(spark, tmp_path):
+    """Type 'alt' alternates 1,2 over 16 days: every block of 8
+    and of 16 has Rm = m/2 and sqrt(mQ - T^2) = m/2, so RS = 1e6
+    at both sizes and H = 0 exactly (a periodic series has no
+    persistence). Type 'ramp' counts 1..16: blocks of 8 give Rm =
+    64 / sqrt(336) -> 3491486 micro (twice, identically), the
+    16-block gives 512/sqrt(5440) -> 6941774, and h_milli =
+    floor(1000 * log2(6941774/3491486)) = 991 — the near-1
+    exponent of a pure trend."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    for day in range(16):
+        for _ in range([1, 2][day % 2]):
+            rows.append(("alt", day))
+        for _ in range(day + 1):
+            rows.append(("ramp", day))
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(days=d)
+                         for _, d in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": [ty for ty, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["event_type"]: (r["n_days"], r["blocks8"],
+                             r["rs8_micro"], r["blocks16"],
+                             r["rs16_micro"], r["h_milli"])
+           for r in QUERIES["hurst_rs_exponent"](
+               spark, str(tmp_path)).collect()}
+    assert out == {
+        "alt": (16, 2, 1000000, 1, 1000000, 0),
+        "ramp": (16, 2, 3491486, 1, 6941774, 991)}, out
