@@ -5065,3 +5065,66 @@ def test_hurst_rs_exponent_hand(spark, tmp_path):
     assert out == {
         "alt": (16, 2, 1000000, 1, 1000000, 0),
         "ramp": (16, 2, 3491486, 1, 6941774, 991)}, out
+
+
+def test_markov_stationary_mix_hand(spark, tmp_path):
+    """Chain A->B(2), A->C(1), B->A(2), C a SINK holding its mass
+    by the self-loop convention: three worked exact-integer rounds
+    from the uniform 333333 give (222222, 148148, 629629) — the
+    sink accumulates exactly the floored inflow trace, and the
+    total 999999 documents the deliberate 1-micro floor leak."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    base = pd.Timestamp("2024-01-01")
+    seqs = {1: ["A", "B", "A", "B", "A"], 2: ["A", "C"]}
+    rows = [(u, i, ty) for u, tys in seqs.items()
+            for i, ty in enumerate(tys)]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(minutes=i)
+                         for _, i, _ in rows]
+                        ).astype("datetime64[us]"),
+        "user_id": [u for u, _, _ in rows],
+        "event_type": [ty for _, _, ty in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["state"]: (r["n_out"], r["pi3_micro"])
+           for r in QUERIES["markov_stationary_mix"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": (3, 222222), "B": (2, 148148),
+                   "C": (0, 629629)}, out
+
+
+def test_diff_in_diff_cutover_hand(spark, tmp_path):
+    """Days 0..3 cut at day 1. Treated users {1,3} go 3 pre -> 5
+    post events (means 1.5 -> 2.5); control user {2} holds flat at
+    3 -> 3. DiD = (2.5 - 1.5) - 0 = 1000000 micro, every cell mean
+    landing exactly on the grid."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    ud = [(1, 0), (1, 1), (1, 2), (1, 2), (1, 3), (1, 3),
+          (3, 1), (3, 2),
+          (2, 0), (2, 0), (2, 1), (2, 2), (2, 3), (2, 3)]
+    base = pd.Timestamp("2024-05-01")
+    pd.DataFrame({
+        "event_id": range(len(ud)),
+        "ts": pd.Series([base + pd.Timedelta(days=d)
+                         for _, d in ud]).astype("datetime64[us]"),
+        "user_id": [u for u, _ in ud],
+        "event_type": ["t"] * len(ud),
+        "value": [1.0] * len(ud),
+        "props": ["{}"] * len(ud),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = QUERIES["diff_in_diff_cutover"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["users_control"], r["users_treat"]) == (1, 2), r
+    assert (r["c_pre_micro"], r["c_post_micro"]) == \
+        (3000000, 3000000), r
+    assert (r["t_pre_micro"], r["t_post_micro"]) == \
+        (1500000, 2500000), r
+    assert r["did_micro"] == 1000000, r
