@@ -5128,3 +5128,33 @@ def test_diff_in_diff_cutover_hand(spark, tmp_path):
     assert (r["t_pre_micro"], r["t_post_micro"]) == \
         (1500000, 2500000), r
     assert r["did_micro"] == 1000000, r
+
+
+def test_equi_depth_histogram_hand(spark, tmp_path):
+    """Five 1s then five 2s with B=10: the tied groups land in
+    buckets 0 and 5 and SWALLOW the rest — eight bucket ids are
+    genuinely absent (sparse convention), each survivor holding
+    exactly half the rows."""
+    from extractor.queries import QUERIES
+
+    _docs_groups(tmp_path, {"A": [1] * 5 + [2] * 5})
+    out = sorted((r["bucket"], r["lo"], r["hi"], r["n_rows"],
+                  r["n_distinct"])
+                 for r in QUERIES["equi_depth_histogram"](
+                     spark, str(tmp_path)).collect())
+    assert out == [(0, 1, 1, 5, 1), (5, 2, 2, 5, 1)], out
+
+
+def test_conformal_split_threshold_hand(spark, tmp_path):
+    """A=[1..9]: median 5, sorted scores 0,1,1,2,2,3,3,4,4, q_idx
+    = ceil(0.9*10) = 9 -> radius 4 (the 9th smallest). B has ONE
+    doc: q_idx = 2 > n -> NULL radius — the honest conformal
+    infinite interval."""
+    from extractor.queries import QUERIES
+
+    _docs_groups(tmp_path, {"A": list(range(1, 10)), "B": [7]})
+    out = {r["source"]: (r["n_cal"], r["med"], r["q_idx"],
+                         r["radius"])
+           for r in QUERIES["conformal_split_threshold"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": (9, 5, 9, 4), "B": (1, 7, 2, None)}, out
