@@ -5158,3 +5158,66 @@ def test_conformal_split_threshold_hand(spark, tmp_path):
            for r in QUERIES["conformal_split_threshold"](
                spark, str(tmp_path)).collect()}
     assert out == {"A": (9, 5, 9, 4), "B": (1, 7, 2, None)}, out
+
+
+def test_cross_correlation_types_hand(spark, tmp_path):
+    """A=(1,2,3,4), B=2A, C constant, D=reversed A over days
+    0..3: AB pins +1.0 at ALL three lags (B(d+1) is still linear
+    in A(d)), AD/BD pin -1.0, every C pair pins the -2.0
+    zero-variance sentinel; lag 0 pairs 4 days, lags +-1 pair 3
+    (the spine-shift intersection)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    counts = {"A": [1, 2, 3, 4], "B": [2, 4, 6, 8],
+              "C": [5, 5, 5, 5], "D": [4, 3, 2, 1]}
+    base = pd.Timestamp("2024-06-01")
+    rows = [(ty, d) for ty, cs in counts.items()
+            for d, c in enumerate(cs) for _ in range(c)]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(days=d)
+                         for _, d in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": [ty for ty, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {(r["type_a"], r["type_b"], r["lag"]):
+           (r["n_days"], r["corr_6dp"])
+           for r in QUERIES["cross_correlation_types"](
+               spark, str(tmp_path)).collect()}
+    assert len(out) == 18, out
+    for lag in (-1, 0, 1):
+        nd = 4 if lag == 0 else 3
+        assert out[("A", "B", lag)] == (nd, 1.0), out
+        assert out[("A", "D", lag)] == (nd, -1.0), out
+        assert out[("B", "D", lag)] == (nd, -1.0), out
+        for pair in (("A", "C"), ("B", "C"), ("C", "D")):
+            assert out[pair + (lag,)] == (nd, -2.0), out
+
+
+def test_pacf_hourly_hand(spark, tmp_path):
+    """Hourly counts (1,2,1,2): 4-scaled deviations (-2,2,-2,2)
+    give num0=16, num1=-12, num2=8, so r1=-0.75, r2=0.5 and
+    phi22 = (0.5 - 0.5625)/(1 - 0.5625) = -1/7 -> -0.142857."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    rows = [h for h, c in enumerate([1, 2, 1, 2])
+            for _ in range(c)]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(hours=h)
+                         for h in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": ["t"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = QUERIES["pacf_hourly"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_hours"], r["phi11_6dp"], r["phi22_6dp"]) == \
+        (4, -0.75, -0.142857), r
