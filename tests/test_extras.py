@@ -5221,3 +5221,50 @@ def test_pacf_hourly_hand(spark, tmp_path):
     r = QUERIES["pacf_hourly"](spark, str(tmp_path)).collect()[0]
     assert (r["n_hours"], r["phi11_6dp"], r["phi22_6dp"]) == \
         (4, -0.75, -0.142857), r
+
+
+def test_cohen_d_effect_sizes_hand(spark, tmp_path):
+    """A=[1,2,3] vs B=[4,5,6]: both variances 1, pooled s_p = 1,
+    d = -3.0 exactly -> -3000; Hedges J = 1 - 3/15 and the pinned
+    left-associated chain (1000*d)*J lands on -2400 — the
+    on-the-grid floor case the docstring documents. C=[7,7] pairs
+    are d-defined (one side has variance); A/B vs the
+    SINGLE-VALUE pairs still produce numbers, but the
+    both-constant guard is pinned by D=[9,9] vs C=[7,7] -> NULL."""
+    from extractor.queries import QUERIES
+
+    _docs_groups(tmp_path, {"A": [1, 2, 3], "B": [4, 5, 6],
+                            "C": [7, 7], "D": [9, 9]})
+    out = {(r["source_a"], r["source_b"]):
+           (r["d_milli"], r["g_milli"])
+           for r in QUERIES["cohen_d_effect_sizes"](
+               spark, str(tmp_path)).collect()}
+    assert out[("A", "B")] == (-3000, -2400), out
+    assert out[("C", "D")] == (None, None), out
+    assert len(out) == 6, out
+
+
+def test_hellinger_lang_distance_hand(spark, tmp_path):
+    """A = {en:1, fr:1}, B = {en:2}: BC = sqrt(2)/2 -> 707106
+    micro, H = sqrt(1 - .707106) -> 541 milli. C clones A's
+    distribution: BC floors to exactly 1e6 and the clamp pins
+    H = 0; (B,C) mirrors (A,B) -> the metric's symmetry shows up
+    as equal values."""
+    from extractor.queries import QUERIES
+
+    _docs_texts(tmp_path, [("A", "x"), ("A", "y"), ("B", "x"),
+                           ("B", "y"), ("C", "x"), ("C", "y")])
+    # rewrite langs: A en/fr, B en/en, C en/fr
+    import os
+
+    df = pd.read_parquet(os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    df["lang"] = ["en", "fr", "en", "en", "en", "fr"]
+    df.to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = {(r["source_a"], r["source_b"]):
+           (r["bc_micro"], r["hellinger_milli"])
+           for r in QUERIES["hellinger_lang_distance"](
+               spark, str(tmp_path)).collect()}
+    assert out == {("A", "B"): (707106, 541),
+                   ("A", "C"): (1000000, 0),
+                   ("B", "C"): (707106, 541)}, out
