@@ -5268,3 +5268,57 @@ def test_hellinger_lang_distance_hand(spark, tmp_path):
     assert out == {("A", "B"): (707106, 541),
                    ("A", "C"): (1000000, 0),
                    ("B", "C"): (707106, 541)}, out
+
+
+def _emb_fixture(path, vecs, labels):
+    import os
+
+    import numpy as np
+
+    pd.DataFrame({
+        "vec_id": sorted(vecs),
+        "embedding": [np.array(vecs[k], dtype=np.float32)
+                      for k in sorted(vecs)],
+        "label": np.array([labels[k] for k in sorted(vecs)],
+                          dtype=np.int32),
+    }).to_parquet(os.path.join(str(path), "embeddings.parquet"))
+
+
+def test_kcenter_greedy_select_hand(spark, tmp_path):
+    """Seed v0 = e_x; round 2 grabs the orthogonal v1 (dist
+    exactly 1e6 on the quantized grid), round 3 the diagonal v3
+    (1 - 1/sqrt(2) -> 292893), round 4 the near-clone v2 (49
+    micro). v4 is the zero vector and is EXCLUDED, so the 5th
+    round has no candidates and the op stops at 4 rows — the
+    early-stop contract."""
+    from extractor.queries import QUERIES
+
+    _emb_fixture(tmp_path,
+                 {0: [1.0, 0.0], 1: [0.0, 1.0], 2: [1.0, 0.01],
+                  3: [0.7, 0.7], 4: [0.0, 0.0]},
+                 {0: 1, 1: 1, 2: 1, 3: 1, 4: 1})
+    out = [(r["sel_rank"], r["vec_id"], r["dmin_micro"])
+           for r in QUERIES["kcenter_greedy_select"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(1, 0, None), (2, 1, 1000000),
+                   (3, 3, 292893), (4, 2, 49)], out
+
+
+def test_centroid_outlier_score_hand(spark, tmp_path):
+    """Label 1 = {e_x, (0.9,0.1), e_y}: the planted e_y outlier
+    ranks FIRST (cos 501036 to the summed centroid), then e_x,
+    then the near-centroid (0.9,0.1). Label 2's single vector
+    scores 999999 — the floor-epsilon of cos = 1 against its own
+    centroid, pinned."""
+    from extractor.queries import QUERIES
+
+    _emb_fixture(tmp_path,
+                 {0: [1.0, 0.0], 1: [0.9, 0.1], 2: [0.0, 1.0],
+                  3: [0.5, 0.5]},
+                 {0: 1, 1: 1, 2: 1, 3: 2})
+    out = [(r["label"], r["out_rank"], r["vec_id"], r["cos_micro"])
+           for r in sorted(QUERIES["centroid_outlier_score"](
+               spark, str(tmp_path)).collect(),
+               key=lambda r: (r["label"], r["out_rank"]))]
+    assert out == [(1, 1, 2, 501036), (1, 2, 0, 865426),
+                   (1, 3, 1, 915463), (2, 1, 3, 999999)], out
