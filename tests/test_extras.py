@@ -5322,3 +5322,43 @@ def test_centroid_outlier_score_hand(spark, tmp_path):
                key=lambda r: (r["label"], r["out_rank"]))]
     assert out == [(1, 1, 2, 501036), (1, 2, 0, 865426),
                    (1, 3, 1, 915463), (2, 1, 3, 999999)], out
+
+
+def test_watermark_lateness_profile_hand(spark, tmp_path):
+    """Arrival order 0..3 with event times 100/50/150/140 s: rows
+    1 and 3 arrive behind the running max (late by 50 s and 10 s),
+    so n_late = 2, late_ppm = 500000, and the smallest
+    lose-nothing watermark delay is 50 s."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    base = pd.Timestamp("2024-06-01")
+    secs = [100, 50, 150, 140]
+    pd.DataFrame({
+        "event_id": range(4),
+        "ts": pd.Series([base + pd.Timedelta(seconds=s)
+                         for s in secs]).astype("datetime64[us]"),
+        "user_id": [1] * 4,
+        "event_type": ["t"] * 4,
+        "value": [1.0] * 4,
+        "props": ["{}"] * 4,
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = QUERIES["watermark_lateness_profile"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["n_late"], r["late_ppm"],
+            r["max_late_us"]) == (4, 2, 500000, 50_000_000), r
+
+
+def test_cramer_von_mises_cohorts_hand(spark, tmp_path):
+    """src01=[1,2] vs src11=[2,3]: dn over the pooled values is
+    (2,2,0), t_num = 1*4 + 2*4 + 0 = 12, T = 12/(16*4) ->
+    187500 micro — matching the direct (nm/N^2) sum of squared
+    CDF gaps (0.25 at 3 of the 4 pooled points)."""
+    from extractor.queries import QUERIES
+
+    _docs_texts(tmp_path, [("src01", "a"), ("src01", "ab"),
+                           ("src11", "ab"), ("src11", "abc")])
+    r = QUERIES["cramer_von_mises_cohorts"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n1"], r["n2"], r["t_micro"]) == (2, 2, 187500), r
