@@ -5362,3 +5362,58 @@ def test_cramer_von_mises_cohorts_hand(spark, tmp_path):
     r = QUERIES["cramer_von_mises_cohorts"](
         spark, str(tmp_path)).collect()[0]
     assert (r["n1"], r["n2"], r["t_micro"]) == (2, 2, 187500), r
+
+
+def test_markov_entropy_rate_hand(spark, tmp_path):
+    """Same chain as the stationary hand test: state A splits
+    2:1, h_A = floor(222222*2*ln(3/2)/3) + floor(222222*ln(3)/3)
+    = 60068 + 81378 = 141446 micro-nats; B is DETERMINISTIC
+    (ln 1 = 0 -> h_B = 0, the predictable-stream pin) and the
+    sink C contributes 0 by the absorbing convention."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    base = pd.Timestamp("2024-01-01")
+    seqs = {1: ["A", "B", "A", "B", "A"], 2: ["A", "C"]}
+    rows = [(u, i, ty) for u, tys in seqs.items()
+            for i, ty in enumerate(tys)]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(minutes=i)
+                         for _, i, _ in rows]
+                        ).astype("datetime64[us]"),
+        "user_id": [u for u, _, _ in rows],
+        "event_type": [ty for _, _, ty in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["state"]: (r["n_out"], r["pi3_micro"],
+                        r["h_state_micro"])
+           for r in QUERIES["markov_entropy_rate"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": (3, 222222, 141446), "B": (2, 148148, 0),
+                   "C": (0, 629629, 0)}, out
+
+
+def test_psi_drift_deciles_hand(spark, tmp_path):
+    """Expected cohort 1..10 puts one doc per decile; actual
+    cohort piles 5 on bin 0 and 4 on bin 1, deserts bins 2-8, and
+    matches on bin 9. term_0 = 0.4*ln(5) -> 643775, term_1 =
+    0.3*ln(4) -> 415888; the deserted bins clamp to count 1 =
+    exactly p and pin ZERO terms — the Laplace floor making
+    absence visible but unpunished when rates agree."""
+    from extractor.queries import QUERIES
+
+    rows = [("src01", "x" * k) for k in range(1, 11)]
+    rows += [("src11", "x")] * 5 + [("src11", "xx")] * 4
+    rows += [("src11", "x" * 10)]
+    _docs_texts(tmp_path, rows)
+    out = {r["bin"]: (r["c1"], r["c2"], r["term_micro"])
+           for r in QUERIES["psi_drift_deciles"](
+               spark, str(tmp_path)).collect()}
+    assert out[0] == (1, 5, 643775), out
+    assert out[1] == (1, 4, 415888), out
+    for b in range(2, 9):
+        assert out[b] == (1, 0, 0), out
+    assert out[9] == (1, 1, 0), out
