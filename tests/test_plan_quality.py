@@ -1252,3 +1252,27 @@ def test_jonckheere_terpstra_plan(spark):
     assert "CartesianProduct" not in final, final
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_cross_correlation_types_plan(spark):
+    """CCF: the lag shift is applied BEFORE the join so the day
+    key must stay a plain EQUI join (hash/sort-merge) — a theta
+    join on d + l here would be the nested-loop regression; no
+    Python eval."""
+    final = _final_plan(spark, "cross_correlation_types")
+    assert "HashJoin" in final or "SortMergeJoin" in final, final
+    assert "CartesianProduct" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
+
+
+def test_centroid_outlier_score_plan(spark):
+    """Centroid outliers: the per-vector score join must be the
+    corpus x dim frame against the BROADCAST label x dim centroid
+    table — never a shuffle of the exploded frame onto a
+    non-broadcast side, never Python."""
+    final = _final_plan(spark, "centroid_outlier_score")
+    assert "BroadcastHashJoin" in final, final
+    assert "CartesianProduct" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
