@@ -5417,3 +5417,17 @@ def test_psi_drift_deciles_hand(spark, tmp_path):
     for b in range(2, 9):
         assert out[b] == (1, 0, 0), out
     assert out[9] == (1, 1, 0), out
+
+
+def test_anderson_darling_cohorts_hand(spark, tmp_path):
+    """Same fixture as CvM: terms 4/3 and 8/3 at the two interior
+    pooled points (the largest value is excluded at the H = 1
+    singularity), floors summing to 3999999 against the true
+    A2 = 4.0 — the per-term floor behavior pinned deliberately."""
+    from extractor.queries import QUERIES
+
+    _docs_texts(tmp_path, [("src01", "a"), ("src01", "ab"),
+                           ("src11", "ab"), ("src11", "abc")])
+    r = QUERIES["anderson_darling_cohorts"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n1"], r["n2"], r["a2_micro"]) == (2, 2, 3999999), r
