@@ -5431,3 +5431,61 @@ def test_anderson_darling_cohorts_hand(spark, tmp_path):
     r = QUERIES["anderson_darling_cohorts"](
         spark, str(tmp_path)).collect()[0]
     assert (r["n1"], r["n2"], r["a2_micro"]) == (2, 2, 3999999), r
+
+
+def test_graph_assortativity_hand(spark, tmp_path):
+    """Bipartite s1-{p1,p2}, s2-{p2}: endpoint-degree pairs over
+    the 6 directed edges give n*sxy - sx*sy = -4 against variance
+    8 -> r = -0.5 exactly (hubs attaching to leaves — the
+    disassortative hub-and-spoke signature)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    pd.DataFrame({
+        "l_orderkey": [1, 1, 2],
+        "l_suppkey": [1, 1, 2],
+        "l_partkey": [1, 2, 2],
+    }).to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    r = QUERIES["graph_assortativity"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n_directed_edges"],
+            r["assortativity_6dp"]) == (6, -0.5), r
+
+
+def test_seasonality_strength_dow_hand(spark, tmp_path):
+    """Type 'wk' spikes to 10 on epoch-dow 0 across two weeks:
+    every dow group is constant, so SSW = 0 and strength pins
+    EXACTLY 1e6 (SSB = SST = 138857143 micro through the shared
+    floor). Type 'alt' alternates 3/1 by day parity: over 14 days
+    every dow group is {3,1} (7 is odd), SSB clamps to 0 ->
+    strength 0 — strong DAILY structure, zero WEEKLY structure."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    base = pd.Timestamp("2024-06-06")  # epoch-dow of base: any
+    b0 = (base - pd.Timestamp("1970-01-01")).days
+    shift = (7 - b0 % 7) % 7  # align day 0 to epoch-dow 0
+    rows = []
+    for day in range(14):
+        dget = day + shift
+        rows += [("wk", dget)] * (10 if (b0 + dget) % 7 == 0 else 1)
+        rows += [("alt", dget)] * (3 if (b0 + dget) % 2 == 0 else 1)
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(days=d)
+                         for _, d in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": [ty for ty, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["event_type"]: (r["n_days"], r["ssb_micro"],
+                             r["sst_micro"], r["strength_ppm"])
+           for r in QUERIES["seasonality_strength_dow"](
+               spark, str(tmp_path)).collect()}
+    assert out["wk"][0] == 14 and out["wk"][3] == 1000000, out
+    assert out["wk"][1] == out["wk"][2] == 138857143, out
+    assert out["alt"][0] == 14 and out["alt"][1] == 0, out
+    assert out["alt"][3] == 0, out
