@@ -5489,3 +5489,51 @@ def test_seasonality_strength_dow_hand(spark, tmp_path):
     assert out["wk"][1] == out["wk"][2] == 138857143, out
     assert out["alt"][0] == 14 and out["alt"][1] == 0, out
     assert out["alt"][3] == 0, out
+
+
+def test_join_qerror_audit_hand(spark, tmp_path):
+    """Orders reference c1 x3 plus a DANGLING c9: the System-R
+    estimate 2*4/max(2,2) = 4 vs actual 3 -> q = 1333 milli (the
+    dangling FK is exactly the non-uniformity q-error detects).
+    A clean orders-lineitem join (2 orders x fanout) estimates
+    exactly and pins q = 1000."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    pd.DataFrame({"c_custkey": [1, 2]}).to_parquet(
+        os.path.join(str(tmp_path), "customer.parquet"))
+    pd.DataFrame({"o_orderkey": [10, 11, 12, 13],
+                  "o_custkey": [1, 1, 1, 9]}).to_parquet(
+        os.path.join(str(tmp_path), "orders.parquet"))
+    pd.DataFrame({"l_orderkey": [10, 10, 11, 12],
+                  "l_partkey": [1, 1, 2, 2]}).to_parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+    pd.DataFrame({"p_partkey": [1, 2]}).to_parquet(
+        os.path.join(str(tmp_path), "part.parquet"))
+    out = {r["join_id"]: (r["est_rows"], r["act_rows"],
+                          r["q_milli"])
+           for r in QUERIES["join_qerror_audit"](
+               spark, str(tmp_path)).collect()}
+    assert out["customer_orders"] == (4, 3, 1333), out
+    assert out["orders_lineitem"] == (4, 4, 1000), out
+    assert out["part_lineitem"] == (4, 4, 1000), out
+
+
+def test_chapman_dedup_estimate_hand(spark, tmp_path):
+    """Token-sort catches the {ab, ba, ab-clone} triangle (A = 3);
+    the 64-char prefix catches the exact clone pair AND the long
+    shared-opening pair the sorter misses (B = 2); overlap C = 1
+    (the clone). Chapman: 4*3/2 - 1 = 5 — above max(A, B), the
+    'MinHash will pay' signal."""
+    from extractor.queries import QUERIES
+
+    long_head = "w" * 64
+    _docs_texts(tmp_path, [
+        ("A", "a b"), ("A", "b a"), ("A", "a b"),
+        ("A", long_head + "p"), ("A", long_head + "q"),
+        ("A", "solo")])
+    r = QUERIES["chapman_dedup_estimate"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["pairs_tokensort"], r["pairs_prefix64"],
+            r["pairs_both"], r["chapman_est"]) == (3, 2, 1, 5), r
