@@ -141,3 +141,64 @@ def dedup_refs(refs: list[dict], threshold: int = LEV_THRESHOLD) -> list[dict]:
             kept.append(r)
             kept_info.append([s, cs, ls])
     return kept
+
+
+def jaro_winkler_micro(a: str, b: str) -> int:
+    """Jaro-Winkler similarity (Jaro, JASA 1989; Winkler, ASA
+    Proc. 1990) as an EXACT integer in micro units: the whole
+    statistic is the rational (2 m^2 lb + 2 m^2 la + 2 la lb (m -
+    x DIV 2)) / (6 la lb m) with the standard Winkler prefix boost
+    (p = 0.1, prefix <= 4, applied only when jaro >= 0.7 — the
+    boost-threshold convention DuckDB's jaro_winkler_similarity
+    implements, verified empirically in the fuzz test), kept in
+    integer arithmetic to the single final floor — so 'jw exactly
+    0.84' is 840000, not the floor of a float that dithered one
+    ulp below (the dwayne/duane case the unit test pins).
+    x is the FULL count of order-mismatched matched characters,
+    floored to t = x DIV 2; the boost condition jaro >= 0.7 (INCLUSIVE —
+    DuckDB boosts at exactly 0.7, caught by the fuzz) is the
+    exact integer comparison 10*num >= 7*den."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0  # incl. both-empty: DuckDB's convention, pinned
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    bm = [False] * lb
+    am = [False] * la
+    m = 0
+    for i in range(la):
+        lo = i - window if i - window > 0 else 0
+        hi = i + window + 1 if i + window + 1 < lb else lb
+        for j in range(lo, hi):
+            if not bm[j] and a[i] == b[j]:
+                am[i] = True
+                bm[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0
+    x = 0
+    j = 0
+    for i in range(la):
+        if am[i]:
+            while not bm[j]:
+                j += 1
+            if a[i] != b[j]:
+                x += 1
+            j += 1
+    # t = x // 2 (FLOORED half-transpositions — the RapidFuzz
+    # convention DuckDB ships; the classic x/2 half-integer reading
+    # disagrees on odd x, caught by the fuzz test)
+    num = (2 * m * m * lb + 2 * m * m * la
+           + 2 * la * lb * (m - x // 2))
+    den = 6 * la * lb * m
+    pl = 0
+    for i in range(min(4, la, lb)):
+        if a[i] != b[i]:
+            break
+        pl += 1
+    if pl and 10 * num >= 7 * den:
+        num = num * (10 - pl) + pl * den
+        den = den * 10
+    return (1000000 * num) // den

@@ -5537,3 +5537,34 @@ def test_chapman_dedup_estimate_hand(spark, tmp_path):
         spark, str(tmp_path)).collect()[0]
     assert (r["pairs_tokensort"], r["pairs_prefix64"],
             r["pairs_both"], r["chapman_est"]) == (3, 2, 1, 5), r
+
+
+def test_jw_probe_best_match_hand(spark, tmp_path):
+    """Probe 200 ('alpha beta gamma x') must pick 201 (one char
+    off, jw 987878) over 202 (two chars off) within its block;
+    off-block parts (different first words or length) never enter;
+    probe 400 has NO block partner and emits nothing (sparse)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [
+        (200, "alpha beta gamma x"),
+        (201, "alpha beta gamma y"),
+        (202, "alpha beta gummy y"),
+        (7, "alpha zeta gamma x"),   # different second word
+        (8, "alpha beta gam"),       # different length
+        (400, "unique solo probe"),
+    ]
+    pd.DataFrame({
+        "p_partkey": [k for k, _ in rows],
+        "p_name": [n for _, n in rows],
+    }).to_parquet(os.path.join(str(tmp_path), "part.parquet"))
+    out = [(r["probe_key"], r["match_key"], r["jw_micro"])
+           for r in QUERIES["jw_probe_best_match"](
+               spark, str(tmp_path)).collect()]
+    assert len(out) == 1 and out[0][0] == 200, out
+    assert out[0][1] == 201, out
+    from extractor.core.dedup import jaro_winkler_micro
+    assert out[0][2] == jaro_winkler_micro(
+        "alpha beta gamma x", "alpha beta gamma y"), out

@@ -794,3 +794,48 @@ def test_cdc_chunk_batch_equals_per_doc():
         assert (r["doc_id"], r["chunk_idx"], r["start"], r["length"],
                 r["h"]) == (f["doc_id"][i], f["chunk_idx"][i],
                             f["start"][i], f["length"][i], f["h"][i])
+
+
+def test_jaro_winkler_micro_conventions():
+    """The kernel's three reverse-engineered DuckDB/RapidFuzz
+    conventions, pinned: (1) floored half-transpositions (x=3 ->
+    t=1 on the 'acedd' case: 637878, not the classic-x/2
+    596212); (2) INCLUSIVE 0.7 boost threshold (jaro exactly 0.7
+    with prefix 1 boosts to 730000); (3) both-empty -> 0. Plus
+    the exact-rational showcase: dwayne/duane = 840000 EXACTLY
+    (a float path dithers one ulp around 0.84)."""
+    from extractor.core.dedup import jaro_winkler_micro as jw
+
+    assert jw("acedd", "adceeceaa b") == 637878
+    assert jw("a", "a ea fcbdd") == 730000
+    assert jw("", "") == 0
+    assert jw("", "abc") == 0
+    assert jw("dwayne", "duane") == 840000
+    assert jw("martha", "marhta") == 961111
+    assert jw("abcdzzzzzz", "abcdyyyyyy") == 600000  # below 0.7: no boost
+    assert jw("abc", "abc") == 1000000
+
+
+def test_jaro_winkler_micro_fuzz_vs_duckdb():
+    """Differential lock: 4k random pairs (fixed seed) must match
+    DuckDB's jaro_winkler_similarity under the nudged micro floor
+    bit for bit — the gate that caught both the transposition
+    floor and the inclusive boost threshold during development."""
+    import math
+    import random
+
+    import duckdb
+
+    from extractor.core.dedup import jaro_winkler_micro as jw
+
+    con = duckdb.connect()
+    random.seed(7)
+    for _ in range(4000):
+        a = "".join(random.choice("abcdef ")
+                    for _ in range(random.randint(0, 14)))
+        b = "".join(random.choice("abcdef ")
+                    for _ in range(random.randint(0, 14)))
+        d = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jw(a, b) == math.floor(d * 1000000 + 1e-8), (a, b)
