@@ -5568,3 +5568,61 @@ def test_jw_probe_best_match_hand(spark, tmp_path):
     from extractor.core.dedup import jaro_winkler_micro
     assert out[0][2] == jaro_winkler_micro(
         "alpha beta gamma x", "alpha beta gamma y"), out
+
+
+def test_tukey_median_polish_hand(spark, tmp_path):
+    """2 types x 3 active dows, matrix A=(1,5,3), B=(2,8,4): row
+    sweep pulls medians (3,4), col sweep pulls (-2,2,0), and the
+    second double-sweep is a fixed point — everything vanishes
+    except the B/middle-dow cell's +2 residual: the anomaly
+    LOCALIZED after stream-size and weekday effects are removed."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    base = pd.Timestamp("2024-06-03")
+    counts = {"A": [1, 5, 3], "B": [2, 8, 4]}
+    rows = [(ty, d) for ty, cs in counts.items()
+            for d, c in enumerate(cs) for _ in range(c)]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(days=d)
+                         for _, d in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": [ty for ty, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {(r["event_type"], r["dow"]):
+           (r["residual"], r["row_effect"], r["col_effect"])
+           for r in QUERIES["tukey_median_polish"](
+               spark, str(tmp_path)).collect()}
+    assert len(out) == 6, out
+    dows = sorted({d for _, d in out})
+    d0, d1, d2 = dows
+    assert out[("A", d0)] == (0, 3, -2), out
+    assert out[("A", d1)] == (0, 3, 2), out
+    assert out[("A", d2)] == (0, 3, 0), out
+    assert out[("B", d0)] == (0, 4, -2), out
+    assert out[("B", d1)] == (2, 4, 2), out
+    assert out[("B", d2)] == (0, 4, 0), out
+
+
+def test_cochran_armitage_trend_hand(spark, tmp_path):
+    """Sources A/B/C with en-rates 0/2, 1/2, 2/2 — the perfect
+    monotone climb: T = -6 + 0 + 18 = 12, var factors 9 and 24,
+    so the caller's Z = 12/sqrt(9*24/6) = 2.0 exactly."""
+    from extractor.queries import QUERIES
+
+    rows = [("A", "fr"), ("A", "fr"), ("B", "en"), ("B", "fr"),
+            ("C", "en"), ("C", "en")]
+    import os
+
+    pd.DataFrame(
+        [(i, "x", lg, s, 1) for i, (s, lg) in enumerate(rows)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    r = QUERIES["cochran_armitage_trend"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["k"], r["n"], r["x"], r["t_scaled"], r["var_binom"],
+            r["var_score"]) == (3, 6, 3, 12, 9, 24), r
