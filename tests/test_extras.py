@@ -5626,3 +5626,66 @@ def test_cochran_armitage_trend_hand(spark, tmp_path):
         spark, str(tmp_path)).collect()[0]
     assert (r["k"], r["n"], r["x"], r["t_scaled"], r["var_binom"],
             r["var_score"]) == (3, 6, 3, 12, 9, 24), r
+
+
+def test_lru_stack_distance_profile_hand(spark, tmp_path):
+    """Stream A B A C A B: reuses at distances 1 (A via B), 1 (A
+    via C), 2 (B via A,C); capacity-1 never hits, capacity-2 gets
+    the two A-reuses, capacity-3+ adds the B-reuse — the Mattson
+    inclusion property visible in the monotone hit counts; 3 cold
+    misses."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    seq = ["A", "B", "A", "C", "A", "B"]
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame({
+        "event_id": range(len(seq)),
+        "ts": pd.Series([base + pd.Timedelta(minutes=i)
+                         for i in range(len(seq))]
+                        ).astype("datetime64[us]"),
+        "user_id": [1] * len(seq),
+        "event_type": seq,
+        "value": [1.0] * len(seq),
+        "props": ["{}"] * len(seq),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = QUERIES["lru_stack_distance_profile"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n_accesses"], r["n_cold"], r["hits_c1"],
+            r["hits_c2"], r["hits_c3"], r["hits_c4"],
+            r["hit4_ppm"]) == (6, 3, 0, 2, 3, 3, 500000), r
+
+
+def test_gumbel_block_maxima_hand(spark, tmp_path):
+    """Weekly maxima (2, 4): MoM mu = 3 - gamma*sqrt(6)/pi ->
+    2549946 micro, beta = sqrt(6)/pi -> 779696, and the 4-week
+    return level 3521370 — above the observed mean, as an
+    extreme-value estimate must be. The single-week type pins
+    NULL."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    base = pd.Timestamp("1970-01-05")  # epoch day 4 (week 0)
+    rows = []
+    # week 0: daily counts 1,2 on days 4,5; week 1: 4 on day 7
+    for d, c in ((0, 1), (1, 2), (3, 4), (4, 1)):
+        rows += [("t", d)] * c
+    rows += [("solo", 0)] * 2
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(days=d)
+                         for _, d in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": [ty for ty, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["event_type"]: (r["n_weeks"], r["sum_max"],
+                             r["mu_micro"], r["beta_micro"],
+                             r["rl4_micro"])
+           for r in QUERIES["gumbel_block_maxima"](
+               spark, str(tmp_path)).collect()}
+    assert out["t"] == (2, 6, 2549946, 779696, 3521370), out
+    assert out["solo"][0] == 1 and out["solo"][2] is None, out
