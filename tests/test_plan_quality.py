@@ -1276,3 +1276,52 @@ def test_centroid_outlier_score_plan(spark):
     assert "CartesianProduct" not in final, final
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, final
+
+
+def test_jw_probe_best_match_plan(spark):
+    """JW probe: the ONLY Python in the plan must be the
+    Arrow-batched pandas UDF over the blocked candidate pairs
+    (ArrowEvalPython — the justified surface, since Spark has no
+    jaro builtin); the block join is an equi join; never a
+    row-at-a-time BatchEvalPython, never a cartesian."""
+    final = _final_plan(spark, "jw_probe_best_match")
+    assert "ArrowEvalPython" in final, final
+    assert "BatchEvalPython" not in final, final
+    assert "HashJoin" in final or "SortMergeJoin" in final, final
+    assert "CartesianProduct" not in final, final
+
+
+def test_lru_stack_distance_plan(spark):
+    """LRU stack distances: the k-type grid must come from a
+    BROADCAST cross of the bounded type set (BroadcastNestedLoop
+    Cross is the expected physical form of a bounded cross), the
+    per-position re-join an equi join, and the distance windows —
+    never a range self-join of the corpus against itself; no
+    Python."""
+    from extractor.queries import QUERIES
+
+    df = QUERIES["lru_stack_distance_profile"](
+        spark, "/root/testdata/sf0.001")
+    df.collect()
+    whole = df._jdf.queryExecution().executedPlan().toString()
+    final = whole.split("== Initial Plan ==")[0]
+    # the persisted position frame nests an AdaptiveSparkPlan whose
+    # own Initial-Plan marker truncates _final_plan before the
+    # distance-join subtree (the burrows_delta lesson) — read the
+    # full string for the positive asserts
+    assert "HashJoin" in whole or "SortMergeJoin" in whole, whole
+    assert "CartesianProduct" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in whole, whole
+
+
+def test_join_qerror_audit_plan(spark):
+    """q-error audit: the three actuals must be count-only hash
+    joins (no row materialization beyond the count aggregate), the
+    stat folds plain aggregates; no Python, no cartesian beyond
+    the bounded 1-row stat crosses."""
+    final = _final_plan(spark, "join_qerror_audit")
+    assert "HashJoin" in final or "SortMergeJoin" in final, final
+    assert "CartesianProduct" not in final, final
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, final
