@@ -5689,3 +5689,28 @@ def test_gumbel_block_maxima_hand(spark, tmp_path):
                spark, str(tmp_path)).collect()}
     assert out["t"] == (2, 6, 2549946, 779696, 3521370), out
     assert out["solo"][0] == 1 and out["solo"][2] is None, out
+
+
+def test_moran_geary_grid_hand(spark, tmp_path):
+    """Two adjacent hot cells (0,0)/(0,1) on an otherwise empty
+    grid: worked rook-pair sums give moran_num 129792 / geary_num
+    393216 / den 130048 over W = 960 ordered pairs, so I =
+    0.266142 (clustered — positive) and C = 0.401575 (< 1,
+    smooth) — the hot pair IS spatial structure, and the
+    co-location premise of a Hilbert layout."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    # lineitem rows: cell (0,0) once, cell (0,1) once
+    pd.DataFrame({
+        "l_orderkey": [1, 2],
+        "l_partkey": [16, 16],    # x = 0
+        "l_suppkey": [16, 17],    # y = 0, 1
+    }).to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    r = QUERIES["moran_geary_grid"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_cells"], r["w_pairs"], r["moran_num"],
+            r["geary_num"], r["den"]) == \
+        (256, 960, 129792, 393216, 130048), r
+    assert (r["moran_i_6dp"], r["geary_c_6dp"]) == \
+        (0.266142, 0.401575), r
