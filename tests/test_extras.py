@@ -5714,3 +5714,28 @@ def test_moran_geary_grid_hand(spark, tmp_path):
         (256, 960, 129792, 393216, 130048), r
     assert (r["moran_i_6dp"], r["geary_c_6dp"]) == \
         (0.266142, 0.401575), r
+
+
+def test_getis_hotspot_cells_hand(spark, tmp_path):
+    """Same two-adjacent-hot-cells grid as the Moran fixture: the
+    corner (0,0) tops the ranking (dev 512-3*2 = 506) over the
+    edge (0,1) (504) BECAUSE its truncated 3-cell neighborhood
+    concentrates the signal — boundary truncation is real, not
+    padded; the 248-tie between (0,2) and (1,0) resolves by the
+    (x, y) tie-break; (1,1) closes the top-5 at 246."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    pd.DataFrame({
+        "l_orderkey": [1, 2],
+        "l_partkey": [16, 16],
+        "l_suppkey": [16, 17],
+    }).to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = [(r["hot_rank"], r["x"], r["y"], r["s_i"], r["k_size"],
+            r["dev_scaled"])
+           for r in QUERIES["getis_hotspot_cells"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(1, 0, 0, 2, 3, 506), (2, 0, 1, 2, 4, 504),
+                   (3, 0, 2, 1, 4, 248), (4, 1, 0, 1, 4, 248),
+                   (5, 1, 1, 1, 5, 246)], out
