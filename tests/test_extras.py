@@ -5739,3 +5739,41 @@ def test_getis_hotspot_cells_hand(spark, tmp_path):
     assert out == [(1, 0, 0, 2, 3, 506), (2, 0, 1, 2, 4, 504),
                    (3, 0, 2, 1, 4, 248), (4, 1, 0, 1, 4, 248),
                    (5, 1, 1, 1, 5, 246)], out
+
+
+def test_yuen_trimmed_t_hand(spark, tmp_path):
+    """Cohorts 1..10 vs 11..20, g = 2: winsorized sums clip to the
+    rank-3/rank-8 boundaries (S_w = 55, Q_w = 345, TS = 33 and the
+    +10 shift), variances 425 each, t = -10/sqrt(2*425/300) ->
+    -5941 milli with the diff exactly -10 (note the SIGN contract:
+    cohort src0x is sample 1, so lower-numbered sources being
+    SHORTER gives a negative t)."""
+    from extractor.queries import QUERIES
+
+    rows = [("src01", "x" * k) for k in range(1, 11)]
+    rows += [("src11", "x" * k) for k in range(11, 21)]
+    _docs_texts(tmp_path, rows)
+    r = QUERIES["yuen_trimmed_t"](spark, str(tmp_path)).collect()[0]
+    assert (r["n1"], r["n2"], r["h1"], r["h2"]) == (10, 10, 6, 6), r
+    assert r["tm_diff_micro"] == -10000000, r
+    assert r["t_milli"] == -5941, r
+
+
+def test_jm_interpolated_nll_hand(spark, tmp_path):
+    """Single doc 'a b a b': bigram table {(a,b):2, (b,a):1},
+    T = 3. P(b|a) = 0.5*(2/2) + 0.5*(2/3) = 5/6; P(a|b) = 0.5*1
+    + 0.5*(1/3) = 2/3. nll_sum = floor(2e6*ln(6/5)) +
+    floor(1e6*ln(3/2)) = 364643 + 405465 = 770108, avg = 770108
+    DIV 3 = 256702."""
+    import math
+
+    from extractor.queries import QUERIES
+
+    _docs_texts(tmp_path, [("A", "a b a b")])
+    r = QUERIES["jm_interpolated_nll"](
+        spark, str(tmp_path)).collect()[0]
+    exp_sum = (math.floor(2e6 * -math.log(5 / 6))
+               + math.floor(1e6 * -math.log(2 / 3)))
+    assert (r["source"], r["n_bigrams"]) == ("A", 3), r
+    assert r["nll_sum_micro"] == exp_sum == 770108, r
+    assert r["avg_nll_micro"] == 256702, r
