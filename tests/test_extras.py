@@ -5777,3 +5777,67 @@ def test_jm_interpolated_nll_hand(spark, tmp_path):
     assert (r["source"], r["n_bigrams"]) == ("A", 3), r
     assert r["nll_sum_micro"] == exp_sum == 770108, r
     assert r["avg_nll_micro"] == 256702, r
+
+
+def test_mde_power_analysis_hand(spark, tmp_path):
+    """User 2 (control) makes 4 events; users 1 and 3 (treat) make
+    2 and 6: pooled s^2 = 4 exactly, MDE = 2.8016*sqrt(4*(1+1/2))
+    -> 6862454 micro (~6.9 events — huge, as a 3-user experiment
+    should be: the go/no-go answer is NO-GO)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    counts = {1: 2, 2: 4, 3: 6}
+    rows = [u for u, c in counts.items() for _ in range(c)]
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base] * len(rows)).astype("datetime64[us]"),
+        "user_id": rows,
+        "event_type": ["t"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = QUERIES["mde_power_analysis"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["users_control"], r["users_treat"],
+            r["var_num"]) == (1, 2, 24), r
+    assert r["mde_micro"] == 6862454, r
+
+
+def test_wald_sprt_arm_share_hand(spark, tmp_path):
+    """35 straight arm-1 events: the integer walk climbs by 95310
+    per event and first crosses +2944438 at position ceil(...) =
+    31 -> decision h1 at pos 31, final llr 35*95310. A second
+    fixture of 30 alternating pairs stays inside both boundaries
+    -> 'continue' with NULL position (each pair nets -10051)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    def write(sub, users):
+        p = tmp_path / sub
+        p.mkdir()
+        base = pd.Timestamp("2024-01-01")
+        pd.DataFrame({
+            "event_id": range(len(users)),
+            "ts": pd.Series([base + pd.Timedelta(seconds=i)
+                             for i in range(len(users))]
+                            ).astype("datetime64[us]"),
+            "user_id": users,
+            "event_type": ["t"] * len(users),
+            "value": [1.0] * len(users),
+            "props": ["{}"] * len(users),
+        }).to_parquet(os.path.join(str(p), "events.parquet"))
+        return str(p)
+
+    pa = write("a", [1] * 35)
+    r = QUERIES["wald_sprt_arm_share"](spark, pa).collect()[0]
+    assert (r["n_events"], r["decision"], r["decision_pos"],
+            r["final_llr_micro"]) == (35, "h1", 31, 35 * 95310), r
+    pb = write("b", [1, 2] * 30)
+    r2 = QUERIES["wald_sprt_arm_share"](spark, pb).collect()[0]
+    assert (r2["n_events"], r2["decision"],
+            r2["decision_pos"]) == (60, "continue", None), r2
+    assert r2["final_llr_micro"] == 30 * (95310 - 105361), r2
