@@ -5841,3 +5841,46 @@ def test_wald_sprt_arm_share_hand(spark, tmp_path):
     assert (r2["n_events"], r2["decision"],
             r2["decision_pos"]) == (60, "continue", None), r2
     assert r2["final_llr_micro"] == 30 * (95310 - 105361), r2
+
+
+def test_embedding_anisotropy_hand(spark, tmp_path):
+    """Unit vectors e_x, e_y, e_x: the only nonzero pair is the
+    repeated e_x (cos 1, both directions), so the mean pairwise
+    cosine is 2/(3*2) = 1/3 -> 333333 through the sum identity
+    ||S||^2 - tr — computed with NO pair join; mean norm pins
+    exactly 1e6; the zero vector is excluded from n."""
+    from extractor.queries import QUERIES
+
+    _emb_fixture(tmp_path,
+                 {0: [1.0, 0.0], 1: [0.0, 1.0], 2: [1.0, 0.0],
+                  3: [0.0, 0.0]},
+                 {0: 1, 1: 1, 2: 1, 3: 1})
+    r = QUERIES["embedding_anisotropy"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n_vecs"], r["mean_norm_micro"],
+            r["aniso_cos_micro"]) == (3, 1000000, 333333), r
+
+
+def test_pagerank_personalized_hand(spark, tmp_path):
+    """Suppliers 10 (SEED) and 3 (not): s10 -> {p1, p2}, s3 ->
+    {p2}. All walk mass restarts at -10, so p1/p2 each get
+    0.85 * r(-10)/2 per round and non-seed s3 contributes nothing
+    after round 1 (its rank decays to 0): top ranks are the seed
+    itself, then the tied pair p1/p2 broken by id, then -3 at
+    exactly 0."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    pd.DataFrame({
+        "l_orderkey": [1, 2, 3],
+        "l_suppkey": [10, 10, 3],
+        "l_partkey": [1, 2, 2],
+    }).to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = [(r["rank"], r["node_id"], r["score_r"])
+           for r in QUERIES["pagerank_personalized"](
+               spark, str(tmp_path)).collect()]
+    assert out[0][1] == -10 and out[0][2] == 0.15, out
+    assert out[1][1] == 1 and out[2][1] == 2, out
+    assert out[1][2] == out[2][2] == 0.06375, out
+    assert out[3] == (4, -3, 0.0), out
