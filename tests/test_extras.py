@@ -5884,3 +5884,60 @@ def test_pagerank_personalized_hand(spark, tmp_path):
     assert out[1][1] == 1 and out[2][1] == 2, out
     assert out[1][2] == out[2][2] == 0.06375, out
     assert out[3] == (4, -3, 0.0), out
+
+
+def test_rfm_user_scores_hand(spark, tmp_path):
+    """Three users in perfect RFM order: u3 is recent/frequent/
+    big-spending (code 333), u1 stale/rare/small (111), u2 the
+    middle (222) — terciles at n=3 put one user per cell, and the
+    inverted recency pins the best-is-3 convention."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    base = pd.Timestamp("2024-02-01")
+    rows = [(1, 0, 1.0), (2, 1, 1.5), (2, 2, 1.5),
+            (3, 2, 2.0), (3, 3, 2.0), (3, 4, 2.0)]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(days=d)
+                         for _, d, _ in rows]
+                        ).astype("datetime64[us]"),
+        "user_id": [u for u, _, _ in rows],
+        "event_type": ["t"] * len(rows),
+        "value": [v for _, _, v in rows],
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["user_id"]: (r["r_days"], r["f_events"], r["m_cents"],
+                          r["rfm_code"])
+           for r in QUERIES["rfm_user_scores"](
+               spark, str(tmp_path)).collect()}
+    assert out == {1: (4, 1, 100, 111), 2: (2, 2, 300, 222),
+                   3: (0, 3, 600, 333)}, out
+
+
+def test_burstiness_goh_barabasi_hand(spark, tmp_path):
+    """Type 'met' ticks every 10 s exactly -> sigma = 0 -> B =
+    -1000 (the metronome pin); type 'bur' has gaps (1 s, 9 s) ->
+    B = (8-10)/(8+10) = -1/9, flooring to -112 (the
+    negative-floor convention, NOT -111)."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    base = pd.Timestamp("2024-02-01")
+    rows = [("met", s) for s in (0, 10, 20)]
+    rows += [("bur", s) for s in (0, 1, 10)]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(seconds=s)
+                         for _, s in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": [ty for ty, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["event_type"]: (r["n_gaps"], r["b_milli"])
+           for r in QUERIES["burstiness_goh_barabasi"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"met": (2, -1000), "bur": (2, -112)}, out
