@@ -5941,3 +5941,48 @@ def test_burstiness_goh_barabasi_hand(spark, tmp_path):
            for r in QUERIES["burstiness_goh_barabasi"](
                spark, str(tmp_path)).collect()}
     assert out == {"met": (2, -1000), "bur": (2, -112)}, out
+
+
+def test_abc_pareto_classification_hand(spark, tmp_path):
+    """Revenues 80/15/4/1 cents: p1 opens at cum 0 -> A; p2 opens
+    at EXACTLY the 80% line -> B (the exclusive-cum boundary rule,
+    pinned); p3 opens at exactly 95% -> C; shares 800000 / 150000
+    / 50000 ppm."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    pd.DataFrame({
+        "l_orderkey": [1, 2, 3, 4],
+        "l_partkey": [1, 2, 3, 4],
+        "l_extendedprice": [0.80, 0.15, 0.04, 0.01],
+    }).to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = {r["abc"]: (r["n_parts"], r["revenue_cents"],
+                      r["share_ppm"])
+           for r in QUERIES["abc_pareto_classification"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": (1, 80, 800000), "B": (1, 15, 150000),
+                   "C": (2, 5, 50000)}, out
+
+
+def test_dedup_giant_component_share_hand(spark, tmp_path):
+    """Three identical docs + a distinct identical pair: the dup
+    graph has components of size 3 and 2, so max/second = 3/2 and
+    the giant share is 600000 ppm over the 5 docs in the pair
+    universe (singletons never enter, per the CC op's contract)."""
+    from extractor.queries import QUERIES
+
+    t1 = ("alpha beta gamma delta epsilon zeta eta theta iota "
+          "kappa lambda mu")
+    t2 = ("nu xi omicron pi rho sigma tau upsilon phi chi psi "
+          "omega")
+    _docs_texts(tmp_path, [("A", t1), ("A", t1), ("A", t1),
+                           ("A", t2), ("A", t2),
+                           ("A", "solo words only here now "
+                                 "nothing matches this text at "
+                                 "all ever")])
+    r = QUERIES["dedup_giant_component_share"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n_docs"], r["n_clusters"], r["max_size"],
+            r["second_size"], r["giant_share_ppm"]) == \
+        (5, 2, 3, 2, 600000), r
