@@ -5986,3 +5986,36 @@ def test_dedup_giant_component_share_hand(spark, tmp_path):
     assert (r["n_docs"], r["n_clusters"], r["max_size"],
             r["second_size"], r["giant_share_ppm"]) == \
         (5, 2, 3, 2, 600000), r
+
+
+def test_quantile_treatment_effect_hand(spark, tmp_path):
+    """Cohorts 1..10 vs 11..20: every type-1 decile of cohort1 is
+    exactly k and of cohort0 exactly k+10, so the QTE profile is
+    a FLAT -10 across all nine deciles — the uniform-shift
+    signature (a tail-only shift would bend this curve)."""
+    from extractor.queries import QUERIES
+
+    rows = [("src01", "x" * k) for k in range(1, 11)]
+    rows += [("src11", "x" * k) for k in range(11, 21)]
+    _docs_texts(tmp_path, rows)
+    out = {r["decile"]: (r["q_cohort1"], r["q_cohort0"], r["qte"])
+           for r in QUERIES["quantile_treatment_effect"](
+               spark, str(tmp_path)).collect()}
+    assert len(out) == 9, out
+    for k in range(1, 10):
+        assert out[k] == (k, k + 10, -10), out
+
+
+def test_hodges_lehmann_shift_hand(spark, tmp_path):
+    """Same cohorts: all 100 pairwise differences form the
+    symmetric triangle on [-19, -1] and the weighted lower median
+    lands exactly on -10 — matching the flat QTE profile, as a
+    pure location shift must."""
+    from extractor.queries import QUERIES
+
+    rows = [("src01", "x" * k) for k in range(1, 11)]
+    rows += [("src11", "x" * k) for k in range(11, 21)]
+    _docs_texts(tmp_path, rows)
+    r = QUERIES["hodges_lehmann_shift"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n_pairs"], r["hl_shift"]) == (100, -10), r
