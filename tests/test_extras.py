@@ -6019,3 +6019,58 @@ def test_hodges_lehmann_shift_hand(spark, tmp_path):
     r = QUERIES["hodges_lehmann_shift"](
         spark, str(tmp_path)).collect()[0]
     assert (r["n_pairs"], r["hl_shift"]) == (100, -10), r
+
+
+def test_james_stein_means_hand(spark, tmp_path):
+    """Four sources with means 1/3/5/7 and equal within-variance 2
+    on n=2: vbar = 1e12 micro^2, S = 20e12, shrink = 1 - 1/20 ->
+    950000 ppm, and the sign-safe application pins A at 1150000 /
+    D at 6850000 (pulled toward the grand mean 4e6 from both
+    sides). A second all-constant fixture pins shrink = 1e6 (zero
+    noise -> trust the raw means)."""
+    from extractor.queries import QUERIES
+
+    _docs_groups(tmp_path, {"A": [0, 2], "B": [2, 4],
+                            "C": [4, 6], "D": [6, 8]})
+    out = {r["source"]: (r["mean_micro"], r["shrink_ppm"],
+                         r["shrunk_micro"])
+           for r in QUERIES["james_stein_means"](
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": (1000000, 950000, 1150000),
+                   "B": (3000000, 950000, 3050000),
+                   "C": (5000000, 950000, 4950000),
+                   "D": (7000000, 950000, 6850000)}, out
+    p2 = tmp_path / "b"
+    p2.mkdir()
+    _docs_groups(p2, {"A": [1, 1], "B": [3, 3], "C": [5, 5],
+                      "D": [7, 7]})
+    out2 = {r["source"]: (r["shrink_ppm"], r["shrunk_micro"])
+            for r in QUERIES["james_stein_means"](
+                spark, str(p2)).collect()}
+    assert out2["A"] == (1000000, 1000000), out2
+
+
+def test_arch_lm_daily_hand(spark, tmp_path):
+    """Counts (3,3,5,1,3,3): the volatility burst sits in days
+    3-4, so squared deviations (0,0,144,144,0,0) give lag-1 corr
+    exactly 1/6 and LM = 5 * (1/6)^2 -> 138 milli — the worked
+    T*R^2 trace."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    counts = [3, 3, 5, 1, 3, 3]
+    base = pd.Timestamp("2024-03-01")
+    rows = [(d, i) for d, c in enumerate(counts) for i in range(c)]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(days=d)
+                         for d, _ in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": ["t"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = QUERIES["arch_lm_daily"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_pairs"], r["corr_6dp"], r["lm_milli"]) == \
+        (5, 0.166667, 138), r
