@@ -6074,3 +6074,63 @@ def test_arch_lm_daily_hand(spark, tmp_path):
     r = QUERIES["arch_lm_daily"](spark, str(tmp_path)).collect()[0]
     assert (r["n_pairs"], r["corr_6dp"], r["lm_milli"]) == \
         (5, 0.166667, 138), r
+
+
+def test_seasonal_mann_kendall_hand(spark, tmp_path):
+    """Counts = weekly profile + 1 per week over 14 days: every
+    dow sub-series is (b, b+1), so each of the 7 seasons
+    contributes S=+1 and var18=18 -> S_seasonal=7, var18=126 (a
+    trend plain MK would partly bury under the profile's
+    cross-dow pairs), and all 7 within-season slopes are 1/7 ->
+    sen = 142857."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    base_counts = [5, 1, 2, 3, 4, 2, 1]
+    base = pd.Timestamp("2024-03-04")
+    rows = []
+    for day in range(14):
+        c = base_counts[day % 7] + day // 7
+        rows += [day] * c
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(days=d)
+                         for d in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": ["t"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = QUERIES["seasonal_mann_kendall"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n_pairs"], r["s_seasonal"], r["var18_seasonal"],
+            r["sen_seasonal_micro"]) == (7, 7, 126, 142857), r
+
+
+def test_cooks_distance_topk_hand(spark, tmp_path):
+    """Five docs on a near-line with one high-leverage point
+    (x=10): the pinned chain reproduces the directly-computed
+    Cook's D micro values (verified against the closed-form
+    leave-one-out identity in the test design: 11151515 for the
+    leverage point, then 340909, 218380, 39557, 654) and ranks
+    the leverage doc first."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    toks = [1, 2, 3, 4, 10]
+    chars = [2, 4, 7, 8, 25]
+    pd.DataFrame({
+        "doc_id": range(5),
+        "text": [" ".join(["w"] * k) for k in toks],
+        "lang": ["en"] * 5,
+        "source": ["A"] * 5,
+        "n_chars": chars,
+    }).to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = [(r["infl_rank"], r["doc_id"], r["d_micro"])
+           for r in QUERIES["cooks_distance_topk"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(1, 4, 11151515), (2, 3, 340909),
+                   (3, 0, 218380), (4, 2, 39557),
+                   (5, 1, 654)], out
