@@ -6134,3 +6134,44 @@ def test_cooks_distance_topk_hand(spark, tmp_path):
     assert out == [(1, 4, 11151515), (2, 3, 340909),
                    (3, 0, 218380), (4, 2, 39557),
                    (5, 1, 654)], out
+
+
+def _xy_docs(path, toks, chars):
+    import os
+
+    pd.DataFrame({
+        "doc_id": range(len(toks)),
+        "text": [" ".join(["w"] * k) for k in toks],
+        "lang": ["en"] * len(toks),
+        "source": ["A"] * len(toks),
+        "n_chars": chars,
+    }).to_parquet(os.path.join(str(path), "documents.parquet"))
+
+
+def test_breusch_pagan_test_hand(spark, tmp_path):
+    """The cooks fixture's floored squared residuals (291600,
+    1599, 144400, 1440000, 102399) regress on x with r =
+    -0.048664 and BP = n r^2 -> 11 milli — essentially
+    homoskedastic, as a near-line with one bad middle point
+    should read."""
+    from extractor.queries import QUERIES
+
+    _xy_docs(tmp_path, [1, 2, 3, 4, 10], [2, 4, 7, 8, 25])
+    r = QUERIES["breusch_pagan_test"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n_docs"], r["corr_6dp"], r["bp_milli"]) == \
+        (5, -0.048664, 11), r
+
+
+def test_chow_break_median_split_hand(spark, tmp_path):
+    """Median token count 3 splits (1,2,3) vs (4,10): the 2-point
+    high half fits exactly (SSE 0), the low half leaves 1/6, the
+    pooled line 1.98 — F = ((1.98 - 1/6)/2)/((1/6)/1) -> 5439
+    milli, the worked break signal."""
+    from extractor.queries import QUERIES
+
+    _xy_docs(tmp_path, [1, 2, 3, 4, 10], [2, 4, 7, 8, 25])
+    r = QUERIES["chow_break_median_split"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n_docs"], r["n_low"], r["n_high"],
+            r["f_milli"]) == (5, 3, 2, 5439), r
