@@ -6175,3 +6175,44 @@ def test_chow_break_median_split_hand(spark, tmp_path):
         spark, str(tmp_path)).collect()[0]
     assert (r["n_docs"], r["n_low"], r["n_high"],
             r["f_milli"]) == (5, 3, 2, 5439), r
+
+
+def test_energy_distance_cohorts_hand(spark, tmp_path):
+    """A = {1, 3} vs B = {2, 2}: cross sum 4, within sums 2 and 0,
+    so E = 2*1 - 2*2/4 - 0 = 1 exactly (e_micro 1000000) and the
+    Szekely scaling n1 n2/(n1+n2) leaves stat_micro 1000000 —
+    every term landing on the grid through the rank identity, no
+    pair ever expanded."""
+    from extractor.queries import QUERIES
+
+    rows = [("src01", "x"), ("src01", "xxx"),
+            ("src11", "xx"), ("src11", "xx")]
+    _docs_texts(tmp_path, rows)
+    r = QUERIES["energy_distance_cohorts"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n1"], r["n2"], r["e_micro"], r["stat_micro"]) == \
+        (2, 2, 1000000, 1000000), r
+
+
+def test_cliff_delta_cohorts_hand(spark, tmp_path):
+    """Same fixture: x=3 beats both 2s, x=1 loses to both -> G =
+    L = 2 and delta = 0 exactly (stochastically even despite the
+    nonzero energy distance — the two stats SHOULD disagree
+    here, that's the point of reporting both). A separated
+    fixture pins delta = +1e6 through the sign-safe branch."""
+    from extractor.queries import QUERIES
+
+    rows = [("src01", "x"), ("src01", "xxx"),
+            ("src11", "xx"), ("src11", "xx")]
+    _docs_texts(tmp_path, rows)
+    r = QUERIES["cliff_delta_cohorts"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n_greater"], r["n_less"], r["delta_micro"]) == \
+        (2, 2, 0), r
+    p2 = tmp_path / "b"
+    p2.mkdir()
+    _docs_texts(p2, [("src01", "x" * 5), ("src01", "x" * 6),
+                     ("src11", "x"), ("src11", "xx")])
+    r2 = QUERIES["cliff_delta_cohorts"](spark, str(p2)).collect()[0]
+    assert (r2["n_greater"], r2["n_less"],
+            r2["delta_micro"]) == (4, 0, 1000000), r2
