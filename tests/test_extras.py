@@ -6216,3 +6216,33 @@ def test_cliff_delta_cohorts_hand(spark, tmp_path):
     r2 = QUERIES["cliff_delta_cohorts"](spark, str(p2)).collect()[0]
     assert (r2["n_greater"], r2["n_less"],
             r2["delta_micro"]) == (4, 0, 1000000), r2
+
+
+def test_zero_inflation_score_hand(spark, tmp_path):
+    """Counts (0,0,2,2): lambda = 1, expected zeros 4/e ~ 1.47 vs
+    observed 2, and the worked score lands on e - 2 = 0.71828 ->
+    718 milli (the delightful accident of this fixture). An
+    all-nonzero type pins the n0 = 0 path with a tiny score."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    counts = {"z": [0, 0, 2, 2], "p": [1, 1, 1, 1]}
+    base = pd.Timestamp("2024-03-01")
+    rows = [(ty, d) for ty, cs in counts.items()
+            for d, c in enumerate(cs) for _ in range(c)]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(days=d)
+                         for _, d in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": [ty for ty, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["event_type"]: (r["n_days"], r["n_zero_days"],
+                             r["lambda_micro"], r["zi_score_milli"])
+           for r in QUERIES["zero_inflation_score"](
+               spark, str(tmp_path)).collect()}
+    assert out["z"] == (4, 2, 1000000, 718), out
+    assert out["p"][1] == 0 and out["p"][3] is not None, out

@@ -663,3 +663,42 @@ def test_item_item_cf_linear_growth(spark, tmp_path):
     for r in out:
         assert r["part_id"] not in whale_only, r
         assert r["neighbor_id"] not in whale_only, r
+
+
+def test_jw_probe_hot_block_exact_and_bounded(spark, tmp_path):
+    """jw_probe's skew scenario: ONE (first-two-words, length)
+    block holding 400 near-identical names plus a probe. The
+    kernel must score only that block's candidates (399 pairs for
+    the in-block probe — never corpus x corpus), return the
+    exact best match (the single name differing in the LAST char
+    vs the probe's penultimate variants), and agree with a direct
+    kernel evaluation."""
+    import os
+
+    import pandas as pd
+
+    from extractor.core.dedup import jaro_winkler_micro
+    from extractor.queries import QUERIES
+
+    names = {}
+    base = "alpha beta gamma delta epsilon zet"
+    # probe key 200; 399 block-mates differing in 1-2 tail chars
+    names[200] = base + "aa"
+    for i in range(399):
+        k = 1001 + 2 * i  # odd keys: never % 200 == 0 probes
+        suf = chr(ord("b") + i % 24) + chr(ord("b") + (i // 24) % 24)
+        names[k] = base + suf
+    # one off-block name (different length)
+    names[999] = base
+    pd.DataFrame({
+        "p_partkey": list(names),
+        "p_name": [names[k] for k in names],
+    }).to_parquet(os.path.join(str(tmp_path), "part.parquet"))
+    out = [(r["probe_key"], r["match_key"], r["jw_micro"])
+           for r in QUERIES["jw_probe_best_match"](
+               spark, str(tmp_path)).collect()]
+    assert len(out) == 1 and out[0][0] == 200, out
+    # replay: best candidate by (jw desc, key asc) over the block
+    best = max(((jaro_winkler_micro(names[200], names[k]), -k, k)
+                for k in names if k not in (200, 999)))
+    assert (out[0][1], out[0][2]) == (best[2], best[0]), (out, best)
