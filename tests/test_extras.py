@@ -6246,3 +6246,45 @@ def test_zero_inflation_score_hand(spark, tmp_path):
                spark, str(tmp_path)).collect()}
     assert out["z"] == (4, 2, 1000000, 718), out
     assert out["p"][1] == 0 and out["p"][3] is not None, out
+
+
+def test_vocab_coverage_curve_hand(spark, tmp_path):
+    """12 distinct words: 'top' appears 8 times, 'mid' 4, ten
+    singletons. K=10 covers top+mid+8 singletons = 20 of 22
+    tokens (909090 ppm); K=100/1000 cover everything (1e6) — the
+    curve's saturation point IS the vocab-sizing answer."""
+    from extractor.queries import QUERIES
+
+    text = " ".join(["top"] * 8 + ["mid"] * 4
+                    + ["w%02d" % i for i in range(10)])
+    _docs_texts(tmp_path, [("A", text)])
+    out = {r["k"]: (r["vocab_size"], r["tokens_covered"],
+                    r["coverage_ppm"])
+           for r in QUERIES["vocab_coverage_curve"](
+               spark, str(tmp_path)).collect()}
+    assert out[10] == (12, 20, 909090), out
+    assert out[100] == (12, 22, 1000000), out
+    assert out[1000] == (12, 22, 1000000), out
+
+
+def test_simpsons_paradox_detector_hand(spark, tmp_path):
+    """Two groups each sloping DOWN but offset up-right: per-group
+    correlation numerators are negative while the amalgamated
+    numerator is +24 against variance products 20*80 -> the
+    strict flag fires and corr_all pins exactly 0.6."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    rows = [("A", 1, 0.03), ("A", 2, 0.01),
+            ("B", 3, 0.07), ("B", 4, 0.05)]
+    pd.DataFrame({
+        "l_returnflag": [g for g, _, _ in rows],
+        "l_quantity": [float(x) for _, x, _ in rows],
+        "l_discount": [y for _, _, y in rows],
+    }).to_parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    r = QUERIES["simpsons_paradox_detector"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n_groups"], r["n_pos_groups"],
+            r["n_neg_groups"], r["simpson_flag"]) == (2, 0, 2, 1), r
+    assert r["corr_all_6dp"] == 0.6, r
