@@ -6288,3 +6288,54 @@ def test_simpsons_paradox_detector_hand(spark, tmp_path):
     assert (r["n_groups"], r["n_pos_groups"],
             r["n_neg_groups"], r["simpson_flag"]) == (2, 0, 2, 1), r
     assert r["corr_all_6dp"] == 0.6, r
+
+
+def test_hotelling_t2_cohorts_hand(spark, tmp_path):
+    """Cohort1 on y = 2x exactly, cohort2 on y = 2x + ~1 with one
+    bent point: identical x means (p = 0), y means differ by 4/3
+    (q = -12 scaled), pooled 2x2 det 5/3, worked T^2 = 25.6 ->
+    25600 milli. A second fixture with BOTH cohorts perfectly
+    collinear pins the singular-covariance NULL."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    def write(path, c1, c2):
+        toks = [x for x, _ in c1 + c2]
+        chars = [y for _, y in c1 + c2]
+        srcs = ["src01"] * len(c1) + ["src11"] * len(c2)
+        pd.DataFrame({
+            "doc_id": range(len(toks)),
+            "text": [" ".join(["w"] * k) for k in toks],
+            "lang": ["en"] * len(toks),
+            "source": srcs,
+            "n_chars": chars,
+        }).to_parquet(os.path.join(str(path), "documents.parquet"))
+
+    write(tmp_path, [(1, 2), (2, 4), (3, 6)],
+          [(1, 3), (2, 5), (3, 8)])
+    r = QUERIES["hotelling_t2_cohorts"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["n1"], r["n2"], r["t2_milli"]) == (3, 3, 25600), r
+    p2 = tmp_path / "b"
+    p2.mkdir()
+    write(p2, [(1, 2), (2, 4), (3, 6)], [(1, 3), (2, 5), (3, 7)])
+    r2 = QUERIES["hotelling_t2_cohorts"](spark, str(p2)).collect()[0]
+    assert r2["t2_milli"] is None, r2
+
+
+def test_mahalanobis_outliers_topk_hand(spark, tmp_path):
+    """The cooks fixture in the joint plane: the leverage point
+    x=10 scores 3086868 but the MIDDLE doc (3,7) — unremarkable
+    on either axis — ranks second at 2909090 because it sits off
+    the joint line: exactly the signature Mahalanobis exists to
+    catch and marginal outlier tests miss."""
+    from extractor.queries import QUERIES
+
+    _xy_docs(tmp_path, [1, 2, 3, 4, 10], [2, 4, 7, 8, 25])
+    out = [(r["out_rank"], r["doc_id"], r["d2_micro"])
+           for r in QUERIES["mahalanobis_outliers_topk"](
+               spark, str(tmp_path)).collect()]
+    assert out == [(1, 4, 3086868), (2, 3, 2909090),
+                   (3, 0, 1309090), (4, 2, 371717),
+                   (5, 1, 323232)], out
