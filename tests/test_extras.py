@@ -6339,3 +6339,18 @@ def test_mahalanobis_outliers_topk_hand(spark, tmp_path):
     assert out == [(1, 4, 3086868), (2, 3, 2909090),
                    (3, 0, 1309090), (4, 2, 371717),
                    (5, 1, 323232)], out
+
+
+def test_source_exemplar_doc_hand(spark, tmp_path):
+    """Type-1 medians land on (3 tokens, 7 chars) — exactly doc
+    2's coordinates, so the exemplar is doc 2 with l1_dist = 0:
+    the medoid IS a real document here, and the zero distance
+    says the source has a perfectly typical member."""
+    from extractor.queries import QUERIES
+
+    _xy_docs(tmp_path, [1, 2, 3, 4, 10], [2, 4, 7, 8, 25])
+    r = QUERIES["source_exemplar_doc"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r["source"], r["med_tokens"], r["med_chars"],
+            r["exemplar_doc_id"], r["l1_dist"]) == \
+        ("A", 3, 7, 2, 0), r
