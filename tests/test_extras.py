@@ -6354,3 +6354,66 @@ def test_source_exemplar_doc_hand(spark, tmp_path):
     assert (r["source"], r["med_tokens"], r["med_chars"],
             r["exemplar_doc_id"], r["l1_dist"]) == \
         ("A", 3, 7, 2, 0), r
+
+
+def test_ljung_box_hourly_hand(spark, tmp_path):
+    """Hourly (1,2,1,2): r = (-0.75, 0.5, -0.25) over n=4, LB =
+    4*6*(0.5625/3 + 0.25/2 + 0.0625/1) = 9.0 exactly -> 9000
+    milli — the worked portmanteau pooling of the pacf fixture's
+    correlations."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    rows = [h for h, c in enumerate([1, 2, 1, 2])
+            for _ in range(c)]
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(hours=h)
+                         for h in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": ["t"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = QUERIES["ljung_box_hourly"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_hours"], r["lb_milli"]) == (4, 9000), r
+
+
+def test_goertzel_weekly_power_hand(spark, tmp_path):
+    """Type 'cosw' follows a near-cosine weekly profile
+    (15,13,9,5,5,9,13) over two weeks: the period-7 bin captures
+    997236 ppm of the variance (the pinned-literal chain worked
+    in the test design). Type 'spike' puts all its weekly mass on
+    ONE day — eta^2-style measures read it as pure seasonality,
+    but the sinusoidal bin scores it far lower: the shape
+    classification the pair of operators exists to make."""
+    import os
+
+    from extractor.queries import QUERIES
+
+    prof = [15, 13, 9, 5, 5, 9, 13]
+    base = pd.Timestamp("2024-03-04")
+    b0 = (base - pd.Timestamp("1970-01-01")).days
+    shift = (7 - b0 % 7) % 7  # align day 0 to epoch-dow 0
+    rows = []
+    for day in range(14):
+        dget = day + shift
+        rows += [("cosw", dget)] * prof[(b0 + dget) % 7]
+        rows += [("spike", dget)] * (10 if (b0 + dget) % 7 == 0
+                                     else 1)
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.Series([base + pd.Timedelta(days=d)
+                         for _, d in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "event_type": [ty for ty, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["event_type"]: (r["n_days"], r["power_ratio_ppm"])
+           for r in QUERIES["goertzel_weekly_power"](
+               spark, str(tmp_path)).collect()}
+    assert out["cosw"] == (14, 997236), out
+    assert out["spike"][1] < 600000, out
