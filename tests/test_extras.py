@@ -6417,3 +6417,46 @@ def test_goertzel_weekly_power_hand(spark, tmp_path):
                spark, str(tmp_path)).collect()}
     assert out["cosw"] == (14, 997236), out
     assert out["spike"][1] < 600000, out
+
+
+def test_cooks_bp_degenerate_all_x_equal_sentinel(spark, tmp_path):
+    """All-x-equal corpus (every doc's text is one token, so
+    n*Sxx - Sx^2 = 0): the slope is undefined and the two engines
+    disagree on double/0 (Spark NULL vs DuckDB-with-ieee Infinity),
+    so both queries pin sentinels instead (round-4 advisor
+    finding): cooks emits d_micro = -1 for every row (rank falls
+    back to the doc_id tie-break) and breusch_pagan's e2m
+    collapses to 0, firing its existing -2.0/NULL degenerate arm.
+    Verified engine-vs-engine on the same fixture, not just
+    hand-pinned."""
+    import os
+
+    import duckdb
+
+    from extractor.queries import ORACLES, QUERIES
+
+    # 6 docs, identical single-token text -> x = 1 everywhere;
+    # n_chars varies so y is non-degenerate.
+    pd.DataFrame(
+        [(i, "tok", "en", "s", 10 + 3 * i) for i in range(6)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('{}')"
+        .format(os.path.join(str(tmp_path), "documents.parquet")))
+
+    ck = sorted(tuple(r) for r in QUERIES["cooks_distance_topk"](
+        spark, str(tmp_path)).collect())
+    ck_o = sorted(tuple(r) for r in con.sql(
+        ORACLES["cooks_distance_topk"]).fetchall())
+    assert ck == ck_o, (ck, ck_o)
+    assert [r[3] for r in ck] == [-1] * 5, ck          # d_micro
+    assert [r[0] for r in ck] == [0, 1, 2, 3, 4], ck   # doc_id order
+
+    bp = [tuple(r) for r in QUERIES["breusch_pagan_test"](
+        spark, str(tmp_path)).collect()]
+    bp_o = [tuple(r) for r in con.sql(
+        ORACLES["breusch_pagan_test"]).fetchall()]
+    assert bp == bp_o == [(6, -2.0, None)], (bp, bp_o)
