@@ -123,7 +123,7 @@ def read_transcripts(spark: SparkSession, path: str,
         reader = spark.read.format("transcript_gen")
         spec = path[len("gen:"):]
         allowed = {"n_turns", "seed", "numpartitions", "hot_frac",
-                   "num_convs"}
+                   "num_convs", "chunk_turns"}
         for kv in filter(None, spec.split(",")):
             k, _, v = kv.partition("=")
             k = k.strip()

@@ -408,3 +408,43 @@ def test_jsonl_sink_batch_modes_respect_streaming_epochs(spark, tmp_path):
     # fresh batch shards only (count = task partitioning, >= 1)
     assert glob.glob(os.path.join(out, "part-*.jsonl.gz"))
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_hot_conversation_splits_across_partitions(gen_spark):
+    """The round-4 scale-ceiling fix: a hot conversation larger than
+    chunk_turns must span MULTIPLE input partitions (before, one
+    sequential per-conversation RNG pinned the whole 30%-hot fixture
+    to a single task on every wave rescan). Pins (a) the planner
+    emits >1 chunk-aligned slice for conv-hot-000000, (b) the table
+    is invariant to HOW the chunk grid is partitioned, and (c) the
+    slices tile the conversation exactly — no dup, no gap."""
+    from extractor.gen_source import _GenReader
+
+    # 40k turns, hot = 12k; chunk_turns=1024 -> 12 hot chunks
+    opts = {"n_turns": 40_000, "chunk_turns": 1024,
+            "numPartitions": 16, "seed": 42}
+    r = _GenReader({k: str(v) for k, v in opts.items()})
+    parts = r.partitions()
+    hot = [p for p in parts if p.ci_lo == 0 and p.ci_hi == 1]
+    assert len(hot) > 1, "hot conversation still single-task"
+    for p in hot:
+        assert p.turn_lo % 1024 == 0  # chunk-aligned slice start
+    spans = sorted((p.turn_lo, p.turn_hi) for p in hot)
+    assert spans[0][0] == 0 and spans[-1][1] == 12_000
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b == c, "gap/overlap in hot slices"
+
+    # invariance across partitioning of the same chunk grid
+    a = _read(gen_spark, n_turns=40_000, chunk_turns=1024,
+              numPartitions=4)
+    b = _read(gen_spark, n_turns=40_000, chunk_turns=1024,
+              numPartitions=32)
+    ha = a.where("conv_id = 'conv-hot-000000'")
+    hb = b.where("conv_id = 'conv-hot-000000'")
+    assert ha.count() == hb.count() == 12_000
+    import pyspark.sql.functions as F
+    fp = lambda df: df.select(F.md5(F.concat_ws(
+        "|", "conv_id", "turn_idx", "text", "tool")).alias("h")) \
+        .agg(F.expr("bit_xor(cast(conv(substring(h,1,15),16,10) "
+                    "as bigint))")).collect()[0][0]
+    assert fp(ha) == fp(hb)
