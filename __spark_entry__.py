@@ -29,8 +29,6 @@
   differential on Spark-produced pools + a duplicate-displacement
   hand fixture), ``bpe_train_merges`` (K-round greedy merge
   training — pinned exactly against the Sennrich reference trainer),
-  ``cms_term_counts`` (Count-Min estimates — overestimate + error
-  bound pinned on a colliding fixture, exact on the corpus),
   ``compress_ratio_quality`` (zlib sizes aren't SQL — exact replay +
   planted repetitive/random semantics in-suite), and
   ``bpe_encode_texts`` (the merge table is trained FROM the corpus,
@@ -38,6 +36,13 @@
   lookbehind the non-overlapping merge scan needs — pinned in-suite
   by an exact per-doc differential against a from-the-definition
   Python encoder, including the regex-metachar adversarial corpus).
+  Round 5 moved four former exceptions INTO the oracle set:
+  ``cms_term_counts`` (md5-60bit row hash, replayed exactly in SQL),
+  ``suffix_array_build`` / ``longest_repeated_substring`` (literal
+  suffix ranking of the concatenation at oracle scale), and
+  ``mst_boruvka`` (unrolled Borůvka rounds as materialized CTEs with
+  a loud convergence guard) — 360 of 372 queries now carry an exact
+  DuckDB oracle.
 """
 
 from __future__ import annotations

@@ -3,11 +3,16 @@ decode / feature-extract as Arrow-batched mapInPandas.
 
 Images/audio/video are `binary` columns with a metadata struct; the
 Spark side (schema, partitioning, batch shape, UDF signature) is real
-and tested. The actual media decode is STUBBED: PIL/librosa/ffmpeg are
-not in this container, so `decode_image`/`decode_audio` raise
-NotImplementedError unless the libraries import, and the feature
-extractor uses a deterministic byte-level fallback (size, entropy
-proxy, 8-byte magic, content hash) so plans are executable end-to-end.
+and tested. Decode status by format: PNG pixel decode is REAL and
+pure-Python (stdlib zlib inflate + spec defilter, `_decode_png` —
+no PIL needed; hand-pinned filter fixtures + encoder round-trip in
+tests); WAV/FLAC audio metadata and PNG/GIF/BMP/JPEG/WEBP dimensions
+are REAL header parsers (`probe_audio_meta`/`probe_image_dims`).
+Only non-PNG pixel decode still needs a codec library
+(PIL/librosa/ffmpeg, absent in this container): those paths raise
+NotImplementedError loudly, and the feature extractor's byte-level
+features (size, entropy, 8-byte magic, content hash) keep every plan
+executable end-to-end regardless.
 
 At 100 TB: binary payloads dominate row size — the plan keeps them
 inside one mapInPandas stage (never through a shuffle); upstream
@@ -46,16 +51,139 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_defilter(raw: bytes, w: int, h: int, bpp: int) -> bytes:
+    """Reverse the per-scanline PNG filters (spec §9: None/Sub/Up/
+    Average/Paeth). Sequential by construction — each byte depends on
+    the reconstructed left/up neighbors — so this is a plain byte
+    loop; fixture images are tiny and a production deployment swaps
+    in PIL via the same decode_image surface."""
+    stride = w * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    for _row in range(h):
+        if i >= len(raw):
+            raise ValueError("png: truncated scanline data")
+        f = raw[i]
+        line = bytearray(raw[i + 1:i + 1 + stride])
+        if len(line) < stride:
+            raise ValueError("png: truncated scanline data")
+        i += 1 + stride
+        if f == 1:                                        # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:                                      # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:                                      # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:                                      # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                        else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError("png: unknown filter type {}".format(f))
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Pure-Python PNG decode (RFC 2083 / ISO 15948; DEFLATE via the
+    stdlib zlib): 8-bit non-interlaced gray / RGB / palette /
+    gray+alpha / RGBA. Palette images are expanded through PLTE to
+    RGB. 16-bit and Adam7 raise NotImplementedError (loudly, never a
+    wrong pixel)."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    i = 8
+    n = len(payload)
+    while i + 8 <= n:
+        clen = int.from_bytes(payload[i:i + 4], "big")
+        ctype = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("png: truncated chunk " + repr(ctype))
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("png: missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    if comp != 0 or filt != 0:
+        raise ValueError("png: nonstandard compression/filter method")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            "png decode: only 8-bit non-interlaced supported "
+            "(got depth={}, interlace={})".format(depth, interlace))
+    if color not in _PNG_CHANNELS:
+        raise ValueError("png: bad color type {}".format(color))
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    px = np.frombuffer(_png_defilter(raw, w, h, ch),
+                       dtype=np.uint8).reshape(h, w, ch)
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("png: palette image without valid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("png: palette index out of range")
+        px = pal[idx]
+        ch = 3
+    return {"format": "png", "width": w, "height": h,
+            "channels": ch, "pixels": px}
+
+
 def decode_image(payload: bytes) -> dict:
-    """Real pixel decode (channels, pixel data). STUB: requires PIL.
-    Container metadata (format + dimensions) needs no codec — see
-    probe_image_dims, which parses the headers directly."""
+    """Real pixel decode: PNG is decoded in PURE PYTHON (stdlib zlib
+    inflate + spec defilter — _decode_png; exercised by the
+    hand-pinned filter fixtures and the encoder round-trip
+    differential in tests). Other formats need a codec library: they
+    route through PIL when importable and raise NotImplementedError
+    otherwise — loudly, never a fake pixel. Container metadata alone
+    (format + dimensions) never needs this path — see
+    probe_image_dims, which parses headers directly."""
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
     if not HAS_PIL:
         raise NotImplementedError(
-            "pixel decode needs PIL; absent in this environment — "
-            "header metadata (probe_image_dims) and byte-level "
-            "features are extracted instead")
-    raise NotImplementedError("wire PIL decode here when available")
+            "pixel decode for non-PNG formats needs PIL; absent in "
+            "this environment — header metadata (probe_image_dims) "
+            "and byte-level features are extracted instead")
+    import io
+
+    im = Image.open(io.BytesIO(payload))  # pragma: no cover - no PIL here
+    px = np.asarray(im)
+    return {"format": (im.format or "").lower(), "width": im.width,
+            "height": im.height,
+            "channels": px.shape[2] if px.ndim == 3 else 1,
+            "pixels": px}
 
 
 def probe_audio_meta(b: bytes) -> dict | None:
@@ -219,6 +347,53 @@ def extract_features(df: DataFrame) -> DataFrame:
     """(doc_id, payload: binary, meta: struct<mime,origin>) ->
     FEATURE_SCHEMA via Arrow-batched mapInPandas."""
     return df.mapInPandas(_features_batch, FEATURE_SCHEMA)
+
+
+PIXEL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("decoded", T.BooleanType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    # per-channel means in milli-units — REAL pixel statistics, only
+    # computable through an actual decode
+    T.StructField("mean_milli", T.ArrayType(T.LongType()), True),
+    T.StructField("px_sha1", T.StringType(), True),
+])
+
+
+def decode_pixel_stats(df: DataFrame) -> DataFrame:
+    """(doc_id, payload: binary) -> PIXEL_SCHEMA via Arrow-batched
+    mapInPandas: the REAL decode stage of the media pipeline
+    (decode_image -> per-channel pixel means + a pixel-domain sha1,
+    i.e. numbers that cannot be derived from container metadata).
+    Rows whose payload is not decodable in this environment (non-PNG
+    without PIL, corrupt bytes) come back decoded=false with NULL
+    stats rather than failing the batch — the standard tolerant-scan
+    posture for crawl-grade media."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    rows.append((doc_id, False, None, None, None,
+                                 None, None))
+                    continue
+                try:
+                    d = decode_image(bytes(p))
+                except Exception:  # NotImplementedError / corrupt bytes
+                    rows.append((doc_id, False, None, None, None,
+                                 None, None))
+                    continue
+                px = d["pixels"].reshape(-1, d["channels"])
+                means = [int(round(float(m) * 1000))
+                         for m in px.mean(axis=0)]
+                rows.append((doc_id, True, d["width"], d["height"],
+                             d["channels"], means,
+                             hashlib.sha1(px.tobytes()).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                f.name for f in PIXEL_SCHEMA])
+    return df.mapInPandas(batches, PIXEL_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType([

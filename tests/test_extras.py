@@ -6460,3 +6460,182 @@ def test_cooks_bp_degenerate_all_x_equal_sentinel(spark, tmp_path):
     bp_o = [tuple(r) for r in con.sql(
         ORACLES["breusch_pagan_test"]).fetchall()]
     assert bp == bp_o == [(6, -2.0, None)], (bp, bp_o)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def _png_build(w, h, color, filtered, plte=None, depth=8, interlace=0):
+    import zlib
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, color, 0, 0, interlace]))
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    out += _png_chunk(b"IDAT", zlib.compress(filtered))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def _png_encode(arr, color, filters):
+    """Spec-forward PNG encoder (filters applied in the ENCODE
+    direction, independently re-derived from RFC 2083 §6.2-6.6) —
+    the round-trip differential partner for _decode_png."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    bpp = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * bpp).astype(int)
+    prev = [0] * (w * bpp)
+    stream = bytearray()
+    for r in range(h):
+        f = filters[r % len(filters)]
+        orig = list(flat[r])
+        enc = list(orig)
+        for x in range(w * bpp):
+            a = orig[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 1:
+                enc[x] = (orig[x] - a) & 0xFF
+            elif f == 2:
+                enc[x] = (orig[x] - b) & 0xFF
+            elif f == 3:
+                enc[x] = (orig[x] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                        else c)
+                enc[x] = (orig[x] - pr) & 0xFF
+        stream.append(f)
+        stream.extend(v & 0xFF for v in enc)
+        prev = orig
+    return _png_build(w, h, color, bytes(stream)), np.asarray(
+        arr, dtype=np.uint8)
+
+
+def test_png_decode_hand_pinned_filters():
+    """All five PNG filter types on one 3x5 grayscale image, with the
+    defiltered pixels computed BY HAND from the spec (including the
+    mod-256 wrap in Sub/Up and the Paeth tie-break preferring a then
+    b) — a true pin of the filter math, not a round-trip that could
+    hide a symmetric bug."""
+    import zlib
+
+    import numpy as np
+
+    from extractor.multimodal import decode_image
+
+    filtered = bytes(
+        [0, 10, 20, 30]         # None
+        + [1, 5, 250, 10]       # Sub:  5, (250+5)=255, (10+255)&255=9
+        + [2, 1, 2, 3]          # Up:   6, (2+255)&255=1, 12
+        + [3, 8, 8, 8]          # Avg:  11, 14, 21
+        + [4, 4, 4, 4])         # Paeth: 15, 19, 25
+    png = _png_build(3, 5, 0, filtered)
+    d = decode_image(png)
+    assert (d["format"], d["width"], d["height"], d["channels"]) == (
+        "png", 3, 5, 1)
+    expect = np.array([[10, 20, 30], [5, 255, 9], [6, 1, 12],
+                       [11, 14, 21], [15, 19, 25]], dtype=np.uint8)
+    assert (d["pixels"][:, :, 0] == expect).all(), d["pixels"][:, :, 0]
+    _ = zlib  # imported for parity with the builder
+
+
+def test_png_decode_roundtrip_color_types_and_palette():
+    """Encoder round-trip differential across color types 0/2/4/6
+    with every filter type in rotation, plus a palette (type 3)
+    image expanded through PLTE; dims must agree with the header
+    prober on the same bytes."""
+    import numpy as np
+
+    from extractor.multimodal import decode_image, probe_image_dims
+
+    rng = np.random.RandomState(7)
+    for color, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        arr = rng.randint(0, 256, size=(6, 5, ch), dtype=np.uint8)
+        png, orig = _png_encode(arr, color, filters=[0, 1, 2, 3, 4])
+        d = decode_image(png)
+        assert d["channels"] == ch and (d["pixels"] == orig).all(), color
+        assert probe_image_dims(png) == ("png", 5, 6)
+
+    # palette: indices 0..3 -> 4-entry RGB palette
+    idx = np.array([[0, 1, 2, 3, 0]] * 4, dtype=np.uint8)[:, :, None]
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    stream = bytearray()
+    for r in range(4):
+        stream.append(0)
+        stream.extend(idx[r, :, 0])
+    png = _png_build(5, 4, 3, bytes(stream), plte=pal)
+    d = decode_image(png)
+    assert d["channels"] == 3
+    assert tuple(d["pixels"][0, 1]) == (0, 255, 0)
+    assert tuple(d["pixels"][2, 3]) == (7, 8, 9)
+
+
+def test_png_decode_guards():
+    """Unsupported shapes fail LOUDLY (never a wrong pixel): 16-bit
+    and Adam7 -> NotImplementedError; out-of-range palette index and
+    truncated scanlines -> ValueError; non-PNG stays behind the PIL
+    guard exactly as before."""
+    import numpy as np
+    import pytest as _pytest
+
+    from extractor import multimodal
+    from extractor.multimodal import decode_image
+
+    _ = np
+    with _pytest.raises(NotImplementedError):
+        decode_image(_png_build(2, 2, 0, b"\x00\x00\x00\x00\x00\x00",
+                                depth=16))
+    with _pytest.raises(NotImplementedError):
+        decode_image(_png_build(2, 2, 0, b"\x00\x00\x00\x00\x00\x00",
+                                interlace=1))
+    bad_pal = _png_build(2, 1, 3, b"\x00\x05\x01",
+                         plte=bytes([1, 2, 3, 4, 5, 6]))
+    with _pytest.raises(ValueError):
+        decode_image(bad_pal)
+    with _pytest.raises(ValueError):
+        decode_image(_png_build(3, 5, 0, b"\x00\x0a"))  # truncated
+    if not multimodal.HAS_PIL:
+        with _pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0 jpeg-ish payload")
+
+
+def test_decode_pixel_stats_spark(spark):
+    """The decode path through the Spark batch surface: a real PNG
+    row decodes (means/dims/pixel-sha1 are pixel-domain numbers the
+    metadata path cannot produce), an undecodable row degrades to
+    decoded=false instead of failing the batch, and dims agree with
+    extract_features' header probe on the same payload."""
+    import numpy as np
+
+    from extractor.multimodal import decode_pixel_stats, extract_features
+
+    arr = np.zeros((4, 3, 3), dtype=np.uint8)
+    arr[:, :, 0] = 200            # solid-ish red, mean exactly 200
+    arr[:, :, 1] = 10
+    arr[:, :, 2] = 255
+    png, _ = _png_encode(arr, 2, filters=[0, 1, 2, 3, 4])
+    rows = [(1, bytearray(png), ("image/png", "t")),
+            (2, bytearray(b"\xff\xd8\xff not-a-real-jpeg"),
+             ("image/jpeg", "t")),
+            (3, None, (None, None))]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, meta struct<mime:string,origin:string>")
+    got = {r["doc_id"]: r for r in
+           decode_pixel_stats(df.select("doc_id", "payload")).collect()}
+    assert got[1]["decoded"] is True
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (3, 4, 3)
+    assert got[1]["mean_milli"] == [200000, 10000, 255000]
+    assert len(got[1]["px_sha1"]) == 40
+    assert got[2]["decoded"] is False and got[2]["width"] is None
+    assert got[3]["decoded"] is False
+    feats = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (3, 4)
