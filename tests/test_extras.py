@@ -1194,6 +1194,14 @@ def test_registry_rotation_unverified_first_and_lossless():
     # every verified name that still exists must stay registered
     # (names may legitimately be superseded between rounds)
     assert verified & set(QUERIES) == {n for n in names[k:]}
+    # within the never-verified prefix, rows-only queries queue LAST
+    # (a driver slot on one yields only the weak rows-ran signal;
+    # round-4 VERDICT #1): oracle-backed then rows-only, no interleave
+    fresh = names[:k]
+    ro_pos = [i for i, n in enumerate(fresh) if n not in ORACLES]
+    ok_pos = [i for i, n in enumerate(fresh) if n in ORACLES]
+    if ro_pos and ok_pos:
+        assert min(ro_pos) > max(ok_pos), (min(ro_pos), max(ok_pos))
 
 
 def test_url_canonicalization_idempotent_fixpoint(spark):
