@@ -263,6 +263,11 @@ class _GenStreamReader(SimpleDataSourceStreamReader):
         self.hot_frac = float(options.get("hot_frac", 0.30))
         self.batch_convs = int(options.get("convs_per_batch", 50))
         self.n_turns = int(options.get("n_turns", 2000))
+        # chunk_turns is part of the DATASET identity (like seed):
+        # honor it here too so a stream read of (seed, chunk_turns)
+        # replays the same table the batch reader plans
+        self.chunk_turns = max(1, int(options.get(
+            "chunk_turns", DEFAULT_CHUNK_TURNS)))
 
     def initialOffset(self):
         return {"ci": 0}
@@ -279,7 +284,8 @@ class _GenStreamReader(SimpleDataSourceStreamReader):
         # an iterator (rules out lists).
         return iter(list(_gen_conv_rows(self.seed, self.hot_frac,
                                         self.n_turns,
-                                        int(start["ci"]), int(end["ci"]))))
+                                        int(start["ci"]), int(end["ci"]),
+                                        self.chunk_turns)))
 
     def commit(self, end):
         pass

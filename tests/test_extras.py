@@ -6647,3 +6647,54 @@ def test_decode_pixel_stats_spark(spark):
     assert got[3]["decoded"] is False
     feats = {r["doc_id"]: r for r in extract_features(df).collect()}
     assert (feats[1]["width"], feats[1]["height"]) == (3, 4)
+
+
+def test_png_decode_split_idat_ancillary_width1():
+    """Real-file shapes the basic fixtures skip: pixel data split
+    across THREE IDAT chunks with an ancillary tEXt chunk interleaved
+    (must concat IDATs and skip unknown chunks), on a width-1 RGB
+    image so every Sub/Paeth reference at x >= bpp crosses the
+    scanline's only pixel boundary."""
+    import zlib
+
+    import numpy as np
+
+    from extractor.multimodal import decode_image
+
+    h, w = 4, 1
+    arr = (np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3) * 17)
+    stream = bytearray()
+    prev = [0] * 3
+    for r in range(h):
+        f = [0, 1, 2, 4][r]
+        orig = list(arr[r].reshape(-1).astype(int))
+        enc = list(orig)
+        for x in range(3):
+            a = orig[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if f == 1:
+                enc[x] = (orig[x] - a) & 255
+            elif f == 2:
+                enc[x] = (orig[x] - b) & 255
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                        else c)
+                enc[x] = (orig[x] - pr) & 255
+        stream.append(f)
+        stream.extend(v & 255 for v in enc)
+        prev = orig
+    comp = zlib.compress(bytes(stream))
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", comp[:5])
+           + _png_chunk(b"tEXt", b"Comment\x00hi")
+           + _png_chunk(b"IDAT", comp[5:11])
+           + _png_chunk(b"IDAT", comp[11:])
+           + _png_chunk(b"IEND", b""))
+    d = decode_image(png)
+    assert (d["width"], d["height"], d["channels"]) == (1, 4, 3)
+    assert (d["pixels"] == arr).all()

@@ -448,3 +448,36 @@ def test_hot_conversation_splits_across_partitions(gen_spark):
         .agg(F.expr("bit_xor(cast(conv(substring(h,1,15),16,10) "
                     "as bigint))")).collect()[0][0]
     assert fp(ha) == fp(hb)
+
+
+def test_stream_and_batch_agree_on_custom_chunk_turns():
+    """chunk_turns is dataset identity (like seed): the stream
+    reader must honor it so a stream replay of (seed, chunk_turns)
+    yields byte-identical rows to the batch planner's — unit-level,
+    no Spark session needed."""
+    from extractor.gen_source import (_GenPartition, _GenReader,
+                                      _GenStreamReader, _gen_conv_batches)
+
+    opts = {"seed": "9", "n_turns": "3000", "chunk_turns": "256",
+            "numPartitions": "5"}
+    batch_rows = []
+    for p in _GenReader(dict(opts)).partitions():
+        for rb in _gen_conv_batches(p):
+            batch_rows.extend(zip(*(c.to_pylist() for c in rb.columns)))
+    sr = _GenStreamReader(dict(opts, convs_per_batch="7"))
+    n_convs = _GenReader(dict(opts)).n_convs
+    stream_rows, ci = [], 0
+    while ci < n_convs:
+        end = min(ci + 7, n_convs)
+        stream_rows.extend(sr.readBetweenOffsets({"ci": ci}, {"ci": end}))
+        ci = end
+    assert sorted(map(tuple, batch_rows)) == sorted(map(tuple, stream_rows))
+    # and a DIFFERENT chunk_turns is a different (valid) dataset:
+    # same schema, same sizes, different payload bytes
+    other = []
+    for p in _GenReader(dict(opts, chunk_turns="512")).partitions():
+        for rb in _gen_conv_batches(p):
+            other.extend(zip(*(c.to_pylist() for c in rb.columns)))
+    assert len(other) == len(batch_rows)
+    assert sorted(r[:2] for r in other) == sorted(r[:2] for r in batch_rows)
+    assert sorted(map(tuple, other)) != sorted(map(tuple, batch_rows))
