@@ -3224,3 +3224,74 @@ def test_dirichlet_qlm_margins(spark):
         for v in vals:
             frac = abs(v * 10000 - round(v * 10000))
             assert abs(frac - 0.5) > 1e-6, v
+
+
+def test_mst_oracle_sql_vs_kruskal_random_and_adversarial():
+    """The DuckDB MST oracle (_mst_oracle_sql) uses UNROLLED Borůvka
+    rounds with pointer-doubling PARTIAL contraction — sound by the
+    cut property, but the docstring's argument deserves a from-the-
+    definition differential: union-find Kruskal under the identical
+    (w, u, v) total order, over (a) seeded random bipartite graphs
+    (the production shape), (b) a monotone-increasing-weight CHAIN
+    (the deepest pointer forest — every round's local-min groups are
+    minimal), and (c) a decreasing-weight chain (instant merges).
+    Each case builds a fake lineitem view so the oracle SQL runs
+    verbatim."""
+    import random as _random
+
+    import duckdb
+    import pandas as pd
+
+    from extractor.queries import _mst_oracle_sql
+
+    def kruskal(edges):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        out = []
+        for w, u, v in sorted(edges):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+                out.append((u, v, w))
+        return sorted(out)
+
+    def run_case(rows):
+        # rows: (l_suppkey, l_partkey, l_extendedprice) — may repeat
+        # pairs; the oracle takes min(price) per pair like the engine
+        con = duckdb.connect()
+        con.register("li", pd.DataFrame(
+            rows, columns=["l_suppkey", "l_partkey", "l_extendedprice"]))
+        con.execute("CREATE VIEW lineitem AS SELECT * FROM li")
+        got = sorted((int(u), int(v), float(w)) for u, v, w in
+                     con.sql(_mst_oracle_sql()).fetchall())
+        best = {}
+        for s, p, w in rows:
+            k = (-s, p)
+            best[k] = min(best.get(k, float("inf")), w)
+        exp = sorted((u, v, float(w)) for u, v, w in
+                     kruskal([(w, u, v) for (u, v), w in best.items()]))
+        assert got == exp, (len(got), len(exp))
+
+    rng = _random.Random(11)
+    for trial in range(3):
+        rows = [(rng.randrange(1, 40), rng.randrange(1, 120),
+                 round(rng.uniform(1, 9999), 2)) for _ in range(600)]
+        run_case(rows)
+
+    # (b) increasing-weight chain s1-p1-s2-p2-...: supplier i links
+    # part i (w=2i) and part i-1 (w=2i-1) — one long path whose
+    # min-edge pointers form the deepest possible monotone forest
+    chain = []
+    for i in range(1, 120):
+        chain.append((i, i, float(2 * i)))
+        if i > 1:
+            chain.append((i, i - 1, float(2 * i - 1)))
+    run_case(chain)
+    # (c) decreasing weights along the same path
+    run_case([(s, p, 10000.0 - w) for s, p, w in chain])
