@@ -6698,3 +6698,51 @@ def test_png_decode_split_idat_ancillary_width1():
     d = decode_image(png)
     assert (d["width"], d["height"], d["channels"]) == (1, 4, 3)
     assert (d["pixels"] == arr).all()
+
+
+def test_sa_lrs_cms_oracles_multibyte_and_null_text(spark, tmp_path):
+    """The SA/LRS oracles' collation claim (Spark codepoint ranks ==
+    DuckDB UTF-8 byte order) and the CMS/SA NULL-text path are
+    untested by the sf gate corpus (pure ASCII, zero NULLs) — pin
+    them engine-vs-engine on a hand fixture: multibyte CJK + emoji +
+    combining marks + Arabic INSIDE the doc_id%211 subset, a NULL
+    text doc (contributes no suffix positions, shifts no offsets in
+    either engine), and an empty-string doc (one sentinel suffix)."""
+    import os
+
+    import duckdb
+
+    from extractor.queries import _SA_DOC_MOD, ORACLES, QUERIES
+
+    m = _SA_DOC_MOD
+    docs = [
+        (0, "字段解析 abc 字段解析 xyz 🚀🚀 café café", "x", "s", 1),
+        (m, "شبكة data شبكة data éclair éclair", "x", "s", 1),
+        (2 * m, None, "x", "s", 1),
+        (3 * m, "", "x", "s", 1),
+        (7, "not in the SA subset 字", "x", "s", 1),  # 7 % 211 != 0
+    ]
+    pd.DataFrame(docs, columns=[
+        "doc_id", "text", "lang", "source", "n_chars"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('{}')"
+                .format(os.path.join(str(tmp_path), "documents.parquet")))
+
+    for name in ("suffix_array_build", "longest_repeated_substring",
+                 "cms_term_counts"):
+        got = sorted(tuple(r) for r in
+                     QUERIES[name](spark, str(tmp_path)).collect())
+        exp = sorted(tuple(r) for r in con.sql(ORACLES[name]).fetchall())
+        assert got == exp, (name, got[:3], exp[:3])
+
+    # sanity on the fixture itself: the SA covered exactly the three
+    # non-NULL selected docs' chars (+1 sentinel each)
+    sa = QUERIES["suffix_array_build"](spark, str(tmp_path)).collect()
+    n_expected = sum(len(t) + 1 for i, t, *_ in docs
+                     if i % m == 0 and t is not None)
+    assert len(sa) == n_expected
+    # and the LRS found a genuinely multibyte repeat
+    lrs = QUERIES["longest_repeated_substring"](
+        spark, str(tmp_path)).collect()[0]
+    assert lrs["lrs_len"] >= 4 and lrs["lrs"]
