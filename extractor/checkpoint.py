@@ -373,9 +373,14 @@ def compact(checkpoint_dir: str, keep_snapshots: int = 2) -> dict:
         rec = base[pid]
         # batch stamp changes (that IS the compaction), but the
         # last writer's provenance is preserved under its own keys —
-        # lineage is never destroyed, only re-filed
-        rec["compacted_from_run_id"] = rec["run_id"]
-        rec["compacted_from_committed_at"] = rec["committed_at"]
+        # lineage is never destroyed, only re-filed. setdefault, not
+        # assignment: a SECOND compaction squashing an earlier
+        # baseline would otherwise overwrite the ORIGINAL run's
+        # provenance with "__compacted__", destroying exactly the
+        # lineage this contract promises to keep (round-5 self-review)
+        rec.setdefault("compacted_from_run_id", rec["run_id"])
+        rec.setdefault("compacted_from_committed_at",
+                       rec["committed_at"])
         rec["run_id"] = "__compacted__"
         rec["committed_at"] = last_at
         baseline.append(rec)

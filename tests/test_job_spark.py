@@ -886,3 +886,36 @@ def test_compact_preserves_committed_set_and_recent_time_travel(
     # idempotent: a second compact with fewer batches is a no-op
     again = checkpoint.compact(ck, keep_snapshots=5)
     assert again["squashed_batches"] == 0
+
+
+def test_compact_twice_preserves_original_provenance(tmp_path):
+    """Double compaction must not launder lineage: a second compact()
+    that squashes an earlier baseline batch has to keep the ORIGINAL
+    run's compacted_from_* provenance rather than re-stamping it with
+    "__compacted__" (the contract says lineage is re-filed, never
+    destroyed). Pure-manifest test, no Spark needed."""
+    import time as _time
+
+    ck = str(tmp_path / "ck")
+    checkpoint.ensure_header(ck, {"n_buckets": 4})
+    for i, rid in enumerate(("run-a", "run-b", "run-c")):
+        checkpoint.commit(ck, rid, [
+            {"partition_id": i, "turns_in": 1, "turns_out": 1,
+             "refs_out": 0}])
+        _time.sleep(0.01)  # distinct committed_at stamps per batch
+    s1 = checkpoint.compact(ck, keep_snapshots=1)
+    assert s1["squashed_batches"] == 2
+    rec0 = checkpoint.read_committed(ck)[0]
+    assert rec0["compacted_from_run_id"] == "run-a"
+
+    checkpoint.commit(ck, "run-d", [
+        {"partition_id": 3, "turns_in": 1, "turns_out": 1,
+         "refs_out": 0}])
+    s2 = checkpoint.compact(ck, keep_snapshots=1)
+    assert s2["squashed_batches"] >= 1
+    after = checkpoint.read_committed(ck)
+    # the original writer is STILL named after the baseline itself
+    # was squashed a second time
+    assert after[0]["compacted_from_run_id"] == "run-a"
+    assert after[1]["compacted_from_run_id"] == "run-b"
+    assert after[2]["compacted_from_run_id"] == "run-c"
