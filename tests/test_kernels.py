@@ -408,7 +408,11 @@ def test_pinned_stdlib_divergences_frozen():
     the 59,800 browser payloads of bench_data/transcripts_200000:
     re-run 2026-08-17 after the round-2 edits — 0 mismatches (the
     divergence class needs adversarial CDATA+quote-chain input that
-    does not occur in realistic payloads)."""
+    does not occur in realistic payloads). Re-run 2026-08-21 over a
+    FRESH input distribution — 30,203 browser payloads from the
+    round-5 chunked-substream gen source (seed 5, 100k turns) —
+    0 mismatches again: the new RNG chunking changed the payload
+    stream, not the parser-equivalence class."""
     prose = ("Real prose content follows here with many words to pass "
              "the classifier threshold easily.")
     pinned = [
