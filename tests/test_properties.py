@@ -387,3 +387,50 @@ def test_stream_cep_kernel_split_invariant(seq, n_splits):
             last = out.iloc[0]
     got = (int(last.seq_len), int(last.n_matches), int(last.first_pos))
     assert got == want, (seq, n_splits, got, want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n_turns=st.integers(min_value=0, max_value=200_000),
+    n_parts=st.integers(min_value=1, max_value=64),
+    chunk_turns=st.integers(min_value=1, max_value=8192),
+    hot_frac=st.floats(min_value=0.0, max_value=0.9,
+                       allow_nan=False, allow_infinity=False),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_gen_planner_tiles_exactly(n_turns, n_parts, chunk_turns,
+                                   hot_frac, seed):
+    """The chunked planner's tiling invariants, over random configs
+    (round-5 property gate for the hot-conversation split): the
+    emitted partitions cover every conversation index exactly once;
+    single-conversation slices appear only for the hot conversation,
+    start chunk-aligned, tile [0, hot_size) with no gap or overlap;
+    and no partition is empty by construction (except the explicit
+    n_convs=0 sentinel)."""
+    from extractor.gen_source import _conv_size, _GenReader
+
+    r = _GenReader({"n_turns": str(n_turns), "numPartitions": str(n_parts),
+                    "chunk_turns": str(chunk_turns),
+                    "hot_frac": repr(hot_frac), "seed": str(seed)})
+    parts = r.partitions()
+    if r.n_convs <= 0:
+        assert len(parts) == 1 and parts[0].ci_lo == parts[0].ci_hi == 0
+        return
+    hot_size = _conv_size(seed, 0, r.n_turns, hot_frac)
+    sliced = [p for p in parts if p.turn_lo is not None]
+    ranged = [p for p in parts if p.turn_lo is None]
+    # slices: hot conversation only, chunk-aligned, exact tiling
+    assert all(p.ci_lo == 0 and p.ci_hi == 1 for p in sliced)
+    assert all(p.turn_lo % chunk_turns == 0 for p in sliced)
+    spans = sorted((p.turn_lo, p.turn_hi) for p in sliced)
+    assert spans and spans[0][0] == 0 and spans[-1][1] == hot_size
+    assert all(a < b for a, b in spans)
+    assert all(b == c for (_, b), (c, _) in zip(spans, spans[1:]))
+    # conversation ranges: [1, n_convs) covered exactly once
+    ivals = sorted((p.ci_lo, p.ci_hi) for p in ranged)
+    if r.n_convs > 1:
+        assert ivals and ivals[0][0] == 1 and ivals[-1][1] == r.n_convs
+        assert all(a < b for a, b in ivals)
+        assert all(b == c for (_, b), (c, _) in zip(ivals, ivals[1:]))
+    else:
+        assert not ivals
