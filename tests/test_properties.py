@@ -434,3 +434,35 @@ def test_gen_planner_tiles_exactly(n_turns, n_parts, chunk_turns,
         assert all(b == c for (_, b), (c, _) in zip(ivals, ivals[1:]))
     else:
         assert not ivals
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    color=st.sampled_from([0, 2, 4, 6]),
+    filters=st.lists(st.integers(min_value=0, max_value=4),
+                     min_size=1, max_size=5),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_png_decode_roundtrip_property(h, w, color, filters, seed):
+    """Hypothesis breadth for the pure-Python PNG decoder: random
+    dims x color types x per-row filter sequences x pixel content
+    must round-trip bit-exact through the independent spec-forward
+    encoder (tests/test_extras helpers). Complements the hand-pinned
+    filter fixtures with the shape space (1-pixel rows, single
+    columns, all-filter mixes) a generator would take days to cover
+    one case at a time."""
+    import numpy as np
+
+    from extractor.multimodal import decode_image, probe_image_dims
+    from tests.test_extras import _png_encode
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    rng = np.random.RandomState(seed % (2**32 - 1))
+    arr = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    png, orig = _png_encode(arr, color, filters=filters)
+    d = decode_image(png)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    assert (d["pixels"] == orig).all()
+    assert probe_image_dims(png) == ("png", w, h)
